@@ -1,0 +1,97 @@
+"""End-to-end incremental pipeline test (SURVEY.md section 5 item 3).
+
+Synthetic raw batch -> incremental filter -> clean -> transform ->
+silver; asserts silver contents, watermark advancement, re-run
+idempotency (second run is a no-op), and the empty-batch skip path.
+"""
+
+import datetime as dt
+
+import pytest
+
+from web_scraping_etl_pipeline_spark.pipeline import run_batch
+from web_scraping_etl_pipeline_spark.schemas import JOBS_RAW
+from web_scraping_etl_pipeline_spark.sources.state import (
+    read_last_processed_time,
+    write_last_processed_time,
+)
+
+BASE = dt.datetime(2025, 6, 20, 5, 0, 0)
+BASE_US = int((BASE - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def _raw_batch(spark):
+    rows = [
+        # (job_name, link, salary, company, update_text, location,
+        #  remaining_text, posted_date, due_date)
+        (
+            "Senior Python Developer - Up to $2,000",
+            "https://x/1",
+            "1,000 - 2,000 USD",
+            "Acme",
+            "Cập nhật 3 giờ trước",
+            "Hồ Chí Minh",
+            "Còn 24 ngày để ứng tuyển",
+            BASE - dt.timedelta(hours=3),
+            BASE + dt.timedelta(days=24),
+        ),
+        (
+            "Data Engineer (ETL/Spark) - Hà Nội",
+            "https://x/2",
+            "10 - 20 triệu",
+            "O'Reilly & Sons",  # quote in name: B5 regression guard
+            "Cập nhật 2 ngày trước",
+            "Hà Nội",
+            "Còn 2 giờ để ứng tuyển",
+            BASE - dt.timedelta(days=2),
+            BASE + dt.timedelta(hours=2),
+        ),
+        (
+            "Tester",
+            "https://x/3",
+            "Thỏa thuận",
+            "Beta",
+            "Cập nhật 5 ngày trước",  # older than watermark -> filtered
+            "Đà Nẵng",
+            "Còn 1 ngày để ứng tuyển",
+            BASE - dt.timedelta(days=5),
+            BASE + dt.timedelta(days=1),
+        ),
+    ]
+    return spark.createDataFrame(rows, schema=JOBS_RAW)
+
+
+def test_run_batch_incremental(spark, tmp_path):
+    silver = str(tmp_path / "silver")
+    state = str(tmp_path / "state.json")
+    write_last_processed_time(state, BASE - dt.timedelta(days=3))
+
+    res = run_batch(spark, _raw_batch(spark), silver, state, now_us=BASE_US)
+    assert res["rows"] == 2  # row 3 older than watermark
+    assert res["watermark"] == BASE - dt.timedelta(hours=3)
+
+    got = {r["job_link"]: r for r in spark.read.parquet(silver).collect()}
+    assert set(got) == {"https://x/1", "https://x/2"}
+    r1 = got["https://x/1"]
+    assert r1["job_name"] == "Senior Python Developer"
+    assert r1["salary"] == pytest.approx((23.0 + 46.0) / 2)
+    assert r1["remaining_time"] == "Còn 24 ngày để ứng tuyển"
+    r2 = got["https://x/2"]
+    assert r2["salary"] == pytest.approx(15.0)  # B2 fixed: mean(10,20)
+    assert r2["company_name"] == "O'Reilly & Sons"
+    assert r2["remaining_time"] == "Còn 2 giờ để ứng tuyển"
+
+    # re-run: watermark + anti-join make it a no-op; state not rewritten
+    res2 = run_batch(spark, _raw_batch(spark), silver, state, now_us=BASE_US)
+    assert res2["skipped"] and res2["rows"] == 0
+    assert spark.read.parquet(silver).count() == 2
+    assert read_last_processed_time(state) == BASE - dt.timedelta(hours=3)
+
+
+def test_run_batch_first_run_full_load(spark, tmp_path):
+    # missing state file -> None watermark -> full load (S4 semantics)
+    silver = str(tmp_path / "silver")
+    state = str(tmp_path / "state.json")
+    res = run_batch(spark, _raw_batch(spark), silver, state, now_us=BASE_US)
+    assert res["rows"] == 3
+    assert read_last_processed_time(state) == BASE - dt.timedelta(hours=3)

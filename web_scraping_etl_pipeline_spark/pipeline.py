@@ -1,0 +1,114 @@
+"""The end-to-end batch pipeline: bronze -> incremental filter -> clean
+-> transform -> silver, with watermark state.
+
+Replaces the reference's six Airflow tasks
+(/root/reference/airflow/dags/topcv_flow.py:27-65) with one lazy
+DataFrame program: the XCom/process boundaries between scrape, clean,
+transform and write disappear into Catalyst lineage, so predicate
+pushdown + column pruning + whole-stage codegen cover the entire
+clean+transform expression pipeline in a single pass over the data.
+
+Semantics preserved from the reference (SURVEY.md section 2.7/2.9):
+
+- F1 incremental high-watermark filter (keep rows newer than state).
+- F6 empty-batch short-circuit (skip the silver write + state advance).
+- at-least-once upgraded to effectively-once: an anti-join on the
+  de-facto primary key ``job_link`` drops rows already in silver (the
+  reference has no key constraint and duplicates on replay).
+- B4 fixed: the watermark advances only *after* the silver write.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import (
+    clean_salary_bounds,
+    clean_title,
+    due_date,
+    posted_date,
+    render_remaining_time,
+    salary_mean,
+)
+from .operators.incremental import newer_than
+from .schemas import JOBS
+from .sources.state import advance_watermark, read_last_processed_time
+
+
+def clean(df: DataFrame) -> DataFrame:
+    """The reference's clean stage (topcv_pipeline.py:131-141): C1 title
+    cleanup + C2 salary parse, all native expressions."""
+    return df.select(
+        clean_title(F.col("job_name")).alias("job_name"),
+        "job_link",
+        clean_salary_bounds(F.col("salary")).alias("salary_bounds"),
+        "company_name",
+        "posted_date",
+        "job_location",
+        "remaining_time_text",
+        "due_date",
+    )
+
+
+def transform(df: DataFrame, now_us: int | None = None) -> DataFrame:
+    """The reference's transform stage (topcv_pipeline.py:157-167): C3
+    salary mean; plus C8 remaining-time render (the reference defers it
+    to a stored procedure - here it is one expression)."""
+    due_us = (F.unix_micros(F.col("due_date"))).alias("due_us")
+    remaining = (
+        render_remaining_time(
+            F.unix_micros(F.col("due_date")), F.lit(now_us)
+        ).alias("remaining_time")
+        if now_us is not None
+        else F.col("remaining_time_text").alias("remaining_time")
+    )
+    return df.select(
+        "job_name",
+        "job_link",
+        salary_mean(F.col("salary_bounds")).alias("salary"),
+        "company_name",
+        "posted_date",
+        "job_location",
+        remaining,
+        "due_date",
+    )
+
+
+def run_batch(
+    spark: SparkSession,
+    bronze: DataFrame,
+    silver_path: str,
+    state_path: str,
+    now_us: int | None = None,
+) -> dict:
+    """One incremental run. Returns run telemetry (rows in/out, watermark).
+
+    Order of operations is the B4 fix: filter -> clean -> transform ->
+    dedup vs silver -> write silver -> only then advance the watermark.
+    """
+    wm = read_last_processed_time(state_path)
+    fresh = bronze.filter(newer_than("posted_date", wm))
+
+    cleaned = transform(clean(fresh), now_us=now_us)
+
+    try:
+        existing = spark.read.schema(JOBS).parquet(silver_path)
+        cleaned = cleaned.join(
+            existing.select("job_link"), on="job_link", how="left_anti"
+        ).select(*[f.name for f in JOBS.fields])
+    except Exception:
+        cleaned = cleaned.select(*[f.name for f in JOBS.fields])
+
+    # One aggregation pass gives both the F6 empty-batch gate and the A2
+    # batch-max watermark - avoids a second scan just to count.
+    stats = cleaned.agg(
+        F.count("*").alias("n"), F.max("posted_date").alias("mx")
+    ).first()
+    if stats["n"] == 0:
+        return {"rows": 0, "watermark": wm, "skipped": True}
+
+    cleaned.write.mode("append").parquet(silver_path)
+    new_wm = advance_watermark(state_path, stats["mx"])
+    return {"rows": stats["n"], "watermark": new_wm, "skipped": False}

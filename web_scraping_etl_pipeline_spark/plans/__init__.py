@@ -1,0 +1,10 @@
+from .registry import QUERIES, ORACLE, query
+
+# importing the suites populates the registry
+from . import core  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import textops  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import vectors  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,325 @@
+"""Deduplication suite over ``documents`` - exact and near-dup, the
+core of any 100 TB pre-training corpus pipeline.
+
+Scale design notes:
+
+- Exact dedup = hash-groupBy: one shuffle on a 128-bit digest, partial
+  aggregation map-side; never a self-join on raw text.
+- MinHash: shingle explode -> (doc, perm) min-hash is map-side
+  combinable (min is associative), so the shuffle carries ~K rows per
+  doc, not K x shingles. Banding turns near-dup search from O(N^2) into
+  a join on band buckets.
+- SimHash is computed entirely with array expressions per row - no
+  explode, no shuffle: a pure map stage.
+- Cross-engine hashing uses the md5-prefix bridge (plans/registry.py);
+  Spark's native xxhash64/hash would be faster but oracle-incomparable.
+  A production deploy flips ``_H`` to xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .common import t
+from .registry import query
+
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+#: number of minhash permutations / LSH banding (4 bands x 2 rows).
+MINHASH_K = 8
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def _tokens():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def _h64(col: Column) -> Column:
+    """md5-prefix -> 60-bit bigint (cross-engine deterministic hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H64_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+#: word 3-gram shingles from the token array (pure array expr).
+_SHINGLES_SQL = (
+    f"list_transform(range(1, greatest(len({_TOKENS_SQL}) - 2, 0) + 1), "
+    f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' '))"
+)
+
+
+def _shingles() -> Column:
+    toks = _tokens()
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q40_dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest: groupBy(md5) keeps the min doc_id
+    per identical payload - one shuffle on the digest."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("copies")
+    )
+
+
+@query(
+    "q41_dedup_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    )
+    SELECT h AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS copies
+    FROM n GROUP BY h
+    """,
+)
+def q41_dedup_normalized(spark, sf_dir):
+    """Exact dedup after normalization (lowercase + whitespace collapse)
+    - catches trivially-reformatted duplicates."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.groupBy(F.md5(norm).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures (+ LSH banding to near-dup candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    k AS (
+      SELECT doc_id, s, unnest(range(0, {MINHASH_K})) AS perm FROM sh
+    )
+    SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+           MIN({_H64_SQL.format(x="s || '#' || CAST(perm AS VARCHAR)")}) AS sig
+    FROM k GROUP BY doc_id, perm
+    """,
+)
+def q42_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: word-3-gram shingles, K=8 salted-hash
+    permutations; min per (doc, perm). The explode is map-side combined
+    before the shuffle (min is associative), so shuffle volume is
+    K rows/doc regardless of document length."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles()).alias("s")
+    )
+    k = sh.select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("perm"),
+    )
+    salted = _h64(F.concat(F.col("s"), F.lit("#"), F.col("perm").cast("string")))
+    return (
+        k.groupBy("doc_id", F.col("perm").cast("long").alias("perm"))
+        .agg(F.min(salted).alias("sig"))
+    )
+
+
+@query(
+    "q43_lsh_candidate_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    k AS (
+      SELECT doc_id, s, unnest(range(0, {MINHASH_K})) AS perm FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, perm,
+             MIN({_H64_SQL.format(x="s || '#' || CAST(perm AS VARCHAR)")}) AS sig
+      FROM k GROUP BY doc_id, perm
+    ),
+    banded AS (
+      SELECT doc_id, perm // {LSH_ROWS} AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm)) AS band_key
+      FROM sig GROUP BY doc_id, perm // {LSH_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q43_lsh_candidate_pairs(spark, sf_dir):
+    """LSH banding over the minhash signatures (4 bands x 2 rows):
+    docs sharing any band bucket become candidate near-dup pairs - the
+    O(N^2) all-pairs scan becomes an equi-join on (band, band_key)."""
+    sig = q42_minhash_signatures(spark, sf_dir)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / LSH_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "sig"))
+                        ),
+                        lambda r: r["sig"].cast("string"),
+                    ),
+                    "_",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (verification / quadratic-in-bucket baseline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_ngram_jaccard_sample",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, list_distinct({_SHINGLES_SQL}) AS sset
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(
+             CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sset, b.sset))), 4
+           ) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def q44_ngram_jaccard_sample(spark, sf_dir):
+    """Exact n-gram Jaccard on bucketed pairs (same ``source``, sampled
+    1-in-5): the verification stage behind LSH candidates, and the
+    quadratic baseline LSH replaces. Bucketing bounds the pair count -
+    the join key is the bucket, never a cross join."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(_shingles()).alias("sset")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.size(F.array_union(F.col("a.sset"), F.col("b.sset")))
+    return a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash (shuffle-free near-dup sketch)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+@query(
+    "q45_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tk FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) AS th
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (th // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q45_simhash(spark, sf_dir):
+    """32-bit SimHash per document, computed as pure array expressions
+    (transform/aggregate/zip_with) - zero explode, zero shuffle: the
+    sketch that scales to 100 TB as a map-only stage. Near-dups then
+    compare by hamming distance on a bigint."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+
+    def tok_bits(tk: Column) -> Column:
+        th = F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("long")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda j: F.when(
+                (th / F.pow(F.lit(2.0), j.cast("double")))
+                .cast("long") % 2
+                == 1,
+                1,
+            ).otherwise(-1),
+        )
+
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, tk: F.zip_with(acc, tok_bits(tk), lambda x, y: x + y),
+    )
+    bit_values = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda j: F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            votes, bit_values, lambda v, b: F.when(v > 0, b).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select("doc_id", simhash.alias("simhash"))

@@ -1,0 +1,470 @@
+"""Relational core suite: aggregations, joins, windows, set ops.
+
+The reference's data model implies these but never writes them
+(SURVEY.md sections 2.4/2.5/2.7: a single-table pipeline whose only
+join-shaped construct is a correlated UPDATE keyed on job_link). The
+engine exposes the full relational vocabulary on the star schema, with
+the physical strategy chosen for 100 TB: dimension joins broadcast
+(region/nation/customer stay small relative to facts), fact-fact joins
+shuffle on their keys with AQE skew handling, top-k compiles to
+TakeOrderedAndProject, aggregations are partial+final hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import EVENTS_EPOCH_US, t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# group-by aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 1) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 0) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q14_pricing_summary(spark, sf_dir):
+    """Pricing-summary aggregate: partial+final hash agg, 8 expressions
+    in one WholeStageCodegen pass; the shipdate filter pushes into the
+    parquet scan. Money sums round to whole units (cross-engine float
+    accumulation tolerance - see plans/registry.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 0).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 0).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast dimension joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_customers_by_region",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q15_customers_by_region(spark, sf_dir):
+    """Star enrichment: customer joins two broadcast dims - zero
+    shuffle on the fact side until the final small aggregation."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "q16_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 0) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q16_segment_revenue(spark, sf_dir):
+    """Fact-dim equi-join + agg. customer broadcasts at bench scale; at
+    100 TB both sides would bucket on custkey and AQE picks the plan."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q17_nation_revenue",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q17_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: one shuffled fact-fact join (lineitem x orders on
+    orderkey) then broadcast dims; region filter prunes before the big
+    join (Catalyst pushes it through the join graph)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (the 'new jobs not yet in jobs_table' dedup shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)
+def q18_big_spenders(spark, sf_dir):
+    """Left-semi join: customers with at least one 400k+ order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q19_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q19_customers_without_orders(spark, sf_dir):
+    """Left-anti join - exactly the effectively-once dedup the silver
+    write uses on job_link (pipeline.py), recast on custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_order_date,
+           o_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+      ) AS rn FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q20_latest_order_per_customer(spark, sf_dir):
+    """'Latest posting per company' (SURVEY.md section 2.7) recast: ranking
+    window, deterministic o_orderkey tie-break."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("last_order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@query(
+    "q21_running_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_value
+    FROM events
+    """,
+)
+def q21_running_user_value(spark, sf_dir):
+    """Running sum per user ordered by event time - the cumulative
+    flavor of the watermark A2 max."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_set_union",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q22_set_union(spark, sf_dir):
+    """UNION (distinct) - the staging->jobs daily-increment shape."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "q23_set_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q23_set_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "q24_set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q24_set_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "q25_distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q25_distinct_pairs(spark, sf_dir):
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# rollup / conditional pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_region_nation_rollup",
+    oracle="""
+    SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q26_region_nation_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP (region -> nation -> grand total)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q27_user_event_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_cnt,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_cnt,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_cnt,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup_cnt,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error_cnt,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q27_user_event_pivot(spark, sf_dir):
+    """Conditional-aggregation pivot: one shuffle, five counters - the
+    scalable form of PIVOT (no second pass to discover keys)."""
+    ev = t(spark, sf_dir, "events")
+
+    def cnt(kind):
+        return F.count(F.when(F.col("event_type") == kind, 1)).alias(
+            f"{kind}_cnt"
+        )
+
+    return ev.groupBy("user_id").agg(
+        cnt("click"),
+        cnt("view"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization + event-time windowing (streaming semantics, batch form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_user_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM x GROUP BY user_id
+    """,
+)
+def q28_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag window + sum.
+    The streaming twin is a session window with watermark
+    (streaming/jobs_stream.py); this is the batch-equivalent plan."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts_us",
+        F.lag("ts_us").over(w).alias("prev_us"),
+    )
+    is_new = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return flagged.groupBy("user_id").agg(
+        F.sum(is_new).cast("long").alias("n_sessions")
+    )
+
+
+@query(
+    "q29_daily_type_counts",
+    oracle=f"""
+    SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY day_idx, event_type
+    """,
+)
+def q29_daily_type_counts(spark, sf_dir):
+    """Tumbling event-time window aggregation (1-day), batch form of the
+    readStream windowed count; day index is integer arithmetic on epoch
+    micros so it is tz-free in both engines."""
+    ev = t(spark, sf_dir, "events")
+    day_idx = F.floor(
+        (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000)
+    ).alias("day_idx")
+    return ev.groupBy(day_idx, "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,210 @@
+"""Text-analysis suite over the ``documents`` table - the operators a
+large-scale training-data pipeline needs (token counting, quality
+scoring, language ID, fingerprinting). All native column expressions
+(split/regexp/higher-order array functions): JVM-side, whole-stage
+codegen, no Python in the hot path - at 100 TB these run as pure map
+stages with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import t
+from .registry import query
+
+#: tokens = whitespace split of the trimmed, lowercased text. Documents
+#: here are ASCII word soup; Unicode-aware tokenization would swap the
+#: pattern, not the plan shape.
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _tokens():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+_LANG_MARKERS = {
+    # tiny deterministic stopword sets per language - heuristic n-gram/
+    # stopword language ID. The detector's value is its *shape* (argmax
+    # over per-language hit counts, fixed tie order), not linguistic
+    # accuracy on this synthetic corpus.
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "de", "los", "es"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+
+@query(
+    "q30_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q30_token_count(spark, sf_dir):
+    """Whitespace token counting (the BPE-ish regex variant is
+    q31's avg token length; both stay in codegen)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "q31_quality_score",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, n_chars, {_TOKENS_SQL} AS toks, trim(lower(text)) AS s
+      FROM documents
+    ),
+    y AS (
+      SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS BIGINT)
+               AS n_stopwords,
+             CAST(length(regexp_replace(s, '[^.,!?;:]', '', 'g')) AS BIGINT)
+               AS n_punct
+      FROM x
+    )
+    SELECT doc_id, n_tokens, n_stopwords, n_punct,
+           ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_span
+    FROM y
+    """,
+)
+def q31_quality_score(spark, sf_dir):
+    """Document quality features: length/stopword/punctuation ratios -
+    the standard pre-training quality filter inputs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    s = F.trim(F.lower(F.col("text")))
+    x = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda c: c.isin(*_STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.length(F.regexp_replace(s, r"[^.,!?;:]", "")).cast("long").alias(
+            "n_punct"
+        ),
+    )
+    return x.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        "n_punct",
+        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.col("n_punct") / F.col("n_chars"), 4).alias("punct_ratio"),
+        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias(
+            "avg_token_span"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = _LANG_MARKERS[lang]
+    return f"len(list_filter(toks, x -> x IN {markers!r}))"
+
+
+@query(
+    "q32_lang_id",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, lang AS labeled_lang, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, labeled_lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM x
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh'
+           END AS detected_lang
+    FROM s
+    """,
+)
+def q32_lang_id(spark, sf_dir):
+    """Stopword-hit language ID: argmax over per-language marker counts
+    with a fixed tie order (en > de > fr > es > zh)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {
+        lang: F.size(F.filter(toks, lambda c, m=markers: c.isin(*m)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    s = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _LANG_MARKERS],
+    )
+    c = F.col
+    detected = (
+        F.when(
+            (c("s_en") >= c("s_de"))
+            & (c("s_en") >= c("s_fr"))
+            & (c("s_en") >= c("s_es"))
+            & (c("s_en") >= c("s_zh")),
+            "en",
+        )
+        .when(
+            (c("s_de") >= c("s_fr"))
+            & (c("s_de") >= c("s_es"))
+            & (c("s_de") >= c("s_zh")),
+            "de",
+        )
+        .when((c("s_fr") >= c("s_es")) & (c("s_fr") >= c("s_zh")), "fr")
+        .when(c("s_es") >= c("s_zh"), "es")
+        .otherwise("zh")
+    )
+    return s.select("doc_id", "labeled_lang", detected.alias("detected_lang"))
+
+
+@query(
+    "q33_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp,
+           CAST(concat('0x', substr(fp, 1, 15)) AS BIGINT) AS fp64
+    FROM n
+    """,
+)
+def q33_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 of whitespace-normalized lowercase text,
+    plus a 60-bit integer prefix for compact join keys (the cross-engine
+    hash bridge documented in plans/registry.py)."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm).alias("fp")
+    n = docs.select("doc_id", fp)
+    return n.select(
+        "doc_id",
+        "fp",
+        F.conv(F.substring(F.col("fp"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp64"),
+    )

@@ -1,0 +1,192 @@
+"""Vector-similarity suite over ``embeddings`` (64-dim unit-norm
+float vectors).
+
+Scale design: similarity against a query vector is a pure map stage
+(broadcast the query, zip_with/aggregate dot product in codegen) +
+TakeOrderedAndProject for top-k - no cross join, no shuffle except the
+final k-row ordering. The LSH-bucketed variant (q51) prunes the scan to
+one bucket: the standard ANN recall/latency trade, expressed as a
+filter that pushes into the scan. Embeddings are unit-normalized
+(verified on the test data), so cosine == dot product; a general deploy
+divides by the norms (q52 computes them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .common import t
+from .registry import query
+
+DIM = 64
+TOP_K = 10
+
+#: deterministic "query vector" = the embedding of vec_id 0, referenced
+#: from the table itself so Spark and the oracle use bit-identical
+#: floats.
+QUERY_VEC_ID = 0
+
+#: dims whose signs form the 4-bit LSH bucket key (axis-aligned random
+#: projection; deterministic and cheap - a production variant hashes
+#: against seeded Gaussian hyperplanes the same way).
+LSH_DIMS = (1, 17, 33, 49)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """f64 dot product of two float arrays, summed in index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    emb = t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    return row["embedding"]
+
+
+def _qlit(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+_ORACLE_DOT = f"""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    dots AS (
+      SELECT e.vec_id,
+             SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE))
+               AS dp
+      FROM embeddings e, q, range(1, {DIM} + 1) r(i)
+      GROUP BY e.vec_id
+    )
+"""
+
+
+@query(
+    "q50_cosine_topk",
+    oracle=_ORACLE_DOT
+    + f"""
+    SELECT vec_id, ROUND(dp, 6) AS cos_sim
+    FROM dots
+    ORDER BY ROUND(dp, 6) DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q50_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the query vector: broadcast
+    literal + codegen dot product + TakeOrderedAndProject. The exact
+    baseline every ANN variant is measured against."""
+    qv = _query_vec(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    sim = F.round(_dot(F.col("embedding"), _qlit(qv)), 6).alias("cos_sim")
+    return (
+        emb.select("vec_id", sim)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _bucket_expr_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{d}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(LSH_DIMS)
+    )
+
+
+def _bucket_expr(col: Column) -> Column:
+    out = F.lit(0)
+    for i, d in enumerate(LSH_DIMS):
+        out = out + F.when(F.element_at(col, d) > 0.0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+@query(
+    "q51_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qe, {_bucket_expr_sql('embedding')} AS qb
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e, q
+      WHERE {_bucket_expr_sql('e.embedding')} = q.qb
+    ),
+    dots AS (
+      SELECT c.vec_id,
+             SUM(CAST(c.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE))
+               AS dp
+      FROM cand c, q, range(1, {DIM} + 1) r(i)
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, ROUND(dp, 6) AS cos_sim
+    FROM dots
+    ORDER BY ROUND(dp, 6) DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q51_ann_lsh_topk(spark, sf_dir):
+    """ANN via sign-LSH bucketing: candidates = vectors in the query's
+    4-bit sign bucket (~1/16 of the data), then exact rerank inside the
+    bucket. The bucket predicate is a scan filter - at 100 TB the table
+    is written partitioned by bucket and this becomes partition
+    pruning."""
+    qv = _query_vec(spark, sf_dir)
+    qb = sum((1 << i) for i, d in enumerate(LSH_DIMS) if float(qv[d - 1]) > 0.0)
+    emb = t(spark, sf_dir, "embeddings")
+    cand = emb.filter(_bucket_expr(F.col("embedding")) == F.lit(qb))
+    sim = F.round(_dot(F.col("embedding"), _qlit(qv)), 6).alias("cos_sim")
+    return (
+        cand.select("vec_id", sim)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "q52_vector_norms",
+    oracle=f"""
+    SELECT e.vec_id,
+           ROUND(sqrt(SUM(CAST(e.embedding[r.i] AS DOUBLE) *
+                          CAST(e.embedding[r.i] AS DOUBLE))), 6) AS l2_norm,
+           CAST(len(e.embedding) AS BIGINT) AS dim
+    FROM embeddings e, range(1, {DIM} + 1) r(i)
+    GROUP BY e.vec_id, len(e.embedding)
+    """,
+)
+def q52_vector_norms(spark, sf_dir):
+    """L2 norms (the denominator a general cosine needs) - pure map."""
+    emb = t(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 6
+    ).alias("l2_norm")
+    return emb.select(
+        "vec_id", norm, F.size("embedding").cast("long").alias("dim")
+    )
+
+
+@query(
+    "q53_label_centroids",
+    oracle="""
+    SELECT label, CAST(r.i - 1 AS BIGINT) AS dim,
+           ROUND(AVG(CAST(e.embedding[r.i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings e, range(1, 65) r(i)
+    GROUP BY label, r.i
+    """,
+)
+def q53_label_centroids(spark, sf_dir):
+    """Per-label centroids via posexplode + partial-agg mean: the
+    IVF-style coarse quantizer training step (centroids then bucket
+    vectors for the IVF ANN path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return exploded.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid")
+    )

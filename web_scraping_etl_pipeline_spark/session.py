@@ -1,0 +1,96 @@
+"""SparkSession factory and configuration.
+
+Two entry points:
+
+- :func:`get_spark` - build a session we own (tests, bench, pipeline).
+- :func:`configure` - apply the runtime-settable confs this engine
+  depends on to a session someone else built (the correctness driver
+  hands us its own ``SparkSession``).
+
+Conf rationale (all deterministic-read requirements, not tuning):
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's
+  ``events.parquet`` stores ``TIMESTAMP(NANOS)``, which Spark 4 refuses
+  to read as a timestamp; with this conf it arrives as bigint
+  nanoseconds and :mod:`.sources.star` derives epoch-micros columns
+  (micros is the precision DuckDB keeps, so the oracle agrees).
+- ``spark.sql.session.timeZone=UTC``: tz-free semantics - a naive
+  parquet timestamp renders/extracts the same wall clock Spark-side and
+  DuckDB-side.
+
+Tuning confs (AQE, broadcast threshold, shuffle partitions) live only in
+:func:`get_spark`; we never mutate a caller's performance settings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: confs that must hold for correct reads; safe to set at runtime.
+RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+#: performance confs applied when we build the session ourselves.
+#: Sized for local[N] testing but chosen to scale: AQE re-plans at
+#: runtime (coalesces small shuffles, splits skewed ones), and the
+#: broadcast threshold covers every dimension table of a 100 TB TPC-H
+#: style layout (region/nation/part/supplier stay << 256 MB).
+BUILD_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session.
+
+    Idempotent and cheap; every public query/loader calls this so the
+    engine behaves identically under the driver's session and ours.
+    """
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # non-settable in some deployment: leave the session as-is
+            # rather than failing the query; loaders fall back where
+            # they can.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "web-scraping-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS``
+    (or all cores); ``shuffle_partitions`` defaults to the same N - at
+    local scale a 200-partition shuffle is pure overhead, and on a real
+    cluster the deploy sets this (or AQE coalesces it).
+    """
+    cores = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cores}]")
+    for key, value in {**BUILD_CONF, **RUNTIME_CONF}.items():
+        builder = builder.config(key, value)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cores)
+    )
+    spark = builder.getOrCreate()
+    return configure(spark)

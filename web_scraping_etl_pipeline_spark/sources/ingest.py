@@ -1,0 +1,56 @@
+"""S1/S2 - ingestion boundary.
+
+The reference scrapes a page with Playwright and row-inserts into a
+Postgres staging table (/root/reference/src/topcv_pipeline.py:51-112).
+Scraping stays outside the engine; the engine's contract starts at "a
+batch of raw records" and its job is to land them in the bronze table
+as one distributed, typed write - no per-row INSERTs, no rendered SQL
+(fixes SURVEY.md section 8 B5: the reference's f-string INSERTs are
+injectable / quote-broken).
+
+At 100 TB the batch arrives as files in a landing zone; both paths land
+in the same partitioned bronze layout, so everything downstream is
+identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import JOBS_RAW
+
+
+def batch_to_df(
+    spark: SparkSession, records: Iterable[Mapping[str, Any]]
+) -> DataFrame:
+    """A scraped batch (list of dicts, the reference's in-memory shape,
+    topcv_pipeline.py:76-86) -> typed DataFrame with the canonical
+    bronze schema."""
+    rows = [
+        {name: rec.get(name) for name in JOBS_RAW.fieldNames()}
+        for rec in records
+    ]
+    return spark.createDataFrame(rows, schema=JOBS_RAW)
+
+
+def read_landing(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """File-drop landing zone flavor of S1: explicit schema (never
+    inferSchema on the pipeline path), format json or parquet."""
+    reader = spark.read.schema(JOBS_RAW)
+    return reader.json(path) if fmt == "json" else reader.parquet(path)
+
+
+def write_bronze(df: DataFrame, bronze_path: str, ingest_date: str) -> None:
+    """S2: append the raw batch to bronze, partitioned by ingest date so
+    the incremental scan prunes partitions instead of re-reading history
+    (SURVEY.md section 4 - the design choice that replaces the reference's
+    hand-rolled watermark pushdown at scale)."""
+    (
+        df.withColumn("ingest_date", F.lit(ingest_date))
+        .write.mode("append")
+        .partitionBy("ingest_date")
+        .parquet(bronze_path)
+    )
