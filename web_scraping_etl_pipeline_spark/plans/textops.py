@@ -149,8 +149,15 @@ def q32_lang_id(spark, sf_dir):
     with a fixed tie order (en > de > fr > es > zh)."""
     docs = t(spark, sf_dir, "documents")
     toks = _tokens()
+
+    # Single-arg closure via a factory: F.filter binds one lambda var per
+    # parameter, so a default-arg `m=markers` would become a second
+    # lambda Column (arity 2 -> (element, index)) and `isin(*m)` crashes.
+    def _hits(ms):
+        return lambda c: c.isin(*ms)
+
     scores = {
-        lang: F.size(F.filter(toks, lambda c, m=markers: c.isin(*m)))
+        lang: F.size(F.filter(toks, _hits(markers)))
         for lang, markers in _LANG_MARKERS.items()
     }
     s = docs.select(

@@ -41,9 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos bigint -> micros bigint (floor division; ts >= 0 here).
-        # Matches DuckDB's epoch_us(ts) on the same file exactly.
-        df = df.withColumn("ts_us", (F.col("ts") / F.lit(1000)).cast("long"))
+        # nanos bigint -> micros bigint. Integer division (DIV), not
+        # float: int64 nanos (~1.7e18) exceed double's 2^53 exact range,
+        # so `/ 1000` rounds ~12% of rows off by 1 us. DuckDB's
+        # epoch_us(ts) truncates in integer space; DIV matches exactly
+        # (ts >= 0 here, so DIV == floor division).
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
     return df
 
 
