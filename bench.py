@@ -1,0 +1,90 @@
+"""Benchmark harness: time every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Everything else (Spark logs, progress) goes to stderr so the driver's
+parser sees a single clean line. Each query is executed to completion
+with a ``noop``-format write - full physical execution (scan, shuffle,
+codegen) without driver-side collect overhead, which is what a cluster
+deployment would measure.
+
+Usage: python bench.py [sf_dir] [query ...]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default all cores)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from web_scraping_etl_pipeline_spark.plans import QUERIES  # noqa: E402
+from web_scraping_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_one(name: str, fn, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # noop sink executes the full plan distributed-side; no rows cross
+    # back to the driver (collect() would serialize the result set and
+    # benchmark Python, not the engine).
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    names = sys.argv[2:] or sorted(QUERIES)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="bench")
+    # Warm the JVM/session so query 1 doesn't absorb startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            took = run_one(name, QUERIES[name], spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - record and move on
+            log(f"ERR  {name}: {exc}")
+            timings[name] = -1.0
+            continue
+        timings[name] = round(took, 3)
+        log(f"ok   {name}: {took:.3f}s")
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
