@@ -1,0 +1,59 @@
+"""Multimodal plumbing: payload construction, mapInPandas decode batch
+shape, frame sampling, and the real-codec stub gate."""
+
+import pytest
+
+from web_scraping_etl_pipeline_spark.multimodal.media import (
+    decode_image_real,
+    decode_media,
+    media_table,
+    sample_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_payload_roundtrip(spark):
+    media = media_table(spark, SF_DIR)
+    row = media.orderBy("media_id").first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert bytes(row["payload"]).startswith(b"WSEP1;w=")
+    assert row["n_bytes"] == len(row["payload"])
+    assert row["mime"].split("/")[0] == row["media_type"]
+    assert set(row["meta"]) == {"source", "lang"}
+
+
+def test_decode_matches_header(spark):
+    media = media_table(spark, SF_DIR)
+    decoded = {r["media_id"]: r for r in decode_media(media).collect()}
+    for r in media.select("media_id", "payload", "media_type").limit(20).collect():
+        d = decoded[r["media_id"]]
+        header = bytes(r["payload"]).split(b";", 4)
+        assert d["width"] == int(header[1][2:])
+        assert d["height"] == int(header[2][2:])
+        assert d["media_type"] == r["media_type"]
+
+
+def test_frame_sampling_video_only(spark):
+    media = media_table(spark, SF_DIR)
+    frames = sample_frames(media)
+    per_media = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").count().withColumnRenamed("count", "n").collect()
+    }
+    videos = {
+        r["media_id"]: r["height"]
+        for r in decode_media(media).filter("media_type = 'video'").collect()
+    }
+    assert set(per_media) == set(videos)
+    for mid, h in videos.items():
+        assert per_media[mid] == h % 7 + 1
+    ts = frames.filter("media_id = %d" % next(iter(videos))).orderBy("frame_idx")
+    assert [r["frame_ms"] for r in ts.collect()] == [
+        500 * i for i in range(len(ts.collect()))
+    ]
+
+
+def test_real_codec_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG...")

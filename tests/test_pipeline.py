@@ -88,6 +88,20 @@ def test_run_batch_incremental(spark, tmp_path):
     assert read_last_processed_time(state) == BASE - dt.timedelta(hours=3)
 
 
+def test_run_batch_corrupt_silver_raises(spark, tmp_path):
+    # A silver dir that exists but is unreadable must raise - NOT fall
+    # back to "no silver yet", which would skip the anti-join dedup and
+    # silently append duplicates (the reference's B4 replay bug).
+    silver = tmp_path / "silver"
+    silver.mkdir()
+    (silver / "part-00000.parquet").write_text("this is not parquet")
+    state = str(tmp_path / "state.json")
+    with pytest.raises(Exception):
+        run_batch(spark, _raw_batch(spark), str(silver), state, now_us=BASE_US)
+    # and the watermark must not have advanced
+    assert read_last_processed_time(state) is None
+
+
 def test_run_batch_first_run_full_load(spark, tmp_path):
     # missing state file -> None watermark -> full load (S4 semantics)
     silver = str(tmp_path / "silver")

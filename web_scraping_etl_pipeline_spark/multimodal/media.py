@@ -1,0 +1,278 @@
+"""Media suite: binary payload columns + Pandas-UDF decode stages.
+
+Data contract
+-------------
+``media_table`` derives a deterministic media table from ``documents``
+(the container has no real image/audio files): each document becomes a
+media row whose ``payload`` is a binary blob with a parseable ASCII
+header followed by the document body::
+
+    WSEP1;w=<width>;h=<height>;t=<media_type>;<body bytes...>
+
+Width/height/type are pure functions of ``doc_id``, so the DuckDB
+oracle can recompute everything the decoder extracts - the decode
+*plumbing* (mapInPandas over Arrow batches, explicit output schema,
+partition-preserving map stage) is exercised for real, while the codec
+itself is a deterministic fake. A production deployment swaps
+``_parse_header`` for a real codec (see :func:`decode_image_real`) and
+nothing else changes: same schema, same batch shape, same plan.
+
+Scale design: decode is a *map-only* stage - no shuffle, no driver
+data. ``mapInPandas`` streams Arrow batches through Python once;
+downstream filters/joins stay JVM-side. At 100 TB the payload column
+dominates I/O, so every query below prunes it immediately after decode
+(``ReadSchema`` keeps payload out of scans that only need metadata).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..plans.common import t
+from ..plans.registry import query
+
+#: header magic + deterministic dimension formulas (shared with oracles).
+MAGIC = "WSEP1"
+W_MUL, W_MOD, W_MIN = 37, 1857, 64
+H_MUL, H_MOD, H_MIN = 53, 1017, 64
+TYPES = ("image", "audio", "video")
+MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+DECODED = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("body_bytes", T.LongType()),
+    ]
+)
+
+FRAMES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media rows (media_id, payload, media_type, mime,
+    n_bytes, meta). Payload built JVM-side (no UDF on the encode path)."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    width = (did * W_MUL) % W_MOD + W_MIN
+    height = (did * H_MUL) % H_MOD + H_MIN
+    mtype = F.element_at(F.array(*[F.lit(x) for x in TYPES]), (did % 3 + 1).cast("int"))
+    header = F.concat(
+        F.lit(MAGIC + ";w="), width, F.lit(";h="), height,
+        F.lit(";t="), mtype, F.lit(";"),
+    )
+    payload = F.encode(F.concat(header, F.col("text")), "UTF-8")
+    mime = F.element_at(
+        F.create_map(*[F.lit(x) for kv in MIMES.items() for x in kv]), mtype
+    )
+    return docs.select(
+        did.alias("media_id"),
+        payload.alias("payload"),
+        mtype.alias("media_type"),
+        mime.alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def _parse_header(payload: bytes) -> tuple[int, int, str, int]:
+    """The deterministic fake codec: parse the ASCII header."""
+    magic, w, h, mt, body = payload.split(b";", 4)
+    assert magic == MAGIC.encode(), "corrupt media payload"
+    return int(w[2:]), int(h[2:]), mt[2:].decode(), len(body)
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - deploy hook
+    """Real-codec hook: decode an actual image payload.
+
+    The container ships no imaging libraries; a deployment installs one
+    and this function replaces :func:`_parse_header` inside
+    :func:`decode_media` without touching schema or plan shape.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode needs an imaging library (e.g. Pillow); "
+            "this environment uses the deterministic header codec instead"
+        ) from exc
+    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: binary payload -> typed metadata.
+
+    ``mapInPandas`` so a real codec can emit 0..n rows per input
+    (corrupt-skip, multi-page) - the general decode batch shape, not a
+    1:1 scalar UDF.
+    """
+
+    magic = MAGIC.encode()
+
+    # NOTE: the parse logic is inlined (not a call to the module-level
+    # _parse_header) so cloudpickle ships the closure BY VALUE - Python
+    # workers must not need this package importable on their own path.
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[["media_id"]].copy()
+            cols: dict[str, list] = {
+                "width": [], "height": [], "media_type": [], "body_bytes": []
+            }
+            for p in pdf["payload"]:
+                m, w, h, mt, body = bytes(p).split(b";", 4)
+                assert m == magic, "corrupt media payload"
+                cols["width"].append(int(w[2:]))
+                cols["height"].append(int(h[2:]))
+                cols["media_type"].append(mt[2:].decode())
+                cols["body_bytes"].append(len(body))
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(batches, DECODED)
+
+
+def sample_frames(media: DataFrame, fps_ms: int = 500) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled frame.
+
+    Frame count is header-deterministic (height % 7 + 1 fake "duration");
+    a real pipeline replaces the count with the container's stream
+    metadata. Emitting a *variable* number of rows per input is exactly
+    what ``mapInPandas`` allows and a scalar pandas_udf does not.
+    """
+
+    # self-contained closure (value-pickled; see decode_media NOTE).
+    def batches(it: Iterator) -> Iterator:
+        rows: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ms": []}
+        for pdf in it:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, h, mt, _ = bytes(payload).split(b";", 4)
+                if mt[2:] != b"video":
+                    continue
+                for i in range(int(h[2:]) % 7 + 1):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ms"].append(i * fps_ms)
+        import pandas as pd
+
+        yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ms"])
+
+    return media.select("media_id", "payload").mapInPandas(batches, FRAMES)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (q60+)
+# ---------------------------------------------------------------------------
+
+_DIMS_SQL = f"""
+      SELECT doc_id AS media_id,
+             (doc_id * {W_MUL}) % {W_MOD} + {W_MIN} AS width,
+             (doc_id * {H_MUL}) % {H_MOD} + {H_MIN} AS height,
+             ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
+               AS media_type,
+             octet_length(encode(text)) AS body_bytes
+      FROM documents
+"""
+
+
+@query(
+    "q60_media_decode",
+    oracle=f"""
+    SELECT media_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height, media_type,
+           CAST(body_bytes AS BIGINT) AS body_bytes
+    FROM ({_DIMS_SQL})
+    """,
+)
+def q60_media_decode(spark, sf_dir):
+    """Decode dimensions/type from the binary payload via mapInPandas;
+    the oracle recomputes the header formulas relationally."""
+    return decode_media(media_table(spark, sf_dir))
+
+
+@query(
+    "q61_media_aspect_filter",
+    oracle=f"""
+    SELECT media_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           ROUND(CAST(width AS DOUBLE) / height, 4) AS aspect
+    FROM ({_DIMS_SQL})
+    WHERE media_type = 'image'
+      AND CAST(width AS DOUBLE) / height BETWEEN 0.75 AND 1.8
+    """,
+)
+def q61_media_aspect_filter(spark, sf_dir):
+    """Typical curation filter: keep images with a sane aspect ratio.
+    Decode once (Python), then filter JVM-side on the typed columns."""
+    d = decode_media(media_table(spark, sf_dir))
+    aspect = F.col("width").cast("double") / F.col("height")
+    return (
+        d.filter(
+            (F.col("media_type") == "image") & aspect.between(0.75, 1.8)
+        )
+        .select(
+            "media_id", "width", "height", F.round(aspect, 4).alias("aspect")
+        )
+    )
+
+
+@query(
+    "q62_media_embedding_join",
+    oracle=f"""
+    SELECT d.media_id, d.media_type, e.label,
+           ROUND(sqrt(list_sum(list_transform(e.embedding,
+                                              x -> CAST(x AS DOUBLE) *
+                                                   CAST(x AS DOUBLE)))), 4)
+             AS emb_norm
+    FROM ({_DIMS_SQL}) d JOIN embeddings e ON d.media_id = e.vec_id
+    WHERE d.media_type <> 'audio'
+    """,
+)
+def q62_media_embedding_join(spark, sf_dir):
+    """Join decoded media metadata to the embedding table (caption/
+    visual-embedding association) - decoded dims (Python stage) flow
+    into a JVM-side equi-join + vector-norm expression."""
+    d = decode_media(media_table(spark, sf_dir)).filter(
+        F.col("media_type") != "audio"
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return d.join(emb, d["media_id"] == emb["vec_id"]).select(
+        "media_id", "media_type", "label", F.round(norm, 4).alias("emb_norm")
+    )
+
+
+@query(
+    "q63_media_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT media_id, unnest(range(0, height % 7 + 1)) AS i
+      FROM ({_DIMS_SQL}) WHERE media_type = 'video'
+    )
+    SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 500 AS BIGINT) AS frame_ms
+    FROM f
+    """,
+)
+def q63_media_frame_sample(spark, sf_dir):
+    """Frame sampling: variable rows-per-input through mapInPandas (the
+    UDTF-shaped decode path); oracle uses a lateral series join."""
+    return sample_frames(media_table(spark, sf_dir))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import (
@@ -93,13 +94,30 @@ def run_batch(
 
     cleaned = transform(clean(fresh), now_us=now_us)
 
+    # Dedup against silver on the de-facto primary key. Only the
+    # missing-path case (first run) may skip the anti-join; any other
+    # failure (corrupt silver, permissions, schema drift) must raise -
+    # swallowing it would silently disable dedup and reintroduce the
+    # reference's at-least-once duplicates. At scale the anti-join scans
+    # just the pruned job_link column of silver; the deploy path for
+    # very large silver is a bucketed-by-job_link table (shuffle-free
+    # anti-join) or a Delta/Iceberg MERGE keyed on job_link.
     try:
         existing = spark.read.schema(JOBS).parquet(silver_path)
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        existing = None
+    if existing is not None:
         cleaned = cleaned.join(
             existing.select("job_link"), on="job_link", how="left_anti"
-        ).select(*[f.name for f in JOBS.fields])
-    except Exception:
-        cleaned = cleaned.select(*[f.name for f in JOBS.fields])
+        )
+    cleaned = cleaned.select(*[f.name for f in JOBS.fields])
 
     # One aggregation pass gives both the F6 empty-batch gate and the A2
     # batch-max watermark - avoids a second scan just to count.

@@ -481,3 +481,38 @@ def q13_calculate_dates(spark, sf_dir):
             "posted_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C5 - timezone normalization (localize)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_localize_tz",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           strftime(ts + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') AS local_wall
+    FROM events
+    """,
+)
+def q36_localize_tz(spark, sf_dir):
+    """C5: render each UTC instant as the reference's Asia/Ho_Chi_Minh
+    wall clock (docker-compose.yaml:10, topcv_pipeline.py:137,140).
+    Spark side uses the real tz database (from_utc_timestamp via
+    functions.dates.localize); the oracle states the zone's fixed UTC+7
+    offset (no DST since 1975) so the comparison is session-tz-free.
+    Output is a rendered string per the no-raw-TIMESTAMP registry rule.
+    """
+    from ..functions.dates import localize
+    from ..sources.star import with_event_time
+
+    ev = with_event_time(t(spark, sf_dir, "events"))
+    return ev.select(
+        "event_id",
+        "ts_us",
+        F.date_format(
+            localize(F.col("event_time")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("local_wall"),
+    )

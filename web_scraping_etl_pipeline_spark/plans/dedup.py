@@ -147,9 +147,9 @@ def q42_minhash_signatures(spark, sf_dir):
     )
 
 
-@query(
-    "q43_lsh_candidate_pairs",
-    oracle=f"""
+#: the LSH candidate-pair pipeline as oracle CTE text, shared by q43 and
+#: the q46 verification stage.
+_LSH_CANDS_SQL = f"""
     WITH sh AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
     ),
@@ -165,11 +165,18 @@ def q42_minhash_signatures(spark, sf_dir):
       SELECT doc_id, perm // {LSH_ROWS} AS band,
              md5(string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm)) AS band_key
       FROM sig GROUP BY doc_id, perm // {LSH_ROWS}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@query(
+    "q43_lsh_candidate_pairs",
+    oracle=_LSH_CANDS_SQL + "SELECT doc_a, doc_b FROM cands",
 )
 def q43_lsh_candidate_pairs(spark, sf_dir):
     """LSH banding over the minhash signatures (4 bands x 2 rows):
@@ -232,9 +239,10 @@ def q43_lsh_candidate_pairs(spark, sf_dir):
 )
 def q44_ngram_jaccard_sample(spark, sf_dir):
     """Exact n-gram Jaccard on bucketed pairs (same ``source``, sampled
-    1-in-5): the verification stage behind LSH candidates, and the
-    quadratic baseline LSH replaces. Bucketing bounds the pair count -
-    the join key is the bucket, never a cross join."""
+    1-in-5): the quadratic all-pairs *baseline* that LSH replaces -
+    kept as the documented reference point. Quadratic within each
+    bucket, so a hot bucket explodes at scale; the 100 TB path is
+    q46_lsh_verified_jaccard, which verifies only LSH candidates."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     sh = docs.select(
         "doc_id", "source", F.array_distinct(_shingles()).alias("sset")
@@ -251,6 +259,62 @@ def q44_ngram_jaccard_sample(spark, sf_dir):
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+@query(
+    "q46_lsh_verified_jaccard",
+    oracle=_LSH_CANDS_SQL + f""",
+    sh2 AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sset FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cands UNION SELECT doc_b FROM cands)
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(
+             CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sset, b.sset))), 4
+           ) AS jaccard
+    FROM cands c
+    JOIN sh2 a ON c.doc_a = a.doc_id
+    JOIN sh2 b ON c.doc_b = b.doc_id
+    """,
+)
+def q46_lsh_verified_jaccard(spark, sf_dir):
+    """The scale-safe dedup verification stage: exact n-gram Jaccard
+    computed ONLY for q43's LSH candidate pairs - pair count is bounded
+    by LSH output (linear-ish in corpus size), never bucket^2. Shingle
+    sets are joined onto the candidate list by doc key: two shuffles on
+    doc_id, and the heavy set-intersection expression runs once per
+    surviving candidate. This is the minhash->banding->verify pipeline
+    a 100 TB corpus dedup actually ships."""
+    cands = q43_lsh_candidate_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    # semi-join prune: only candidate docs carry their shingle sets
+    members = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(members, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(_shingles()).alias("sset"))
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sset").alias("sset_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sset").alias("sset_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sset_a"), F.col("sset_b")))
+    union = F.size(F.array_union(F.col("sset_a"), F.col("sset_b")))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
     )
 
 

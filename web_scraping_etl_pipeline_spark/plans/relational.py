@@ -105,12 +105,14 @@ def q15_customers_by_region(spark, sf_dir):
     """,
 )
 def q16_segment_revenue(spark, sf_dir):
-    """Fact-dim equi-join + agg. customer broadcasts at bench scale; at
-    100 TB both sides would bucket on custkey and AQE picks the plan."""
+    """Fact-dim equi-join + agg. No broadcast hint on customer - it
+    scales with the facts, so the auto-broadcast threshold / AQE decides
+    (broadcasts at bench scale, shuffle-joins at 100 TB where both
+    sides would bucket on custkey)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -136,7 +138,11 @@ def q16_segment_revenue(spark, sf_dir):
 def q17_nation_revenue(spark, sf_dir):
     """TPC-H Q5 shape: one shuffled fact-fact join (lineitem x orders on
     orderkey) then broadcast dims; region filter prunes before the big
-    join (Catalyst pushes it through the join graph)."""
+    join (Catalyst pushes it through the join graph). customer carries
+    no hint - it scales with the fact tables, so broadcastability is a
+    runtime property: the auto-broadcast threshold / AQE decides (it
+    still broadcasts at bench scale, and degrades to shuffle join at
+    100 TB instead of OOMing the executors)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
@@ -146,7 +152,7 @@ def q17_nation_revenue(spark, sf_dir):
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -426,9 +432,10 @@ def q27_user_event_pivot(spark, sf_dir):
     """,
 )
 def q28_user_sessions(spark, sf_dir):
-    """Gap-based sessionization (30-min inactivity): lag window + sum.
-    The streaming twin is a session window with watermark
-    (streaming/jobs_stream.py); this is the batch-equivalent plan."""
+    """Gap-based sessionization (30-min inactivity): lag window + sum;
+    the batch-equivalent plan of a streaming session window. The live
+    streaming queries are streaming/events_stream.py (q34/q35) and the
+    jobs drain in streaming/jobs_stream.py."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.select(

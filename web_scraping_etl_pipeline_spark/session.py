@@ -84,6 +84,17 @@ def get_spark(
     local scale a 200-partition shuffle is pure overhead, and on a real
     cluster the deploy sets this (or AQE coalesces it).
     """
+    # Python workers inherit the JVM's env: put the package root on
+    # PYTHONPATH *before* the gateway starts so worker-side imports of
+    # this package resolve regardless of the driver's cwd. (UDF closures
+    # are value-pickled anyway - see multimodal/media.py - this is
+    # defense in depth for future module-referencing UDFs.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cores = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cores}]")

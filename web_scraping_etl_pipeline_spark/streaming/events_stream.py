@@ -1,0 +1,115 @@
+"""Oracle-checked Structured Streaming queries over ``events``.
+
+Each query runs a real ``readStream`` -> ``writeStream`` cycle with
+``trigger(availableNow=True)`` into a scratch parquet sink, then returns
+the sink as a DataFrame - so the driver's correctness gate exercises the
+actual streaming engine (file source, watermark advancement, state
+flush), not a batch re-phrasing.
+
+Determinism notes (what makes a streaming query oracle-able):
+
+- stateless pass-through (q34): append emits every row exactly once -
+  the oracle is plain SQL.
+- watermark-finalized tumbling windows (q35): append mode emits a
+  window only once the event-time watermark (max event time - 0s
+  lateness) passes its end; ``availableNow`` runs a final no-data batch
+  that advances the watermark and flushes, so the emitted set is exactly
+  the windows with ``window_end <= max(event_time)`` - the still-open
+  last window is withheld. The oracle states that rule in SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import configure
+from ..sources.star import US_PER_DAY
+from ..plans.registry import query
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The glob filter keeps
+    the directory basePath the file source requires while selecting the
+    single ``events.parquet`` inside it."""
+    configure(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def _run_to_sink(df: DataFrame, spark: SparkSession, tag: str) -> DataFrame:
+    """Execute one availableNow drain into a scratch parquet sink and
+    return the materialized result."""
+    scratch = tempfile.mkdtemp(prefix=f"wsep-stream-{tag}-")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", f"{scratch}/sink")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{scratch}/sink")
+
+
+@query(
+    "q34_stream_passthrough",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           event_type,
+           ROUND(value, 6) AS value
+    FROM events WHERE value > 90
+    """,
+)
+def q34_stream_passthrough(spark, sf_dir):
+    """Stateless streaming filter+project: the reference's incremental
+    clean stage shape (filter then select,
+    /root/reference/src/topcv_pipeline.py:122-141) running through the
+    actual streaming engine. Append emits each row exactly once, so the
+    result equals the batch query."""
+    s = _stream_events(spark, sf_dir).filter(F.col("value") > 90)
+    out = s.select(
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+    return _run_to_sink(out, spark, "q34")
+
+
+@query(
+    "q35_stream_daily_finalized",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} AS day_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} + {US_PER_DAY}
+           <= (SELECT max(epoch_us(ts)) FROM events)
+    """,
+)
+def q35_stream_daily_finalized(spark, sf_dir):
+    """Tumbling daily counts per event type with a zero-lateness
+    watermark - the reference's daily batch + watermark drop
+    (SURVEY.md section 2.7) as a genuine stateful streaming aggregate.
+    Append mode emits exactly the finalized windows (end <= watermark);
+    the oracle encodes that emission rule in SQL."""
+    s = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(F.window("event_time", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros("w.start").alias("day_us"), "event_type", "n"
+        )
+    )
+    return _run_to_sink(s, spark, "q35")
