@@ -159,10 +159,9 @@ def minhash_sig_array(docs):
 )
 def q42_minhash_signatures(spark, sf_dir):
     """MinHash signatures: word-3-gram shingles, K=8 salted-hash
-    permutations; min per (doc, perm). Computed as a map-only array
-    fold (see :func:`minhash_sig_array`) and posexploded to the
-    (doc_id, perm, sig) presentation shape - the only wide-looking op
-    is the final explode of K elements per doc."""
+    permutations; min per (doc, perm). Computed by the explode +
+    K-min-aggregate plan (see :func:`minhash_sig_array`) and
+    posexploded to the (doc_id, perm, sig) presentation shape."""
     sig = minhash_sig_array(t(spark, sf_dir, "documents"))
     return sig.select(
         "doc_id", F.posexplode("sigs").alias("perm", "sig")
@@ -404,3 +403,74 @@ def q45_simhash(spark, sf_dir):
             F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (the semantic-dedup family member)
+# ---------------------------------------------------------------------------
+
+#: cosine threshold for "near-duplicate" vectors. The synthetic
+#: embeddings are random unit vectors (max pairwise cosine ~0.5), so the
+#: threshold is set to exercise the full path with non-empty output; a
+#: real semantic-dedup deploy uses ~0.95+ on model embeddings.
+COSINE_NEARDUP_T = 0.4
+
+
+@query(
+    "q47_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN embedding[18] > 0 THEN 2 ELSE 0 END) +
+             (CASE WHEN embedding[34] > 0 THEN 4 ELSE 0 END) +
+             (CASE WHEN embedding[50] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(x.embedding[i] AS DOUBLE) *
+                    CAST(y.embedding[i] AS DOUBLE))) AS dp
+      FROM b x JOIN b y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(dp, 6) AS cos_sim
+    FROM p WHERE dp >= {COSINE_NEARDUP_T}
+    """,
+)
+def q47_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: candidate pairs are generated by
+    a sign-LSH bucket equi-join (same 4-bit bucket as the q51 ANN path,
+    different dims than its query bucket to stay plan-independent), then
+    exact cosine filters survivors. Never an all-pairs cross join: the
+    join key is the bucket, so pair count is sum(bucket^2)/2 with ~1/16
+    buckets - and at 100 TB the bucket count grows (more sign bits)
+    to keep buckets bounded, exactly the LSH recall/cost dial."""
+    from .vectors import _dot
+
+    emb = t(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    for i, d in enumerate((2, 18, 34, 50)):
+        bucket = bucket + F.when(
+            F.element_at("embedding", d) > 0.0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    x = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    y = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    dp = _dot(F.col("ea"), F.col("eb"))
+    return (
+        x.join(y, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", dp.alias("dp"))
+        .filter(F.col("dp") >= COSINE_NEARDUP_T)
+        .select("vec_a", "vec_b", F.round("dp", 6).alias("cos_sim"))
+    )

@@ -190,3 +190,77 @@ def q53_label_centroids(spark, sf_dir):
     return exploded.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
         F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid")
     )
+
+
+#: IVF probe count (how many inverted lists the query visits).
+NPROBE = 2
+
+
+@query(
+    "q54_ivf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    cent AS (
+      SELECT label, r.i AS i, AVG(CAST(e.embedding[r.i] AS DOUBLE)) AS c
+      FROM embeddings e, range(1, {DIM} + 1) r(i)
+      GROUP BY label, r.i
+    ),
+    cdot AS (
+      SELECT cent.label, SUM(cent.c * CAST(q.qe[cent.i] AS DOUBLE)) AS cdp
+      FROM cent, q GROUP BY cent.label
+    ),
+    probed AS (
+      SELECT label FROM cdot ORDER BY cdp DESC, label LIMIT {NPROBE}
+    ),
+    dots AS (
+      SELECT e.vec_id,
+             SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE))
+               AS dp
+      FROM embeddings e, q, range(1, {DIM} + 1) r(i)
+      WHERE e.label IN (SELECT label FROM probed)
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(dp, 6) AS cos_sim
+    FROM dots
+    ORDER BY ROUND(dp, 6) DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q54_ivf_topk(spark, sf_dir):
+    """IVF ANN: the label column is the inverted-list assignment (its
+    centroids are the coarse quantizer, cf. q53); the query probes the
+    NPROBE nearest centroids and exact-reranks only those lists.
+
+    Scale shape: the quantizer is tiny by design (n_lists x DIM), so
+    ranking centroids driver-side is a 2-row collect - the probe
+    decision, not data movement. The candidate filter (label IN probed)
+    prunes the scan to NPROBE/n_lists of the table; at 100 TB the table
+    is written partitioned by list id and this is partition pruning,
+    exactly like q51's sign-bucket variant."""
+    qv = _query_vec(spark, sf_dir)
+    qlit = _qlit(qv)
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.select("label", F.posexplode("embedding").alias("d", "val"))
+    cdot = (
+        cent.groupBy("label", "d")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.col("c") * F.element_at(qlit, (F.col("d") + 1).cast("int"))
+            ).alias("cdp")
+        )
+    )
+    probed = [
+        r["label"]
+        for r in cdot.orderBy(F.desc("cdp"), F.asc("label")).limit(NPROBE).collect()
+    ]
+    sim = F.round(_dot(F.col("embedding"), qlit), 6).alias("cos_sim")
+    return (
+        emb.filter(F.col("label").isin(probed))
+        .select("vec_id", sim)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
