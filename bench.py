@@ -57,6 +57,12 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python UDF workers too (daemon fork + pyarrow import is a
+    # one-time ~5-8s cost that would otherwise land on the first
+    # mapInPandas query instead of the session).
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -124,6 +124,13 @@ def decode_media(media: DataFrame) -> DataFrame:
     # NOTE: the parse logic is inlined (not a call to the module-level
     # _parse_header) so cloudpickle ships the closure BY VALUE - Python
     # workers must not need this package importable on their own path.
+    # Parallelism note: this Python-bound stage runs one worker per
+    # input partition. A multi-split table (the 100 TB case) fans out
+    # from the scan itself; a single small parquet split stays on one
+    # worker, which measured FASTER here than forcing a repartition
+    # (payloads are small; the shuffle + extra Arrow batching cost more
+    # than the serial decode). Callers with big single-file inputs
+    # should repartition upstream.
     def batches(it: Iterator) -> Iterator:
         for pdf in it:
             out = pdf[["media_id"]].copy()

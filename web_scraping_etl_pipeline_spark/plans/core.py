@@ -52,8 +52,10 @@ def q01_deadline_horizon(spark, sf_dir):
     """F2 interval predicate + C8 render: rows 'due' within 20 days of
     the anchor, with the localized remaining-time string (the reference
     projects remaining_time in this query, script.sql:52)."""
+    from ..sources.star import ts_us_le
+
     ev = t(spark, sf_dir, "events")
-    return ev.filter(F.col("ts_us") <= F.lit(HORIZON_US)).select(
+    return ev.filter(ts_us_le(HORIZON_US)).select(
         "event_id",
         "event_type",
         "value",
@@ -186,12 +188,14 @@ def q06_watermark_bounds(spark, sf_dir):
     """,
 )
 def q07_incremental_newer(spark, sf_dir):
-    """F1: rows strictly newer than the watermark; the predicate is a
-    plain Column filter so Catalyst pushes it into the parquet scan
-    (the reference string-appends it to its SQL,
-    topcv_pipeline.py:122-126)."""
+    """F1: rows strictly newer than the watermark; the predicate carries
+    a raw-ts twin so it pushes into the parquet scan and row groups
+    wholly below the watermark are skipped (the reference string-appends
+    the filter to its SQL, topcv_pipeline.py:122-126)."""
+    from ..sources.star import ts_us_gt
+
     ev = t(spark, sf_dir, "events")
-    return ev.filter(F.col("ts_us") > F.lit(ANCHOR_US)).select(
+    return ev.filter(ts_us_gt(ANCHOR_US)).select(
         "event_id", "ts_us", "value"
     )
 

@@ -56,6 +56,27 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
 
 
+def ts_us_le(bound_us: int):
+    """``ts_us <= bound`` with a parquet-pushable twin on the raw ``ts``
+    column. ``ts_us`` is derived (``ts DIV 1000``) so a predicate on it
+    alone never reaches the scan; the equivalent raw bound
+    (``ts <= bound*1000 + 999``, exact for ts >= 0) is pushed into the
+    parquet reader, so row groups outside the horizon are skipped by
+    footer stats - the difference between scanning 100 TB and scanning
+    the matching slice."""
+    return (F.col("ts") <= F.lit(bound_us * 1000 + 999)) & (
+        F.col("ts_us") <= F.lit(bound_us)
+    )
+
+
+def ts_us_gt(bound_us: int):
+    """``ts_us > bound`` with the pushable raw-``ts`` twin
+    (``ts > bound*1000 + 999``); see :func:`ts_us_le`."""
+    return (F.col("ts") > F.lit(bound_us * 1000 + 999)) & (
+        F.col("ts_us") > F.lit(bound_us)
+    )
+
+
 def with_event_time(df: DataFrame) -> DataFrame:
     """Add ``event_time`` (TIMESTAMP, UTC instant) from ``ts_us``.
 

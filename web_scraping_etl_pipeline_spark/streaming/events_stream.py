@@ -113,3 +113,34 @@ def q35_stream_daily_finalized(spark, sf_dir):
         )
     )
     return _run_to_sink(s, spark, "q35")
+
+
+@query(
+    "q37_stateful_user_profiles",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q37_stateful_user_profiles(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) driven through
+    the real streaming engine: running per-user profiles in managed
+    state. With one availableNow drain every user emits exactly one
+    final snapshot, so the result equals the batch aggregate - which is
+    what the oracle states. Cross-batch state carry is the pytest's job
+    (tests/test_stateful_streaming.py)."""
+    from .stateful import user_profiles
+
+    s = _stream_events(spark, sf_dir).select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    sunk = _run_to_sink(user_profiles(s), spark, "q37")
+    return sunk.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "last_ts_us",
+    )
