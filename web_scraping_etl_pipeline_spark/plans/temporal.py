@@ -183,3 +183,29 @@ def q38_event_cube(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q39_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q39_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, verified bit-equal after rounding). Exact
+    percentile sorts per group; the 100 TB path swaps in
+    ``approx_percentile`` (t-digest, mergeable map-side) at the cost of
+    oracle exactness - the API shape is identical."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
