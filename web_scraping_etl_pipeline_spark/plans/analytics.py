@@ -1,0 +1,351 @@
+"""Advanced analytics suite: window-function breadth, statistical
+aggregates, grouping sets, histograms, and skew-mitigation (salted)
+operators.
+
+The reference has no window functions or statistical aggregates
+(SURVEY.md section 2.5/2.7: "none in the reference"); these are the
+engine-side extensions its data model implies, plus the skew patterns a
+100 TB deployment needs.  Every query here is a pure DataFrame/SQL plan
+(whole-stage codegen, no Python on the executor path) with a DuckDB
+oracle twin.
+
+Scale notes are per-query; the common theme is that window functions
+shuffle once on the partition key and sort within partitions, and the
+salted variants (q67/q68) show the two-phase shape that keeps a hot key
+from pinning a single reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Window-function breadth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q57_event_deltas",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           epoch_us(ts) AS ts_us,
+           epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_gap_us
+    FROM events
+    """,
+)
+def q57_event_deltas(spark, sf_dir):
+    """LAG: per-user inter-event gap (NULL for each user's first event).
+
+    One shuffle on ``user_id`` + an in-partition sort; no join, no
+    second shuffle.  At 100 TB the plan is unchanged - per-user history
+    colocates under the hash partitioning and AQE coalesces small
+    post-shuffle partitions."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("prev_gap_us"),
+    )
+
+
+@query(
+    "q58_ntile_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM q GROUP BY quartile
+    """,
+)
+def q58_ntile_quartiles(spark, sf_dir):
+    """NTILE quartiles over order value (tie-broken by key so the
+    bucket assignment is deterministic in both engines).
+
+    A global NTILE is inherently a single total order - fine here, but
+    at 100 TB the scale path is approx quantile cutpoints
+    (``approxQuantile`` / t-digest) + a broadcast range lookup, which
+    needs no global sort.  The API shape (quartile -> stats) is the
+    same; this exact form is the oracle-checkable baseline."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q59_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+)
+def q59_moving_avg(spark, sf_dir):
+    """Sliding-frame aggregate: 3-event moving average per user
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
+
+    Same single-shuffle shape as q57; the bounded ROWS frame streams in
+    one pass over the sorted partition (no per-row rescan)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates / grouping sets / histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q64_stats_suite",
+    oracle="""
+    SELECT event_type,
+           ROUND(stddev_samp(value), 6) AS sd_value,
+           ROUND(var_samp(value), 6) AS var_value,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_user
+    FROM events GROUP BY event_type
+    """,
+)
+def q64_stats_suite(spark, sf_dir):
+    """Statistical aggregates: sample stddev/variance, Pearson
+    correlation, sample covariance per event type.
+
+    All four are algebraic (mergeable moment sketches), so Spark
+    computes them with map-side partial aggregation - one small shuffle
+    of per-group moment tuples regardless of input size."""
+    ev = t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_user"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_user"),
+    )
+
+
+@query(
+    "q65_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def q65_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (finer control than q26's ROLLUP / q38's
+    CUBE): per-(region, nation), per-region, and grand-total rows in one
+    pass.
+
+    Spark plans this as a single Expand + hash aggregate - the input is
+    scanned once and replicated only into the requested 3 sets (vs 4 for
+    a full CUBE).  Dims broadcast; one shuffle on the grouping columns."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined.createOrReplaceTempView("q65_joined")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               COUNT(*) AS cnt,
+               ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        FROM q65_joined
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@query(
+    "q66_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY bucket
+    """,
+)
+def q66_value_histogram(spark, sf_dir):
+    """Fixed-width histogram over ``value`` (25-unit buckets).
+
+    The bucket id is a plain projected expression, so this is an
+    ordinary hash aggregate with map-side combine: the shuffle carries
+    at most n_buckets rows per task no matter how large the scan."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.floor(F.col("value") / 25.0).cast("long").alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation: salted two-phase aggregation and salted join
+# ---------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@query(
+    "q67_salted_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q67_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation: phase 1 groups on
+    ``(user_id, salt)`` so a hot user's rows spread across ``_SALT``
+    reducers, phase 2 recombines the partials per user.
+
+    Result is identical to a plain GROUP BY (the oracle) because count,
+    sum, and max are associative.  On uniform data this costs one extra
+    (tiny) shuffle; on skewed data it is the difference between one
+    straggler task owning the hot key and ``_SALT``-way parallelism.
+    AQE's skew handling covers sort-merge *joins*, not aggregations -
+    this pattern is still the manual fix for hot-key group-bys."""
+    ev = t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(_SALT)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count("*").alias("p_cnt"),
+            F.sum("value").alias("p_sum"),
+            F.max("value").alias("p_max"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.round(F.sum("p_sum"), 2).alias("total_value"),
+        F.round(F.max("p_max"), 2).alias("max_value"),
+    )
+
+
+@query(
+    "q68_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q68_salted_join(spark, sf_dir):
+    """Salted fact-dim join: the dim side is replicated ``_SALT`` ways
+    (explode over salt values) and the fact side tags each row with a
+    uniform salt, so the join key becomes ``(key, salt)`` and a hot key's
+    rows land on ``_SALT`` different reducers instead of one.
+
+    Equivalent to the plain equi-join (oracle) - replication x uniform
+    tag pairs every fact row with exactly one dim copy.  This is the
+    shuffle-join skew fix for when the dim is too big to broadcast but
+    small enough to replicate ``_SALT``-fold; with a broadcastable dim
+    (as at this SF) salting is unnecessary and AQE would just broadcast.
+    The plan is forced to shuffle-join here so the salted shape is the
+    one actually exercised and benched."""
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    salted_dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(_SALT)])).alias("salt"),
+    )
+    salted_fact = ev.select(
+        "user_id",
+        "value",
+        F.pmod(F.hash("event_id"), F.lit(_SALT)).alias("salt"),
+    )
+    joined = salted_fact.hint("shuffle_hash").join(
+        salted_dim,
+        (salted_fact.user_id == salted_dim.c_custkey)
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish tokenization (the regex flavor of q30's whitespace counter)
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "q69_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT)
+             AS n_number_runs
+    FROM documents
+    """,
+)
+def q69_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex tokenization: alpha runs, digit runs, and isolated
+    symbols as separate tokens (the pre-tokenizer split BPE vocabularies
+    are trained over), vs q30's plain whitespace count.
+
+    Pure codegen map stage - ``regexp_extract_all`` + ``size``, no
+    shuffle at all."""
+    docs = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_number_runs"),
+    )
