@@ -2,8 +2,10 @@ from .titles import clean_title
 from .salary import (
     SENTINEL,
     clean_salary_bounds,
+    clean_salary_bounds_from,
     salary_mean,
     salary_rounded,
+    salary_tokens,
     sentinel_to_null,
 )
 from .dates import (
@@ -20,6 +22,8 @@ __all__ = [
     "clean_title",
     "SENTINEL",
     "clean_salary_bounds",
+    "clean_salary_bounds_from",
+    "salary_tokens",
     "salary_mean",
     "salary_rounded",
     "sentinel_to_null",

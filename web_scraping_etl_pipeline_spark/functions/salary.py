@@ -40,19 +40,34 @@ def _null_bounds() -> Column:
     return F.lit(None).cast("array<double>")
 
 
-def clean_salary_bounds(
-    salary: Column, exchange_rate: float = DEFAULT_EXCHANGE_RATE
+def salary_tokens(salary: Column) -> tuple[Column, Column]:
+    """Stage 1 of the salary parse: normalized text + extracted digit
+    runs, as two Columns meant to be materialized in their OWN
+    projection (``.select``) before :func:`clean_salary_bounds_from`
+    consumes them.
+
+    Staging matters for codegen: ``nums`` is referenced 5+ times by the
+    branch logic, and a single fused projection would inline (or at best
+    subexpression-cache under lazy ``CASE`` branches) that regex walk
+    into one huge generated method - slow to JIT and at risk of running
+    interpreted.  Materializing the tokens first keeps every generated
+    method small; CollapseProject will NOT re-fuse the stages because
+    that would duplicate a non-cheap expression used more than once."""
+    s = F.lower(F.trim(salary))
+    nums = F.regexp_extract_all(s, F.lit(r"[\d,]+"), 0)
+    return s, nums
+
+
+def clean_salary_bounds_from(
+    s: Column, nums: Column, exchange_rate: float = DEFAULT_EXCHANGE_RATE
 ) -> Column:
-    """Parse raw salary text -> ``array<double>`` of 1-2 bounds (millions
-    VND); NULL for negotiable/unparseable text.
+    """Stage 2: bounds array from pre-extracted tokens (no regex here -
+    pure element_at/cast/when, tiny generated code).
 
     Shape note: branch arrays are built from plain element_at/cast
     expressions, NOT a slice+transform higher-order function - a HOF
-    here pulls the whole projection (including the regex extraction
-    feeding it) onto the interpreted path and measured 2-4x slower than
-    this codegen-friendly form."""
-    s = F.lower(F.trim(salary))
-    nums = F.regexp_extract_all(s, F.lit(r"[\d,]+"), 0)
+    here pulls the whole projection onto the interpreted path and
+    measured 2-4x slower than this codegen-friendly form."""
 
     def amount(i: int) -> Column:
         return F.regexp_replace(F.element_at(nums, i), ",", "").cast("double")
@@ -73,10 +88,31 @@ def clean_salary_bounds(
     )
 
 
+def clean_salary_bounds(
+    salary: Column, exchange_rate: float = DEFAULT_EXCHANGE_RATE
+) -> Column:
+    """Parse raw salary text -> ``array<double>`` of 1-2 bounds (millions
+    VND); NULL for negotiable/unparseable text.
+
+    One-expression form (both stages fused).  Prefer the staged pair
+    :func:`salary_tokens` + :func:`clean_salary_bounds_from` on hot
+    paths - see the codegen note on :func:`salary_tokens`."""
+    s, nums = salary_tokens(salary)
+    return clean_salary_bounds_from(s, nums, exchange_rate)
+
+
 def salary_mean(bounds: Column) -> Column:
-    """C3: mean of the 1-2 element bounds array (NULL passes through)."""
-    total = F.aggregate(bounds, F.lit(0.0), lambda acc, x: acc + x)
-    return total / F.size(bounds)
+    """C3: mean of the 1-2 element bounds array (NULL passes through).
+
+    Written as a plain two-branch expression, not an ``F.aggregate``
+    fold: a HOF lambda kicks the whole enclosing projection out of
+    whole-stage codegen onto the interpreted path (observed directly in
+    q12's plan - the Project lost its codegen star), and the array here
+    is at most 2 elements."""
+    lo = F.element_at(bounds, 1)
+    return F.when(
+        F.size(bounds) > 1, (lo + F.element_at(bounds, 2)) / 2.0
+    ).otherwise(lo)
 
 
 def salary_rounded(salary: Column) -> Column:

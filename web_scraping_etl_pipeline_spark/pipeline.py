@@ -26,12 +26,13 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import (
-    clean_salary_bounds,
+    clean_salary_bounds_from,
     clean_title,
     due_date,
     posted_date,
     render_remaining_time,
     salary_mean,
+    salary_tokens,
 )
 from .operators.incremental import newer_than
 from .schemas import JOBS
@@ -40,11 +41,29 @@ from .sources.state import advance_watermark, read_last_processed_time
 
 def clean(df: DataFrame) -> DataFrame:
     """The reference's clean stage (topcv_pipeline.py:131-141): C1 title
-    cleanup + C2 salary parse, all native expressions."""
-    return df.select(
+    cleanup + C2 salary parse, all native expressions.
+
+    The salary parse is staged (tokens projection, then branch logic)
+    so each generated method stays small - see
+    functions/salary.py:salary_tokens for the codegen rationale."""
+    s, nums = salary_tokens(F.col("salary"))
+    tokenized = df.select(
         clean_title(F.col("job_name")).alias("job_name"),
         "job_link",
-        clean_salary_bounds(F.col("salary")).alias("salary_bounds"),
+        s.alias("_sal_s"),
+        nums.alias("_sal_nums"),
+        "company_name",
+        "posted_date",
+        "job_location",
+        "remaining_time_text",
+        "due_date",
+    )
+    return tokenized.select(
+        "job_name",
+        "job_link",
+        clean_salary_bounds_from(
+            F.col("_sal_s"), F.col("_sal_nums")
+        ).alias("salary_bounds"),
         "company_name",
         "posted_date",
         "job_location",

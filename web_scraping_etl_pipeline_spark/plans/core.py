@@ -14,11 +14,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import (
-    clean_salary_bounds,
+    clean_salary_bounds_from,
     clean_title,
     parse_relative_seconds,
     render_remaining_time,
     salary_mean,
+    salary_tokens,
 )
 from .common import ANCHOR_US, HORIZON_US, t
 from .registry import query
@@ -416,14 +417,20 @@ def q12_clean_salary(spark, sf_dir):
         .alias("salary_text")
     )
     raw = orders.select("o_orderkey", salary_text)
-    # Materialize the bounds array in its own projection: the parse
-    # expression (regex extract + branch chain) is expensive, so
-    # CollapseProject keeps the stage split instead of inlining three
-    # copies of it - ~3x less generated code and work per row.
-    staged = raw.select(
+    # Three-stage parse: tokens (the one regex walk) -> bounds (branch
+    # logic) -> presentation. Each projection's generated method stays
+    # small and JIT-friendly; CollapseProject keeps them split because
+    # fusing would duplicate the multiply-referenced non-cheap token
+    # expressions. Cold first-run cost drops severalfold vs the fused
+    # single-projection form (see functions/salary.py:salary_tokens).
+    s, nums = salary_tokens(F.col("salary_text"))
+    tokenized = raw.select(
+        "o_orderkey", "salary_text", s.alias("s"), nums.alias("nums")
+    )
+    staged = tokenized.select(
         "o_orderkey",
         "salary_text",
-        clean_salary_bounds(F.col("salary_text")).alias("bounds"),
+        clean_salary_bounds_from(F.col("s"), F.col("nums")).alias("bounds"),
     )
     b = F.col("bounds")
     return staged.select(
