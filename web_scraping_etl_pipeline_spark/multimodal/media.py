@@ -255,13 +255,11 @@ def q62_media_embedding_join(spark, sf_dir):
         F.col("media_type") != "audio"
     )
     emb = t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
+    # unrolled codegen dot (see plans/vectors._dot) - the aggregate-fold
+    # form ran this projection interpreted.
+    from ..plans.vectors import _dot
+
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     return d.join(emb, d["media_id"] == emb["vec_id"]).select(
         "media_id", "media_type", "label", F.round(norm, 4).alias("emb_norm")
     )

@@ -32,13 +32,29 @@ QUERY_VEC_ID = 0
 LSH_DIMS = (1, 17, 33, 49)
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """f64 dot product of two float arrays, summed in index order."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+#: embedding dimensionality of the driver's tables (TESTDATA.md).
+DIM = 64
+
+
+def _dot(a: Column, b: Column, dim: int = DIM) -> Column:
+    """f64 dot product of two float arrays, summed in index order.
+
+    Unrolled into a plain 64-term expression instead of a
+    ``zip_with`` + ``aggregate`` fold: higher-order-function lambdas
+    evaluate on the interpreted path and drag the whole enclosing
+    projection out of whole-stage codegen - on a billion-vector scan
+    that is the difference between a vectorized codegen loop and
+    per-element interpreted eval.  Left-to-right addition preserves the
+    fold's summation order, so results are bit-identical."""
+    terms = [
+        F.element_at(a, i + 1).cast("double")
+        * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
 
 
 def _query_vec(spark: SparkSession, sf_dir: str):
