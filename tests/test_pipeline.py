@@ -9,7 +9,7 @@ import datetime as dt
 
 import pytest
 
-from web_scraping_etl_pipeline_spark.pipeline import run_batch
+from web_scraping_etl_pipeline_spark.pipeline import clean, run_batch, transform
 from web_scraping_etl_pipeline_spark.schemas import JOBS_RAW
 from web_scraping_etl_pipeline_spark.sources.state import (
     read_last_processed_time,
@@ -109,3 +109,46 @@ def test_run_batch_first_run_full_load(spark, tmp_path):
     res = run_batch(spark, _raw_batch(spark), silver, state, now_us=BASE_US)
     assert res["rows"] == 3
     assert read_last_processed_time(state) == BASE - dt.timedelta(hours=3)
+
+
+def test_run_batch_bucketed(spark, tmp_path):
+    # Scale path: silver as a bucketed-by-job_link table. Asserts the
+    # same incremental semantics as run_batch PLUS the plan property the
+    # bucketing buys: the dedup anti-join reads silver bucket-aligned
+    # with no Exchange on the silver side (only the batch shuffles).
+    from web_scraping_etl_pipeline_spark.pipeline import run_batch_bucketed
+
+    table = "silver_jobs_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    state = str(tmp_path / "state.json")
+
+    res = run_batch_bucketed(spark, _raw_batch(spark), table, state, now_us=BASE_US)
+    assert res["rows"] == 3  # no watermark -> full load
+    assert spark.table(table).count() == 3
+
+    # replay: watermark + anti-join make it a no-op
+    res2 = run_batch_bucketed(spark, _raw_batch(spark), table, state, now_us=BASE_US)
+    assert res2["skipped"] and spark.table(table).count() == 3
+
+    # plan property: with broadcast off (as when silver outgrows the
+    # threshold), the anti-join must shuffle ONLY the batch side.
+    spark.sql(f"DROP TABLE IF EXISTS {table}_plan")
+    run_batch_bucketed(
+        spark, _raw_batch(spark), f"{table}_plan", str(tmp_path / "s2.json"),
+        now_us=BASE_US,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = transform(clean(_raw_batch(spark)), now_us=BASE_US)
+        anti = batch.join(
+            spark.table(f"{table}_plan").select("job_link"),
+            on="job_link", how="left_anti",
+        )
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}_plan")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # batch side only

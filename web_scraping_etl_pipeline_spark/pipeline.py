@@ -149,3 +149,63 @@ def run_batch(
     cleaned.write.mode("append").parquet(silver_path)
     new_wm = advance_watermark(state_path, stats["mx"])
     return {"rows": stats["n"], "watermark": new_wm, "skipped": False}
+
+
+#: bucket count for the bucketed-silver deploy path. At 100 TB size
+#: this so one bucket's job_link column fits an executor comfortably;
+#: 64 is right-sized for the test warehouse.
+SILVER_BUCKETS = 64
+
+
+def run_batch_bucketed(
+    spark: SparkSession,
+    bronze: DataFrame,
+    silver_table: str,
+    state_path: str,
+    now_us: int | None = None,
+    buckets: int = SILVER_BUCKETS,
+) -> dict:
+    """:func:`run_batch` with silver as a **bucketed-by-job_link table**
+    - the scale form of the dedup anti-join.
+
+    With plain parquet silver, every incremental batch shuffles the
+    *entire* silver history on ``job_link`` to dedup a (tiny) batch -
+    shuffle cost grows with history, not batch. A table bucketed on the
+    join key already satisfies the join's required distribution, so the
+    sort-merge anti-join plans ZERO exchange on the silver side: only
+    the incoming batch is shuffled (into ``buckets`` partitions), and
+    shuffle cost stays proportional to batch size forever.
+
+    The catalog keeps the bucket spec; appends must (and do) reuse the
+    same ``bucketBy``. In production the same shape is a Delta/Iceberg
+    ``MERGE`` on ``job_link``; this form needs nothing but the Spark
+    catalog. At small scale AQE may still choose to broadcast the silver
+    side - the bucketing only removes the silver exchange once silver
+    outgrows the broadcast threshold, which is exactly when it matters.
+    """
+    wm = read_last_processed_time(state_path)
+    fresh = bronze.filter(newer_than("posted_date", wm))
+    cleaned = transform(clean(fresh), now_us=now_us)
+
+    if spark.catalog.tableExists(silver_table):
+        existing = spark.table(silver_table)
+        cleaned = cleaned.join(
+            existing.select("job_link"), on="job_link", how="left_anti"
+        )
+    cleaned = cleaned.select(*[f.name for f in JOBS.fields])
+
+    stats = cleaned.agg(
+        F.count("*").alias("n"), F.max("posted_date").alias("mx")
+    ).first()
+    if stats["n"] == 0:
+        return {"rows": 0, "watermark": wm, "skipped": True}
+
+    (
+        cleaned.write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, "job_link")
+        .sortBy("job_link")
+        .saveAsTable(silver_table)
+    )
+    new_wm = advance_watermark(state_path, stats["mx"])
+    return {"rows": stats["n"], "watermark": new_wm, "skipped": False}
