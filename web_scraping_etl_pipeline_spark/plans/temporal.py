@@ -209,3 +209,54 @@ def q39_value_quantiles(spark, sf_dir):
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+@query(
+    "q70_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+             ) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id, session_id
+    """,
+)
+def q70_session_window(spark, sf_dir):
+    """Native ``session_window`` sessionization (30-min gap): Spark's
+    built-in session operator, vs q28's hand-rolled gaps-and-islands.
+    The oracle derives identical sessions via lag + running-sum islands;
+    Spark's session end == last event + gap, matching ``MAX(ts)+gap``.
+
+    Same single-shuffle scale shape as a window function, and this form
+    carries to Structured Streaming unchanged (session_window +
+    watermark = streaming sessionization with state eviction)."""
+    from ..sources.star import with_event_time
+
+    ev = with_event_time(t(spark, sf_dir, "events"))
+    sw = F.session_window(F.col("event_time"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

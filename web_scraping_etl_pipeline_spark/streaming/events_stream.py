@@ -144,3 +144,44 @@ def q37_stateful_user_profiles(spark, sf_dir):
         F.round("total_value", 2).alias("total_value"),
         "last_ts_us",
     )
+
+
+@query(
+    "q71_stream_sliding_finalized",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type,
+             unnest([
+               (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY},
+               (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} - {US_PER_DAY}
+             ]) AS win_start_us
+      FROM events
+    )
+    SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w
+    GROUP BY 1, 2
+    HAVING win_start_us + 2 * {US_PER_DAY}
+           <= (SELECT max(epoch_us(ts)) FROM events)
+    """,
+)
+def q71_stream_sliding_finalized(spark, sf_dir):
+    """Sliding (overlapping) event-time windows - 2-day duration, 1-day
+    slide - through the real streaming engine with a zero-lateness
+    watermark. Each event lands in exactly two windows; append mode
+    emits a window once the watermark passes its end, so the emitted
+    set is the windows with ``end <= max(event_time)`` (the oracle's
+    HAVING). Spark aligns slide multiples to the epoch, which the
+    oracle's integer day-floor arithmetic reproduces exactly."""
+    s = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(
+            F.window("event_time", "2 days", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"), "event_type", "n"
+        )
+    )
+    return _run_to_sink(s, spark, "q71")
