@@ -65,7 +65,7 @@ def main() -> int:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         try:
             took = run_one(name, QUERIES[name], spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 - record and move on
@@ -74,6 +74,15 @@ def main() -> int:
             continue
         timings[name] = round(took, 3)
         log(f"ok   {name}: {took:.3f}s")
+        if (i + 1) % 10 == 0:
+            # Shuffle/broadcast state from finished queries is reclaimed
+            # via weak references, i.e. only on GC (ContextCleaner's
+            # periodic System.gc defaults to every 30 min). A long
+            # suite in one JVM otherwise accumulates tens of queries of
+            # dead state, and the eventual collection lands mid-query as
+            # a multi-second stall attributed to an innocent bystander.
+            # Collecting between queries keeps cleanup out of timings.
+            spark._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(

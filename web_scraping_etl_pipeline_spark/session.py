@@ -47,6 +47,11 @@ BUILD_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": "8g",
+    # Headroom for a long-lived session: a 69-query suite generates
+    # hundreds of whole-stage-codegen classes in one JVM; the default
+    # 240 MB reserved code cache leaves little margin before HotSpot
+    # stops JIT-compiling new methods.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
     "spark.ui.enabled": "false",
 }
 
