@@ -349,3 +349,106 @@ def q69_bpe_tokens(spark, sf_dir):
         .cast("long")
         .alias("n_number_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON), distinct counting, unpivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q72_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q72_json_extract(spark, sf_dir):
+    """JSON path extraction from the ``props`` payload column with
+    schema-on-read (``from_json`` into a typed struct), then aggregate.
+
+    ``from_json`` parses once per row into a struct that downstream
+    expressions field-access for free - preferable at scale to repeated
+    ``get_json_object`` calls, each of which re-parses the string."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("k_total"), F.max("k").alias("k_max")
+    )
+
+
+@query(
+    "q73_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q73_distinct_users(spark, sf_dir):
+    """Exact distinct counting per group (COUNT DISTINCT + plain COUNT
+    in one aggregate - Spark plans the two-phase Expand distinct).
+
+    Exact NDV shuffles the distinct (group, user) pairs; q74 is the
+    HLL sketch form whose shuffle is O(groups), the 100 TB default."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("q74_approx_ndv")  # no SQL oracle: HLL estimates are
+# engine-specific; the driver records the weaker rows-only check, and
+# the pytest-free sanity bound lives in this function's assertion-free
+# contract: estimate within ~5% of exact for this cardinality.
+def q74_approx_ndv(spark, sf_dir):
+    """Approximate distinct counting (HyperLogLog++, 2% target rsd):
+    the scale path for NDV - partial sketches merge map-side and the
+    shuffle carries one sketch per group instead of every distinct
+    pair. Deterministic for fixed input (no RNG in HLL add/merge), but
+    the estimate differs from DuckDB's approx_count_distinct sketch, so
+    this entry has no SQL oracle by design."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q75_unpivot_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q75_unpivot_roundtrip(spark, sf_dir):
+    """Pivot then unpivot (melt) back to long form; dropping the NULL
+    cells of the pivot grid makes the round trip equal the plain
+    GROUP BY (the oracle). Exercises Spark's native ``unpivot``
+    operator - constant-folded Expand, no shuffle beyond the pivot's."""
+    ev = t(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=sorted(types),
+        variableColumnName="event_type",
+        valueColumnName="cnt",
+    )
+    return long.filter(F.col("cnt").isNotNull()).select(
+        "user_id", "event_type", F.col("cnt").cast("long").alias("cnt")
+    )
