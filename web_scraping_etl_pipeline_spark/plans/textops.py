@@ -215,3 +215,155 @@ def q33_fingerprint(spark, sf_dir):
         .cast("long")
         .alias("fp64"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints + TF-IDF
+# ---------------------------------------------------------------------------
+
+#: winnowing window: one fingerprint (the min k-gram hash) per W
+#: consecutive shingles.
+_WINNOW_W = 4
+
+_SHINGLES_SQL_T = (
+    f"list_transform(range(1, greatest(len({_TOKENS_SQL}) - 2, 0) + 1), "
+    f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' '))"
+)
+
+
+@query(
+    "q76_winnowing_fingerprints",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SHINGLES_SQL_T} AS sh FROM documents),
+    expl AS (
+      SELECT doc_id,
+             unnest(list_zip(sh, range(1, len(sh) + 1))) AS z
+      FROM base
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(z[2] AS BIGINT) AS pos,
+             CAST(concat('0x', substr(md5(CAST(z[1] AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM expl
+    ),
+    winmin AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                          AND CURRENT ROW) AS fp
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= {_WINNOW_W}
+    """,
+)
+def q76_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (the rolling-hash selection
+    scheme of MOSS): hash every word 3-gram, slide a window of
+    ``_WINNOW_W`` consecutive hashes, keep the window minimum, dedup.
+    Guarantees any shared run of ~W+2 tokens between two documents
+    yields a shared fingerprint, with output ~2/(W+1) of the shingles.
+
+    Plan: explode shingles once, one window (single shuffle on doc_id),
+    then a local distinct - same scale shape as the dedup suite, and
+    the selected-fp set joins doc-to-doc for plagiarism-style overlap
+    without comparing full texts."""
+    from pyspark.sql import Window
+
+    from .dedup import _h64, _shingles
+
+    docs = t(spark, sf_dir, "documents")
+    expl = docs.select(
+        "doc_id", F.posexplode(_shingles()).alias("pos0", "shingle")
+    )
+    hashed = expl.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        _h64(F.col("shingle")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), Window.currentRow)
+    )
+    return (
+        hashed.select(
+            "doc_id", "pos", F.min("h").over(w).alias("fp")
+        )
+        .filter(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@query(
+    "q77_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                        tf.term
+             ) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3
+    """,
+)
+def q77_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf x ln(N/df), deterministic
+    tie-break on term).
+
+    Plan: one explode, two hash aggregates (tf keyed on (doc, term),
+    df keyed on term), a shuffle join back on term, and a per-doc
+    window top-k. df is vocabulary-sized - at 100 TB it broadcasts;
+    here AQE decides. The idf factor uses a scalar N via crossJoin of
+    a 1-row aggregate (no driver collect)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            F.round("score", 6).alias("tfidf"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
