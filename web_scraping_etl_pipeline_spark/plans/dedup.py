@@ -474,3 +474,83 @@ def q47_embedding_neardup(spark, sf_dir):
         .filter(F.col("dp") >= COSINE_NEARDUP_T)
         .select("vec_a", "vec_b", F.round("dp", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q78_dedup_clusters",
+    oracle=_LSH_CANDS_SQL.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cands
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q78_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the q43
+    LSH candidate-pair graph via iterative min-label propagation -
+    every document gets the smallest doc_id reachable through
+    candidate edges as its cluster id (the canonical "keep one per
+    cluster" dedup step after pair generation).
+
+    Each iteration is one join + one aggregate; labels only decrease,
+    so convergence == the label sum stops changing, reached in
+    O(graph diameter) rounds (near-dup clusters are tiny - 2-3 rounds
+    here, bounded at 10). ``localCheckpoint`` cuts the growing lineage
+    so iteration N doesn't replay iterations 1..N-1. At extreme scale
+    the same loop swaps in the large-star/small-star optimization;
+    the per-round dataflow (join on dst, min per src) is unchanged.
+    Oracle: DuckDB recursive transitive closure."""
+    pairs = q43_lsh_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_sum = None
+    for _ in range(10):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
