@@ -1,0 +1,364 @@
+"""Training-data preparation suite over ``documents`` - the operators a
+large-scale LLM data pipeline runs between raw crawl and tokenizer:
+deterministic splits, repetition/quality filters, PII redaction,
+stratified sampling, corpus n-gram stats.
+
+All plans are native column expressions plus at most one explode and
+one hash aggregate - map-side combinable, no Python in the hot path,
+and every shuffle is keyed on doc_id or a token (never on full text).
+At 100 TB each of these runs as a scan + one shuffle, and the
+regex/hash work rides whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import t
+from .registry import query
+from .textops import _TOKENS_SQL, _tokens
+
+#: cross-engine 60-bit hash bridge (plans/registry.py): Spark
+#: conv(substr(md5(x),1,15),16,10) == DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT)
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# q79: deterministic train/validation/test hash split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q79_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             {_h60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q79_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/validation/test assignment by
+    hashing the stable doc_id into 100 buckets. Hash-based (not
+    random()) so the split is reproducible across runs, engines and
+    re-partitioning - the property a training pipeline actually needs.
+    Pure map stage: no shuffle, no state, trivially 100 TB-safe."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(_h60(F.col("doc_id").cast("string")), F.lit(100))
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80: repetition ratios (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_repetition_ratio",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(tf) AS BIGINT) AS top_tf,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(tf), 4) AS distinct_ratio,
+           ROUND(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 4) AS top_token_frac
+    FROM tf GROUP BY doc_id
+    """,
+)
+def q80_repetition_ratio(spark, sf_dir):
+    """Word-level repetition signals (the Gopher/MassiveText repetition
+    rules): distinct-token ratio and most-frequent-token fraction per
+    document. Low distinct_ratio or high top_token_frac flags boiler-
+    plate and degenerate pages before they reach the tokenizer.
+
+    Plan: explode once, two stacked hash aggregates both keyed on
+    doc_id (the second reuses the first's partitioning - no extra
+    shuffle). Per-token tf never leaves the executor un-combined."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("tf").cast("long").alias("top_tf"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_tf",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_tf") / F.col("n_tokens"), 4).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81: PII detection + redaction
+# ---------------------------------------------------------------------------
+
+#: The synthetic corpus is clean word soup, so PII is injected
+#: deterministically (doc_id-derived email + phone appended to the
+#: text) IDENTICALLY on both engines; the operator under test is the
+#: regex detect/redact pass, which is exactly what runs on real data.
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "q81_pii_redaction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(s, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM raw
+    )
+    SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_fp
+    FROM red
+    """,
+)
+def q81_pii_redaction(spark, sf_dir):
+    """PII scrubbing: count and mask email/phone matches. Emits a
+    fingerprint of the redacted text (not the text itself) so the
+    oracle compares full redaction output without shipping documents
+    through the driver. Map-only: regex runs in codegen, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    raw = docs.select("doc_id", s.alias("s"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return raw.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col("s"), F.lit(_PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82: stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRAC = 0.1
+
+
+@query(
+    "q82_stratified_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_h60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= CEIL({_SAMPLE_FRAC} * n)
+    """,
+)
+def q82_stratified_sample(spark, sf_dir):
+    """Stratified 10% sample with equal representation per ``lang``
+    stratum: rank documents inside each stratum by a doc_id hash
+    (deterministic, engine-independent shuffle order) and keep the
+    first ceil(frac*n). Unlike df.sample(), re-runs and engine swaps
+    select the SAME rows - required for reproducible eval sets.
+
+    Plan: one shuffle on lang (the window), no global sort. Skewed
+    strata (one dominant language) would salt the rank the same way
+    q67 salts its group-by."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _h60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rk") <= F.ceil(_SAMPLE_FRAC * F.col("n")))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83: corpus-level top bigrams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_top_bigrams",
+    oracle=f"""
+    WITH base AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(
+               list_zip(list_slice(toks, 1, len(toks) - 1),
+                        list_slice(toks, 2, len(toks))),
+               z -> z[1] || ' ' || z[2])) AS bigram
+      FROM base
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def q83_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams - the n-gram frequency profile
+    used for contamination checks and tokenizer diagnostics.
+
+    Plan: bigrams come from zipping the token array against itself
+    shifted by one (two slices, trivial-lambda zip_with - cheap enough
+    for the interpreted HOF path since the body is a single concat),
+    then explode + hash aggregate with map-side combine, then a 20-row
+    TakeOrderedAndProject. The only shuffle carries (bigram, partial
+    count) pairs."""
+    docs = t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        docs.select(_tokens().alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84: composite quality filter (C4/Gopher-style keep/drop decision)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','it','for','on')"
+_MIN_TOKENS, _MAX_TOKENS = 20, 80
+_MIN_DISTINCT_RATIO = 0.4
+_MIN_STOPWORD_RATIO = 0.02
+
+
+@query(
+    "q84_quality_filter",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks, t -> t IN {_STOPWORDS_SQL}))
+                  AS BIGINT) AS n_stop
+      FROM x
+    ),
+    flags AS (
+      SELECT doc_id, n_tokens,
+             (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}) AS pass_len,
+             (CAST(n_distinct AS DOUBLE) / n_tokens
+                >= {_MIN_DISTINCT_RATIO}) AS pass_rep,
+             (CAST(n_stop AS DOUBLE) / n_tokens
+                >= {_MIN_STOPWORD_RATIO}) AS pass_stop
+      FROM f
+    )
+    SELECT doc_id, n_tokens, pass_len, pass_rep, pass_stop,
+           (pass_len AND pass_rep AND pass_stop) AS kept
+    FROM flags
+    """,
+)
+def q84_quality_filter(spark, sf_dir):
+    """The keep/drop decision a C4/Gopher-style cleaning pass makes,
+    with per-rule flags retained for filter-rate telemetry: length
+    window, distinct-token ratio (repetition), minimum stopword ratio
+    (natural-language-ness). Thresholds are corpus-calibrated constants;
+    the operator's value is the auditable flag vector, not the numbers.
+
+    Map-only: the token array is computed once per row and all three
+    rules read it in the same projection - no explode, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda c: c.isin("the", "a", "of", "and", "to",
+                                               "in", "is", "it", "for", "on")))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    pass_len = F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+    pass_rep = (
+        F.col("n_distinct") / F.col("n_tokens") >= _MIN_DISTINCT_RATIO
+    )
+    pass_stop = (
+        F.col("n_stop") / F.col("n_tokens") >= _MIN_STOPWORD_RATIO
+    )
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        pass_len.alias("pass_len"),
+        pass_rep.alias("pass_rep"),
+        pass_stop.alias("pass_stop"),
+        (pass_len & pass_rep & pass_stop).alias("kept"),
+    )
