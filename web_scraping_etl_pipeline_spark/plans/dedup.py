@@ -352,6 +352,28 @@ def q46_lsh_verified_jaccard(spark, sf_dir):
 SIMHASH_BITS = 32
 
 
+def _simhash_df(docs):
+    """(doc_id, simhash) for every document - shared by q45 and q85."""
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tk"))
+    th = F.conv(F.substring(F.md5(F.col("tk")), 1, 8), 16, 10).cast("long")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(th, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        simhash = simhash + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
 @query(
     "q45_simhash",
     oracle=f"""
@@ -384,25 +406,7 @@ def q45_simhash(spark, sf_dir):
     compare by hamming distance on a bigint. (An aggregate/zip_with
     fold over the token array is shuffle-free on paper but runs
     interpreted - measured slower than this codegen explode+agg.)"""
-    docs = t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_tokens()).alias("tk"))
-    th = F.conv(F.substring(F.md5(F.col("tk")), 1, 8), 16, 10).cast("long")
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(th, j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        simhash = simhash + F.when(
-            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", simhash.alias("simhash"))
+    return _simhash_df(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -554,3 +558,109 @@ def q78_dedup_clusters(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash hamming near-dup pairs (banded LSH on the 32-bit sketch)
+# ---------------------------------------------------------------------------
+
+#: 4 bands x 8 bits over the 32-bit simhash; a candidate pair must agree
+#: on at least one whole byte. Verified pairs are hamming <= _HAM_T.
+_SIMHASH_BANDS = 4
+_HAM_T = 3
+
+#: the q45 simhash pipeline as oracle CTEs (tok -> h -> votes -> sim)
+_SIMHASH_CTES_SQL = f"""
+    tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tk FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) AS th
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (th // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+      GROUP BY doc_id, j
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q85_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES_SQL},
+    bands AS (
+      SELECT doc_id, simhash, j AS bi,
+             (simhash // CAST(pow(2, 8 * j) AS BIGINT)) % 256 AS bv
+      FROM sim, (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS j)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sa, sb)) <= {_HAM_T}
+    """,
+)
+def q85_simhash_hamming_pairs(spark, sf_dir):
+    """Near-duplicate pairs from the SimHash sketch: band the 32-bit
+    fingerprint into 4 bytes, equi-join on (band index, band value) -
+    the same all-pairs-to-hash-join reshaping as q43's MinHash LSH -
+    then verify candidates with an exact popcount on XOR. Recall note:
+    a pair with hamming <= 3 can in principle spread its differing bits
+    so no byte matches (standard banded-LSH recall trade-off); both
+    sides of the oracle apply identical banding, and the sketch itself
+    costs one explode + one doc_id-keyed aggregate (q45), so the
+    whole operator is two shuffles end to end at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    sim = _simhash_df(docs)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bi"),
+                        F.shiftright(F.col("simhash"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for j in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.bi", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _HAM_T)
