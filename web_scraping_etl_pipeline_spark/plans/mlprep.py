@@ -362,3 +362,170 @@ def q84_quality_filter(spark, sf_dir):
         pass_stop.alias("pass_stop"),
         (pass_len & pass_rep & pass_stop).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q86: sequence packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+#: fixed training sequence length (tokens per chunk).
+_SEQ_LEN = 512
+#: independent packing streams; at cluster scale each shard packs its
+#: own token stream so no global ordering/shuffle is ever required.
+_PACK_SHARDS = 8
+
+
+@query(
+    "q86_sequence_packing",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS n_tokens,
+             {_h60_sql("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) AS cum
+      FROM tk
+    ),
+    s AS (SELECT doc_id, shard, cum - n_tokens AS st, cum FROM c),
+    e AS (
+      SELECT doc_id, shard, st, cum,
+             unnest(range(st // {_SEQ_LEN}, (cum - 1) // {_SEQ_LEN} + 1))
+               AS chunk_id
+      FROM s
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(greatest(st, chunk_id * {_SEQ_LEN})
+                - chunk_id * {_SEQ_LEN} AS BIGINT) AS tok_start,
+           CAST(least(cum, (chunk_id + 1) * {_SEQ_LEN})
+                - chunk_id * {_SEQ_LEN} AS BIGINT) AS tok_end
+    FROM e
+    """,
+)
+def q86_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing: concatenate each shard's token
+    stream in doc_id order and slice it into fixed ``_SEQ_LEN`` chunks,
+    emitting one row per (document, chunk) overlap with the in-chunk
+    token offsets. This is the concat-then-chunk packing used for
+    pretraining batches (documents straddle chunk boundaries; nothing
+    is padded or dropped).
+
+    Scale shape: hash-sharded packing streams - the cumulative sum is
+    a window per shard (one shuffle on shard), never a global order.
+    The boundary-straddle fan-out uses sequence() + explode, bounded by
+    doc length / seq_len + 1 rows per document."""
+    docs = t(spark, sf_dir, "documents")
+    shard = F.pmod(_h60(F.col("doc_id").cast("string")), F.lit(_PACK_SHARDS))
+    tk = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = tk.select(
+        "doc_id",
+        "shard",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("st"),
+        F.sum("n_tokens").over(w).alias("cum"),
+    )
+    e = s.select(
+        "doc_id",
+        "shard",
+        "st",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"st DIV {_SEQ_LEN}"),
+                F.expr(f"(cum - 1) DIV {_SEQ_LEN}"),
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.col("chunk_id") * _SEQ_LEN
+    return e.select(
+        F.col("shard").cast("long").alias("shard"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.greatest(F.col("st"), lo) - lo).cast("long").alias("tok_start"),
+        (F.least(F.col("cum"), lo + _SEQ_LEN) - lo)
+        .cast("long")
+        .alias("tok_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87: train/test contamination check (shared-shingle overlap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_contamination_check",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {_h60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket,
+             {_h60_sql("sh_list")} AS h
+      FROM (SELECT doc_id, bucket,
+                   unnest(list_distinct(
+                     list_transform(
+                       range(1, greatest(len({_TOKENS_SQL}) - 2, 0) + 1),
+                       i -> array_to_string(
+                              list_slice({_TOKENS_SQL}, i, i + 2), ' '))))
+                     AS sh_list
+            FROM split)
+    ),
+    train AS (SELECT DISTINCT h FROM sh WHERE bucket < 80),
+    test AS (SELECT doc_id, h FROM sh WHERE bucket >= 90)
+    SELECT test.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(train.h) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COUNT(train.h) AS DOUBLE) / COUNT(*), 4)
+             AS contamination_rate
+    FROM test LEFT JOIN train ON test.h = train.h
+    GROUP BY test.doc_id
+    """,
+)
+def q87_contamination_check(spark, sf_dir):
+    """Benchmark-contamination audit: for every held-out (test-split)
+    document, the fraction of its distinct word-3-gram shingles that
+    also appear anywhere in the train split. High overlap means the
+    eval document leaks into training data - the standard n-gram
+    decontamination signal (as used for GPT-3/C4 dataset audits).
+
+    Plan: shingles explode once, split reuses q79's hash buckets, the
+    train side collapses to DISTINCT shingle hashes (bounded by corpus
+    vocabulary, shuffled once), and the audit is a left equi-join on
+    the 60-bit shingle hash + one doc_id aggregate. No text ever
+    crosses the shuffle - only hashes."""
+    from .dedup import _h64, _shingles
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(_h60(F.col("doc_id").cast("string")), F.lit(100))
+    sh = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(F.array_distinct(_shingles())).alias("s"),
+    ).select("doc_id", "bucket", _h64(F.col("s")).alias("h"))
+    train = sh.filter(F.col("bucket") < 80).select("h").distinct()
+    test = sh.filter(F.col("bucket") >= 90).select("doc_id", "h")
+    joined = test.join(
+        train.select(F.col("h").alias("th")),
+        test["h"] == F.col("th"),
+        "left",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.count("th").cast("long").alias("n_overlap"),
+        F.round(F.count("th") / F.count("*"), 4).alias("contamination_rate"),
+    )
