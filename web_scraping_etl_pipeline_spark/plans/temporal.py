@@ -260,3 +260,168 @@ def q70_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q88: SCD Type-2 history build (gaps-and-islands over a change stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q88_scd2_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    rn AS (
+      SELECT user_id, event_type, ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts_us, event_id) AS island
+      FROM ev
+    ),
+    runs AS (
+      SELECT user_id, event_type, island,
+             MIN(ts_us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM rn GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from_us) AS BIGINT)
+             AS version,
+           valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS valid_to_us,
+           (LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from_us) IS NULL)
+             AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def q88_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension Type-2 build from a change stream:
+    collapse each user's consecutive same-type events into runs
+    (gaps-and-islands via the row_number difference trick), then emit
+    one versioned row per run with [valid_from, valid_to) ranges -
+    valid_to NULL on the open current row. This is the CDC -> dimension
+    -history operator every warehouse ETL needs; the reference's
+    update-in-place jobs table (SURVEY section 2.6 C8) is the Type-1
+    special case of this.
+
+    Plan: two windows and one aggregate, ALL partitioned by user_id -
+    a single shuffle end to end, and AQE coalesces the window stages.
+    No self-join: the island trick replaces the quadratic
+    previous-row-lookup formulation."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    rn = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    runs = rn.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("valid_from_us")
+    valid_to = F.lead("valid_from_us").over(w_runs)
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_runs).cast("long").alias("version"),
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89: ordered funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q89_funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(ts_us) AS t_view
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts_us > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts_us > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           (c.t_click IS NOT NULL) AS reached_click,
+           (p.t_purchase IS NOT NULL) AS reached_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q89_funnel_conversion(spark, sf_dir):
+    """Ordered three-stage funnel: the first view, the first click
+    STRICTLY AFTER that view, and the first purchase strictly after
+    that click, per user - the sequential-dependency funnel (a click
+    before the first view does not count). Product-analytics staple
+    the reference's SQL suite gestures at with its per-status counts.
+
+    Plan: each stage is filter -> partial-agg -> equi-join, every
+    shuffle keyed on user_id so one Exchange partitioning is reused
+    through all three stages and the two assembling left joins; stage
+    inputs shrink monotonically (click stage only scans users who
+    viewed). No windows over the raw stream and no self-join on
+    events."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
