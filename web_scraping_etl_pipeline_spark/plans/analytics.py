@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import t
+from .common import EVENTS_EPOCH_US, t
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -451,4 +451,175 @@ def q75_unpivot_roundtrip(spark, sf_dir):
     )
     return long.filter(F.col("cnt").isNotNull()).select(
         "user_id", "event_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar spine, subquery decorrelation, ratio-to-report, cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q90_date_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(range((SELECT lo FROM bounds),
+                               (SELECT hi FROM bounds) + INTERVAL 1 DAY,
+                               INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def q90_date_spine_gapfill(spark, sf_dir):
+    """Calendar-spine gap fill: generate every day between the first and
+    last order date (``sequence`` + ``explode`` off a 1-row bounds
+    aggregate) and left-join daily order counts, zero-filling silent
+    days - the canonical time-series densification op.
+
+    Scale: the spine's size is bounded by the *date range*, not the row
+    count (a 100 TB fact table still spans only ~10^4 days), so the
+    per-day aggregate - one map-side-combined shuffle - dominates and
+    the spine<-daily join is a broadcast. Catalyst folds the bounds agg
+    into a 1-row plan; no driver-side collect."""
+    days = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day")
+    )
+    daily = days.groupBy("day").agg(F.count("*").alias("n"))
+    spine = (
+        days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n_orders")
+    )
+
+
+@query(
+    "q91_above_customer_avg",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS price,
+           CAST(FLOOR(cust_avg) AS BIGINT) AS cust_avg_unit
+    FROM a WHERE o_totalprice > 1.3 * cust_avg
+    """,
+)
+def q91_above_customer_avg(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated: orders priced >1.3x
+    their own customer's average. The naive SQL re-runs the subquery
+    per row; the engine form is a per-key window AVG - ONE shuffle on
+    ``o_custkey``, no join, no second pass over the fact table.
+
+    Scale: identical plan at 100 TB (hash-partition by customer, stream
+    each partition once); a groupBy+join decorrelation would add a
+    second shuffle for nothing.
+
+    The emitted average is FLOORed to whole units, not ROUNDed to
+    cents: both engines hold bit-identical avg doubles, but their ROUND
+    implementations disagree at the half-cent boundary (Spark rounds
+    the exact decimal HALF_UP; DuckDB multiplies by 100 in floating
+    point first), and an AVG lands on that boundary often enough to
+    flip a 5k-row result. FLOOR has no multiply and an integer-wide
+    boundary."""
+    w = Window.partitionBy("o_custkey")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.3 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.floor("cust_avg").cast("long").alias("cust_avg_unit"),
+        )
+    )
+
+
+@query(
+    "q92_priority_revenue_share",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, SUM(o_totalprice) AS rev FROM orders
+      GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           ROUND(rev, 0) AS rev,
+           ROUND(rev / SUM(rev) OVER (), 6) AS share
+    FROM g
+    """,
+)
+def q92_priority_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each order priority's revenue as a fraction of
+    the grand total, via an unpartitioned window SUM *over the
+    aggregate* (5 rows), never over the fact table.
+
+    Scale: the only heavy op is the map-side-combined groupBy; the
+    global window touches one row per group. Putting the window over
+    the raw table instead would force a single-partition sort of the
+    whole fact table - the classic ratio-to-report trap."""
+    g = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "o_orderpriority",
+        F.round("rev", 0).alias("rev"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )
+
+
+@query(
+    "q93_cohort_retention",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             (epoch_us(ts) - {EVENTS_EPOCH_US}) // 604800000000 AS week
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, week FROM e)
+    SELECT f.cohort_week, a.week,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY f.cohort_week, a.week
+    """,
+)
+def q93_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week, then
+    distinct-user counts per (cohort_week, active_week) cell - the
+    product-analytics staple behind every retention curve.
+
+    Scale: three shuffles, each on a shrinking keyspace - (user, week)
+    distinct, the min-week groupBy (both partial-aggregated map-side),
+    then the cells. The act<-first join co-partitions on ``user_id``
+    with the groupBy before it, so AQE reuses the exchange; the final
+    cell count is over |users| rows, not |events|."""
+    week = F.floor(
+        (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(604_800_000_000)
+    ).alias("week")
+    e = t(spark, sf_dir, "events").select("user_id", week)
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count_distinct("user_id").alias("n_users"))
     )
