@@ -623,3 +623,139 @@ def q93_cohort_retention(spark, sf_dir):
         .groupBy("cohort_week", "week")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q94_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, next_type, COUNT(*) AS n FROM s
+      WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(n / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM p
+    """,
+)
+def q94_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: LEAD pairs up consecutive event types, then counts and
+    row-normalizes into transition probabilities.
+
+    Scale: one shuffle on ``user_id`` for the sequence window (ordered
+    by time with ``event_id`` as the deterministic tie-break), one
+    map-side-combined count over a |types|^2-bounded keyspace, and the
+    normalizing window runs over that tiny aggregate - never the fact
+    table."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+@query(
+    "q95_argmax_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS top_event_id,
+           event_type AS top_event_type,
+           ROUND(value, 6) AS top_value
+    FROM r WHERE rn = 1
+    """,
+)
+def q95_argmax_per_group(spark, sf_dir):
+    """ARGMAX aggregation: each user's highest-value event via
+    ``max_by`` with a (value, event_id) struct ordering key - ties on
+    value break deterministically by event_id, so both engines select
+    the same witness row.
+
+    Scale: a single map-side-combinable aggregate - max_by carries one
+    candidate row per group through the shuffle, vs the window
+    row_number() formulation that must sort every partition. This is
+    the preferred top-1-per-group plan; use the window form only when
+    k > 1."""
+    ev = t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ordk).alias("top_event_id"),
+        F.max_by("event_type", ordk).alias("top_event_type"),
+        F.round(F.max("value"), 6).alias("top_value"),
+    )
+
+
+@query(
+    "q96_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             AVG(value)        OVER (PARTITION BY user_id) AS mu,
+             STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sigma
+      FROM events
+    )
+    SELECT event_id, user_id, ROUND(value, 6) AS value,
+           ROUND((value - mu) / sigma, 4) AS z
+    FROM s WHERE sigma > 0 AND ABS(value - mu) > 2.5 * sigma
+    """,
+)
+def q96_zscore_outliers(spark, sf_dir):
+    """Per-user z-score outlier detection: events whose value deviates
+    more than 2.5 sigma from that user's own mean - the standard
+    population-relative anomaly filter.
+
+    Scale: one shuffle on ``user_id``; mean and stddev come from the
+    same window pass, and the comparison stays in codegen. The
+    predicate is on the raw doubles (identical bit patterns in both
+    engines for same-order aggregation over these group sizes); only
+    the *emitted* z is rounded."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sigma"),
+        )
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "z"
+            ),
+        )
+    )

@@ -475,3 +475,67 @@ def q29_daily_type_counts(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q97_nation_pair_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q97_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape: cross-border trade volume per (supplier nation,
+    customer nation, ship year). Two fact-fact joins (lineitem x
+    supplier on suppkey, x orders on orderkey) plus customer, then the
+    nation dim joined TWICE under different aliases - the classic
+    role-playing-dimension pattern.
+
+    Scale: supplier/customer ride the auto-broadcast/AQE decision like
+    q17; the two nation joins are explicit broadcasts (25 rows). The
+    inequality filter runs on the two broadcast-joined nation keys
+    before aggregation, and the group keyspace is bounded by
+    |nations|^2 x |years|, so the final agg is map-side combined into
+    almost nothing."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("volume"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
