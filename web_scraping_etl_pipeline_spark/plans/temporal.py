@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import t
+from .common import EVENTS_EPOCH_US, US_PER_DAY, t
 from .registry import query
 
 #: range-join window half-width: 6 hours in microseconds.
@@ -425,3 +425,94 @@ def q89_funnel_conversion(spark, sf_dir):
             F.col("t_purchase").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+@query(
+    "q98_rolling_active_users",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day
+      FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM act),
+    spine AS (
+      SELECT unnest(range((SELECT lo FROM bounds),
+                          (SELECT hi FROM bounds) + 1)) AS day
+    ),
+    exp AS (SELECT user_id, day + r.d AS day FROM act, range(0, 7) r(d))
+    SELECT s.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_7d
+    FROM spine s LEFT JOIN exp e ON e.day = s.day
+    GROUP BY s.day
+    """,
+)
+def q98_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day active users per day (the DAU/WAU family):
+    each (user, active-day) pair is replicated to the 7 days it keeps
+    the user "active" for (``sequence`` + ``explode``), turning the
+    sliding-range count-distinct - which no window frame can express
+    over DISTINCT - into a plain equi-group-by.
+
+    Scale: the explode is a bounded x7 fan-out of the *deduplicated*
+    (user, day) set, not the raw events; both shuffles (the distinct,
+    the day rollup) partial-aggregate map-side. This replicate-to-
+    buckets trick is the same shape as the q56 range join - a range
+    predicate traded for a constant fan-out equi-key."""
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(
+        (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+    ).alias("day")
+    act = ev.select("user_id", day).distinct()
+    spine = (
+        act.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    exp = act.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias(
+            "day"
+        ),
+    )
+    roll = exp.groupBy("day").agg(
+        F.count_distinct("user_id").alias("active_7d")
+    )
+    return spine.join(roll, "day", "left").select(
+        "day", F.coalesce("active_7d", F.lit(0)).cast("long").alias("active_7d")
+    )
+
+
+@query(
+    "q100_cdc_apply",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type,
+           ROUND(value, 6) AS last_value,
+           ts_us AS last_ts_us
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q100_cdc_apply(spark, sf_dir):
+    """CDC changelog apply, latest-wins with tombstones: collapse the
+    event stream to each key's most recent change (deterministic
+    (ts, event_id) ordering) and drop keys whose final change is a
+    tombstone ('error' here) - the MERGE/upsert semantics a mutable
+    sink applies, computed as a pure batch query.
+
+    Scale: ONE map-side-combinable max_by aggregation - the shuffle
+    carries a single candidate row per key, vs the window/row_number
+    formulation that sorts every partition. On a real lakehouse sink
+    this exact plan feeds ``MERGE INTO`` as its source."""
+    ev = t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts_us"), F.col("event_id"))
+    latest = ev.groupBy("user_id").agg(
+        F.max_by("event_type", ordk).alias("last_type"),
+        F.round(F.max_by("value", ordk), 6).alias("last_value"),
+        F.max_by("ts_us", ordk).alias("last_ts_us"),
+    )
+    return latest.filter(F.col("last_type") != "error")

@@ -280,3 +280,69 @@ def q54_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+@query(
+    "q99_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS c_label, r.i AS i,
+             AVG(CAST(e.embedding[r.i] AS DOUBLE)) AS c
+      FROM embeddings e, range(1, {DIM} + 1) r(i)
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT e.vec_id, cent.c_label,
+             SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.c) AS dp
+      FROM embeddings e, cent
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT vec_id, c_label, dp,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dp DESC, c_label DESC
+             ) AS rn
+      FROM dots
+    )
+    SELECT vec_id, c_label AS nearest_label, ROUND(dp, 5) AS cos_sim
+    FROM r WHERE rn = 1
+    """,
+)
+def q99_kmeans_assign(spark, sf_dir):
+    """One Lloyd's-iteration assignment step: re-assign every vector to
+    its nearest current centroid (label centroids as the running
+    means, cosine distance on unit-norm vectors). Chained with q53's
+    centroid recompute this is k-means; one step is the oracle-checkable
+    unit.
+
+    Scale: centroids are k x DIM (tiny, always broadcast); the
+    assignment is a broadcast cross join - k dot products per vector in
+    one codegen map stage, argmax folded into a map-side-combinable
+    max_by. No shuffle touches the vectors themselves; the only
+    exchange carries one (vec, best) row per vector. This is exactly
+    how Spark MLlib's KMeans spends its iterations, minus its extra
+    norm-precompute pass."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dc, x -> x.c)").alias("cvec"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "c_label",
+        _dot(F.col("embedding"), F.col("cvec")).alias("dp"),
+    )
+    ordk = F.struct(F.col("dp"), F.col("c_label"))
+    return scored.groupBy("vec_id").agg(
+        F.max_by("c_label", ordk).alias("nearest_label"),
+        F.round(F.max("dp"), 5).alias("cos_sim"),
+    )
