@@ -759,3 +759,187 @@ def q96_zscore_outliers(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominance, exact money allocation, surrogate keys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    m AS (
+      SELECT p_partkey, p_brand, p_size, price_cents,
+             MAX(p_size) OVER (
+               PARTITION BY p_brand ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_cheaper,
+             MAX(p_size) OVER (
+               PARTITION BY p_brand, price_cents
+             ) AS best_same_price
+      FROM p
+    )
+    SELECT p_partkey, p_brand, p_size, price_cents
+    FROM m
+    WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+      AND p_size = best_same_price
+    """,
+)
+def q101_pareto_frontier(spark, sf_dir):
+    """Pareto frontier per brand: parts not dominated by any same-brand
+    part that is cheaper-or-equal AND at-least-as-large (one strict).
+    Dominance collapses to two window maxima - the running max size
+    over *strictly cheaper* rows (a value-based RANGE frame on integer
+    cents) and the max size at the same price - so the O(n^2)
+    pairwise test becomes one sort per brand.
+
+    Scale: partitioned by brand, so the sort is per-group, not global;
+    for an unpartitioned frontier at 100 TB the same operator runs per
+    partition and the tiny per-partition frontiers are re-frontiered
+    once (frontier(union of frontiers) == frontier(all))."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_cents")
+    m = p.select(
+        "*",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same_price"),
+    )
+    return m.filter(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+        & (F.col("p_size") == F.col("best_same_price"))
+    ).select("p_partkey", "p_brand", "p_size", "price_cents")
+
+
+@query(
+    "q102_exact_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_q
+      FROM lineitem
+    ),
+    j AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+             CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        * l_quantity / sum_q) AS BIGINT) AS base_cents,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                * l_quantity / sum_q
+               - FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       * l_quantity / sum_q) AS rem
+      FROM li JOIN orders ON l_orderkey = o_orderkey
+    ),
+    r AS (
+      SELECT l_orderkey, l_linenumber, total_cents, base_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber
+             ) AS rk,
+             total_cents - SUM(base_cents) OVER (PARTITION BY l_orderkey)
+               AS leftover
+      FROM j
+    )
+    SELECT l_orderkey, l_linenumber,
+           base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS alloc_cents
+    FROM r
+    """,
+)
+def q102_exact_allocation(spark, sf_dir):
+    """Exact money allocation: split each order's total (in integer
+    cents) across its lineitems proportional to quantity, using
+    largest-remainder rounding so the per-order cent sum reconciles
+    EXACTLY - the ETL op behind revenue attribution, where naive
+    per-row rounding leaks cents.
+
+    Scale: orders joins lineitem on the same key every window uses, so
+    the shuffle is paid once and the two window passes (sum_q/leftover,
+    remainder rank) reuse the partitioning. All arithmetic on integer
+    cents except the shares themselves; the remainder rank tie-breaks
+    by linenumber, so allocation is deterministic."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    wk = Window.partitionBy("l_orderkey")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("sum_q", F.sum("l_quantity").over(wk))
+        .withColumn(
+            "share", F.col("total_cents") * F.col("l_quantity") / F.col("sum_q")
+        )
+        .withColumn("base_cents", F.floor("share"))
+        .withColumn("rem", F.col("share") - F.floor("share"))
+    )
+    r = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        "base_cents",
+        F.row_number()
+        .over(wk.orderBy(F.desc("rem"), F.asc("l_linenumber")))
+        .alias("rk"),
+        (F.col("total_cents") - F.sum("base_cents").over(wk)).alias("leftover"),
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )
+
+
+@query(
+    "q103_surrogate_keys",
+    oracle="""
+    SELECT p_partkey,
+           CAST(DENSE_RANK() OVER (ORDER BY p_brand, p_type) AS BIGINT)
+             AS brand_type_sk
+    FROM part
+    """,
+)
+def q103_surrogate_keys(spark, sf_dir):
+    """Surrogate-key assignment: dense integer ids for the distinct
+    (brand, type) dimension combinations, mapped back onto every part.
+    The engine form never runs a window over the fact table (the
+    oracle's DENSE_RANK is the *spec*, not the plan): distinct the
+    dimension - dimension-sized, tiny - row_number it, broadcast the
+    mapping back. At 100 TB the fact side stays a map stage; the only
+    global sort is over the dimension values."""
+    p = t(spark, sf_dir, "part")
+    dim = (
+        p.select("p_brand", "p_type")
+        .distinct()
+        .select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy("p_brand", "p_type"))
+            .cast("long")
+            .alias("brand_type_sk"),
+        )
+    )
+    return p.join(F.broadcast(dim), ["p_brand", "p_type"]).select(
+        "p_partkey", "brand_type_sk"
+    )
