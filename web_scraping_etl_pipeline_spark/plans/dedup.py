@@ -664,3 +664,54 @@ def q85_simhash_hamming_pairs(spark, sf_dir):
     return pairs.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= _HAM_T)
+
+
+# ---------------------------------------------------------------------------
+# q106: blocked fuzzy-match join (edit distance within blocking key)
+# ---------------------------------------------------------------------------
+
+_LEV_T = 4
+
+
+@query(
+    "q106_fuzzy_name_match",
+    oracle=f"""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_name <> b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= {_LEV_T}
+    """,
+)
+def q106_fuzzy_name_match(spark, sf_dir):
+    """Blocked fuzzy-match join: near-identical part names (edit
+    distance <= {T}) compared only WITHIN a blocking key (brand) - the
+    classic entity-resolution shape, where blocking turns the O(N^2)
+    all-pairs edit-distance matrix into per-block quadratics.
+
+    Scale: pair count is bounded by the largest block, so the blocking
+    key must be chosen (or salted) to cap block size; at 100 TB the
+    same plan runs with a (brand, name-prefix) composite block or an
+    LSH block (cf. q43) when no natural key exists. The equi-join on
+    the block key is a plain shuffled hash join - never a cartesian."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, "brand").filter(
+        (F.col("part_a") < F.col("part_b"))
+        & (F.col("name_a") != F.col("name_b"))
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("long")
+    return (
+        pairs.select("part_a", "part_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= _LEV_T)
+    )

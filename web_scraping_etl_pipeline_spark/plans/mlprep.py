@@ -529,3 +529,106 @@ def q87_contamination_check(spark, sf_dir):
         F.count("th").cast("long").alias("n_overlap"),
         F.round(F.count("th") / F.count("*"), 4).alias("contamination_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104: unigram LM scoring (corpus-statistics perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+    tot AS (SELECT SUM(tf) AS total FROM vocab)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(CAST(vocab.tf AS DOUBLE) / tot.total)), 6)
+             AS avg_nll
+    FROM tok JOIN vocab USING (term), tot
+    GROUP BY tok.doc_id
+    """,
+)
+def q104_unigram_lm_score(spark, sf_dir):
+    """Unigram language-model scoring: train token frequencies over the
+    corpus, then score every document by its average negative
+    log-probability - the cheap perplexity proxy used to rank crawl
+    text against a reference corpus before training.
+
+    Scale: two passes over the exploded tokens - the vocab build
+    (map-side-combined count) and a token->frequency join. Token
+    frequency is Zipfian, so the join side is hot-key skewed at 100 TB;
+    the deploy mitigation is broadcasting the head of the vocabulary
+    (it is tiny and covers most mass) and shuffle-joining only the
+    tail - same two-phase split as q67's salted aggregation. Here the
+    full vocab rides one ordinary join; AQE's skew-join split handles
+    the head."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    vocab = vocab.withColumn(
+        "total", F.sum("tf").over(Window.partitionBy())
+    )
+    nll = -F.log(F.col("tf").cast("double") / F.col("total"))
+    return (
+        tok.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105: deterministic weighted sampling (A-ES / exponential jitter)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 50
+
+
+@query(
+    "q105_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln(({_h60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+                 / 1152921504606846976.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, ROUND(k, 9) AS sort_key
+    FROM keyed
+    ORDER BY k, doc_id LIMIT {_SAMPLE_K}
+    """,
+)
+def q105_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis via exponential jitter): each document draws
+    u = hash(doc_id)/2^60 and sorts by -ln(u)/weight; the smallest K
+    keys are a weighted sample where P(selected) tracks ``n_chars``.
+    Deterministic - the "randomness" is the md5 bridge hash, identical
+    in both engines - so the sample is reproducible run to run, which
+    is what a training-data pipeline needs for auditability.
+
+    Scale: a pure map stage (hash + ln per row) followed by
+    TakeOrderedAndProject - top-K merges per partition, no global
+    sort, no shuffle of the data itself."""
+    docs = t(spark, sf_dir, "documents")
+    u = (_h60(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(1 << 60)
+    )
+    k = (-F.log(u)) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(k, 9).alias("sort_key"),
+            k.alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(_SAMPLE_K)
+        .drop("_k")
+    )
