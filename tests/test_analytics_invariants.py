@@ -1,0 +1,185 @@
+"""Invariant tests for the q90-q106 analytics/temporal/vector batch.
+
+The DuckDB oracle already pins value-equality per query; these tests pin
+the semantic guarantees equality with another engine cannot express:
+gap-free spines, exact cent reconciliation, dominance correctness,
+assignment optimality, and determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from web_scraping_etl_pipeline_spark.plans.analytics import (
+    q90_date_spine_gapfill,
+    q101_pareto_frontier,
+    q102_exact_allocation,
+    q103_surrogate_keys,
+)
+from web_scraping_etl_pipeline_spark.plans.temporal import (
+    q98_rolling_active_users,
+    q100_cdc_apply,
+)
+from web_scraping_etl_pipeline_spark.plans.vectors import q99_kmeans_assign
+from web_scraping_etl_pipeline_spark.plans.mlprep import q105_weighted_sample
+
+
+def test_date_spine_has_no_gaps_and_conserves_orders(spark):
+    """Consecutive spine days differ by exactly 1, and zero-filling must
+    not invent or drop orders: counts sum to the table's row count."""
+    out = q90_date_spine_gapfill(spark, SF_DIR)
+    from pyspark.sql import Window
+
+    gap = out.select(
+        (
+            F.datediff(
+                F.col("day"), F.lag("day").over(Window.orderBy("day"))
+            )
+        ).alias("d")
+    ).filter(F.col("d").isNotNull())
+    assert gap.filter(F.col("d") != 1).count() == 0
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert out.agg(F.sum("n_orders")).first()[0] == n_orders
+
+
+def test_rolling_active_dominates_daily_active(spark):
+    """A 7-day rolling active count can never be below that day's
+    1-day active count, and never above the total user population."""
+    from web_scraping_etl_pipeline_spark.plans.common import (
+        EVENTS_EPOCH_US,
+        US_PER_DAY,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    daily = (
+        ev.select(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+            ).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+    roll = q98_rolling_active_users(spark, SF_DIR)
+    joined = roll.join(daily, "day")
+    assert joined.filter(F.col("active_7d") < F.col("dau")).count() == 0
+    n_users = ev.select("user_id").distinct().count()
+    assert roll.agg(F.max("active_7d")).first()[0] <= n_users
+
+
+def test_kmeans_assignment_is_at_least_own_label_similarity(spark):
+    """The chosen centroid must score >= the vector's own label's
+    centroid (the argmax can only improve on the incumbent)."""
+    assign = q99_kmeans_assign(spark, SF_DIR).alias("a")
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .alias("e")
+    )
+    from web_scraping_etl_pipeline_spark.plans.vectors import _dot
+
+    cent = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dc, x -> x.c)").alias("cvec"),
+        )
+    )
+    own = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .join(F.broadcast(cent), F.col("label") == F.col("c_label"))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("embedding"), F.col("cvec")), 5).alias(
+                "own_sim"
+            ),
+        )
+    )
+    j = assign.join(own, "vec_id")
+    # tolerance: both sides round to 5 decimals independently
+    bad = j.filter(F.col("cos_sim") < F.col("own_sim") - 2e-5)
+    assert bad.count() == 0
+
+
+def test_cdc_apply_one_row_per_user_no_tombstones(spark):
+    out = q100_cdc_apply(spark, SF_DIR)
+    assert out.count() == out.select("user_id").distinct().count()
+    assert out.filter(F.col("last_type") == "error").count() == 0
+
+
+def test_allocation_reconciles_to_the_cent(spark):
+    """Largest-remainder allocation: per-order cents sum EXACTLY to the
+    order total in cents, and every allocation is non-negative."""
+    al = q102_exact_allocation(spark, SF_DIR)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tc"),
+    )
+    s = al.groupBy("l_orderkey").agg(F.sum("alloc_cents").alias("s")).join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert s.filter(F.col("s") != F.col("tc")).count() == 0
+    assert al.filter(F.col("alloc_cents") < 0).count() == 0
+
+
+def test_pareto_frontier_members_are_undominated(spark):
+    """Brute-force dominance check at sf0.001: no kept part may have a
+    same-brand dominator (cheaper-or-equal AND >=-size, one strict)."""
+    kept = q101_pareto_frontier(spark, SF_DIR).alias("k")
+    allp = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").alias("size2"),
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("cents2"),
+        )
+        .alias("o")
+    )
+    dominated = kept.join(
+        allp,
+        (F.col("k.p_brand") == F.col("o.brand"))
+        & (F.col("o.cents2") <= F.col("k.price_cents"))
+        & (F.col("o.size2") >= F.col("k.p_size"))
+        & (
+            (F.col("o.cents2") < F.col("k.price_cents"))
+            | (F.col("o.size2") > F.col("k.p_size"))
+        ),
+        "left_semi",
+    )
+    assert dominated.count() == 0
+
+
+def test_surrogate_keys_dense_and_consistent(spark):
+    """Keys are 1..N_distinct with no holes, and equal (brand, type)
+    pairs always map to the same key."""
+    out = q103_surrogate_keys(spark, SF_DIR)
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    n_dim = p.select("p_brand", "p_type").distinct().count()
+    ks = out.select("brand_type_sk").distinct()
+    assert ks.count() == n_dim
+    assert ks.agg(F.min("brand_type_sk")).first()[0] == 1
+    assert ks.agg(F.max("brand_type_sk")).first()[0] == n_dim
+    per_part = out.groupBy("p_partkey").agg(
+        F.count_distinct("brand_type_sk").alias("n")
+    )
+    assert per_part.filter(F.col("n") != 1).count() == 0
+
+
+def test_weighted_sample_is_deterministic(spark):
+    a = sorted(r["doc_id"] for r in q105_weighted_sample(spark, SF_DIR).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in q105_weighted_sample(spark, SF_DIR).repartition(7).collect()
+    )
+    assert a == b
