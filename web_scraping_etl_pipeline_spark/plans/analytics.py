@@ -943,3 +943,85 @@ def q103_surrogate_keys(spark, sf_dir):
     return p.join(F.broadcast(dim), ["p_brand", "p_type"]).select(
         "p_partkey", "brand_type_sk"
     )
+
+
+@query(
+    "q108_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS tn FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           tot.tn AS n_events,
+           ROUND(-SUM((CAST(n AS DOUBLE) / tn)
+                      * ln(CAST(n AS DOUBLE) / tn) / ln(2)), 6)
+             AS entropy_bits
+    FROM c JOIN tot USING (user_id)
+    GROUP BY c.user_id, tot.tn
+    """,
+)
+def q108_user_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix (bits): the
+    behavioral-diversity metric - 0 for single-type users, log2(5) for
+    a uniform mix.
+
+    Scale: one shuffle to the (user, type) counts - bounded by
+    |users| x |types| - then a per-user window total and a second tiny
+    aggregate over at most |types| rows per user. The fact table is
+    touched once."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    wu = Window.partitionBy("user_id")
+    c = c.withColumn("tn", F.sum("n").over(wu))
+    p = F.col("n").cast("double") / F.col("tn")
+    term = p * F.log(p) / F.log(F.lit(2.0))
+    return c.groupBy("user_id", F.col("tn").alias("n_events")).agg(
+        F.round(-F.sum(term), 6).alias("entropy_bits")
+    )
+
+
+@query(
+    "q109_median_abs_deviation",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_type, abs(e.value - m.med) AS ad
+      FROM events e JOIN m USING (event_type)
+    )
+    SELECT d.event_type,
+           ROUND((SELECT med FROM m WHERE m.event_type = d.event_type), 6)
+             AS median_value,
+           ROUND(quantile_cont(ad, 0.5), 6) AS mad
+    FROM d GROUP BY d.event_type
+    """,
+)
+def q109_median_abs_deviation(spark, sf_dir):
+    """Median absolute deviation per event type - the robust dispersion
+    measure (outlier-insensitive, unlike q64's stddev; pairs with
+    q96's z-scores as the robust-z alternative).
+
+    Scale: two exact-percentile aggregations with a 5-row broadcast
+    join between them; the fact table is scanned twice (once per
+    median pass), which is inherent to MAD's nested median. The 100 TB
+    swap-in is approx_percentile for both passes (mergeable sketches,
+    single-scan-each), identical plan shape."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    return d.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("median_value"),
+        F.round(F.percentile("ad", 0.5), 6).alias("mad"),
+    )

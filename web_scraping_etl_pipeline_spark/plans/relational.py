@@ -539,3 +539,42 @@ def q97_nation_pair_volume(spark, sf_dir):
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "q107_relational_division",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS npri
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT o_orderpriority) AS n FROM orders)
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM per_cust, tot WHERE npri = n
+    )
+    """,
+)
+def q107_relational_division(spark, sf_dir):
+    """Relational division ("for all"): customers who have placed at
+    least one order in EVERY order priority - the classic operator SQL
+    lacks a keyword for. Division reduces to counting: per-customer
+    distinct-priority count == global distinct-priority count.
+
+    Scale: both sides are aggregates (map-side combinable, one shuffle
+    each); the divisor cardinality is a 1-row aggregate joined by
+    broadcast, and the final membership is a left-semi join - no
+    NOT EXISTS double negation, no per-divisor-row probing."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").alias("npri")
+    )
+    tot = o.agg(F.count_distinct("o_orderpriority").alias("n"))
+    full = per_cust.join(
+        F.broadcast(tot), per_cust.npri == tot.n
+    ).select("o_custkey")
+    return c.join(
+        full, c.c_custkey == full.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
