@@ -54,3 +54,40 @@ def write_bronze(df: DataFrame, bronze_path: str, ingest_date: str) -> None:
         .partitionBy("ingest_date")
         .parquet(bronze_path)
     )
+
+
+def rewrite_bronze_partition(
+    df: DataFrame, bronze_path: str, ingest_date: str
+) -> None:
+    """S2 reprocessing flavor: idempotently REPLACE one ingest-date
+    partition (a late re-scrape / backfill) without touching the rest of
+    bronze. Uses dynamic partition overwrite - ``mode("overwrite")``
+    deletes only the partitions present in this batch, so a daily rerun
+    is exactly-once per partition instead of the reference's
+    at-least-once re-append (SURVEY.md section 8 B4).
+
+    At 100 TB this is the daily backfill primitive: the write plans as
+    a normal distributed parquet job and the overwrite commits
+    atomically per partition directory."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("ingest_date", F.lit(ingest_date))
+            .write.mode("overwrite")
+            .partitionBy("ingest_date")
+            .parquet(bronze_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_bronze_evolved(spark: SparkSession, bronze_path: str) -> DataFrame:
+    """S3 schema-evolution flavor: read a bronze directory whose
+    partitions were written under DIFFERENT schema versions (a column
+    added mid-history) into one unified frame - ``mergeSchema`` takes
+    the union of the per-file footers; files missing a column yield
+    NULLs. This is the scan-side half of additive schema evolution; the
+    write side needs no migration (old partitions stay as written)."""
+    return spark.read.option("mergeSchema", "true").parquet(bronze_path)
