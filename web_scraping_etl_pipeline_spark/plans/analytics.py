@@ -1025,3 +1025,100 @@ def q109_median_abs_deviation(spark, sf_dir):
         F.round(F.first("med"), 6).alias("median_value"),
         F.round(F.percentile("ad", 0.5), 6).alias("mad"),
     )
+
+
+@query(
+    "q110_rank_distributions",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 6) AS value,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY event_type ORDER BY value, event_id), 6) AS pr,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY event_type ORDER BY value, event_id), 6) AS cd
+    FROM events
+    """,
+)
+def q110_rank_distributions(spark, sf_dir):
+    """PERCENT_RANK + CUME_DIST per event type (deterministic event_id
+    tie-break): the remaining members of the ranking-window family next
+    to q20 row_number / q58 ntile / q95 argmax.
+
+    Scale: one shuffle on the partition key, one in-partition sort,
+    both functions computed in the same Window operator pass."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q111_conditional_aggs",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_error,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2)
+             AS purchase_value,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'view'), 6)
+             AS avg_view
+    FROM events GROUP BY user_id
+    """,
+)
+def q111_conditional_aggs(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause): several
+    differently-filtered aggregates in ONE pass - the sparse
+    alternative to q27's pivot when only a few cells matter.
+
+    Scale: a single map-side-combined hash aggregate; each FILTER is a
+    codegen branch inside the aggregate, not a separate scan or join.
+    Absent groups yield NULL (sum/avg) or 0 (count) identically in
+    both engines."""
+    ev = t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_p, 1)).alias("n_purchase"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.round(F.sum(F.when(is_p, F.col("value"))), 2).alias(
+            "purchase_value"
+        ),
+        F.round(
+            F.avg(F.when(F.col("event_type") == "view", F.col("value"))), 6
+        ).alias("avg_view"),
+    )
+
+
+@query(
+    "q113_quarterly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q_of_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 0) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q113_quarterly_revenue(spark, sf_dir):
+    """Calendar-function rollup: revenue per quarter via
+    ``date_trunc('quarter')`` + ``quarter()`` - the date-dimension
+    breadth check (both engines agree on quarter boundaries without a
+    calendar table).
+
+    Scale: the quarter key is a projected expression, so this is an
+    ordinary map-side-combined aggregate over a ~|years|x4 keyspace."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("quarter", F.col("o_orderdate"))
+        .cast("date")
+        .alias("qtr_start"),
+        F.quarter("o_orderdate").cast("long").alias("q_of_year"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+    )

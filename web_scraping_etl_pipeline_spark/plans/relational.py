@@ -578,3 +578,93 @@ def q107_relational_division(spark, sf_dir):
     return c.join(
         full, c.c_custkey == full.o_custkey, "left_semi"
     ).select("c_custkey", "c_name")
+
+
+@query(
+    "q112_ordered_string_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q112_ordered_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): nation names per region as
+    one comma-joined, alphabetically-ordered string. Spark's
+    ``collect_list`` is order-nondeterministic under parallelism, so
+    the deterministic form is collect -> ``array_sort`` ->
+    ``array_join`` - the idiom that makes list aggregation safe to
+    hash-compare across engines (and across reruns).
+
+    Scale: per-group state is the value list, so this is for
+    dimension-sized groups (here: 5 nations per region); unbounded
+    groups want the q77-style top-k cut before aggregation."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "q114_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END AS cents
+      FROM orders
+    )
+    SELECT 'only_a' AS side, * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_b' AS side, * FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+    """,
+)
+def q114_snapshot_diff(spark, sf_dir):
+    """Snapshot data-diff audit: symmetric EXCEPT ALL between two
+    versions of a table, each surviving row tagged with the side it is
+    unique to - the reconciliation primitive behind "what changed
+    between yesterday's and today's load". The second snapshot here is
+    a deterministic mutation of the first (status flip on keys % 97,
+    one-cent drift on keys % 101) so the diff is reproducible.
+
+    Scale: EXCEPT ALL plans as a hash aggregate over all columns with
+    count bookkeeping - one shuffle per side on the row hash; at
+    100 TB you diff per partition-key range so each reconciliation
+    shuffle is bounded (and unchanged partitions skip via metadata
+    short-circuit)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            + F.when(F.col("o_orderkey") % 101 == 0, 1).otherwise(0)
+        ).alias("cents"),
+    )
+    only_a = a.exceptAll(b).select(F.lit("only_a").alias("side"), "*")
+    only_b = b.exceptAll(a).select(F.lit("only_b").alias("side"), "*")
+    return only_a.unionByName(only_b)
