@@ -632,3 +632,55 @@ def q105_weighted_sample(spark, sf_dir):
         .limit(_SAMPLE_K)
         .drop("_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: corpus drift audit (chi-square independence of source x lang)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q116_lang_source_drift",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    rs AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS rn FROM o GROUP BY 1),
+    cs AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS cn FROM o GROUP BY 1)
+    SELECT o.source, o.lang, o.obs,
+           ROUND(rn * cn / CAST(n AS DOUBLE), 6) AS expected,
+           ROUND(POW(obs - rn * cn / CAST(n AS DOUBLE), 2)
+                 / (rn * cn / CAST(n AS DOUBLE)), 6) AS chi2_term
+    FROM o JOIN rs USING (source) JOIN cs USING (lang), tot
+    """,
+)
+def q116_lang_source_drift(spark, sf_dir):
+    """Corpus composition audit: chi-square contribution of every
+    (source, language) cell against the independence expectation - the
+    drift detector that flags "this crawl source's language mix shifted"
+    before the shift poisons a training run. Cells with large
+    ``chi2_term`` are the anomalies; the full statistic is the sum.
+
+    Scale: ONE aggregation over the fact table to the contingency cells
+    (bounded by |sources| x |langs|), then all margins via windows over
+    those cells - the fact table is never touched again, and the
+    windows run over a table small enough to broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count("*").alias("obs"))
+    o = (
+        o.withColumn("rn", F.sum("obs").over(Window.partitionBy("source")))
+        .withColumn("cn", F.sum("obs").over(Window.partitionBy("lang")))
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+    )
+    expected = F.col("rn") * F.col("cn") / F.col("n").cast("double")
+    return o.select(
+        "source",
+        "lang",
+        "obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.pow(F.col("obs") - expected, 2) / expected, 6
+        ).alias("chi2_term"),
+    )

@@ -185,3 +185,68 @@ def q71_stream_sliding_finalized(spark, sf_dir):
         )
     )
     return _run_to_sink(s, spark, "q71")
+
+
+@query(
+    "q115_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                            AND epoch_us(p.ts)
+    """,
+)
+def q115_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join through the real engine: purchases
+    joined to the same user's clicks from the preceding hour, both
+    sides genuine ``readStream`` sources with watermarks and an
+    event-time range condition.
+
+    The time bound is what makes this tractable: it lets the engine
+    evict join state older than (watermark - 1 hour) instead of
+    buffering both streams forever - THE canonical pattern for
+    correlating two unbounded streams. Inner-join matches are emitted
+    as found, so one availableNow drain equals the batch interval join
+    (the oracle); state eviction only ever drops rows that can no
+    longer match."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+            F.expr("ts DIV 1000").alias("purchase_us"),
+        )
+    )
+    c = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+            F.expr("ts DIV 1000").alias("click_us"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_time") <= F.col("p_time")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_us",
+        "click_us",
+    )
+    return _run_to_sink(joined, spark, "q115")
