@@ -74,15 +74,20 @@ def main() -> int:
             continue
         timings[name] = round(took, 3)
         log(f"ok   {name}: {took:.3f}s")
-        if (i + 1) % 10 == 0:
+        if (i + 1) % 5 == 0:
             # Shuffle/broadcast state from finished queries is reclaimed
             # via weak references, i.e. only on GC (ContextCleaner's
             # periodic System.gc defaults to every 30 min). A long
             # suite in one JVM otherwise accumulates tens of queries of
             # dead state, and the eventual collection lands mid-query as
             # a multi-second stall attributed to an innocent bystander.
-            # Collecting between queries keeps cleanup out of timings.
+            # Collecting between queries keeps cleanup out of timings;
+            # the short sleep lets the ContextCleaner thread drain the
+            # reference queue before the next query starts (the enqueue
+            # happens on GC, the actual block/broadcast removal on the
+            # cleaner thread).
             spark._jvm.System.gc()
+            time.sleep(0.2)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(

@@ -1122,3 +1122,219 @@ def q113_quarterly_revenue(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 0).alias("revenue"),
     )
+
+
+@query(
+    "q117_zorder_key",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 65536 AS px, l_suppkey % 65536 AS sx
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST((
+             (((px >> 15) & 1) << 31)
+             | (((sx >> 15) & 1) << 30)
+             | (((px >> 14) & 1) << 29)
+             | (((sx >> 14) & 1) << 28)
+             | (((px >> 13) & 1) << 27)
+             | (((sx >> 13) & 1) << 26)
+             | (((px >> 12) & 1) << 25)
+             | (((sx >> 12) & 1) << 24)
+             | (((px >> 11) & 1) << 23)
+             | (((sx >> 11) & 1) << 22)
+             | (((px >> 10) & 1) << 21)
+             | (((sx >> 10) & 1) << 20)
+             | (((px >> 9) & 1) << 19)
+             | (((sx >> 9) & 1) << 18)
+             | (((px >> 8) & 1) << 17)
+             | (((sx >> 8) & 1) << 16)
+             | (((px >> 7) & 1) << 15)
+             | (((sx >> 7) & 1) << 14)
+             | (((px >> 6) & 1) << 13)
+             | (((sx >> 6) & 1) << 12)
+             | (((px >> 5) & 1) << 11)
+             | (((sx >> 5) & 1) << 10)
+             | (((px >> 4) & 1) << 9)
+             | (((sx >> 4) & 1) << 8)
+             | (((px >> 3) & 1) << 7)
+             | (((sx >> 3) & 1) << 6)
+             | (((px >> 2) & 1) << 5)
+             | (((sx >> 2) & 1) << 4)
+             | (((px >> 1) & 1) << 3)
+             | (((sx >> 1) & 1) << 2)
+             | (((px >> 0) & 1) << 1)
+             | (((sx >> 0) & 1) << 0)
+           ) AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def q117_zorder_key(spark, sf_dir):
+    """Z-order (Morton) interleave key over (partkey, suppkey): the
+    multi-dimensional clustering key behind Delta/Iceberg OPTIMIZE
+    ZORDER. Sorting the table by ``zkey`` before writing co-locates
+    rows close in BOTH dimensions into the same row groups, so
+    min/max footer stats prune scans filtered on either column - the
+    layout half of the pushdown story (cf. star.py's predicate twins).
+
+    Scale: pure bit arithmetic in one codegen projection; the key is
+    computed rowwise with no shuffle (the subsequent repartitionByRange
+    on zkey - not part of the checkable query - is the one shuffle any
+    re-layout pays)."""
+    li = t(spark, sf_dir, "lineitem")
+    px = (F.col("l_partkey") % 65536).cast("long")
+    sx = (F.col("l_suppkey") % 65536).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(15, -1, -1):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(px, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 2 * i)
+            )
+        )
+    return li.select("l_orderkey", "l_linenumber", z.alias("zkey"))
+
+
+@query(
+    "q118_equidepth_histogram",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+             quantile_cont(o_totalprice, 0.50) AS c2,
+             quantile_cont(o_totalprice, 0.75) AS c3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= c1 THEN 0
+                WHEN o_totalprice <= c2 THEN 1
+                WHEN o_totalprice <= c3 THEN 2
+                ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders, cuts
+    GROUP BY 1
+    """,
+)
+def q118_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (quartile cutpoints -> bucket counts), the
+    partner of q66's equi-width: first pass computes exact quantile
+    cutpoints, second pass buckets every row against the broadcast
+    1-row cutpoint frame - the two-phase shape that avoids q58's
+    global NTILE sort entirely.
+
+    Scale: pass 1 is an aggregate (the 100 TB swap-in is
+    approx_percentile - mergeable, single scan); pass 2 is a broadcast
+    join + codegen CASE - a map stage. Compare q58: same output
+    semantics, no global sort."""
+    o = t(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("c1"),
+        F.percentile("o_totalprice", 0.50).alias("c2"),
+        F.percentile("o_totalprice", 0.75).alias("c3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("c1"), 0)
+        .when(F.col("o_totalprice") <= F.col("c2"), 1)
+        .when(F.col("o_totalprice") <= F.col("c3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q119_quality_profile",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+             AS nonpositive_price,
+           CAST(COUNT(*) FILTER (
+             WHERE o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                OR o_orderdate > TIMESTAMP '2030-01-01 00:00:00') AS BIGINT)
+             AS out_of_range_date,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS dup_keys
+    FROM orders
+    """,
+)
+def q119_quality_profile(spark, sf_dir):
+    """Single-pass data-quality profile of a table: row count, null
+    counts, NDV, domain violations (non-positive money, out-of-range
+    dates), and key-uniqueness - the checks a pipeline gate runs
+    before promoting a load (Deequ/Great-Expectations style), as ONE
+    aggregate.
+
+    Scale: every metric is algebraic or a distinct-count, computed in
+    one scan + one shuffle; at 100 TB the two exact COUNT DISTINCTs
+    swap to approx_count_distinct (q74) and the whole profile stays
+    single-pass."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        F.count_distinct("o_orderstatus").alias("ndv_status"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_price"
+        ),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01 00:00:00").cast("timestamp_ntz")),
+                1,
+            )
+        ).alias("out_of_range_date"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_keys"),
+    )
+
+
+@query(
+    "q120_topk_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             DENSE_RANK() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC
+             ) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q120_topk_with_ties(spark, sf_dir):
+    """Top-3-per-group WITH ties (DENSE_RANK <= k): the
+    ties-included complement of q20's row_number top-1 and q95's
+    argmax - ranking on integer cents so tie groups are exact, not
+    float-accidental.
+
+    Scale: one shuffle + per-group sort; rank filters push into the
+    Window via Spark's WindowGroupLimit (each partition stops
+    after the k-th distinct rank instead of ranking all rows)."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc(cents))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.dense_rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
