@@ -45,17 +45,32 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_sink(df: DataFrame, spark: SparkSession, tag: str) -> DataFrame:
     """Execute one availableNow drain into a scratch parquet sink and
-    return the materialized result."""
+    return the materialized result.
+
+    State-store partition count: stateful streaming operators create
+    one state store per shuffle partition per operator, and each store
+    pays checkpoint/commit overhead every micro-batch. These queries
+    carry kilobytes of state, so the batch default (32) buys nothing
+    and costs seconds per drain - 8 is plenty here. The conf is pinned
+    into the checkpoint at stream creation (scratch checkpoints are
+    fresh every run), and restored for the batch plans around the
+    stream. A production deployment sizes this to state volume /
+    executor count instead."""
     scratch = tempfile.mkdtemp(prefix=f"wsep-stream-{tag}-")
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", f"{scratch}/sink")
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{scratch}/sink")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(f"{scratch}/sink")
 
 
