@@ -715,3 +715,106 @@ def q106_fuzzy_name_match(spark, sf_dir):
         pairs.select("part_a", "part_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") <= _LEV_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# q121/q122: dedup observability - near-dup rate per source, signature
+# similarity estimates for the LSH candidates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_neardup_rate_by_source",
+    oracle=_LSH_CANDS_SQL
+    + """
+    , flagged AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cands
+        UNION SELECT doc_b AS doc_id FROM cands
+      )
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS n_neardup,
+           ROUND(COUNT(f.doc_id) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS neardup_rate
+    FROM documents d LEFT JOIN flagged f USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q121_neardup_rate_by_source(spark, sf_dir):
+    """Dedup observability: what fraction of each crawl source is
+    implicated in a near-duplicate candidate pair - the per-source
+    duplication dashboard a data-curation team watches (a source whose
+    rate jumps is re-crawling itself).
+
+    Scale: reuses q43's candidate pairs (bounded by LSH output, never
+    all-pairs); flagged-doc extraction is an explode+distinct over the
+    pair list, and the final rate is a broadcast-left-join + one
+    aggregate over the documents scan."""
+    pairs = q43_lsh_candidate_pairs(spark, sf_dir)
+    flagged = (
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_dup").alias("n_neardup"),
+            F.round(
+                F.count("is_dup") / F.count("*").cast("double"), 4
+            ).alias("neardup_rate"),
+        )
+    )
+
+
+@query(
+    "q122_minhash_sim_estimate",
+    oracle=_LSH_CANDS_SQL
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           ROUND(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                 / {MINHASH_K}.0, 4) AS est_jaccard
+    FROM cands c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sa.perm = sb.perm
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def q122_minhash_sim_estimate(spark, sf_dir):
+    """MinHash similarity ESTIMATE for each LSH candidate pair: the
+    fraction of agreeing signature positions is an unbiased Jaccard
+    estimator, so candidates can be ranked/thresholded WITHOUT
+    re-reading any document text - the cheap middle tier between LSH
+    banding (q43) and exact shingle verification (q46).
+
+    Scale: signatures are K=8 longs per doc; joining them onto the
+    candidate list moves kilobytes per pair, vs q46's full shingle
+    sets. The estimate is a plain array-position comparison in
+    codegen."""
+    sig = minhash_sig_array(t(spark, sf_dir, "documents"))
+    pairs = q43_lsh_candidate_pairs(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sig_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sig_b")
+    )
+    agree = sum(
+        F.when(F.col("sig_a")[k] == F.col("sig_b")[k], 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(MINHASH_K), 4).alias("est_jaccard"),
+        )
+    )

@@ -346,3 +346,65 @@ def q99_kmeans_assign(spark, sf_dir):
         F.max_by("c_label", ordk).alias("nearest_label"),
         F.round(F.max("dp"), 5).alias("cos_sim"),
     )
+
+
+@query(
+    "q123_embedding_quantization",
+    oracle=f"""
+    WITH stats AS (
+      SELECT r.i AS i,
+             MIN(CAST(e.embedding[r.i] AS DOUBLE)) AS lo,
+             MAX(CAST(e.embedding[r.i] AS DOUBLE)) AS hi
+      FROM embeddings e, range(1, {DIM} + 1) r(i)
+      GROUP BY r.i
+    )
+    SELECT e.vec_id,
+           CAST(s.i - 1 AS BIGINT) AS dim,
+           CAST(CASE WHEN s.hi = s.lo THEN 0
+                ELSE LEAST(FLOOR(255.0 * (CAST(e.embedding[s.i] AS DOUBLE) - s.lo)
+                                 / (s.hi - s.lo)), 255) - 128
+                END AS BIGINT) AS code
+    FROM embeddings e, stats s
+    """,
+)
+def q123_embedding_quantization(spark, sf_dir):
+    """Scalar (int8) quantization of the embedding table: per-dimension
+    min/max over the corpus define a linear grid; each value maps to
+    floor(255 * (v-lo)/(hi-lo)) - 128, the storage/ANN-memory
+    compression step (4 bytes -> 1 byte per dim) before building an
+    IVF/PQ index.
+
+    Scale: the stats pass is a posexplode + (DIM)-row aggregate (tiny,
+    broadcast back); the encode pass is a map stage. FLOOR, not ROUND:
+    both engines floor identically on any double, while their ROUND
+    implementations diverge at representability boundaries (cf. q91).
+    The top-of-range value clamps into bin 255 (LEAST) so hi itself
+    does not overflow the int8 domain."""
+    emb = t(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+    )
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                255.0
+                * (F.col("val").cast("double") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(255),
+        )
+        - 128
+    )
+    return ex.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        code.cast("long").alias("code"),
+    )
