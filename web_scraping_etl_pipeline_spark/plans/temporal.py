@@ -516,3 +516,68 @@ def q100_cdc_apply(spark, sf_dir):
         F.max_by("ts_us", ordk).alias("last_ts_us"),
     )
     return latest.filter(F.col("last_type") != "error")
+
+
+@query(
+    "q124_capped_running_balance",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN value
+                  WHEN event_type = 'error' THEN -value
+                  ELSE 0 END AS delta,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_id, rn, GREATEST(0, delta) AS bal
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn, GREATEST(0, w.bal + b.delta)
+      FROM walk w JOIN base b ON b.user_id = w.user_id AND b.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, ROUND(bal, 6) AS balance FROM walk
+    """,
+)
+def q124_capped_running_balance(spark, sf_dir):
+    """Floor-capped running balance per user (credits from purchases,
+    debits from errors, balance can never go below zero): the canonical
+    NON-LINEAR scan that no window frame can express - max(0, prev +
+    delta) makes each row depend on the *clamped* previous value, so
+    SUM OVER is wrong the moment any prefix dips negative.
+
+    This is the brief's strategy (b) case: a Pandas-UDF
+    ``applyInPandas`` runs the per-key sequential recurrence (one Arrow
+    batch per user, a tight loop over it), while everything around it -
+    partitioning, ordering columns, output schema - stays declarative.
+    The oracle is a DuckDB recursive CTE stepping rn -> rn+1.
+
+    Scale: one shuffle on ``user_id``; each group streams through
+    Python once via Arrow. Per-key history must fit a worker's batch
+    (true for per-user event counts); a years-long key would chunk by
+    epoch with carried state, same as applyInPandasWithState does for
+    streams (cf. streaming/stateful.py)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+
+    def walk(pdf):
+        # self-contained closure: workers import nothing from this repo
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        bal, out = 0.0, []
+        for etype, val in zip(pdf["event_type"], pdf["value"]):
+            if etype == "purchase":
+                bal += float(val)
+            elif etype == "error":
+                bal -= float(val)
+            if bal < 0.0:
+                bal = 0.0
+            out.append(bal)
+        pdf = pdf.assign(balance=[round(b, 6) for b in out])
+        return pdf[["user_id", "event_id", "balance"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        walk, "user_id long, event_id long, balance double"
+    )
