@@ -9,6 +9,7 @@ from . import vectors  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import mlprep  # noqa: E402,F401
+from . import udx  # noqa: E402,F401
 from ..streaming import events_stream  # noqa: E402,F401
 from ..multimodal import media  # noqa: E402,F401
 

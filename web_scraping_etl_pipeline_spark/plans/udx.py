@@ -1,0 +1,129 @@
+"""User-defined function surface: the two Python extension API classes
+the rest of the engine deliberately avoids (SURVEY.md section 2.8 keeps
+C1-C8 as native Column expressions) - demonstrated once each, with
+oracles, for the cases where they are the RIGHT tool:
+
+- a grouped-aggregate ``pandas_udf`` (UDAF): an aggregate Spark lacks
+  natively, computed per group over an Arrow batch;
+- a ``udtf`` (UDTF): one input row -> many output rows with imperative
+  row logic, lateral-joined in SQL.
+
+Both stay off the hot path of every other query; they exist so a user
+migrating custom aggregates/table functions has a worked, tested
+pattern for each API class.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from .common import t
+from .registry import query
+
+
+@query(
+    "q125_geomean_udaf",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value)) FILTER (WHERE value > 0)), 6)
+             AS geomean_value,
+           CAST(COUNT(*) FILTER (WHERE value > 0) AS BIGINT) AS n_pos
+    FROM events GROUP BY event_type
+    """,
+)
+def q125_geomean_udaf(spark, sf_dir):
+    """Custom aggregate (grouped-agg ``pandas_udf``): geometric mean of
+    ``value`` per event type. Spark has no geometric-mean aggregate;
+    the UDAF receives each group's values as ONE Arrow-backed pandas
+    Series (vectorized numpy body, no per-row Python).
+
+    Scale: grouped-agg pandas UDFs hash-shuffle rows to their group
+    like any aggregate but skip map-side partial aggregation (the UDF
+    is a black box to Catalyst) - fine for bounded groups; an
+    algebraic rewrite (exp of AVG of ln, which IS map-side combinable,
+    exactly the oracle's form) is the 100 TB path when the aggregate
+    decomposes. That trade - flexibility vs combinability - is the
+    point this query documents."""
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        pos = v[v > 0]
+        return float(np.exp(np.log(pos).mean()))
+
+    # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the companion
+    # count is a pandas aggregate too.
+    @pandas_udf("long")
+    def n_pos(v: pd.Series) -> int:
+        return int((v > 0).sum())
+
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geomean_value"),
+        n_pos("value").alias("n_pos"),
+    )
+
+
+#: chunk width for the UDTF (words per emitted row).
+CHUNK_W = 10
+
+
+@udtf(returnType="doc_id: bigint, chunk_idx: bigint, n_words: bigint")
+class ChunkWords:
+    """UDTF: split a document into fixed-width word chunks, one output
+    row per chunk - the table-function shape (1 row in, N rows out,
+    imperative body) that ``explode`` can't express when the expansion
+    logic doesn't fit an array expression."""
+
+    def eval(self, doc_id, text):  # noqa: D102 - contract method
+        import re
+
+        toks = re.split(r"\s+", text.strip().lower())
+        n = len(toks)
+        for i in range((n + CHUNK_W - 1) // CHUNK_W):
+            yield doc_id, i, min(CHUNK_W, n - i * CHUNK_W)
+
+
+@query(
+    "q126_chunk_udtf",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST(ceil(n / {CHUNK_W}.0) AS BIGINT))) AS i
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(LEAST({CHUNK_W}, n - i * {CHUNK_W}) AS BIGINT) AS n_words
+    FROM ex
+    """,
+)
+def q126_chunk_udtf(spark, sf_dir):
+    """Python UDTF through a LATERAL join: every document expands to
+    its word-chunk rows (cf. q86's declarative packing - same domain,
+    but exercising the ``@udtf`` API class end-to-end: registration,
+    SQL lateral invocation, typed multi-row yield).
+
+    The oracle recomputes chunk indexes and widths set-theoretically
+    (LEAST of width and remainder), so the UDTF's imperative yield is
+    value-checked, not just counted.
+
+    Scale: UDTFs evaluate per input partition with Arrow transfer like
+    any Python stage - map-only here, no shuffle; the lateral join is
+    local generation, not a join exchange."""
+    spark.udtf.register("wsep_chunk_words", ChunkWords)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("q126_docs")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.n_words "
+        "FROM q126_docs d, LATERAL wsep_chunk_words(d.doc_id, d.text) c"
+    )
