@@ -1,0 +1,122 @@
+"""Physical-plan audit: sweep every registered query and flag plan
+anti-patterns that would hurt at scale.
+
+For each query the tool prints operator counts parsed from the
+(pre-execution, AQE-initial) physical plan:
+
+- ``xchg``  - shuffle exchanges (hashpartitioning/rangepartitioning)
+- ``bcast`` - broadcast exchanges
+- ``smj/bhj`` - sort-merge vs broadcast hash joins
+- ``wsc``   - whole-stage-codegen spans (more/wider is better)
+- flags: CartesianProduct, BroadcastNestedLoopJoin, row-at-a-time
+  PythonUDF in a hot path (Arrow/pandas evals are fine and listed as
+  ``arrow``)
+
+Streaming queries execute a real drain when their DataFrame is built,
+so they are skipped by default (pass --all to include them).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Exit code 1 if any query trips a flag, else 0 - usable as a CI gate.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from web_scraping_etl_pipeline_spark.plans import QUERIES
+from web_scraping_etl_pipeline_spark.session import get_spark
+
+#: queries whose construction executes a streaming drain (slow) or is
+#: otherwise not a pure lazy plan; skipped unless --all.
+STREAMING = {
+    "q34_stream_passthrough",
+    "q35_stream_daily_finalized",
+    "q37_stateful_user_profiles",
+    "q71_stream_sliding_finalized",
+    "q115_stream_stream_join",
+}
+
+FLAG_PATTERNS = {
+    "cartesian": r"CartesianProduct",
+    "nested_loop": r"BroadcastNestedLoopJoin",
+    # row-at-a-time Python eval; Arrow-batched evals show up as
+    # ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas instead.
+    "row_python_udf": r"\bBatchEvalPython(?!UDTF)",
+}
+
+#: adjudicated exceptions: queries whose BroadcastNestedLoopJoin is a
+#: crossJoin against a BROADCAST AGGREGATE FRAME of <= k rows (1-row
+#: quantile cutpoints, 1-row corpus count, k-row centroid table). An
+#: NLJ whose build side is a handful of rows is a map-stage
+#: multiplication, not a quadratic join - the flag exists to catch
+#: *unbounded* build sides.
+ALLOW = {
+    "q77_tfidf_topterms": {"nested_loop"},  # 1-row n_docs frame
+    "q99_kmeans_assign": {"nested_loop"},  # k=10 centroid frame
+    "q118_equidepth_histogram": {"nested_loop"},  # 1-row cutpoints
+}
+
+
+def audit(plan: str) -> dict:
+    return {
+        "xchg": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+        "bcast": len(re.findall(r"BroadcastExchange", plan)),
+        "smj": len(re.findall(r"SortMergeJoin", plan)),
+        "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
+        "wsc": len(re.findall(r"WholeStageCodegen", plan)),
+        "arrow": len(
+            re.findall(
+                r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+                r"|PythonUDTF",
+                plan,
+            )
+        ),
+        "flags": sorted(
+            name
+            for name, pat in FLAG_PATTERNS.items()
+            if re.search(pat, plan)
+        ),
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    include_all = "--all" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:] or sorted(QUERIES)
+    if not include_all:
+        names = [n for n in names if n not in STREAMING]
+
+    spark = get_spark(app_name="plan-audit")
+    bad = 0
+    for name in names:
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR  {name}: {exc}")
+            bad += 1
+            continue
+        a = audit(plan)
+        a["flags"] = [f for f in a["flags"] if f not in ALLOW.get(name, ())]
+        flag_note = f"  FLAGS={','.join(a['flags'])}" if a["flags"] else ""
+        if a["flags"]:
+            bad += 1
+        print(
+            f"{'FLAG' if a['flags'] else 'ok  '} {name}: "
+            f"xchg={a['xchg']} bcast={a['bcast']} smj={a['smj']} "
+            f"bhj={a['bhj']} wsc={a['wsc']} arrow={a['arrow']}{flag_note}"
+        )
+    print(f"\n{len(names) - bad}/{len(names)} clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

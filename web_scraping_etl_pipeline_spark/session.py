@@ -33,6 +33,9 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # UDTFs evaluate row-at-a-time (pickled) unless Arrow is opted in;
+    # batched Arrow transfer is strictly better for our typed yields.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 #: performance confs applied when we build the session ourselves.
