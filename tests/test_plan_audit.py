@@ -1,0 +1,67 @@
+"""Plan-shape regression gate: the join-heavy and Python-stage queries
+must never silently regress into cartesian products, unbounded
+nested-loop joins, or row-at-a-time Python UDFs.
+
+Full sweep lives in tools/plan_audit.py; this test pins the queries
+where a plan regression is most likely (joins whose broadcast decision
+could flip, Python stages whose Arrow opt-in could rot).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+from tools.plan_audit import ALLOW, audit
+from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+#: queries with non-trivial join graphs or Python eval stages.
+WATCHED = [
+    "q17_nation_revenue",
+    "q43_lsh_candidate_pairs",
+    "q46_lsh_verified_jaccard",
+    "q55_asof_join",
+    "q56_range_join",
+    "q60_media_decode",
+    "q68_salted_join",
+    "q77_tfidf_topterms",
+    "q97_nation_pair_volume",
+    "q99_kmeans_assign",
+    "q102_exact_allocation",
+    "q106_fuzzy_name_match",
+    "q118_equidepth_histogram",
+    "q122_minhash_sim_estimate",
+    "q124_capped_running_balance",
+    "q126_chunk_udtf",
+]
+
+
+def _plan(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_watched_plans_have_no_antipatterns(spark):
+    offenders = {}
+    for name in WATCHED:
+        a = audit(_plan(spark, name))
+        flags = [f for f in a["flags"] if f not in ALLOW.get(name, ())]
+        if flags:
+            offenders[name] = flags
+    assert offenders == {}
+
+
+def test_python_stages_are_arrow_batched(spark):
+    """Every Python eval in the watched set must be Arrow-batched
+    (MapInPandas/FlatMapGroupsInPandas/ArrowEvalPython/arrow UDTF),
+    never pickled row-at-a-time."""
+    for name in [
+        "q60_media_decode",
+        "q124_capped_running_balance",
+        "q126_chunk_udtf",
+    ]:
+        a = audit(_plan(spark, name))
+        assert a["arrow"] >= 1 or "ArrowEvalPythonUDTF" in _plan(spark, name), name
+        assert "row_python_udf" not in a["flags"], name
