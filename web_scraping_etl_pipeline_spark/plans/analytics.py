@@ -1338,3 +1338,49 @@ def q120_topk_with_ties(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "q128_weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS iso_dow
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, iso_dow, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, iso_dow, n,
+           ROUND(n / (SUM(n) OVER (PARTITION BY event_type) / 7.0), 4)
+             AS seasonality
+    FROM c
+    """,
+)
+def q128_weekday_seasonality(spark, sf_dir):
+    """Weekday seasonality index per event type: each ISO weekday's
+    event count relative to that type's uniform-week expectation
+    (1.0 = flat; >1 = overrepresented day). ISO day-of-week
+    (Mon=1..Sun=7) is the cross-engine-stable numbering - Spark's
+    ``dayofweek`` starts Sunday=1, so the engine uses ``weekday()+1``
+    (Mon=0-based) to match EXTRACT(ISODOW).
+
+    Scale: one map-side-combined aggregate to a |types| x 7 grid; the
+    normalizing window runs over that grid."""
+    ev = t(spark, sf_dir, "events")
+    iso_dow = (F.weekday(F.timestamp_micros(F.col("ts_us"))) + 1).cast(
+        "long"
+    )
+    c = ev.groupBy(
+        "event_type", iso_dow.alias("iso_dow")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "iso_dow",
+        "n",
+        F.round(F.col("n") / (F.sum("n").over(wt) / 7.0), 4).alias(
+            "seasonality"
+        ),
+    )

@@ -668,3 +668,103 @@ def q114_snapshot_diff(spark, sf_dir):
     only_a = a.exceptAll(b).select(F.lit("only_a").alias("side"), "*")
     only_b = b.exceptAll(a).select(F.lit("only_b").alias("side"), "*")
     return only_a.unionByName(only_b)
+
+
+@query(
+    "q129_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k FROM orders
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_side
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(a.k, '<null>') AS join_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(b.n_side) AS n_side
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def q129_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing - the semantics dimension
+    every join suite needs pinned, exercised on a key where the most
+    common status is nulled out. A plain equi-join here would silently
+    drop the entire NULL partition; the null-safe form keeps it.
+
+    Scale: Spark plans ``eqNullSafe`` as an ordinary hash join (the
+    null bucket hashes like any value - watch it for skew exactly like
+    a hot key, cf. q67/q68 salting)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+    )
+    b = (
+        o.select(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_side"))
+    )
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
+        .groupBy(a["k"])
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("n_side").alias("n_side"),
+        )
+        .select(
+            F.coalesce(a["k"], F.lit("<null>")).alias("join_key"),
+            "n_rows",
+            "n_side",
+        )
+    )
+
+
+@query(
+    "q130_late_shipments",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(COUNT(*) FILTER (
+             WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) AS BIGINT)
+             AS n_late,
+           ROUND(COUNT(*) FILTER (
+             WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS late_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q130_late_shipments(spark, sf_dir):
+    """Cross-table interval predicate (TPC-H Q12 flavor): lineitems
+    shipped more than 90 days after their order date, as a monthly
+    late-shipment rate - date arithmetic ACROSS the joined pair, so
+    the predicate can only evaluate post-join.
+
+    Scale: the one shuffled join is on orderkey; the interval
+    comparison and conditional counts ride the join's output in
+    codegen. Neither side's filter can prune pre-join (the predicate
+    spans both), which is exactly why it is the canonical example for
+    join-then-filter costing."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("order_month")
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.count(F.when(late, 1)).alias("n_late"),
+            F.round(
+                F.count(F.when(late, 1)) / F.count("*").cast("double"), 4
+            ).alias("late_rate"),
+        )
+    )

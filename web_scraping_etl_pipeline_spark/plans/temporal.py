@@ -581,3 +581,76 @@ def q124_capped_running_balance(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         walk, "user_id long, event_id long, balance double"
     )
+
+
+@query(
+    "q127_abandoned_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+             ) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM flagged GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           ROUND(SUM(CASE WHEN has_view = 1 AND has_purchase = 0
+                     THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS abandon_rate
+    FROM sess GROUP BY user_id
+    """,
+)
+def q127_abandoned_sessions(spark, sf_dir):
+    """Session abandonment: per user, the fraction of 30-min-gap
+    sessions that contain a view but never convert to a purchase - the
+    funnel-health metric q89 (strict-order funnel) and q70 (session
+    boundaries) compose into.
+
+    Scale: native ``session_window`` + two nested aggregates, all
+    partitioned on ``user_id`` - the session assignment and both
+    rollups reuse ONE hash partitioning (no second shuffle; AQE
+    coalesces)."""
+    from ..sources.star import with_event_time
+
+    ev = with_event_time(t(spark, sf_dir, "events"))
+    sw = F.session_window(F.col("event_time"), "30 minutes")
+    sess = ev.groupBy("user_id", sw.alias("w")).agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("has_view"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    abandoned = (F.col("has_view") == 1) & (F.col("has_purchase") == 0)
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(abandoned, 1).otherwise(0)).cast("long").alias(
+            "n_abandoned"
+        ),
+        F.round(
+            F.sum(F.when(abandoned, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("abandon_rate"),
+    )
