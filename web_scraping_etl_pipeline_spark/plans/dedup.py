@@ -18,7 +18,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 
 from .common import t
 from .registry import query
@@ -817,4 +817,172 @@ def q122_minhash_sim_estimate(spark, sf_dir):
             "doc_b",
             F.round(agree / float(MINHASH_K), 4).alias("est_jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131-q133: sorted-neighborhood dedup, skew report, canonical pick
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 2
+_SNM_LEV = 4
+
+
+@query(
+    "q131_sorted_neighborhood",
+    oracle=f"""
+    WITH r AS (
+      SELECT p_partkey, p_name,
+             ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM r a JOIN r b
+      ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_WINDOW}
+    WHERE a.p_name <> b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= {_SNM_LEV}
+    """,
+)
+def q131_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood method (SNM): the other classical
+    entity-resolution pruning - sort all records by the match key and
+    compare each record only to its W successors, so near-identical
+    strings (which sort adjacently) meet without any blocking key
+    (cf. q106, which needs one).
+
+    The neighbor pairing is LEAD, not a self-join: one window pass
+    emits (record, k-th successor) pairs directly.
+
+    Scale: a global sort is inherent to SNM (that IS the algorithm);
+    Spark range-partitions it, and the W-successor comparison stays
+    in-partition except at boundaries (here: exact via one window;
+    a production variant overlaps partition fringes by W). Pair count
+    is exactly W*N - linear, vs blocking's per-block quadratic."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    w = Window.orderBy("p_name", "p_partkey")
+    cols = []
+    for k in range(1, _SNM_WINDOW + 1):
+        cols.append(
+            F.struct(
+                F.lead("p_partkey", k).over(w).alias("pk"),
+                F.lead("p_name", k).over(w).alias("nm"),
+            ).alias(f"n{k}")
+        )
+    paired = p.select("p_partkey", "p_name", *cols)
+    nbrs = paired.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(*[F.col(f"n{k}") for k in range(1, _SNM_WINDOW + 1)])
+        ).alias("nb"),
+    ).filter(F.col("nb.pk").isNotNull())
+    dist = F.levenshtein("name_a", F.col("nb.nm")).cast("long")
+    return (
+        nbrs.filter(F.col("name_a") != F.col("nb.nm"))
+        .select(
+            "part_a",
+            F.col("nb.pk").alias("part_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _SNM_LEV)
+    )
+
+
+@query(
+    "q132_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    s AS (SELECT AVG(n) AS mean_n, MAX(n) AS max_n FROM c)
+    SELECT c.key, c.n,
+           ROUND(c.n / s.mean_n, 4) AS x_mean
+    FROM c, s
+    WHERE c.n > 1.5 * s.mean_n
+    """,
+)
+def q132_skew_report(spark, sf_dir):
+    """Hot-key skew report: join/aggregation keys whose row count
+    exceeds 1.5x the mean key frequency - the diagnostic that decides
+    WHERE the q67/q68 salting patterns (or AQE skew-join) are worth
+    applying, run as a cheap pre-flight over the key column only.
+
+    Scale: one map-side-combined count per key + a 1-row stats frame
+    broadcast back over the key counts; the fact table's payload
+    columns are never read (column pruning keeps the scan to the key
+    column)."""
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    s = c.agg(F.avg("n").alias("mean_n"))
+    return (
+        c.crossJoin(F.broadcast(s))
+        .filter(F.col("n") > 1.5 * F.col("mean_n"))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("x_mean"),
+        )
+    )
+
+
+@query(
+    "q133_canonical_docs",
+    oracle=_LSH_CANDS_SQL.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cands
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           doc_id AS canonical_doc,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q133_canonical_docs(spark, sf_dir):
+    """Canonical-document selection: the dedup ACTION that follows
+    clustering - per near-dup cluster (q78's connected components),
+    keep the longest document (ties to the smallest id) and record the
+    cluster size. Downstream training data joins against this table to
+    drop the non-canonical members.
+
+    Scale: clusters are tiny (near-dup groups), so the pick is a
+    max_by per cluster over |clustered docs| rows - the expensive part
+    is q78's iteration, reused as-is; this adds one broadcast join to
+    documents metadata and one map-side-combinable argmax."""
+    clusters = q78_dedup_clusters(spark, sf_dir)
+    meta = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    j = clusters.join(meta, "doc_id")
+    # max_by over (n_chars, -doc_id): longest doc, ties -> smallest id
+    ordk = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return j.groupBy("cluster_id").agg(
+        F.max_by("doc_id", ordk).alias("canonical_doc"),
+        F.max("n_chars").alias("n_chars"),
+        F.count("*").alias("n_members"),
     )
