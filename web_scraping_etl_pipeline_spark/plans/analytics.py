@@ -1384,3 +1384,89 @@ def q128_weekday_seasonality(spark, sf_dir):
             "seasonality"
         ),
     )
+
+
+@query(
+    "q136_key_gap_audit",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey AS key,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+      FROM orders
+      WHERE o_orderkey % 97 <> 0
+        AND o_orderkey NOT BETWEEN 1000 AND 1009
+    )
+    SELECT key + 1 AS gap_start,
+           next_key - 1 AS gap_end,
+           CAST(next_key - key - 1 AS BIGINT) AS n_missing
+    FROM k WHERE next_key - key > 1
+    """,
+)
+def q136_key_gap_audit(spark, sf_dir):
+    """Sequence-gap audit: ranges of missing keys in a supposedly-dense
+    id sequence (LEAD over the sorted keys; any step > 1 is a gap) -
+    the load-completeness check that catches dropped batches and
+    failed partitions after an ingest. The audited load is the orders
+    table with a deterministic damage pattern (every 97th key plus the
+    1000-1009 block removed - a simulated row-loss bug and one dropped
+    batch), so the audit provably finds both gap shapes.
+
+    Scale: a global sort is inherent (gaps are a total-order
+    property); Spark range-partitions it, and at 100 TB the same audit
+    runs per partition-key range with only the range fringes compared
+    across partitions."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") % 97 != 0)
+            & ~F.col("o_orderkey").between(1000, 1009)
+        )
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    w = Window.orderBy("key")
+    k = o.select("key", F.lead("key").over(w).alias("next_key"))
+    return k.filter(F.col("next_key") - F.col("key") > 1).select(
+        (F.col("key") + 1).alias("gap_start"),
+        (F.col("next_key") - 1).alias("gap_end"),
+        (F.col("next_key") - F.col("key") - 1).alias("n_missing"),
+    )
+
+
+@query(
+    "q137_mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           ROUND(rev, 0) AS revenue,
+           ROUND(rev / LAG(rev) OVER (ORDER BY month) - 1, 4)
+             AS mom_growth
+    FROM m
+    """,
+)
+def q137_mom_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue growth: LAG over the MONTHLY aggregate,
+    never over the fact table - the period-comparison shape every
+    reporting layer needs (the first month's growth is NULL, not 0).
+
+    Scale: the heavy op is the map-side-combined monthly rollup; the
+    growth window runs over |months| rows on a single post-aggregation
+    partition, which is exactly where a tiny unpartitioned window is
+    correct (cf. q92)."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "month"
+        )
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round("rev", 0).alias("revenue"),
+        F.round(F.col("rev") / F.lag("rev").over(w) - 1, 4).alias(
+            "mom_growth"
+        ),
+    )

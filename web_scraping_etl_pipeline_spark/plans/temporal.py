@@ -654,3 +654,94 @@ def q127_abandoned_sessions(spark, sf_dir):
             4,
         ).alias("abandon_rate"),
     )
+
+
+@query(
+    "q134_time_weighted_avg",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twa_value,
+           CAST(COUNT(dt_us) AS BIGINT) AS n_intervals
+    FROM x WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q134_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of an irregularly-sampled signal: each
+    observation holds until the next one, so its weight is the holding
+    duration (LEAD - current) - the correct mean for sensor/price
+    series where a plain AVG over-weights bursts.
+
+    Scale: one shuffle on ``user_id`` shared by the LEAD window and
+    the final aggregate (exchange reuse); weights are computed
+    in-partition, the weighted sum map-side-combines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    x = ev.select(
+        "user_id",
+        "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return x.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        ).alias("twa_value"),
+        F.count("dt_us").alias("n_intervals"),
+    )
+
+
+@query(
+    "q135_ohlc_bars",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - 1704067200000000) // 86400000000 AS day_idx,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id,
+                 (epoch_us(ts) - 1704067200000000) // 86400000000
+               ORDER BY epoch_us(ts), event_id) AS rn_f,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id,
+                 (epoch_us(ts) - 1704067200000000) // 86400000000
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_l
+      FROM events
+    )
+    SELECT user_id, day_idx,
+           ROUND(MAX(CASE WHEN rn_f = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_l = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q135_ohlc_bars(spark, sf_dir):
+    """OHLC bars: per user per day, the first (open), max (high), min
+    (low), and last (close) observed value - the time-series
+    downsampling rollup behind every candlestick chart and feature
+    window, built from min_by/max_by with a deterministic
+    (time, event_id) ordering key.
+
+    Scale: ONE map-side-combinable aggregate - argmin/argmax carry a
+    single candidate through the shuffle, so this beats the
+    window-based first/last formulation (which must sort every
+    partition) at any size."""
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(
+        (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+    ).alias("day_idx")
+    ordk = F.struct(F.col("ts_us"), F.col("event_id"))
+    return ev.groupBy("user_id", day).agg(
+        F.round(F.min_by("value", ordk), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", ordk), 6).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
