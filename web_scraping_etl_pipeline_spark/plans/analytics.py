@@ -1470,3 +1470,82 @@ def q137_mom_revenue_growth(spark, sf_dir):
             "mom_growth"
         ),
     )
+
+
+@query(
+    "q139_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q139_bitmap_distinct(spark, sf_dir):
+    """Exact distinct users per event type via Spark 4 bitmap
+    aggregates instead of COUNT(DISTINCT).
+
+    COUNT(DISTINCT) plans an Expand (one duplicated row per distinct
+    spec) and carries every raw key through the shuffle; the bitmap
+    form carries one <=4 KB bitmap per (group, 32k-id bucket) - partial
+    bitmaps OR together map-side, so shuffle bytes scale with the
+    *range* of ids per bucket, not the row count. At 100 TB this is the
+    difference between shuffling 10^12 keys and shuffling compressed
+    bitmap chunks (the roaring-bitmap trick, exact - unlike HLL).
+    Two-level: bucket by id DIV 32768, bitmap positions within the
+    bucket, then SUM per-bucket cardinalities per group."""
+    ev = t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bkt",
+            "bitmap_bit_position(user_id) AS pos",
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("ndv_users")
+    )
+
+
+@query(
+    "q140_regr_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(o_totalprice,
+                 datediff('day', DATE '1992-01-01', o_orderdate)), 6)
+             AS slope,
+           ROUND(regr_intercept(o_totalprice,
+                 datediff('day', DATE '1992-01-01', o_orderdate)), 4)
+             AS intercept,
+           ROUND(regr_r2(o_totalprice,
+                 datediff('day', DATE '1992-01-01', o_orderdate)), 6)
+             AS r2,
+           ROUND(corr(o_totalprice,
+                 datediff('day', DATE '1992-01-01', o_orderdate)), 6)
+             AS corr_xy
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q140_regr_stats(spark, sf_dir):
+    """Per-priority OLS trend of order value over time via the SQL2003
+    regression aggregates (regr_slope/intercept/r2 + corr) - closed-form
+    single-pass linear fits, no ML library and no iteration.
+
+    Scale: each regr_* is an algebraic aggregate (sums of x, y, xy, x2,
+    y2 + count), so the whole fit is ONE map-side-combinable groupBy -
+    the same shuffle cost as a COUNT. This is the 100 TB way to fit
+    millions of per-group trend lines."""
+    o = t(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    y = F.col("o_totalprice")
+    return o.select(F.col("o_orderpriority"), x.alias("x"), y.alias("y")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        F.round(F.corr("y", "x"), 6).alias("corr_xy"),
+    )

@@ -768,3 +768,96 @@ def q130_late_shipments(spark, sf_dir):
             ).alias("late_rate"),
         )
     )
+
+
+@query(
+    "q141_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q141_bloom_semi_join(spark, sf_dir):
+    """Semi join with a hand-rolled runtime bloom filter: revenue of
+    lineitems belonging to URGENT orders, where the fact scan is
+    pre-pruned by an 8 KB bloom sketch of the filtered dim keys before
+    the exact semi join (the verify step keeps the result exact, so the
+    sketch's false positives never surface).
+
+    This is the runtime-filter pattern Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` applies to shuffle
+    joins, made explicit: (1) one pass over the *filtered* dim ORs two
+    xxhash64 probe bits per key into 1024 64-bit words; (2) the 8 KB
+    word table - constant-size metadata, independent of data scale, the
+    one legitimate driver fetch in this file - is embedded as an array
+    literal in the fact scan's filter, so ~99% of non-matching fact
+    rows die inside whole-stage codegen *before* the join shuffle;
+    (3) a broadcast left-semi join removes the ~0.8% false positives.
+    At 100 TB the shuffle carries only surviving rows - the bloom turns
+    a full-fact shuffle into a matching-slice shuffle."""
+    M_BITS = 1 << 16  # 65536 bits = 1024 longs = 8 KB; k=2 probes
+    N_WORDS = M_BITS // 64
+
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+
+    def positions(key_col):
+        return [
+            F.pmod(F.xxhash64(key_col), F.lit(M_BITS)),
+            F.pmod(F.xxhash64(key_col, F.lit(7)), F.lit(M_BITS)),
+        ]
+
+    word_rows = (
+        urgent.select(
+            F.explode(F.array(*positions(F.col("o_orderkey")))).alias("p")
+        )
+        .select(
+            F.expr("CAST(p DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * N_WORDS
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    bloom = F.lit(words)  # 8 KB array<bigint> literal, codegen-resident
+
+    li = t(spark, sf_dir, "lineitem")
+    p1, p2 = positions(F.col("l_orderkey"))
+    probe_hit = F.expr(
+        "(element_at(__bloom, CAST(__p1 DIV 64 AS INT) + 1) & "
+        " shiftleft(CAST(1 AS BIGINT), CAST(__p1 % 64 AS INT))) != 0 AND "
+        "(element_at(__bloom, CAST(__p2 DIV 64 AS INT) + 1) & "
+        " shiftleft(CAST(1 AS BIGINT), CAST(__p2 % 64 AS INT))) != 0"
+    )
+
+    return (
+        li.withColumns({"__bloom": bloom, "__p1": p1, "__p2": p2})
+        .filter(probe_hit)
+        .drop("__bloom", "__p1", "__p2")
+        .join(
+            F.broadcast(urgent),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue"),
+        )
+    )

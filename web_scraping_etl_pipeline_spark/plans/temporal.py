@@ -745,3 +745,75 @@ def q135_ohlc_bars(spark, sf_dir):
         F.round(F.max_by("value", ordk), 6).alias("close"),
         F.count("*").alias("n_ticks"),
     )
+
+
+@query(
+    "q138_interval_coalesce",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) + 300000000 AS end_us
+      FROM events
+    ), m AS (
+      SELECT user_id, ts_us, end_us,
+             MAX(end_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM e
+    ), b AS (
+      SELECT user_id, ts_us, end_us,
+             CASE WHEN prev_end IS NULL OR ts_us > prev_end
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), i AS (
+      SELECT user_id, ts_us, end_us,
+             SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM b
+    )
+    SELECT user_id,
+           CAST(island AS BIGINT) AS interval_seq,
+           MIN(ts_us) AS start_us,
+           MAX(end_us) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM i GROUP BY 1, 2
+    """,
+)
+def q138_interval_coalesce(spark, sf_dir):
+    """Interval coalescing: merge each user's overlapping activity
+    intervals ([ts, ts+5min) per event) into maximal disjoint spans -
+    the union-of-intervals primitive behind uptime/SLA math, ad-break
+    stitching, and DVR watch-span dedup.
+
+    Gaps-and-islands via a running MAX of interval end: a new island
+    starts exactly where an event's start exceeds every prior end.
+    Scale: ONE shuffle (hash by ``user_id``) + an in-partition sort
+    feeds both windows and the final per-island aggregate; no join, no
+    pair expansion, and island numbering restarts per user so the
+    output is deterministic under any tie order (equal starts always
+    land in the same island)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", (F.col("ts_us") + F.lit(300_000_000)).alias("end_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    prev_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("ts_us") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("island", island)
+        .groupBy("user_id", F.col("island").alias("interval_seq"))
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
