@@ -13,6 +13,7 @@ __all__ = [
     "EVENTS_EPOCH_US",
     "US_PER_DAY",
     "t",
+    "t_split",
     "HORIZON_US",
     "shared_stage",
 ]
@@ -24,6 +25,24 @@ HORIZON_US = ANCHOR_US + 20 * US_PER_DAY
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def t_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`t`, but explicitly split to full parallelism for
+    consumers whose FIRST stage does heavy per-row work (shingle
+    explode + K hashes, simhash votes, per-pair edit distance).
+
+    Rationale: the map stage before the first shuffle runs at the
+    scan's partitioning. On a cluster that is thousands of row-group
+    splits, but the local test parquet is a single row group, so the
+    expensive map work serializes onto ONE core (measured 13s -> 2s on
+    the sf0.1 minhash build). The round-robin repartition costs one
+    tiny shuffle of the raw rows and is partitioning-neutral at scale
+    (a real deployment's scan already has the parallelism and the
+    optimizer's AQE handles the rest)."""
+    return t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 #: session-scoped materialized intermediates, keyed by

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, Window, functions as F
 
-from .common import shared_stage, t
+from .common import shared_stage, t, t_split
 from .registry import query
 
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -151,7 +151,7 @@ def cached_minhash_sigs(spark, sf_dir):
         spark,
         sf_dir,
         "minhash_sigs",
-        lambda: minhash_sig_array(t(spark, sf_dir, "documents")),
+        lambda: minhash_sig_array(t_split(spark, sf_dir, "documents")),
     )
 
 
@@ -290,12 +290,16 @@ def q44_ngram_jaccard_sample(spark, sf_dir):
     1-in-5): the quadratic all-pairs *baseline* that LSH replaces -
     kept as the documented reference point. Quadratic within each
     bucket, so a hot bucket explodes at scale; the 100 TB path is
-    q46_lsh_verified_jaccard, which verifies only LSH candidates."""
+    q46_lsh_verified_jaccard, which verifies only LSH candidates.
+
+    Probe side pre-split to full parallelism: with the build side
+    broadcast, the quadratic set-intersection loop runs at the scan's
+    partitioning (one task on a single-row-group local file)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     sh = docs.select(
         "doc_id", "source", F.array_distinct(_shingles()).alias("sset")
     )
-    a = sh.alias("a")
+    a = sh.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
     union = F.size(F.array_union(F.col("a.sset"), F.col("b.sset")))
@@ -427,7 +431,7 @@ def q45_simhash(spark, sf_dir):
     compare by hamming distance on a bigint. (An aggregate/zip_with
     fold over the token array is shuffle-free on paper but runs
     interpreted - measured slower than this codegen explode+agg.)"""
-    return _simhash_df(t(spark, sf_dir, "documents"))
+    return _simhash_df(t_split(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -474,7 +478,7 @@ def q47_embedding_neardup(spark, sf_dir):
     to keep buckets bounded, exactly the LSH recall/cost dial."""
     from .vectors import _dot
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_split(spark, sf_dir, "embeddings")
     bucket = F.lit(0)
     for i, d in enumerate((2, 18, 34, 50)):
         bucket = bucket + F.when(
@@ -659,7 +663,7 @@ def q85_simhash_hamming_pairs(spark, sf_dir):
     sides of the oracle apply identical banding, and the sketch itself
     costs one explode + one doc_id-keyed aggregate (q45), so the
     whole operator is two shuffles end to end at any scale."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_split(spark, sf_dir, "documents")
     sim = _simhash_df(docs)
     bands = sim.select(
         "doc_id",
@@ -728,9 +732,16 @@ def q106_fuzzy_name_match(spark, sf_dir):
     key must be chosen (or salted) to cap block size; at 100 TB the
     same plan runs with a (brand, name-prefix) composite block or an
     LSH block (cf. q43) when no natural key exists. The equi-join on
-    the block key is a plain shuffled hash join - never a cartesian."""
+    the block key is a plain shuffled hash join - never a cartesian.
+
+    The probe side is explicitly split to full parallelism first: the
+    build side broadcasts, so the edit-distance loop (output >> input)
+    runs at the *scan's* partitioning - thousands of splits on a
+    cluster, but ONE task on a single-row-group local file, which
+    serializes the 8M-pair levenshtein loop. An exploding join must
+    inherit its parallelism from an input that has some."""
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(
+    a = p.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),

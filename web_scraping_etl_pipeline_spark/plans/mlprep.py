@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import t
+from .common import t, t_split
 from .registry import query
 from .textops import _TOKENS_SQL, _tokens
 
@@ -510,7 +510,7 @@ def q87_contamination_check(spark, sf_dir):
     crosses the shuffle - only hashes."""
     from .dedup import _h64, _shingles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t_split(spark, sf_dir, "documents")
     bucket = F.pmod(_h60(F.col("doc_id").cast("string")), F.lit(100))
     sh = docs.select(
         "doc_id",

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_split
 from .registry import query
 
 #: tokens = whitespace split of the trimmed, lowercased text. Documents
@@ -271,7 +271,7 @@ def q76_winnowing_fingerprints(spark, sf_dir):
 
     from .dedup import _h64, _shingles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t_split(spark, sf_dir, "documents")
     expl = docs.select(
         "doc_id", F.posexplode(_shingles()).alias("pos0", "shingle")
     )
@@ -334,7 +334,7 @@ def q77_tfidf_topterms(spark, sf_dir):
     a 1-row aggregate (no driver collect)."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t_split(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(
