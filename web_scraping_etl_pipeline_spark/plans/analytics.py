@@ -1549,3 +1549,51 @@ def q140_regr_stats(spark, sf_dir):
         F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
         F.round(F.corr("y", "x"), 6).alias("corr_xy"),
     )
+
+
+@query(
+    "q143_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(o_totalprice)) AS raw_mean,
+           FLOOR(AVG(LEAST(GREATEST(o_totalprice, lo), hi))) AS win_mean
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q143_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per priority class: order values clamped to the
+    group's [P05, P95] before averaging - the robust-mean treatment
+    that stops a handful of whale orders from moving a KPI.
+
+    Two aggregates: exact per-group percentiles first (tiny result, one
+    row per group), broadcast back onto the fact for the clamp, then a
+    plain map-side-combinable AVG. At 100 TB the percentile pass swaps
+    to approx_percentile (t-digest, mergeable) and the plan shape is
+    unchanged. Means are FLOORed to whole units: engines sum doubles in
+    different orders, and floor's 1-unit granularity absorbs the ~1e-10
+    relative difference (ROUND at .xx5 boundaries does not)."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clamped = o.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.floor(F.avg("o_totalprice")).alias("raw_mean"),
+        F.floor(F.avg("w")).alias("win_mean"),
+    )

@@ -1031,3 +1031,107 @@ def q133_canonical_docs(spark, sf_dir):
         F.max("n_chars").alias("n_chars"),
         F.count("*").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q142: prefix-filtered set-similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold 3/5 kept as an integer ratio: prefix lengths must
+#: be computed in integer arithmetic (0.6*35 in doubles is
+#: 21.000000000000004, whose ceil silently shrinks the prefix and
+#: breaks the recall guarantee).
+_PF_NUM, _PF_DEN = 3, 5
+
+
+@query(
+    "q142_prefix_filter_join",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sset
+      FROM documents WHERE doc_id < 2000
+    ), s2 AS (
+      SELECT * FROM sh WHERE len(sset) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sset, b.sset))), 4)
+             AS jaccard
+    FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sset, b.sset)))
+          >= {_PF_NUM}.0 / {_PF_DEN}
+    """,
+)
+def q142_prefix_filter_join(spark, sf_dir):
+    """Exact set-similarity join (all pairs with shingle-set Jaccard
+    >= 0.6) via prefix filtering - the PPJoin family's core idea, and
+    the deterministic alternative to MinHash when exact recall is
+    required (AllPairs/PPJoin, Xiao et al.).
+
+    Why it scales: order every doc's shingles by ascending global
+    frequency; if J(a,b) >= t then their overlap is >= ceil(t*|a|), so
+    the pair MUST share a shingle among each side's first
+    n - ceil(t*n) + 1 rarest shingles. Candidates therefore come from
+    an equi-join on *prefix* postings only - rare tokens with short
+    postings lists - while the frequent shingles that would explode a
+    plain inverted-index join are exactly the ones excluded from
+    prefixes. A length-ratio filter (min >= t*max, integers) prunes
+    further, and the exact Jaccard verify touches only surviving
+    candidates. Stages: one explode + df-count, one shuffle join to
+    rank, one prefix self-join, one verify join - every one an
+    equi-join, no quadratic bucket anywhere (cf. q44, the baseline
+    this replaces). Restricted to a contiguous id range: the corpus's
+    near-dup pairs are id-adjacent (a modulo sample destroys them all),
+    and the range bound keeps the oracle's quadratic check tractable."""
+    docs = t_split(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingles()).alias("sset")
+    ).filter(F.size("sset") > 0)
+
+    tok = sh.select(
+        "doc_id", F.size("sset").alias("n"), F.explode("sset").alias("s")
+    )
+    freq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "s")
+    # prefix length n - ceil(t*n) + 1, all-integer: ceil(3n/5) == (3n+4) DIV 5
+    plen = F.col("n") - F.expr(
+        f"({_PF_NUM} * n + {_PF_DEN - 1}) DIV {_PF_DEN}"
+    ) + F.lit(1)
+    pref = (
+        tok.join(freq, "s")
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "n", "s")
+    )
+
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s"
+    )
+    cands = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                _PF_DEN * F.least(F.col("na"), F.col("nb"))
+                >= _PF_NUM * F.greatest(F.col("na"), F.col("nb"))
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sset_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sset_b"))
+    inter = F.size(F.array_intersect("sset_a", "sset_b"))
+    union = F.size(F.array_union("sset_a", "sset_b"))
+    jac = inter.cast("double") / union
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= F.lit(_PF_NUM / _PF_DEN))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -817,3 +817,81 @@ def q138_interval_coalesce(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "q144_last_touch_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT *,
+             last_value(c_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lc_id,
+             last_value(c_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lc_ts
+      FROM u
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           ts_us AS purchase_ts_us,
+           CASE WHEN lc_ts IS NOT NULL
+                 AND ts_us - lc_ts <= 604800000000
+                THEN lc_id END AS click_id,
+           (lc_ts IS NOT NULL AND ts_us - lc_ts <= 604800000000)
+             AS attributed
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q144_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click within a 7-day lookback (clicks at the same
+    instant count - the tag column sorts clicks before purchases).
+
+    Same union+window shape as the as-of join (q55): no
+    purchase x click pair blowup, ONE shuffle on ``user_id``, and the
+    carried last-click columns come from ``last(..., ignorenulls)``
+    over the merged, time-ordered stream. The lookback filter is a
+    plain projection afterwards. At 100 TB this is the attribution
+    plan that survives a hot user (AQE splits the sort, no join
+    explosion exists)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "click", F.col("ts_us")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("c_id", ignorenulls=True).over(w).alias("lc_id"),
+        F.last("c_ts", ignorenulls=True).over(w).alias("lc_ts"),
+    )
+    lookback_ok = F.col("lc_ts").isNotNull() & (
+        F.col("ts_us") - F.col("lc_ts") <= F.lit(7 * 86_400_000_000)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.when(lookback_ok, F.col("lc_id")).alias("click_id"),
+        lookback_ok.alias("attributed"),
+    )

@@ -265,3 +265,41 @@ def q115_stream_stream_join(spark, sf_dir):
         "click_us",
     )
     return _run_to_sink(joined, spark, "q115")
+
+
+@query(
+    "q145_stream_dedup",
+    oracle=f"""
+    SELECT DISTINCT user_id,
+           event_type,
+           (epoch_us(ts) // {US_PER_DAY}) AS day_idx
+    FROM events
+    """,
+)
+def q145_stream_dedup(spark, sf_dir):
+    """Streaming deduplication: the first (user, event type, day)
+    sighting passes, every later duplicate is dropped inside the
+    stream - the exactly-once activity feed a downstream daily-actives
+    consumer wants, without a batch dedup pass.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store by the dedup
+    columns; the 1-day watermark bounds state to roughly one day's key
+    set (state for days older than the watermark is evicted), which is
+    what makes streaming dedup viable at 100 TB/day - unbounded
+    ``dropDuplicates`` state would grow forever. Only the key columns
+    are emitted, so the result is the distinct key set regardless of
+    which physical row arrived first, and the oracle is plain
+    DISTINCT."""
+    s = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("event_time", "1 day")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(f"(ts DIV 1000) DIV {US_PER_DAY}").alias("day_idx"),
+            "event_time",
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day_idx"])
+        .select("user_id", "event_type", "day_idx")
+    )
+    return _run_to_sink(s, spark, "q145")
