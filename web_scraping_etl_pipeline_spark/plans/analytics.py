@@ -1597,3 +1597,137 @@ def q143_winsorized_mean(spark, sf_dir):
         F.floor(F.avg("o_totalprice")).alias("raw_mean"),
         F.floor(F.avg("w")).alias("win_mean"),
     )
+
+
+@query(
+    "q147_quarantine_split",
+    oracle="""
+    WITH v AS (
+      SELECT event_id,
+             CASE WHEN value > 300 THEN 1 ELSE 0 END AS bad_value,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad_type,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       > 90 THEN 1 ELSE 0 END AS bad_props
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN bad_value + bad_type + bad_props = 0
+                THEN 'ok' ELSE 'quarantine' END AS disposition,
+           concat_ws(',',
+             CASE WHEN bad_value = 1 THEN 'VALUE_RANGE' END,
+             CASE WHEN bad_type  = 1 THEN 'ERROR_TYPE' END,
+             CASE WHEN bad_props = 1 THEN 'PROPS_RANGE' END) AS reasons
+    FROM v
+    """,
+)
+def q147_quarantine_split(spark, sf_dir):
+    """Validation / dead-letter routing: every event is checked against
+    the ingest ruleset (value range, type allowlist, payload bounds)
+    and tagged ok/quarantine with the full list of violated rule codes
+    - the split an ETL pipeline writes to its quarantine table so bad
+    rows are preserved and explainable, never silently dropped.
+
+    One codegen map pass, zero shuffle: each rule is a boolean column,
+    disposition is their disjunction, and the reason list is a
+    concat_ws over the rule tags (empty string == clean). At 100 TB
+    this runs at scan speed and the downstream writer partitions by
+    ``disposition``."""
+    ev = t(spark, sf_dir, "events")
+    bad_value = F.col("value") > 300
+    bad_type = F.col("event_type") == "error"
+    bad_props = (
+        F.from_json(F.col("props"), "k BIGINT").getField("k") > 90
+    )
+    n_bad = (
+        bad_value.cast("int") + bad_type.cast("int") + bad_props.cast("int")
+    )
+    return ev.select(
+        "event_id",
+        F.when(n_bad == 0, F.lit("ok")).otherwise(F.lit("quarantine")).alias(
+            "disposition"
+        ),
+        F.concat_ws(
+            ",",
+            F.when(bad_value, F.lit("VALUE_RANGE")),
+            F.when(bad_type, F.lit("ERROR_TYPE")),
+            F.when(bad_props, F.lit("PROPS_RANGE")),
+        ).alias("reasons"),
+    )
+
+
+@query(
+    "q148_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM d), 6) AS obs_share,
+           ROUND(log10(1 + 1.0 / digit), 6) AS benford_share
+    FROM d GROUP BY digit
+    """,
+)
+def q148_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over order values: observed
+    leading-digit shares vs the log10(1+1/d) expectation - the
+    classic fabricated-data / broken-feed smell test an ingest
+    pipeline runs as a data-quality canary.
+
+    The leading digit comes from the integer part's decimal string
+    (FLOOR then cast), not from log10 arithmetic, whose float rounding
+    misclassifies exact powers of ten. Two tiny aggregates (9-row
+    digit histogram + scalar total, joined by Catalyst as a scalar
+    subquery) - map-side combinable, shuffle carries 9 rows."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    total = d.count()
+    return d.groupBy("digit").agg(
+        F.count("*").alias("n"),
+        F.round(F.count("*") / F.lit(float(total)), 6).alias("obs_share"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+    )
+
+
+@query(
+    "q149_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_disc(value, 0.25), 6) AS p25,
+           ROUND(quantile_disc(value, 0.50), 6) AS p50,
+           ROUND(quantile_disc(value, 0.75), 6) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q149_percentile_disc(spark, sf_dir):
+    """Discrete (non-interpolated) percentiles per group:
+    PERCENTILE_DISC returns an actual observed value - required when
+    the metric must be a real latency/price that occurred, not a
+    synthetic midpoint (the q39 percentile is the interpolated CONT
+    flavor; both engines agree on the lower-bound tie rule).
+
+    Exact disc percentiles sort per group; the 100 TB swap is the same
+    as q39's (approx_percentile t-digest) with identical API shape."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"), 6
+        ).alias("p25"),
+        F.round(
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)"), 6
+        ).alias("p50"),
+        F.round(
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)"), 6
+        ).alias("p75"),
+        F.count("*").alias("n"),
+    )

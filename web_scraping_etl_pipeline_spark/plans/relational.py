@@ -861,3 +861,82 @@ def q141_bloom_semi_join(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q146_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2'
+                          THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM flat GROUP BY yr
+    """,
+)
+def q146_market_share(spark, sf_dir):
+    """TPC-H Q8 market share: of all PROMO-part volume sold to ASIA
+    customers, the fraction supplied from NATION_2, by order year -
+    the deepest join tree in the suite (lineitem x 7 dimensions).
+
+    Scale shape: part/supplier/nation/region are broadcast (all true
+    dims); lineitem->orders is the ONE big shuffle, on the join key
+    both sides already produce; customer is left UNHINTED - at sf0.1
+    AQE broadcasts it, at 100 TB it is fact-sized and AQE keeps the
+    shuffle (hard-coding the hint was flagged on q17 and is wrong at
+    scale). The part filter runs before the first join, so the fact
+    rows that survive to the shuffle are only PROMO items."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("yr").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume"))
+                .otherwise(F.lit(0.0))
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share"),
+    )
