@@ -1,0 +1,183 @@
+"""Invariant tests for the q138-q149 batch.
+
+The DuckDB oracle pins value-equality; these pin the semantic
+guarantees a value diff cannot express: interval disjointness, sketch
+transparency (bloom/bitmap results must equal their exact
+counterparts), prefix-filter recall against brute force, and
+rule-tag consistency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from web_scraping_etl_pipeline_spark.plans.analytics import (
+    q139_bitmap_distinct,
+    q147_quarantine_split,
+    q148_benford_audit,
+)
+from web_scraping_etl_pipeline_spark.plans.dedup import (
+    _shingles,
+    q142_prefix_filter_join,
+)
+from web_scraping_etl_pipeline_spark.plans.relational import (
+    q141_bloom_semi_join,
+)
+from web_scraping_etl_pipeline_spark.plans.temporal import (
+    q138_interval_coalesce,
+    q144_last_touch_attribution,
+)
+
+
+def test_interval_coalesce_disjoint_and_conserving(spark):
+    """Coalesced intervals per user must be pairwise disjoint (each
+    start strictly after the previous end), cover every event
+    (n_events sums to the events row count), and each span at least
+    one 5-minute window."""
+    out = q138_interval_coalesce(spark, SF_DIR).cache()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("start_us")
+    overlaps = (
+        out.withColumn("prev_end", F.lag("end_us").over(w))
+        .filter(F.col("prev_end").isNotNull())
+        .filter(F.col("start_us") <= F.col("prev_end"))
+        .count()
+    )
+    assert overlaps == 0
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.agg(F.sum("n_events")).first()[0] == n_events
+    assert (
+        out.filter(
+            F.col("end_us") - F.col("start_us") < 300_000_000
+        ).count()
+        == 0
+    )
+
+
+def test_bitmap_distinct_matches_exact(spark):
+    """The bitmap-aggregate NDV must equal COUNT(DISTINCT) exactly -
+    bitmaps are a compression, not an estimate."""
+    got = {
+        r["event_type"]: r["ndv_users"]
+        for r in q139_bitmap_distinct(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["ndv"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("ndv"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """The bloom prune is a superset filter; after the exact verify the
+    result must equal the plain semi-join aggregate bit for bit."""
+    got = sorted(
+        tuple(r) for r in q141_bloom_semi_join(spark, SF_DIR).collect()
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    ref = sorted(
+        tuple(r)
+        for r in li.join(
+            o, li.l_orderkey == o.o_orderkey, "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                0,
+            ).alias("revenue"),
+        )
+        .collect()
+    )
+    assert got == ref
+
+
+def test_prefix_filter_join_matches_bruteforce(spark):
+    """Prefix filtering is lossless: the q142 result must equal the
+    brute-force all-pairs Jaccard join on the same sample (recall AND
+    precision - the theorem says no qualifying pair can be missed, the
+    verify step says none below threshold survives)."""
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in q142_prefix_filter_join(spark, SF_DIR).collect()
+    )
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", F.array_distinct(_shingles()).alias("sset"))
+        .filter(F.size("sset") > 0)
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")
+    )
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    brute = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .collect()
+    )
+    assert got == brute
+
+
+def test_attribution_clicks_are_valid(spark):
+    """Every attributed purchase must reference a real click of the
+    same user, at or before the purchase, within the 7-day lookback;
+    unattributed rows carry a NULL click."""
+    out = q144_last_touch_attribution(spark, SF_DIR).cache()
+    assert out.filter(~F.col("attributed") & F.col("click_id").isNotNull()).count() == 0
+    clicks = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.expr("ts DIV 1000").alias("c_ts"),
+        )
+    )
+    joined = out.filter(F.col("attributed")).join(clicks, "click_id")
+    n_attr = out.filter(F.col("attributed")).count()
+    valid = joined.filter(
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("purchase_ts_us"))
+        & (F.col("purchase_ts_us") - F.col("c_ts") <= 7 * 86_400_000_000)
+    ).count()
+    assert n_attr == valid
+
+
+def test_quarantine_reasons_consistent(spark):
+    """disposition is 'ok' exactly when the reason list is empty, and
+    every event appears exactly once."""
+    out = q147_quarantine_split(spark, SF_DIR).cache()
+    assert out.filter(
+        (F.col("disposition") == "ok") != (F.col("reasons") == "")
+    ).count() == 0
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_benford_shares_sum_to_one(spark):
+    """Observed first-digit shares must sum to ~1 and digits must be
+    1..9 (a 0 or 10 digit means the extraction is broken)."""
+    rows = q148_benford_audit(spark, SF_DIR).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
