@@ -1135,3 +1135,85 @@ def q142_prefix_filter_join(spark, sf_dir):
         .filter(jac >= F.lit(_PF_NUM / _PF_DEN))
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "q152_golden_record",
+    oracle=_LSH_CANDS_SQL.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cands
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    j AS (
+      SELECT c.cluster_id, d.doc_id, d.source, d.lang, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    src_rank AS (
+      SELECT cluster_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY COUNT(*) DESC, source
+             ) AS rk
+      FROM j GROUP BY cluster_id, source
+    ),
+    agg AS (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+      FROM j GROUP BY cluster_id
+    )
+    SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           a.n_members, a.max_chars, a.total_chars, a.langs,
+           s.source AS best_source
+    FROM agg a JOIN src_rank s
+      ON s.cluster_id = a.cluster_id AND s.rk = 1
+    """,
+)
+def q152_golden_record(spark, sf_dir):
+    """Survivorship / golden-record merge: per near-dup cluster (q78),
+    fuse the members' fields under per-field rules - majority source
+    (ties to the lexicographic first), the union of languages, size
+    extremes - the master-data step that turns a dedup clustering into
+    ONE publishable record per entity.
+
+    Scale: clusters and their metadata join once on doc_id; the
+    majority-source pick is a two-level aggregate (count per
+    (cluster, source), then a one-row-per-cluster window) and the rest
+    is a single map-side-combinable groupBy. Cluster labels are the
+    session-persisted q78 stage, so the iterative part is already
+    paid."""
+    clusters = q78_dedup_clusters(spark, sf_dir)
+    meta = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    j = clusters.join(meta, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cnt").desc(), F.col("source")
+    )
+    best_src = (
+        j.groupBy("cluster_id", "source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("source").alias("best_source"))
+    )
+    agg = j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
+    )
+    return agg.join(best_src, "cluster_id")

@@ -684,3 +684,75 @@ def q116_lang_source_drift(spark, sf_dir):
             F.pow(F.col("obs") - expected, 2) / expected, 6
         ).alias("chi2_term"),
     )
+
+
+#: Misra-Gries counter budget per partition sketch (q151); the heavy
+#: hitter threshold is total_tokens / _HH_K.
+_HH_K = 50
+
+
+@query(
+    "q151_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({{tokens}}) AS token FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY token
+    HAVING COUNT(*) > (SELECT n FROM tot) / {_HH_K}.0
+    """.format(tokens="string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def q151_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens with frequency > n/K) found
+    with bounded memory: per-partition Misra-Gries sketches generate a
+    candidate superset, and one exact recount over the candidates
+    yields the precise answer - the sketch-then-verify shape (same as
+    the q141 bloom join) that computes frequent items at 100 TB
+    without ever holding the full token histogram per task.
+
+    Phase 1 is an Arrow-batched ``mapInPandas`` keeping at most K
+    counters per partition (MG guarantees every true heavy hitter
+    survives decrements - Misra & Gries 1982); phase 2 broadcasts the
+    tiny candidate set, semi-joins the token stream against it, and
+    recounts exactly. A plain groupBy(token) would shuffle the whole
+    vocabulary; here the shuffle carries only candidate tokens. The
+    driver never sees raw data - candidates stay a DataFrame."""
+    docs = t_split(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    )
+
+    k = _HH_K
+
+    def mg_sketch(batches):
+        # self-contained closure: cloudpickle ships it whole; no
+        # module-global references (workers may not import the package)
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tkn in pdf["token"]:
+                if tkn in counters:
+                    counters[tkn] += 1
+                elif len(counters) < k:
+                    counters[tkn] = 1
+                else:
+                    dead = [c for c in counters if counters[c] == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tok.mapInPandas(mg_sketch, "token string").distinct()
+    total = tok.count()
+    return (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(total) / F.lit(float(k)))
+    )

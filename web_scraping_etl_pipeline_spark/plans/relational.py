@@ -940,3 +940,40 @@ def q146_market_share(spark, sf_dir):
             6,
         ).alias("mkt_share"),
     )
+
+
+@query(
+    "q150_decimal_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2))
+                       - CAST(l_discount AS DECIMAL(4,2))))
+                AS DECIMAL(18,4)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q150_decimal_revenue(spark, sf_dir):
+    """Exact-money revenue in DECIMAL arithmetic: cast price and
+    discount to fixed-point BEFORE multiplying, so every product and
+    the whole sum are exact - the books-must-balance path where the
+    double-based q14/q17 aggregates (rounded to absorb float
+    accumulation noise) are not acceptable.
+
+    This is the one aggregate family where the oracle comparison needs
+    NO rounding: decimal arithmetic is order-independent and
+    bit-identical across engines. Cost at scale: Spark's decimal sum
+    runs on unscaled longs while precision fits 18 digits (same
+    codegen shape as bigint sums), widening to 128-bit only past
+    that - marginally slower than double, and the price of exactness a
+    finance pipeline pays on purpose."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price * disc).cast("decimal(18,4)").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
