@@ -36,11 +36,44 @@ def batch_to_df(
     return spark.createDataFrame(rows, schema=JOBS_RAW)
 
 
-def read_landing(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+def read_landing(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    schema=None,
+    permissive: bool = False,
+) -> DataFrame:
     """File-drop landing zone flavor of S1: explicit schema (never
-    inferSchema on the pipeline path), format json or parquet."""
-    reader = spark.read.schema(JOBS_RAW)
-    return reader.json(path) if fmt == "json" else reader.parquet(path)
+    inferSchema on the pipeline path); formats json / parquet / csv /
+    orc.
+
+    Malformed-row policy for the text formats (json/csv): the default
+    is FAILFAST - a corrupt line aborts the batch loudly, matching the
+    fail-safe stance of the silver read (a silently dropped row is the
+    reference's B4 bug wearing a new hat). ``permissive=True`` opts
+    into dead-letter routing instead: corrupt lines land whole in a
+    ``_corrupt_record`` column (all other fields NULL) so the caller
+    can split them into a quarantine sink (cf. q147) without losing
+    the batch. (Spark restriction: cache/materialize the parsed frame
+    before projecting ``_corrupt_record`` alone - the raw-file scan
+    cannot answer corrupt-only queries.)"""
+    schema = schema if schema is not None else JOBS_RAW
+    if fmt in ("json", "csv"):
+        if permissive:
+            from pyspark.sql.types import StringType, StructType
+
+            schema = StructType(schema.fields).add(
+                "_corrupt_record", StringType()
+            )
+            mode = "PERMISSIVE"
+        else:
+            mode = "FAILFAST"
+        reader = spark.read.schema(schema).option("mode", mode)
+        if fmt == "csv":
+            return reader.option("header", "true").csv(path)
+        return reader.json(path)
+    reader = spark.read.schema(schema)
+    return reader.orc(path) if fmt == "orc" else reader.parquet(path)
 
 
 def write_bronze(df: DataFrame, bronze_path: str, ingest_date: str) -> None:
