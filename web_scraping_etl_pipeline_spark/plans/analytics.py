@@ -1731,3 +1731,173 @@ def q149_percentile_disc(spark, sf_dir):
         ).alias("p75"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q153_cumulative_distinct",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // {86_400_000_000}) AS first_day
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT first_day AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM f GROUP BY first_day
+    )
+    SELECT day_idx, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def q153_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users by day - the 'total unique customers
+    to date' growth curve. The naive formulation (COUNT(DISTINCT) over
+    an expanding window) re-deduplicates the entire history per day,
+    O(days x users); the scale-safe decomposition is first-touch
+    attribution: a user contributes exactly once, on their first day,
+    so cumulative distinct == running SUM of per-day first-seen
+    counts.
+
+    Two map-side-combinable aggregates + one window over the tiny
+    day-level series. At 100 TB the heavy groupBy(user) shuffles once
+    and everything after is metadata-sized."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.expr("MIN(ts_us DIV 86400000000)").alias("first_day")
+    )
+    d = first.groupBy(F.col("first_day").alias("day_idx")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "day_idx", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+@query(
+    "q154_peak_concurrency",
+    oracle=f"""
+    WITH pts AS (
+      SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + 300000000 AS t, -1 AS delta FROM events
+    ), sweep AS (
+      SELECT t, delta,
+             SUM(delta) OVER (
+               ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS live
+      FROM pts
+    )
+    SELECT CAST(t // {86_400_000_000} AS BIGINT) AS day_idx,
+           CAST(MAX(live) AS BIGINT) AS peak_live
+    FROM sweep GROUP BY 1
+    """,
+)
+def q154_peak_concurrency(spark, sf_dir):
+    """Peak concurrency per day: how many 5-minute activity intervals
+    are simultaneously open - the capacity-planning sweep behind 'max
+    concurrent sessions/streams/connections'.
+
+    Classic sweep-line as dataflow: every interval emits +1 at its
+    start and -1 at its end, one global running sum ordered by
+    (time, delta) gives the live count at every boundary ([start, end)
+    semantics: the -1 sorts first at equal timestamps), and a per-day
+    MAX collapses the sweep. The only total order is over 2N skinny
+    boundary points (Spark range-partitions the sort); at 100 TB the
+    sweep shards by coarse time range first - the same plan per
+    shard plus a prefix-offset pass, dataflow unchanged."""
+    ev = t(spark, sf_dir, "events").select("ts_us")
+    pts = ev.select(
+        F.col("ts_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            (F.col("ts_us") + F.lit(300_000_000)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = pts.select(
+        "t", F.sum("delta").over(w).alias("live")
+    )
+    return sweep.groupBy(
+        F.expr("t DIV 86400000000").alias("day_idx")
+    ).agg(F.max("live").alias("peak_live"))
+
+
+@query(
+    "q155_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority, o.o_orderkey, o.o_totalprice
+    ), c AS (
+      SELECT o_orderpriority, o_totalprice, wt,
+             SUM(wt) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(wt) OVER (PARTITION BY o_orderpriority) AS total
+      FROM w
+    ), hit AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, cum
+             ) AS rk
+      FROM c WHERE 2 * cum >= total
+    )
+    SELECT o_orderpriority,
+           ROUND(o_totalprice, 2) AS weighted_median
+    FROM hit WHERE rk = 1
+    """,
+)
+def q155_weighted_median(spark, sf_dir):
+    """Weighted median order value per priority, weighted by lineitem
+    count - the 'median dollar-weighted by volume' statistic no engine
+    ships as a built-in. The first order value whose cumulative weight
+    reaches half the group total is the answer; ordering carries the
+    order key so equal values cross the threshold at a deterministic
+    row in both engines.
+
+    One join+count for weights, one window per group for the
+    cumulative, one group-limit pick. At 100 TB the weight aggregate
+    combines map-side and the window shuffles once on the group key -
+    same shape as every percentile in the suite."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    wts = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "o_orderkey", "o_totalprice")
+        .agg(F.count("*").alias("wt"))
+    )
+    wcum = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("o_orderpriority")
+    c = wts.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(wtot).alias("total"),
+    ).filter(2 * F.col("cum") >= F.col("total"))
+    pick = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "cum")
+    return (
+        c.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("weighted_median"),
+        )
+    )
