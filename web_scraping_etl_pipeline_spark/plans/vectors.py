@@ -408,3 +408,271 @@ def q123_embedding_quantization(spark, sf_dir):
         F.col("dim").cast("long").alias("dim"),
         code.cast("long").alias("code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156: quantized coarse search + exact rerank (production ANN shape)
+# ---------------------------------------------------------------------------
+
+#: coarse candidate pool reranked exactly (5x the final k).
+RERANK_POOL = 50
+
+#: int8 dequantization back to the grid midpoint's left edge:
+#: v' = lo + (code + 128) / 255 * (hi - lo).
+_DEQ_SQL = "(lo + (CAST(code AS DOUBLE) + 128) / 255.0 * (hi - lo))"
+
+_Q156_CTES = f"""
+    WITH stats AS (
+      SELECT r.i AS i,
+             MIN(CAST(e.embedding[r.i] AS DOUBLE)) AS lo,
+             MAX(CAST(e.embedding[r.i] AS DOUBLE)) AS hi
+      FROM embeddings e, range(1, {DIM} + 1) r(i)
+      GROUP BY r.i
+    ),
+    codes AS (
+      SELECT e.vec_id, s.i,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(FLOOR(255.0 *
+                         (CAST(e.embedding[s.i] AS DOUBLE) - s.lo)
+                         / (s.hi - s.lo)), 255) - 128
+             END AS code,
+             s.lo AS lo, s.hi AS hi
+      FROM embeddings e, stats s
+    ),
+    deq AS (
+      SELECT vec_id, i, {_DEQ_SQL} AS v FROM codes
+    ),
+    qdeq AS (
+      SELECT i, v AS qv FROM deq WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    approx AS (
+      SELECT d.vec_id, ROUND(SUM(d.v * q.qv), 6) AS approx_sim
+      FROM deq d JOIN qdeq q USING (i)
+      GROUP BY d.vec_id
+    ),
+    pool AS (
+      SELECT vec_id, approx_sim FROM approx
+      ORDER BY approx_sim DESC, vec_id LIMIT {RERANK_POOL}
+    ),
+    q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    exact AS (
+      SELECT p.vec_id, p.approx_sim,
+             ROUND(SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                       * CAST(q.qe[r.i] AS DOUBLE)), 6) AS cos_sim
+      FROM pool p
+      JOIN embeddings e ON e.vec_id = p.vec_id, q, range(1, {DIM} + 1) r(i)
+      GROUP BY p.vec_id, p.approx_sim
+    )
+"""
+
+
+@query(
+    "q156_quantized_rerank",
+    oracle=_Q156_CTES
+    + f"""
+    SELECT vec_id, approx_sim, cos_sim FROM exact
+    ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def q156_quantized_rerank(spark, sf_dir):
+    """Two-tier ANN search the way production vector stores run it:
+    a COARSE pass scores int8-quantized vectors (the q123 grid,
+    dequantized - 1 byte/dim of memory traffic instead of 4), keeps a
+    {RERANK_POOL}-candidate pool, and an EXACT rerank over full-precision
+    embeddings picks the final top-{TOP_K}.
+
+    The scan-heavy stage touches only quantized codes (4x less memory
+    bandwidth - at 100 TB the codes fit where the floats do not);
+    full-precision vectors are fetched for just {RERANK_POOL} rows.
+    Candidate selection orders by ROUNDED approx score + vec_id so the
+    pool is deterministic in both engines; the exact rerank makes the
+    tier-1 approximation invisible whenever the true top-{TOP_K} survive
+    the pool (the standard recall contract of quantized search)."""
+    emb = t(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+    )
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                255.0
+                * (F.col("val").cast("double") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(255),
+        )
+        - 128
+    )
+    deq = (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            (
+                F.col("lo")
+                + (code.cast("double") + 128) / 255.0 * (F.col("hi") - F.col("lo"))
+            ).alias("v"),
+        )
+    )
+    qdeq = deq.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "dim", F.col("v").alias("qv")
+    )
+    approx = (
+        deq.join(F.broadcast(qdeq), "dim")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("v") * F.col("qv")), 6).alias("approx_sim"))
+    )
+    pool = approx.orderBy(
+        F.desc("approx_sim"), F.asc("vec_id")
+    ).limit(RERANK_POOL)
+    qv = _query_vec(spark, sf_dir)
+    exact = (
+        emb.join(F.broadcast(pool), "vec_id")
+        .select(
+            "vec_id",
+            "approx_sim",
+            F.round(_dot(F.col("embedding"), _qlit(qv)), 6).alias("cos_sim"),
+        )
+    )
+    return exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# q157: random projection (Johnson-Lindenstrauss) to 8 dims
+# ---------------------------------------------------------------------------
+
+#: output dimensionality and the deterministic integer projection
+#: matrix M[i][j] = ((i*31 + j*17) % 7) - 3 (both engines rebuild it
+#: from the formula; no RNG, no shipped state).
+RP_DIM = 8
+
+
+def _rp_coeff(i: int, j: int) -> int:
+    return ((i * 31 + j * 17) % 7) - 3
+
+
+@query(
+    "q157_random_projection",
+    oracle=f"""
+    SELECT e.vec_id,
+           {", ".join(
+               "ROUND(SUM(CAST(e.embedding[r.i] AS DOUBLE) * "
+               f"(((r.i - 1) * 31 + {j} * 17) % 7 - 3)), 6) AS p{j}"
+               for j in range(RP_DIM)
+           )}
+    FROM embeddings e, range(1, {DIM} + 1) r(i)
+    GROUP BY e.vec_id
+    """,
+)
+def q157_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss-style random projection: 64-dim embeddings
+    x a fixed {RP_DIM}-column integer matrix - the dimensionality-
+    reduction step before cheap clustering/visualization, and the
+    general form of the sign-LSH bucketing (q51) with full projections
+    kept instead of sign bits.
+
+    The matrix is derived from a deterministic formula, so both engines
+    rebuild identical coefficients and the projection is a pure map
+    stage: {RP_DIM} unrolled 64-term expressions in one codegen pass, no
+    shuffle, no state. At 100 TB this runs at scan speed; a learned
+    projection swaps the literal coefficients for a broadcast matrix
+    with the same plan."""
+    emb = t(spark, sf_dir, "embeddings")
+    cols = []
+    for j in range(RP_DIM):
+        terms = [
+            F.element_at(F.col("embedding"), i + 1).cast("double")
+            * F.lit(float(_rp_coeff(i, j)))
+            for i in range(DIM)
+        ]
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        cols.append(F.round(out, 6).alias(f"p{j}"))
+    return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# q158: k-NN graph over LSH buckets
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+@query(
+    "q158_knn_graph",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_bucket_expr_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, x.vec_id AS dst,
+             ROUND(SUM(CAST(a.embedding[r.i] AS DOUBLE)
+                       * CAST(x.embedding[r.i] AS DOUBLE)), 6) AS sim
+      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id,
+           range(1, {DIM} + 1) r(i)
+      GROUP BY a.vec_id, x.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY sim DESC, dst
+             ) AS rk
+      FROM pairs
+    )
+    SELECT src, dst, sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {KNN_K}
+    """,
+)
+def q158_knn_graph(spark, sf_dir):
+    """k-NN graph construction: each vector's top-{KNN_K} most similar
+    neighbors among its LSH bucket's candidates - the neighborhood
+    graph behind label propagation, kNN classification, and
+    graph-based ANN indexes (HNSW's bottom layer is exactly this).
+
+    Never all-pairs: candidates come from the sign-LSH bucket equi-join
+    (~1/16 of the corpus per bucket), the exact dot product runs once
+    per candidate pair, and a per-source window keeps {KNN_K}. At 100 TB
+    the bucket count grows with the corpus (more sign bits) to hold
+    bucket sizes - and recall is tuned by multi-probing neighboring
+    buckets, same plan shape."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    x = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(x, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(_dot(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src", "dst", "sim", F.col("rk").cast("long").alias("rk"))
+    )
