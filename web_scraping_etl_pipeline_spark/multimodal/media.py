@@ -281,3 +281,73 @@ def q63_media_frame_sample(spark, sf_dir):
     """Frame sampling: variable rows-per-input through mapInPandas (the
     UDTF-shaped decode path); oracle uses a lateral series join."""
     return sample_frames(media_table(spark, sf_dir))
+
+
+#: perceptual-hash width (48 bits: clear of the int64 sign bit, and
+#: SUM of distinct powers of two == bitwise OR, so both engines can
+#: build the hash with plain integer arithmetic).
+PHASH_BITS = 48
+
+
+@query(
+    "q159_media_phash_dedup",
+    oracle=f"""
+    WITH ph AS (
+      SELECT doc_id AS media_id,
+             (SELECT CAST(SUM(
+                 CAST((ord(substr(d.text, (j.j * 7) % length(d.text) + 1, 1))
+                       % 2) AS BIGINT) * CAST(pow(2, j.j) AS BIGINT)
+               ) AS BIGINT)
+              FROM range(0, {PHASH_BITS}) j(j)) AS phash
+      FROM documents d WHERE length(text) > 0
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(MIN(media_id) AS BIGINT) AS keep_id
+    FROM ph GROUP BY phash
+    """,
+)
+def q159_media_phash_dedup(spark, sf_dir):
+    """Perceptual-hash dedup over the binary media payloads: an
+    Arrow-batched Pandas UDF decodes each payload's body and distills a
+    {PHASH_BITS}-bit content signature (bit j samples the parity of a
+    deterministic body byte); identical signatures collapse in one
+    groupBy - the image-dedup shape (pHash/aHash) where byte-identical
+    files (q40's digest dedup) is too strict but full similarity search
+    is too expensive.
+
+    The pHash here samples the fake codec's body (cf. module
+    docstring); a deployment swaps the sampling loop for a real DCT
+    pHash over decoded pixels - schema, batch shape, and the relational
+    stage are unchanged. Scale: decode+hash is map-only over binary
+    columns ({PHASH_BITS} byte probes per payload, no pixel buffer kept),
+    and the shuffle carries 8-byte signatures."""
+    media = media_table(spark, sf_dir)
+
+    n_bits = PHASH_BITS
+
+    def phash(batches: Iterator) -> Iterator:
+        # self-contained closure (value-pickled; see decode_media NOTE)
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                body = bytes(payload).split(b";", 4)[4]
+                if not body:
+                    continue
+                n = len(body)
+                h = 0
+                for j in range(n_bits):
+                    h |= (body[(j * 7) % n] & 1) << j
+                ids.append(mid)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    sig = media.select("media_id", "payload").mapInPandas(
+        phash, "media_id long, phash long"
+    )
+    return sig.groupBy("phash").agg(
+        F.count("*").alias("n_media"),
+        F.min("media_id").alias("keep_id"),
+    )

@@ -1901,3 +1901,65 @@ def q155_weighted_median(spark, sf_dir):
             F.round("o_totalprice", 2).alias("weighted_median"),
         )
     )
+
+
+@query(
+    "q160_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 0) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY last_day DESC, custkey)
+                AS BIGINT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey)
+                AS BIGINT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey)
+                AS BIGINT) AS m_score,
+           concat(
+             NTILE(5) OVER (ORDER BY last_day DESC, custkey), '-',
+             NTILE(5) OVER (ORDER BY frequency DESC, custkey), '-',
+             NTILE(5) OVER (ORDER BY monetary DESC, custkey)
+           ) AS segment
+    FROM base
+    """,
+)
+def q160_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (1 = best) and the concatenated segment label ('1-1-1' =
+    champions) - the marketing-analytics workhorse.
+
+    One aggregate over orders, then three NTILE windows over the
+    customer-level result (which is dimension-sized, not fact-sized -
+    the windows sort 1/100th of the input rows). Ties carry custkey so
+    quintile boundaries are deterministic in both engines. At 100 TB
+    the per-customer aggregate combines map-side; global NTILEs over
+    billions of customers would swap to approx-quantile cut points,
+    same output schema."""
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 0).alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_day"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    r, fq, m = (
+        F.ntile(5).over(wr),
+        F.ntile(5).over(wf),
+        F.ntile(5).over(wm),
+    )
+    return base.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r_score"),
+        fq.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+        F.concat_ws("-", r, fq, m).alias("segment"),
+    )

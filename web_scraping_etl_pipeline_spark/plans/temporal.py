@@ -895,3 +895,55 @@ def q144_last_touch_attribution(spark, sf_dir):
         F.when(lookback_ok, F.col("lc_id")).alias("click_id"),
         lookback_ok.alias("attributed"),
     )
+
+
+@query(
+    "q161_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) >= v.first_view_us
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view_us,
+           p.first_purchase_us,
+           p.first_purchase_us - v.first_view_us AS convert_us
+    FROM v LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q161_time_to_convert(spark, sf_dir):
+    """Time-to-convert: per user, the gap between the first view and
+    the first purchase at-or-after it (NULL = never converted) - the
+    product-analytics latency metric behind activation dashboards.
+
+    Two map-side-combinable aggregates joined on ``user_id``: first
+    views, then first qualifying purchases (the >= bound keeps
+    purchases that precede any view from counting as conversions).
+    Both shuffles hash the same key, so AQE plans the second join
+    shuffle-free at scale."""
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_view_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") >= F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_purchase_us"))
+    )
+    return v.join(p, "user_id", "left").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        (F.col("first_purchase_us") - F.col("first_view_us")).alias(
+            "convert_us"
+        ),
+    )
