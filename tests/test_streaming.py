@@ -65,3 +65,40 @@ def test_stream_cycle_and_replay(spark, tmp_path):
     after = {r["job_link"]: r for r in spark.read.parquet(silver).collect()}
     assert set(after) == {"https://x/1", "https://x/2", "https://x/3"}
     assert after["https://x/3"]["salary"] == pytest.approx(23.0)
+
+
+def test_stream_upsert_updates_instead_of_appending(spark, tmp_path):
+    """foreachBatch MERGE sink: a re-scraped link in a later drain must
+    UPDATE its silver row (latest salary wins), never append a
+    duplicate; replaying a drained checkpoint is a no-op."""
+    from web_scraping_etl_pipeline_spark.streaming.jobs_stream import (
+        run_stream_upsert,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = _rows(
+        ("https://x/1", "10 - 20 triệu", 3),
+        ("https://x/2", "Thỏa thuận", 2),
+    )
+    spark.createDataFrame(batch1, JOBS_RAW).write.mode("append").parquet(bronze)
+    res = run_stream_upsert(spark, bronze, silver, ckpt, now_us=BASE_US)
+    assert res["finished"]
+    assert spark.read.parquet(silver).count() == 2
+
+    # re-scrape link 1 with a new salary in a NEW bronze file
+    batch2 = _rows(("https://x/1", "20 - 30 triệu", 1))
+    spark.createDataFrame(batch2, JOBS_RAW).write.mode("append").parquet(bronze)
+    res2 = run_stream_upsert(spark, bronze, silver, ckpt, now_us=BASE_US)
+    assert res2["finished"]
+    got = {r["job_link"]: r for r in spark.read.parquet(silver).collect()}
+    assert len(got) == 2  # updated, not appended
+    assert got["https://x/1"]["salary"] == pytest.approx(25.0)
+    assert got["https://x/2"]["salary"] is None
+
+    # replay with the drained checkpoint: nothing changes
+    res3 = run_stream_upsert(spark, bronze, silver, ckpt, now_us=BASE_US)
+    assert res3["finished"]
+    assert spark.read.parquet(silver).count() == 2

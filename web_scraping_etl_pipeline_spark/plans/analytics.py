@@ -1562,8 +1562,9 @@ def q140_regr_stats(spark, sf_dir):
     )
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           FLOOR(AVG(o_totalprice)) AS raw_mean,
-           FLOOR(AVG(LEAST(GREATEST(o_totalprice, lo), hi))) AS win_mean
+           CAST(FLOOR(AVG(o_totalprice)) AS BIGINT) AS raw_mean,
+           CAST(FLOOR(AVG(LEAST(GREATEST(o_totalprice, lo), hi)))
+                AS BIGINT) AS win_mean
     FROM orders o JOIN b USING (o_orderpriority)
     GROUP BY o.o_orderpriority
     """,

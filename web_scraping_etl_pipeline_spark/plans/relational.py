@@ -977,3 +977,127 @@ def q150_decimal_revenue(spark, sf_dir):
         F.sum(price * disc).cast("decimal(18,4)").alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "q162_integrity_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(COUNT(*) FILTER (l_linestatus = 'O') AS BIGINT) AS n_open
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT
+      CAST(COUNT(*) FILTER (li.l_orderkey IS NULL) AS BIGINT)
+        AS orders_without_items,
+      CAST(COUNT(*) FILTER (o.o_orderstatus = 'F' AND li.n_open > 0)
+           AS BIGINT) AS finished_with_open_items,
+      CAST(COUNT(*) FILTER (o.o_orderstatus = 'O' AND li.n_open = 0
+                            AND li.n_items > 0)
+           AS BIGINT) AS open_without_open_items,
+      CAST(COUNT(*) AS BIGINT) AS orders_checked
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    """,
+)
+def q162_integrity_audit(spark, sf_dir):
+    """Cross-table referential/state integrity audit: orders without
+    lineitems, 'F'(inished) orders still carrying open lineitems, and
+    'O'(pen) orders whose items are all closed - the consistency
+    checks a warehouse runs after every load, as ONE scan-and-join
+    pass emitting a single audit row.
+
+    The lineitem side collapses to per-order counts first (map-side
+    combinable, shuffle carries two ints per order), then a left join
+    on the natural key feeds conditional COUNT(FILTER) aggregates. At
+    100 TB both sides hash on orderkey - the join AQE-plans against
+    the already-aggregated (order-sized, not lineitem-sized) right
+    side."""
+    o = t(spark, sf_dir, "orders")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("n_open"),
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return j.agg(
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias(
+            "orders_without_items"
+        ),
+        F.count(
+            F.when(
+                (F.col("o_orderstatus") == "F") & (F.col("n_open") > 0), 1
+            )
+        ).alias("finished_with_open_items"),
+        F.count(
+            F.when(
+                (F.col("o_orderstatus") == "O")
+                & (F.col("n_open") == 0)
+                & (F.col("n_items") > 0),
+                1,
+            )
+        ).alias("open_without_open_items"),
+        F.count("*").alias("orders_checked"),
+    )
+
+
+@query(
+    "q163_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name,
+           CAST(FLOOR(rev) AS BIGINT) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY r_name), 6)
+             AS share_of_region,
+           ROUND(SUM(rev) OVER (PARTITION BY r_name)
+                 / SUM(rev) OVER (), 6) AS region_share_of_total
+    FROM rev
+    """,
+)
+def q163_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent OLAP shares: each nation's revenue as a share
+    of its region, and each region's share of the grand total - the
+    two-level drill-down ratio every BI tool labels '% of parent
+    row'.
+
+    One fact aggregate down to (region, nation) granularity (tiny),
+    then two windows over that result: a region-partitioned sum and
+    the empty-frame grand total. The expensive work happens once at
+    the lowest granularity; parents are derived, never re-scanned -
+    the scale rule for hierarchy ratios. Ratios round at 6dp (shares
+    of sums are division-stable; cf. q92)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wreg = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.floor("rev").alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(wreg), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("rev").over(wreg) / F.sum("rev").over(wall), 6
+        ).alias("region_share_of_total"),
+    )
