@@ -57,6 +57,7 @@ ALLOW = {
     "q77_tfidf_topterms": {"nested_loop"},  # 1-row n_docs frame
     "q99_kmeans_assign": {"nested_loop"},  # k=10 centroid frame
     "q118_equidepth_histogram": {"nested_loop"},  # 1-row cutpoints
+    "q132_skew_report": {"nested_loop"},  # 1-row mean-frequency frame
 }
 
 
