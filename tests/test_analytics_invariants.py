@@ -51,9 +51,9 @@ def test_rolling_active_dominates_daily_active(spark):
         US_PER_DAY,
     )
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    from web_scraping_etl_pipeline_spark.sources.star import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
     daily = (
         ev.select(
             F.floor(

@@ -143,13 +143,15 @@ def test_attribution_clicks_are_valid(spark):
     unattributed rows carry a NULL click."""
     out = q144_last_touch_attribution(spark, SF_DIR).cache()
     assert out.filter(~F.col("attributed") & F.col("click_id").isNotNull()).count() == 0
+    from web_scraping_etl_pipeline_spark.sources.star import load_table
+
     clicks = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        load_table(spark, SF_DIR, "events")
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("cu"),
-            F.expr("ts DIV 1000").alias("c_ts"),
+            F.col("ts_us").alias("c_ts"),
         )
     )
     joined = out.filter(F.col("attributed")).join(clicks, "click_id")

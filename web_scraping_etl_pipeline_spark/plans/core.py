@@ -56,7 +56,7 @@ def q01_deadline_horizon(spark, sf_dir):
     from ..sources.star import ts_us_le
 
     ev = t(spark, sf_dir, "events")
-    return ev.filter(ts_us_le(HORIZON_US)).select(
+    return ev.filter(ts_us_le(ev, HORIZON_US)).select(
         "event_id",
         "event_type",
         "value",
@@ -196,7 +196,7 @@ def q07_incremental_newer(spark, sf_dir):
     from ..sources.star import ts_us_gt
 
     ev = t(spark, sf_dir, "events")
-    return ev.filter(ts_us_gt(ANCHOR_US)).select(
+    return ev.filter(ts_us_gt(ev, ANCHOR_US)).select(
         "event_id", "ts_us", "value"
     )
 

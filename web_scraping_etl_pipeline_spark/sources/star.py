@@ -8,14 +8,16 @@ columns lazily; Catalyst prunes them when unused).
 
 events time handling
 --------------------
-``events.parquet`` stores ``TIMESTAMP(NANOS)``. Spark has no nanosecond
-timestamp; with ``spark.sql.legacy.parquet.nanosAsLong`` the column
-arrives as bigint nanoseconds. DuckDB (the correctness oracle) truncates
-the same values to microseconds. The canonical event-time column this
-engine exposes is therefore ``ts_us`` - epoch **microseconds** (bigint):
-identical in both systems, timezone-free, cheap to compare/bucket at
-100 TB (a long column beats a timestamp for shuffle/sort keys). Helpers
-convert to real timestamps only at presentation/streaming boundaries.
+``events.parquet`` has shipped with two physical encodings of ``ts``:
+``TIMESTAMP(NANOS)`` (arrives as bigint nanoseconds under
+``spark.sql.legacy.parquet.nanosAsLong``) and ``TIMESTAMP(MICROS)``
+(arrives as a real timestamp). DuckDB (the correctness oracle) reads
+either as a microsecond timestamp. The canonical event-time column this
+engine exposes is therefore ``ts_us`` - epoch **microseconds** (bigint),
+derived type-adaptively by :func:`ts_us_col`: identical in both
+systems, timezone-free, cheap to compare/bucket at 100 TB (a long
+column beats a timestamp for shuffle/sort keys). Helpers convert to
+real timestamps only at presentation/streaming boundaries.
 """
 
 from __future__ import annotations
@@ -36,17 +38,36 @@ EVENTS_EPOCH_US = 1_704_067_200_000_000
 US_PER_DAY = 86_400_000_000
 
 
+def _ts_dtype(df: DataFrame) -> str | None:
+    for name, dtype in df.dtypes:
+        if name == "ts":
+            return dtype
+    return None
+
+
+def ts_us_col(df: DataFrame):
+    """Epoch-micros expression for ``events.ts``, exact for either
+    physical encoding.
+
+    - bigint nanoseconds (NANOS parquet under nanosAsLong): integer
+      division (DIV), not float - int64 nanos (~1.7e18) exceed double's
+      2^53 exact range, so ``/ 1000`` rounds ~12% of rows off by 1 us.
+      DuckDB's epoch_us truncates in integer space; DIV matches exactly
+      (ts >= 0 here, so DIV == floor division).
+    - micros timestamp (NTZ or LTZ): ``unix_micros`` on the UTC session
+      clock (session tz pinned by :func:`..session.configure`), lossless.
+    """
+    if _ts_dtype(df) in ("bigint", "long"):
+        return F.expr("ts DIV 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table; events gains ``ts_us`` (epoch micros)."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos bigint -> micros bigint. Integer division (DIV), not
-        # float: int64 nanos (~1.7e18) exceed double's 2^53 exact range,
-        # so `/ 1000` rounds ~12% of rows off by 1 us. DuckDB's
-        # epoch_us(ts) truncates in integer space; DIV matches exactly
-        # (ts >= 0 here, so DIV == floor division).
-        df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+        df = df.withColumn("ts_us", ts_us_col(df))
     return df
 
 
@@ -56,25 +77,35 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
 
 
-def ts_us_le(bound_us: int):
-    """``ts_us <= bound`` with a parquet-pushable twin on the raw ``ts``
-    column. ``ts_us`` is derived (``ts DIV 1000``) so a predicate on it
-    alone never reaches the scan; the equivalent raw bound
-    (``ts <= bound*1000 + 999``, exact for ts >= 0) is pushed into the
-    parquet reader, so row groups outside the horizon are skipped by
-    footer stats - the difference between scanning 100 TB and scanning
-    the matching slice."""
-    return (F.col("ts") <= F.lit(bound_us * 1000 + 999)) & (
-        F.col("ts_us") <= F.lit(bound_us)
-    )
+def ts_us_le(df: DataFrame, bound_us: int):
+    """``ts_us <= bound`` phrased so the bound reaches the parquet scan.
+
+    ``ts_us`` is a derived column, so a predicate on it alone never
+    pushes down; instead the equivalent bound on the raw ``ts`` column
+    is used (pushed into the reader, so row groups outside the horizon
+    are skipped by footer stats - the difference between scanning
+    100 TB and scanning the matching slice). For bigint nanos the raw
+    twin is ``ts <= bound*1000 + 999`` (exact for ts >= 0, paired with
+    the ``ts_us`` bound); for a micros timestamp, comparing ``ts``
+    against the bound as a constant-folded timestamp literal is already
+    exact AND pushable, no twin needed."""
+    dt = _ts_dtype(df)
+    if dt in ("bigint", "long"):
+        return (F.col("ts") <= F.lit(bound_us * 1000 + 999)) & (
+            F.col("ts_us") <= F.lit(bound_us)
+        )
+    return F.col("ts") <= F.timestamp_micros(F.lit(bound_us)).cast(dt)
 
 
-def ts_us_gt(bound_us: int):
-    """``ts_us > bound`` with the pushable raw-``ts`` twin
-    (``ts > bound*1000 + 999``); see :func:`ts_us_le`."""
-    return (F.col("ts") > F.lit(bound_us * 1000 + 999)) & (
-        F.col("ts_us") > F.lit(bound_us)
-    )
+def ts_us_gt(df: DataFrame, bound_us: int):
+    """``ts_us > bound`` with the pushable raw-``ts`` phrasing; see
+    :func:`ts_us_le`."""
+    dt = _ts_dtype(df)
+    if dt in ("bigint", "long"):
+        return (F.col("ts") > F.lit(bound_us * 1000 + 999)) & (
+            F.col("ts_us") > F.lit(bound_us)
+        )
+    return F.col("ts") > F.timestamp_micros(F.lit(bound_us)).cast(dt)
 
 
 def with_event_time(df: DataFrame) -> DataFrame:

@@ -25,21 +25,25 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import configure
-from ..sources.star import US_PER_DAY
+from ..sources.star import US_PER_DAY, ts_us_col
 from ..plans.registry import query
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. The glob filter keeps
-    the directory basePath the file source requires while selecting the
-    single ``events.parquet`` inside it."""
+    """File-source stream over the events table, normalized to carry
+    ``ts_us`` (epoch micros, type-adaptive - see sources.star) and
+    ``event_time``. The glob filter keeps the directory basePath the
+    file source requires while selecting the single ``events.parquet``
+    inside it."""
     configure(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    s = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return s.withColumn("ts_us", ts_us_col(s)).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
     )
 
 
@@ -93,7 +97,7 @@ def q34_stream_passthrough(spark, sf_dir):
     s = _stream_events(spark, sf_dir).filter(F.col("value") > 90)
     out = s.select(
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
+        "ts_us",
         "event_type",
         F.round("value", 6).alias("value"),
     )
@@ -149,9 +153,7 @@ def q37_stateful_user_profiles(spark, sf_dir):
     (tests/test_stateful_streaming.py)."""
     from .stateful import user_profiles
 
-    s = _stream_events(spark, sf_dir).select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
-    )
+    s = _stream_events(spark, sf_dir).select("user_id", "ts_us", "value")
     sunk = _run_to_sink(user_profiles(s), spark, "q37")
     return sunk.select(
         "user_id",
@@ -238,7 +240,7 @@ def q115_stream_stream_join(spark, sf_dir):
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
             F.col("event_time").alias("p_time"),
-            F.expr("ts DIV 1000").alias("purchase_us"),
+            F.col("ts_us").alias("purchase_us"),
         )
     )
     c = (
@@ -249,7 +251,7 @@ def q115_stream_stream_join(spark, sf_dir):
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
             F.col("event_time").alias("c_time"),
-            F.expr("ts DIV 1000").alias("click_us"),
+            F.col("ts_us").alias("click_us"),
         )
     )
     joined = p.join(
@@ -296,7 +298,7 @@ def q145_stream_dedup(spark, sf_dir):
         .select(
             "user_id",
             "event_type",
-            F.expr(f"(ts DIV 1000) DIV {US_PER_DAY}").alias("day_idx"),
+            F.expr(f"ts_us DIV {US_PER_DAY}").alias("day_idx"),
             "event_time",
         )
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "day_idx"])
