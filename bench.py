@@ -5,6 +5,11 @@ Prints exactly ONE JSON line on stdout:
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
+The stdout line is capped at ~1.9 KB (the driver's tail buffer is 2000
+chars); it carries the headline total plus the slowest queries that
+fit. The COMPLETE per-query timing dict is written to
+``BENCH_FULL.json`` at the repo root on every run.
+
 Everything else (Spark logs, progress) goes to stderr so the driver's
 parser sees a single clean line. Each query is executed to completion
 with a ``noop``-format write - full physical execution (scan, shuffle,
@@ -90,18 +95,44 @@ def main() -> int:
             time.sleep(0.2)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        ),
-        flush=True,
-    )
+    # Full per-query timings go to a repo-root artifact; the stdout
+    # line is size-capped because the driver keeps only the final ~2000
+    # characters of output - a 161-query dict (~5 KB) gets truncated
+    # mid-JSON and parses as nothing (the BENCH_r01/r02 failure mode).
+    full = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_run": len(timings),
+        "errors": sorted(n for n, v in timings.items() if v < 0),
+        "sf": sf,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout: stdout still carries the line
+        log(f"WARN could not write BENCH_FULL.json: {exc}")
+
+    # Driver tail buffer is 2000 chars; leave headroom for the
+    # "queries_shown" key appended after the fit loop.
+    line_budget = 1750
+    head = dict(full)
+    ordered = sorted(timings, key=timings.get, reverse=True)  # slowest first
+    kept: dict[str, float] = {}
+    for name in ordered:
+        kept[name] = timings[name]
+        head["queries"] = kept
+        if len(json.dumps(head, separators=(",", ":"))) > line_budget:
+            del kept[name]
+            break
+    head["queries"] = kept
+    head["queries_shown"] = len(kept)
+    print(json.dumps(head, separators=(",", ":")), flush=True)
     spark.stop()
     return 0
 

@@ -946,10 +946,10 @@ def q146_market_share(spark, sf_dir):
     "q150_decimal_revenue",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(3,2))
-                       - CAST(l_discount AS DECIMAL(4,2))))
-                AS DECIMAL(18,4)) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2))
+                            - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DECIMAL(18,4)) AS VARCHAR) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -963,7 +963,12 @@ def q150_decimal_revenue(spark, sf_dir):
 
     This is the one aggregate family where the oracle comparison needs
     NO rounding: decimal arithmetic is order-independent and
-    bit-identical across engines. Cost at scale: Spark's decimal sum
+    bit-identical across engines. The final value is rendered as a
+    STRING on both sides because the comparison harness materializes
+    results through pandas, where DuckDB widens DECIMAL to float64
+    while Spark keeps Python Decimal - the scale-preserving varchar
+    rendering ("123.4500") is identical across engines and keeps the
+    check exact. Cost at scale: Spark's decimal sum
     runs on unscaled longs while precision fits 18 digits (same
     codegen shape as bigint sums), widening to 128-bit only past
     that - marginally slower than double, and the price of exactness a
@@ -974,7 +979,10 @@ def q150_decimal_revenue(spark, sf_dir):
         "decimal(4,2)"
     )
     return li.groupBy("l_returnflag").agg(
-        F.sum(price * disc).cast("decimal(18,4)").alias("revenue"),
+        F.sum(price * disc)
+        .cast("decimal(18,4)")
+        .cast("string")
+        .alias("revenue"),
         F.count("*").alias("n_items"),
     )
 

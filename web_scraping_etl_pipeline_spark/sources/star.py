@@ -45,6 +45,18 @@ def _ts_dtype(df: DataFrame) -> str | None:
     return None
 
 
+def _require_ts_dtype(df: DataFrame) -> str:
+    """Like :func:`_ts_dtype` but raises a named error instead of letting
+    a ``None`` dtype surface later as an opaque ``Column.cast(None)``
+    TypeError far from the caller's mistake."""
+    dt = _ts_dtype(df)
+    if dt is None:
+        raise ValueError(
+            f"expected a 'ts' column on events, got columns {df.columns}"
+        )
+    return dt
+
+
 def ts_us_col(df: DataFrame):
     """Epoch-micros expression for ``events.ts``, exact for either
     physical encoding.
@@ -54,11 +66,24 @@ def ts_us_col(df: DataFrame):
       2^53 exact range, so ``/ 1000`` rounds ~12% of rows off by 1 us.
       DuckDB's epoch_us truncates in integer space; DIV matches exactly
       (ts >= 0 here, so DIV == floor division).
-    - micros timestamp (NTZ or LTZ): ``unix_micros`` on the UTC session
-      clock (session tz pinned by :func:`..session.configure`), lossless.
+    - micros timestamp: NTZ wall time is measured against an NTZ epoch
+      literal with ``timestampdiff(MICROSECOND, ...)`` - entirely in
+      naive-clock space, so the result is identical under any session
+      timezone. A bare ``cast("timestamp")`` (and, measured, even
+      ``to_utc_timestamp(ts, 'UTC')``, whose NTZ input is first
+      implicitly cast through the session clock) would interpret the
+      naive value in the session tz and silently shift every event on a
+      deployment where :func:`..session.configure` could not pin the
+      session tz to UTC (its conf set is best-effort). LTZ values are
+      already instants; ``unix_micros`` is lossless on them.
     """
-    if _ts_dtype(df) in ("bigint", "long"):
+    dt = _require_ts_dtype(df)
+    if dt in ("bigint", "long"):
         return F.expr("ts DIV 1000")
+    if dt == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
     return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
@@ -89,7 +114,7 @@ def ts_us_le(df: DataFrame, bound_us: int):
     the ``ts_us`` bound); for a micros timestamp, comparing ``ts``
     against the bound as a constant-folded timestamp literal is already
     exact AND pushable, no twin needed."""
-    dt = _ts_dtype(df)
+    dt = _require_ts_dtype(df)
     if dt in ("bigint", "long"):
         return (F.col("ts") <= F.lit(bound_us * 1000 + 999)) & (
             F.col("ts_us") <= F.lit(bound_us)
@@ -100,7 +125,7 @@ def ts_us_le(df: DataFrame, bound_us: int):
 def ts_us_gt(df: DataFrame, bound_us: int):
     """``ts_us > bound`` with the pushable raw-``ts`` phrasing; see
     :func:`ts_us_le`."""
-    dt = _ts_dtype(df)
+    dt = _require_ts_dtype(df)
     if dt in ("bigint", "long"):
         return (F.col("ts") > F.lit(bound_us * 1000 + 999)) & (
             F.col("ts_us") > F.lit(bound_us)

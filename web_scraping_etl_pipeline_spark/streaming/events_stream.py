@@ -29,6 +29,13 @@ from ..sources.star import US_PER_DAY, ts_us_col
 from ..plans.registry import query
 
 
+#: parquet-footer schema per sf_dir - the five streaming queries each
+#: construct a fresh stream, and re-reading the footer every time is a
+#: repeated driver-side file open for a schema that cannot change
+#: within a run.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, normalized to carry
     ``ts_us`` (epoch micros, type-adaptive - see sources.star) and
@@ -36,7 +43,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     file source requires while selecting the single ``events.parquet``
     inside it."""
     configure(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _SCHEMA_CACHE[sf_dir] = schema
     s = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
