@@ -58,6 +58,8 @@ ALLOW = {
     "q99_kmeans_assign": {"nested_loop"},  # k=10 centroid frame
     "q118_equidepth_histogram": {"nested_loop"},  # 1-row cutpoints
     "q132_skew_report": {"nested_loop"},  # 1-row mean-frequency frame
+    "q165_important_parts": {"nested_loop"},  # 1-row revenue threshold
+    "q171_idle_rich_customers": {"nested_loop"},  # 1-row AVG threshold
 }
 
 

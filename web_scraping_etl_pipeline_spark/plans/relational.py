@@ -1109,3 +1109,428 @@ def q163_percent_of_parent(spark, sf_dir):
             F.sum("rev").over(wreg) / F.sum("rev").over(wall), 6
         ).alias("region_share_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q164-q167: the remaining classic TPC-H query *shapes* (Q2/Q11/Q13/Q15),
+# adapted to the driver star schema (no partsupp table: supply facts are
+# derived from lineitem). What matters is the plan form each exercises -
+# correlated aggregate subqueries and their scale-safe decorrelations.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), elig AS (
+      SELECT o.l_partkey, o.l_suppkey, o.price
+      FROM offers o
+      JOIN part p ON p.p_partkey = o.l_partkey AND p.p_size <= 10
+      JOIN supplier s ON s.s_suppkey = o.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+    )
+    SELECT e.l_partkey AS p_partkey, e.l_suppkey AS s_suppkey,
+           ROUND(e.price, 4) AS best_price
+    FROM elig e
+    WHERE e.price = (SELECT MIN(e2.price) FROM elig e2
+                     WHERE e2.l_partkey = e.l_partkey)
+    """,
+)
+def q164_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for every small part, the EUROPE supplier whose
+    observed unit price (min extendedprice/quantity over its lineitems)
+    is the part-wide minimum - the correlated-MIN-subquery pattern.
+
+    Scale: the correlated subquery is decorrelated to one window MIN
+    over the per-(part,supplier) aggregate - a single shuffle on
+    l_partkey shared by the aggregate and the window, instead of the
+    naive re-aggregation per outer row. Part/supplier/nation/region
+    prune before the window so the windowed set is already minimal.
+    The equality filter keeps ties (all suppliers at the minimum), and
+    is exact: MIN selects an existing IEEE value, so both engines
+    compare identical doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("price")
+    )
+    elig = offers.join(
+        F.broadcast(p), offers.l_partkey == p.p_partkey
+    ).join(F.broadcast(euro_supp), offers.l_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        elig.withColumn("best", F.min("price").over(w))
+        .filter(F.col("price") == F.col("best"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("price", 4).alias("best_price"),
+        )
+    )
+
+
+@query(
+    "q165_important_parts",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(rev, 0) AS revenue
+    FROM pr WHERE rev > (SELECT SUM(rev) * 0.0007 FROM pr)
+    """,
+)
+def q165_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    GLOBAL total - a HAVING clause against a scalar aggregate subquery.
+
+    Scale: the per-part aggregate is computed once; the global total is
+    a second aggregation OF THE AGGREGATE (2000 rows at sf0.01, #parts
+    rows generally - never a second scan of the fact), broadcast back
+    as a one-row literal join. Threshold comparisons sit on sums that
+    differ across engines by ~1e-15 relative, so a borderline part
+    could in principle flip - with a 0.1% threshold the margin is ~12
+    orders of magnitude wider than the noise."""
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    total = pr.agg((F.sum("rev") * F.lit(0.0007)).alias("threshold"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("rev") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("rev", 0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q166_order_count_distribution",
+    oracle="""
+    WITH counts AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+)
+def q166_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers - a left join whose filter lives in
+    the ON clause (moving it to WHERE would silently drop the
+    customers the query exists to count), followed by an aggregation
+    of an aggregation.
+
+    Scale: orders shuffles on o_custkey once; the second group-by runs
+    on #customers rows, and the distribution itself is #distinct
+    counts (tiny). The c_count histogram is all-integer, so the oracle
+    comparison is exact."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    ).select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+@query(
+    "q167_top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, ROUND(total_rev, 0) AS total_rev
+    FROM rev WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q167_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue - revenue view + equality against its own MAX, keeping
+    ties (which a LIMIT 1 would silently break).
+
+    Scale: the shipdate band pushes into the parquet scan; the view is
+    one shuffle on l_suppkey; the MAX-of-the-view is a scalar over
+    #suppliers rows broadcast back. Each engine compares its own sums
+    to its own max, so the selected supplier set only diverges if two
+    suppliers sit within float-accumulation distance (~1e-9 relative)
+    of each other."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("total_rev", 0).alias("total_rev"),
+        )
+    )
+
+
+@query(
+    "q168_supplier_part_counts",
+    oracle="""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM supply
+    JOIN part ON p_partkey = l_partkey
+             AND p_size IN (1, 5, 9, 13) AND p_brand <> 'Brand#1'
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p_brand, p_size
+    """,
+)
+def q168_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can source each
+    (brand, size) bucket, excluding a blacklist via NOT IN - the
+    anti-join-inside-an-aggregate pattern (the supply relation is
+    derived from lineitem; the reference schema has no partsupp).
+
+    Scale: the DISTINCT (part, supplier) projection collapses the fact
+    before anything else touches it (the only full-width shuffle);
+    part filters broadcast-prune, the blacklist is a broadcast anti
+    join (NULL-safe NOT IN semantics don't bite here - s_suppkey is a
+    key, never NULL - but anti join is the correct translation when
+    the subquery is null-free). COUNT(DISTINCT) over the pruned set is
+    one Expand of a small input."""
+    li = t(spark, sf_dir, "lineitem")
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "Brand#1")
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            supply.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q169_excess_volume_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey, SUM(qty) AS total, COUNT(*) AS n_supp
+      FROM pq GROUP BY l_partkey
+    )
+    SELECT pq.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+           ROUND(pq.qty / tot.total, 4) AS share
+    FROM pq
+    JOIN tot USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+    WHERE tot.n_supp > 1 AND pq.qty > 0.6 * tot.total
+    """,
+)
+def q169_excess_volume_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: (part, supplier) pairs where one supplier
+    dominated a contested part's yearly volume (>60% of total shipped
+    quantity among 2+ suppliers) - the nested
+    IN-subquery-over-aggregates chain, decorrelated to windows.
+
+    Scale: one shuffle on l_partkey serves the (part, supplier)
+    aggregate and BOTH per-part windows (total and supplier count -
+    no second scan, no re-aggregation); the dominant-pair list then
+    joins the broadcast supplier dim for names. Quantities are
+    integral doubles, so sums and the 60% threshold compare exactly
+    across engines. (Pairs, not just supplier ids: the dim has 100
+    rows, so a supplier-level projection saturates and verifies
+    nothing.)"""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pq.withColumn("total", F.sum("qty").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter(
+            (F.col("n_supp") > 1) & (F.col("qty") > 0.6 * F.col("total"))
+        )
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.join(
+            F.broadcast(s), dominant.l_suppkey == s.s_suppkey
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("qty") / F.col("total"), 4).alias("share"),
+        )
+    )
+
+
+@query(
+    "q170_blamed_suppliers",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ), agg AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS blamed
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT blamed AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_blamed_orders
+    FROM agg WHERE n_supp > 1 AND n_late = 1
+    GROUP BY blamed
+    """,
+)
+def q170_blamed_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the supplier solely responsible for a
+    multi-supplier order shipping late - EXISTS (another supplier in
+    the order) AND NOT EXISTS (another LATE supplier), decorrelated to
+    conditional aggregates per order instead of two correlated
+    self-joins of the fact.
+
+    Scale: the naive translation self-joins lineitem twice (EXISTS +
+    NOT EXISTS); this form pays one orderkey shuffle, reduces each
+    order to (n_supp, n_late, blamed) in a partial-agg-friendly pass,
+    and filters on the tiny per-order summary. 'Late' is shipdate
+    more than 90 days after the order date (the schema carries no
+    commit/receipt dates)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "blamed"
+        ),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy(F.col("blamed").alias("s_suppkey"))
+        .agg(F.count("*").alias("n_blamed_orders"))
+    )
+
+
+@query(
+    "q171_idle_rich_customers",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c_acctbal), 0) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+          )
+      AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+          )
+    GROUP BY n_name
+    """,
+)
+def q171_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    order (lapsed accounts), rolled up by nation (standing in for the
+    phone-prefix grouping) - scalar AVG subquery + NOT-IN anti join in
+    one query. (The recency cutoff replaces Q22's never-ordered test:
+    this dataset gives every customer at least one lifetime order, so
+    the literal translation returns an empty - unverifiable - set.)
+
+    Scale: the AVG threshold is a one-row broadcast; the lapsed test
+    is an anti join against the date-pruned orders key projection
+    (the cutoff pushes into the scan; only custkeys shuffle); nation
+    is a broadcast dim. The threshold compare sits ~12 orders of
+    magnitude above cross-engine float noise."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("2000-06-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("thr")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 0).alias("total_bal"),
+        )
+    )
