@@ -60,6 +60,7 @@ ALLOW = {
     "q132_skew_report": {"nested_loop"},  # 1-row mean-frequency frame
     "q165_important_parts": {"nested_loop"},  # 1-row revenue threshold
     "q171_idle_rich_customers": {"nested_loop"},  # 1-row AVG threshold
+    "q175_vocab_coverage": {"nested_loop"},  # 4-row coverage targets
 }
 
 

@@ -1964,3 +1964,102 @@ def q160_rfm_segmentation(spark, sf_dir):
         m.cast("long").alias("m_score"),
         F.concat_ws("-", r, fq, m).alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172/q174: time-RANGE window frames and incremental aggregate merge
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_time_range_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 4) AS hourly_avg,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_in_window
+    FROM events
+    """,
+)
+def q172_time_range_moving_avg(spark, sf_dir):
+    """Time-based RANGE window frame: each event's trailing-one-hour
+    average over an IRREGULAR event series - the frame is bounded by
+    event-time distance, not row count (q59's ROWS frame is the
+    row-count twin). Peers at the same timestamp enter the frame
+    together in both engines, which is what makes the result
+    well-defined under ties.
+
+    Scale: one shuffle on user_id + an in-partition sort on ts_us;
+    Spark evaluates the sliding RANGE frame incrementally (two
+    pointers over the sorted run), never materializing per-row frame
+    copies. The frame bound is integer micros on ts_us, so the
+    semantics are tz-free and exact."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.avg("value").over(w), 4).alias("hourly_avg"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
+@query(
+    "q174_partial_agg_merge",
+    oracle=f"""
+    SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+    FROM events GROUP BY day_idx, event_type
+    """,
+)
+def q174_partial_agg_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: the daily rollup is
+    produced by MERGING two independently-computed partial aggregates
+    (history: ts < anchor; delta: ts >= anchor) instead of
+    re-aggregating the raw history - sum the counts, sum the sums,
+    and derive AVG from the merged pair (never average averages). The
+    oracle is the full recompute, pinning the algebraic-merge
+    equivalence.
+
+    Scale: THE incremental pattern for a 100 TB fact with a daily
+    arrival slice - history partials are a compact table keyed by
+    (day, type) that is never rebuilt; each batch aggregates only its
+    delta and merges in O(|partials|). The merge is a union + one
+    re-aggregation of two already-aggregated inputs (kilobytes), and
+    both partials push their time-slice predicate into the scan."""
+    ev = t(spark, sf_dir, "events")
+    day_idx = F.floor(
+        (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000)
+    ).alias("day_idx")
+
+    def partial(df):
+        return df.groupBy(day_idx, "event_type").agg(
+            F.count("*").alias("cnt"), F.sum("value").alias("sv")
+        )
+
+    from ..sources.star import ANCHOR_US
+
+    history = partial(ev.filter(F.col("ts_us") < ANCHOR_US))
+    delta = partial(ev.filter(F.col("ts_us") >= ANCHOR_US))
+    return (
+        history.unionByName(delta)
+        .groupBy("day_idx", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+            F.round(F.sum("sv") / F.sum("cnt"), 4).alias("avg_value"),
+        )
+    )

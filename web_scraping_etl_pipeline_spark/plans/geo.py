@@ -1,0 +1,169 @@
+"""Geospatial operators: grid-bucketed distance joins.
+
+The reference has no spatial surface; this is the engine-side extension
+for the "find nearby entities" query family (store/user proximity,
+dedup of near-identical geotagged records). The scale problem is the
+join shape: a distance predicate is not an equi-join key, and the naive
+translation is an all-pairs cross join - quadratic in rows. The
+scale-safe form bucketizes points into a fixed lat/lon grid sized so
+that any pair within the distance threshold falls in the same or an
+adjacent cell, explodes ONE side to its 3x3 cell neighborhood, and
+equi-joins on the cell id - exactly the LSH-banding trade expressed in
+geometry: candidate generation by equi-join, exact verification by
+haversine on the bounded candidate set.
+
+Coordinates are derived deterministically from the user id via the
+cross-engine md5 bridge (plans/registry.py) - the driver star schema
+carries no native lat/lon - so both engines see identical doubles and
+the oracle can brute-force the same point set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import t
+from .registry import query
+
+#: haversine sphere radius (km), IUGG mean Earth radius.
+_R_KM = 6371.0088
+
+#: distance threshold (km) and grid cell size (degrees). 0.5 deg of
+#: latitude is ~55.6 km >= 25 km, and 0.5 deg of longitude at the
+#: band's top latitude (50 deg, cos = 0.643) is ~35.7 km >= 25 km, so
+#: every qualifying pair is same-cell or adjacent-cell and the 3x3
+#: neighborhood join has perfect recall.
+_DIST_KM = 25.0
+_CELL_DEG = 0.5
+
+#: cross-engine md5 60-bit bridge (see plans/registry.py).
+_H60_SQL = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+#: derived point cloud: 150-ish users spread over a 10x10 degree box
+#: (lat 40..50, lon -5..5).
+_POINTS_SQL = f"""
+    points AS (
+      SELECT user_id,
+             40.0 + ({_H60_SQL} % 1000000) / 100000.0 AS lat,
+             -5.0 + (({_H60_SQL} // 1000000) % 1000000) / 100000.0 AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+"""
+
+
+def _points(spark, sf_dir):
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.lit(40.0) + (h % 1_000_000) / 100_000.0).alias("lat"),
+            (
+                F.lit(-5.0) + ((h / F.lit(1_000_000)).cast("bigint") % 1_000_000) / 100_000.0
+            ).alias("lon"),
+        )
+    )
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return 2 * _R_KM * F.asin(F.sqrt(a))
+
+
+@query(
+    "q173_geo_grid_join",
+    oracle=f"""
+    WITH {_POINTS_SQL}
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           ROUND(2 * {_R_KM} * ASIN(SQRT(
+             SIN(RADIANS(b.lat - a.lat) / 2) ^ 2
+             + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+               * SIN(RADIANS(b.lon - a.lon) / 2) ^ 2
+           )), 3) AS dist_km
+    FROM points a JOIN points b ON a.user_id < b.user_id
+    WHERE 2 * {_R_KM} * ASIN(SQRT(
+            SIN(RADIANS(b.lat - a.lat) / 2) ^ 2
+            + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+              * SIN(RADIANS(b.lon - a.lon) / 2) ^ 2
+          )) <= {_DIST_KM}
+    """,
+)
+def q173_geo_grid_join(spark, sf_dir):
+    """All point pairs within 25 km, via the grid-bucketed spatial
+    join. One side is exploded to its 3x3 cell neighborhood and
+    equi-joined on cell id; the haversine predicate then verifies the
+    bounded candidate set. The oracle brute-forces the same point
+    cloud all-pairs, so a hash match also proves the grid's recall is
+    exactly 1 (no qualifying pair escapes the neighborhood).
+
+    Scale: the naive form is O(N^2) across the cluster; this form
+    shuffles each point at most 10x (1 home cell + 9 neighbor
+    replicas) and joins per cell, so cost is sum of per-cell products
+    - linear for any bounded point density. Skewed cells (a dense
+    city) are ordinary hot keys: AQE skew-join or finer cells handle
+    them, the algorithm is unchanged. Each qualifying pair appears
+    exactly once because only the LEFT side replicates (the right
+    side keeps its single home cell)."""
+    pts = _points(spark, sf_dir)
+    cx = F.floor(F.col("lon") / _CELL_DEG)
+    cy = F.floor(F.col("lat") / _CELL_DEG)
+    home = pts.select(
+        "user_id", "lat", "lon", cx.alias("cx"), cy.alias("cy")
+    )
+    neigh = (
+        home.select(
+            F.col("user_id").alias("user_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            F.explode(
+                F.array(*[F.lit(d) for d in (-1, 0, 1)])
+            ).alias("dx"),
+            "cx",
+            "cy",
+        )
+        .select(
+            "user_a",
+            "lat_a",
+            "lon_a",
+            (F.col("cx") + F.col("dx")).alias("jcx"),
+            F.explode(
+                F.array(*[F.lit(d) for d in (-1, 0, 1)])
+            ).alias("dy"),
+            "cy",
+        )
+        .select(
+            "user_a",
+            "lat_a",
+            "lon_a",
+            "jcx",
+            (F.col("cy") + F.col("dy")).alias("jcy"),
+        )
+    )
+    right = home.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    dist = _haversine_km(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    return (
+        neigh.join(right, ["jcx", "jcy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= _DIST_KM)
+        .select(
+            "user_a", "user_b", F.round("dist_km", 3).alias("dist_km")
+        )
+    )

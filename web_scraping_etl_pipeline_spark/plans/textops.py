@@ -367,3 +367,76 @@ def q77_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "q175_vocab_coverage",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM freq
+    )
+    SELECT CAST(t.target AS DOUBLE) AS target,
+           CAST(MIN(r.rnk) AS BIGINT) AS vocab_size,
+           ROUND(ARG_MIN(r.cum, r.rnk) / CAST(MAX(r.total) AS DOUBLE), 6)
+             AS covered_share
+    FROM ranked r
+    JOIN (VALUES (0.50), (0.75), (0.90), (0.95)) AS t(target)
+      ON r.cum >= CAST(t.target AS DOUBLE) * r.total
+    GROUP BY t.target
+    """,
+)
+def q175_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary sizing: the minimal vocab (most-frequent
+    tokens first, ties broken lexically) that covers 50/75/90/95% of
+    all corpus token occurrences - the curve a tokenizer team reads
+    before fixing a vocab size budget.
+
+    Scale: token frequency is one shuffle with map-side combine; the
+    ranking window runs over the VOCABULARY (~sqrt-ish of corpus size
+    by Heaps' law, millions of rows at 100 TB - one node's work, and
+    band-partitioned two-phase cumsum is the swap-in past that). The
+    4-row target frame joins on an inequality, which is a broadcast
+    nested loop - bounded by 4 x |vocab|, i.e. a map stage, not a
+    quadratic join."""
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    ).withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    targets = spark.createDataFrame(
+        [(0.50,), (0.75,), (0.90,), (0.95,)], "target double"
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            F.col("cum") >= F.col("target") * F.col("total"),
+        )
+        .groupBy("target")
+        .agg(
+            F.min("rnk").alias("vocab_size"),
+            F.round(
+                F.min_by("cum", "rnk") / F.max("total").cast("double"), 6
+            ).alias("covered_share"),
+        )
+    )
