@@ -37,6 +37,8 @@ STREAMING = {
     "q37_stateful_user_profiles",
     "q71_stream_sliding_finalized",
     "q115_stream_stream_join",
+    "q145_stream_dedup",
+    "q176_stream_static_join",
 }
 
 FLAG_PATTERNS = {

@@ -1,0 +1,209 @@
+"""Graph analytics over relational facts: iterative fixed-point
+(PageRank) and pattern counting (triangles).
+
+The graph is derived, not stored: nation-level trade edges are
+aggregated from the lineitem->supplier/orders->customer join (the q97
+role-playing-dimension shape), then the graph algorithms run on the
+25-node edge list. That mirrors the 100 TB deployment: the expensive
+part is the ONE aggregation that collapses billions of fact rows into
+a bounded edge list; the iterations then run on edges, never on facts.
+
+Iteration strategy (PageRank): a driver-side loop over DataFrame
+joins - each pass is ranks JOIN edges -> groupBy(dst) - with the
+classic caveats handled the way a cluster job would: the edge list is
+persisted once (reused every pass), and lineage is cut per iteration
+(``localCheckpoint``) so the plan does not grow exponentially with
+iteration count. Dedup's connected components (plans/dedup.py q78)
+uses the same pattern for label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import shared_stage, t
+from .registry import query
+
+_DAMP = 0.85
+_ITERS = 3
+
+#: directed weighted edge list: supplier nation -> customer nation,
+#: weight = discounted trade volume; self-loops dropped.
+_EDGES_SQL = """
+    edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             SUM(l_extendedprice * (1 - l_discount)) AS w
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_nationkey <> cn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    outw AS (SELECT src, SUM(w) AS total FROM edges GROUP BY src)
+"""
+
+#: one unrolled PageRank pass: r{k} from r{k-1}. The oracle unrolls
+#: _ITERS of these (DuckDB has no loop construct; the unrolled CTE
+#: chain IS the spec of the driver-side loop).
+_PASS_SQL = """
+    r{k} AS (
+      SELECT n.node,
+             (1 - 0.85) / (SELECT COUNT(*) FROM nodes)
+             + 0.85 * COALESCE(SUM(p.pr * e.w / o.total), 0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{prev} p ON p.node = e.src
+      LEFT JOIN outw o ON o.src = e.src
+      GROUP BY n.node
+    )
+"""
+
+
+def _edges(spark, sf_dir):
+    def build():
+        li = t(spark, sf_dir, "lineitem")
+        s = t(spark, sf_dir, "supplier")
+        o = t(spark, sf_dir, "orders")
+        c = t(spark, sf_dir, "customer")
+        n = t(spark, sf_dir, "nation")
+        sn = n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("src"),
+        )
+        cn = n.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("dst"),
+        )
+        return (
+            li.join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("w")
+            )
+        )
+
+    return shared_stage(spark, sf_dir, "trade_edges", build)
+
+
+@query(
+    "q177_pagerank",
+    oracle="WITH "
+    + _EDGES_SQL
+    + ", r0 AS (SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS pr"
+    "             FROM nodes),"
+    + ",".join(
+        _PASS_SQL.format(k=k, prev=k - 1) for k in range(1, _ITERS + 1)
+    )
+    + f"""
+    SELECT node, ROUND(pr, 6) AS pagerank
+    FROM r{_ITERS}
+    """,
+)
+def q177_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 3 synchronous iterations, uniform init)
+    over the nation trade graph - the iterative-fixed-point operator
+    family, spec'd by the oracle as an unrolled CTE chain.
+
+    Scale: facts collapse to the edge list ONCE (persisted via
+    shared_stage); each iteration is edges JOIN ranks (a join on the
+    rank side's key) + one aggregation on dst - cost proportional to
+    |edges|, independent of the fact tables. ``localCheckpoint``
+    truncates lineage each pass so plan size stays constant in the
+    iteration count (without it, iteration k replans k copies of the
+    whole upstream DAG). Dangling-mass redistribution is omitted on
+    both sides alike (documented simplification; the oracle IS the
+    spec)."""
+    edges = _edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
+    contrib_edges = F.broadcast(
+        edges.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("total")).alias("share")
+        )
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(_ITERS):
+        contribs = (
+            contrib_edges.join(
+                ranks, contrib_edges.src == ranks.node
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - _DAMP) / n_nodes)
+                    + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+@query(
+    "q178_triangle_count",
+    oracle="WITH "
+    + _EDGES_SQL
+    + """
+    , und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q178_triangle_count(spark, sf_dir):
+    """Triangle counting on the undirected trade graph: canonicalize
+    edges to (a < b), then the two-join edge-iterator pattern - e1
+    (a,b), e2 (b,c), closing edge (a,c) - so each triangle is counted
+    exactly once in its sorted orientation.
+
+    Scale: the canonical a<b orientation IS the classic degree-style
+    pruning trick's cheap cousin: every wedge is enumerated once, not
+    six times. Cost is dominated by the wedge join (e1.b = e2.a); on a
+    skewed graph the hub vertex's wedge count is the hot key, handled
+    by AQE skew splitting, and the closing-edge join is a semi-join
+    against the (broadcastable) edge list."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = und.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    wedges = e1.join(e2, e1.b == e2.b2)
+    closed = wedges.join(
+        e3, (wedges.a == e3.a3) & (wedges.c == e3.c3), "left_semi"
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))

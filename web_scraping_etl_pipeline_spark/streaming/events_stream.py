@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import configure
 from ..sources.star import US_PER_DAY, ts_us_col
+from ..plans.common import t
 from ..plans.registry import query
 
 
@@ -315,3 +316,39 @@ def q145_stream_dedup(spark, sf_dir):
         .select("user_id", "event_type", "day_idx")
     )
     return _run_to_sink(s, spark, "q145")
+
+
+@query(
+    "q176_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           ROUND(e.value, 6) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value > 50
+    """,
+)
+def q176_stream_static_join(spark, sf_dir):
+    """Stream-STATIC enrichment join: the streaming fact joins a batch
+    dimension (customer keyed by user_id) inside the micro-batch - the
+    canonical "enrich events with a slowly-changing dim" deployment.
+    Stateless per-row enrichment keeps append mode emitting each match
+    exactly once, so the drained sink equals the batch join and the
+    oracle stays exact.
+
+    Scale: the static side is planned per micro-batch, so Spark
+    broadcast-hash-joins it when small (here) and re-resolves it every
+    trigger - a dim refresh lands without restarting the stream. No
+    state store is involved (unlike q115's stream-stream join): the
+    static side is re-read, not buffered, which is what makes this
+    join shape safe at any stream length."""
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    s = _stream_events(spark, sf_dir).filter(F.col("value") > 50)
+    out = s.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "c_mktsegment",
+        F.round("value", 6).alias("value"),
+    )
+    return _run_to_sink(out, spark, "q176")
