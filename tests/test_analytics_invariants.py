@@ -99,9 +99,7 @@ def test_kmeans_assignment_is_at_least_own_label_similarity(spark):
         .join(F.broadcast(cent), F.col("label") == F.col("c_label"))
         .select(
             "vec_id",
-            F.round(_dot(F.col("embedding"), F.col("cvec")), 5).alias(
-                "own_sim"
-            ),
+            F.round(_dot("embedding", "cvec"), 5).alias("own_sim"),
         )
     )
     j = assign.join(own, "vec_id")

@@ -495,7 +495,7 @@ def q47_embedding_neardup(spark, sf_dir):
         F.col("embedding").alias("eb"),
         "bucket",
     )
-    dp = _dot(F.col("ea"), F.col("eb"))
+    dp = _dot("ea", "eb")
     return (
         x.join(y, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -36,25 +36,28 @@ LSH_DIMS = (1, 17, 33, 49)
 DIM = 64
 
 
-def _dot(a: Column, b: Column, dim: int = DIM) -> Column:
-    """f64 dot product of two float arrays, summed in index order.
+def _dot(a: str, b: str, dim: int = DIM) -> Column:
+    """f64 dot product of two float arrays (given as SQL expressions),
+    summed in index order.
 
     Unrolled into a plain 64-term expression instead of a
     ``zip_with`` + ``aggregate`` fold: higher-order-function lambdas
     evaluate on the interpreted path and drag the whole enclosing
     projection out of whole-stage codegen - on a billion-vector scan
     that is the difference between a vectorized codegen loop and
-    per-element interpreted eval.  Left-to-right addition preserves the
-    fold's summation order, so results are bit-identical."""
-    terms = [
-        F.element_at(a, i + 1).cast("double")
-        * F.element_at(b, i + 1).cast("double")
-        for i in range(dim)
-    ]
-    out = terms[0]
-    for term in terms[1:]:
-        out = out + term
-    return out
+    per-element interpreted eval.  Built as ONE ``F.expr`` string
+    rather than 64 nested Column operations: each Column operator is a
+    Py4J round-trip, and the 256-call construction measurably costs
+    seconds of DRIVER time per query (the plan, not the data, was the
+    bottleneck - profiled at sf0.1). SQL ``+`` parses left-associative,
+    preserving the fold's summation order, so results stay
+    bit-identical."""
+    expr = " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(expr)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str):
@@ -63,8 +66,15 @@ def _query_vec(spark: SparkSession, sf_dir: str):
     return row["embedding"]
 
 
-def _qlit(vec) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+def _qlit_sql(vec) -> str:
+    """SQL array literal for a query vector; string-parsed doubles
+    (repr round-trips exactly), one expression instead of 64 lit()
+    Py4J calls."""
+    return (
+        "array("
+        + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vec)
+        + ")"
+    )
 
 
 _ORACLE_DOT = f"""
@@ -97,7 +107,7 @@ def q50_cosine_topk(spark, sf_dir):
     baseline every ANN variant is measured against."""
     qv = _query_vec(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
-    sim = F.round(_dot(F.col("embedding"), _qlit(qv)), 6).alias("cos_sim")
+    sim = F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("cos_sim")
     return (
         emb.select("vec_id", sim)
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -156,7 +166,7 @@ def q51_ann_lsh_topk(spark, sf_dir):
     qb = sum((1 << i) for i, d in enumerate(LSH_DIMS) if float(qv[d - 1]) > 0.0)
     emb = t(spark, sf_dir, "embeddings")
     cand = emb.filter(_bucket_expr(F.col("embedding")) == F.lit(qb))
-    sim = F.round(_dot(F.col("embedding"), _qlit(qv)), 6).alias("cos_sim")
+    sim = F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("cos_sim")
     return (
         cand.select("vec_id", sim)
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -179,7 +189,7 @@ def q52_vector_norms(spark, sf_dir):
     """L2 norms (the denominator a general cosine needs) - pure map."""
     emb = t(spark, sf_dir, "embeddings")
     norm = F.round(
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 6
+        F.sqrt(_dot("embedding", "embedding")), 6
     ).alias("l2_norm")
     return emb.select(
         "vec_id", norm, F.size("embedding").cast("long").alias("dim")
@@ -256,7 +266,7 @@ def q54_ivf_topk(spark, sf_dir):
     is written partitioned by list id and this is partition pruning,
     exactly like q51's sign-bucket variant."""
     qv = _query_vec(spark, sf_dir)
-    qlit = _qlit(qv)
+    qlit = F.expr(_qlit_sql(qv))
     emb = t(spark, sf_dir, "embeddings")
     cent = emb.select("label", F.posexplode("embedding").alias("d", "val"))
     cdot = (
@@ -273,7 +283,7 @@ def q54_ivf_topk(spark, sf_dir):
         r["label"]
         for r in cdot.orderBy(F.desc("cdp"), F.asc("label")).limit(NPROBE).collect()
     ]
-    sim = F.round(_dot(F.col("embedding"), qlit), 6).alias("cos_sim")
+    sim = F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("cos_sim")
     return (
         emb.filter(F.col("label").isin(probed))
         .select("vec_id", sim)
@@ -339,7 +349,7 @@ def q99_kmeans_assign(spark, sf_dir):
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "c_label",
-        _dot(F.col("embedding"), F.col("cvec")).alias("dp"),
+        _dot("embedding", "cvec").alias("dp"),
     )
     ordk = F.struct(F.col("dp"), F.col("c_label"))
     return scored.groupBy("vec_id").agg(
@@ -539,7 +549,7 @@ def q156_quantized_rerank(spark, sf_dir):
         .select(
             "vec_id",
             "approx_sim",
-            F.round(_dot(F.col("embedding"), _qlit(qv)), 6).alias("cos_sim"),
+            F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("cos_sim"),
         )
     )
     return exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
@@ -586,17 +596,19 @@ def q157_random_projection(spark, sf_dir):
     projection swaps the literal coefficients for a broadcast matrix
     with the same plan."""
     emb = t(spark, sf_dir, "embeddings")
+    # one F.expr string per projection, not 64 nested Column ops each:
+    # the 512-operator construction costs ~5s of driver-side Py4J
+    # round-trips (measured at sf0.1) while the actual execution is
+    # milliseconds; SQL + is left-associative so summation order (and
+    # bit-exactness vs the oracle) is unchanged.
     cols = []
     for j in range(RP_DIM):
-        terms = [
-            F.element_at(F.col("embedding"), i + 1).cast("double")
-            * F.lit(float(_rp_coeff(i, j)))
+        expr = " + ".join(
+            f"(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            f" * {float(_rp_coeff(i, j))!r}D)"
             for i in range(DIM)
-        ]
-        out = terms[0]
-        for term in terms[1:]:
-            out = out + term
-        cols.append(F.round(out, 6).alias(f"p{j}"))
+        )
+        cols.append(F.round(F.expr(expr), 6).alias(f"p{j}"))
     return emb.select("vec_id", *cols)
 
 
@@ -649,7 +661,15 @@ def q158_knn_graph(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
     )
-    a = emb.select(
+    # The probe side is split to full parallelism: the test file is one
+    # row group and the small build side broadcast-joins, so without
+    # this the ENTIRE pair-generation + dot-product map runs in the
+    # scan's single task (measured: the whole query serialized on one
+    # core). On a real multi-split table this repartition is a no-op
+    # cost-wise; the per-pair work is what dominates either way.
+    a = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("ea"),
         "bucket",
@@ -665,7 +685,7 @@ def q158_knn_graph(spark, sf_dir):
         .select(
             "src",
             "dst",
-            F.round(_dot(F.col("ea"), F.col("eb")), 6).alias("sim"),
+            F.round(_dot("ea", "eb"), 6).alias("sim"),
         )
     )
     from pyspark.sql import Window
