@@ -53,11 +53,14 @@ CURATED_PREFIX = [
     "q07_incremental_newer", "q08_sentinel_null", "q09_cast_round",
     "q10_remaining_buckets", "q11_clean_title", "q12_clean_salary",
     "q13_calculate_dates", "q36_localize_tz",
-    # relational: join shapes, windows, rollup, sessionization, set op
+    # relational: join shapes, windows, sessionization (set ops /
+    # rollup / running-sum were driver-verified green in round 2 and
+    # rotate out in favor of never-gated families; geo / graph /
+    # RANGE-frame rotate in)
     "q14_pricing_summary", "q17_nation_revenue", "q18_big_spenders",
     "q19_customers_without_orders", "q20_latest_order_per_customer",
-    "q21_running_user_value", "q22_set_union",
-    "q26_region_nation_rollup", "q28_user_sessions",
+    "q172_time_range_moving_avg", "q173_geo_grid_join",
+    "q177_pagerank", "q28_user_sessions",
     # dedup: the full LSH chain + simhash + embedding near-dup
     "q43_lsh_candidate_pairs", "q46_lsh_verified_jaccard",
     "q45_simhash", "q47_embedding_neardup", "q78_dedup_clusters",

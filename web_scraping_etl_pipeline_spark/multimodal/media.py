@@ -259,7 +259,7 @@ def q62_media_embedding_join(spark, sf_dir):
     # form ran this projection interpreted.
     from ..plans.vectors import _dot
 
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norm = F.sqrt(_dot("embedding", "embedding"))
     return d.join(emb, d["media_id"] == emb["vec_id"]).select(
         "media_id", "media_type", "label", F.round(norm, 4).alias("emb_norm")
     )

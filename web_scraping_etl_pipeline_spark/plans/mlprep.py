@@ -756,3 +756,166 @@ def q151_heavy_hitters(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > F.lit(total) / F.lit(float(k)))
     )
+
+
+# ---------------------------------------------------------------------------
+# q180/q181: corpus boilerplate removal and mixture weighting
+# ---------------------------------------------------------------------------
+
+#: fixed-width token chunks standing in for "lines" (the synthetic
+#: corpus has no newline structure); a chunk repeated across >= _BP_K
+#: distinct docs is boilerplate (CCNet-style line dedup).
+_CHUNK_W = 3
+_BP_K = 3
+
+#: Spark-SQL twin of textops._TOKENS_SQL (same tokenization, Spark
+#: split syntax) for use inside F.expr strings.
+_SPARK_TOKS = "split(trim(lower(text)), '\\\\s+')"
+
+_CHUNKS_SQL = f"""
+    toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(tk, i * {_CHUNK_W} + 1,
+                          i * {_CHUNK_W} + {_CHUNK_W}), ' ') AS chunk
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(tk) / {_CHUNK_W}.0) AS BIGINT)))
+             r(i)
+    ),
+    freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks
+      GROUP BY chunk
+    )
+"""
+
+
+@query(
+    "q180_line_dedup",
+    oracle="WITH "
+    + _CHUNKS_SQL
+    + f"""
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd >= {_BP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           ROUND(SUM(CASE WHEN f.nd < {_BP_K} THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS kept_ratio
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def q180_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup audit: segment every document into
+    fixed-width token chunks (the corpus' stand-in for lines), count
+    how many distinct documents each chunk appears in, and report per
+    document how much of it is corpus-boilerplate (chunk shared by >=
+    3 docs) vs kept. The actual filter step is this plan plus one
+    array_join of the kept chunks - the audit IS the expensive part.
+
+    Scale: the chunk relation is linear in corpus tokens; the
+    frequency pass is one shuffle on chunk text (map-side combined
+    after the per-doc DISTINCT), and the join-back is chunk-keyed. At
+    100 TB chunk text is hashed to a 64-bit key before the shuffle
+    (collision-safe for counting at these cardinalities), which this
+    plan would adopt by wrapping the chunk in xxhash64 - same shape,
+    narrower shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size({_SPARK_TOKS}) "
+                f"/ {_CHUNK_W}.0) AS INT) - 1), "
+                f"i -> array_join(slice({_SPARK_TOKS}, "
+                f"i * {_CHUNK_W} + 1, {_CHUNK_W}), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("nd") >= _BP_K).cast("long")).alias(
+                "n_boilerplate"
+            ),
+            F.round(
+                F.sum((F.col("nd") < _BP_K).cast("long"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+@query(
+    "q181_mixture_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    tw AS (
+      SELECT source, n_docs,
+             1.0 + ({_h60_sql("source")} % 5) AS raw_w
+      FROM counts
+    ),
+    norm AS (
+      SELECT source, n_docs,
+             raw_w / SUM(raw_w) OVER () AS target_share,
+             SUM(n_docs) OVER () AS total
+      FROM tw
+    )
+    SELECT source, n_docs,
+           ROUND(target_share, 6) AS target_share,
+           ROUND(LEAST(1.0, target_share * total / n_docs), 6)
+             AS accept_rate,
+           CAST(ROUND(LEAST(1.0, target_share * total / n_docs)
+                      * n_docs, 0) AS BIGINT) AS expected_kept
+    FROM norm
+    """,
+)
+def q181_mixture_weights(spark, sf_dir):
+    """Training-mixture weighting: given a target share per source
+    (deterministic weights standing in for the curated mixture a data
+    team hands down), compute each source's downsampling acceptance
+    rate and expected surviving docs - the planning step before a
+    weighted-sample job (q105 executes the sampling side).
+
+    Scale: one aggregate over the corpus (source cardinality is tiny),
+    then window normalization over the per-source table - everything
+    after the first shuffle is effectively free; the rates are then
+    broadcast into the actual sampling pass."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    raw_w = (
+        F.lit(1.0) + (_h60(F.col("source")) % 5).cast("double")
+    ).alias("raw_w")
+    w_all = Window.partitionBy()
+    norm = counts.select("source", "n_docs", raw_w).select(
+        "source",
+        "n_docs",
+        (F.col("raw_w") / F.sum("raw_w").over(w_all)).alias(
+            "target_share"
+        ),
+        F.sum("n_docs").over(w_all).alias("total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("target_share") * F.col("total") / F.col("n_docs"),
+    )
+    return norm.select(
+        "source",
+        "n_docs",
+        F.round("target_share", 6).alias("target_share"),
+        F.round(rate, 6).alias("accept_rate"),
+        F.round(rate * F.col("n_docs"), 0)
+        .cast("long")
+        .alias("expected_kept"),
+    )

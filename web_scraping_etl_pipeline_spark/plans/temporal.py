@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import EVENTS_EPOCH_US, US_PER_DAY, t
+from .common import ANCHOR_US, EVENTS_EPOCH_US, US_PER_DAY, t
 from .registry import query
 
 #: range-join window half-width: 6 hours in microseconds.
@@ -946,4 +946,72 @@ def q161_time_to_convert(spark, sf_dir):
         (F.col("first_purchase_us") - F.col("first_view_us")).alias(
             "convert_us"
         ),
+    )
+
+
+@query(
+    "q179_scd2_asof_snapshot",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    rn AS (
+      SELECT user_id, event_type, ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts_us, event_id) AS island
+      FROM ev
+    ),
+    runs AS (
+      SELECT user_id, event_type, island,
+             MIN(ts_us) AS valid_from_us
+      FROM rn GROUP BY user_id, event_type, island
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS BIGINT)
+               AS version,
+             valid_from_us,
+             LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from_us)
+               AS valid_to_us
+      FROM runs
+    )
+    SELECT user_id, event_type AS state_asof, version, valid_from_us
+    FROM hist
+    WHERE valid_from_us <= {ANCHOR_US}
+      AND (valid_to_us IS NULL OR valid_to_us > {ANCHOR_US})
+    """,
+)
+def q179_scd2_asof_snapshot(spark, sf_dir):
+    """Point-in-time (AS OF) reconstruction over the SCD2 history: the
+    version of every user's state whose validity interval contains the
+    anchor timestamp - the time-travel read a warehouse runs against a
+    type-2 dimension ("what did we believe about each user on Jan
+    15?"). Exactly one row per user active before the anchor, by the
+    intervals' half-open disjointness (pinned in
+    tests/test_new_ops_invariants-style checks for q88).
+
+    Scale: the history build is q88's gaps-and-islands pass (one
+    user_id shuffle); the AS OF filter is a predicate on the
+    materialized history, and on a real deployment the history table
+    is stored partitioned/z-ordered on (valid_from, valid_to) so the
+    snapshot reads only overlapping files. Looking up a dim state at
+    EACH FACT's event time (rather than one global anchor) is the same
+    history joined through q56's bucketized range-join shape."""
+    hist = q88_scd2_history(spark, sf_dir)
+    return hist.filter(
+        (F.col("valid_from_us") <= F.lit(ANCHOR_US))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("valid_to_us") > F.lit(ANCHOR_US))
+        )
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state_asof"),
+        "version",
+        "valid_from_us",
     )

@@ -124,3 +124,82 @@ def read_bronze_evolved(spark: SparkSession, bronze_path: str) -> DataFrame:
     NULLs. This is the scan-side half of additive schema evolution; the
     write side needs no migration (old partitions stay as written)."""
     return spark.read.option("mergeSchema", "true").parquet(bronze_path)
+
+
+def compact_bronze_partition(
+    spark: SparkSession,
+    bronze_path: str,
+    ingest_date: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for one bronze partition: rewrite the
+    partition's many appended files (one per micro-batch/task) into
+    ``ceil(rows / target_rows_per_file)`` files, preserving every row.
+
+    Why it exists: a daily-append bronze accumulates files at the rate
+    of batches x tasks; at 100 TB a year of appends is millions of
+    small files, and scan cost becomes file-open cost (footer reads,
+    listing, scheduling) instead of bytes. Periodic compaction is the
+    maintenance primitive every lake format automates; on plain
+    parquet it is "read partition, coalesce, dynamic-overwrite that
+    partition" - the overwrite commits atomically per partition
+    directory, so readers never see a partial partition, and a rerun
+    is idempotent (same rows in, same rows out).
+
+    ``coalesce`` (not ``repartition``): compaction must not shuffle -
+    it narrows existing tasks into fewer output files; row order
+    within the partition is not part of the bronze contract. Returns
+    the number of output files requested."""
+    part_path = f"{bronze_path}/ingest_date={ingest_date}"
+    part = spark.read.parquet(part_path)
+    n_rows = part.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    (
+        part.withColumn("ingest_date", F.lit(ingest_date))
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_date")
+        .parquet(bronze_path)
+    )
+    return n_files
+
+
+def collect_stats(df: DataFrame) -> dict:
+    """ANALYZE-style table statistics in ONE distributed pass: row
+    count plus per-column null count, approximate NDV (HLL++), and
+    min/max for orderable columns - the inputs a cost-based optimizer
+    (and a human debugging a bad plan) needs.
+
+    Single-pass shape: one aggregate with 3-4 expressions per column,
+    all map-side combinable - never one job per column (the naive
+    ANALYZE loop reads the table N_cols times; this reads it once).
+    approx_count_distinct keeps the pass shuffle-light at 100 TB where
+    exact NDV would carry every distinct value to one place."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    orderable = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "date", "timestamp", "timestamp_ntz", "string",
+    }
+    for name, dtype in df.dtypes:
+        base = dtype.split("(")[0]
+        aggs.append(
+            F.sum(F.col(name).isNull().cast("long")).alias(f"__nulls__{name}")
+        )
+        aggs.append(
+            F.approx_count_distinct(name).alias(f"__ndv__{name}")
+        )
+        if base in orderable:
+            aggs.append(F.min(name).alias(f"__min__{name}"))
+            aggs.append(F.max(name).alias(f"__max__{name}"))
+    row = df.agg(*aggs).first().asDict()
+    stats: dict = {"rows": row["__rows"], "columns": {}}
+    for name, dtype in df.dtypes:
+        stats["columns"][name] = {
+            "dtype": dtype,
+            "nulls": row[f"__nulls__{name}"],
+            "approx_ndv": row[f"__ndv__{name}"],
+            "min": row.get(f"__min__{name}"),
+            "max": row.get(f"__max__{name}"),
+        }
+    return stats
