@@ -2063,3 +2063,73 @@ def q174_partial_agg_merge(spark, sf_dir):
             F.round(F.sum("sv") / F.sum("cnt"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "q183_since_last_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(rn - COALESCE(LAST_VALUE(
+             CASE WHEN event_type = 'purchase' THEN rn END IGNORE NULLS
+           ) OVER (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), rn)
+             AS BIGINT) AS events_since_purchase,
+           ts_us - LAST_VALUE(
+             CASE WHEN event_type = 'purchase' THEN ts_us END IGNORE NULLS
+           ) OVER (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS us_since_purchase
+    FROM ev
+    """,
+)
+def q183_since_last_purchase(spark, sf_dir):
+    """Carry-forward window (LAST_VALUE ... IGNORE NULLS): for every
+    event, how many events and how much time since the user's most
+    recent purchase - purchases themselves read 0, pre-first-purchase
+    rows read NULL time (nothing to measure against) and a 0 count by
+    the COALESCE-to-self convention. The carry-forward idiom is the
+    standard way to propagate the 'last seen marker' down an ordered
+    partition without a self-join.
+
+    Scale: one shuffle on user_id, one in-partition sort shared by the
+    row-numbering and both carry-forward frames (Spark plans all three
+    in a single Window node); the frame is running (unbounded
+    preceding), so evaluation is a constant-state sweep, never a
+    per-row re-scan."""
+    ev = t(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    rn = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_prn = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("rn")),
+        ignorenulls=True,
+    ).over(w_run)
+    last_pts = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us")),
+        ignorenulls=True,
+    ).over(w_run)
+    return rn.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (F.col("rn") - F.coalesce(last_prn, F.col("rn")))
+        .cast("long")
+        .alias("events_since_purchase"),
+        (F.col("ts_us") - last_pts).alias("us_since_purchase"),
+    )

@@ -1534,3 +1534,86 @@ def q171_idle_rich_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 0).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q182_yoy_reconciliation",
+    oracle="""
+    WITH y97 AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    ), y98 AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS c_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'only_1998'
+                WHEN b.o_custkey IS NULL THEN 'only_1997'
+                ELSE 'both' END AS presence,
+           ROUND(COALESCE(a.spend, 0), 0) AS spend_1997,
+           ROUND(COALESCE(b.spend, 0), 0) AS spend_1998,
+           ROUND(COALESCE(b.spend, 0) - COALESCE(a.spend, 0), 0)
+             AS yoy_delta
+    FROM y97 a FULL OUTER JOIN y98 b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q182_yoy_reconciliation(spark, sf_dir):
+    """Two-ledger reconciliation via FULL OUTER join - the one outer
+    flavor the suite's inner/left/semi/anti vocabulary was missing.
+    Per-customer 1997 vs 1998 spend: customers present in only one
+    year surface as only_* rows (the rows an inner join silently
+    discards and a left join only half-reports), matched customers get
+    a delta.
+
+    Scale: both yearly aggregates push their date band into the scan
+    and shuffle once on custkey; the full outer join reuses that same
+    key partitioning (co-partitioned, no extra shuffle in the SMJ
+    plan). COALESCE handles the one-sided rows; the presence CASE
+    comes from the join-key nullness, the standard reconciliation
+    idiom."""
+    o = t(spark, sf_dir, "orders")
+
+    def spend(year: int):
+        return (
+            o.filter(
+                (
+                    F.col("o_orderdate")
+                    >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz")
+                )
+                & (
+                    F.col("o_orderdate")
+                    < F.lit(f"{year + 1}-01-01 00:00:00").cast(
+                        "timestamp_ntz"
+                    )
+                )
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("spend"))
+        )
+
+    a = spend(1997).select(
+        F.col("o_custkey").alias("ck97"), F.col("spend").alias("s97")
+    )
+    b = spend(1998).select(
+        F.col("o_custkey").alias("ck98"), F.col("spend").alias("s98")
+    )
+    j = a.join(b, a.ck97 == b.ck98, "full_outer")
+    return j.select(
+        F.coalesce("ck97", "ck98").alias("c_custkey"),
+        F.when(F.col("ck97").isNull(), "only_1998")
+        .when(F.col("ck98").isNull(), "only_1997")
+        .otherwise("both")
+        .alias("presence"),
+        F.round(F.coalesce("s97", F.lit(0.0)), 0).alias("spend_1997"),
+        F.round(F.coalesce("s98", F.lit(0.0)), 0).alias("spend_1998"),
+        F.round(
+            F.coalesce("s98", F.lit(0.0)) - F.coalesce("s97", F.lit(0.0)),
+            0,
+        ).alias("yoy_delta"),
+    )
