@@ -31,6 +31,11 @@ WATCHED = [
     "q122_minhash_sim_estimate",
     "q124_capped_running_balance",
     "q126_chunk_udtf",
+    "q158_knn_graph",
+    "q164_min_cost_supplier",
+    "q173_geo_grid_join",
+    "q177_pagerank",
+    "q182_yoy_reconciliation",
 ]
 
 
