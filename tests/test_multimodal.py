@@ -2,6 +2,7 @@
 shape, frame sampling, and the real-codec stub gate."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from web_scraping_etl_pipeline_spark.multimodal.media import (
     decode_image_real,
@@ -57,3 +58,62 @@ def test_frame_sampling_video_only(spark):
 def test_real_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG...")
+
+
+def test_resize_preserves_aspect_and_roundtrips(spark):
+    """Resized payloads must (a) fit the 256px budget without
+    upscaling, (b) preserve aspect ratio within integer-floor
+    tolerance, and (c) remain decodable by the standard decoder with
+    the NEW dimensions."""
+    from web_scraping_etl_pipeline_spark.multimodal.media import (
+        decode_media,
+        media_table,
+        resize_media,
+    )
+
+    media = media_table(spark, SF_DIR)
+    out = resize_media(media, max_side=256).cache()
+    assert out.filter(
+        (F.col("new_width") > 256) | (F.col("new_height") > 256)
+    ).count() == 0
+    orig = decode_media(media).select(
+        "media_id", "width", "height"
+    )
+    j = out.join(orig, "media_id")
+    # no upscale: resized rows shrank, un-resized kept exact dims
+    assert j.filter(
+        (~F.col("resized"))
+        & (
+            (F.col("new_width") != F.col("width"))
+            | (F.col("new_height") != F.col("height"))
+        )
+    ).count() == 0
+    assert j.filter(
+        F.col("resized")
+        & (
+            (F.col("new_width") > F.col("width"))
+            | (F.col("new_height") > F.col("height"))
+        )
+    ).count() == 0
+    # aspect preserved to integer floor: |nw*h - nh*w| <= max(w, h)
+    bad_aspect = j.filter(
+        F.abs(
+            F.col("new_width") * F.col("height")
+            - F.col("new_height") * F.col("width")
+        )
+        > F.greatest("width", "height")
+    )
+    assert bad_aspect.count() == 0
+    # re-decode the rewritten payload: decoder sees the new dims
+    redecoded = decode_media(
+        out.select("media_id", "payload")
+    ).select(
+        F.col("media_id").alias("rid"),
+        F.col("width").alias("rw"),
+        F.col("height").alias("rh"),
+    )
+    rj = out.join(redecoded, out.media_id == F.col("rid"))
+    assert rj.filter(
+        (F.col("new_width") != F.col("rw"))
+        | (F.col("new_height") != F.col("rh"))
+    ).count() == 0

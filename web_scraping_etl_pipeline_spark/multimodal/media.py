@@ -351,3 +351,103 @@ def q159_media_phash_dedup(spark, sf_dir):
         F.count("*").alias("n_media"),
         F.min("media_id").alias("keep_id"),
     )
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("new_width", T.LongType()),
+        T.StructField("new_height", T.LongType()),
+        T.StructField("resized", T.BooleanType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Arrow-batched resize: fit each payload within ``max_side`` on its
+    longer edge, aspect-preserving, never upscaling - emitting the
+    REWRITTEN payload (new header + body) alongside the new typed
+    dimensions, i.e. the full decode -> transform -> re-encode loop a
+    real image pipeline runs, with the codec faked by the header
+    format (a deployment swaps in Pillow inside the same batch
+    function; schema, batching, and plan shape stay identical).
+
+    The scaling math is all-integer (``new_w = w * max_side DIV
+    max(w, h)``), so the relational oracle reproduces it exactly."""
+
+    magic = MAGIC.encode()
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": [], "new_width": [], "new_height": [],
+                "resized": [], "out_bytes": [], "payload": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m, w, h, mt, body = bytes(p).split(b";", 4)
+                assert m == magic, "corrupt media payload"
+                w, h = int(w[2:]), int(h[2:])
+                long_side = max(w, h)
+                if long_side > max_side:
+                    nw = w * max_side // long_side
+                    nh = h * max_side // long_side
+                    did_resize = True
+                else:
+                    nw, nh = w, h
+                    did_resize = False
+                out = (
+                    f"{MAGIC};w={nw};h={nh};t={mt[2:].decode()};"
+                ).encode() + body
+                rows["media_id"].append(mid)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["resized"].append(did_resize)
+                rows["out_bytes"].append(len(out))
+                rows["payload"].append(out)
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(batches, RESIZED)
+
+
+@query(
+    "q185_media_resize",
+    oracle=f"""
+    WITH dims AS ({_DIMS_SQL}),
+    scaled AS (
+      SELECT media_id, width, height, media_type, body_bytes,
+             CASE WHEN greatest(width, height) > 256
+                  THEN width * 256 // greatest(width, height)
+                  ELSE width END AS new_width,
+             CASE WHEN greatest(width, height) > 256
+                  THEN height * 256 // greatest(width, height)
+                  ELSE height END AS new_height,
+             greatest(width, height) > 256 AS resized
+      FROM dims
+    )
+    SELECT media_id, CAST(new_width AS BIGINT) AS new_width,
+           CAST(new_height AS BIGINT) AS new_height, resized,
+           CAST(octet_length(encode(
+                  '{MAGIC};w=' || new_width || ';h=' || new_height
+                  || ';t=' || media_type || ';'))
+                + body_bytes AS BIGINT) AS out_bytes
+    FROM scaled
+    """,
+)
+def q185_media_resize(spark, sf_dir):
+    """Resize-to-budget over the media table (fit 256px, aspect
+    preserved, no upscale) through the real mapInPandas re-encode
+    path; the oracle reproduces the integer scaling and the rewritten
+    payload's byte length relationally, so the check covers the
+    Python codec loop end to end (dimensions AND serialized size).
+
+    Scale: decode/resize/re-encode is embarrassingly parallel over
+    payload partitions - the Arrow batch transfer is the only
+    overhead, and the JVM never inspects the binary column."""
+    out = resize_media(media_table(spark, sf_dir))
+    return out.select(
+        "media_id", "new_width", "new_height", "resized", "out_bytes"
+    )
