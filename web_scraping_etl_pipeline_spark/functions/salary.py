@@ -54,7 +54,15 @@ def salary_tokens(salary: Column) -> tuple[Column, Column]:
     method small; CollapseProject will NOT re-fuse the stages because
     that would duplicate a non-cheap expression used more than once."""
     s = F.lower(F.trim(salary))
-    nums = F.regexp_extract_all(s, F.lit(r"[\d,]+"), 0)
+    # \d[\d,]* not [\d,]+: a digit-free token (a bare comma, e.g. in
+    # ",$") would survive extraction, strip to the empty string in the
+    # amount parse, and crash the ANSI cast - found by the hypothesis
+    # property suite (tests/test_property.py). The reference's Python
+    # float('') would raise on the same input (same bug class as
+    # SURVEY.md section 8 B2/B3), so requiring a leading digit is a
+    # deliberate fix, not a semantics change: every real salary token
+    # starts with a digit.
+    nums = F.regexp_extract_all(s, F.lit(r"\d[\d,]*"), 0)
     return s, nums
 
 

@@ -347,7 +347,7 @@ def q11_clean_title(spark, sf_dir):
 # C2/C3 - clean_salary + transform_salary on synthesized raw salaries
 # ---------------------------------------------------------------------------
 
-_SAL_NUMS = "regexp_extract_all(s, '[0-9,]+')"
+_SAL_NUMS = "regexp_extract_all(s, '[0-9][0-9,]*')"  # leading digit required - mirrors functions/salary.py
 
 
 @query(
