@@ -75,3 +75,44 @@ def test_permissive_routes_corrupt_to_dead_letter(spark, tmp_path):
     assert bad.first()["event_id"] is None
     good = df.filter(F.col("_corrupt_record").isNull())
     assert good.first()["event_id"] == 1
+
+
+def test_ts_us_ntz_is_session_tz_independent(spark):
+    """The NTZ branch of ts_us_col must yield identical epoch micros
+    under any session timezone (regression for the timestampdiff fix:
+    a cast-to-timestamp derivation silently shifted NTZ events by the
+    session offset)."""
+    from pyspark.sql import functions as F
+
+    from web_scraping_etl_pipeline_spark.sources.star import ts_us_col
+
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-15 00:00:00' AS ts"
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    expected = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in micros
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Ho_Chi_Minh", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = df.select(ts_us_col(df).alias("us")).first().us
+            assert got == expected, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ts_us_missing_column_raises_named_error(spark):
+    """A frame without ts must fail with the named ValueError, not an
+    opaque Column.cast(None) TypeError downstream."""
+    import pytest as _pytest
+
+    from web_scraping_etl_pipeline_spark.sources.star import (
+        ts_us_col,
+        ts_us_le,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "not_ts")
+    with _pytest.raises(ValueError, match="expected a 'ts' column"):
+        ts_us_col(df)
+    with _pytest.raises(ValueError, match="expected a 'ts' column"):
+        ts_us_le(df, 0)
