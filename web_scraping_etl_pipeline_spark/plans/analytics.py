@@ -2133,3 +2133,168 @@ def q183_since_last_purchase(spark, sf_dir):
         .alias("events_since_purchase"),
         (F.col("ts_us") - last_pts).alias("us_since_purchase"),
     )
+
+
+@query(
+    "q186_longest_streak",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day_idx,
+             day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day_idx) AS start_day
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(ARG_MIN(start_day, -len * 100000 + start_day) AS BIGINT)
+             AS streak_start_day,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q186_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user - the classic
+    gaps-and-islands on CALENDAR days: distinct active days, then
+    ``day - row_number`` is constant within a consecutive run, so one
+    group-by collapses each run. Tie on equal-length streaks resolves
+    to the earliest start via a UNIQUE arg_min key (-len scaled plus
+    start_day): a bare -len key leaves the choice among equal-length
+    streaks engine-dependent - caught by the oracle on first run.
+
+    Scale: the distinct (user, day) projection collapses the fact
+    first (the only wide shuffle); the row_number and both
+    aggregations share the user_id partitioning. No self-join, no
+    sequence explode - the O(rows) island trick is exactly what
+    replaces the naive 'join each day to the next' quadratic form."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(
+            (F.col("ts_us") - F.lit(EVENTS_EPOCH_US))
+            / F.lit(86_400_000_000)
+        ).alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    grp = days.withColumn(
+        "anchor", F.col("day_idx") - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("day_idx").alias("start_day")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.min_by(
+            "start_day",
+            (-F.col("len")) * F.lit(100_000) + F.col("start_day"),
+        )
+        .cast("long")
+        .alias("streak_start_day"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+@query(
+    "q187_cooccurrence_lift",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx,
+             event_type
+      FROM events
+    ),
+    n_baskets AS (
+      SELECT COUNT(DISTINCT (user_id, day_idx)) AS nb FROM baskets
+    ),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.day_idx = b.day_idx
+                    AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           ROUND(p.n_ab / CAST(nb.nb AS DOUBLE), 6) AS support,
+           ROUND(p.n_ab / CAST(sa.n AS DOUBLE), 6) AS confidence_a_b,
+           ROUND(p.n_ab * nb.nb / (CAST(sa.n AS DOUBLE) * sb.n), 4)
+             AS lift
+    FROM pairs p, n_baskets nb
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    """,
+)
+def q187_cooccurrence_lift(spark, sf_dir):
+    """Market-basket co-occurrence: support / confidence / lift for
+    every event-type pair sharing a (user, day) basket - the
+    association-rules primitives behind 'users who X also Y'.
+
+    Scale: baskets collapse to DISTINCT (user, day, type) first, so
+    the pair self-join fans out at most |types| rows per basket - the
+    blow-up is bounded by the TYPE vocabulary (9 here), never by raw
+    event volume; the canonical a<b orientation halves it. Singles
+    and the basket count are broadcast scalars against the tiny pair
+    table. For an unbounded item vocabulary this becomes the FP-growth
+    candidate-pruning pipeline; for a bounded one, this exact form IS
+    the scale answer."""
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(
+        (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000)
+    ).alias("day_idx")
+    baskets = ev.select("user_id", day, "event_type").distinct()
+    nb = baskets.select("user_id", "day_idx").distinct().count()
+    singles = baskets.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = baskets.select(
+        "user_id", "day_idx", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        "user_id", "day_idx", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day_idx"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = F.broadcast(
+        singles.select(
+            F.col("event_type").alias("type_a"), F.col("n").alias("na")
+        )
+    )
+    sb = F.broadcast(
+        singles.select(
+            F.col("event_type").alias("type_b"), F.col("n").alias("nb_")
+        )
+    )
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(float(nb)), 6).alias("support"),
+            F.round(
+                F.col("n_ab") / F.col("na").cast("double"), 6
+            ).alias("confidence_a_b"),
+            F.round(
+                F.col("n_ab")
+                * F.lit(nb)
+                / (F.col("na").cast("double") * F.col("nb_")),
+                4,
+            ).alias("lift"),
+        )
+    )
