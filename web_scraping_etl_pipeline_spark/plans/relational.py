@@ -1617,3 +1617,433 @@ def q182_yoy_reconciliation(spark, sf_dir):
             0,
         ).alias("yoy_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188-q196: the rest of the 22 classic TPC-H query shapes (Q3, Q4, Q6,
+# Q9, Q10, Q14, Q17, Q18, Q19), completing the full set alongside
+# q14/q17/q97/q130/q146/q164-q171. Adapted where the slim schema lacks
+# partsupp / commit dates; the plan SHAPE is the point.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q188_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top unshipped-revenue orders for one market
+    segment - two fact joins under anti-correlated date predicates,
+    aggregate per order, global top-k.
+
+    Scale: both date filters and the segment filter push into their
+    scans before any join; the top-k compiles to
+    TakeOrderedAndProject over the aggregate (k rows per partition to
+    the driver, never a full sort). Tie-break on orderkey keeps the
+    selected set deterministic."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                0,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(
+                F.col("o_orderdate").cast("timestamp")
+            ).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q189_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q189_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: order counts per priority where EXISTS a
+    slow-shipping lineitem - the correlated EXISTS as a left-semi
+    join (the 'late' test is shipdate vs orderdate + 60 days; the
+    slim schema has no commit/receipt dates).
+
+    Scale: the quarter filter prunes orders before the semi join; the
+    semi join shuffles only orderkeys + the date pair and
+    short-circuits per key (no pair multiplication, no dedup step -
+    semantics an inner-join-then-distinct would need)."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "q190_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 0) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q190_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-predicate aggregate - no join at
+    all; the entire query is predicate pushdown + one map-side
+    combinable sum. The benchmark's measure of raw scan/filter
+    throughput: at 100 TB this runs at storage bandwidth, with all
+    four predicates evaluated against parquet row-group statistics
+    before any row is materialized."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 0
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q191_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 0) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%ring%'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    """,
+)
+def q191_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year - the 5-way join tree with a LIKE filter on the part dim and
+    an arithmetic measure mixing columns from three tables (supply
+    cost proxied by half the part's retail price; the slim schema has
+    no partsupp).
+
+    Scale: the LIKE prunes part BEFORE it broadcasts, shrinking the
+    lineitem join's build side; supplier/nation broadcast; the only
+    fact-fact shuffle is lineitem x orders on orderkey. Group
+    keyspace is |nations| x |years| - the final agg is almost free."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%ring%")
+    ).select("p_partkey", "p_retailprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 0).alias("profit"))
+    )
+
+
+@query(
+    "q192_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q192_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by returned-merchandise revenue
+    in a quarter - fact-fact join under a returnflag filter, customer
+    enrichment, top-20.
+
+    Scale: the returnflag filter (a low-cardinality dictionary
+    column) and the quarter band both push to the scans; the top-k is
+    TakeOrderedAndProject over the per-customer aggregate with an
+    orderkey-free deterministic tie-break on custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                0,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q193_promo_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q193_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue as a share of total for one
+    month - conditional aggregation over a dim join, both sums in the
+    SAME pass (never two scans + a divide of scalars).
+
+    Scale: part broadcasts; the month band prunes lineitem at the
+    scan; the whole measure is one partial+final agg producing a
+    single row."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q194_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 230
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(b.total_qty, 1) AS total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q194_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers with very-large-volume orders - the
+    HAVING-over-an-aggregate feeding a join back to the facts (the
+    classic 'IN (GROUP BY ... HAVING)' decorrelated to a join).
+
+    Scale: the quantity rollup is one orderkey shuffle with map-side
+    combine; the HAVING prunes to a tiny key set that then
+    JOINS (semi-shaped) against orders - at 100 TB the pruned key
+    list is broadcastable and the expensive side is never rescanned.
+    Threshold 230 sits at this data's p98 of per-order quantity
+    (TPC-H's 300 assumes 7 lines x quantity<=50), keeping the result
+    selective."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 230)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(
+                F.col("o_orderdate").cast("timestamp")
+            ).alias("orderdate_us"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 1).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q195_disjunctive_predicate",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q195_disjunctive_predicate(spark, sf_dir):
+    """TPC-H Q19 shape: the disjunctive (OR-of-conjunctions) join
+    predicate - three brand/size/quantity bands OR'd together across
+    the join, the canonical test of a planner's ability to keep an
+    OR-DNF predicate as a post-join filter on a plain equi-join
+    instead of degrading to a nested loop.
+
+    Scale: the join stays a partkey equi-join (the OR only gates
+    rows, not keys); Catalyst additionally derives the
+    brand-IN-(...) prune on the part side from the disjunction, so
+    the broadcast build side carries three brands, not the whole
+    dim."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q196_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 0) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def q196_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked in small-quantity orders - the
+    correlated per-part AVG subquery, decorrelated to one aggregate
+    joined back to the fact (never a re-aggregation per outer row).
+
+    Scale: the per-part average is one partkey shuffle of (sum,
+    count) partials; the join-back reuses the same key. The AVG
+    threshold comparison is double-vs-double computed identically in
+    both engines from integral quantities, and the final sum rounds
+    to whole units per the money policy."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
