@@ -207,3 +207,87 @@ def q178_triangle_count(spark, sf_dir):
         e3, (wedges.a == e3.a3) & (wedges.c == e3.c3), "left_semi"
     )
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+#: synthetic 4-ary part hierarchy: parent(p) = (p - 1) DIV 4 for p > 0
+#: (deterministic, both engines derive it identically from p_partkey).
+_TREE_DEPTH = 7
+
+
+@query(
+    "q197_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT p_partkey AS node, p_retailprice AS own FROM part
+    ),
+    pairs AS (
+      SELECT node AS root, node FROM nodes
+      UNION ALL
+      SELECT p.root, n.node
+      FROM pairs p
+      JOIN nodes n ON n.node > 0 AND (n.node - 1) // 4 = p.node
+    )
+    SELECT p.root AS p_partkey,
+           ROUND(SUM(n.own), 2) AS subtree_value,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size
+    FROM pairs p JOIN nodes n ON n.node = p.node
+    GROUP BY p.root
+    """,
+)
+def q197_subtree_rollup(spark, sf_dir):
+    """Recursive hierarchy rollup (bill-of-materials shape): every
+    node's subtree total over a synthetic 4-ary part tree
+    (parent = (key-1) DIV 4) - the recursive-CTE query family,
+    computed in Spark as a bottom-up driver loop: sum_0 = own value;
+    sum_{k+1}(p) = own(p) + SUM over children of sum_k(child). After
+    depth iterations every subtree has stabilized (depth 7 covers
+    16k nodes).
+
+    Scale: each pass is one equi-join (child -> parent key, derived
+    arithmetically) + one aggregation - cost is O(depth x |edges|),
+    the standard fixed-point translation of recursion; lineage is cut
+    per pass like q177's PageRank loop. The oracle is the genuine
+    WITH RECURSIVE transitive closure, so the hash match proves the
+    loop == the recursion."""
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_retailprice").alias("own"),
+    ).persist()
+    totals = p.select(
+        "node",
+        F.col("own").alias("subtree_value"),
+        F.lit(1).cast("long").alias("subtree_size"),
+    )
+    for _ in range(_TREE_DEPTH):
+        child_sums = (
+            totals.filter(F.col("node") > 0)
+            .select(
+                ((F.col("node") - 1) / 4).cast("long").alias("parent"),
+                "subtree_value",
+                "subtree_size",
+            )
+            .groupBy("parent")
+            .agg(
+                F.sum("subtree_value").alias("cv"),
+                F.sum("subtree_size").alias("cs"),
+            )
+        )
+        totals = (
+            p.join(child_sums, p.node == child_sums.parent, "left")
+            .select(
+                "node",
+                (
+                    F.col("own") + F.coalesce(F.col("cv"), F.lit(0.0))
+                ).alias("subtree_value"),
+                (
+                    F.lit(1).cast("long")
+                    + F.coalesce(F.col("cs"), F.lit(0).cast("long"))
+                ).alias("subtree_size"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return totals.select(
+        F.col("node").alias("p_partkey"),
+        F.round("subtree_value", 2).alias("subtree_value"),
+        "subtree_size",
+    )

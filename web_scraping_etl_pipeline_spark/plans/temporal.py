@@ -1015,3 +1015,97 @@ def q179_scd2_asof_snapshot(spark, sf_dir):
         "version",
         "valid_from_us",
     )
+
+
+@query(
+    "q198_top_session_paths",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id)
+                       IS NULL
+                    OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+    ),
+    s AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts_us, event_id)
+               AS path
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q198_top_session_paths(spark, sf_dir):
+    """Clickstream path analysis: the most common full event-type
+    sequences per 30-minute session - sessionize (gaps-and-islands on
+    the inactivity gap), render each session's ORDERED path string,
+    count identical paths corpus-wide, top 20.
+
+    Scale: sessionization + path rendering share one user_id shuffle
+    and one in-partition sort; the ordered concatenation is
+    array_sort over collect_list of (ts, id, type) structs (struct
+    order = sort key order, deterministic - same device as q112's
+    ordered string agg, NOT a nondeterministic collect_list). The
+    path-frequency count shuffles path strings (bounded by session
+    count), and top-k is TakeOrderedAndProject. Long sessions are the
+    skew risk: a runaway session's path string grows unboundedly, so
+    a production variant caps events per session (the reference data
+    maxes out far below any limit)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    g = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.when(
+            gap.isNull() | (gap > 1_800_000_000), 1
+        ).otherwise(0).alias("brk"),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts_us", "event_id", "event_type")
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.expr("transform(seq, x -> x.event_type)"), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
