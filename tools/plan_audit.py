@@ -63,6 +63,7 @@ ALLOW = {
     "q165_important_parts": {"nested_loop"},  # 1-row revenue threshold
     "q171_idle_rich_customers": {"nested_loop"},  # 1-row AVG threshold
     "q175_vocab_coverage": {"nested_loop"},  # 4-row coverage targets
+    "q200_ks_drift": {"nested_loop"},  # 1-row sample-size totals
 }
 
 

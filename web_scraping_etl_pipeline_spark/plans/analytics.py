@@ -2298,3 +2298,128 @@ def q187_cooccurrence_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q199_union_by_name",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderstatus
+      FROM a
+      UNION ALL BY NAME
+      SELECT * FROM b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS with_priority,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS with_status,
+           ROUND(SUM(o_totalprice), 0) AS total
+    FROM u
+    """,
+)
+def q199_union_by_name(spark, sf_dir):
+    """Schema-drift union: two extracts of the same table with
+    DIFFERENT column sets combined by NAME with null-fill
+    (unionByName(allowMissingColumns=True)) - the append that happens
+    every time a pipeline version adds a column and history must
+    still union with today. Positional UNION would silently misalign
+    (priority under status); by-name with null-fill is the safe
+    contract, and the null counts per origin prove the fill.
+
+    Scale: the union is a zero-cost plan node (no shuffle - both
+    children just project to the widened schema); the single
+    aggregate is one pass."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderpriority").alias("with_priority"),
+        F.count("o_orderstatus").alias("with_status"),
+        F.round(F.sum("o_totalprice"), 0).alias("total"),
+    )
+
+
+@query(
+    "q200_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t0,
+             CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS t1
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    tot AS (
+      SELECT SUM(t0) AS n0, SUM(t1) AS n1 FROM tagged
+    ),
+    cdf AS (
+      SELECT n_chars,
+             SUM(t0) OVER (ORDER BY n_chars) AS c0,
+             SUM(t1) OVER (ORDER BY n_chars) AS c1
+      FROM tagged
+    )
+    SELECT ROUND(MAX(ABS(c0 / CAST(n0 AS DOUBLE)
+                         - c1 / CAST(n1 AS DOUBLE))), 6) AS ks_stat,
+           CAST(MAX(n0) AS BIGINT) AS n_src0,
+           CAST(MAX(n1) AS BIGINT) AS n_src1
+    FROM cdf, tot
+    """,
+)
+def q200_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between two sources'
+    document-length distributions - the numeric drift detector next
+    to q116's categorical chi-square: D = max |F_src0(x) - F_src1(x)|
+    over the pooled sample, computed exactly via running per-tag
+    counts on one global sort (ties collapse correctly because the
+    running sums are evaluated per ORDER-BY peer group - RANGE frame
+    semantics - in both engines).
+
+    Scale: the one global sort is the cost; a 100 TB deployment
+    computes D on per-source equi-depth histograms instead (q118's
+    cutpoints), trading exactness for a bounded merge - same
+    decision, sketch-sized input. Pooled sample here is bounded by
+    the two sources' doc counts."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tagged = docs.select(
+        "n_chars",
+        (F.col("source") == "src0").cast("long").alias("t0"),
+        (F.col("source") == "src1").cast("long").alias("t1"),
+    )
+    w = Window.orderBy("n_chars")
+    cdf = tagged.select(
+        F.sum("t0").over(w).alias("c0"),
+        F.sum("t1").over(w).alias("c1"),
+    )
+    tot = tagged.agg(
+        F.sum("t0").alias("n0"), F.sum("t1").alias("n1")
+    )
+    return (
+        cdf.join(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c0") / F.col("n0").cast("double")
+                        - F.col("c1") / F.col("n1").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.max("n0").alias("n_src0"),
+            F.max("n1").alias("n_src1"),
+        )
+    )
