@@ -58,6 +58,51 @@ def test_watched_plans_have_no_antipatterns(spark):
     assert offenders == {}
 
 
+#: queries whose r3 plans ranked/prefix-summed through a
+#: single-partition global window; rewritten in r4 on the
+#: range-partitioned two-pass helpers (plans/common.py) and pinned
+#: here so the scale-killer shape can never come back.
+FIXED_GLOBAL_WINDOW = [
+    "q58_ntile_quartiles",
+    "q131_sorted_neighborhood",
+    "q136_key_gap_audit",
+    "q154_peak_concurrency",
+    "q160_rfm_segmentation",
+    "q175_vocab_coverage",
+    "q200_ks_drift",
+]
+
+
+def test_no_single_partition_window(spark):
+    offenders = {}
+    for name in FIXED_GLOBAL_WINDOW:
+        a = audit(_plan(spark, name))
+        if "global_window" in a["flags"]:
+            offenders[name] = a["flags"]
+    assert offenders == {}
+
+
+def test_global_window_flag_detects_the_antipattern(spark):
+    """The detector itself must not be vacuous: a deliberately
+    unpartitioned window over a fact table trips the flag."""
+    from pyspark.sql import Window, functions as F
+
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    df = t(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.row_number()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "global_window" in audit(plan)["flags"]
+
+
 def test_python_stages_are_arrow_batched(spark):
     """Every Python eval in the watched set must be Arrow-batched
     (MapInPandas/FlatMapGroupsInPandas/ArrowEvalPython/arrow UDTF),

@@ -47,6 +47,16 @@ FLAG_PATTERNS = {
     # row-at-a-time Python eval; Arrow-batched evals show up as
     # ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas instead.
     "row_python_udf": r"\bBatchEvalPython(?!UDTF)",
+    # Window.orderBy with no partitionBy: the whole relation sorts on
+    # ONE task ("WindowExec: No Partition Defined") - the classic
+    # 100 TB serialization point. In the physical plan an unpartitioned
+    # window is always Window -> Sort -> Exchange SinglePartition;
+    # partitioned windows exchange on hashpartitioning instead, and a
+    # plain global agg's SinglePartition exchange has no Window parent,
+    # so the three-line sandwich is the precise signature.
+    "global_window": (
+        r"Window [^\n]*\n[^\n]*Sort [^\n]*\n[^\n]*Exchange SinglePartition"
+    ),
 }
 
 #: adjudicated exceptions: queries whose BroadcastNestedLoopJoin is a
@@ -63,8 +73,23 @@ ALLOW = {
     "q165_important_parts": {"nested_loop"},  # 1-row revenue threshold
     "q171_idle_rich_customers": {"nested_loop"},  # 1-row AVG threshold
     "q175_vocab_coverage": {"nested_loop"},  # 4-row coverage targets
-    "q200_ks_drift": {"nested_loop"},  # 1-row sample-size totals
 }
+
+#: adjudicated global_window exceptions: the window input is a BOUNDED
+#: AGGREGATE, not an unbounded relation, so one task holding it is by
+#: construction fine (and cheaper than a two-phase prefix pass).
+ALLOW_GLOBAL_WINDOW = {
+    # distinct (brand, type) dimension - bounded by the dimension
+    # domain (~|brands| x |types|), never fact-sized.
+    "q103_surrogate_keys",
+    # LAG over the MONTHLY revenue aggregate - bounded by calendar
+    # months in the data.
+    "q137_mom_revenue_growth",
+    # running sum over per-DAY first-seen counts - bounded by days.
+    "q153_cumulative_distinct",
+}
+for _name in ALLOW_GLOBAL_WINDOW:
+    ALLOW.setdefault(_name, set()).add("global_window")
 
 
 def audit(plan: str) -> dict:

@@ -19,7 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import EVENTS_EPOCH_US, t
+from .common import (
+    EVENTS_EPOCH_US,
+    global_cumsum,
+    global_lead,
+    global_ntile,
+    t,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -74,15 +80,17 @@ def q58_ntile_quartiles(spark, sf_dir):
     """NTILE quartiles over order value (tie-broken by key so the
     bucket assignment is deterministic in both engines).
 
-    A global NTILE is inherently a single total order - fine here, but
-    at 100 TB the scale path is approx quantile cutpoints
-    (``approxQuantile`` / t-digest) + a broadcast range lookup, which
-    needs no global sort.  The API shape (quartile -> stats) is the
-    same; this exact form is the oracle-checkable baseline."""
-    orders = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    Distributed form: no single-partition WindowExec.  The global
+    NTILE is computed by :func:`plans.common.global_ntile` - one range
+    exchange on (value, key), per-partition row numbers from a map-only
+    Arrow pass, driver-folded partition offsets, and the exact SQL
+    NTILE bucket formula on the global row number.  Every stage is
+    fully parallel, so the plan survives a 100x scale-up (the old
+    ``Window.orderBy`` form serialized the whole table onto one
+    task)."""
+    orders = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     return (
-        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        global_ntile(orders, ["o_totalprice", "o_orderkey"], 4, "quartile")
         .groupBy("quartile")
         .agg(
             F.count("*").alias("cnt"),
@@ -1411,10 +1419,13 @@ def q136_key_gap_audit(spark, sf_dir):
     1000-1009 block removed - a simulated row-loss bug and one dropped
     batch), so the audit provably finds both gap shapes.
 
-    Scale: a global sort is inherent (gaps are a total-order
-    property); Spark range-partitions it, and at 100 TB the same audit
-    runs per partition-key range with only the range fringes compared
-    across partitions."""
+    Distributed form: gaps are a total-order property, but the LEAD
+    never runs on one task - :func:`plans.common.global_lead` range
+    partitions on the key, takes in-partition successors from a
+    map-only Arrow pass, and patches each partition's tail row from
+    the broadcast-sized set of next-partition head rows.  Exactly the
+    'compare only the range fringes across partitions' plan the audit
+    needs at 100 TB."""
     o = (
         t(spark, sf_dir, "orders")
         .filter(
@@ -1423,8 +1434,9 @@ def q136_key_gap_audit(spark, sf_dir):
         )
         .select(F.col("o_orderkey").alias("key"))
     )
-    w = Window.orderBy("key")
-    k = o.select("key", F.lead("key").over(w).alias("next_key"))
+    k = global_lead(o, ["key"], ["key"], k=1).withColumnRenamed(
+        "_lead1_key", "next_key"
+    )
     return k.filter(F.col("next_key") - F.col("key") > 1).select(
         (F.col("key") + 1).alias("gap_start"),
         (F.col("next_key") - 1).alias("gap_end"),
@@ -1810,10 +1822,16 @@ def q154_peak_concurrency(spark, sf_dir):
     start and -1 at its end, one global running sum ordered by
     (time, delta) gives the live count at every boundary ([start, end)
     semantics: the -1 sorts first at equal timestamps), and a per-day
-    MAX collapses the sweep. The only total order is over 2N skinny
-    boundary points (Spark range-partitions the sort); at 100 TB the
-    sweep shards by coarse time range first - the same plan per
-    shard plus a prefix-offset pass, dataflow unchanged."""
+    MAX collapses the sweep.
+
+    Distributed form: the running sum is
+    :func:`plans.common.global_cumsum` - a range exchange on
+    (t, delta), per-partition partial sums from a map-only Arrow pass,
+    and driver-folded partition offsets - i.e. the 'shard by coarse
+    time range + prefix-offset pass' plan spelled out, with no
+    single-partition WindowExec anywhere.  Equal (t, delta) points
+    colocate by the range-partitioner contract, so the ROWS-frame
+    prefix is exact under duplicates."""
     ev = t(spark, sf_dir, "events").select("ts_us")
     pts = ev.select(
         F.col("ts_us").alias("t"), F.lit(1).alias("delta")
@@ -1823,11 +1841,8 @@ def q154_peak_concurrency(spark, sf_dir):
             F.lit(-1).alias("delta"),
         )
     )
-    w = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sweep = pts.select(
-        "t", F.sum("delta").over(w).alias("live")
+    sweep, _, _ = global_cumsum(
+        pts, ["t", "delta"], sums=[("delta", "live")]
     )
     return sweep.groupBy(
         F.expr("t DIV 86400000000").alias("day_idx")
@@ -1934,35 +1949,37 @@ def q160_rfm_segmentation(spark, sf_dir):
     quintiles (1 = best) and the concatenated segment label ('1-1-1' =
     champions) - the marketing-analytics workhorse.
 
-    One aggregate over orders, then three NTILE windows over the
-    customer-level result (which is dimension-sized, not fact-sized -
-    the windows sort 1/100th of the input rows). Ties carry custkey so
-    quintile boundaries are deterministic in both engines. At 100 TB
-    the per-customer aggregate combines map-side; global NTILEs over
-    billions of customers would swap to approx-quantile cut points,
-    same output schema."""
+    One aggregate over orders, then three global NTILEs over the
+    customer-level result via :func:`plans.common.global_ntile` -
+    each is a range exchange + map-only Arrow row numbering + the
+    exact NTILE formula, never a single-partition WindowExec, so the
+    plan holds for billions of customers.  Ties carry custkey so
+    quintile boundaries are deterministic in both engines.  The base
+    aggregate is persisted so the three ranking passes (and their
+    per-partition stats jobs) scan it once."""
     o = t(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 0).alias("monetary"),
+    ).persist()
+    d = global_ntile(
+        base, [F.desc("last_day"), F.asc("custkey")], 5, "r_score"
     )
-    wr = Window.orderBy(F.desc("last_day"), F.asc("custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    r, fq, m = (
-        F.ntile(5).over(wr),
-        F.ntile(5).over(wf),
-        F.ntile(5).over(wm),
+    d = global_ntile(
+        d, [F.desc("frequency"), F.asc("custkey")], 5, "f_score"
     )
-    return base.select(
+    d = global_ntile(
+        d, [F.desc("monetary"), F.asc("custkey")], 5, "m_score"
+    )
+    return d.select(
         "custkey",
         "frequency",
         "monetary",
-        r.cast("long").alias("r_score"),
-        fq.cast("long").alias("f_score"),
-        m.cast("long").alias("m_score"),
-        F.concat_ws("-", r, fq, m).alias("segment"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
     )
 
 
@@ -2386,40 +2403,36 @@ def q200_ks_drift(spark, sf_dir):
     running sums are evaluated per ORDER-BY peer group - RANGE frame
     semantics - in both engines).
 
-    Scale: the one global sort is the cost; a 100 TB deployment
-    computes D on per-source equi-depth histograms instead (q118's
-    cutpoints), trading exactness for a bounded merge - same
-    decision, sketch-sized input. Pooled sample here is bounded by
-    the two sources' doc counts."""
+    Distributed form: the CDF difference only changes at distinct
+    n_chars values, so the fact rows first collapse to per-value tag
+    counts (one map-side-combined shuffle), and the running CDF runs
+    over the DISTINCT-VALUE relation via
+    :func:`plans.common.global_cumsum` - range exchange + map-only
+    Arrow prefix + driver-folded offsets, no single-partition
+    WindowExec.  A ROWS prefix over unique keys IS the RANGE-frame
+    (peer-group) semantics of the oracle; the grand totals come back
+    as plan-time literals, replacing the old 1-row broadcast join."""
     docs = t(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
-    tagged = docs.select(
-        "n_chars",
-        (F.col("source") == "src0").cast("long").alias("t0"),
-        (F.col("source") == "src1").cast("long").alias("t1"),
+    per_key = docs.groupBy("n_chars").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("kt0"),
+        F.sum((F.col("source") == "src1").cast("long")).alias("kt1"),
     )
-    w = Window.orderBy("n_chars")
-    cdf = tagged.select(
-        F.sum("t0").over(w).alias("c0"),
-        F.sum("t1").over(w).alias("c1"),
+    cdf, _, tot = global_cumsum(
+        per_key, ["n_chars"], sums=[("kt0", "c0"), ("kt1", "c1")]
     )
-    tot = tagged.agg(
-        F.sum("t0").alias("n0"), F.sum("t1").alias("n1")
-    )
-    return (
-        cdf.join(F.broadcast(tot))
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("c0") / F.col("n0").cast("double")
-                        - F.col("c1") / F.col("n1").cast("double")
-                    )
-                ),
-                6,
-            ).alias("ks_stat"),
-            F.max("n0").alias("n_src0"),
-            F.max("n1").alias("n_src1"),
-        )
+    n0, n1 = tot["c0"], tot["c1"]
+    return cdf.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c0") / F.lit(float(n0))
+                    - F.col("c1") / F.lit(float(n1))
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.lit(n0).cast("long").alias("n_src0"),
+        F.lit(n1).cast("long").alias("n_src1"),
     )

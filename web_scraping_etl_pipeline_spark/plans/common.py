@@ -2,9 +2,10 @@
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.star import ANCHOR_US, EVENTS_EPOCH_US, US_PER_DAY, load_table
 
@@ -16,6 +17,9 @@ __all__ = [
     "t_split",
     "HORIZON_US",
     "shared_stage",
+    "global_cumsum",
+    "global_ntile",
+    "global_lead",
 ]
 
 #: Q1's deadline horizon: NOW() + INTERVAL '20 DAYS' (script.sql:54 -
@@ -75,3 +79,245 @@ def shared_stage(
         df = build().persist()
         _STAGE_CACHE[key] = df
     return df
+
+
+# ---------------------------------------------------------------------------
+# Distributed total-order primitives (no single-partition WindowExec)
+# ---------------------------------------------------------------------------
+#
+# ``Window.orderBy(...)`` with no partitionBy moves the FULL relation to
+# one task (Spark logs ``WindowExec: No Partition Defined``) - correct,
+# but the classic 100 TB serialization point.  The three helpers below
+# are the standard two-pass range-partitioned rewrite:
+#
+#   1. ``repartitionByRange`` on the order key (equal keys colocate,
+#      blocks are contiguous in the total order) + in-partition sort;
+#      the result is persisted so both passes see identical boundaries.
+#   2. one tiny job aggregates per-partition row counts / sums
+#      (<= npartitions rows, collected driver-side - bounded by the
+#      partition count, like the suite's other adjudicated collects)
+#      and a Python scan turns them into exclusive prefix offsets.
+#   3. a MAP-ONLY Arrow pass (``mapInPandas`` with carried state
+#      across batches) emits each row's local prefix plus its
+#      partition's offset.  No second shuffle, no join, no
+#      single-partition stage; the per-row work is vectorized numpy.
+#
+# Every pass is embarrassingly parallel, so the plan survives a 100x
+# scale-up: the only data motion is the one range exchange that the
+# total order inherently requires.
+
+
+def _order_cols(order_cols: Sequence) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _ranged(df: DataFrame, order_cols: Sequence, npartitions: int | None):
+    n = npartitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = _order_cols(order_cols)
+    return (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence,
+    sums: Sequence[tuple[str, str]] = (),
+    rn_col: str | None = None,
+    npartitions: int | None = None,
+) -> tuple[DataFrame, int, dict[str, int]]:
+    """ROWS-frame global running sums and/or a global 1-based row
+    number over a total order, without an unpartitioned WindowExec.
+
+    ``order_cols``: str or Column sort expressions (``F.desc`` fine);
+    they feed ``repartitionByRange`` and the in-partition sort, so a
+    deterministic ``rn_col`` needs a total tie-break.  Equal keys land
+    in one partition (RangePartitioner contract), so ties never split
+    across the offset boundary.
+    ``sums``: (source_col, out_col) pairs; sources must be non-null
+    numerics (running-sum nulls are treated as 0).
+    Returns ``(frame, total_rows, {out_col: grand_total})`` - the
+    grand totals replace ``SUM(x) OVER ()`` scalars as plan-time
+    literals.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    d = _ranged(df, order_cols, npartitions)
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(src).alias(f"_s{i}") for i, (src, _) in enumerate(sums)
+    ]
+    stats = {r["_pid"]: r for r in d.groupBy("_pid").agg(*aggs).collect()}
+    offsets: dict[int, tuple[int, tuple]] = {}
+    run_cnt = 0
+    run_sums = [0] * len(sums)
+    for pid in sorted(stats):
+        offsets[pid] = (run_cnt, tuple(run_sums))
+        run_cnt += stats[pid]["_cnt"]
+        for i in range(len(sums)):
+            run_sums[i] += stats[pid][f"_s{i}"] or 0
+    totals = {out: run_sums[i] for i, (_, out) in enumerate(sums)}
+
+    dtypes = dict(d.dtypes)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    out_fields = [f"`{f.name}` {dtypes[f.name]}" for f in d.schema if f.name != "_pid"]
+    if rn_col:
+        out_fields.append(f"`{rn_col}` bigint")
+    for src, out in sums:
+        out_fields.append(
+            f"`{out}` " + ("bigint" if dtypes[src] in integral else "double")
+        )
+    schema = ", ".join(out_fields)
+    n_sums = len(sums)
+    sum_list = list(sums)
+
+    def gen(batches):
+        lrn = 0
+        carried = [0] * n_sums
+        off = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if off is None:
+                off = offsets.get(
+                    int(pdf["_pid"].iloc[0]), (0, (0,) * n_sums)
+                )
+            out = pdf.drop(columns=["_pid"])
+            if rn_col:
+                out[rn_col] = off[0] + lrn + np.arange(1, len(pdf) + 1)
+            for i, (src, name) in enumerate(sum_list):
+                vals = pdf[src].fillna(0)
+                out[name] = vals.cumsum() + (carried[i] + off[1][i])
+                carried[i] += vals.sum()
+            lrn += len(pdf)
+            yield out
+
+    return d.mapInPandas(gen, schema=schema), run_cnt, totals
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence,
+    n_buckets: int,
+    out_col: str,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``NTILE(n) OVER (ORDER BY ...)`` as a distributed
+    plan: global row number via :func:`global_cumsum`, then the NTILE
+    bucket formula with the total row count folded in as plan-time
+    literals (first ``total % n`` buckets get the extra row, exactly
+    the SQL spec).  Output bucket is BIGINT."""
+    d, total, _ = global_cumsum(
+        df, order_cols, rn_col="_gnt_rn", npartitions=npartitions
+    )
+    q, r = divmod(total, n_buckets)
+    if q == 0:
+        bucket = F.col("_gnt_rn")
+    else:
+        cut = r * (q + 1)
+        lo = F.expr(f"(_gnt_rn - 1) DIV {q + 1} + 1")
+        hi = F.expr(f"(_gnt_rn - {cut} - 1) DIV {q} + {r} + 1")
+        bucket = F.when(F.col("_gnt_rn") <= cut, lo).otherwise(hi)
+    return d.withColumn(out_col, bucket.cast("long")).drop("_gnt_rn")
+
+
+def global_lead(
+    df: DataFrame,
+    order_cols: Sequence,
+    lead_cols: Sequence[str],
+    k: int = 1,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """``LEAD(col, j) OVER (ORDER BY ...)`` for j in 1..k over a total
+    order, distributed: in-partition leads come from a one-pass Arrow
+    map (a k-row lookahead buffer across batches), and the <= k tail
+    rows of each partition are patched from the next partitions' head
+    rows - a broadcast-sized relation (npartitions * k rows) joined
+    back on the exact global row number.  Adds ``_lead{j}_{col}``
+    columns; rows with no global successor keep NULL."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    d = _ranged(df, order_cols, npartitions)
+    stats = {
+        r["_pid"]: r["_cnt"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    run = 0
+    head_rns: list[int] = []
+    for pid in sorted(stats):
+        offsets[pid] = run
+        head_rns.extend(run + j for j in range(1, min(k, stats[pid]) + 1))
+        run += stats[pid]
+
+    dtypes = dict(d.dtypes)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    out_fields = [f"`{f.name}` {dtypes[f.name]}" for f in d.schema if f.name != "_pid"]
+    out_fields.append("`_grn` bigint")
+    for j in range(1, k + 1):
+        for c in lead_cols:
+            out_fields.append(f"`_lead{j}_{c}` {dtypes[c]}")
+    schema = ", ".join(out_fields)
+    leads = list(lead_cols)
+
+    def gen(batches):
+        pending = None
+        off = None
+        base = 0
+        def emit(chunk, upto):
+            nonlocal base
+            out = chunk.drop(columns=["_pid"]).copy()
+            out["_grn"] = off + base + np.arange(1, len(chunk) + 1)
+            for j in range(1, k + 1):
+                for c in leads:
+                    shifted = chunk[c].shift(-j)
+                    if dtypes[c] in integral:
+                        shifted = shifted.astype("Int64")
+                    out[f"_lead{j}_{c}"] = shifted
+            base += upto
+            return out.iloc[:upto]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if off is None:
+                off = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            pending = (
+                pdf
+                if pending is None
+                else pd.concat([pending, pdf], ignore_index=True)
+            )
+            if len(pending) > k:
+                yield emit(pending, len(pending) - k)
+                pending = pending.iloc[-k:].reset_index(drop=True)
+        if pending is not None and len(pending):
+            yield emit(pending, len(pending))
+
+    res = d.mapInPandas(gen, schema=schema)
+    heads = res.filter(F.col("_grn").isin(head_rns)).select(
+        F.col("_grn").alias("_hrn"),
+        *[F.col(c).alias(f"_h_{c}") for c in leads],
+    )
+    out = res
+    for j in range(1, k + 1):
+        hj = heads.select(
+            F.col("_hrn").alias(f"_hrn{j}"),
+            *[F.col(f"_h_{c}").alias(f"_h{j}_{c}") for c in leads],
+        )
+        out = out.join(
+            F.broadcast(hj),
+            F.col("_grn") + j == F.col(f"_hrn{j}"),
+            "left",
+        )
+        for c in leads:
+            out = out.withColumn(
+                f"_lead{j}_{c}",
+                F.when(
+                    F.col(f"_hrn{j}").isNotNull(), F.col(f"_h{j}_{c}")
+                ).otherwise(F.col(f"_lead{j}_{c}")),
+            )
+        out = out.drop(f"_hrn{j}", *[f"_h{j}_{c}" for c in leads])
+    return out.drop("_grn")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, Window, functions as F
 
-from .common import shared_stage, t, t_split
+from .common import global_lead, shared_stage, t, t_split
 from .registry import query
 
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -896,25 +896,30 @@ def q131_sorted_neighborhood(spark, sf_dir):
     strings (which sort adjacently) meet without any blocking key
     (cf. q106, which needs one).
 
-    The neighbor pairing is LEAD, not a self-join: one window pass
-    emits (record, k-th successor) pairs directly.
+    The neighbor pairing is LEAD, not a self-join: one pass emits
+    (record, k-th successor) pairs directly.
 
-    Scale: a global sort is inherent to SNM (that IS the algorithm);
-    Spark range-partitions it, and the W-successor comparison stays
-    in-partition except at boundaries (here: exact via one window;
-    a production variant overlaps partition fringes by W). Pair count
+    Distributed form: a global sort order is inherent to SNM (that IS
+    the algorithm), but no single task ever holds it -
+    :func:`plans.common.global_lead` range-partitions on the sort key,
+    takes the W successors in-partition from a map-only Arrow pass
+    with a W-row lookahead buffer, and patches each partition's last W
+    rows from the broadcast-sized next-partition heads (the 'overlap
+    partition fringes by W' production variant, exactly).  Pair count
     is exactly W*N - linear, vs blocking's per-block quadratic."""
     p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    w = Window.orderBy("p_name", "p_partkey")
+    led = global_lead(
+        p, ["p_name", "p_partkey"], ["p_partkey", "p_name"], k=_SNM_WINDOW
+    )
     cols = []
     for k in range(1, _SNM_WINDOW + 1):
         cols.append(
             F.struct(
-                F.lead("p_partkey", k).over(w).alias("pk"),
-                F.lead("p_name", k).over(w).alias("nm"),
+                F.col(f"_lead{k}_p_partkey").alias("pk"),
+                F.col(f"_lead{k}_p_name").alias("nm"),
             ).alias(f"n{k}")
         )
-    paired = p.select("p_partkey", "p_name", *cols)
+    paired = led.select("p_partkey", "p_name", *cols)
     nbrs = paired.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),

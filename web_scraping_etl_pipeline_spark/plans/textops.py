@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import t, t_split
+from .common import global_cumsum, t, t_split
 from .registry import query
 
 #: tokens = whitespace split of the trimmed, lowercased text. Documents
@@ -402,9 +402,11 @@ def q175_vocab_coverage(spark, sf_dir):
     before fixing a vocab size budget.
 
     Scale: token frequency is one shuffle with map-side combine; the
-    ranking window runs over the VOCABULARY (~sqrt-ish of corpus size
-    by Heaps' law, millions of rows at 100 TB - one node's work, and
-    band-partitioned two-phase cumsum is the swap-in past that). The
+    frequency ranking and cumulative coverage are the band-partitioned
+    two-phase cumsum itself (:func:`plans.common.global_cumsum` -
+    range exchange on (-cnt, tok), map-only Arrow prefix, driver
+    offsets), so even a billion-term vocabulary never lands on one
+    task.  The corpus total comes back as a plan-time literal.  The
     4-row target frame joins on an inequality, which is a broadcast
     nested loop - bounded by 4 x |vocab|, i.e. a map stage, not a
     quadratic join."""
@@ -414,16 +416,15 @@ def q175_vocab_coverage(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cnt"), "tok")
-    ranked = freq.select(
-        "cnt",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("cnt").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
-    ).withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    cum, _, totals = global_cumsum(
+        freq,
+        [F.desc("cnt"), F.asc("tok")],
+        sums=[("cnt", "cum")],
+        rn_col="rnk",
+    )
+    ranked = cum.select("cnt", "rnk", "cum").withColumn(
+        "total", F.lit(totals["cum"])
+    )
     targets = spark.createDataFrame(
         [(0.50,), (0.75,), (0.90,), (0.95,)], "target double"
     )
