@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from web_scraping_etl_pipeline_spark.plans.analytics import (
+    q73_distinct_users,
+    q74_approx_ndv,
     q90_date_spine_gapfill,
     q101_pareto_frontier,
     q102_exact_allocation,
@@ -172,6 +174,32 @@ def test_surrogate_keys_dense_and_consistent(spark):
         F.count_distinct("brand_type_sk").alias("n")
     )
     assert per_part.filter(F.col("n") != 1).count() == 0
+
+
+def test_approx_ndv_within_hll_error_bound(spark):
+    """q74's HLL++ estimate must sit within the sketch's accuracy
+    contract of q73's exact per-group NDV. The query requests
+    rsd=0.02; HLL++ error is approximately Gaussian with that sd, so
+    5x rsd (10%) is a >>5-sigma bound - tight enough to catch a wrong
+    sketch or a column mix-up, loose enough to never flake. n_events
+    (exact in both) must agree exactly."""
+    exact = {
+        r["event_type"]: (r["n_users"], r["n_events"])
+        for r in q73_distinct_users(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["event_type"]: (r["n_users_approx"], r["n_events"])
+        for r in q74_approx_ndv(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for etype, (n_exact, ev_exact) in exact.items():
+        n_est, ev_est = approx[etype]
+        assert ev_est == ev_exact, etype
+        assert abs(n_est - n_exact) <= max(5, 0.10 * n_exact), (
+            etype,
+            n_est,
+            n_exact,
+        )
 
 
 def test_weighted_sample_is_deterministic(spark):

@@ -19,6 +19,8 @@ from web_scraping_etl_pipeline_spark.plans.analytics import (
 )
 from web_scraping_etl_pipeline_spark.plans.dedup import (
     _shingles,
+    q44_ngram_jaccard_sample,
+    q46_lsh_verified_jaccard,
     q142_prefix_filter_join,
 )
 from web_scraping_etl_pipeline_spark.plans.relational import (
@@ -183,3 +185,35 @@ def test_benford_shares_sum_to_one(spark):
     digits = {r["digit"] for r in rows}
     assert digits <= set(range(1, 10))
     assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_quadratic_baseline_q44_is_redundant_evidence(spark):
+    """Retirement gate for the quadratic baseline: every >= 0.6-Jaccard
+    pair q44's all-pairs scan finds (within its own scope: sampled
+    doc_id % 5 == 0, same source) is also found by a scale path -
+    q142's prefix-filter join (exact, doc_id < 2000 scope) or q46's
+    LSH-verified chain. With this superset pinned, q44 contributes no
+    unique pairs and can be dropped from any production profile; it
+    stays registered only as the documented baseline."""
+    thresh = 0.6
+    q44_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q44_ngram_jaccard_sample(spark, SF_DIR).collect()
+        if r["jaccard"] >= thresh
+    }
+    scale_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q142_prefix_filter_join(spark, SF_DIR).collect()
+    } | {
+        (r["doc_a"], r["doc_b"])
+        for r in q46_lsh_verified_jaccard(spark, SF_DIR).collect()
+        if r["jaccard"] >= thresh
+    }
+    missing = {
+        (a, b)
+        for a, b in q44_pairs
+        if (a, b) not in scale_pairs and (b, a) not in scale_pairs
+    }
+    assert missing == set(), missing
+    # and the baseline must actually be exercised by the data
+    assert q44_pairs, "no >=0.6 pairs in q44 scope - test is vacuous"

