@@ -117,3 +117,33 @@ def test_resize_preserves_aspect_and_roundtrips(spark):
         (F.col("new_width") != F.col("rw"))
         | (F.col("new_height") != F.col("rh"))
     ).count() == 0
+
+
+def test_real_codec_decodes_png(spark):
+    """Exercised only where an imaging library exists: round-trip real
+    PNG bytes through the deploy-grade decode path and check the
+    decoded dimensions. Skips in the shipped container (no Pillow)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import PIL.Image
+
+    from web_scraping_etl_pipeline_spark.multimodal.media import (
+        decode_image_real,
+        decode_media_real,
+    )
+
+    def png(w, h):
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    assert decode_image_real(png(12, 34))[:2] == (12, 34)
+
+    rows = [(1, png(8, 9)), (2, png(20, 10)), (3, b"not an image")]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in decode_media_real(media).collect()
+    }
+    assert out == {1: (8, 9), 2: (20, 10)}  # corrupt row 3 skipped

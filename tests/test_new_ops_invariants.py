@@ -217,3 +217,37 @@ def test_quadratic_baseline_q44_is_redundant_evidence(spark):
     assert missing == set(), missing
     # and the baseline must actually be exercised by the data
     assert q44_pairs, "no >=0.6 pairs in q44 scope - test is vacuous"
+
+
+def test_chunked_balance_equals_unchunked(spark):
+    """The epoch-chunked two-phase balance walk must reproduce the
+    single-group sequential reference exactly (the max-plus chunk
+    summary is algebraically lossless; only chunk-boundary float
+    reassociation could differ, and at 1e-6 rounding it must not)."""
+    from web_scraping_etl_pipeline_spark.plans.temporal import (
+        q124_capped_running_balance,
+        q124_unchunked_reference,
+    )
+
+    chunked = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in q124_capped_running_balance(spark, SF_DIR).collect()
+    }
+    ref = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in q124_unchunked_reference(spark, SF_DIR).collect()
+    }
+    assert chunked == ref
+    # chunking must actually split histories (not a vacuous pass)
+    from web_scraping_etl_pipeline_spark.plans.temporal import (
+        _balance_deltas,
+    )
+
+    n_multi = (
+        _balance_deltas(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count_distinct("chunk").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert n_multi > 0

@@ -94,21 +94,70 @@ def _parse_header(payload: bytes) -> tuple[int, int, str, int]:
     return int(w[2:]), int(h[2:]), mt[2:].decode(), len(body)
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - deploy hook
-    """Real-codec hook: decode an actual image payload.
+def decode_image_real(payload: bytes) -> tuple[int, int, str, int]:
+    """Real-codec hook: decode an actual image payload with Pillow.
 
-    The container ships no imaging libraries; a deployment installs one
-    and this function replaces :func:`_parse_header` inside
-    :func:`decode_media` without touching schema or plan shape.
+    Returns the same tuple shape as :func:`_parse_header`
+    ``(width, height, media_type, body_bytes)`` so a deployment swaps
+    it into :func:`decode_media`'s closure without touching schema or
+    plan shape. Guarded by an optional import: the test container
+    ships no imaging library, so the pytest that exercises this
+    (tests/test_multimodal.py::test_real_codec_decodes_png) skips
+    unless Pillow is installed.
     """
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image  # noqa: PLC0415
     except ImportError as exc:
         raise NotImplementedError(
             "real image decode needs an imaging library (e.g. Pillow); "
             "this environment uses the deterministic header codec instead"
         ) from exc
-    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+    import io  # noqa: PLC0415
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, "image", len(payload)
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """The deploy-grade twin of :func:`decode_media`: same mapInPandas
+    batch shape and DECODED schema, but each payload goes through the
+    REAL codec (:func:`decode_image_real`). Corrupt payloads are
+    skipped (0 rows emitted), which is why the decode stage is
+    mapInPandas and not a 1:1 scalar UDF. Requires Pillow on the
+    executors; not registered as a query in this container."""
+
+    def batches(it: Iterator) -> Iterator:
+        import io  # noqa: PLC0415
+
+        import PIL.Image  # noqa: PLC0415
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": [], "width": [], "height": [],
+                "media_type": [], "body_bytes": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    with PIL.Image.open(io.BytesIO(bytes(p))) as img:
+                        w, h = img.width, img.height
+                except Exception:  # corrupt payload: skip, don't fail
+                    continue
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["media_type"].append("image")
+                rows["body_bytes"].append(len(bytes(p)))
+            import pandas as pd  # noqa: PLC0415
+
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "media_type",
+                    "body_bytes",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, DECODED)
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -62,8 +62,20 @@ def _points(spark, sf_dir):
         .select(
             "user_id",
             (F.lit(40.0) + (h % 1_000_000) / 100_000.0).alias("lat"),
+            # exact integer division (DIV), matching the oracle's `//`:
+            # double true-division then truncation carries ~2e-4 abs
+            # error on 60-bit values and can flip the floor at a
+            # 1e6 boundary for ~1e-5 of keys.
             (
-                F.lit(-5.0) + ((h / F.lit(1_000_000)).cast("bigint") % 1_000_000) / 100_000.0
+                F.lit(-5.0)
+                + (
+                    F.expr(
+                        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+                        " 16, 10) AS BIGINT) DIV 1000000"
+                    )
+                    % 1_000_000
+                )
+                / 100_000.0
             ).alias("lon"),
         )
     )

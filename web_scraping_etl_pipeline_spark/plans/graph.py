@@ -211,7 +211,18 @@ def q178_triangle_count(spark, sf_dir):
 
 #: synthetic 4-ary part hierarchy: parent(p) = (p - 1) DIV 4 for p > 0
 #: (deterministic, both engines derive it identically from p_partkey).
-_TREE_DEPTH = 7
+
+
+def _tree_depth(max_key: int) -> int:
+    """Exact depth of the deepest node: walk parent() from the largest
+    key to the root. Derived from the DATA, not hardcoded - a fixed
+    constant silently under-accumulates deep subtrees the moment the
+    part table outgrows it (4-ary keys > 21844 need depth 8+)."""
+    d, k = 0, max(int(max_key), 0)
+    while k > 0:
+        k = (k - 1) // 4
+        d += 1
+    return d
 
 
 @query(
@@ -239,9 +250,10 @@ def q197_subtree_rollup(spark, sf_dir):
     node's subtree total over a synthetic 4-ary part tree
     (parent = (key-1) DIV 4) - the recursive-CTE query family,
     computed in Spark as a bottom-up driver loop: sum_0 = own value;
-    sum_{k+1}(p) = own(p) + SUM over children of sum_k(child). After
-    depth iterations every subtree has stabilized (depth 7 covers
-    16k nodes).
+    sum_{k+1}(p) = own(p) + SUM over children of sum_k(child). The
+    iteration count is the tree's exact depth, derived from
+    max(p_partkey) at plan time (one scalar job), so the rollup is
+    correct at every scale factor.
 
     Scale: each pass is one equi-join (child -> parent key, derived
     arithmetically) + one aggregation - cost is O(depth x |edges|),
@@ -258,11 +270,12 @@ def q197_subtree_rollup(spark, sf_dir):
         F.col("own").alias("subtree_value"),
         F.lit(1).cast("long").alias("subtree_size"),
     )
-    for _ in range(_TREE_DEPTH):
+    max_key = p.agg(F.max("node")).first()[0] or 0
+    for _ in range(_tree_depth(max_key)):
         child_sums = (
             totals.filter(F.col("node") > 0)
             .select(
-                ((F.col("node") - 1) / 4).cast("long").alias("parent"),
+                F.expr("(node - 1) DIV 4").alias("parent"),
                 "subtree_value",
                 "subtree_size",
             )

@@ -518,6 +518,57 @@ def q100_cdc_apply(spark, sf_dir):
     return latest.filter(F.col("last_type") != "error")
 
 
+#: epoch chunk width for the two-phase balance walk (weekly).
+_BAL_CHUNK_US = 7 * 86_400_000_000
+
+
+def _balance_deltas(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        delta.alias("delta"),
+        F.expr(f"ts_us DIV {_BAL_CHUNK_US}").alias("chunk"),
+    )
+
+
+def q124_unchunked_reference(spark, sf_dir):
+    """The direct per-key sequential recurrence (whole history as one
+    Arrow group) - kept as the validation twin for q124's chunked
+    plan; NOT registered (it is the shape that breaks on a hot key
+    whose history exceeds a worker batch)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+
+    def walk(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        bal, out = 0.0, []
+        for etype, val in zip(pdf["event_type"], pdf["value"]):
+            if etype == "purchase":
+                bal += float(val)
+            elif etype == "error":
+                bal -= float(val)
+            if bal < 0.0:
+                bal = 0.0
+            out.append(bal)
+        pdf = pdf.assign(balance=[round(b, 6) for b in out])
+        return pdf[["user_id", "event_id", "balance"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        walk, "user_id long, event_id long, balance double"
+    )
+
+
 @query(
     "q124_capped_running_balance",
     oracle="""
@@ -548,38 +599,68 @@ def q124_capped_running_balance(spark, sf_dir):
     delta) makes each row depend on the *clamped* previous value, so
     SUM OVER is wrong the moment any prefix dips negative.
 
-    This is the brief's strategy (b) case: a Pandas-UDF
-    ``applyInPandas`` runs the per-key sequential recurrence (one Arrow
-    batch per user, a tight loop over it), while everything around it -
-    partitioning, ordering columns, output schema - stays declarative.
-    The oracle is a DuckDB recursive CTE stepping rn -> rn+1.
+    Epoch-CHUNKED two-phase plan, so a hot key's history never has to
+    fit one worker batch. The clamp recurrence composes: a run of
+    deltas collapses to (S = sum, M = max(0, max suffix-sum)) with
+    ``b_out = max(M, b_in + S)`` - the max-plus monoid that makes the
+    scan parallelizable:
 
-    Scale: one shuffle on ``user_id``; each group streams through
-    Python once via Arrow. Per-key history must fit a worker's batch
-    (true for per-user event counts); a years-long key would chunk by
-    epoch with carried state, same as applyInPandasWithState does for
-    streams (cf. streaming/stateful.py)."""
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts_us", "event_type", "value"
+      1. per (user, weekly chunk): S and M from a PARTITIONED window
+         (prefix sums; max suffix-sum == S - min prefix) - pure SQL,
+         no Python;
+      2. per user over its CHUNK SUMMARIES (|chunks| rows, tiny): one
+         sequential carry loop emits each chunk's opening balance
+         (``applyInPandas`` - the carried state of the docstring
+         contract);
+      3. per (user, chunk) with the opening balance joined back: the
+         exact clamped walk over just that chunk's rows - all chunks
+         run in PARALLEL.
+
+    The oracle is a DuckDB recursive CTE stepping rn -> rn+1;
+    ``tests/test_new_ops_invariants.py`` additionally pins the chunked
+    result against the unchunked single-group reference."""
+    d = _balance_deltas(spark, sf_dir)
+
+    wuc = Window.partitionBy("user_id", "chunk").orderBy(
+        "ts_us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = d.withColumn("prefix", F.sum("delta").over(wuc))
+    summaries = pre.groupBy("user_id", "chunk").agg(
+        F.sum("delta").alias("S"),
+        F.least(F.lit(0.0), F.min("prefix")).alias("minp"),
+    ).withColumn(
+        "M", F.greatest(F.lit(0.0), F.col("S") - F.col("minp"))
     )
 
-    def walk(pdf):
-        # self-contained closure: workers import nothing from this repo
+    def carry(pdf):
+        pdf = pdf.sort_values("chunk")
+        b, opens = 0.0, []
+        for s, m in zip(pdf["S"], pdf["M"]):
+            opens.append(b)
+            b = max(m, b + s)
+        return pdf.assign(b_in=opens)[["user_id", "chunk", "b_in"]]
+
+    opening = summaries.groupBy("user_id").applyInPandas(
+        carry, "user_id long, chunk long, b_in double"
+    )
+
+    def walk_chunk(pdf):
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        bal, out = 0.0, []
-        for etype, val in zip(pdf["event_type"], pdf["value"]):
-            if etype == "purchase":
-                bal += float(val)
-            elif etype == "error":
-                bal -= float(val)
+        bal, out = float(pdf["b_in"].iloc[0]), []
+        for dv in pdf["delta"]:
+            bal += float(dv)
             if bal < 0.0:
                 bal = 0.0
             out.append(bal)
         pdf = pdf.assign(balance=[round(b, 6) for b in out])
         return pdf[["user_id", "event_id", "balance"]]
 
-    return ev.groupBy("user_id").applyInPandas(
-        walk, "user_id long, event_id long, balance double"
+    return (
+        d.join(opening, ["user_id", "chunk"])
+        .groupBy("user_id", "chunk")
+        .applyInPandas(
+            walk_chunk, "user_id long, event_id long, balance double"
+        )
     )
 
 

@@ -140,28 +140,49 @@ def compact_bronze_partition(
     of batches x tasks; at 100 TB a year of appends is millions of
     small files, and scan cost becomes file-open cost (footer reads,
     listing, scheduling) instead of bytes. Periodic compaction is the
-    maintenance primitive every lake format automates; on plain
-    parquet it is "read partition, coalesce, dynamic-overwrite that
-    partition" - the overwrite commits atomically per partition
-    directory, so readers never see a partial partition, and a rerun
-    is idempotent (same rows in, same rows out).
+    maintenance primitive every lake format automates.
+
+    Write path: never overwrite the directory being read. A dynamic
+    partition overwrite of the source partition deletes the input
+    files at commit time of a job that is still lazily reading them -
+    a mid-commit failure (or an engine that detects the self-overwrite
+    and throws) can lose the partition outright. Instead the compacted
+    files land in a sibling temp directory, are count-validated, and
+    then take the partition's place via two directory renames with the
+    original kept as a ``.bak`` until the swap completes. A crash at
+    any point leaves either the original or the backup on disk - data
+    loss is impossible, though a crash exactly between the two renames
+    can leave the partition momentarily absent for concurrent readers
+    (single-writer maintenance windows are assumed; a lake format's
+    transactional MERGE/OPTIMIZE is the deployment-grade upgrade).
+    Reruns are idempotent (same rows in, same rows out).
 
     ``coalesce`` (not ``repartition``): compaction must not shuffle -
     it narrows existing tasks into fewer output files; row order
     within the partition is not part of the bronze contract. Returns
     the number of output files requested."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
     part_path = f"{bronze_path}/ingest_date={ingest_date}"
+    tmp_path = f"{bronze_path}/.compact_tmp_ingest_date={ingest_date}"
+    bak_path = f"{part_path}.bak"
+    for leftover in (tmp_path, bak_path):  # crashed prior run
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     part = spark.read.parquet(part_path)
     n_rows = part.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    (
-        part.withColumn("ingest_date", F.lit(ingest_date))
-        .coalesce(n_files)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_date")
-        .parquet(bronze_path)
-    )
+    # partition-column-free files, exactly like the partitioned layout
+    part.coalesce(n_files).write.mode("overwrite").parquet(tmp_path)
+    if spark.read.parquet(tmp_path).count() != n_rows:
+        raise RuntimeError(
+            f"compaction row-count mismatch for {part_path}; "
+            "original left untouched"
+        )
+    os.rename(part_path, bak_path)
+    os.rename(tmp_path, part_path)
+    shutil.rmtree(bak_path)
     return n_files
 
 
