@@ -70,6 +70,10 @@ FIXED_GLOBAL_WINDOW = [
     "q160_rfm_segmentation",
     "q175_vocab_coverage",
     "q200_ks_drift",
+    # r4 additions built on the same primitives from day one
+    "q201_global_percent_rank",
+    "q202_exact_global_median",
+    "q203_global_cume_dist",
 ]
 
 

@@ -2436,3 +2436,94 @@ def q200_ks_drift(spark, sf_dir):
         F.lit(n0).cast("long").alias("n_src0"),
         F.lit(n1).cast("long").alias("n_src1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201-q203: the distributed total-order family (global rank statistics
+# with no single-partition WindowExec - all built on plans/common.py's
+# range-partitioned two-pass primitives)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_global_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER (
+             ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+    FROM orders
+    """,
+)
+def q201_global_percent_rank(spark, sf_dir):
+    """Exact global PERCENT_RANK over every order - the 'where does
+    this row sit in the whole distribution' statistic feature stores
+    emit per entity. PERCENT_RANK(rn) = (rn - 1) / (T - 1) with a
+    unique tie-break, so the global row number from
+    :func:`plans.common.global_cumsum` (range exchange + map-only
+    Arrow prefix + driver offsets) and the plan-time total T are all
+    it needs; no row ever visits a single-partition window."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d, total, _ = global_cumsum(
+        o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
+    )
+    denom = float(max(total - 1, 1))
+    return d.select(
+        "o_orderkey",
+        F.round((F.col("_rn") - 1) / F.lit(denom), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "q202_exact_global_median",
+    oracle="""
+    SELECT ROUND(MEDIAN(o_totalprice), 2) AS median_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def q202_exact_global_median(spark, sf_dir):
+    """EXACT global median (not approxQuantile): with the global row
+    number in hand, the median is just the middle row(s) - rn in
+    {floor((T+1)/2), floor(T/2)+1}, averaged when T is even, which is
+    DuckDB's MEDIAN interpolation exactly. The heavy lifting is the
+    one range exchange; the middle-row filter is a map stage. The
+    same shape generalizes to any exact quantile set (rn thresholds
+    are plan-time arithmetic on T)."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    d, total, _ = global_cumsum(
+        o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
+    )
+    lo, hi = (total + 1) // 2, total // 2 + 1
+    return d.filter(F.col("_rn").isin(lo, hi)).agg(
+        F.round(F.avg("o_totalprice"), 2).alias("median_price"),
+        F.lit(total).cast("long").alias("n_orders"),
+    )
+
+
+@query(
+    "q203_global_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice), 6) AS cd
+    FROM orders
+    """,
+)
+def q203_global_cume_dist(spark, sf_dir):
+    """Exact global CUME_DIST (share of rows with value <= mine, peer
+    groups collapsing together): per-VALUE counts first (one
+    map-side-combined shuffle), the running total over the
+    distinct-value relation via :func:`plans.common.global_cumsum`
+    (a ROWS prefix over unique keys IS the RANGE/peer semantics), and
+    a join back onto the fact rows - the q200 decomposition
+    generalized to a per-row output. The join key is the value itself,
+    so ties inherit their peer group's cumulative count exactly."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    per_val = o.groupBy("o_totalprice").agg(F.count("*").alias("cnt"))
+    cdf, _, totals = global_cumsum(
+        per_val, ["o_totalprice"], sums=[("cnt", "cum")]
+    )
+    n_rows = float(totals["cum"])
+    return o.join(cdf.select("o_totalprice", "cum"), "o_totalprice").select(
+        "o_orderkey",
+        F.round(F.col("cum") / F.lit(n_rows), 6).alias("cd"),
+    )

@@ -297,6 +297,8 @@ def global_lead(
             yield emit(pending, len(pending))
 
     res = d.mapInPandas(gen, schema=schema)
+    if not head_rns:  # empty input: nothing to patch
+        return res.drop("_grn")
     heads = res.filter(F.col("_grn").isin(head_rns)).select(
         F.col("_grn").alias("_hrn"),
         *[F.col(c).alias(f"_h_{c}") for c in leads],
