@@ -32,6 +32,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from web_scraping_etl_pipeline_spark.plans import QUERIES  # noqa: E402
+from web_scraping_etl_pipeline_spark.plans.common import (  # noqa: E402
+    release_transients,
+)
 from web_scraping_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
@@ -79,6 +82,10 @@ def main() -> int:
             continue
         timings[name] = round(took, 3)
         log(f"ok   {name}: {took:.3f}s")
+        # Helper-stage caches are per-query transients: release them so
+        # a 200-query suite in an 8 GB JVM never turns old cache blocks
+        # into storage eviction churn billed to later queries.
+        release_transients()
         if (i + 1) % 5 == 0:
             # Shuffle/broadcast state from finished queries is reclaimed
             # via weak references, i.e. only on GC (ContextCleaner's

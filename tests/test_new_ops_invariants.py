@@ -220,24 +220,32 @@ def test_quadratic_baseline_q44_is_redundant_evidence(spark):
 
 
 def test_chunked_balance_equals_unchunked(spark):
-    """The epoch-chunked two-phase balance walk must reproduce the
-    single-group sequential reference exactly (the max-plus chunk
-    summary is algebraically lossless; only chunk-boundary float
-    reassociation could differ, and at 1e-6 rounding it must not)."""
+    """Three independent formulations of the clamped balance must
+    agree exactly: the registered closed-form window plan (reflected
+    walk), the epoch-chunked two-phase carried-state walk, and the
+    single-group sequential reference. Algebraically all identical;
+    only float reassociation could differ, and at 1e-6 rounding it
+    must not."""
     from web_scraping_etl_pipeline_spark.plans.temporal import (
         q124_capped_running_balance,
+        q124_chunked_reference,
         q124_unchunked_reference,
     )
 
-    chunked = {
+    window_form = {
         (r["user_id"], r["event_id"]): r["balance"]
         for r in q124_capped_running_balance(spark, SF_DIR).collect()
+    }
+    chunked = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in q124_chunked_reference(spark, SF_DIR).collect()
     }
     ref = {
         (r["user_id"], r["event_id"]): r["balance"]
         for r in q124_unchunked_reference(spark, SF_DIR).collect()
     }
     assert chunked == ref
+    assert window_form == ref
     # chunking must actually split histories (not a vacuous pass)
     from web_scraping_etl_pipeline_spark.plans.temporal import (
         _balance_deltas,

@@ -111,9 +111,11 @@ def test_python_stages_are_arrow_batched(spark):
     """Every Python eval in the watched set must be Arrow-batched
     (MapInPandas/FlatMapGroupsInPandas/ArrowEvalPython/arrow UDTF),
     never pickled row-at-a-time."""
+    # (q124 left this list in r4: the reflected-walk identity made it
+    # pure-JVM windows - no Python stage to check.)
     for name in [
         "q60_media_decode",
-        "q124_capped_running_balance",
+        "q201_global_percent_rank",
         "q126_chunk_udtf",
     ]:
         a = audit(_plan(spark, name))

@@ -30,6 +30,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from web_scraping_etl_pipeline_spark.plans import ORACLE, QUERIES
+from web_scraping_etl_pipeline_spark.plans.common import release_transients
 from web_scraping_etl_pipeline_spark.schemas import STAR_TABLES
 from web_scraping_etl_pipeline_spark.session import get_spark
 
@@ -96,6 +97,8 @@ def main():
             record(name, err=f"spark error: {exc}")
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        finally:
+            release_transients()
         if name not in ORACLE:
             record(
                 name,

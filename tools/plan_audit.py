@@ -27,6 +27,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from web_scraping_etl_pipeline_spark.plans import QUERIES
+from web_scraping_etl_pipeline_spark.plans.common import release_transients
 from web_scraping_etl_pipeline_spark.session import get_spark
 
 #: queries whose construction executes a streaming drain (slow) or is
@@ -136,6 +137,8 @@ def main() -> int:
             print(f"ERR  {name}: {exc}")
             bad += 1
             continue
+        finally:
+            release_transients()
         a = audit(plan)
         a["flags"] = [f for f in a["flags"] if f not in ALLOW.get(name, ())]
         flag_note = f"  FLAGS={','.join(a['flags'])}" if a["flags"] else ""

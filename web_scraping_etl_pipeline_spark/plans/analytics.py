@@ -25,6 +25,7 @@ from .common import (
     global_lead,
     global_ntile,
     t,
+    transient_persist,
 )
 from .registry import query
 
@@ -1958,11 +1959,13 @@ def q160_rfm_segmentation(spark, sf_dir):
     aggregate is persisted so the three ranking passes (and their
     per-partition stats jobs) scan it once."""
     o = t(spark, sf_dir, "orders")
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
-        F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 0).alias("monetary"),
-    ).persist()
+    base = transient_persist(
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 0).alias("monetary"),
+        )
+    )
     d = global_ntile(
         base, [F.desc("last_day"), F.asc("custkey")], 5, "r_score"
     )

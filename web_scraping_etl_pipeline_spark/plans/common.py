@@ -111,15 +111,50 @@ def _order_cols(order_cols: Sequence) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
+#: transient per-query persisted intermediates (the helpers' ranged
+#: stages). Unlike shared_stage entries these are never reused across
+#: queries, so a long suite run should release them between queries -
+#: in an 8 GB local JVM dozens of lingering fact-sized cache entries
+#: turn into storage-pool eviction churn and GC pauses billed to
+#: innocent later queries. bench.py / tools call release_transients().
+_TRANSIENT_PERSISTS: list[DataFrame] = []
+
+
+def release_transients() -> int:
+    """Unpersist every helper-stage cache entry registered since the
+    last call; returns how many were released. Safe mid-session: a
+    consumer re-executing after release just recomputes the lineage
+    (same deterministic range boundaries)."""
+    n = len(_TRANSIENT_PERSISTS)
+    for df in _TRANSIENT_PERSISTS:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # session already stopped
+            pass
+    _TRANSIENT_PERSISTS.clear()
+    return n
+
+
+def transient_persist(df: DataFrame) -> DataFrame:
+    """persist() registered for :func:`release_transients` - for
+    within-one-query multi-consumer stages (e.g. q160's base aggregate
+    feeding three ranking passes)."""
+    d = df.persist()
+    _TRANSIENT_PERSISTS.append(d)
+    return d
+
+
 def _ranged(df: DataFrame, order_cols: Sequence, npartitions: int | None):
     n = npartitions or df.sparkSession.sparkContext.defaultParallelism
     cols = _order_cols(order_cols)
-    return (
+    d = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    _TRANSIENT_PERSISTS.append(d)
+    return d
 
 
 def global_cumsum(

@@ -594,31 +594,62 @@ def q124_unchunked_reference(spark, sf_dir):
 )
 def q124_capped_running_balance(spark, sf_dir):
     """Floor-capped running balance per user (credits from purchases,
-    debits from errors, balance can never go below zero): the canonical
-    NON-LINEAR scan that no window frame can express - max(0, prev +
-    delta) makes each row depend on the *clamped* previous value, so
-    SUM OVER is wrong the moment any prefix dips negative.
+    debits from errors, balance can never go below zero): LOOKS like a
+    non-linear scan no window can express - max(0, prev + delta)
+    depends on the clamped previous value - but the reflected-walk
+    identity closes it:
 
-    Epoch-CHUNKED two-phase plan, so a hot key's history never has to
-    fit one worker batch. The clamp recurrence composes: a run of
-    deltas collapses to (S = sum, M = max(0, max suffix-sum)) with
-    ``b_out = max(M, b_in + S)`` - the max-plus monoid that makes the
-    scan parallelizable:
+        balance_i = max(0, prefix_i - min(0, min_{j<=i} prefix_j))
+
+    (a zero-floor walk equals the free walk minus its running minimum
+    below zero). That makes the whole query TWO stacked per-user
+    window passes - cumulative SUM, then cumulative MIN of that sum -
+    plain JVM whole-stage-codegen, one shuffle on user_id, no Python
+    anywhere. The oracle is the genuine sequential recursion (DuckDB
+    recursive CTE stepping rn -> rn+1), so the hash match proves the
+    identity.
+
+    For recurrences with NO such closed form, the epoch-chunked
+    two-phase template lives right above
+    (:func:`q124_chunked_reference`: per-chunk max-plus summaries,
+    per-user carry over summaries, parallel per-chunk walks) and is
+    pinned equal to this form and to the single-group sequential walk
+    in ``tests/test_new_ops_invariants.py``."""
+    d = _balance_deltas(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = d.withColumn("prefix", F.sum("delta").over(w)).withColumn(
+        "runmin", F.min("prefix").over(w)
+    )
+    balance = F.greatest(
+        F.lit(0.0), F.col("prefix") - F.least(F.lit(0.0), F.col("runmin"))
+    )
+    return pre.select(
+        "user_id", "event_id", F.round(balance, 6).alias("balance")
+    )
+
+
+def q124_chunked_reference(spark, sf_dir):
+    """Epoch-CHUNKED two-phase walk - the template for per-key
+    recurrences with carried state when no closed form exists (and the
+    proof that a hot key's history never has to fit one worker batch).
+    The clamp recurrence composes: a run of deltas collapses to
+    (S = sum, M = max(0, max suffix-sum)) with
+    ``b_out = max(M, b_in + S)`` - a max-plus monoid:
 
       1. per (user, weekly chunk): S and M from a PARTITIONED window
-         (prefix sums; max suffix-sum == S - min prefix) - pure SQL,
-         no Python;
+         (prefix sums; max suffix-sum == S - min prefix) - pure SQL;
       2. per user over its CHUNK SUMMARIES (|chunks| rows, tiny): one
          sequential carry loop emits each chunk's opening balance
-         (``applyInPandas`` - the carried state of the docstring
-         contract);
+         (``applyInPandas`` with carried state);
       3. per (user, chunk) with the opening balance joined back: the
          exact clamped walk over just that chunk's rows - all chunks
          run in PARALLEL.
 
-    The oracle is a DuckDB recursive CTE stepping rn -> rn+1;
-    ``tests/test_new_ops_invariants.py`` additionally pins the chunked
-    result against the unchunked single-group reference."""
+    Not the registered q124 plan (the closed form above is pure-JVM
+    and per-group Python overhead dominates at |users| x |weeks|
+    group counts); kept as the tested carried-state template."""
     d = _balance_deltas(spark, sf_dir)
 
     wuc = Window.partitionBy("user_id", "chunk").orderBy(
