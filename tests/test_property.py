@@ -116,3 +116,76 @@ def test_watermark_monotone(tmp_path_factory, candidates):
         if ts is not None:
             seen_max = ts if seen_max is None else max(seen_max, ts)
         assert state_mod.read_last_processed_time(path) == seen_max
+
+
+# ---------------------------------------------------------------------------
+# Distributed total-order helpers (plans/common.py): for ARBITRARY
+# integer multisets (duplicates, negatives, skew) and arbitrary
+# partition counts, the two-pass forms must equal Spark's own
+# single-partition window evaluation.
+# ---------------------------------------------------------------------------
+
+
+@_slow_ok
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+    ),
+    st.integers(min_value=1, max_value=11),
+)
+def test_global_cumsum_property(spark, vals, nparts):
+    from pyspark.sql import Window
+
+    from web_scraping_etl_pipeline_spark.plans.common import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, v long"
+    )
+    got, total, totals = global_cumsum(
+        df, ["v", "idx"], sums=[("v", "cum")], rn_col="rn",
+        npartitions=nparts,
+    )
+    w = Window.orderBy("v", "idx")
+    want = df.select(
+        "idx",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    g = sorted(tuple(r) for r in got.select("idx", "rn", "cum").collect())
+    e = sorted(tuple(r) for r in want.collect())
+    assert g == e
+    assert total == len(vals)
+    assert totals["cum"] == sum(vals)
+
+
+@_slow_ok
+@given(
+    st.lists(
+        st.integers(min_value=-9, max_value=9), min_size=1, max_size=80
+    ),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=3),
+)
+def test_global_lead_property(spark, vals, nparts, k):
+    from pyspark.sql import Window
+
+    from web_scraping_etl_pipeline_spark.plans.common import global_lead
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, v long"
+    )
+    got = global_lead(df, ["v", "idx"], ["idx"], k=k, npartitions=nparts)
+    w = Window.orderBy("v", "idx")
+    want = df.select(
+        "idx",
+        *[
+            F.lead("idx", j).over(w).alias(f"_lead{j}_idx")
+            for j in range(1, k + 1)
+        ],
+    )
+    cols = ["idx"] + [f"_lead{j}_idx" for j in range(1, k + 1)]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    e = sorted(tuple(r) for r in want.collect())
+    assert g == e
