@@ -24,6 +24,7 @@ from .common import (
     global_cumsum,
     global_lead,
     global_ntile,
+    global_rn,
     t,
     transient_persist,
 )
@@ -83,12 +84,11 @@ def q58_ntile_quartiles(spark, sf_dir):
 
     Distributed form: no single-partition WindowExec.  The global
     NTILE is computed by :func:`plans.common.global_ntile` - one range
-    exchange on (value, key), per-partition row numbers from a map-only
-    Arrow pass, driver-folded partition offsets, and the exact SQL
-    NTILE bucket formula on the global row number.  Every stage is
-    fully parallel, so the plan survives a 100x scale-up (the old
-    ``Window.orderBy`` form serialized the whole table onto one
-    task)."""
+    exchange on (value, key), pure-JVM in-partition ordinals,
+    driver-folded partition offsets, and the exact SQL NTILE bucket
+    formula on the global row number.  Every stage is fully parallel,
+    so the plan survives a 100x scale-up (the old ``Window.orderBy``
+    form serialized the whole table onto one task)."""
     orders = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     return (
         global_ntile(orders, ["o_totalprice", "o_orderkey"], 4, "quartile")
@@ -1952,7 +1952,7 @@ def q160_rfm_segmentation(spark, sf_dir):
 
     One aggregate over orders, then three global NTILEs over the
     customer-level result via :func:`plans.common.global_ntile` -
-    each is a range exchange + map-only Arrow row numbering + the
+    each is a range exchange + pure-JVM ordinal numbering + the
     exact NTILE formula, never a single-partition WindowExec, so the
     plan holds for billions of customers.  Ties carry custkey so
     quintile boundaries are deterministic in both engines.  The base
@@ -1966,12 +1966,15 @@ def q160_rfm_segmentation(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 0).alias("monetary"),
         )
     )
-    d = global_ntile(
+    # each pass's output feeds the next pass's range exchange, which
+    # executes its input twice (boundary sampling + the exchange);
+    # persisting between passes keeps that to one Arrow pass each.
+    d = transient_persist(global_ntile(
         base, [F.desc("last_day"), F.asc("custkey")], 5, "r_score"
-    )
-    d = global_ntile(
+    ))
+    d = transient_persist(global_ntile(
         d, [F.desc("frequency"), F.asc("custkey")], 5, "f_score"
-    )
+    ))
     d = global_ntile(
         d, [F.desc("monetary"), F.asc("custkey")], 5, "m_score"
     )
@@ -2462,13 +2465,12 @@ def q201_global_percent_rank(spark, sf_dir):
     this row sit in the whole distribution' statistic feature stores
     emit per entity. PERCENT_RANK(rn) = (rn - 1) / (T - 1) with a
     unique tie-break, so the global row number from
-    :func:`plans.common.global_cumsum` (range exchange + map-only
-    Arrow prefix + driver offsets) and the plan-time total T are all
-    it needs; no row ever visits a single-partition window."""
+    :func:`plans.common.global_rn` (range exchange + JVM ordinal ids +
+    broadcast offsets - no Python stage at all) and the plan-time
+    total T are all it needs; no row ever visits a single-partition
+    window."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    d, total, _ = global_cumsum(
-        o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
-    )
+    d, total = global_rn(o, ["o_totalprice", "o_orderkey"], rn_col="_rn")
     denom = float(max(total - 1, 1))
     return d.select(
         "o_orderkey",
@@ -2493,9 +2495,7 @@ def q202_exact_global_median(spark, sf_dir):
     same shape generalizes to any exact quantile set (rn thresholds
     are plan-time arithmetic on T)."""
     o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    d, total, _ = global_cumsum(
-        o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
-    )
+    d, total = global_rn(o, ["o_totalprice", "o_orderkey"], rn_col="_rn")
     lo, hi = (total + 1) // 2, total // 2 + 1
     return d.filter(F.col("_rn").isin(lo, hi)).agg(
         F.round(F.avg("o_totalprice"), 2).alias("median_price"),

@@ -17,6 +17,7 @@ __all__ = [
     "t_split",
     "HORIZON_US",
     "shared_stage",
+    "global_rn",
     "global_cumsum",
     "global_ntile",
     "global_lead",
@@ -157,6 +158,70 @@ def _ranged(df: DataFrame, order_cols: Sequence, npartitions: int | None):
     return d
 
 
+def global_rn(
+    df: DataFrame,
+    order_cols: Sequence,
+    rn_col: str = "_rn",
+    npartitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global 1-based row number over a total order, PURE JVM - no
+    Python stage, no second exchange, no single-partition window.
+
+    After the range exchange + in-partition sort,
+    ``monotonically_increasing_id`` assigns ids in row order within
+    each partition (documented layout: partition id in the upper bits,
+    consecutive record number in the lower 33). The per-partition
+    stats job - needed for the prefix offsets anyway - VERIFIES
+    consecutiveness (max - min == count - 1 per partition) and the
+    whole row number collapses to ``_mid + adjust[pid] + 1``, a
+    map-stage add after a broadcast join on the partition id. If a
+    future engine breaks the layout, the check fails over to the
+    Arrow carried-state path (:func:`global_cumsum`), same results.
+
+    Returns ``(frame, total_rows)``.
+    """
+    n = npartitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = _order_cols(order_cols)
+    d = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    _TRANSIENT_PERSISTS.append(d)
+    stats = {
+        r["_pid"]: r
+        for r in d.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("_mid").alias("_lo"),
+            F.max("_mid").alias("_hi"),
+        )
+        .collect()
+    }
+    if any(
+        s["_hi"] - s["_lo"] != s["_cnt"] - 1 for s in stats.values()
+    ):  # pragma: no cover - engine layout change
+        out, total, _ = global_cumsum(
+            df, order_cols, rn_col=rn_col, npartitions=npartitions
+        )
+        return out, total
+    run = 0
+    adj = []
+    for pid in sorted(stats):
+        adj.append((pid, run - stats[pid]["_lo"]))
+        run += stats[pid]["_cnt"]
+    spark = df.sparkSession
+    adj_df = spark.createDataFrame(adj, "_pid int, _adj long")
+    out = (
+        d.join(F.broadcast(adj_df), "_pid")
+        .withColumn(rn_col, F.col("_mid") + F.col("_adj") + 1)
+        .drop("_pid", "_mid", "_adj")
+    )
+    return out, run
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: Sequence,
@@ -240,11 +305,11 @@ def global_ntile(
     npartitions: int | None = None,
 ) -> DataFrame:
     """Exact SQL ``NTILE(n) OVER (ORDER BY ...)`` as a distributed
-    plan: global row number via :func:`global_cumsum`, then the NTILE
-    bucket formula with the total row count folded in as plan-time
-    literals (first ``total % n`` buckets get the extra row, exactly
-    the SQL spec).  Output bucket is BIGINT."""
-    d, total, _ = global_cumsum(
+    plan: global row number via :func:`global_rn` (pure JVM), then the
+    NTILE bucket formula with the total row count folded in as
+    plan-time literals (first ``total % n`` buckets get the extra row,
+    exactly the SQL spec).  Output bucket is BIGINT."""
+    d, total = global_rn(
         df, order_cols, rn_col="_gnt_rn", npartitions=npartitions
     )
     q, r = divmod(total, n_buckets)
