@@ -143,3 +143,21 @@ def test_global_lead_k_exceeds_partition_size(spark):
         "_lead3_n_nationkey",
     ]
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_results_stable_after_transient_release(spark):
+    """release_transients() between queries must be safe even if a
+    consumer re-executes afterwards: the range boundaries and ordinal
+    assignment are deterministic, so a recompute from lineage yields
+    byte-identical results."""
+    from web_scraping_etl_pipeline_spark.plans.common import (
+        release_transients,
+    )
+
+    o = t(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    d = global_ntile(o, ["o_totalprice", "o_orderkey"], 5, "b",
+                     npartitions=6)
+    first = _rows(d, "o_orderkey", "b")
+    released = release_transients()
+    assert released >= 1
+    assert _rows(d, "o_orderkey", "b") == first  # recomputed from lineage
