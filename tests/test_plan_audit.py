@@ -111,11 +111,11 @@ def test_python_stages_are_arrow_batched(spark):
     """Every Python eval in the watched set must be Arrow-batched
     (MapInPandas/FlatMapGroupsInPandas/ArrowEvalPython/arrow UDTF),
     never pickled row-at-a-time."""
-    # (q124 and q201 left this list in r4: the reflected-walk identity
-    # and the JVM global_rn fast path removed their Python stages.)
+    # (q124/q201/q203 left this list in r4: the reflected-walk identity
+    # and the JVM two-pass paths removed their Python stages.)
     for name in [
         "q60_media_decode",
-        "q203_global_cume_dist",
+        "q151_heavy_hitters",
         "q126_chunk_udtf",
     ]:
         a = audit(_plan(spark, name))

@@ -232,69 +232,88 @@ def global_cumsum(
     """ROWS-frame global running sums and/or a global 1-based row
     number over a total order, without an unpartitioned WindowExec.
 
+    The per-row stage is a WINDOW PARTITIONED BY the range-partition
+    id - fully parallel, pure JVM codegen. It costs one extra hash
+    exchange on the partition id (each contiguous block moves as a
+    unit), which measured FASTER than an Arrow carried-state pass at
+    every size past the fixed overhead (40M rows local[32]: 13.5 s
+    JVM vs 23.4 s Arrow vs 24.5 s single-partition window; see
+    PERF.md) - columnar serde over every row costs more than a
+    second JVM shuffle.
+
     ``order_cols``: str or Column sort expressions (``F.desc`` fine);
     they feed ``repartitionByRange`` and the in-partition sort, so a
     deterministic ``rn_col`` needs a total tie-break.  Equal keys land
     in one partition (RangePartitioner contract), so ties never split
     across the offset boundary.
     ``sums``: (source_col, out_col) pairs; sources must be non-null
-    numerics (running-sum nulls are treated as 0).
+    numerics.
     Returns ``(frame, total_rows, {out_col: grand_total})`` - the
     grand totals replace ``SUM(x) OVER ()`` scalars as plan-time
     literals.
     """
-    import numpy as np  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
 
     d = _ranged(df, order_cols, npartitions)
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         F.sum(src).alias(f"_s{i}") for i, (src, _) in enumerate(sums)
     ]
     stats = {r["_pid"]: r for r in d.groupBy("_pid").agg(*aggs).collect()}
-    offsets: dict[int, tuple[int, tuple]] = {}
     run_cnt = 0
     run_sums = [0] * len(sums)
+    off_rows = []
     for pid in sorted(stats):
-        offsets[pid] = (run_cnt, tuple(run_sums))
+        off_rows.append((pid, run_cnt, *run_sums))
         run_cnt += stats[pid]["_cnt"]
         for i in range(len(sums)):
             run_sums[i] += stats[pid][f"_s{i}"] or 0
     totals = {out: run_sums[i] for i, (_, out) in enumerate(sums)}
 
+    spark = df.sparkSession
     dtypes = dict(d.dtypes)
     integral = {"tinyint", "smallint", "int", "bigint"}
-    out_fields = [f"`{f.name}` {dtypes[f.name]}" for f in d.schema if f.name != "_pid"]
+    off_schema = ", ".join(
+        ["_pid int", "_rn_off long"]
+        + [
+            f"_s_off{i} "
+            + ("long" if dtypes[src] in integral else "double")
+            for i, (src, _) in enumerate(sums)
+        ]
+    )
+    off_df = spark.createDataFrame(
+        [
+            (
+                p,
+                r,
+                *[
+                    int(s) if dtypes[sums[i][0]] in integral else float(s)
+                    for i, s in enumerate(ss)
+                ],
+            )
+            for p, r, *ss in off_rows
+        ],
+        off_schema,
+    )
+    cols = _order_cols(order_cols)
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = d
     if rn_col:
-        out_fields.append(f"`{rn_col}` bigint")
-    for src, out in sums:
-        out_fields.append(
-            f"`{out}` " + ("bigint" if dtypes[src] in integral else "double")
-        )
-    schema = ", ".join(out_fields)
-    n_sums = len(sums)
-    sum_list = list(sums)
-
-    def gen(batches):
-        lrn = 0
-        carried = [0] * n_sums
-        off = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            if off is None:
-                off = offsets.get(
-                    int(pdf["_pid"].iloc[0]), (0, (0,) * n_sums)
-                )
-            out = pdf.drop(columns=["_pid"])
-            if rn_col:
-                out[rn_col] = off[0] + lrn + np.arange(1, len(pdf) + 1)
-            for i, (src, name) in enumerate(sum_list):
-                vals = pdf[src].fillna(0)
-                out[name] = vals.cumsum() + (carried[i] + off[1][i])
-                carried[i] += vals.sum()
-            lrn += len(pdf)
-            yield out
-
-    return d.mapInPandas(gen, schema=schema), run_cnt, totals
+        out = out.withColumn(rn_col, F.row_number().over(w).cast("long"))
+    for i, (src, name) in enumerate(sums):
+        out = out.withColumn(f"_ps{i}", F.sum(src).over(wsum))
+    out = out.join(F.broadcast(off_df), "_pid")
+    if rn_col:
+        out = out.withColumn(rn_col, F.col(rn_col) + F.col("_rn_off"))
+    for i, (src, name) in enumerate(sums):
+        summed = F.col(f"_ps{i}") + F.col(f"_s_off{i}")
+        if dtypes[src] in integral:
+            summed = summed.cast("long")
+        out = out.withColumn(name, summed)
+    drop = ["_pid", "_rn_off"] + [
+        c for i in range(len(sums)) for c in (f"_ps{i}", f"_s_off{i}")
+    ]
+    return out.drop(*drop), run_cnt, totals
 
 
 def global_ntile(
