@@ -124,6 +124,24 @@ def main() -> int:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as exc:  # read-only checkout: stdout still carries the line
         log(f"WARN could not write BENCH_FULL.json: {exc}")
+    # append-only history so round-over-round comparison never depends
+    # on any single artifact surviving (BENCH_FULL is overwritten per
+    # run; the driver's BENCH_r{N} lives outside the repo's control).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_HISTORY.jsonl"),
+            "a",
+        ) as f:
+            f.write(json.dumps({
+                "ts": round(time.time(), 1),
+                "value": total,
+                "queries_run": len(timings),
+                "errors": len([v for v in timings.values() if v < 0]),
+                "sf": sf,
+            }) + "\n")
+    except OSError:
+        pass
 
     # Driver tail buffer is 2000 chars. A 198-query dict (~6 KB) would
     # truncate mid-JSON and parse as nothing (the BENCH_r01/r02 failure
