@@ -40,6 +40,7 @@ STREAMING = {
     "q115_stream_stream_join",
     "q145_stream_dedup",
     "q176_stream_static_join",
+    "q206_stream_lsh_neardup",
 }
 
 FLAG_PATTERNS = {
@@ -74,6 +75,8 @@ ALLOW = {
     "q165_important_parts": {"nested_loop"},  # 1-row revenue threshold
     "q171_idle_rich_customers": {"nested_loop"},  # 1-row AVG threshold
     "q175_vocab_coverage": {"nested_loop"},  # 4-row coverage targets
+    "q207_temperature_mixture": {"nested_loop"},  # two 1-row norm frames
+    "q209_semantic_cluster_dedup": {"nested_loop"},  # q99's k=10 centroids
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

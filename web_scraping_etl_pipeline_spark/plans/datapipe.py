@@ -1,0 +1,494 @@
+"""Round-4 training-data pipeline additions: crawl-hygiene caps,
+substring-level dedup, corpus mixture design, embedding hygiene, and
+balanced shard assignment - the operators between "corpus is deduped"
+(plans/dedup.py, plans/mlprep.py) and "tokens hit the trainer".
+
+Capability parity note: the reference pipeline
+(/root/reference/src/topcv_pipeline.py) is a web scraper feeding a
+warehouse; these are the operations the same pipeline needs the moment
+its corpus feeds model training at scale. Every plan keeps the suite's
+rules: hash aggregates keyed on ids/hashes (never full text), bounded
+broadcast sides, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import global_rn, t, t_split, transient_persist
+from .mlprep import _h60, _h60_sql
+from .registry import query
+from .textops import _TOKENS_SQL, _tokens
+
+# ---------------------------------------------------------------------------
+# q204: per-source document cap (crawl politeness / anti-spam cap)
+# ---------------------------------------------------------------------------
+
+#: max documents kept per source - the per-host cap every crawl corpus
+#: applies so one prolific domain cannot dominate the training mix.
+SOURCE_CAP = 20
+
+
+@query(
+    "q204_source_caps",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {SOURCE_CAP}
+    """,
+)
+def q204_source_caps(spark, sf_dir):
+    """Per-source cap: keep the top {SOURCE_CAP} documents per source
+    (longest first, doc_id tie-break) - the per-domain cap web-scale
+    corpora apply so no single host dominates (C4/RefinedWeb both cap
+    per-domain contributions).
+
+    Scale: a window PARTITIONED by source - one hash exchange on the
+    source key, each domain ranked independently in parallel. Skewed
+    hosts (one domain = billions of pages) are exactly why the rank
+    runs per-partition-key and the filter drops rows before any
+    downstream stage sees them; a pathological single-host skew would
+    layer the q67 salting pattern on top (rank within salted slices,
+    re-rank the <= salt*CAP survivors)."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205: duplicated substring spans (Lee et al. 2022 exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+#: window width (tokens) and stride for the rolling substring scan.
+SPAN_W = 8
+SPAN_STRIDE = 4
+
+
+@query(
+    "q205_substring_dup_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, i AS pos,
+             {_h60_sql(f"array_to_string(list_slice({_TOKENS_SQL}, i, i + {SPAN_W - 1}), ' ')")}
+               AS h
+      FROM documents,
+           LATERAL unnest(range(1,
+             greatest(len({_TOKENS_SQL}) - {SPAN_W - 1}, 0) + 1,
+             {SPAN_STRIDE})) AS r(i)
+    ),
+    dup AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id, CAST(w.pos AS BIGINT) AS span_start, dup.n_docs
+    FROM w JOIN dup USING (h)
+    """,
+)
+def q205_substring_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans: every {SPAN_W}-token window
+    (stride {SPAN_STRIDE}) is hashed; windows whose hash occurs in >= 2
+    distinct documents are flagged with how many documents share them.
+    This is the deduplicate-training-data signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") -
+    exact substring matches that survive document-level dedup - with
+    the suffix array replaced by the shuffle-friendly fixed-window
+    rolling scan.
+
+    Scale: the window explode is a map stage (~n_tokens/{SPAN_STRIDE}
+    rows per doc); only 60-bit hashes cross the shuffle, never text.
+    Two hash aggregates (per-hash distinct-doc count, then the
+    hash-keyed join back) - the same two-exchange shape as q87's
+    contamination audit. The duplicated-hash side shrinks to the dup
+    vocabulary, so AQE typically broadcasts the join-back."""
+    docs = t_split(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    starts = F.when(
+        n >= SPAN_W,
+        F.sequence(F.lit(1), n - (SPAN_W - 1), F.lit(SPAN_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = docs.select(
+        "doc_id", F.col("text"), F.explode(starts).alias("pos")
+    ).select(
+        "doc_id",
+        "pos",
+        _h60(
+            F.concat_ws(" ", F.slice(_tokens(), F.col("pos"), SPAN_W))
+        ).alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return wins.join(dup, "h").select(
+        "doc_id", F.col("pos").cast("long").alias("span_start"), "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207: temperature-scaled corpus mixture weights
+# ---------------------------------------------------------------------------
+
+#: mixture temperature (T=2 = square-root sampling, the multilingual
+#: rebalancing used by mBERT/XLM-R/mT5) and the per-epoch doc budget.
+MIX_T = 2.0
+MIX_BUDGET = 100_000
+
+
+@query(
+    "q207_temperature_mixture",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len({_TOKENS_SQL})) AS tok
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(tok) AS corpus_tok FROM g),
+    u AS (
+      SELECT g.lang, g.n_docs, g.tok,
+             pow(CAST(g.tok AS DOUBLE) / tot.corpus_tok,
+                 1.0 / {MIX_T}) AS uw
+      FROM g, tot
+    ),
+    z AS (SELECT SUM(uw) AS zsum FROM u)
+    SELECT u.lang, CAST(u.n_docs AS BIGINT) AS n_docs,
+           CAST(u.tok AS BIGINT) AS tok_total,
+           ROUND(u.uw / z.zsum, 6) AS weight,
+           CAST(ROUND(u.uw / z.zsum * {MIX_BUDGET}, 0) AS BIGINT)
+             AS expected_docs
+    FROM u, z
+    """,
+)
+def q207_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture weights per language: raw token share
+    p_g is flattened to p_g^(1/T) and renormalized (T={MIX_T} = the
+    square-root sampling mT5/XLM-R use to keep low-resource languages
+    from vanishing), then converted to an expected document count at a
+    {MIX_BUDGET}-doc epoch budget.
+
+    Scale: one map-side-combinable aggregate to ~|languages| rows; the
+    two normalization constants ride 1-row broadcast frames (bounded
+    build sides - same adjudicated shape as q77's n_docs frame). The
+    fact table is touched exactly once."""
+    docs = t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens())).alias("tok"),
+    )
+    tot = g.agg(F.sum("tok").alias("corpus_tok"))
+    u = g.crossJoin(F.broadcast(tot)).withColumn(
+        "uw",
+        F.pow(
+            F.col("tok").cast("double") / F.col("corpus_tok"),
+            1.0 / MIX_T,
+        ),
+    )
+    z = u.agg(F.sum("uw").alias("zsum"))
+    w = F.col("uw") / F.col("zsum")
+    return u.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tok").cast("long").alias("tok_total"),
+        F.round(w, 6).alias("weight"),
+        F.round(w * MIX_BUDGET, 0).cast("long").alias("expected_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: per-dimension embedding statistics (feature-drift / scaler fit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_dimwise_embedding_stats",
+    oracle="""
+    SELECT CAST(r.i - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(e.embedding[r.i] AS DOUBLE)), 5) AS mean,
+           ROUND(stddev_pop(CAST(e.embedding[r.i] AS DOUBLE)), 5) AS sd,
+           MIN(CAST(e.embedding[r.i] AS DOUBLE)) AS lo,
+           MAX(CAST(e.embedding[r.i] AS DOUBLE)) AS hi
+    FROM embeddings e, range(1, 65) r(i)
+    GROUP BY r.i
+    """,
+)
+def q208_dimwise_embedding_stats(spark, sf_dir):
+    """Per-dimension mean/stddev/min/max across the embedding corpus -
+    the statistics pass that fits a standard/robust scaler, checks for
+    dead or exploding dimensions, and baselines embedding drift between
+    model versions (q123's quantizer consumes the same lo/hi grid).
+
+    Scale: posexplode to (dim, value) then ONE map-side-combinable
+    aggregate over exactly DIM=64 keys - partial aggs shrink each task's
+    output to 64 rows before the (tiny, perfectly-balanced) shuffle.
+    Unrounded lo/hi are exact: float->double widening is value-preserving
+    and identical in both engines; mean/sd round at 5 (accumulation
+    order differs)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .select(F.col("dim"), F.col("val").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("v"), 5).alias("mean"),
+            F.round(F.stddev_pop("v"), 5).alias("sd"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            "mean",
+            "sd",
+            "lo",
+            "hi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209: SemDeDup - semantic dedup within k-means clusters
+# ---------------------------------------------------------------------------
+
+#: cosine threshold for "semantically duplicate" within a cluster. The
+#: synthetic embeddings are random unit vectors, so the threshold is
+#: set where the corpus has non-empty output (max in-cluster cosine
+#: ~0.49); a production run on model embeddings uses ~0.95+ - same
+#: plan, different literal. Matches dedup.COSINE_NEARDUP_T.
+SEMDEDUP_T = 0.4
+
+#: the q99 assignment as oracle CTE text (label-mean centroids, argmax
+#: cosine, c_label DESC tie-break - kept formula-identical with
+#: vectors.kmeans_assign).
+_ASSIGN_SQL = """
+    cent AS (
+      SELECT label AS c_label, r.i AS i,
+             AVG(CAST(e.embedding[r.i] AS DOUBLE)) AS c
+      FROM embeddings e, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT e.vec_id, cent.c_label,
+             SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.c) AS dp
+      FROM embeddings e, cent
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT vec_id, c_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dp DESC, c_label DESC
+             ) AS rn
+      FROM dots
+    ),
+    asg AS (SELECT vec_id, c_label AS cluster FROM rk WHERE rn = 1)
+"""
+
+
+@query(
+    "q209_semantic_cluster_dedup",
+    oracle=f"""
+    WITH {_ASSIGN_SQL},
+    b AS (
+      SELECT a.vec_id, a.cluster, e.embedding
+      FROM asg a JOIN embeddings e USING (vec_id)
+    ),
+    p AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(x.embedding[i] AS DOUBLE) *
+                    CAST(y.embedding[i] AS DOUBLE))) AS dp
+      FROM b x JOIN b y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    )
+    SELECT vec_b AS vec_id, CAST(cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_better,
+           ROUND(MAX(dp), 6) AS max_sim
+    FROM p WHERE dp >= {SEMDEDUP_T}
+    GROUP BY vec_b, cluster
+    """,
+)
+def q209_semantic_cluster_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means (the q99 assignment step), then inside each cluster mark
+    every vector that has a LOWER-id neighbor above the cosine
+    threshold as a semantic duplicate to drop - pairwise comparison
+    happens only within a cluster, never across the corpus.
+
+    Scale: this is exactly why SemDeDup clusters first - the all-pairs
+    O(N^2) becomes sum over clusters of |c|^2, and the cluster count
+    grows with the corpus to keep |c| bounded (the paper uses ~100k
+    clusters for LAION). The plan is: broadcast k-means assign (map
+    stage), one self-equi-join ON the cluster id, codegen dot products,
+    and a per-victim aggregate; the only fact-sized shuffle is the
+    cluster-keyed join."""
+    from .vectors import _dot, kmeans_assign
+
+    asg = kmeans_assign(spark, sf_dir).select(
+        "vec_id", F.col("nearest_label").alias("cluster")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    b = transient_persist(
+        emb.join(asg, "vec_id").select("vec_id", "cluster", "embedding")
+    )
+    x = b.select(
+        F.col("vec_id").alias("vec_a"),
+        "cluster",
+        F.col("embedding").alias("ea"),
+    )
+    y = b.select(
+        F.col("vec_id").alias("vec_b"),
+        "cluster",
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        x.join(y, ["cluster"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_b", "cluster", _dot("ea", "eb").alias("dp"))
+        .filter(F.col("dp") >= SEMDEDUP_T)
+    )
+    return pairs.groupBy("vec_b", "cluster").agg(
+        F.count("*").cast("long").alias("n_better"),
+        F.round(F.max("dp"), 6).alias("max_sim"),
+    ).select(
+        F.col("vec_b").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_better",
+        "max_sim",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210: tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "q210_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}')))
+                AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS ws_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}')))
+                      AS DOUBLE)
+                 / SUM(len({_TOKENS_SQL})), 4) AS fertility,
+           ROUND(100.0 * SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}')))
+                 / SUM(n_chars), 4) AS tokens_per_100_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q210_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: subword (BPE-ish regex,
+    q69's pre-tokenizer) tokens per whitespace word and per 100
+    characters. Fertility is the standard multilingual-tokenizer
+    efficiency metric - languages the vocabulary serves badly burn more
+    tokens per word, which distorts both cost and the effective
+    mixture (and feeds back into q207's weights).
+
+    Scale: pure map stage (two regexp_extract_all counts per row in
+    codegen) into a ~|languages|-key map-side-combined aggregate - the
+    cheapest possible shape; no Python, no wide shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    bpe = F.size(F.regexp_extract_all(low, F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(_tokens())
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.round(
+            F.sum(bpe).cast("double") / F.sum(ws), 4
+        ).alias("fertility"),
+        F.round(100.0 * F.sum(bpe) / F.sum("n_chars"), 4).alias(
+            "tokens_per_100_chars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211: balanced token shards (snake/serpentine packing by global rank)
+# ---------------------------------------------------------------------------
+
+#: number of output shards for the training-shard writer.
+N_SHARDS = 8
+
+
+@query(
+    "q211_balanced_token_shards",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS n_tok FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tok,
+             ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT n_tok,
+             CASE WHEN ((rn - 1) // {N_SHARDS}) % 2 = 0
+                  THEN (rn - 1) % {N_SHARDS}
+                  ELSE {N_SHARDS - 1} - ((rn - 1) % {N_SHARDS})
+             END AS shard
+      FROM r
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total
+    FROM s GROUP BY shard
+    """,
+)
+def q211_balanced_token_shards(spark, sf_dir):
+    """Balanced training-shard assignment: rank documents by token
+    count (desc, doc_id tie-break) and deal them to {N_SHARDS} shards
+    in SNAKE order (0..7, 7..0, ...) - the classic serpentine greedy
+    that bounds per-shard token imbalance by one document, so every
+    data-parallel reader gets near-identical work.
+
+    Scale: the global rank comes from :func:`plans.common.global_rn` -
+    one range exchange + pure-JVM per-partition ordinals + broadcast
+    offsets, NO single-partition window - then the shard id is a map
+    expression and the report a {N_SHARDS}-key aggregate. This is the
+    distributed total-order machinery applied to the shard-writer use
+    case; the same frame with a .write.partitionBy("shard") IS the
+    shard writer."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(_tokens()).alias("n_tok"))
+    ranked, _total = global_rn(
+        d, [F.desc("n_tok"), F.col("doc_id")], rn_col="_rn"
+    )
+    shard = F.expr(
+        f"CASE WHEN ((_rn - 1) DIV {N_SHARDS}) % 2 = 0 "
+        f"THEN (_rn - 1) % {N_SHARDS} "
+        f"ELSE {N_SHARDS - 1} - ((_rn - 1) % {N_SHARDS}) END"
+    )
+    return (
+        ranked.select(shard.cast("long").alias("shard"), "n_tok")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tok_total"),
+        )
+    )

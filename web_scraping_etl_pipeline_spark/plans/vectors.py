@@ -332,6 +332,12 @@ def q99_kmeans_assign(spark, sf_dir):
     exchange carries one (vec, best) row per vector. This is exactly
     how Spark MLlib's KMeans spends its iterations, minus its extra
     norm-precompute pass."""
+    return kmeans_assign(spark, sf_dir)
+
+
+def kmeans_assign(spark, sf_dir):
+    """The q99 assignment plan as a reusable stage (q209's semantic
+    dedup clusters on it)."""
     emb = t(spark, sf_dir, "embeddings")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))

@@ -1,0 +1,174 @@
+"""Structured Streaming over ``documents``: incremental near-dup
+screening of newly crawled documents against a static LSH index.
+
+The batch dedup pipeline (plans/dedup.py q42/q43) assumes the whole
+corpus is on disk; a live crawl wants every NEW document checked
+against the existing corpus as it arrives - the streaming flavor of
+the reference's incremental contract (topcv_pipeline.py:20-33 only
+ingests rows newer than the watermark; here only new docs are
+screened). The MinHash/band formulas are kept bit-identical with
+q42's so the stream and the batch index agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K, _h64, _shingles
+from ..plans.mlprep import _h60, _h60_sql
+from ..plans.registry import query
+from ..plans.common import t
+from .events_stream import _SCHEMA_CACHE, _run_to_sink
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (same pattern as
+    events_stream._stream_events: footer schema + pathGlobFilter)."""
+    key = f"{sf_dir}/documents"
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        _SCHEMA_CACHE[key] = schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _band_keys(df: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) via MAP-ONLY expressions - no groupBy,
+    so the same code runs on a streaming frame in append mode.
+
+    The batch signature builder (dedup.minhash_sig_array) uses explode +
+    K-min-aggregate because that keeps the heavy path in whole-stage
+    codegen for a full-corpus scan; an aggregate is not stateless, so
+    the stream computes each signature as ``array_min(transform(...))``
+    over the distinct-shingle array instead - same
+    ``min(h64(shingle || '#' || perm))`` formula, same band_key
+    ``md5(concat_ws('_', sigs))``, per-row. The higher-order lambda
+    evaluates interpreted, which is the price of statelessness; the
+    arrays are per-document (bounded), so the cost stays linear and
+    partition-parallel.
+
+    Documents with no 3-gram shingles (<3 tokens) produce no signature
+    in the batch pipeline (no rows survive its explode) and are
+    filtered identically here."""
+    sh = F.array_distinct(_shingles())
+
+    def salt(p):
+        # one-arg lambda per permutation: a 2-arg lambda (s, p=p) would
+        # be treated by F.transform as the (element, index) form.
+        return lambda s: _h64(F.concat(s, F.lit(f"#{p}")))
+
+    sigs = [
+        F.array_min(F.transform(sh, salt(p))).alias(f"m{p}")
+        for p in range(MINHASH_K)
+    ]
+    with_sigs = df.filter(F.size(sh) > 0).select("doc_id", *sigs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{b * LSH_ROWS + r}").cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return with_sigs.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
+#: oracle CTE: band keys per (doc, band) with the q79 hash-split bucket,
+#: formula-identical with q42's signatures.
+_BANDED_SQL = f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {_h60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket,
+             unnest(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)),
+                                                        '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(
+                      list_slice(string_split_regex(trim(lower(text)),
+                                                    '\\s+'), i, i + 2), ' ')))
+               AS s
+      FROM split
+    ),
+    k AS (
+      SELECT doc_id, bucket, s, unnest(range(0, {MINHASH_K})) AS perm
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, bucket, perm,
+             MIN(CAST(concat('0x', substr(md5(s || '#' ||
+                 CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
+      FROM k GROUP BY 1, 2, 3
+    ),
+    banded AS (
+      SELECT doc_id, bucket, perm // {LSH_ROWS} AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm))
+               AS band_key
+      FROM sig GROUP BY doc_id, bucket, perm // {LSH_ROWS}
+    )
+"""
+
+
+@query(
+    "q206_stream_lsh_neardup",
+    oracle=_BANDED_SQL
+    + """
+    SELECT n.doc_id AS new_doc_id, i.doc_id AS index_doc_id,
+           CAST(n.band AS BIGINT) AS band
+    FROM banded n JOIN banded i
+      ON n.band = i.band AND n.band_key = i.band_key
+    WHERE n.bucket >= 90 AND i.bucket < 80
+    """,
+)
+def q206_stream_lsh_neardup(spark, sf_dir):
+    """Streaming near-duplicate screen: newly arriving documents (the
+    q79 test split, bucket >= 90, playing the role of "today's crawl")
+    stream through a map-only MinHash+LSH banding stage and join a
+    STATIC band index built from the existing corpus (train split,
+    bucket < 80). Every (new doc, index doc) band collision is emitted
+    exactly once - the candidates that would then feed a q46-style
+    verified-Jaccard stage.
+
+    Scale: the per-document signature is stateless map work, so the
+    stream needs NO state store - append mode, unbounded runtime, no
+    watermark required. The static index is re-resolved per micro-batch
+    (a nightly index rebuild lands without restarting the stream) and
+    broadcast here; at 100 TB the index side is a bucketed table and
+    the collision check becomes a shuffle-on-(band, band_key) join -
+    the plan the batch q43 already demonstrates. Exactly-once per
+    collision holds because both the banding explode and the
+    stream-static join are stateless (cf. q176)."""
+    bucket = F.pmod(_h60(F.col("doc_id").cast("string")), F.lit(100))
+
+    static_docs = t(spark, sf_dir, "documents").filter(bucket < 80)
+    index = _band_keys(static_docs).select(
+        F.col("doc_id").alias("index_doc_id"), "band", "band_key"
+    )
+
+    new_docs = _stream_documents(spark, sf_dir).filter(bucket >= 90)
+    cands = _band_keys(new_docs).join(
+        F.broadcast(index), ["band", "band_key"]
+    )
+    out = cands.select(
+        F.col("doc_id").alias("new_doc_id"),
+        "index_doc_id",
+        F.col("band").cast("long").alias("band"),
+    )
+    return _run_to_sink(out, spark, "q206")
