@@ -111,3 +111,66 @@ def test_snake_shards_balanced(spark):
     max_doc = docs.select(F.max(F.size(_tokens()))).first()[0]
     assert max(toks) - min(toks) <= max_doc
     assert max(counts) - min(counts) <= 1
+
+
+def test_dup_ngram_fraction_bounded(spark):
+    """dup_char_frac is a fraction in [0,1] and is 0 exactly when no
+    3-gram repeats within the document."""
+    from web_scraping_etl_pipeline_spark.plans.datapipe import (
+        q213_dup_ngram_char_fraction,
+    )
+
+    out = q213_dup_ngram_char_fraction(spark, SF_DIR).cache()
+    assert out.filter(
+        (F.col("dup_char_frac") < 0) | (F.col("dup_char_frac") > 1)
+    ).count() == 0
+    assert out.count() > 0
+
+
+def test_containment_bounds_jaccard(spark):
+    """For every LSH candidate pair, both containments are >= the
+    pair's Jaccard (|A n B|/|A| >= |A n B|/|A u B|) and <= 1."""
+    from web_scraping_etl_pipeline_spark.plans.datapipe import (
+        q215_containment_verify,
+    )
+    from web_scraping_etl_pipeline_spark.plans.dedup import (
+        q46_lsh_verified_jaccard,
+    )
+
+    cont = q215_containment_verify(spark, SF_DIR)
+    jac = q46_lsh_verified_jaccard(spark, SF_DIR)
+    j = cont.join(jac, ["doc_a", "doc_b"])
+    eps = 1e-3  # both sides round at 4 decimals
+    bad = j.filter(
+        (F.col("containment_a_in_b") + eps < F.col("jaccard"))
+        | (F.col("containment_b_in_a") + eps < F.col("jaccard"))
+        | (F.col("containment_a_in_b") > 1)
+        | (F.col("containment_b_in_a") > 1)
+    ).count()
+    assert bad == 0
+    assert j.count() > 0
+
+
+def test_stream_sessions_are_batch_sessions_minus_open(spark):
+    """The streaming finalized sessions equal the batch q70 sessions
+    whose end precedes the corpus max event time (the append-mode
+    emission rule)."""
+    from web_scraping_etl_pipeline_spark.plans.temporal import (
+        q70_session_window,
+    )
+    from web_scraping_etl_pipeline_spark.streaming.events_stream import (
+        q212_stream_session_finalized,
+    )
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    ev = t(spark, SF_DIR, "events")
+    max_us = ev.agg(F.max("ts_us")).first()[0]
+    batch = q70_session_window(spark, SF_DIR).filter(
+        F.col("session_end_us") <= max_us
+    )
+    stream = q212_stream_session_finalized(spark, SF_DIR)
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    assert (
+        batch.select(cols).exceptAll(stream.select(cols)).count() == 0
+        and stream.select(cols).exceptAll(batch.select(cols)).count() == 0
+    )

@@ -41,6 +41,7 @@ STREAMING = {
     "q145_stream_dedup",
     "q176_stream_static_join",
     "q206_stream_lsh_neardup",
+    "q212_stream_session_finalized",
 }
 
 FLAG_PATTERNS = {
@@ -77,6 +78,7 @@ ALLOW = {
     "q175_vocab_coverage": {"nested_loop"},  # 4-row coverage targets
     "q207_temperature_mixture": {"nested_loop"},  # two 1-row norm frames
     "q209_semantic_cluster_dedup": {"nested_loop"},  # q99's k=10 centroids
+    "q214_quality_percentile_gate": {"nested_loop"},  # 1-row percentile cutoff
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -492,3 +492,246 @@ def q211_balanced_token_shards(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("tok_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q213: within-document duplicated n-gram character fraction (Gopher rule)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_dup_ngram_char_fraction",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, s, COUNT(*) AS tf, len(s) AS chars
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len({_TOKENS_SQL}) - 2, 0) + 1),
+                 i -> array_to_string(
+                        list_slice({_TOKENS_SQL}, i, i + 2), ' '))) AS s
+        FROM documents)
+      GROUP BY doc_id, s
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_ngrams,
+           ROUND(CAST(SUM(CASE WHEN tf >= 2 THEN tf * chars ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(tf * chars), 4) AS dup_char_frac
+    FROM g GROUP BY doc_id
+    """,
+)
+def q213_dup_ngram_char_fraction(spark, sf_dir):
+    """Gopher/MassiveText repetition rule at the n-gram level: per
+    document, the fraction of 3-gram characters that belong to 3-grams
+    occurring MORE THAN ONCE in that document. Complements q80 (unigram
+    repetition) and q205 (cross-document spans): this is the intra-doc
+    boilerplate/loop detector ("duplicated n-gram char fraction" in the
+    Gopher filtering table).
+
+    Scale: explode 3-grams once, two stacked aggregates both keyed on
+    doc_id (per-(doc, gram) tf, then the doc rollup) - the q80 shape;
+    the second agg reuses the first's hash partitioning, so one real
+    shuffle, keyed on doc_id, never on raw text alone."""
+    from .dedup import _shingles
+
+    docs = t_split(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    g = sh.groupBy("doc_id", "s").agg(
+        F.count("*").alias("tf"), F.length(F.first("s")).alias("chars")
+    )
+    dup_chars = F.sum(
+        F.when(F.col("tf") >= 2, F.col("tf") * F.col("chars")).otherwise(0)
+    )
+    all_chars = F.sum(F.col("tf") * F.col("chars"))
+    return g.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_ngrams"),
+        F.round(dup_chars.cast("double") / all_chars, 4).alias(
+            "dup_char_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: corpus-percentile quality gate with per-source survival report
+# ---------------------------------------------------------------------------
+
+#: quality score = floor(1000 * distinct-token ratio): an integer, so
+#: the exact percentile interpolates between integers - bit-identical
+#: across engines (cf. registry.py's rounding notes).
+_GATE_PCT = 0.75
+
+
+@query(
+    "q214_quality_percentile_gate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(floor(1000.0 * len(list_distinct({_TOKENS_SQL}))
+                        / len({_TOKENS_SQL})) AS BIGINT) AS score
+      FROM documents
+    ),
+    cut AS (
+      SELECT quantile_cont(CAST(score AS DOUBLE), {_GATE_PCT}) AS cutoff
+      FROM s
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.score > cut.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN s.score > cut.cutoff THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS keep_rate
+    FROM s, cut
+    GROUP BY s.source
+    """,
+)
+def q214_quality_percentile_gate(spark, sf_dir):
+    """Corpus-relative quality gate: documents must beat the corpus's
+    exact {_GATE_PCT:.0%} quality percentile (quality = distinct-token
+    ratio, integerized to milli-units so the percentile is engine-exact),
+    reported as per-source survival rates - the "keep the best quartile,
+    see which domains die" audit run before committing a filter
+    threshold.
+
+    Scale: the cutoff is ONE exact-percentile aggregate broadcast back
+    (1-row build side, the adjudicated q165/q171 shape); scoring is a
+    codegen map stage and the report a ~|sources|-key aggregate. The
+    exact percentile itself is Spark's `percentile` aggregate -
+    single-pass, mergeable partials."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    score = F.floor(
+        1000.0 * F.size(F.array_distinct(toks)) / F.size(toks)
+    ).cast("long")
+    s = docs.select("doc_id", "source", score.alias("score"))
+    cut = s.agg(
+        F.percentile(F.col("score").cast("double"), _GATE_PCT).alias(
+            "cutoff"
+        )
+    )
+    kept = F.sum(
+        F.when(F.col("score") > F.col("cutoff"), 1).otherwise(0)
+    )
+    return s.crossJoin(F.broadcast(cut)).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        kept.cast("long").alias("n_kept"),
+        F.round(kept.cast("double") / F.count("*"), 4).alias("keep_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215: containment verification over LSH candidates (Broder containment)
+# ---------------------------------------------------------------------------
+
+from .dedup import _LSH_CANDS_SQL, _SHINGLES_SQL  # noqa: E402
+
+
+@query(
+    "q215_containment_verify",
+    oracle=_LSH_CANDS_SQL
+    + f""",
+    sh2 AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sset FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cands UNION SELECT doc_b FROM cands)
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                 / len(a.sset), 4) AS containment_a_in_b,
+           ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                 / len(b.sset), 4) AS containment_b_in_a
+    FROM cands c
+    JOIN sh2 a ON c.doc_a = a.doc_id
+    JOIN sh2 b ON c.doc_b = b.doc_id
+    """,
+)
+def q215_containment_verify(spark, sf_dir):
+    """Asymmetric CONTAINMENT |A n B| / |A| for q43's LSH candidate
+    pairs, both directions per pair - Broder's containment coefficient,
+    the signal that separates "B quotes most of A" (high c_ab, low
+    c_ba) from symmetric near-duplication (both high). Jaccard (q46)
+    misses subset-duplicates: a tweet embedded in an article has tiny
+    Jaccard but containment ~1.
+
+    Scale: identical shape to q46 - the pair list is LSH-bounded, the
+    shingle sets ride two doc_id-keyed joins pruned by a semi-join, and
+    the set expressions run once per surviving pair."""
+    from .dedup import _shingles, q43_lsh_candidate_pairs
+
+    cands = q43_lsh_candidate_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    members = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(members, "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(_shingles()).alias("sset")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / F.size(F.col("sa")), 4).alias(
+                "containment_a_in_b"
+            ),
+            F.round(inter.cast("double") / F.size(F.col("sb")), 4).alias(
+                "containment_b_in_a"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216: language-ID confusion matrix (filter-quality evaluation)
+# ---------------------------------------------------------------------------
+
+
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@query(
+    "q216_langid_confusion",
+    # composes q32's registered oracle text (textops imports before
+    # datapipe in plans/__init__, so the entry exists at import time).
+    oracle=f"""
+    WITH pred AS ({_ORACLE["q32_lang_id"]}),
+    m AS (
+      SELECT labeled_lang, detected_lang, COUNT(*) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT labeled_lang, detected_lang, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY labeled_lang), 4) AS share
+    FROM m
+    """,
+)
+def q216_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the q32 language detector against the
+    labeled ``lang`` column: (labeled, detected, count) plus the
+    per-cell share of the labeled language's documents - the evaluation
+    every classifier-based corpus filter needs before its output drives
+    q207's mixture weights.
+
+    Scale: q32's detector is a pure map stage; the matrix is a
+    (|langs|^2)-key aggregate with map-side partials, and the
+    per-labeled-language share reuses the same tiny frame (a window
+    over a BOUNDED aggregate - |langs|^2 rows - the adjudicated
+    q103-class exception)."""
+    from .textops import q32_lang_id
+
+    pred = q32_lang_id(spark, sf_dir)
+    m = pred.groupBy("labeled_lang", "detected_lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return m.select(
+        "labeled_lang",
+        "detected_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
+    )

@@ -352,3 +352,64 @@ def q176_stream_static_join(spark, sf_dir):
         F.round("value", 6).alias("value"),
     )
     return _run_to_sink(out, spark, "q176")
+
+
+@query(
+    "q212_stream_session_finalized",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+             ) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id, session_id
+    HAVING MAX(ts_us) + 1800000000
+           <= (SELECT max(epoch_us(ts)) FROM events)
+    """,
+)
+def q212_stream_session_finalized(spark, sf_dir):
+    """STREAMING sessionization: ``session_window`` (30-min gap) under a
+    zero-lateness watermark - q70's batch operator run through the real
+    streaming engine with session-merging state. Append mode emits a
+    session only once the watermark passes its end (last event + gap),
+    so the drained sink holds exactly the batch sessions whose end
+    precedes the corpus max event time - the one still-open session per
+    active user is withheld, which is what the oracle's HAVING states.
+
+    Scale: session state is per-user and evicted at emission - the
+    watermark bounds state size by active-user count x gap, which is
+    what makes gap-sessionization runnable on an unbounded stream
+    (unlike the batch q70, which needs the whole key's history in one
+    sort). State-store shuffle follows _run_to_sink's 8-partition
+    sizing note."""
+    s = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(
+            "user_id",
+            F.session_window(F.col("event_time"), "30 minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return _run_to_sink(s, spark, "q212")
