@@ -58,3 +58,64 @@ def test_state_accumulates_across_runs(spark, tmp_path):
     assert latest[3]["n_events"] == 1
     # user 2 got no new events: not re-emitted in run 2, still visible
     assert latest[2]["n_events"] == 1
+
+
+def _drain_quota(spark, bronze, sink, ckpt):
+    from web_scraping_etl_pipeline_spark.streaming.docs_stream import (
+        source_quota_admit,
+    )
+
+    schema = "doc_id long, source string"
+    stream = spark.readStream.schema(schema).parquet(bronze)
+    q = (
+        source_quota_admit(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+
+def test_source_quota_carries_across_runs(spark, tmp_path, monkeypatch):
+    """Docs admitted in run 1 consume run 2's budget; once a source's
+    quota is exhausted, later batches admit nothing for it."""
+    import web_scraping_etl_pipeline_spark.streaming.docs_stream as ds
+
+    monkeypatch.setattr(ds, "SOURCE_QUOTA", 3)
+    bronze = str(tmp_path / "bronze")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [(1, "a"), (2, "a"), (10, "b")]
+    spark.createDataFrame(batch1, "doc_id long, source string").write.mode(
+        "append"
+    ).parquet(bronze)
+    _drain_quota(spark, bronze, sink, ckpt)
+    out1 = spark.read.parquet(sink).collect()
+    assert {(r["doc_id"], r["admit_rank"]) for r in out1} == {
+        (1, 1), (2, 2), (10, 1),
+    }
+
+    # run 2: source a has 1 slot left -> only the smallest doc_id of
+    # the new batch is admitted, at rank 3; b admits both.
+    batch2 = [(4, "a"), (3, "a"), (11, "b"), (12, "b")]
+    spark.createDataFrame(batch2, "doc_id long, source string").write.mode(
+        "append"
+    ).parquet(bronze)
+    _drain_quota(spark, bronze, sink, ckpt)
+    out2 = spark.read.parquet(sink).collect()
+    admitted = {(r["doc_id"], r["admit_rank"]) for r in out2}
+    assert (3, 3) in admitted and (4, 4) not in admitted
+    assert (11, 2) in admitted and (12, 3) in admitted
+
+    # run 3: source a is exhausted - nothing new admitted for it.
+    batch3 = [(5, "a")]
+    spark.createDataFrame(batch3, "doc_id long, source string").write.mode(
+        "append"
+    ).parquet(bronze)
+    _drain_quota(spark, bronze, sink, ckpt)
+    out3 = spark.read.parquet(sink).collect()
+    assert (5, "a") not in {(r["doc_id"], r["source"]) for r in out3}

@@ -42,6 +42,7 @@ STREAMING = {
     "q176_stream_static_join",
     "q206_stream_lsh_neardup",
     "q212_stream_session_finalized",
+    "q217_stream_source_quota",
 }
 
 FLAG_PATTERNS = {

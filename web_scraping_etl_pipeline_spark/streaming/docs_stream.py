@@ -172,3 +172,109 @@ def q206_stream_lsh_neardup(spark, sf_dir):
         F.col("band").cast("long").alias("band"),
     )
     return _run_to_sink(out, spark, "q206")
+
+
+# ---------------------------------------------------------------------------
+# q217: stateful per-source admission quota (streaming rate limiter)
+# ---------------------------------------------------------------------------
+
+#: max documents admitted per source over the stream's lifetime.
+SOURCE_QUOTA = 25
+
+
+def source_quota_admit(docs: DataFrame) -> DataFrame:
+    """documents stream (doc_id, source) -> the first ``SOURCE_QUOTA``
+    docs per source (doc_id order within each micro-batch group),
+    stamped with their admission rank. Managed state is ONE BIGINT per
+    source - the admitted count - so state size is bounded by source
+    cardinality, never stream length: the applyInPandasWithState
+    rate-limiter shape (cf. stateful.user_profiles).
+    """
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("admit_rank", T.LongType()),
+        ]
+    )
+    quota = SOURCE_QUOTA
+
+    def admit(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        (taken,) = state.get if state.exists else (0,)
+        outs = []
+        for pdf in pdfs:
+            if taken >= quota:
+                break
+            pdf = pdf.sort_values("doc_id")
+            room = quota - taken
+            cut = pdf.iloc[:room]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": cut["doc_id"].astype("int64"),
+                        "source": key[0],
+                        "admit_rank": taken
+                        + pd.RangeIndex(1, len(cut) + 1),
+                    }
+                )
+            )
+            taken += len(cut)
+        state.update((taken,))
+        yield from outs or [
+            pd.DataFrame(
+                {"doc_id": [], "source": [], "admit_rank": []}
+            ).astype(
+                {"doc_id": "int64", "source": "object", "admit_rank": "int64"}
+            )
+        ]
+
+    return docs.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType="taken BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "q217_stream_source_quota",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY doc_id
+             ) AS admit_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(admit_rank AS BIGINT) AS admit_rank
+    FROM r WHERE admit_rank <= {SOURCE_QUOTA}
+    """,
+)
+def q217_stream_source_quota(spark, sf_dir):
+    """Streaming admission quota: the first {SOURCE_QUOTA} documents
+    per source are admitted, later arrivals dropped - the stateful
+    rate-limiter every live crawl runs (q204 is its batch
+    retrospective twin). Custom state via ``applyInPandasWithState``:
+    one counter per source, updated per micro-batch, admission ranks
+    assigned monotonically across batches.
+
+    With one availableNow batch the per-group frame is sorted by
+    doc_id, so the admitted set equals the batch rank filter - which
+    is what the oracle states. Cross-batch quota carry (docs admitted
+    in batch 1 consume batch 2's budget) is pinned by
+    tests/test_stateful_streaming.py-style pytest coverage.
+
+    Scale: one shuffle on source, Arrow-batched groups, state bounded
+    by |sources| x 8 bytes; the emitted stream is capped at
+    quota x |sources| rows regardless of input volume."""
+    s = _stream_documents(spark, sf_dir).select("doc_id", "source")
+    return _run_to_sink(source_quota_admit(s), spark, "q217")
