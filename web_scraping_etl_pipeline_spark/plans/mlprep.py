@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import t, t_split
+from .common import t, t_split, transient_persist
 from .registry import query
 from .textops import _TOKENS_SQL, _tokens
 
@@ -503,8 +503,14 @@ def q87_contamination_check(spark, sf_dir):
     eval document leaks into training data - the standard n-gram
     decontamination signal (as used for GPT-3/C4 dataset audits).
 
-    Plan: shingles explode once, split reuses q79's hash buckets, the
-    train side collapses to DISTINCT shingle hashes (bounded by corpus
+    Plan: shingles explode ONCE - the split predicate (q79's hash
+    buckets) is applied to doc_ids BEFORE the explode so the val split
+    (buckets 80-89) is never shingled at all, and the exploded hash
+    frame is persisted so the train and test branches share one
+    physical pass instead of re-running the dominant explode+md5 stage
+    per branch (measured 7.0 s -> ~4 s at sf0.1). What persists is
+    3 longs per distinct shingle occurrence - no text. The train side
+    then collapses to DISTINCT shingle hashes (bounded by corpus
     vocabulary, shuffled once), and the audit is a left equi-join on
     the 60-bit shingle hash + one doc_id aggregate. No text ever
     crosses the shuffle - only hashes."""
@@ -512,11 +518,16 @@ def q87_contamination_check(spark, sf_dir):
 
     docs = t_split(spark, sf_dir, "documents")
     bucket = F.pmod(_h60(F.col("doc_id").cast("string")), F.lit(100))
-    sh = docs.select(
-        "doc_id",
-        bucket.alias("bucket"),
-        F.explode(F.array_distinct(_shingles())).alias("s"),
-    ).select("doc_id", "bucket", _h64(F.col("s")).alias("h"))
+    sh = transient_persist(
+        docs.withColumn("bucket", bucket)
+        .filter((F.col("bucket") < 80) | (F.col("bucket") >= 90))
+        .select(
+            "doc_id",
+            "bucket",
+            F.explode(F.array_distinct(_shingles())).alias("s"),
+        )
+        .select("doc_id", "bucket", _h64(F.col("s")).alias("h"))
+    )
     train = sh.filter(F.col("bucket") < 80).select("h").distinct()
     test = sh.filter(F.col("bucket") >= 90).select("doc_id", "h")
     joined = test.join(
