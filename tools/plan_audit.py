@@ -80,6 +80,7 @@ ALLOW = {
     "q207_temperature_mixture": {"nested_loop"},  # two 1-row norm frames
     "q209_semantic_cluster_dedup": {"nested_loop"},  # q99's k=10 centroids
     "q214_quality_percentile_gate": {"nested_loop"},  # 1-row percentile cutoff
+    "q221_ann_recall": {"nested_loop"},  # 10-row eval query frame
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -94,6 +95,9 @@ ALLOW_GLOBAL_WINDOW = {
     "q137_mom_revenue_growth",
     # running sum over per-DAY first-seen counts - bounded by days.
     "q153_cumulative_distinct",
+    # remainder ranking over the (source, lang) CELL aggregate -
+    # bounded by the dimension domain, broadcast back to the fact.
+    "q220_corpus_assembly",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

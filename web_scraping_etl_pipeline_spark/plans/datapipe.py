@@ -735,3 +735,386 @@ def q216_langid_confusion(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218: n-gram novelty score (memorization-risk / boilerplate inverse)
+# ---------------------------------------------------------------------------
+
+from .dedup import _H64_SQL  # noqa: E402
+
+
+@query(
+    "q218_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {_H64_SQL.format(x="s")} AS h
+      FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents)
+    ),
+    freq AS (SELECT h, COUNT(*) AS n_docs FROM sh GROUP BY h)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN freq.n_docs = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS novelty
+    FROM sh JOIN freq USING (h)
+    GROUP BY sh.doc_id
+    """,
+)
+def q218_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct word-3-gram shingles that occur in NO other document.
+    Low novelty = the text is assembled from corpus-common phrasing
+    (boilerplate, templates, near-copies that survived doc-level
+    dedup); high novelty = genuinely fresh text. The inverse signal of
+    q87's contamination rate, applied corpus-wide - used to prioritize
+    what to keep when a token budget forces corpus subsetting.
+
+    Scale: one shingle explode (hashes only cross the shuffle), one
+    vocabulary-bounded frequency aggregate with map-side partials, one
+    hash equi-join back, one doc_id aggregate - the q87 shape without
+    the split filter, linear end to end."""
+    from .dedup import _h64, _shingles
+
+    docs = t_split(spark, sf_dir, "documents")
+    # persisted: the frequency aggregate AND the join-back both consume
+    # it - without persist the dominant explode+md5 stage runs twice.
+    sh = transient_persist(
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+        ).select("doc_id", _h64(F.col("s")).alias("h"))
+    )
+    freq = sh.groupBy("h").agg(F.count("*").alias("n_docs"))
+    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(uniq.cast("double") / F.count("*"), 4).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219: incremental LSH dedup (new batch probed against the standing index)
+# ---------------------------------------------------------------------------
+
+#: minimum signature-agreement fraction for a probe hit to count as a
+#: duplicate of an indexed document.
+_INC_AGREE_T = 0.5
+
+
+@query(
+    "q219_incremental_lsh_dedup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    k AS (
+      SELECT doc_id, s, unnest(range(0, 8)) AS perm FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, perm,
+             MIN({_H64_SQL.format(x="s || '#' || CAST(perm AS VARCHAR)")})
+               AS sig
+      FROM k GROUP BY doc_id, perm
+    ),
+    banded AS (
+      SELECT doc_id, perm // 2 AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm))
+               AS band_key
+      FROM sig GROUP BY doc_id, perm // 2
+    ),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM banded n JOIN banded o
+        ON n.band = o.band AND n.band_key = o.band_key
+      WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+    ),
+    agree AS (
+      SELECT c.new_id, c.old_id,
+             SUM(CASE WHEN sn.sig = so.sig THEN 1 ELSE 0 END) / 8.0
+               AS agree_frac
+      FROM cands c
+      JOIN sig sn ON sn.doc_id = c.new_id
+      JOIN sig so ON so.doc_id = c.old_id AND sn.perm = so.perm
+      GROUP BY c.new_id, c.old_id
+      HAVING SUM(CASE WHEN sn.sig = so.sig THEN 1 ELSE 0 END) / 8.0
+             >= {_INC_AGREE_T}
+    ),
+    best AS (
+      SELECT new_id, old_id, agree_frac,
+             ROW_NUMBER() OVER (
+               PARTITION BY new_id
+               ORDER BY agree_frac DESC, old_id
+             ) AS rk
+      FROM agree
+    )
+    SELECT d.doc_id,
+           best.old_id IS NOT NULL AS is_dup,
+           best.old_id AS match_id,
+           ROUND(best.agree_frac, 4) AS match_agree
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN best ON best.new_id = d.doc_id AND best.rk = 1
+    """,
+)
+def q219_incremental_lsh_dedup(spark, sf_dir):
+    """INCREMENTAL near-dup admission: a new crawl batch (doc_id % 10
+    = 0, ~10%) is probed against the standing LSH index of the already
+    -admitted corpus (the other 90%) - new documents band-join ONLY
+    against the index, candidate hits are verified by MinHash signature
+    agreement (>= {_INC_AGREE_T:.0%}), and each new document reports
+    whether it duplicates an indexed one and which. This is the shape a
+    production corpus actually runs daily: the index is a materialized
+    table maintained across batches, and admission cost scales with the
+    BATCH, not the corpus (no new x new or old x old pairs are ever
+    formed).
+
+    Scale: signatures come from the session's persisted signature stage
+    (K longs/doc); the probe is an equi-join on (band, band_key) whose
+    left side is batch-sized; verification joins K-long arrays on the
+    bounded candidate list; the best-match pick is a window PARTITIONED
+    by new_id. One small shuffle end to end beyond the standing index
+    scan."""
+    from .dedup import MINHASH_K, band_keys, cached_minhash_sigs
+
+    sig = cached_minhash_sigs(spark, sf_dir)
+    keys = band_keys(sig)
+    new_keys = keys.filter(F.col("doc_id") % 10 == 0)
+    old_keys = keys.filter(F.col("doc_id") % 10 != 0)
+    cands = (
+        new_keys.alias("n")
+        .join(
+            old_keys.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    sn = sig.select(F.col("doc_id").alias("new_id"), F.col("sigs").alias("sig_n"))
+    so = sig.select(F.col("doc_id").alias("old_id"), F.col("sigs").alias("sig_o"))
+    agree = sum(
+        F.when(F.col("sig_n")[k] == F.col("sig_o")[k], 1).otherwise(0)
+        for k in range(MINHASH_K)
+    ) / float(MINHASH_K)
+    verified = (
+        cands.join(sn, "new_id")
+        .join(so, "old_id")
+        .select("new_id", "old_id", agree.alias("agree_frac"))
+        .filter(F.col("agree_frac") >= _INC_AGREE_T)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("agree_frac"), F.asc("old_id")
+    )
+    best = (
+        verified.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    batch = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id")
+    return batch.join(
+        best, batch["doc_id"] == best["new_id"], "left"
+    ).select(
+        "doc_id",
+        F.col("old_id").isNotNull().alias("is_dup"),
+        F.col("old_id").alias("match_id"),
+        F.round("agree_frac", 4).alias("match_agree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220: corpus assembly under a document budget (quota allocation + pick)
+# ---------------------------------------------------------------------------
+
+#: total documents the assembled corpus may keep.
+_ASSEMBLY_N = 100
+
+
+@query(
+    "q220_corpus_assembly",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS cnt, sqrt(COUNT(*)) AS w
+      FROM documents GROUP BY source, lang
+    ),
+    shares AS (
+      -- share rounded to 6dp: both engines sum the sqrt weights in
+      -- different orders (~1e-13 relative noise); rounding makes the
+      -- floor/remainder branches below engine-identical.
+      SELECT source, lang, cnt,
+             ROUND(w * {_ASSEMBLY_N} / SUM(w) OVER (), 6) AS share
+      FROM cells
+    ),
+    fl AS (
+      SELECT source, lang, cnt, CAST(floor(share) AS BIGINT) AS base,
+             share - floor(share) AS rem
+      FROM shares
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source, lang) AS rrk,
+             {_ASSEMBLY_N} - SUM(base) OVER () AS leftover
+      FROM fl
+    ),
+    quotas AS (
+      SELECT source, lang, cnt,
+             LEAST(base + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END,
+                   cnt) AS quota
+      FROM ranked
+    ),
+    picks AS (
+      SELECT d.doc_id, d.source, d.lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source, d.lang
+               ORDER BY {_h60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS cell_rank
+      FROM documents d
+    )
+    SELECT p.doc_id, p.source, p.lang, CAST(p.cell_rank AS BIGINT)
+             AS cell_rank,
+           CAST(q.quota AS BIGINT) AS cell_quota
+    FROM picks p JOIN quotas q USING (source, lang)
+    WHERE p.cell_rank <= q.quota
+    """,
+)
+def q220_corpus_assembly(spark, sf_dir):
+    """End-to-end corpus ASSEMBLY under a document budget: (source,
+    lang) cells get sqrt-weighted target shares (the q207 temperature
+    family at T=2), shares become exact integer quotas by
+    largest-remainder apportionment (the q102 allocation pattern, so
+    quotas sum to the budget when supply allows), quotas are capped at
+    cell supply, and each cell's winners are picked by deterministic
+    hash rank (the q82 reproducible-sample pattern). Output: the
+    admitted documents with their cell rank and the cell's quota - the
+    one operator a "give me an N-doc balanced corpus" request actually
+    runs.
+
+    Scale: the quota plan lives entirely on the BOUNDED cell aggregate
+    (|sources| x |langs| rows - global windows over it are the
+    adjudicated q103-class exception, broadcast back to the fact);
+    the per-cell pick is a window PARTITIONED by cell. One fact
+    shuffle (the cell hash) end to end."""
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("cnt")
+    ).withColumn("w", F.sqrt(F.col("cnt")))
+    wall = Window.partitionBy()
+    # rounded to 6dp so the floor/remainder branches agree with the
+    # oracle despite engine-order float summation (see oracle comment).
+    shares = cells.withColumn(
+        "share",
+        F.round(F.col("w") * _ASSEMBLY_N / F.sum("w").over(wall), 6),
+    )
+    fl = shares.select(
+        "source",
+        "lang",
+        "cnt",
+        F.floor("share").cast("long").alias("base"),
+        (F.col("share") - F.floor("share")).alias("rem"),
+    )
+    ranked = fl.withColumn(
+        "rrk",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("source"), F.asc("lang"))
+        ),
+    ).withColumn("leftover", F.lit(_ASSEMBLY_N) - F.sum("base").over(wall))
+    quotas = ranked.select(
+        "source",
+        "lang",
+        F.least(
+            F.col("base")
+            + F.when(F.col("rrk") <= F.col("leftover"), 1).otherwise(0),
+            F.col("cnt"),
+        ).alias("quota"),
+    )
+    wcell = Window.partitionBy("source", "lang").orderBy(
+        _h60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    picks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.row_number().over(wcell).cast("long").alias("cell_rank"),
+    )
+    return picks.join(F.broadcast(quotas), ["source", "lang"]).filter(
+        F.col("cell_rank") <= F.col("quota")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "cell_rank",
+        F.col("quota").cast("long").alias("cell_quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222: shared-prefix boilerplate detection (template/navigation text)
+# ---------------------------------------------------------------------------
+
+#: tokens in the leading prefix and the minimum number of documents
+#: that must share it (within one source) to call it boilerplate.
+_PREFIX_N = 2
+_PREFIX_MIN_DOCS = 2
+
+
+@query(
+    "q222_boilerplate_prefixes",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             {_h60_sql(f"array_to_string(list_slice({_TOKENS_SQL}, 1, {_PREFIX_N}), ' ')")}
+               AS prefix_h
+      FROM documents
+      WHERE len({_TOKENS_SQL}) >= {_PREFIX_N}
+    ),
+    g AS (
+      SELECT source, prefix_h, COUNT(*) AS n_sharing
+      FROM p GROUP BY source, prefix_h
+      HAVING COUNT(*) >= {_PREFIX_MIN_DOCS}
+    )
+    SELECT p.doc_id, p.source, p.prefix_h,
+           CAST(g.n_sharing AS BIGINT) AS n_sharing
+    FROM p JOIN g USING (source, prefix_h)
+    """,
+)
+def q222_boilerplate_prefixes(spark, sf_dir):
+    """Shared-prefix boilerplate audit: documents from the same source
+    opening with an identical {_PREFIX_N}-token prefix (hashed) are
+    template suspects - scraped navigation headers, legal banners, and
+    feed intros all present exactly this signature, and C4-style
+    cleaning strips them before tokenization. Flags every document in a
+    prefix group of >= {_PREFIX_MIN_DOCS}.
+
+    Scale: prefix hashing is a pure map stage (a 2-token slice, never
+    the whole text), the group census is a (source, prefix)-keyed
+    aggregate with map-side partials, and the join back is on the same
+    key - one shuffle, hash-only payloads."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    p = docs.filter(F.size(toks) >= _PREFIX_N).select(
+        "doc_id",
+        "source",
+        _h60(
+            F.concat_ws(" ", *[toks[i] for i in range(_PREFIX_N)])
+        ).alias("prefix_h"),
+    )
+    g = (
+        p.groupBy("source", "prefix_h")
+        .agg(F.count("*").alias("n_sharing"))
+        .filter(F.col("n_sharing") >= _PREFIX_MIN_DOCS)
+    )
+    return p.join(g, ["source", "prefix_h"]).select(
+        "doc_id",
+        "source",
+        "prefix_h",
+        F.col("n_sharing").cast("long").alias("n_sharing"),
+    )

@@ -226,8 +226,10 @@ def q43_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
-def _build_lsh_pairs(spark, sf_dir):
-    sig = cached_minhash_sigs(spark, sf_dir)
+def band_keys(sig):
+    """(doc_id, band, band_key) LSH band keys sliced from the per-row
+    signature array - no groupBy; shared by the batch pair join
+    (q43) and the incremental index probe (q219)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -245,9 +247,14 @@ def _build_lsh_pairs(spark, sf_dir):
             for band in range(LSH_BANDS)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def _build_lsh_pairs(spark, sf_dir):
+    sig = cached_minhash_sigs(spark, sf_dir)
+    banded = band_keys(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,363 @@
+"""Retrieval-quality operators: ANN recall evaluation, embedding-space
+hygiene, and lexical+vector hybrid search - the measurement half of the
+vector stack in plans/vectors.py.
+
+Capability parity note: the reference
+(/root/reference/src/topcv_pipeline.py) stops at warehouse queries;
+these are the operators its corpus needs the moment documents and
+embeddings feed a retrieval system: is the ANN index good enough
+(q221), are the vectors clean (q224), and how do lexical and vector
+signals fuse into one ranking (q225). Suite rules throughout: bounded
+broadcast sides, codegen dot products, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import t
+from .registry import query
+from .textops import _TOKENS_SQL, _tokens
+from .vectors import (
+    DIM,
+    _bucket_expr,
+    _bucket_expr_sql,
+    _dot,
+    _qlit_sql,
+    _query_vec,
+)
+
+# ---------------------------------------------------------------------------
+# q221: ANN recall@k evaluation (LSH bucket search vs exact)
+# ---------------------------------------------------------------------------
+
+#: evaluation query set = the first vectors of the table, and the
+#: cutoff for both the exact and the approximate top lists.
+_EVAL_QUERIES = 10
+_EVAL_K = 10
+
+#: shared oracle scaffolding: per-(query, vector) dot products and the
+#: per-vector LSH bucket.
+_EVAL_DOTS_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_bucket_expr_sql('embedding')} AS qb
+      FROM embeddings WHERE vec_id < {_EVAL_QUERIES}
+    ),
+    eb AS (
+      SELECT vec_id, embedding,
+             {_bucket_expr_sql('embedding')} AS bkt
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.query_id, e.vec_id, e.bkt, q.qb,
+             SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                 * CAST(q.qe[r.i] AS DOUBLE)) AS dp
+      FROM eb e, q, range(1, {DIM} + 1) r(i)
+      GROUP BY q.query_id, e.vec_id, e.bkt, q.qb
+    )
+"""
+
+
+@query(
+    "q221_ann_recall",
+    oracle=_EVAL_DOTS_SQL
+    + f""",
+    ex AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dp, 6) DESC, vec_id
+             ) AS rk
+      FROM dots
+    ),
+    an AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dp, 6) DESC, vec_id
+             ) AS rk
+      FROM dots WHERE bkt = qb
+    ),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hit
+      FROM ex e JOIN an a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      WHERE e.rk <= {_EVAL_K} AND a.rk <= {_EVAL_K}
+      GROUP BY e.query_id
+    ),
+    asz AS (
+      SELECT query_id, COUNT(*) AS n_ann
+      FROM an WHERE rk <= {_EVAL_K} GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(asz.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(hits.n_hit, 0) / {_EVAL_K}.0, 4) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM dots) q
+    LEFT JOIN hits USING (query_id)
+    LEFT JOIN asz USING (query_id)
+    """,
+)
+def q221_ann_recall(spark, sf_dir):
+    """ANN index EVALUATION: recall@{_EVAL_K} of the sign-LSH bucket
+    search (q51's index) against exact brute force, over
+    {_EVAL_QUERIES} held-out query vectors - the accept/reject gate
+    every approximate index must pass before it replaces exact search
+    in a pipeline. Per query: how many ANN candidates were returned and
+    how many of the true top-{_EVAL_K} they recovered.
+
+    Scale: the query set is broadcast (M rows), so both the exact and
+    the bucketed pass are ONE scan of the vector table with a
+    {DIM}-term codegen dot product - no pairwise shuffle. The
+    per-query top lists ride a window PARTITIONED by query_id; at
+    billion-vector scale with few queries the same plan holds because
+    each window partition is a top-k heap over the scan's output, and
+    a skew-hedged deployment splits it into per-partition local top-k
+    + a tiny global merge (the q106 probe-side pattern)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _bucket_expr(F.col("embedding")).alias("qb"),
+    )
+    eb = emb.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bkt")
+    )
+    dots = eb.crossJoin(F.broadcast(qset)).select(
+        "query_id",
+        "vec_id",
+        "bkt",
+        "qb",
+        F.round(_dot("embedding", "qe"), 6).alias("dp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dp"), F.asc("vec_id"))
+    ex = (
+        dots.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _EVAL_K)
+        .select("query_id", "vec_id")
+    )
+    an = (
+        dots.filter(F.col("bkt") == F.col("qb"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _EVAL_K)
+        .select("query_id", "vec_id")
+    )
+    hits = ex.join(an, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    asz = an.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    base = qset.select("query_id")
+    return (
+        base.join(hits, "query_id", "left")
+        .join(asz, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / float(_EVAL_K), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224: embedding-space outlier audit (per-dimension z-scores)
+# ---------------------------------------------------------------------------
+
+#: |z| threshold (on the 4dp-rounded z so both engines branch
+#: identically) above which a dimension counts as deviant.
+_Z_T = 3.0
+
+
+@query(
+    "q224_embedding_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, r.i AS dim, CAST(embedding[r.i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIM} + 1) r(i)
+    ),
+    stats AS (
+      SELECT dim, AVG(val) AS mu, stddev_pop(val) AS sd
+      FROM v GROUP BY dim
+    ),
+    z AS (
+      SELECT v.vec_id,
+             ROUND(abs(v.val - s.mu) / s.sd, 4) AS zr
+      FROM v JOIN stats s USING (dim)
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN zr > {_Z_T} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dims_over,
+           ROUND(MAX(zr), 4) AS max_z
+    FROM z
+    GROUP BY vec_id
+    HAVING SUM(CASE WHEN zr > {_Z_T} THEN 1 ELSE 0 END) >= 1
+    """,
+)
+def q224_embedding_outliers(spark, sf_dir):
+    """Embedding-space OUTLIER audit: per-dimension corpus mean/std,
+    then every vector's per-dimension |z|; vectors with any dimension
+    beyond {_Z_T} sigma are flagged with how many dimensions deviate
+    and the worst z. Catches the broken-encoder batches (NaN-adjacent
+    blowups, wrong normalization, truncated inputs) that silently
+    poison an ANN index. z is rounded to 4dp BEFORE thresholding so
+    both engines take the same branch despite summation-order float
+    noise in the stats.
+
+    Scale: the stats side is a {DIM}-row aggregate with map-side
+    partials (explode -> groupBy dim), broadcast back onto a second
+    map-only pass over the vectors - no fact-sized shuffle. At 100 TB
+    the explode never materializes wide: it is fused into the partial
+    aggregation within a single codegen stage."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    stats = v.groupBy("dim").agg(
+        F.avg("val").alias("mu"), F.stddev_pop("val").alias("sd")
+    )
+    z = v.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.round(F.abs(F.col("val") - F.col("mu")) / F.col("sd"), 4).alias(
+            "zr"
+        ),
+    )
+    over = F.sum(F.when(F.col("zr") > _Z_T, 1).otherwise(0))
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            over.cast("long").alias("n_dims_over"),
+            F.round(F.max("zr"), 4).alias("max_z"),
+        )
+        .filter(F.col("n_dims_over") >= 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225: hybrid lexical + vector retrieval (reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+#: the lexical query terms (fixed literals from the corpus vocabulary),
+#: candidate-pool size per ranker, RRF smoothing constant, and the
+#: final result size.
+_RRF_TERMS = ("spark", "join", "merge", "window")
+_RRF_POOL = 50
+_RRF_C = 60
+_RRF_K = 10
+
+_RRF_TERMS_SQL = ", ".join(f"'{w}'" for w in _RRF_TERMS)
+
+
+@query(
+    "q225_hybrid_rrf",
+    oracle=f"""
+    WITH lexpool AS (
+      SELECT doc_id, overlap FROM (
+        SELECT doc_id,
+               len(list_intersect(list_distinct({_TOKENS_SQL}),
+                                  [{_RRF_TERMS_SQL}])) AS overlap
+        FROM documents
+      ) ORDER BY overlap DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS r_lex
+      FROM lexpool
+    ),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id AS doc_id,
+             SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                 * CAST(qv.qe[r.i] AS DOUBLE)) AS dp
+      FROM embeddings e, qv, range(1, {DIM} + 1) r(i)
+      GROUP BY e.vec_id
+    ),
+    vecpool AS (
+      SELECT doc_id, ROUND(dp, 6) AS cos_sim FROM dots
+      ORDER BY ROUND(dp, 6) DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+      FROM vecpool
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.r_lex, vec.r_vec,
+             ROUND(COALESCE(1.0 / ({_RRF_C} + lex.r_lex), 0)
+                   + COALESCE(1.0 / ({_RRF_C} + vec.r_vec), 0), 6)
+               AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_K}
+    """,
+)
+def q225_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval: lexical term-overlap ranking and vector cosine
+    ranking fused by Reciprocal Rank Fusion (score = sum of
+    1/({_RRF_C}+rank) over the rankers that retrieved the doc) - the
+    standard BM25+ANN fusion every modern retrieval stack ships,
+    here with documents and their embeddings joined by id parity
+    (doc_id == vec_id, the q62 multimodal convention).
+
+    Scale: each ranker reduces to TakeOrderedAndProject (top-{_RRF_POOL}
+    with a total tie-break) - the scale-safe per-partition-heap + merge
+    Spark gives a sorted LIMIT, never a global sort. Ranks are then
+    assigned WITHIN the {_RRF_POOL}-row pools (bounded frames - the
+    global window there is the adjudicated bounded-aggregate class),
+    the fusion is a full-outer join of two {_RRF_POOL}-row frames, and
+    the final top-{_RRF_K} is another bounded TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(_tokens()),
+            F.array(*[F.lit(w) for w in _RRF_TERMS]),
+        )
+    )
+    lexpool = (
+        docs.select("doc_id", overlap.alias("overlap"))
+        .orderBy(F.desc("overlap"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    lex = lexpool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("overlap"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    vecpool = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    vec = vecpool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .alias("r_vec"),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(1.0 / (_RRF_C + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_K)
