@@ -43,6 +43,7 @@ STREAMING = {
     "q206_stream_lsh_neardup",
     "q212_stream_session_finalized",
     "q217_stream_source_quota",
+    "q223_stream_stream_left_outer",
 }
 
 FLAG_PATTERNS = {

@@ -413,3 +413,91 @@ def q212_stream_session_finalized(spark, sf_dir):
         )
     )
     return _run_to_sink(s, spark, "q212")
+
+
+@query(
+    "q223_stream_stream_left_outer",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ),
+    -- the engine's global watermark: each watermarked source tracks
+    -- its OWN max event time, the query watermark is their MIN
+    -- (multipleWatermarkPolicy=min default), held at millisecond
+    -- precision (floor).
+    wm AS (
+      SELECT (LEAST((SELECT MAX(purchase_us) FROM p),
+                    (SELECT MAX(click_us) FROM c)) // 1000) * 1000 AS w
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_us BETWEEN p.purchase_us - 3600000000 AND p.purchase_us
+    , wm
+    WHERE c.click_id IS NOT NULL OR p.purchase_us < wm.w
+    """,
+)
+def q223_stream_stream_left_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream join: q115's purchase<-click interval
+    correlation, but purchases with NO qualifying click are also
+    emitted (null-padded) - the abandoned-attribution shape a funnel
+    pipeline needs, and the semantically hardest streaming join mode:
+    the engine may emit a null row only once the watermark PROVES no
+    matching click can still arrive.
+
+    Emission rule (pinned EMPIRICALLY via StreamingQueryProgress and
+    stated by the oracle): matches emit as found; an unmatched
+    purchase emits null-padded only when EVICTED from join state,
+    which happens when purchase_time < the query's GLOBAL watermark.
+    With two watermarked sources the global watermark is the MIN of
+    the per-source max event times (multipleWatermarkPolicy=min - the
+    slower side gates eviction so the faster side can still find
+    matches), truncated to millisecond precision. The availableNow
+    drain's final no-data batch advances it there and flushes; an
+    unmatched purchase AT the watermark stays buffered for the next
+    run. The oracle computes exactly that boundary in SQL.
+
+    Scale: identical state bounds to q115 - the interval condition
+    lets the engine evict both sides' state at (watermark - 1 hour);
+    outer emission adds no state, only the eviction-time null flush."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+            F.col("ts_us").alias("purchase_us"),
+        )
+    )
+    c = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+            F.col("ts_us").alias("click_us"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_time") <= F.col("p_time")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_us",
+        "click_id",
+        "click_us",
+    )
+    return _run_to_sink(joined, spark, "q223")
