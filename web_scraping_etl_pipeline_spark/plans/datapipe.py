@@ -1118,3 +1118,285 @@ def q222_boilerplate_prefixes(spark, sf_dir):
         "prefix_h",
         F.col("n_sharing").cast("long").alias("n_sharing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q226: DSIR-style importance weights (hashed-feature log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature space size and the target-domain predicate (English
+#: documents stand in for "looks like the quality reference corpus").
+_DSIR_B = 1024
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "q226_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             {_h60_sql("term")} % {_DSIR_B} AS b
+      FROM (SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term
+            FROM documents)
+    ),
+    stats AS (
+      SELECT b, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS ct
+      FROM tok GROUP BY b
+    ),
+    tot AS (
+      SELECT b, cr, ct,
+             SUM(cr) OVER () AS nr, SUM(ct) OVER () AS nt
+      FROM stats
+    ),
+    llr AS (
+      SELECT tok.doc_id,
+             ln((tot.ct + 1.0) / (tot.nt + {_DSIR_B}))
+             - ln((tot.cr + 1.0) / (tot.nr + {_DSIR_B})) AS r
+      FROM tok JOIN tot USING (b)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(r), 4) AS avg_llr
+    FROM llr GROUP BY doc_id
+    """,
+)
+def q226_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the average hashed-unigram log-likelihood ratio
+    between a TARGET distribution (here the '{_DSIR_TARGET_LANG}'
+    subset standing in for the quality reference) and the RAW corpus,
+    with add-one smoothing over {_DSIR_B} hash buckets. High scores
+    mean "this raw document looks like the target domain" - the
+    resampling weight modern corpus curation actually uses upstream of
+    every quality filter.
+
+    Scale: one token explode (bucket ids only cross the shuffle), a
+    {_DSIR_B}-row feature-count aggregate with map-side partials whose
+    corpus totals are windows over that BOUNDED frame, broadcast back
+    onto the token stream, one doc aggregate. Linear, two shuffles,
+    no text movement."""
+    docs = t_split(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("term")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(_h60(F.col("term")), F.lit(_DSIR_B)).alias("b"),
+    )
+    stats = tok.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    wall = Window.partitionBy()
+    tot = stats.select(
+        "b",
+        "cr",
+        "ct",
+        F.sum("cr").over(wall).alias("nr"),
+        F.sum("ct").over(wall).alias("nt"),
+    )
+    r = F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B)) - F.log(
+        (F.col("cr") + 1.0) / (F.col("nr") + _DSIR_B)
+    )
+    return (
+        tok.join(F.broadcast(tot), "b")
+        .select("doc_id", r.alias("r"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("r"), 4).alias("avg_llr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227: BPE merge step (the tokenizer-training inner loop, distributed)
+# ---------------------------------------------------------------------------
+
+#: how many top adjacent pairs the merge-candidate report returns.
+_BPE_TOP = 20
+
+
+@query(
+    "q227_bpe_merge_step",
+    oracle=f"""
+    WITH tok AS (SELECT {_TOKENS_SQL} AS tk FROM documents),
+    pairs AS (
+      SELECT tk[r.i] || ' ' || tk[r.i + 1] AS pair
+      FROM tok, LATERAL unnest(range(1, len(tk))) r(i)
+      WHERE len(tk) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def q227_bpe_merge_step(spark, sf_dir):
+    """ONE BPE merge step over the corpus: count every adjacent token
+    pair and return the top {_BPE_TOP} merge candidates - the inner
+    loop of byte-pair-encoding tokenizer training, which at corpus
+    scale is exactly this distributed job run per merge round. (Real
+    BPE re-tokenizes between rounds; each round is this same
+    count-and-argmax shape.)
+
+    Scale: pair extraction is two shifted slices zipped in codegen (the
+    q42 shingle trick at width 2), the census is a vocabulary^2-bounded
+    aggregate with map-side partials - Zipf makes the head tiny - and
+    the top-{_BPE_TOP} is TakeOrderedAndProject with a total
+    tie-break."""
+    docs = t_split(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks) - 1
+    z = F.arrays_zip(F.slice(toks, 1, n), F.slice(toks, 2, n))
+    pair = F.transform(z, lambda g: F.concat_ws(" ", g["0"], g["1"]))
+    pairs = docs.filter(F.size(toks) >= 2).select(
+        F.explode(pair).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228: cross-lingual near-duplicates (translation contamination)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_crosslingual_neardup",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN embedding[18] > 0 THEN 2 ELSE 0 END) +
+             (CASE WHEN embedding[34] > 0 THEN 4 ELSE 0 END) +
+             (CASE WHEN embedding[50] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(x.embedding[i] AS DOUBLE) *
+                    CAST(y.embedding[i] AS DOUBLE))) AS dp
+      FROM b x JOIN b y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b,
+           ROUND(p.dp, 6) AS cos_sim
+    FROM p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    WHERE p.dp >= 0.4 AND da.lang <> db.lang
+    """,
+)
+def q228_crosslingual_neardup(spark, sf_dir):
+    """CROSS-LINGUAL near-duplicates: q47's embedding-cosine pairs
+    restricted to documents in DIFFERENT languages - the
+    translation-contamination detector. Text-hash dedup (q40-q46) is
+    blind to translations by construction; only the embedding space
+    sees that a French document is the same content as its English
+    source, and multilingual training corpora dedup exactly this way
+    so benchmark translations don't leak.
+
+    Scale: reuses q47's sign-LSH bucket join (never all-pairs); the
+    language attribution is two broadcast-friendly joins on doc_id
+    against the slim (id, lang) projection. Same cost envelope as q47
+    plus two dimension joins."""
+    from .dedup import q47_embedding_neardup
+
+    pairs = q47_embedding_neardup(spark, sf_dir)
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b")
+    )
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "lang_a",
+            "lang_b",
+            "cos_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229: per-source length-distribution divergence (corpus monitoring)
+# ---------------------------------------------------------------------------
+
+#: length-bucket width (chars) and cap: documents land in buckets
+#: 0..9, the last absorbing everything >= 900 chars.
+_KL_BUCKET_CHARS = 100
+_KL_MAX_BUCKET = 9
+
+
+@query(
+    "q229_source_length_kl",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+             LEAST(n_chars // {_KL_BUCKET_CHARS}, {_KL_MAX_BUCKET}) AS b,
+             COUNT(*) AS cnt
+      FROM documents GROUP BY source, b
+    ),
+    w AS (
+      SELECT source, b, cnt,
+             SUM(cnt) OVER (PARTITION BY source) AS ns,
+             SUM(cnt) OVER (PARTITION BY b) AS cb,
+             SUM(cnt) OVER () AS n
+      FROM g
+    )
+    SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+           ROUND(SUM((cnt * 1.0 / ns)
+                     * ln((cnt * 1.0 / ns) / (cb * 1.0 / n))), 4) AS kl
+    FROM w GROUP BY source
+    """,
+)
+def q229_source_length_kl(spark, sf_dir):
+    """Per-source length-distribution DIVERGENCE: KL(source || corpus)
+    over {_KL_MAX_BUCKET + 1} document-length buckets - the corpus
+    monitoring dial that catches a source whose scrape broke (suddenly
+    all stubs) or that spams one template length, before those skews
+    reach the training mix. KL needs no reference labels: the corpus
+    itself is the baseline.
+
+    Scale: ONE (source x bucket)-keyed aggregate (bounded by
+    |sources| x {_KL_MAX_BUCKET + 1}) holds everything; the three
+    marginals are windows over that bounded frame and the final rollup
+    is per-source. The fact table is scanned once, shuffled once on
+    the composite key."""
+    docs = t(spark, sf_dir, "documents")
+    b = F.least(
+        F.floor(F.col("n_chars") / _KL_BUCKET_CHARS),
+        F.lit(_KL_MAX_BUCKET),
+    )
+    g = docs.groupBy("source", b.alias("b")).agg(F.count("*").alias("cnt"))
+    w = g.select(
+        "source",
+        "b",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("source")).alias("ns"),
+        F.sum("cnt").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    term = (F.col("cnt") / F.col("ns")) * F.log(
+        (F.col("cnt") / F.col("ns")) / (F.col("cb") / F.col("n"))
+    )
+    return w.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_docs"),
+        F.round(F.sum(term), 4).alias("kl"),
+    )
