@@ -1400,3 +1400,153 @@ def q229_source_length_kl(spark, sf_dir):
         F.max("ns").cast("long").alias("n_docs"),
         F.round(F.sum(term), 4).alias("kl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230: greedy token-budget fill (priority-ordered corpus truncation)
+# ---------------------------------------------------------------------------
+
+#: token budget the assembled training slice may not exceed.
+_FILL_BUDGET = 15_000
+
+
+@query(
+    "q230_token_budget_fill",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(floor(1000.0 * len(list_distinct({_TOKENS_SQL}))
+                        / len({_TOKENS_SQL})) AS BIGINT) AS score,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, score, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_FILL_BUDGET}
+    """,
+)
+def q230_token_budget_fill(spark, sf_dir):
+    """Greedy TOKEN-BUDGET fill: rank the corpus by quality priority
+    (distinct-token ratio, integerized to milli-units for an
+    engine-exact order) and admit documents in rank order until the
+    running token total would exceed {_FILL_BUDGET} - the "give me the
+    best N-token training slice" operator that turns every upstream
+    score (q84/q214/q226) into an actual corpus cut.
+
+    Scale: the running total over the quality order comes from
+    :func:`plans.common.global_cumsum` - ONE range exchange on the
+    priority key, per-partition partials, broadcast offsets - never a
+    single-partition window, so the plan holds when the corpus is
+    billions of documents. The budget predicate is a map-stage filter
+    on the distributed prefix sum."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    s = docs.select(
+        "doc_id",
+        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
+        .cast("long")
+        .alias("score"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    from .common import global_cumsum
+
+    c, _total, _sums = global_cumsum(
+        s,
+        [F.desc("score"), F.asc("doc_id")],
+        sums=[("n_tokens", "cum_tokens")],
+    )
+    return c.filter(F.col("cum_tokens") <= _FILL_BUDGET).select(
+        "doc_id", "score", "n_tokens", "cum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231: quality-score vs near-dup calibration (cross-signal audit)
+# ---------------------------------------------------------------------------
+
+from .dedup import _LSH_CANDS_SQL as _CANDS_SQL  # noqa: E402
+
+
+@query(
+    "q231_quality_dup_calibration",
+    oracle=_CANDS_SQL
+    + """
+    , s AS (
+      SELECT doc_id,
+             CAST(floor(1000.0 * len(list_distinct(
+                    string_split_regex(trim(lower(text)), '\\s+')))
+                  / len(string_split_regex(trim(lower(text)), '\\s+')))
+                  AS BIGINT) AS score
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cands
+        UNION SELECT doc_b AS doc_id FROM cands
+      )
+    ),
+    t AS (
+      SELECT s.doc_id, s.score,
+             CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+             NTILE(10) OVER (ORDER BY s.score, s.doc_id) AS decile
+      FROM s LEFT JOIN d ON s.doc_id = d.doc_id
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 4) AS dup_rate
+    FROM t GROUP BY decile
+    """,
+)
+def q231_quality_dup_calibration(spark, sf_dir):
+    """CALIBRATION of the quality score against an independent ground
+    signal: bucket the corpus into quality deciles and report each
+    decile's near-duplicate rate (membership in any q43 LSH candidate
+    pair). If the score is informative, duplication concentrates in
+    the low deciles - the sanity check a filtering threshold should
+    pass before it deletes terabytes. The same report shape serves any
+    (score, outcome) pair.
+
+    Scale: deciles come from :func:`plans.common.global_ntile` (range
+    exchange + exact NTILE arithmetic, no single-partition window);
+    the dup flag is a left join against the LSH pair membership list
+    (bounded by LSH output, broadcast-sized after distinct); the
+    report is a 10-key aggregate."""
+    from .common import global_ntile
+    from .dedup import q43_lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    s = docs.select(
+        "doc_id",
+        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
+        .cast("long")
+        .alias("score"),
+    )
+    pairs = q43_lsh_candidate_pairs(spark, sf_dir)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    flagged = s.join(F.broadcast(members), "doc_id", "left").select(
+        "doc_id",
+        "score",
+        F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+    )
+    binned = global_ntile(
+        flagged, [F.asc("score"), F.asc("doc_id")], 10, "decile"
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_rate"),
+    )
