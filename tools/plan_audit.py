@@ -44,6 +44,7 @@ STREAMING = {
     "q212_stream_session_finalized",
     "q217_stream_source_quota",
     "q223_stream_stream_left_outer",
+    "q232_stream_stream_full_outer",
 }
 
 FLAG_PATTERNS = {

@@ -113,10 +113,15 @@ def q205_substring_dup_spans(spark, sf_dir):
 
     Scale: the window explode is a map stage (~n_tokens/{SPAN_STRIDE}
     rows per doc); only 60-bit hashes cross the shuffle, never text.
-    Two hash aggregates (per-hash distinct-doc count, then the
-    hash-keyed join back) - the same two-exchange shape as q87's
-    contamination audit. The duplicated-hash side shrinks to the dup
-    vocabulary, so AQE typically broadcasts the join-back."""
+    The text is TOKENIZED ONCE per document (the token array rides the
+    explode projection; an earlier draft re-split the text per window -
+    O(len^2/stride) per doc, measured 8.2 s -> 4.5 s at sf0.1), and
+    the hashed window frame is persisted because both the census and
+    the join-back consume it. Two hash aggregates (per-hash
+    distinct-doc count, then the hash-keyed join back) - the same
+    two-exchange shape as q87's contamination audit. The
+    duplicated-hash side shrinks to the dup vocabulary, so AQE
+    typically broadcasts the join-back."""
     docs = t_split(spark, sf_dir, "documents")
     toks = _tokens()
     n = F.size(toks)
@@ -124,14 +129,15 @@ def q205_substring_dup_spans(spark, sf_dir):
         n >= SPAN_W,
         F.sequence(F.lit(1), n - (SPAN_W - 1), F.lit(SPAN_STRIDE)),
     ).otherwise(F.array().cast("array<int>"))
-    wins = docs.select(
-        "doc_id", F.col("text"), F.explode(starts).alias("pos")
-    ).select(
-        "doc_id",
-        "pos",
-        _h60(
-            F.concat_ws(" ", F.slice(_tokens(), F.col("pos"), SPAN_W))
-        ).alias("h"),
+    wins = transient_persist(
+        docs.select("doc_id", toks.alias("tk"), F.explode(starts).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            _h60(
+                F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"), SPAN_W))
+            ).alias("h"),
+        )
     )
     dup = (
         wins.groupBy("h")

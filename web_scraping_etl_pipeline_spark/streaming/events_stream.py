@@ -501,3 +501,86 @@ def q223_stream_stream_left_outer(spark, sf_dir):
         "click_us",
     )
     return _run_to_sink(joined, spark, "q223")
+
+
+@query(
+    "q232_stream_stream_full_outer",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT (LEAST((SELECT MAX(purchase_us) FROM p),
+                    (SELECT MAX(click_us) FROM c)) // 1000) * 1000 AS w
+    )
+    SELECT p.purchase_id, p.purchase_us, c.click_id, c.click_us,
+           COALESCE(p.user_id, c.user_id) AS user_id
+    FROM p FULL OUTER JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_us BETWEEN p.purchase_us - 3600000000 AND p.purchase_us
+    , wm
+    WHERE (p.purchase_id IS NOT NULL AND c.click_id IS NOT NULL)
+       OR (c.click_id IS NULL AND p.purchase_us < wm.w)
+       OR (p.purchase_id IS NULL AND c.click_us < wm.w - 3600000000)
+    """,
+)
+def q232_stream_stream_full_outer(spark, sf_dir):
+    """FULL OUTER stream-stream interval join - the last cell of the
+    streaming join-mode matrix (inner q115, left q223): purchases with
+    no qualifying click AND clicks that led to no purchase both emit
+    null-padded once state eviction proves no match can arrive.
+
+    The eviction boundaries are ASYMMETRIC, derived from the interval
+    `click in [purchase - 1h, purchase]` (both pinned empirically and
+    stated by the oracle): an unmatched PURCHASE flushes at
+    purchase_time < watermark (any future click would be >= watermark
+    > purchase_time, outside the interval's upper bound); an unmatched
+    CLICK must wait the interval width - a click can still match
+    purchases up to 1 h after it, so it flushes only at click_time <
+    watermark - 1 h. The watermark is the min of the two sources'
+    max event times at millisecond precision (q223's rule).
+
+    Scale: state bounds identical to the inner join; each side's
+    buffer is evicted at its own boundary, so total state is
+    (1 h + lateness) of both streams."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+            F.col("ts_us").alias("purchase_us"),
+        )
+    )
+    c = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+            F.col("ts_us").alias("click_us"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_time") <= F.col("p_time")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "purchase_us",
+        "click_id",
+        "click_us",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+    )
+    return _run_to_sink(joined, spark, "q232")
