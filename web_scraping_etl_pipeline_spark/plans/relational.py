@@ -2047,3 +2047,81 @@ def q196_small_quantity_revenue(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q234: right-to-erasure cascade audit (GDPR delete propagation)
+# ---------------------------------------------------------------------------
+
+#: the deletion cohort: customers whose key hashes into the erasure
+#: list (a deterministic stand-in for "users who filed a request").
+_ERASE_MOD = 97
+
+
+@query(
+    "q234_erasure_cascade_audit",
+    oracle=f"""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM del_cust) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders', CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+                AS BIGINT)
+    """,
+)
+def q234_erasure_cascade_audit(spark, sf_dir):
+    """Right-to-erasure CASCADE audit: given a deletion cohort
+    (customers with c_custkey % {_ERASE_MOD} == 0 standing in for
+    filed GDPR requests), count every row that must disappear along
+    the foreign-key chain customer -> orders -> lineitem - the
+    pre-delete impact report a compliance pipeline signs off on before
+    the actual anti-join rewrite (which is this exact plan with
+    ``left_anti`` in place of ``left_semi``).
+
+    Scale: each hop is a LEFT SEMI join on the parent's key set - the
+    cohort is broadcast-sized, the orders key set flows into a
+    shuffle-or-broadcast semi join under AQE, and only keys travel.
+    The three counts collapse to 1-row aggregates unioned into the
+    audit frame - no fact columns are ever materialized."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select(
+        "c_custkey"
+    )
+    del_orders = orders.join(
+        F.broadcast(del_cust),
+        orders["o_custkey"] == del_cust["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders,
+        li["l_orderkey"] == del_orders["o_orderkey"],
+        "left_semi",
+    )
+    spark_ = cust.sparkSession
+    rows = [
+        del_cust.agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit("customer").alias("table_name"), "n_rows"
+        ),
+        del_orders.agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit("orders").alias("table_name"), "n_rows"
+        ),
+        del_li.agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit("lineitem").alias("table_name"), "n_rows"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

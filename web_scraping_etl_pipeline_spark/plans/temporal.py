@@ -1221,3 +1221,94 @@ def q198_top_session_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q233: sequence-pattern match (CEP / MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+#: pattern horizon: the purchase must follow the click within this many
+#: microseconds.
+_CEP_HORIZON_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "q233_pattern_click_purchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events
+    ),
+    clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+    pur AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    err AS (SELECT * FROM e WHERE event_type = 'error')
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           p.tu - c.tu AS latency_us
+    FROM clicks c
+    JOIN LATERAL (
+      SELECT tu, event_id FROM pur
+      WHERE pur.user_id = c.user_id
+        AND pur.tu > c.tu AND pur.tu <= c.tu + {_CEP_HORIZON_US}
+      ORDER BY tu, event_id LIMIT 1
+    ) p ON TRUE
+    WHERE NOT EXISTS (
+      SELECT 1 FROM err
+      WHERE err.user_id = c.user_id
+        AND err.tu > c.tu AND err.tu < p.tu
+    )
+    """,
+)
+def q233_pattern_click_purchase(spark, sf_dir):
+    """Sequence-PATTERN match (the MATCH_RECOGNIZE / CEP shape Spark
+    has no native operator for): per user, every click followed by a
+    purchase within 10 minutes with NO error event in between - the
+    conversion-with-clean-path detector, matched on the FIRST
+    qualifying purchase (event-id tie-break) so each click yields at
+    most one row.
+
+    Plan - NO self-join: one pass over the per-user event order with
+    two conditional frame minima (``ROWS BETWEEN 1 FOLLOWING AND
+    UNBOUNDED FOLLOWING``): the earliest following purchase rides a
+    struct MIN (lexicographic (ts, id) = "first, tie-broken"), the
+    earliest following error a plain MIN. A click matches iff its next
+    purchase lands inside the horizon and precedes its next error.
+    Single hash exchange on user_id; the oracle states the same
+    pattern as LATERAL + NOT EXISTS, so the two engines reach the
+    result by independent shapes."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    np_struct = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct("ts_us", "event_id"),
+        )
+    ).over(w)
+    ne_ts = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts_us"))
+    ).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        np_struct.alias("np"),
+        ne_ts.alias("ne"),
+    ).filter(F.col("event_type") == "click")
+    return (
+        flagged.filter(
+            F.col("np").isNotNull()
+            & (F.col("np.ts_us") <= F.col("ts_us") + _CEP_HORIZON_US)
+            & (F.col("ne").isNull() | (F.col("ne") >= F.col("np.ts_us")))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("np.event_id").alias("purchase_id"),
+            (F.col("np.ts_us") - F.col("ts_us")).alias("latency_us"),
+        )
+    )
