@@ -1312,3 +1312,74 @@ def q233_pattern_click_purchase(spark, sf_dir):
             (F.col("np.ts_us") - F.col("ts_us")).alias("latency_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q235: late-data restatement (partition-scoped incremental recompute)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q235_late_data_restatement",
+    oracle=f"""
+    WITH ontime AS (
+      SELECT (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} AS day_us,
+             event_type, COUNT(*) AS n
+      FROM events WHERE event_id % 50 <> 0
+      GROUP BY 1, 2
+    ),
+    late AS (
+      SELECT (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} AS day_us,
+             event_type, COUNT(*) AS n
+      FROM events WHERE event_id % 50 = 0
+      GROUP BY 1, 2
+    )
+    SELECT late.day_us, late.event_type,
+           CAST(COALESCE(ontime.n, 0) AS BIGINT) AS old_n,
+           CAST(late.n AS BIGINT) AS late_n,
+           CAST(COALESCE(ontime.n, 0) + late.n AS BIGINT) AS new_n
+    FROM late LEFT JOIN ontime USING (day_us, event_type)
+    """,
+)
+def q235_late_data_restatement(spark, sf_dir):
+    """LATE-DATA restatement: a late-arriving batch (event_id % 50 == 0
+    standing in for rows that missed their day's run) is folded into
+    the already-finalized daily aggregate - and ONLY the (day, type)
+    groups the late rows touch are restated, each reported with its
+    old, late-delta and corrected value. This is the incremental
+    alternative to "recompute the whole mart because yesterday's file
+    arrived today", and the audit trail a restatement pipeline emits.
+
+    Scale: the late batch is tiny by construction, so its aggregate
+    broadcasts; joining it against the finalized mart touches only
+    matching group keys, and on a day-partitioned mart the join keys
+    prune the scan to the affected partitions (dynamic partition
+    pruning - the restated days, nothing else). The fact table is
+    never rescanned beyond those partitions; partial aggregates merge
+    by addition (the q174 merge-law demonstrated per group)."""
+    ev = t(spark, sf_dir, "events")
+    # integer DIV (not float /): both engines truncate in integer
+    # space, so exact-midnight timestamps can never flip a day bucket.
+    day = F.expr(f"ts_us DIV {US_PER_DAY}") * US_PER_DAY
+    ontime = (
+        ev.filter(F.col("event_id") % 50 != 0)
+        .groupBy(day.alias("day_us"), "event_type")
+        .agg(F.count("*").alias("old_n"))
+    )
+    late = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy(day.alias("day_us"), "event_type")
+        .agg(F.count("*").alias("late_n"))
+    )
+    return (
+        late.join(ontime, ["day_us", "event_type"], "left")
+        .select(
+            "day_us",
+            "event_type",
+            F.coalesce("old_n", F.lit(0)).cast("long").alias("old_n"),
+            F.col("late_n").cast("long").alias("late_n"),
+            (F.coalesce("old_n", F.lit(0)) + F.col("late_n"))
+            .cast("long")
+            .alias("new_n"),
+        )
+    )
