@@ -1556,3 +1556,72 @@ def q231_quality_dup_calibration(spark, sf_dir):
         F.sum("is_dup").cast("long").alias("n_dup"),
         F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q236: k-anonymity audit over quasi-identifiers (privacy governance)
+# ---------------------------------------------------------------------------
+
+#: minimum group size for a quasi-identifier combination to be
+#: considered safe, and the length-bucket width that coarsens n_chars
+#: into a quasi-identifier.
+_K_ANON = 5
+_K_LEN_BUCKET = 200
+
+
+@query(
+    "q236_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, lang,
+             (n_chars // {_K_LEN_BUCKET}) * {_K_LEN_BUCKET} AS len_bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang, len_bucket, COUNT(*) AS group_size
+      FROM q GROUP BY source, lang, len_bucket
+    )
+    SELECT q.doc_id, q.source, q.lang,
+           CAST(q.len_bucket AS BIGINT) AS len_bucket,
+           CAST(g.group_size AS BIGINT) AS group_size
+    FROM q JOIN g USING (source, lang, len_bucket)
+    WHERE g.group_size < {_K_ANON}
+    """,
+)
+def q236_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY audit: treat (source, lang, length-bucket) as the
+    quasi-identifier tuple and flag every document whose combination
+    is shared by fewer than k={_K_ANON} documents - the rows a
+    re-identification attack could single out, and the suppression /
+    generalization work-list a privacy review acts on before release.
+    Complements q81 (direct-identifier redaction) and q234 (erasure):
+    PII scrubbing does not help when the METADATA combination itself
+    is identifying.
+
+    Scale: one aggregate on the quasi-identifier key (map-side
+    partials), one join back on the same key - a single shuffle; the
+    flagged side is by definition the SMALL groups, so the output is
+    bounded by k x |rare combinations|. Generalization ladders (widen
+    the bucket, drop a column) re-run the same plan with a coarser
+    key."""
+    docs = t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.expr(f"n_chars DIV {_K_LEN_BUCKET}") * _K_LEN_BUCKET).alias(
+            "len_bucket"
+        ),
+    )
+    g = (
+        q.groupBy("source", "lang", "len_bucket")
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < _K_ANON)
+    )
+    return q.join(g, ["source", "lang", "len_bucket"]).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
