@@ -1,0 +1,179 @@
+"""Scaling-curve probe: replicate the sf0.1 tables in-memory (k copies
+with shifted ids - no files written, driver test data untouched) and
+time the engine's scale-critical pipeline shapes at 1x / 4x / 16x.
+
+The point is the CURVE, not the absolute numbers: a plan that is
+linear-ish across a 16x spread on local[32] has no hidden quadratic or
+single-task stage waiting at cluster scale; a plan that bends reveals
+the bottleneck here, on 3 M rows, instead of on the 100 TB run.
+
+Probes (one per dominant shape in the suite):
+- exact_dedup   : md5 digest groupBy (q40 family - pure hash agg)
+- minhash_lsh   : shingle explode + K-min signatures + band self-join
+                  (q42/q43 - the dedup backbone)
+- prefix_sum    : range-partitioned global cumsum (plans/common.py -
+                  the distributed total-order primitive under
+                  q154/q200/q230 etc.)
+- window_rank   : per-key window rank + filter (q204 family)
+- hash_join_agg : fact-fact equi-join + aggregate (q17 family)
+
+Replication multiplies duplicate density for minhash_lsh (every doc
+gains k-1 exact twins), so its candidate-pair output grows ~k^2 by
+construction; the probe therefore also reports rows_out and
+normalizes: for the LSH probe the fair scale check is
+time / (rows_in + pairs_out).
+
+Usage: python tools/scale_probe.py [sf_dir] [k ...]
+Writes SCALE_PROBE.json at the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_scraping_etl_pipeline_spark.plans.common import (
+    global_cumsum,
+    release_transients,
+    t,
+)
+from web_scraping_etl_pipeline_spark.session import get_spark
+
+ID_STRIDE = 100_000_000
+
+
+def replicate(df, key, k):
+    """k shifted copies unioned; ids stay unique across copies."""
+    if k == 1:
+        return df
+    parts = [
+        df.withColumn(key, F.col(key) + F.lit(i * ID_STRIDE))
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+
+
+def probe_exact_dedup(spark, sf_dir, k):
+    docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
+    out = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count("*").alias("copies"))
+    )
+    return out.count()
+
+
+def probe_minhash_lsh(spark, sf_dir, k):
+    from web_scraping_etl_pipeline_spark.plans.dedup import (
+        band_keys,
+        minhash_sig_array,
+    )
+
+    docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
+    sig = minhash_sig_array(docs)
+    banded = band_keys(sig)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+    )
+    return pairs.count()
+
+
+def probe_prefix_sum(spark, sf_dir, k):
+    ev = replicate(
+        t(spark, sf_dir, "events").select("event_id", "ts_us", "value"),
+        "event_id",
+        k,
+    )
+    out, total, _ = global_cumsum(
+        ev,
+        ["ts_us", "event_id"],
+        sums=[("value", "running_value")],
+        rn_col="rn",
+    )
+    n = out.count()
+    release_transients()
+    return n
+
+
+def probe_window_rank(spark, sf_dir, k):
+    from pyspark.sql import Window
+
+    docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    out = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 20)
+    return out.count()
+
+
+def probe_hash_join_agg(spark, sf_dir, k):
+    orders = replicate(t(spark, sf_dir, "orders"), "o_orderkey", k)
+    li = replicate(t(spark, sf_dir, "lineitem"), "l_orderkey", k)
+    out = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    return out.count()
+
+
+PROBES = {
+    "exact_dedup": probe_exact_dedup,
+    "minhash_lsh": probe_minhash_lsh,
+    "prefix_sum": probe_prefix_sum,
+    "window_rank": probe_window_rank,
+    "hash_join_agg": probe_hash_join_agg,
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ks = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale-probe")
+    # warm the JVM/codegen so k=1 is not charged compilation cost
+    for fn in PROBES.values():
+        fn(spark, sf_dir, 1)
+    results: dict[str, dict] = {}
+    for name, fn in PROBES.items():
+        results[name] = {}
+        for k in ks:
+            t0 = time.time()
+            rows = fn(spark, sf_dir, k)
+            results[name][str(k)] = {
+                "sec": round(time.time() - t0, 3),
+                "rows_out": rows,
+            }
+        base = results[name][str(ks[0])]["sec"]
+        for k in ks:
+            r = results[name][str(k)]
+            r["x_time"] = round(r["sec"] / base, 2) if base else None
+    payload = {"sf_dir": sf_dir, "ks": ks, "probes": results}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALE_PROBE.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
