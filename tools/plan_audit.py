@@ -45,6 +45,7 @@ STREAMING = {
     "q217_stream_source_quota",
     "q223_stream_stream_left_outer",
     "q232_stream_stream_full_outer",
+    "q237_stream_update_upsert",
 }
 
 FLAG_PATTERNS = {

@@ -1383,3 +1383,156 @@ def q235_late_data_restatement(spark, sf_dir):
             .alias("new_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q238: three-stage CEP funnel (view -> click -> purchase, staged windows)
+# ---------------------------------------------------------------------------
+
+#: stage horizons: the click must follow the view within one day;
+#: the purchase follows the click within q233's 10-minute horizon.
+_CEP_VIEW_HORIZON_US = 86_400_000_000
+
+
+@query(
+    "q238_pattern_three_stage",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events
+    ),
+    clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+    pur AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    err AS (SELECT * FROM e WHERE event_type = 'error'),
+    views AS (SELECT * FROM e WHERE event_type = 'view'),
+    mclick AS (
+      SELECT c.user_id, c.event_id AS click_id, c.tu AS c_tu,
+             p.event_id AS purchase_id, p.tu AS p_tu
+      FROM clicks c
+      JOIN LATERAL (
+        SELECT tu, event_id FROM pur
+        WHERE pur.user_id = c.user_id
+          AND pur.tu > c.tu AND pur.tu <= c.tu + {_CEP_HORIZON_US}
+        ORDER BY tu, event_id LIMIT 1
+      ) p ON TRUE
+      WHERE NOT EXISTS (
+        SELECT 1 FROM err
+        WHERE err.user_id = c.user_id
+          AND err.tu > c.tu AND err.tu < p.tu
+      )
+    )
+    SELECT v.user_id, v.event_id AS view_id, m.click_id, m.purchase_id,
+           m.p_tu - v.tu AS total_latency_us
+    FROM views v
+    JOIN LATERAL (
+      SELECT click_id, purchase_id, p_tu FROM mclick
+      WHERE mclick.user_id = v.user_id
+        AND mclick.c_tu > v.tu
+        AND mclick.c_tu <= v.tu + {_CEP_VIEW_HORIZON_US}
+      ORDER BY c_tu, click_id LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def q238_pattern_three_stage(spark, sf_dir):
+    """THREE-stage sequence pattern: view -> first error-free
+    click-to-purchase conversion starting within one day of the
+    view - q233's two-stage CEP primitive COMPOSED: stage one computes
+    the matched clicks (conditional frame minima, one user_id
+    exchange), stage two unions views with those matched clicks and
+    runs the SAME conditional-lookahead window over the combined
+    per-user order. Arbitrary-depth patterns chain the identical move,
+    each stage one window pass - never a growing join tree.
+
+    Scale: two hash exchanges on user_id total (one per stage);
+    intermediate width is one struct column per stage. The oracle
+    reaches the same rows through nested LATERAL + NOT EXISTS -
+    independent shapes, same semantics."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    np_struct = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct("ts_us", "event_id"),
+        )
+    ).over(w)
+    ne_ts = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts_us"))
+    ).over(w)
+    mclick = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            "event_id",
+            np_struct.alias("np"),
+            ne_ts.alias("ne"),
+        )
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("np").isNotNull()
+            & (F.col("np.ts_us") <= F.col("ts_us") + _CEP_HORIZON_US)
+            & (F.col("ne").isNull() | (F.col("ne") >= F.col("np.ts_us")))
+        )
+        .select(
+            "user_id",
+            F.col("ts_us").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("np.event_id").alias("purchase_id"),
+            F.col("np.ts_us").alias("p_ts"),
+        )
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_us").alias("o_ts"),
+        F.col("event_id").alias("o_id"),
+        F.lit("view").alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("long").alias("p_ts"),
+    )
+    mtag = mclick.select(
+        "user_id",
+        F.col("c_ts").alias("o_ts"),
+        F.col("click_id").alias("o_id"),
+        F.lit("mclick").alias("tag"),
+        "click_id",
+        "purchase_id",
+        "p_ts",
+    )
+    combined = views.unionByName(mtag)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("o_ts", "o_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nm = F.min(
+        F.when(
+            F.col("tag") == "mclick",
+            F.struct(
+                F.col("o_ts").alias("c_ts"),
+                "click_id",
+                "purchase_id",
+                "p_ts",
+            ),
+        )
+    ).over(w2)
+    return (
+        combined.select("user_id", "o_ts", "o_id", "tag", nm.alias("nm"))
+        .filter(
+            (F.col("tag") == "view")
+            & F.col("nm").isNotNull()
+            & (F.col("nm.c_ts") <= F.col("o_ts") + _CEP_VIEW_HORIZON_US)
+        )
+        .select(
+            "user_id",
+            F.col("o_id").alias("view_id"),
+            F.col("nm.click_id").alias("click_id"),
+            F.col("nm.purchase_id").alias("purchase_id"),
+            (F.col("nm.p_ts") - F.col("o_ts")).alias("total_latency_us"),
+        )
+    )

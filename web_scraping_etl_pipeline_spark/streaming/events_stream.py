@@ -584,3 +584,94 @@ def q232_stream_stream_full_outer(spark, sf_dir):
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
     )
     return _run_to_sink(joined, spark, "q232")
+
+
+@query(
+    "q237_stream_update_upsert",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} AS day_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q237_stream_update_upsert(spark, sf_dir):
+    """UPDATE-mode streaming aggregate with a keyed UPSERT sink: daily
+    per-type counts/sums where every micro-batch re-emits the groups it
+    CHANGED (update mode - no watermark finalization wait) and a
+    ``foreachBatch`` MERGE keyed on (day, type) overwrites those rows
+    in the sink - the live-dashboard shape, and the third emission mode
+    of the streaming matrix (append: q35, final-state single drain:
+    q37). The keyed overwrite makes the sink idempotent under
+    foreachBatch's at-least-once replay, so the FINAL sink state equals
+    the batch aggregate exactly - which is what the oracle states.
+
+    Scale: the aggregate state is bounded by |days| x |types|; each
+    batch's emitted delta is only the touched groups, and the MERGE
+    (parquet emulation here, Delta/Iceberg MERGE in a lakehouse -
+    see streaming/jobs_stream.py) rewrites matching keys only."""
+    import tempfile
+
+    s = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(
+            F.expr(f"ts_us DIV {US_PER_DAY}").alias("day_idx"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            (F.col("day_idx") * US_PER_DAY).alias("day_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="wsep-stream-q237-")
+    sink_dir = f"{scratch}/sink"
+
+    def merge_batch(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(["day_us", "event_type"]).cache()
+        try:
+            try:
+                current = sess.read.parquet(sink_dir)
+                kept = current.join(
+                    F.broadcast(batch.select("day_us", "event_type")),
+                    ["day_us", "event_type"],
+                    "left_anti",
+                )
+                merged = kept.unionByName(batch)
+            except Exception as exc:  # first batch: no sink yet
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
+                merged = batch
+            staged = merged.localCheckpoint(eager=True)
+            staged.write.mode("overwrite").parquet(sink_dir)
+        finally:
+            batch.unpersist()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(sink_dir)
+    return out.select(
+        "day_us",
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("total_value"),
+    )
