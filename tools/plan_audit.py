@@ -84,6 +84,7 @@ ALLOW = {
     "q209_semantic_cluster_dedup": {"nested_loop"},  # q99's k=10 centroids
     "q214_quality_percentile_gate": {"nested_loop"},  # 1-row percentile cutoff
     "q221_ann_recall": {"nested_loop"},  # 10-row eval query frame
+    "q241_corpus_datasheet": {"nested_loop"},  # 1-row summary frames crossed
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -1625,3 +1625,77 @@ def q236_k_anonymity(spark, sf_dir):
         F.col("len_bucket").cast("long").alias("len_bucket"),
         F.col("group_size").cast("long").alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q241: corpus datasheet (one-row dataset card)
+# ---------------------------------------------------------------------------
+
+from .dedup import _LSH_CANDS_SQL as _CANDS_FOR_CARD  # noqa: E402
+
+
+@query(
+    "q241_corpus_datasheet",
+    oracle=_CANDS_FOR_CARD
+    + f"""
+    , base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             ROUND(AVG(len({_TOKENS_SQL})), 2) AS mean_tokens,
+             ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+               AS exact_dup_rate
+      FROM documents
+    ),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS neardup_pairs,
+             CAST(COUNT(DISTINCT doc_a) + COUNT(DISTINCT doc_b) AS BIGINT)
+               AS neardup_doc_mentions
+      FROM cands
+    ),
+    top AS (
+      SELECT lang AS top_lang FROM documents
+      GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+    )
+    SELECT base.*, nd.neardup_pairs, top.top_lang
+    FROM base, nd, top
+    """,
+)
+def q241_corpus_datasheet(spark, sf_dir):
+    """One-row corpus DATASHEET (the "dataset card" summary block):
+    document/source/language counts, mean token length, exact-duplicate
+    rate, LSH near-duplicate pair count, and the dominant language -
+    the at-a-glance numbers every corpus release ships ("Datasheets
+    for Datasets", Gebru et al.), produced by composing the suite's
+    shared stages rather than bespoke scans.
+
+    Scale: one pass over documents for the base aggregates (COUNT
+    DISTINCT source/lang are tiny domains; the md5 distinct is the
+    q40 digest), the near-dup count reads the SESSION-PERSISTED q43
+    pair table (zero recompute when the suite has run it), and the
+    top-language pick is a TakeOrdered over a |langs|-row aggregate.
+    Everything collapses to 1-row frames crossed at the end - the
+    bounded-broadcast shape."""
+    from .dedup import q43_lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg(F.size(_tokens())), 2).alias("mean_tokens"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count("*"), 4
+        ).alias("exact_dup_rate"),
+    )
+    nd = q43_lsh_candidate_pairs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("neardup_pairs")
+    )
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return base.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(top))

@@ -1536,3 +1536,225 @@ def q238_pattern_three_stage(spark, sf_dir):
             (F.col("nm.p_ts") - F.col("o_ts")).alias("total_latency_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q239: nearest as-of join with tolerance (completes the as-of matrix)
+# ---------------------------------------------------------------------------
+
+#: tolerance for the nearest-event match: one hour.
+_NEAREST_TOL_US = 3_600_000_000
+
+
+@query(
+    "q239_asof_nearest",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+      WHERE event_type <> 'purchase'
+    )
+    SELECT l.event_id, l.user_id, l.tu AS ts_us,
+           n.event_id AS nearest_event_id,
+           n.dt AS dt_us
+    FROM l
+    JOIN LATERAL (
+      SELECT r.event_id, abs(l.tu - r.tu) AS dt
+      FROM r
+      WHERE r.user_id = l.user_id
+        AND abs(l.tu - r.tu) <= {_NEAREST_TOL_US}
+      ORDER BY abs(l.tu - r.tu),
+               (r.tu > l.tu),
+               CASE WHEN r.tu <= l.tu THEN -r.event_id ELSE r.event_id END
+      LIMIT 1
+    ) n ON TRUE
+    """,
+)
+def q239_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join with tolerance - the third direction of the
+    as-of matrix (backward: q55; the forward case is this plan's
+    lookahead half alone): each purchase matched to the same user's
+    closest other event within +-1 h, preferring the earlier side on
+    exact distance ties. The sensor-fusion / trade-quote alignment
+    shape pandas calls ``merge_asof(direction='nearest')`` and Spark
+    has no operator for.
+
+    Plan: q55's union trick extended with a SECOND conditional frame -
+    one carry-forward window (latest right at-or-before, struct max by
+    (ts, id)) and one lookahead window (earliest right after, struct
+    min over the following frame) over the SAME per-user order, then a
+    pure map-stage arbitration picks the nearer side. Still exactly
+    ONE hash exchange of |left|+|right| rows; no pair explosion at any
+    skew. The oracle reaches the same rows via LATERAL argmin."""
+    ev = t(spark, sf_dir, "events")
+    right = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("r_event_id"),
+        F.lit(None).cast("long").alias("l_event_id"),
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    u = right.unionByName(left)
+    order = [F.col("ts_us"), F.col("tag"), F.col("r_event_id")]
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prior = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts_us", "r_event_id")),
+        ignorenulls=True,
+    ).over(w_prior)
+    nxt = F.min(
+        F.when(F.col("tag") == 0, F.struct("ts_us", "r_event_id"))
+    ).over(w_next)
+    c = (
+        u.select(
+            "user_id",
+            "ts_us",
+            "tag",
+            "l_event_id",
+            prior.alias("prior"),
+            nxt.alias("nxt"),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    dt_prior = F.when(
+        F.col("prior").isNotNull(), F.col("ts_us") - F.col("prior.ts_us")
+    )
+    dt_next = F.when(
+        F.col("nxt").isNotNull(), F.col("nxt.ts_us") - F.col("ts_us")
+    )
+    pick_prior = F.col("prior").isNotNull() & (
+        F.col("nxt").isNull() | (dt_prior <= dt_next)
+    )
+    nearest_id = F.when(pick_prior, F.col("prior.r_event_id")).otherwise(
+        F.col("nxt.r_event_id")
+    )
+    dt = F.when(pick_prior, dt_prior).otherwise(dt_next)
+    return (
+        c.filter(F.col("prior").isNotNull() | F.col("nxt").isNotNull())
+        .select(
+            F.col("l_event_id").alias("event_id"),
+            "user_id",
+            "ts_us",
+            nearest_id.alias("nearest_event_id"),
+            dt.alias("dt_us"),
+        )
+        .filter(F.col("dt_us") <= _NEAREST_TOL_US)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q240: interval-overlap join (bucketized, no inequality cross join)
+# ---------------------------------------------------------------------------
+
+#: half-width of the error-centered disruption window: 30 minutes.
+_OVL_HALF_US = 1_800_000_000
+
+
+@query(
+    "q240_interval_overlap_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id,
+             epoch_us(ts) // {US_PER_DAY} AS day_idx,
+             MIN(epoch_us(ts)) AS a_start,
+             MAX(epoch_us(ts)) AS a_end
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_id AS error_id, user_id,
+             epoch_us(ts) - {_OVL_HALF_US} AS b_start,
+             epoch_us(ts) + {_OVL_HALF_US} AS b_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.user_id, CAST(a.day_idx AS BIGINT) AS day_idx,
+           a.a_start, a.a_end, b.error_id,
+           LEAST(a.a_end, b.b_end) - GREATEST(a.a_start, b.b_start)
+             AS overlap_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+    """,
+)
+def q240_interval_overlap_join(spark, sf_dir):
+    """INTERVAL-OVERLAP join: each user's daily click-activity span
+    [first, last] joined to every +-30 min window around the same
+    user's error events that OVERLAPS it (reporting the overlap
+    length) - "which outage windows intersected the user's active
+    session" , the temporal-join shape warehouses write as
+    ``a.start <= b.end AND b.start <= a.end`` and engines nest-loop
+    unless told better.
+
+    Plan - never an inequality cross join: activity spans live inside
+    one calendar day by construction, so the error windows (<= 1 h
+    wide) are EXPLODED to the <= 2 day buckets they touch and the join
+    is an equi-join on (user, day) with the exact overlap predicate as
+    a post-filter. Pair count is bounded per (user, day); the general
+    recipe (bucket by a width >= min interval length, replicate the
+    narrower side) is q56's range-join pattern lifted to two interval
+    sets."""
+    ev = t(spark, sf_dir, "events")
+    day = F.expr(f"ts_us DIV {US_PER_DAY}")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day.alias("day_idx"))
+        .agg(
+            F.min("ts_us").alias("a_start"),
+            F.max("ts_us").alias("a_end"),
+        )
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        (F.col("ts_us") - _OVL_HALF_US).alias("b_start"),
+        (F.col("ts_us") + _OVL_HALF_US).alias("b_end"),
+    )
+    b_days = b.select(
+        "error_id",
+        "user_id",
+        "b_start",
+        "b_end",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"b_start DIV {US_PER_DAY}"),
+                    F.expr(f"b_end DIV {US_PER_DAY}"),
+                )
+            )
+        ).alias("day_idx"),
+    )
+    return (
+        a.join(b_days, ["user_id", "day_idx"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select(
+            "user_id",
+            F.col("day_idx").cast("long").alias("day_idx"),
+            "a_start",
+            "a_end",
+            "error_id",
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_us"),
+        )
+    )
