@@ -117,7 +117,7 @@ def audit(plan: str) -> dict:
         "arrow": len(
             re.findall(
                 r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
-                r"|PythonUDTF",
+                r"|PythonUDTF|MapInArrow",
                 plan,
             )
         ),

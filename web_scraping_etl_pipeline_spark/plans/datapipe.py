@@ -1699,3 +1699,202 @@ def q241_corpus_datasheet(spark, sf_dir):
         .select(F.col("lang").alias("top_lang"))
     )
     return base.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(top))
+
+
+# ---------------------------------------------------------------------------
+# q242: exact quantile normalization across sources (batch-effect fix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_quantile_normalization",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(floor(1000.0 * len(list_distinct({_TOKENS_SQL}))
+                        / len({_TOKENS_SQL})) AS BIGINT) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY score, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM s
+    ),
+    corpus AS (
+      SELECT score AS corpus_score,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS g
+      FROM s
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM s)
+    SELECT ranked.doc_id, ranked.source, ranked.score,
+           corpus.corpus_score AS norm_score
+    FROM ranked, tot
+    JOIN corpus ON corpus.g = (ranked.r * tot.n + ranked.ns - 1) // ranked.ns
+    """,
+)
+def q242_quantile_normalization(spark, sf_dir):
+    """Exact QUANTILE NORMALIZATION of the quality score across
+    sources (the batch-effect correction genomics normalizes arrays
+    with, applied to per-domain score drift): each document's
+    within-source rank is mapped to the corpus score at the same
+    relative position - after which every source has an identical
+    score distribution and one global threshold means the same thing
+    everywhere. Integer index arithmetic (ceil via (r*N + ns-1) DIV
+    ns) keeps both engines bit-identical.
+
+    Scale: the within-source rank is a window PARTITIONED by source;
+    the corpus order statistic comes from :func:`plans.common.
+    global_rn` (range exchange + pure-JVM ordinals - never a
+    single-partition window); the mapping is one equi-join on the
+    computed corpus index. Two exchanges over the fact, both keyed."""
+    from .common import global_rn
+
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
+        .cast("long")
+        .alias("score"),
+    )
+    ws = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = s.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    corpus, n_total = global_rn(s, ["score", "doc_id"], rn_col="g")
+    corpus = corpus.select(
+        F.col("score").alias("corpus_score"), "g"
+    )
+    idx = F.expr(f"(r * {n_total} + ns - 1) DIV ns")
+    return (
+        ranked.withColumn("g", idx)
+        .join(corpus, "g")
+        .select("doc_id", "source", "score", F.col("corpus_score").alias("norm_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244: population stability index (PSI) per source, first vs second half
+# ---------------------------------------------------------------------------
+
+#: smoothing pseudo-count per bucket (add-one over the 10 length
+#: buckets keeps empty cells finite in both engines).
+_PSI_BUCKETS = 10
+
+
+@query(
+    "q244_psi_drift",
+    oracle=f"""
+    WITH h AS (
+      SELECT source,
+             LEAST(n_chars // {_KL_BUCKET_CHARS}, {_KL_MAX_BUCKET}) AS b,
+             CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half
+      FROM documents
+    ),
+    g AS (
+      SELECT source, b, half, COUNT(*) AS cnt FROM h GROUP BY 1, 2, 3
+    ),
+    spine AS (
+      SELECT DISTINCT source, r.b FROM g,
+             LATERAL unnest(range(0, {_PSI_BUCKETS})) r(b)
+    ),
+    filled AS (
+      SELECT spine.source, spine.b,
+             COALESCE(r.cnt, 0) AS ref_cnt, COALESCE(c.cnt, 0) AS cur_cnt
+      FROM spine
+      LEFT JOIN g r ON r.source = spine.source AND r.b = spine.b
+                   AND r.half = 'ref'
+      LEFT JOIN g c ON c.source = spine.source AND c.b = spine.b
+                   AND c.half = 'cur'
+    ),
+    tot AS (
+      SELECT source, SUM(ref_cnt) AS nr, SUM(cur_cnt) AS nc
+      FROM filled GROUP BY source
+    )
+    SELECT f.source,
+           CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           ROUND(SUM(
+             ((f.cur_cnt + 1.0) / (t.nc + {_PSI_BUCKETS})
+              - (f.ref_cnt + 1.0) / (t.nr + {_PSI_BUCKETS}))
+             * ln(((f.cur_cnt + 1.0) / (t.nc + {_PSI_BUCKETS}))
+                  / ((f.ref_cnt + 1.0) / (t.nr + {_PSI_BUCKETS})))
+           ), 4) AS psi
+    FROM filled f JOIN tot t USING (source)
+    GROUP BY f.source, t.nr, t.nc
+    """,
+)
+def q244_psi_drift(spark, sf_dir):
+    """POPULATION STABILITY INDEX per source: the length distribution
+    of each source's even-doc_id half ("reference snapshot") compared
+    to its odd half ("current snapshot") over the q229 length buckets,
+    with add-one smoothing so empty cells stay finite - PSI is the
+    drift metric model-risk teams alarm on (>0.25 = investigate), and
+    completes the drift toolkit next to KL (q229, distribution vs
+    corpus) and KS (q200, two-sample exact).
+
+    Scale: one (source, bucket, half) aggregate, a generated
+    {_PSI_BUCKETS}-bucket spine per source (bounded explode) to
+    zero-fill missing cells, per-source totals as a second tiny
+    aggregate - the fact is scanned once."""
+    docs = t(spark, sf_dir, "documents")
+    b = F.least(
+        F.floor(F.col("n_chars") / _KL_BUCKET_CHARS),
+        F.lit(_KL_MAX_BUCKET),
+    )
+    half = F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur")
+    g = docs.groupBy(
+        "source", b.alias("b"), half.alias("half")
+    ).agg(F.count("*").alias("cnt"))
+    spine = (
+        g.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_PSI_BUCKETS - 1))
+            ).alias("b0"),
+        )
+        .select("source", F.col("b0").cast("long").alias("b"))
+    )
+    r = g.filter(F.col("half") == "ref").select(
+        "source", "b", F.col("cnt").alias("ref_cnt")
+    )
+    c = g.filter(F.col("half") == "cur").select(
+        "source", "b", F.col("cnt").alias("cur_cnt")
+    )
+    filled = (
+        spine.join(r, ["source", "b"], "left")
+        .join(c, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    wsrc = Window.partitionBy("source")
+    f2 = filled.select(
+        "source",
+        "ref_cnt",
+        "cur_cnt",
+        F.sum("ref_cnt").over(wsrc).alias("nr"),
+        F.sum("cur_cnt").over(wsrc).alias("nc"),
+    )
+    pr = (F.col("ref_cnt") + 1.0) / (F.col("nr") + _PSI_BUCKETS)
+    pc = (F.col("cur_cnt") + 1.0) / (F.col("nc") + _PSI_BUCKETS)
+    term = (pc - pr) * F.log(pc / pr)
+    return f2.groupBy("source", "nr", "nc").agg(
+        F.round(F.sum(term), 4).alias("psi")
+    ).select(
+        "source",
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        "psi",
+    )

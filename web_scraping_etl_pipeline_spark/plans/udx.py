@@ -127,3 +127,66 @@ def q126_chunk_udtf(spark, sf_dir):
         "SELECT c.doc_id, c.chunk_idx, c.n_words "
         "FROM q126_docs d, LATERAL wsep_chunk_words(d.doc_id, d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# q243: mapInArrow byte-level scan (the fourth Python-eval flavor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_arrow_byte_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(regexp_replace(lower(text),
+                '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+    FROM documents
+    """,
+)
+def q243_arrow_byte_scan(spark, sf_dir):
+    """``mapInArrow`` scan - the fourth and lowest-level Python-eval
+    flavor next to the suite's grouped-agg pandas_udf (q125), UDTF
+    (q126) and mapInPandas (q60): the function receives raw
+    ``pyarrow.RecordBatch``es with NO pandas conversion, the right
+    tool when the per-batch work is pure columnar array math and the
+    pandas layer would only add copies. Computes UTF-8 byte length
+    and vowel counts via vectorized numpy over the Arrow buffers.
+
+    Scale: map-only (zero shuffle), Arrow-batched both directions;
+    per-batch cost is two vectorized passes over the strings. A
+    production variant points the same shape at tokenizers or
+    encoders that speak Arrow natively."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    from .common import t  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def scan(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            # bytes: cast utf8 -> binary, measure buffer lengths
+            n_bytes = pa.compute.binary_length(
+                text.cast(pa.binary())
+            )
+            low = np.asarray(
+                pa.compute.utf8_lower(text).to_pandas(), dtype=object
+            )
+            n_vowels = np.zeros(len(low), dtype=np.int64)
+            for v in "aeiou":
+                n_vowels += np.char.count(low.astype(str), v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    n_bytes.cast(pa.int64()),
+                    pa.array(n_vowels, type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_vowels"],
+            )
+
+    return docs.mapInArrow(
+        scan, schema="doc_id long, n_bytes long, n_vowels long"
+    )
