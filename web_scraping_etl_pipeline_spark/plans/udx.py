@@ -190,3 +190,70 @@ def q243_arrow_byte_scan(spark, sf_dir):
     return docs.mapInArrow(
         scan, schema="doc_id long, n_bytes long, n_vowels long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q245: SQL-text entry point (spark.sql + temp view + LATERAL VIEW)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q245_sql_text_entry",
+    oracle="""
+    WITH tok AS (
+      SELECT d.source, t.term
+      FROM documents d,
+           LATERAL unnest(string_split_regex(trim(lower(d.text)), '\\s+'))
+             AS t(term)
+    ),
+    counts AS (
+      SELECT source, term, COUNT(*) AS n FROM tok GROUP BY source, term
+    ),
+    ranked AS (
+      SELECT source, term, n,
+             RANK() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk
+      FROM counts
+    )
+    SELECT source, term, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q245_sql_text_entry(spark, sf_dir):
+    """Pure SQL-TEXT execution path: the whole query - LATERAL VIEW
+    explode tokenization, grouped counts, ranked top-3 terms per
+    source - submitted as one ``spark.sql`` statement over a
+    registered temp view. Everything else in the suite builds plans
+    through the DataFrame API; this pins the other half of the entry
+    surface (the reference's ad-hoc `script.sql` workflow,
+    /root/reference/script.sql:51-76) and proves the engine's SQL
+    dialect covers generator expressions, window ranks and CTEs in
+    text form. Catalyst compiles both APIs to the same plans, so the
+    scale story is unchanged.
+
+    The view name is session-scoped; registration is idempotent
+    (createOrReplaceTempView)."""
+    from .common import t  # noqa: PLC0415
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_q245"
+    )
+    return spark.sql(
+        r"""
+        WITH tok AS (
+          SELECT source, term
+          FROM documents_q245
+          LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) x AS term
+        ),
+        counts AS (
+          SELECT source, term, COUNT(*) AS n FROM tok GROUP BY source, term
+        ),
+        ranked AS (
+          SELECT source, term, n,
+                 RANK() OVER (PARTITION BY source ORDER BY n DESC, term)
+                   AS rk
+          FROM counts
+        )
+        SELECT source, term, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+        """
+    )
