@@ -257,3 +257,60 @@ def q245_sql_text_entry(spark, sf_dir):
         FROM ranked WHERE rk <= 3
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q246: custom Python DataSource scan (Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+#: scan size and parallelism for the custom-source demonstration.
+_PYDS_N = 100_000
+_PYDS_PARTS = 8
+
+
+@query(
+    "q246_python_datasource",
+    oracle=f"""
+    SELECT (val % 10) AS val_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT r.i AS id, (r.i * 2654435761) % 1000 AS val
+      FROM range(0, {_PYDS_N}) r(i)
+    )
+    WHERE id >= {_PYDS_N // 2}
+    GROUP BY 1
+    """,
+)
+def q246_python_datasource(spark, sf_dir):
+    """Scan through a CUSTOM PYTHON DATA SOURCE (Spark 4's DataSource
+    API, `sources/pyds.py`): the source plans its own InputPartitions
+    ({_PYDS_PARTS} parallel tasks), each executor-side ``read()``
+    yields its slice, and the result flows into ordinary Catalyst
+    operators (filter + grouped aggregate) like any table. This is the
+    entry surface for wrapping non-file systems (crawl frontiers,
+    feature stores, internal APIs) as scannable tables without JVM
+    code; the source here is a seeded arithmetic sequence precisely so
+    the DuckDB oracle can replicate it exactly.
+
+    Scale: partition count is the parallelism dial; rows materialize
+    only executor-side per split. The filter/aggregate above the scan
+    are ordinary JVM operators - only row production is Python
+    (Arrow-batched by the API)."""
+    from ..sources.pyds import register  # noqa: PLC0415
+
+    register(spark)
+    df = (
+        spark.read.format("wsep_range")
+        .option("n", _PYDS_N)
+        .option("parts", _PYDS_PARTS)
+        .load()
+    )
+    return (
+        df.filter(F.col("id") >= _PYDS_N // 2)
+        .groupBy((F.col("val") % 10).alias("val_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+    )

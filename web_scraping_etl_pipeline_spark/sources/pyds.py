@@ -1,0 +1,72 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+partitioned range source, registered as ``wsep_range``.
+
+This pins the LAST entry-surface flavor the engine exposes: besides
+file sources (parquet/csv/json), JDBC, streaming file sources and SQL
+text, Spark 4 lets a pure-Python class participate in scan PLANNING -
+``partitions()`` decides the parallelism (each InputPartition becomes
+one Spark task) and ``read(partition)`` produces that split's rows on
+an executor. The production use is wrapping internal services/APIs
+(a crawl frontier, a feature store, a model registry) as first-class
+scannable tables; here the source is a seeded arithmetic sequence so
+the DuckDB oracle can state its exact contents.
+
+Scale note: the generator yields per-partition slices independently -
+N partitions = N parallel tasks, no driver materialization. The val
+column is a Knuth multiplicative hash of the id, so downstream
+aggregations exercise real (deterministic) value distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Knuth's multiplicative constant - val = (id * KNUTH) % MOD.
+KNUTH = 2654435761
+MOD = 1000
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class RangeReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 4))
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield (i, (i * KNUTH) % MOD)
+
+
+class WsepRangeDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "wsep_range"
+
+    def schema(self):
+        return "id long, val long"
+
+    def reader(self, schema):
+        return RangeReader(self.options)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(WsepRangeDataSource)
+        _REGISTERED.add(app)
