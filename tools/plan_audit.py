@@ -46,6 +46,7 @@ STREAMING = {
     "q223_stream_stream_left_outer",
     "q232_stream_stream_full_outer",
     "q237_stream_update_upsert",
+    "q247_python_stream_source",
 }
 
 FLAG_PATTERNS = {

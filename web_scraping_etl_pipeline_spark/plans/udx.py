@@ -314,3 +314,56 @@ def q246_python_datasource(spark, sf_dir):
             F.sum("id").cast("long").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q247: custom Python STREAMING data source (offset-tracked micro-batches)
+# ---------------------------------------------------------------------------
+
+_PYDS_STREAM_N = 5000
+
+
+@query(
+    "q247_python_stream_source",
+    oracle=f"""
+    SELECT (val % 10) AS val_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT r.i AS id, (r.i * 2654435761) % 1000 AS val
+      FROM range(0, {_PYDS_STREAM_N}) r(i)
+    )
+    GROUP BY 1
+    """,
+)
+def q247_python_stream_source(spark, sf_dir):
+    """CUSTOM PYTHON STREAMING SOURCE (`sources/pyds.py`): a pure-
+    Python reader that owns its own OFFSETS - ``initialOffset`` ->
+    ``read(start) -> (iterator, next)`` per micro-batch, with
+    ``readBetweenOffsets`` replaying committed spans on recovery (the
+    exactly-once recovery contract). One ``availableNow`` drain pulls
+    the full {_PYDS_STREAM_N}-row deterministic sequence into a
+    parquet sink (the oracle states its exact contents); the
+    MULTI-RUN offset-resume behavior - repeated drains against one
+    checkpoint, each advancing the cursor, no duplicates - is pinned
+    by ``tests/test_python_datasource.py`` with a small batch size.
+    This completes the entry-surface matrix: batch + streaming,
+    file + JDBC + SQL text + custom Python.
+
+    Scale: the offset protocol is the same one Kafka/Kinesis sources
+    speak; the ``batch`` option bounds per-trigger memory and the
+    aggregate downstream is ordinary Catalyst."""
+    from ..sources.pyds import register_stream  # noqa: PLC0415
+    from ..streaming.events_stream import _run_to_sink  # noqa: PLC0415
+
+    register_stream(spark)
+    s = (
+        spark.readStream.format("wsep_range_stream")
+        .option("n", _PYDS_STREAM_N)
+        .load()
+    )
+    sunk = _run_to_sink(s, spark, "q247")
+    return sunk.groupBy((F.col("val") % 10).alias("val_bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("id").cast("long").alias("id_sum"),
+    )

@@ -70,3 +70,65 @@ def register(spark) -> None:
     if app not in _REGISTERED:
         spark.dataSource.register(WsepRangeDataSource)
         _REGISTERED.add(app)
+
+
+# ---------------------------------------------------------------------------
+# streaming flavor: a Python streaming source with explicit offsets
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+#: default rows emitted per micro-batch by the streaming range
+#: source; overridable via the ``batch`` option (the pytest uses a
+#: small batch to exercise multi-run offset resume).
+STREAM_BATCH = 5000
+
+
+class RangeStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming reads: ``initialOffset`` starts the
+    cursor, each ``read(start)`` returns (rows, nextOffset) for one
+    micro-batch, and ``readBetweenOffsets`` replays a committed span
+    deterministically on recovery - the exactly-once contract a
+    custom source must honor, in its smallest honest form."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 5000))
+        self.batch = int(options.get("batch", STREAM_BATCH))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.n)
+        rows = [(i, (i * KNUTH) % MOD) for i in range(lo, hi)]
+        # the API contract wants an ITERATOR of tuples, not a list
+        return iter(rows), {"pos": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [
+                (i, (i * KNUTH) % MOD)
+                for i in range(start["pos"], end["pos"])
+            ]
+        )
+
+
+class WsepRangeStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "wsep_range_stream"
+
+    def schema(self):
+        return "id long, val long"
+
+    def simpleStreamReader(self, schema):
+        return RangeStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    app = spark.sparkContext.applicationId
+    key = f"stream:{app}"
+    if key not in _REGISTERED:
+        spark.dataSource.register(WsepRangeStreamDataSource)
+        _REGISTERED.add(key)
