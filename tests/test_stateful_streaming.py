@@ -119,3 +119,24 @@ def test_source_quota_carries_across_runs(spark, tmp_path, monkeypatch):
     _drain_quota(spark, bronze, sink, ckpt)
     out3 = spark.read.parquet(sink).collect()
     assert (5, "a") not in {(r["doc_id"], r["source"]) for r in out3}
+
+
+def test_transform_with_state_profile(spark):
+    """transformWithStateInPandas flavor of the q37 profile operator -
+    runs only where the protobuf state protocol is available (this
+    container ships without it; the processor code is environment-
+    independent)."""
+    import pytest
+
+    from web_scraping_etl_pipeline_spark.streaming.events_stream import (
+        _tws_available,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf not available in this environment")
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    out = QUERIES["q249_transform_with_state"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.count() > 0

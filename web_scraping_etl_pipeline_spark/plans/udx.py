@@ -367,3 +367,95 @@ def q247_python_stream_source(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum("id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q248: VARIANT semi-structured extraction (Spark 4 open variant type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q248_variant_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def q248_variant_extraction(spark, sf_dir):
+    """Semi-structured extraction through Spark 4's open VARIANT type:
+    ``parse_json`` ingests the raw JSON payload once into the binary
+    variant encoding, ``try_variant_get`` pulls typed paths lazily -
+    the schema-on-read path that replaces per-query ``from_json``
+    (q72) when payload schemas drift: parse once, store VARIANT,
+    extract any path later without re-parsing, malformed values
+    yielding NULL instead of failing the scan.
+
+    Scale: parse + extract are per-row codegen'd expressions; the
+    variant binary form is columnar-storable (the parquet variant
+    spec), so at 100 TB the parse happens ONCE at ingest and every
+    downstream extraction reads the binary encoding. The aggregate
+    above is an ordinary |event_types|-key hash agg."""
+    from .common import t  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250: SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q250_sql_pipe_syntax",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q250_sql_pipe_syntax(spark, sf_dir):
+    """SQL PIPE syntax (Spark 4's ``|>`` operators, the linear query
+    notation from Google's "SQL Has Problems" pipe-syntax proposal):
+    the same filter -> aggregate -> having chain q's classic form
+    writes inside-out, expressed top-to-bottom. Dialect-surface
+    completeness next to q245's classic SQL text; Catalyst parses both
+    to identical plans, so semantics and scale are unchanged - which
+    the classic-form oracle verifies."""
+    from .common import t  # noqa: PLC0415
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_q250"
+    )
+    return spark.sql(
+        """
+        FROM documents_q250
+        |> WHERE lang = 'en'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_total
+           GROUP BY source
+        |> WHERE n_docs >= 5
+        |> SELECT source, n_docs, chars_total
+        """
+    )

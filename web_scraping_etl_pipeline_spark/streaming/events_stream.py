@@ -675,3 +675,61 @@ def q237_stream_update_upsert(spark, sf_dir):
         "n",
         F.round("sum_value", 2).alias("total_value"),
     )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas drives its Python<->JVM state server
+    over protobuf; this container ships no ``google.protobuf``, so the
+    query registers only where the protocol can actually run (the
+    brief's gate-behind-import-try rule). The operator implementation
+    itself (streaming/stateful.py:ProfileProcessor) is complete and
+    API-identical either way."""
+    try:  # noqa: SIM105
+        from google.protobuf import descriptor  # noqa: F401,PLC0415
+
+        return True
+    except Exception:
+        return False
+
+
+def _register_q249():
+    if not _tws_available():  # pragma: no cover - environment gate
+        return None
+    return query(
+        "q249_transform_with_state",
+        oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+    )
+
+
+_q249_decorator = _register_q249()
+
+
+def q249_transform_with_state(spark, sf_dir):
+    """Arbitrary streaming state via ``transformWithStateInPandas`` -
+    Spark 4's NEW stateful API (named state variables on an explicit
+    handle, ListState/MapState/timers available) running the exact
+    operator q37 implements on the older ``applyInPandasWithState``,
+    so the two APIs are pinned side by side: one availableNow drain,
+    each user's final snapshot equals the batch aggregate (the
+    oracle). RocksDB-backed state and state-v2 checkpoint format are
+    deployment flips; the processor code is unchanged."""
+    from .stateful import user_profiles_tws
+
+    s = _stream_events(spark, sf_dir).select("user_id", "ts_us", "value")
+    sunk = _run_to_sink(user_profiles_tws(s), spark, "q249")
+    return sunk.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "last_ts_us",
+    )
+
+
+if _q249_decorator is not None:  # register only where runnable
+    q249_transform_with_state = _q249_decorator(q249_transform_with_state)

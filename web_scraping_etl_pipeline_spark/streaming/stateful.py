@@ -67,3 +67,69 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas flavor (the Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class ProfileProcessor(StatefulProcessor):
+    """Per-user running profile on the ``transformWithState`` API -
+    Spark 4's successor to applyInPandasWithState: named state
+    variables on an explicit handle (here one ValueState; the API
+    adds ListState/MapState and timers), ``handleInputRows`` per key
+    per micro-batch, emitted rows as pandas frames. Same semantics as
+    :func:`user_profiles`, so the two APIs can be compared
+    operator-for-operator."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        schema = T.StructType(
+            [
+                T.StructField("n_events", T.LongType()),
+                T.StructField("total_value", T.DoubleType()),
+                T.StructField("last_ts_us", T.LongType()),
+            ]
+        )
+        self.state = handle.getValueState("profile", schema)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self.state.exists():
+            n, total, last = self.state.get()
+        else:
+            n, total, last = 0, 0.0, 0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts_us"].max()))
+        self.state.update((n, total, last))
+        import pandas as pd  # noqa: PLC0415
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts_us": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """events stream (user_id, ts_us, value) -> per-user running
+    profile via ``transformWithStateInPandas``; append emission as in
+    :func:`user_profiles` (file sinks are append-only)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
