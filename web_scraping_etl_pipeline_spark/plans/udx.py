@@ -459,3 +459,62 @@ def q250_sql_pipe_syntax(spark, sf_dir):
         |> SELECT source, n_docs, chars_total
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q251: collation-aware distinct (Spark 4 collated strings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_collation_distinct",
+    oracle=f"""
+    WITH v AS (
+      SELECT source, unnest([pre, initcap_pre]) AS variant
+      FROM (
+        SELECT source,
+               array_to_string(list_slice({{toks}}, 1, 2), ' ') AS pre,
+               -- DuckDB initcap-equivalent for 'word word' strings
+               array_to_string(list_transform(
+                 list_slice({{toks}}, 1, 2),
+                 w -> upper(w[1]) || w[2:]), ' ') AS initcap_pre
+        FROM documents
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_binary_distinct,
+           CAST(COUNT(DISTINCT lower(variant)) AS BIGINT)
+             AS n_lcase_distinct
+    FROM v GROUP BY source
+    """.format(toks="string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def q251_collation_distinct(spark, sf_dir):
+    """COLLATED string semantics (Spark 4 collations): each document
+    contributes its 2-token prefix in original and Initcap casing, and
+    the per-source distinct count is taken twice - under UTF8_BINARY
+    (case variants count separately) and under UTF8_LCASE via
+    ``collate`` (case variants COLLAPSE, inside the ordinary
+    COUNT DISTINCT operator, no lower() rewrite). Collation-aware
+    comparison is what dedup/grouping over user-generated text needs
+    without normalizing columns away; the oracle states the LCASE side
+    as DuckDB's lower() equivalence.
+
+    Scale: collation participates in hash/compare inside codegen -
+    same aggregate plan, different comparator; no extra pass."""
+    from .common import t  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pre = F.concat_ws(" ", F.slice(toks, 1, 2))
+    v = docs.select(
+        "source",
+        F.explode(F.array(pre, F.initcap(pre))).alias("variant"),
+    )
+    return v.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_variants"),
+        F.countDistinct("variant").cast("long").alias("n_binary_distinct"),
+        F.countDistinct(F.collate(F.col("variant"), "UTF8_LCASE"))
+        .cast("long")
+        .alias("n_lcase_distinct"),
+    )
