@@ -1898,3 +1898,174 @@ def q244_psi_drift(spark, sf_dir):
         F.col("nc").cast("long").alias("n_cur"),
         "psi",
     )
+
+
+# ---------------------------------------------------------------------------
+# q252: consistent-hash shard assignment (resharding stability)
+# ---------------------------------------------------------------------------
+
+#: shard counts before/after the scale-out, and virtual nodes per
+#: shard on the hash ring.
+_CH_BEFORE = 4
+_CH_AFTER = 5
+_CH_VNODES = 16
+
+
+def _ring_sql(n_shards: int) -> str:
+    """Ring CTE: every (shard, vnode) hashed to a position."""
+    return f"""
+      SELECT s.i AS shard, {_h60_sql(
+          "'shard#' || CAST(s.i AS VARCHAR) || '#' || CAST(v.j AS VARCHAR)"
+      )} AS pos
+      FROM range(0, {n_shards}) s(i), range(0, {_CH_VNODES}) v(j)
+    """
+
+
+@query(
+    "q252_consistent_hash_shards",
+    oracle=f"""
+    WITH ring_a AS ({_ring_sql(_CH_BEFORE)}),
+    ring_b AS ({_ring_sql(_CH_AFTER)}),
+    d AS (
+      SELECT doc_id, {_h60_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    assign_a AS (
+      SELECT d.doc_id,
+             (SELECT r.shard FROM ring_a r
+              ORDER BY CASE WHEN r.pos >= d.h THEN r.pos - d.h
+                            ELSE r.pos + 1152921504606846976 - d.h END,
+                       r.shard
+              LIMIT 1) AS shard_a
+      FROM d
+    ),
+    assign_b AS (
+      SELECT d.doc_id,
+             (SELECT r.shard FROM ring_b r
+              ORDER BY CASE WHEN r.pos >= d.h THEN r.pos - d.h
+                            ELSE r.pos + 1152921504606846976 - d.h END,
+                       r.shard
+              LIMIT 1) AS shard_b
+      FROM d
+    )
+    SELECT a.shard_a AS shard_before, b.shard_b AS shard_after,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           BOOL_OR(a.shard_a <> b.shard_b) AS moved
+    FROM assign_a a JOIN assign_b b USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q252_consistent_hash_shards(spark, sf_dir):
+    """CONSISTENT-HASH shard assignment and its resharding stability:
+    documents placed on a {_CH_VNODES}-vnode hash ring with
+    {_CH_BEFORE} shards and again with {_CH_AFTER}, reporting the
+    (before, after) transition matrix - the property that makes
+    consistent hashing the resharding strategy (only ~1/{_CH_AFTER}
+    of keys move when a shard joins, vs ~all keys under plain modulo;
+    compare q79's mod-hash split, which is the right tool only when
+    the shard count never changes).
+
+    Scale: both rings are tiny generated literals (shards x vnodes
+    rows) BROADCAST against the corpus; the clockwise-successor pick
+    is an aggregate over the broadcast ring per row (min over
+    {_CH_BEFORE * _CH_VNODES} candidates, pure codegen) - one scan,
+    zero shuffles before the final matrix aggregate."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _h60(F.col("doc_id").cast("string")).alias("h")
+    )
+    span = 1 << 60
+
+    def assign(n_shards: int, out: str):
+        ring = [
+            (
+                s,
+                int(
+                    __import__("hashlib")
+                    .md5(f"shard#{s}#{v}".encode())
+                    .hexdigest()[:15],
+                    16,
+                ),
+            )
+            for s in range(n_shards)
+            for v in range(_CH_VNODES)
+        ]
+        # clockwise distance to every vnode, min (distance, shard) wins
+        dist_structs = F.array(
+            *[
+                F.struct(
+                    F.when(
+                        F.lit(pos) >= F.col("h"), F.lit(pos) - F.col("h")
+                    )
+                    .otherwise(F.lit(pos) + span - F.col("h"))
+                    .alias("d"),
+                    F.lit(shard).alias("shard"),
+                )
+                for shard, pos in ring
+            ]
+        )
+        return F.array_min(dist_structs).getField("shard").alias(out)
+
+    assigned = docs.select(
+        "doc_id",
+        assign(_CH_BEFORE, "shard_before"),
+        assign(_CH_AFTER, "shard_after"),
+    )
+    return assigned.groupBy("shard_before", "shard_after").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(
+            F.col("shard_before") != F.col("shard_after")
+        ).alias("moved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253: exponential time-decay aggregate (recency-weighted features)
+# ---------------------------------------------------------------------------
+
+#: decay time constant tau: one day of event time.
+_DECAY_TAU_US = 86_400_000_000
+
+
+@query(
+    "q253_time_decay_features",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS t_ref FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value * exp(-CAST(mx.t_ref - epoch_us(ts) AS DOUBLE)
+                                  / {_DECAY_TAU_US})), 4)
+             AS decayed_value,
+           ROUND(SUM(exp(-CAST(mx.t_ref - epoch_us(ts) AS DOUBLE)
+                          / {_DECAY_TAU_US})), 4) AS decayed_count
+    FROM events, mx
+    GROUP BY user_id
+    """,
+)
+def q253_time_decay_features(spark, sf_dir):
+    """EXPONENTIALLY TIME-DECAYED aggregates per user: value and count
+    weighted by exp(-age/tau) with tau = 1 day, anchored at the
+    corpus max event time - the recency-weighted feature every
+    ranking/recommendation feature store maintains ("recent activity
+    matters more"), and the closed-form alternative to windowed
+    recompute: tomorrow's value is today's times a constant decay plus
+    the new events, so incremental maintenance is one multiply-add per
+    partial aggregate.
+
+    Scale: the anchor is a 1-row broadcast aggregate; the decay weight
+    is a per-row codegen expression; the rollup is an ordinary
+    per-user hash aggregate with map-side partials. One scan, one
+    shuffle."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts_us").alias("t_ref"))
+    w = F.exp(
+        -(F.col("t_ref") - F.col("ts_us")).cast("double") / _DECAY_TAU_US
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value") * w), 4).alias("decayed_value"),
+            F.round(F.sum(w), 4).alias("decayed_count"),
+        )
+    )

