@@ -259,3 +259,41 @@ def test_chunked_balance_equals_unchunked(spark):
         .count()
     )
     assert n_multi > 0
+
+
+def test_hll_sketch_union_merge_law_and_accuracy(spark):
+    """q256: the union of per-type HLL sketches must estimate EXACTLY
+    what one direct whole-corpus sketch estimates (same algorithm,
+    same lgK -> lossless merge), and both must sit within HLL's
+    documented error of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR_T2
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    out = {
+        r["scope"]: r["ndv_users"]
+        for r in QUERIES["q256_hll_sketch_union"](spark, SF_DIR_T2).collect()
+    }
+    ev = t(spark, SF_DIR_T2, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("e")
+    ).first()["e"]
+    assert out["ALL"] == direct  # lossless merge law
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    # default lgK=12 -> rsd ~1.6%; allow 5 sigma
+    assert abs(out["ALL"] - exact) <= max(3, 0.08 * exact)
+    # per-scope estimates also within bound of per-scope exact
+    per_exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for scope, est in out.items():
+        if scope == "ALL":
+            continue
+        assert abs(est - per_exact[scope]) <= max(3, 0.08 * per_exact[scope])

@@ -21,6 +21,7 @@ from pyspark.sql import Window, functions as F
 
 from .common import (
     EVENTS_EPOCH_US,
+    US_PER_DAY,
     global_cumsum,
     global_lead,
     global_ntile,
@@ -2529,4 +2530,69 @@ def q203_global_cume_dist(spark, sf_dir):
     return o.join(cdf.select("o_totalprice", "cum"), "o_totalprice").select(
         "o_orderkey",
         F.round(F.col("cum") / F.lit(n_rows), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254: seasonal-baseline anomaly detection (weekday-adjusted z-scores)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      -- dow from epoch-day arithmetic ((day + 3) % 7, 0 = Monday):
+      -- engine- and timezone-independent, unlike the engines'
+      -- dayofweek() which disagree on numbering
+      SELECT epoch_us(ts) // {US_PER_DAY} AS day_idx,
+             (epoch_us(ts) // {US_PER_DAY} + 3) % 7 AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT dow, AVG(n) AS mu, stddev_pop(n) AS sd FROM daily GROUP BY dow
+    )
+    SELECT CAST(d.day_idx AS BIGINT) AS day_idx,
+           CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n AS BIGINT) AS n,
+           ROUND((d.n - b.mu) / b.sd, 4) AS z
+    FROM daily d JOIN base b USING (dow)
+    WHERE b.sd > 0 AND abs(ROUND((d.n - b.mu) / b.sd, 4)) > 1.5
+    """,
+)
+def q254_seasonal_anomaly(spark, sf_dir):
+    """SEASONAL-baseline anomaly detection on the event firehose:
+    daily volumes compared not to a flat mean but to the SAME
+    WEEKDAY's distribution (Mondays vs Mondays), flagging days whose
+    weekday-adjusted |z| exceeds 1.5 - the monitoring rule that stops
+    every weekend from paging the on-call. Composes q128's
+    day-of-week seasonality with q96's z-score shape into the
+    operational detector both exist to feed; z is rounded before
+    thresholding so both engines flag identical days, and the weekday
+    index is epoch-day arithmetic ((day+3) %% 7, 0 = Monday) because
+    the engines' dayofweek() numberings disagree.
+
+    Scale: the daily rollup is a |days|-key aggregate with map-side
+    partials; the weekday baseline is a 7-row broadcast; the flag is
+    a map stage. One fact scan, one shuffle."""
+    ev = t(spark, sf_dir, "events")
+    day_idx = F.expr(f"ts_us DIV {US_PER_DAY}")
+    daily = ev.groupBy(
+        day_idx.alias("day_idx"),
+        ((day_idx + 3) % 7).alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    base = daily.groupBy("dow").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        daily.join(F.broadcast(base), "dow")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 1.5))
+        .select(
+            F.col("day_idx").cast("long").alias("day_idx"),
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n").cast("long").alias("n"),
+            z.alias("z"),
+        )
     )

@@ -2069,3 +2069,113 @@ def q253_time_decay_features(spark, sf_dir):
             F.round(F.sum(w), 4).alias("decayed_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q255: train/test near-duplicate leakage audit (split-crossing pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q255_split_leakage",
+    oracle=_CANDS_FOR_CARD
+    + f"""
+    , split AS (
+      SELECT doc_id,
+             CASE WHEN {_h60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train'
+                  WHEN {_h60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                  THEN 'validation' ELSE 'test' END AS part
+      FROM documents
+    )
+    SELECT sa.part AS part_a, sb.part AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           sa.part <> sb.part AS is_leak
+    FROM cands c
+    JOIN split sa ON c.doc_a = sa.doc_id
+    JOIN split sb ON c.doc_b = sb.doc_id
+    GROUP BY sa.part, sb.part
+    """,
+)
+def q255_split_leakage(spark, sf_dir):
+    """SPLIT-LEAKAGE audit at the NEAR-DUPLICATE level: every LSH
+    candidate pair (q43) classified by which q79 splits its two
+    documents landed in - a train/test pair is an eval leak even when
+    no exact n-gram overlap (q87) exists, because the near-duplicate
+    carries the answer. The cross-split cells of this matrix are the
+    pairs a leakage-safe split must re-seat (assign whole q78 clusters
+    to one split, never documents).
+
+    Scale: the pair list is the session-persisted q43 stage; split
+    labels are a pure hash map-stage; two broadcast-friendly id joins
+    and a 9-cell aggregate."""
+    from .dedup import q43_lsh_candidate_pairs
+
+    pairs = q43_lsh_candidate_pairs(spark, sf_dir)
+    bucket = F.pmod(_h60(F.col("doc_id").cast("string")), F.lit(100))
+    split = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("part"),
+    )
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("part").alias("part_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("part").alias("part_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pairs",
+            (F.col("part_a") != F.col("part_b")).alias("is_leak"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256: mergeable HLL sketches (per-shard sketch -> lossless union)
+# ---------------------------------------------------------------------------
+
+
+@query("q256_hll_sketch_union")  # rows-only: sketch binaries are
+# engine-specific (Apache DataSketches); the merge-law and accuracy
+# invariants are pinned in tests/test_new_ops_invariants.py
+def q256_hll_sketch_union(spark, sf_dir):
+    """MERGEABLE distinct-count sketches: per-source HLL sketches of
+    the user population (``hll_sketch_agg``), unioned losslessly into
+    a corpus-wide estimate (``hll_union_agg``) - the two-level
+    aggregation every federated/incremental NDV pipeline runs: shards
+    sketch locally, only kilobyte sketches travel, the union is exact
+    over sketches (same lgK), and yesterday's sketch plus today's is
+    this same union. The q74 approx-NDV row reported one sketch per
+    group; this is the MERGE half that makes sketches a scale
+    primitive rather than a point estimate.
+
+    Output: per-source estimates plus one 'ALL' row whose estimate
+    comes from the union of the per-source sketches - NOT from
+    re-scanning the facts. Rows-only oracle (sketch binaries are
+    engine-specific); the invariants (union == direct whole-corpus
+    sketch, estimate within HLL error of exact) are pytest-pinned."""
+    ev = t(spark, sf_dir, "events")
+    # per-"source" shard: partition the stream by event_type
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_est = per.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").cast("long").alias("ndv_users"),
+    )
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("ndv_users")
+    ).select(F.lit("ALL").alias("scope"), "ndv_users")
+    return per_est.unionByName(union_est)
