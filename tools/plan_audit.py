@@ -86,6 +86,8 @@ ALLOW = {
     "q214_quality_percentile_gate": {"nested_loop"},  # 1-row percentile cutoff
     "q221_ann_recall": {"nested_loop"},  # 10-row eval query frame
     "q241_corpus_datasheet": {"nested_loop"},  # 1-row summary frames crossed
+    "q257_ndcg_eval": {"nested_loop"},  # 10-row candidate frame crossed
+    "q258_survival_curve": {"nested_loop"},  # 1-row max-day frame
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -103,6 +105,9 @@ ALLOW_GLOBAL_WINDOW = {
     # remainder ranking over the (source, lang) CELL aggregate -
     # bounded by the dimension domain, broadcast back to the fact.
     "q220_corpus_assembly",
+    # KM running sums over the per-LIFETIME-DAY aggregate - bounded by
+    # observed days, never fact-sized.
+    "q258_survival_curve",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

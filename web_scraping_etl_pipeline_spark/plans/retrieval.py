@@ -13,6 +13,8 @@ broadcast sides, codegen dot products, no Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window, functions as F
 
 from .common import t
@@ -361,3 +363,147 @@ def q225_hybrid_rrf(spark, sf_dir):
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_K)
+
+
+# ---------------------------------------------------------------------------
+# q257: nDCG@k ranking-quality evaluation of the hybrid retriever
+# ---------------------------------------------------------------------------
+
+from .vectors import QUERY_VEC_ID  # noqa: E402
+
+_NDCG_K = 10
+
+
+@query(
+    "q257_ndcg_eval",
+    oracle=f"""
+    WITH lexpool AS (
+      SELECT doc_id, overlap FROM (
+        SELECT doc_id,
+               len(list_intersect(list_distinct({_TOKENS_SQL}),
+                                  ['spark', 'join', 'merge', 'window']))
+                 AS overlap
+        FROM documents
+      ) ORDER BY overlap DESC, doc_id LIMIT 50
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS r_lex
+      FROM lexpool
+    ),
+    qv AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+    dots AS (
+      SELECT e.vec_id AS doc_id,
+             SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                 * CAST(qv.qe[r.i] AS DOUBLE)) AS dp
+      FROM embeddings e, qv, range(1, {DIM} + 1) r(i)
+      GROUP BY e.vec_id
+    ),
+    vecpool AS (
+      SELECT doc_id, ROUND(dp, 6) AS cos_sim FROM dots
+      ORDER BY ROUND(dp, 6) DESC, doc_id LIMIT 50
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+      FROM vecpool
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + lex.r_lex), 0)
+                   + COALESCE(1.0 / (60 + vec.r_vec), 0), 6) AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ),
+    run AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS pos
+      FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_NDCG_K}
+    ),
+    truth AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(dp, 6) DESC, doc_id)
+               AS exact_rank
+      FROM dots
+    ),
+    gains AS (
+      SELECT run.pos,
+             GREATEST(0, {_NDCG_K} + 1 - truth.exact_rank) AS rel
+      FROM run JOIN truth USING (doc_id)
+    ),
+    ideal AS (
+      SELECT SUM(({_NDCG_K} + 1 - r.i) / log2(r.i + 1)) AS idcg
+      FROM range(1, {_NDCG_K} + 1) r(i)
+    )
+    SELECT ROUND(SUM(rel / log2(pos + 1)), 6) AS dcg,
+           ROUND(MAX(ideal.idcg), 6) AS idcg,
+           ROUND(SUM(rel / log2(pos + 1)) / MAX(ideal.idcg), 6) AS ndcg
+    FROM gains, ideal
+    """,
+)
+def q257_ndcg_eval(spark, sf_dir):
+    """nDCG@{_NDCG_K} of the hybrid RRF retriever (q225) against the
+    exact-cosine ground truth: each returned document's graded
+    relevance is ({_NDCG_K}+1 - its exact rank, floored at 0), the
+    run's DCG discounts by log2(position+1), and the ideal DCG is the
+    perfect ordering's constant - THE ranking-quality metric retrieval
+    evaluation reports, closing the loop q221 opened for recall.
+
+    Scale: the run is q225's bounded pools; ground-truth ranks are
+    needed only for the {_NDCG_K} returned docs, computed as
+    count-of-better over one broadcast-join scan (never a global sort
+    of the corpus); the fold to DCG is a {_NDCG_K}-row aggregate."""
+    run = (
+        q225_hybrid_rrf(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+            .alias("pos"),
+        )
+        .limit(_NDCG_K)
+    )
+    qv = _query_vec(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    dots = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("dp"),
+    )
+    cand = run.join(dots, "doc_id").select(
+        "doc_id", "pos", F.col("dp").alias("cand_dp")
+    )
+    # exact rank of each candidate = 1 + count of strictly-better rows
+    cand_b = cand.select(
+        F.col("doc_id").alias("c_id"), F.col("cand_dp").alias("c_dp")
+    )
+    better = (
+        dots.crossJoin(F.broadcast(cand_b))
+        .filter(
+            (F.col("dp") > F.col("c_dp"))
+            | (
+                (F.col("dp") == F.col("c_dp"))
+                & (F.col("doc_id") < F.col("c_id"))
+            )
+        )
+        .groupBy("c_id")
+        .agg(F.count("*").alias("n_better"))
+    )
+    gains = cand.join(
+        better, cand["doc_id"] == better["c_id"], "left"
+    ).select(
+        F.col("pos"),
+        F.greatest(
+            F.lit(0),
+            F.lit(_NDCG_K + 1)
+            - (F.coalesce(F.col("n_better"), F.lit(0)) + 1),
+        ).alias("rel"),
+    )
+    idcg = float(
+        sum((_NDCG_K + 1 - i) / (math.log2(i + 1)) for i in range(1, _NDCG_K + 1))
+    )
+    dcg = F.sum(F.col("rel") / F.log2(F.col("pos") + 1))
+    return gains.agg(
+        F.round(dcg, 6).alias("dcg"),
+        F.round(F.lit(idcg), 6).alias("idcg"),
+        F.round(dcg / F.lit(idcg), 6).alias("ndcg"),
+    )

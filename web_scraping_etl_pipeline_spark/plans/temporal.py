@@ -1758,3 +1758,112 @@ def q240_interval_overlap_join(spark, sf_dir):
             ).alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q258: Kaplan-Meier survival curve (user lifetime with censoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q258_survival_curve",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(epoch_us(ts)) // {US_PER_DAY} AS max_day FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) // {US_PER_DAY} AS first_day,
+             MAX(epoch_us(ts)) // {US_PER_DAY} AS last_day
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT u.last_day - u.first_day AS t_days,
+             u.last_day < mx.max_day AS churned
+      FROM u, mx
+    ),
+    per_t AS (
+      SELECT t_days,
+             SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS c
+      FROM obs GROUP BY t_days
+    ),
+    km1 AS (
+      SELECT t_days, d, c,
+             (SELECT COUNT(*) FROM obs) -
+               COALESCE(SUM(d + c) OVER (
+                 ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    ),
+    km AS (
+      SELECT t_days, d, c, n_risk,
+             SUM(ln(1.0 - d * 1.0 / n_risk))
+               OVER (ORDER BY t_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS logS
+      FROM km1
+    )
+    SELECT CAST(t_days AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_churn,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(exp(logS), 4) AS survival
+    FROM km
+    """,
+)
+def q258_survival_curve(spark, sf_dir):
+    """KAPLAN-MEIER survival curve over user lifetimes: per user the
+    observed span (first to last event day), users still active on the
+    corpus's final day treated as CENSORED (their true lifetime is
+    only known to exceed the observation), and the product-limit
+    estimator S(t) = prod(1 - d_t/n_t) over churn days - survival
+    analysis done honestly on truncated observation windows, which a
+    naive "average lifetime" silently gets wrong by counting the
+    censored as churned.
+
+    Scale: one per-user aggregate over the fact, then everything lives
+    on the BOUNDED per-day frame (|observed days| rows): the at-risk
+    and log-survival running sums are windows over that frame (the
+    adjudicated q153-class bounded-aggregate exception), and the
+    product becomes exp-of-cumulative-log so both engines accumulate
+    in the identical order."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(f"MIN(ts_us) DIV {US_PER_DAY}").alias("first_day"),
+        F.expr(f"MAX(ts_us) DIV {US_PER_DAY}").alias("last_day"),
+    )
+    mx = ev.agg(
+        F.expr(f"MAX(ts_us) DIV {US_PER_DAY}").alias("max_day")
+    )
+    obs = u.crossJoin(F.broadcast(mx)).select(
+        (F.col("last_day") - F.col("first_day")).alias("t_days"),
+        (F.col("last_day") < F.col("max_day")).alias("churned"),
+    )
+    per_t = obs.groupBy("t_days").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1)).alias("c"),
+    )
+    total = obs.count()  # bounded driver scalar (one aggregate)
+    w_prev = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_risk = F.lit(total) - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+    )
+    km = per_t.withColumn("n_risk", n_risk).withColumn(
+        "logS",
+        F.sum(F.log(1.0 - F.col("d") / F.col("n_risk"))).over(w_cum),
+    )
+    return km.select(
+        F.col("t_days").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churn"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(F.exp("logS"), 4).alias("survival"),
+    )
