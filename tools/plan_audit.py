@@ -88,6 +88,7 @@ ALLOW = {
     "q241_corpus_datasheet": {"nested_loop"},  # 1-row summary frames crossed
     "q257_ndcg_eval": {"nested_loop"},  # 10-row candidate frame crossed
     "q258_survival_curve": {"nested_loop"},  # 1-row max-day frame
+    "q260_cusum_changepoint": {"nested_loop"},  # 1-row mean + 1-row peak
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -108,6 +109,8 @@ ALLOW_GLOBAL_WINDOW = {
     # KM running sums over the per-LIFETIME-DAY aggregate - bounded by
     # observed days, never fact-sized.
     "q258_survival_curve",
+    # CUSUM path over the per-DAY aggregate - bounded by days.
+    "q260_cusum_changepoint",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -2596,3 +2596,134 @@ def q254_seasonal_anomaly(spark, sf_dir):
             z.alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q259: seasonal-naive forecast backtest (per-type MAE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {US_PER_DAY} AS day_idx,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.day_idx, a.n AS actual, b.n AS predicted
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.day_idx = a.day_idx - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           ROUND(AVG(abs(actual - predicted)), 4) AS mae,
+           ROUND(AVG(abs(actual - predicted) * 1.0 / actual), 4)
+             AS mape
+    FROM joined GROUP BY event_type
+    """,
+)
+def q259_seasonal_naive_backtest(spark, sf_dir):
+    """FORECAST-baseline backtest: the seasonal-naive predictor
+    ("tomorrow looks like the same weekday last week") scored per
+    event type with MAE/MAPE over every day that has a 7-day-ago
+    reference - the baseline every real forecasting model must beat
+    before it earns its complexity, and the shape of all backtests:
+    join the series to its lag, aggregate the errors.
+
+    Scale: the daily rollup is a (|types| x |days|)-key aggregate with
+    map-side partials; the lag join is an equi-join on (type,
+    day - 7) within that bounded frame. The fact is scanned once."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(f"ts_us DIV {US_PER_DAY}").alias("day_idx"),
+    ).agg(F.count("*").alias("n"))
+    a = daily.select(
+        "event_type", "day_idx", F.col("n").alias("actual")
+    )
+    b = daily.select(
+        "event_type",
+        (F.col("day_idx") + 7).alias("day_idx"),
+        F.col("n").alias("predicted"),
+    )
+    j = a.join(b, ["event_type", "day_idx"])
+    err = F.abs(F.col("actual") - F.col("predicted"))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days_scored"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(err / F.col("actual")), 4).alias("mape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260: CUSUM changepoint detection on the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q260_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {US_PER_DAY} AS day_idx, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    mu AS (SELECT AVG(n) AS mean_n FROM daily),
+    cs AS (
+      SELECT d.day_idx, d.n,
+             SUM(d.n - mu.mean_n) OVER (
+               ORDER BY d.day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum
+      FROM daily d, mu
+    )
+    SELECT CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(n AS BIGINT) AS n,
+           ROUND(cusum, 4) AS cusum,
+           abs(ROUND(cusum, 4)) = (SELECT MAX(abs(ROUND(cusum, 4)))
+                                   FROM cs) AS is_changepoint
+    FROM cs
+    """,
+)
+def q260_cusum_changepoint(spark, sf_dir):
+    """CUSUM CHANGEPOINT detection on the daily event volume: the
+    running sum of deviations from the series mean peaks (in absolute
+    value) at the most likely level-shift point - the classic
+    offline changepoint locator, reported with the full CUSUM path so
+    the analyst sees the shift, not just the argmax. Rounded before
+    the argmax comparison so both engines flag identical days.
+
+    Scale: the series lives on the BOUNDED per-day aggregate; the mean
+    is a 1-row broadcast, the running sum a window over the bounded
+    frame (adjudicated q153-class), and the argmax a second tiny
+    aggregate joined back as a literal-free comparison."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"ts_us DIV {US_PER_DAY}").alias("day_idx")
+    ).agg(F.count("*").alias("n"))
+    mu = daily.agg(F.avg("n").alias("mean_n"))
+    w = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = (
+        daily.crossJoin(F.broadcast(mu))
+        .withColumn(
+            "cusum",
+            F.round(
+                F.sum(F.col("n") - F.col("mean_n")).over(w), 4
+            ),
+        )
+    )
+    peak = cs.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    return (
+        cs.crossJoin(F.broadcast(peak))
+        .select(
+            F.col("day_idx").cast("long").alias("day_idx"),
+            F.col("n").cast("long").alias("n"),
+            "cusum",
+            (F.abs(F.col("cusum")) == F.col("peak")).alias(
+                "is_changepoint"
+            ),
+        )
+    )
