@@ -47,6 +47,7 @@ STREAMING = {
     "q232_stream_stream_full_outer",
     "q237_stream_update_upsert",
     "q247_python_stream_source",
+    "q262_stream_join_then_window",
 }
 
 FLAG_PATTERNS = {

@@ -507,3 +507,98 @@ def q257_ndcg_eval(spark, sf_dir):
         F.round(F.lit(idcg), 6).alias("idcg"),
         F.round(dcg / F.lit(idcg), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q261: source semantic-similarity map (centroid pairwise cosine)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q261_source_similarity_map",
+    oracle=f"""
+    WITH v AS (
+      SELECT d.source, r.i AS dim,
+             CAST(e.embedding[r.i] AS DOUBLE) AS val
+      FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id,
+           range(1, {DIM} + 1) r(i)
+    ),
+    cent AS (
+      SELECT source, dim, AVG(val) AS c FROM v GROUP BY source, dim
+    ),
+    norms AS (
+      SELECT source, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(a.c * b.c) AS dp
+      FROM cent a JOIN cent b
+        ON a.dim = b.dim AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT d.source_a, d.source_b,
+           ROUND(d.dp / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.source_a = na.source
+    JOIN norms nb ON d.source_b = nb.source
+    """,
+)
+def q261_source_similarity_map(spark, sf_dir):
+    """SOURCE semantic-similarity map: each source's embedding
+    CENTROID (mean vector of its documents, ids joined by the q62
+    doc_id == vec_id convention), then pairwise cosine between
+    centroids - the "which domains cover the same content" picture
+    that drives corpus design decisions (merge near-identical feeds,
+    up-weight the outlier domains q207's counts alone cannot see).
+
+    Scale: the centroid build is one explode + (source, dim) aggregate
+    with map-side partials - the only fact-sized stage; everything
+    after lives on the BOUNDED |sources| x {DIM} centroid frame, whose
+    pairwise join is |sources|^2-bounded. At a million sources the
+    pairwise stage would switch to the q47 bucket-LSH pattern over
+    centroids - same code one level up."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = t(spark, sf_dir, "embeddings")
+    v = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select("source", F.posexplode("embedding").alias("pos", "fval"))
+        .select(
+            "source",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("fval").cast("double").alias("val"),
+        )
+    )
+    cent = v.groupBy("source", "dim").agg(F.avg("val").alias("c"))
+    norms = cent.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dp"))
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("dp") / (F.col("na") * F.col("nb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )

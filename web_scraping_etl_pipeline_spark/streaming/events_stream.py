@@ -733,3 +733,82 @@ def q249_transform_with_state(spark, sf_dir):
 
 if _q249_decorator is not None:  # register only where runnable
     q249_transform_with_state = _q249_decorator(q249_transform_with_state)
+
+
+@query(
+    "q262_stream_join_then_window",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT (LEAST((SELECT MAX(purchase_us) FROM p),
+                    (SELECT MAX(click_us) FROM c)) // 1000) * 1000 AS w
+    ),
+    pairs AS (
+      SELECT p.purchase_us
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.click_us BETWEEN p.purchase_us - 3600000000 AND p.purchase_us
+    )
+    SELECT (purchase_us // {US_PER_DAY}) * {US_PER_DAY} AS day_us,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM pairs, wm
+    GROUP BY 1, wm.w
+    HAVING (purchase_us // {US_PER_DAY}) * {US_PER_DAY} + {US_PER_DAY}
+           <= wm.w
+    """,
+)
+def q262_stream_join_then_window(spark, sf_dir):
+    """CHAINED STATEFUL operators in ONE streaming query (supported
+    since Spark 3.5's multi-stateful-operator work): the q115
+    purchase<-click interval join feeding a tumbling DAILY aggregate
+    of attributed purchases, both stateful stages sharing the
+    pipeline's event-time watermark. Emission rule (empirically
+    pinned, same machinery as q223/q232): join matches flow into
+    window state as found; append mode finalizes a day once the
+    global watermark (min of the two sources' maxima, ms floor)
+    passes its end - so the emitted set is the days with
+    day_end <= watermark, which the oracle's HAVING states.
+
+    Scale: join state evicts on the 1-hour interval bound, window
+    state holds one partial count per (day) - the chained plan never
+    buffers unwindowed join output."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+    )
+    c = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("event_time", "0 seconds")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_time") <= F.col("p_time")),
+    )
+    agg = (
+        joined.groupBy(F.window("p_time", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_attributed"))
+        .select(
+            F.unix_micros("w.start").alias("day_us"),
+            F.col("n_attributed").cast("long").alias("n_attributed"),
+        )
+    )
+    return _run_to_sink(agg, spark, "q262")
