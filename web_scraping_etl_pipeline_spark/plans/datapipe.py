@@ -2179,3 +2179,180 @@ def q256_hll_sketch_union(spark, sf_dir):
         .alias("ndv_users")
     ).select(F.lit("ALL").alias("scope"), "ndv_users")
     return per_est.unionByName(union_est)
+
+
+# ---------------------------------------------------------------------------
+# q263: seed-document expansion (bounded-hop near-dup graph traversal)
+# ---------------------------------------------------------------------------
+
+#: the seed set (the "leaked documents" under investigation) and the
+#: traversal depth over the near-dup candidate graph.
+_SEED_MAX_ID = 10
+_EXPAND_HOPS = 2
+
+
+@query(
+    "q263_seed_expansion",
+    oracle=_CANDS_FOR_CARD
+    + f"""
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cands
+    ),
+    h0 AS (
+      SELECT doc_id, 0 AS hop FROM documents
+      WHERE doc_id < {_SEED_MAX_ID}
+    ),
+    h1 AS (
+      SELECT e.dst AS doc_id, 1 AS hop
+      FROM h0 JOIN edges e ON e.src = h0.doc_id
+      WHERE e.dst NOT IN (SELECT doc_id FROM h0)
+    ),
+    h2 AS (
+      SELECT e.dst AS doc_id, 2 AS hop
+      FROM h1 JOIN edges e ON e.src = h1.doc_id
+      WHERE e.dst NOT IN (SELECT doc_id FROM h0)
+        AND e.dst NOT IN (SELECT doc_id FROM h1)
+    ),
+    reach AS (
+      SELECT doc_id, MIN(hop) AS hop FROM (
+        SELECT * FROM h0 UNION ALL SELECT * FROM h1
+        UNION ALL SELECT * FROM h2
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(hop AS BIGINT) AS hop FROM reach
+    """,
+)
+def q263_seed_expansion(spark, sf_dir):
+    """SEED EXPANSION over the near-dup graph: starting from a seed
+    set (doc_id < {_SEED_MAX_ID}, standing in for "this document was
+    found in an eval set / takedown request"), walk the q43 candidate
+    graph {_EXPAND_HOPS} hops and return every reached document with
+    its minimum hop distance - the incident-response query ("find all
+    copies and near-copies of THESE") that a full q78 connected-
+    components run over-answers at far higher cost.
+
+    Scale: each hop is one equi-join of the CURRENT frontier (small by
+    construction) against the session-persisted edge list, with an
+    anti-join to drop already-visited ids - frontier-bounded work per
+    hop, the textbook bounded-BFS shape. Fixed hop count means fixed
+    plan depth: no driver-side fixed-point loop needed (q78 owns the
+    unbounded-closure case)."""
+    from .dedup import q43_lsh_candidate_pairs
+
+    pairs = q43_lsh_candidate_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    docs = t(spark, sf_dir, "documents")
+    frontier = docs.filter(F.col("doc_id") < _SEED_MAX_ID).select(
+        "doc_id", F.lit(0).alias("hop")
+    )
+    visited = frontier
+    for hop in range(1, _EXPAND_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(hop).alias("hop"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("doc_id").agg(
+        F.min("hop").cast("long").alias("hop")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q264: functional-dependency discovery (data profiling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q264_fd_discovery",
+    oracle=f"""
+    WITH cand AS (
+      SELECT 'source' AS lhs, 'lang' AS rhs,
+             source AS x, lang AS y FROM documents
+      UNION ALL
+      SELECT 'lang', 'source', lang, source FROM documents
+      UNION ALL
+      SELECT 'source', 'len_bucket', source,
+             CAST(LEAST(n_chars // {_KL_BUCKET_CHARS},
+                        {_KL_MAX_BUCKET}) AS VARCHAR)
+      FROM documents
+    ),
+    g AS (
+      SELECT lhs, rhs, x, COUNT(DISTINCT y) AS ndv_y, COUNT(*) AS n
+      FROM cand GROUP BY lhs, rhs, x
+    )
+    SELECT lhs, rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN ndv_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN ndv_y > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_violating_rows,
+           SUM(CASE WHEN ndv_y > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM g GROUP BY lhs, rhs
+    """,
+)
+def q264_fd_discovery(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY discovery: for candidate dependencies
+    X -> Y (source->lang, lang->source, source->length-bucket), count
+    the X-groups where more than one Y value appears - the profiling
+    primitive behind key inference, normalization advice, and "is this
+    column derivable" checks (the FD-miners' verification step, run
+    here on an explicit candidate list the way TANE/HyFD verify their
+    lattice nodes).
+
+    Scale: the candidate relations union into ONE tall frame so all
+    dependencies verify in a single pass - one (lhs, rhs, x)-keyed
+    aggregate with map-side distinct partials, then a tiny per-pair
+    rollup. Adding candidates adds rows, not stages."""
+    docs = t(spark, sf_dir, "documents")
+    lb = F.least(
+        F.floor(F.col("n_chars") / _KL_BUCKET_CHARS),
+        F.lit(_KL_MAX_BUCKET),
+    ).cast("string")
+    cand = (
+        docs.select(
+            F.lit("source").alias("lhs"),
+            F.lit("lang").alias("rhs"),
+            F.col("source").alias("x"),
+            F.col("lang").alias("y"),
+        )
+        .unionByName(
+            docs.select(
+                F.lit("lang").alias("lhs"),
+                F.lit("source").alias("rhs"),
+                F.col("lang").alias("x"),
+                F.col("source").alias("y"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.lit("source").alias("lhs"),
+                F.lit("len_bucket").alias("rhs"),
+                F.col("source").alias("x"),
+                lb.alias("y"),
+            )
+        )
+    )
+    g = cand.groupBy("lhs", "rhs", "x").agg(
+        F.countDistinct("y").alias("ndv_y"), F.count("*").alias("n")
+    )
+    viol = F.sum(F.when(F.col("ndv_y") > 1, 1).otherwise(0))
+    return g.groupBy("lhs", "rhs").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        viol.cast("long").alias("n_violating_groups"),
+        F.sum(F.when(F.col("ndv_y") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_violating_rows"),
+        (viol == 0).alias("holds"),
+    )
