@@ -48,6 +48,7 @@ STREAMING = {
     "q237_stream_update_upsert",
     "q247_python_stream_source",
     "q262_stream_join_then_window",
+    "q265_stateful_timeout_sessions",
 }
 
 FLAG_PATTERNS = {

@@ -812,3 +812,52 @@ def q262_stream_join_then_window(spark, sf_dir):
         )
     )
     return _run_to_sink(agg, spark, "q262")
+
+
+@query(
+    "q265_stateful_timeout_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id, session_id
+    HAVING MAX(ts_us) + 1800000000
+           <= (SELECT max(epoch_us(ts)) FROM events)
+    """,
+)
+def q265_stateful_timeout_sessions(spark, sf_dir):
+    """TIMER-driven custom sessionization: q212's session semantics
+    reproduced by ``applyInPandasWithState`` with an EVENT-TIME
+    TIMEOUT - each user's open session arms a timer at last_event +
+    gap; the final no-data batch advances the watermark and the timer
+    flush emits exactly the sessions whose end precedes the corpus
+    max (the same rule the native session_window follows, so the two
+    mechanisms share one oracle). This is the machinery for stateful
+    patterns session_window can't express: abandoned-cart timers, SLA
+    breach detection, heartbeat-loss alerts.
+
+    Scale: state is one (start, last, n) triple per active user,
+    removed at timeout - bounded by concurrent users x gap."""
+    from .stateful import timeout_sessions
+
+    s = _stream_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_time"
+    ).withWatermark("event_time", "0 seconds")
+    return _run_to_sink(timeout_sessions(s), spark, "q265")

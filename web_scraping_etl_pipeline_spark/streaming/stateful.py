@@ -133,3 +133,87 @@ def user_profiles_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# timeout-driven sessionization (event-time timers on managed state)
+# ---------------------------------------------------------------------------
+
+#: session gap, microseconds (matches q70/q212's 30 minutes).
+SESSION_GAP_US = 1_800_000_000
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = "start_us BIGINT, last_us BIGINT, n BIGINT"
+
+
+def timeout_sessions(events: DataFrame) -> DataFrame:
+    """events stream (user_id, ts_us, event_time watermarked) ->
+    finalized 30-min-gap sessions, closed EITHER by an in-batch gap
+    OR by an EVENT-TIME TIMEOUT on the managed state - the timer
+    mechanism ``session_window`` (q212) hides, driven explicitly: the
+    open session arms a timer at last_event + gap; when the watermark
+    passes it, the state times out and the session flushes. Same
+    emission rule as q212 (append once end <= watermark), reached by
+    the custom-operator machinery a non-session stateful design
+    (abandoned carts, SLA breach timers, heartbeat loss) actually
+    needs."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        gap = SESSION_GAP_US
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "session_end_us": [last + gap],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        closed = []
+        cur = state.get if state.exists else None  # (start, last, n)
+        for ts in rows["ts_us"]:
+            ts = int(ts)
+            if cur is None:
+                cur = (ts, ts, 1)
+            elif ts - cur[1] > gap:
+                closed.append(cur)
+                cur = (ts, ts, 1)
+            else:
+                cur = (cur[0], ts, cur[2] + 1)
+        state.update(cur)
+        # arm the event-time timer: fire when the watermark passes the
+        # open session's end (timestamp is MILLISECONDS)
+        state.setTimeoutTimestamp((cur[1] + gap) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] + gap for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
