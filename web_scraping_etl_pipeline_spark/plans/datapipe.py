@@ -2356,3 +2356,179 @@ def q264_fd_discovery(spark, sf_dir):
         .alias("n_violating_rows"),
         (viol == 0).alias("holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q266: dedup-system agreement (MinHash-LSH vs SimHash P/R/F1)
+# ---------------------------------------------------------------------------
+
+from .dedup import _HAM_T as _Q266_HAM_T  # noqa: E402
+from .dedup import _SIMHASH_BANDS as _Q266_BANDS  # noqa: E402
+from .dedup import _SIMHASH_CTES_SQL as _Q266_SIM_SQL  # noqa: E402
+
+
+@query(
+    "q266_dedup_agreement",
+    oracle=_CANDS_FOR_CARD
+    + f"""
+    , {_Q266_SIM_SQL.strip().lstrip()}
+    , sbands AS (
+      SELECT doc_id, simhash, j AS bi,
+             (simhash // CAST(pow(2, 8 * j) AS BIGINT)) % 256 AS bv
+      FROM sim, (SELECT unnest(range(0, {_Q266_BANDS})) AS j)
+    ),
+    ref AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_Q266_HAM_T}
+    ),
+    tp AS (
+      SELECT COUNT(*) AS n FROM cands c
+      WHERE EXISTS (SELECT 1 FROM ref r
+                    WHERE r.doc_a = c.doc_a AND r.doc_b = c.doc_b)
+    ),
+    np AS (SELECT COUNT(*) AS n FROM cands),
+    nt AS (SELECT COUNT(*) AS n FROM ref)
+    SELECT CAST(np.n AS BIGINT) AS n_minhash_pairs,
+           CAST(nt.n AS BIGINT) AS n_simhash_pairs,
+           CAST(tp.n AS BIGINT) AS n_agree,
+           ROUND(tp.n * 1.0 / np.n, 4) AS precision_vs_simhash,
+           ROUND(tp.n * 1.0 / nt.n, 4) AS recall_of_simhash,
+           ROUND(2.0 * tp.n / (np.n + nt.n), 4) AS f1
+    FROM tp, np, nt
+    """,
+)
+def q266_dedup_agreement(spark, sf_dir):
+    """DEDUP-system AGREEMENT: the MinHash-LSH candidate pairs (q43)
+    scored as a classifier against the INDEPENDENT SimHash detector
+    (q85, hamming <= 3) - pairwise precision/recall/F1 between two
+    systems built on different sketches of the same documents. With no
+    labeled truth, cross-system agreement is how production dedup
+    configs are compared: high agreement means the cheap knob
+    (either one) suffices; divergence localizes which near-dup class
+    each sketch family misses.
+
+    Scale: both pair lists are session-persisted LSH outputs; the
+    agreement count is one left-semi join of pair lists; the metric
+    row collapses three 1-row frames. Nothing fact-wide recomputes."""
+    from .dedup import (
+        q43_lsh_candidate_pairs,
+        q85_simhash_hamming_pairs,
+    )
+
+    cands = q43_lsh_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    ref = q85_simhash_hamming_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    tp = cands.join(ref, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").alias("tp")
+    )
+    np_ = cands.agg(F.count("*").alias("np"))
+    nt = ref.agg(F.count("*").alias("nt"))
+    j = tp.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nt))
+    return j.select(
+        F.col("np").cast("long").alias("n_minhash_pairs"),
+        F.col("nt").cast("long").alias("n_simhash_pairs"),
+        F.col("tp").cast("long").alias("n_agree"),
+        F.round(F.col("tp") / F.col("np"), 4).alias(
+            "precision_vs_simhash"
+        ),
+        F.round(F.col("tp") / F.col("nt"), 4).alias("recall_of_simhash"),
+        F.round(2.0 * F.col("tp") / (F.col("np") + F.col("nt")), 4).alias(
+            "f1"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q267: distinctive terms per source (informative-Dirichlet log-odds)
+# ---------------------------------------------------------------------------
+
+#: Dirichlet prior mass per term and the report size per source.
+_LO_ALPHA = 0.5
+_LO_TOP = 5
+
+
+@query(
+    "q267_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, COUNT(*) AS y_si FROM tok GROUP BY 1, 2
+    ),
+    tt AS (SELECT term, COUNT(*) AS y_i FROM tok GROUP BY 1),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT term) AS v FROM tok),
+    z AS (
+      SELECT st.source, st.term,
+             (ln((st.y_si + {_LO_ALPHA})
+                 / (ns.n_s + {_LO_ALPHA} * tot.v - st.y_si - {_LO_ALPHA}))
+              - ln((tt.y_i + {_LO_ALPHA})
+                   / (tot.n + {_LO_ALPHA} * tot.v - tt.y_i - {_LO_ALPHA})))
+             / sqrt(1.0 / (st.y_si + {_LO_ALPHA})
+                    + 1.0 / (tt.y_i + {_LO_ALPHA})) AS zscore
+      FROM st
+      JOIN tt USING (term)
+      JOIN ns USING (source), tot
+    ),
+    ranked AS (
+      SELECT source, term, ROUND(zscore, 4) AS z,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(zscore, 4) DESC, term
+             ) AS rk
+      FROM z
+    )
+    SELECT source, term, z, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_LO_TOP}
+    """,
+)
+def q267_distinctive_terms(spark, sf_dir):
+    """DISTINCTIVE terms per source by informative-Dirichlet log-odds
+    z-score (Monroe, Colaresi & Quinn's "Fightin' Words") - the
+    principled "what vocabulary sets this domain apart" report that
+    raw TF-IDF (q77) distorts for rare terms: the Dirichlet prior
+    shrinks low-count estimates and the variance term turns the
+    log-odds delta into a comparable z. Top {_LO_TOP} per source,
+    z rounded before ranking so both engines pick identical terms.
+
+    Scale: two token aggregates (per-(source, term) and per-term,
+    map-side combined), two tiny marginals broadcast back, one window
+    PARTITIONED by source for the top-k. The token explode is the
+    only fact-sized stage and it feeds both aggregates in one
+    shuffle round."""
+    docs = t_split(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens()).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("y_si"))
+    tt = tok.groupBy("term").agg(F.count("*").alias("y_i"))
+    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = tok.agg(
+        F.count("*").alias("n"), F.countDistinct("term").alias("v")
+    )
+    a = _LO_ALPHA
+    joined = (
+        st.join(tt, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    delta = F.log(
+        (F.col("y_si") + a)
+        / (F.col("n_s") + a * F.col("v") - F.col("y_si") - a)
+    ) - F.log(
+        (F.col("y_i") + a)
+        / (F.col("n") + a * F.col("v") - F.col("y_i") - a)
+    )
+    var = 1.0 / (F.col("y_si") + a) + 1.0 / (F.col("y_i") + a)
+    z = F.round(delta / F.sqrt(var), 4)
+    w = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("term"))
+    return (
+        joined.select("source", "term", z.alias("z"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LO_TOP)
+        .select("source", "term", "z", F.col("rk").cast("long").alias("rk"))
+    )
