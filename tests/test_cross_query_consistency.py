@@ -117,3 +117,28 @@ def test_decay_features_bounded_by_plain_aggregates(spark):
         | (F.abs(F.col("decayed_value")) > F.col("abs_sum") + 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_leakage_safe_split_has_zero_cross_split_pairs(spark):
+    """q268's guarantee, verified against q43's pair list: no
+    near-dup candidate pair may straddle two splits (the exact leak
+    class q255 counts must be empty under the cluster-keyed split)."""
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    split = QUERIES["q268_leakage_safe_split"](spark, SF_DIR_T2).select(
+        "doc_id", "part"
+    )
+    pairs = QUERIES["q43_lsh_candidate_pairs"](spark, SF_DIR_T2)
+    pa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("part").alias("part_a")
+    )
+    pb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("part").alias("part_b")
+    )
+    crossing = (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(F.col("part_a") != F.col("part_b"))
+    )
+    assert crossing.count() == 0
+    assert pairs.count() > 0

@@ -2532,3 +2532,73 @@ def q267_distinctive_terms(spark, sf_dir):
         .filter(F.col("rk") <= _LO_TOP)
         .select("source", "term", "z", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q268: leakage-safe splits (whole near-dup clusters assigned together)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q268_leakage_safe_split",
+    oracle=_CANDS_FOR_CARD.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f"""
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cands
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN {_h60_sql("CAST(cluster_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {_h60_sql("CAST(cluster_id AS VARCHAR)")} % 100 < 90
+                THEN 'validation' ELSE 'test' END AS part
+    FROM assigned
+    """,
+)
+def q268_leakage_safe_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/validation/test assignment: the q79 hash
+    split re-keyed on the NEAR-DUP CLUSTER id (q78's connected
+    components; singleton documents are their own cluster), so a
+    cluster's members always land in the SAME split and the
+    cross-split near-dup pairs q255 diagnoses cannot exist by
+    construction - the repair loop closed: q43 finds pairs, q78
+    clusters them, q255 measures the leak, this operator eliminates
+    it while preserving q79's reproducible hash-split contract.
+
+    Scale: the cluster map is the session-persisted q78 stage (pairs
+    are LSH-bounded); the left join back to documents is id-keyed;
+    the split is a pure map on the cluster id. One joined scan."""
+    from .dedup import q78_dedup_clusters
+
+    clusters = q78_dedup_clusters(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    bucket = F.pmod(
+        _h60(F.col("cluster_id").cast("string")), F.lit(100)
+    )
+    return assigned.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("part"),
+    )
