@@ -49,6 +49,9 @@ def normalize(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
+        if value == 0.0:
+            return 0.0  # fold IEEE -0.0: equal as floats, but its
+            # str() sorts differently and desyncs the row alignment
         return value
     return value
 

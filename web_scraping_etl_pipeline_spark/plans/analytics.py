@@ -2041,11 +2041,19 @@ def q172_time_range_moving_avg(spark, sf_dir):
 @query(
     "q174_partial_agg_merge",
     oracle=f"""
+    -- exact-decimal sums + INTEGER half-up rounding for the average:
+    -- the engines' ROUND() disagree on exact .5 ties over doubles
+    -- (caught by the sf0.001 sweep: avg 38.37875 -> 38.3788 Spark
+    -- HALF_UP vs 38.3787 DuckDB), so the avg is reported in exact
+    -- micro-units via (2a + c) DIV (2c), pure integer arithmetic.
     SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           ROUND(SUM(value), 2) AS total_value,
-           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2)
+             AS total_value,
+           CAST((2 * CAST(SUM(CAST(value AS DECIMAL(20,6))) * 1000000
+                          AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS avg_value_micro
     FROM events GROUP BY day_idx, event_type
     """,
 )
@@ -2069,9 +2077,14 @@ def q174_partial_agg_merge(spark, sf_dir):
         (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000)
     ).alias("day_idx")
 
+    # value sums ride DECIMAL(20,6): exact and order-independent, so
+    # the merged total and the full recompute agree to the BIT in both
+    # engines (a double sum's order noise once landed an avg exactly
+    # on a 4dp rounding boundary - caught by the sf0.001 sweep).
     def partial(df):
         return df.groupBy(day_idx, "event_type").agg(
-            F.count("*").alias("cnt"), F.sum("value").alias("sv")
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("sv"),
         )
 
     from ..sources.star import ANCHOR_US
@@ -2083,9 +2096,14 @@ def q174_partial_agg_merge(spark, sf_dir):
         .groupBy("day_idx", "event_type")
         .agg(
             F.sum("cnt").alias("cnt"),
-            F.round(F.sum("sv"), 2).alias("total_value"),
-            F.round(F.sum("sv") / F.sum("cnt"), 4).alias("avg_value"),
+            F.round(F.sum("sv").cast("double"), 2).alias("total_value"),
+            (F.sum("sv") * 1_000_000).cast("long").alias("_sm"),
         )
+        .withColumn(
+            "avg_value_micro",
+            F.expr("(2 * _sm + cnt) DIV (2 * cnt)").cast("long"),
+        )
+        .drop("_sm")
     )
 
 
@@ -2678,9 +2696,11 @@ def q259_seasonal_naive_backtest(spark, sf_dir):
              ) AS cusum
       FROM daily d, mu
     )
+    -- + 0 normalizes IEEE negative zero (a final cusum of exactly
+    -- -0.0 vs +0.0 breaks cross-engine row sorting; sf0.001 sweep)
     SELECT CAST(day_idx AS BIGINT) AS day_idx,
            CAST(n AS BIGINT) AS n,
-           ROUND(cusum, 4) AS cusum,
+           ROUND(cusum, 4) + 0 AS cusum,
            abs(ROUND(cusum, 4)) = (SELECT MAX(abs(ROUND(cusum, 4)))
                                    FROM cs) AS is_changepoint
     FROM cs
@@ -2710,9 +2730,11 @@ def q260_cusum_changepoint(spark, sf_dir):
         daily.crossJoin(F.broadcast(mu))
         .withColumn(
             "cusum",
+            # + 0.0 folds IEEE -0.0 to +0.0 (bit-identical engines)
             F.round(
                 F.sum(F.col("n") - F.col("mean_n")).over(w), 4
-            ),
+            )
+            + F.lit(0.0),
         )
     )
     peak = cs.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
