@@ -65,10 +65,25 @@ def test_partial_merge_equals_direct_aggregate(spark):
     day_idx = F.floor(
         (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000)
     ).alias("day_idx")
-    direct = ev.groupBy(day_idx, "event_type").agg(
-        F.count("*").alias("cnt"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.sum("value") / F.count("*"), 4).alias("avg_value"),
+    # the direct pass mirrors q174's exact-decimal contract: decimal
+    # sums (order-independent) and the integer half-up micro-unit avg.
+    direct = (
+        ev.groupBy(day_idx, "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("_sv"),
+        )
+        .select(
+            "day_idx",
+            "event_type",
+            "cnt",
+            F.round(F.col("_sv").cast("double"), 2).alias("total_value"),
+            F.expr(
+                "(2 * CAST(_sv * 1000000 AS BIGINT) + cnt) DIV (2 * cnt)"
+            )
+            .cast("long")
+            .alias("avg_value_micro"),
+        )
     )
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
