@@ -2602,3 +2602,101 @@ def q268_leakage_safe_split(spark, sf_dir):
         .otherwise("test")
         .alias("part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q269: greedy coverage-maximizing selection (set-cover corpus picks)
+# ---------------------------------------------------------------------------
+
+#: how many documents the greedy coverage selector picks.
+_COVER_K = 3
+
+
+@query(
+    "q269_greedy_coverage",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sset
+      FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    p1 AS (
+      SELECT doc_id, sset, len(sset) AS gain FROM sh
+      ORDER BY len(sset) DESC, doc_id LIMIT 1
+    ),
+    p2 AS (
+      SELECT s.doc_id, list_concat(p1.sset, s.sset) AS cum,
+             len(list_distinct(list_concat(p1.sset, s.sset)))
+               - len(p1.sset) AS gain
+      FROM sh s, p1 WHERE s.doc_id <> p1.doc_id
+      ORDER BY gain DESC, s.doc_id LIMIT 1
+    ),
+    p3 AS (
+      SELECT s.doc_id,
+             len(list_distinct(list_concat(p2.cum, s.sset)))
+               - len(list_distinct(p2.cum)) AS gain
+      FROM sh s, p1, p2
+      WHERE s.doc_id <> p1.doc_id AND s.doc_id <> p2.doc_id
+      ORDER BY gain DESC, s.doc_id LIMIT 1
+    )
+    SELECT 1 AS pick, p1.doc_id, CAST(p1.gain AS BIGINT) AS marginal_gain
+    FROM p1
+    UNION ALL
+    SELECT 2, p2.doc_id, CAST(p2.gain AS BIGINT) FROM p2
+    UNION ALL
+    SELECT 3, p3.doc_id, CAST(p3.gain AS BIGINT) FROM p3
+    """,
+)
+def q269_greedy_coverage(spark, sf_dir):
+    """GREEDY set-cover selection: pick {_COVER_K} documents that
+    maximize cumulative distinct-shingle coverage, each pick the
+    argmax of MARGINAL gain given everything already chosen (ties to
+    the smaller doc_id) - the classic (1 - 1/e)-approximate
+    facility-location selection used to build maximally-diverse
+    calibration/eval subsets ("cover the most n-grams with k docs").
+
+    Scale: each round is one distributed aggregate - per-doc marginal
+    gain = size(array_except(doc shingles, covered set)) with the
+    covered set BROADCAST (it grows by at most one doc's shingles per
+    round), then a 1-row TakeOrdered argmax. k rounds = k scans; the
+    covered set stays bounded by k x max-doc-shingles. The oracle
+    unrolls the same greedy chain as {_COVER_K} chained CTEs - no
+    iteration is hidden from verification."""
+    from .dedup import _shingles
+
+    docs = t_split(spark, sf_dir, "documents")
+    sh = transient_persist(
+        docs.select(
+            "doc_id", F.array_distinct(_shingles()).alias("sset")
+        ).filter(F.size("sset") > 0)
+    )
+    picks = []
+    covered = None  # python list of shingles, broadcast via literal
+    chosen: list[int] = []
+    for rnd in range(1, _COVER_K + 1):
+        if covered is None:
+            gain = F.size("sset")
+        else:
+            gain = F.size(
+                F.array_except(
+                    "sset",
+                    F.array(*[F.lit(x) for x in covered]),
+                )
+            )
+        cand = sh
+        for c in chosen:
+            cand = cand.filter(F.col("doc_id") != c)
+        best = (
+            cand.select("doc_id", "sset", gain.alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rnd, best["doc_id"], int(best["gain"])))
+        chosen.append(best["doc_id"])
+        new_set = set(covered or []) | set(best["sset"])
+        covered = sorted(new_set)
+    spark_ = sh.sparkSession
+    return spark_.createDataFrame(
+        picks, "pick int, doc_id long, marginal_gain long"
+    )
