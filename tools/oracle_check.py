@@ -63,9 +63,70 @@ def frame_to_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+#: float-boundary lint allowlist: oracles where floor/ceil over a
+#: float expression is ADJUDICATED safe, with the rationale. The bug
+#: class (q174 ROUND tie, q260 -0.0, q230 float-floor at an integer)
+#: is a float expression with *systematic mass at a representable
+#: boundary* feeding floor/ceil/an ORDER BY; these entries have no
+#: such mass or compute the identical IEEE rounding sequence on both
+#: engines from identical inputs.
+FLOAT_LINT_ALLOW = {
+    # Parenthesized IEEE (multiply, divide) over float32-origin data;
+    # no reassociation is value-safe so neither engine rewrites it,
+    # and the only boundary case (v == hi -> ratio ~ 255.0) executes
+    # the same two correctly-rounded ops on identical doubles in both
+    # engines; LEAST(..., 255) clamps the high side.
+    "q123_embedding_quantization",
+    "q156_quantized_rerank",
+}
+
+
+def lint_float_boundary():
+    """Flag oracle SQL where floor/ceil/ceiling wraps an expression
+    containing float arithmetic (a float literal, a division, or a
+    DOUBLE cast) - the cross-engine representable-boundary tie class.
+    Returns {name: [inner_expr, ...]} for non-allowlisted hits."""
+    import re
+
+    hits: dict[str, list[str]] = {}
+    for name, sql in ORACLE.items():
+        if sql is None or name in FLOAT_LINT_ALLOW:
+            continue
+        for m in re.finditer(r"\b(floor|ceil|ceiling)\s*\(", sql, re.I):
+            i = m.end() - 1
+            depth = 0
+            j = i
+            while j < len(sql):
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = sql[m.end(): j]
+            if (
+                "/" in inner
+                or re.search(r"\d\.\d", inner)
+                or "DOUBLE" in inner.upper()
+            ):
+                hits.setdefault(name, []).append(
+                    " ".join(inner.split())[:100]
+                )
+    return hits
+
+
 def main():
     argv = list(sys.argv[1:])
     json_out = None
+    if "--lint" in argv:
+        hits = lint_float_boundary()
+        for name, exprs in sorted(hits.items()):
+            print(f"LINT {name}")
+            for e in exprs:
+                print(f"  floor/ceil over float expr: {e}")
+        print(f"{len(hits)} unadjudicated float-boundary hits")
+        return 1 if hits else 0
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]

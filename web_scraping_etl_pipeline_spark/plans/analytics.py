@@ -206,7 +206,7 @@ def q65_grouping_sets(spark, sf_dir):
 @query(
     "q66_value_histogram",
     oracle="""
-    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+    SELECT CAST(ROUND(value * 100) AS BIGINT) // 2500 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            ROUND(SUM(value), 2) AS total
     FROM events GROUP BY bucket
@@ -215,13 +215,20 @@ def q65_grouping_sets(spark, sf_dir):
 def q66_value_histogram(spark, sf_dir):
     """Fixed-width histogram over ``value`` (25-unit buckets).
 
+    The bucket id is PURE-INTEGER on both engines (2-decimal value ->
+    exact cents, then integer division; value >= 0 so trunc == floor)
+    - no float floor at a bucket boundary can diverge across engine
+    builds (the q174/q230 tie class).
+
     The bucket id is a plain projected expression, so this is an
     ordinary hash aggregate with map-side combine: the shuffle carries
     at most n_buckets rows per task no matter how large the scan."""
     ev = t(spark, sf_dir, "events")
     return (
         ev.select(
-            F.floor(F.col("value") / 25.0).cast("long").alias("bucket"),
+            F.expr(
+                "CAST(ROUND(value * 100) AS BIGINT) DIV 2500"
+            ).alias("bucket"),
             "value",
         )
         .groupBy("bucket")
@@ -842,19 +849,19 @@ def q101_pareto_frontier(spark, sf_dir):
     "q102_exact_allocation",
     oracle="""
     WITH li AS (
-      SELECT l_orderkey, l_linenumber, l_quantity,
-             SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_q
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS sum_q
       FROM lineitem
     ),
     j AS (
       SELECT l_orderkey, l_linenumber,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
-             CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                        * l_quantity / sum_q) AS BIGINT) AS base_cents,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                * l_quantity / sum_q
-               - FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                       * l_quantity / sum_q) AS rem
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * qty) // sum_q
+               AS base_cents,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * qty) % sum_q
+               AS rem
       FROM li JOIN orders ON l_orderkey = o_orderkey
     ),
     r AS (
@@ -883,9 +890,15 @@ def q102_exact_allocation(spark, sf_dir):
     the shuffle is paid once and the two window passes (sum_q/leftover,
     remainder rank) reuse the partitioning. All arithmetic on integer
     cents except the shares themselves; the remainder rank tie-breaks
-    by linenumber, so allocation is deterministic."""
+    by linenumber, so allocation is deterministic. The share split is
+    PURE INTEGER on both engines (cents * qty DIV/%% sum_q - quantities
+    are whole-valued, everything positive so trunc == floor, and the
+    integer remainder orders identically to the fractional remainder
+    within an order since the denominator is constant per order)."""
     li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
     )
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey"),
@@ -894,12 +907,9 @@ def q102_exact_allocation(spark, sf_dir):
     wk = Window.partitionBy("l_orderkey")
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .withColumn("sum_q", F.sum("l_quantity").over(wk))
-        .withColumn(
-            "share", F.col("total_cents") * F.col("l_quantity") / F.col("sum_q")
-        )
-        .withColumn("base_cents", F.floor("share"))
-        .withColumn("rem", F.col("share") - F.floor("share"))
+        .withColumn("sum_q", F.sum("qty").over(wk))
+        .withColumn("base_cents", F.expr("(total_cents * qty) DIV sum_q"))
+        .withColumn("rem", F.expr("(total_cents * qty) % sum_q"))
     )
     r = j.select(
         "l_orderkey",

@@ -18,7 +18,7 @@ from pyspark.sql import Window, functions as F
 from .common import global_rn, t, t_split, transient_persist
 from .mlprep import _h60, _h60_sql
 from .registry import query
-from .textops import _TOKENS_SQL, _tokens
+from .textops import _SCORE_SQL, _TOKENS_SQL, _int_score, _tokens
 
 # ---------------------------------------------------------------------------
 # q204: per-source document cap (crawl politeness / anti-spam cap)
@@ -573,8 +573,7 @@ _GATE_PCT = 0.75
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source,
-             CAST(floor(1000.0 * len(list_distinct({_TOKENS_SQL}))
-                        / len({_TOKENS_SQL})) AS BIGINT) AS score
+             CAST({_SCORE_SQL} AS BIGINT) AS score
       FROM documents
     ),
     cut AS (
@@ -605,11 +604,7 @@ def q214_quality_percentile_gate(spark, sf_dir):
     exact percentile itself is Spark's `percentile` aggregate -
     single-pass, mergeable partials."""
     docs = t(spark, sf_dir, "documents")
-    toks = _tokens()
-    score = F.floor(
-        1000.0 * F.size(F.array_distinct(toks)) / F.size(toks)
-    ).cast("long")
-    s = docs.select("doc_id", "source", score.alias("score"))
+    s = docs.select("doc_id", "source", _int_score().alias("score"))
     cut = s.agg(
         F.percentile(F.col("score").cast("double"), _GATE_PCT).alias(
             "cutoff"
@@ -1421,8 +1416,7 @@ _FILL_BUDGET = 15_000
     oracle=f"""
     WITH s AS (
       SELECT doc_id,
-             CAST(floor(1000.0 * len(list_distinct({_TOKENS_SQL}))
-                        / len({_TOKENS_SQL})) AS BIGINT) AS score,
+             CAST({_SCORE_SQL} AS BIGINT) AS score,
              CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
       FROM documents
     ),
@@ -1456,9 +1450,7 @@ def q230_token_budget_fill(spark, sf_dir):
     toks = _tokens()
     s = docs.select(
         "doc_id",
-        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
-        .cast("long")
-        .alias("score"),
+        _int_score().alias("score"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
     from .common import global_cumsum
@@ -1483,13 +1475,10 @@ from .dedup import _LSH_CANDS_SQL as _CANDS_SQL  # noqa: E402
 @query(
     "q231_quality_dup_calibration",
     oracle=_CANDS_SQL
-    + """
+    + f"""
     , s AS (
       SELECT doc_id,
-             CAST(floor(1000.0 * len(list_distinct(
-                    string_split_regex(trim(lower(text)), '\\s+')))
-                  / len(string_split_regex(trim(lower(text)), '\\s+')))
-                  AS BIGINT) AS score
+             CAST({_SCORE_SQL} AS BIGINT) AS score
       FROM documents
     ),
     d AS (
@@ -1529,13 +1518,7 @@ def q231_quality_dup_calibration(spark, sf_dir):
     from .dedup import q43_lsh_candidate_pairs
 
     docs = t(spark, sf_dir, "documents")
-    toks = _tokens()
-    s = docs.select(
-        "doc_id",
-        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
-        .cast("long")
-        .alias("score"),
-    )
+    s = docs.select("doc_id", _int_score().alias("score"))
     pairs = q43_lsh_candidate_pairs(spark, sf_dir)
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -1711,8 +1694,7 @@ def q241_corpus_datasheet(spark, sf_dir):
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source,
-             CAST(floor(1000.0 * len(list_distinct({_TOKENS_SQL}))
-                        / len({_TOKENS_SQL})) AS BIGINT) AS score
+             CAST({_SCORE_SQL} AS BIGINT) AS score
       FROM documents
     ),
     ranked AS (
@@ -1752,14 +1734,7 @@ def q242_quantile_normalization(spark, sf_dir):
     from .common import global_rn
 
     docs = t(spark, sf_dir, "documents")
-    toks = _tokens()
-    s = docs.select(
-        "doc_id",
-        "source",
-        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
-        .cast("long")
-        .alias("score"),
-    )
+    s = docs.select("doc_id", "source", _int_score().alias("score"))
     ws = Window.partitionBy("source").orderBy("score", "doc_id")
     ranked = s.select(
         "doc_id",

@@ -196,7 +196,11 @@ def q81_pii_redaction(spark, sf_dir):
 # q82: stratified deterministic sampling
 # ---------------------------------------------------------------------------
 
-_SAMPLE_FRAC = 0.1
+#: sample fraction 1/10 kept as an exact integer ratio: the stratum
+#: quota ceil(n/10) is computed as (n + 9) DIV 10 on BOTH engines, so
+#: no float ceil(0.1 * n) can round a hair above an exact multiple of
+#: ten on one engine build and not the other (the q230 tie class).
+_SAMPLE_DEN = 10
 
 
 @query(
@@ -212,7 +216,7 @@ _SAMPLE_FRAC = 0.1
       FROM documents
     )
     SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
-    FROM r WHERE rk <= CEIL({_SAMPLE_FRAC} * n)
+    FROM r WHERE rk <= (n + {_SAMPLE_DEN - 1}) // {_SAMPLE_DEN}
     """,
 )
 def q82_stratified_sample(spark, sf_dir):
@@ -237,7 +241,7 @@ def q82_stratified_sample(spark, sf_dir):
             F.row_number().over(w).alias("rk"),
             F.count("*").over(wn).alias("n"),
         )
-        .filter(F.col("rk") <= F.ceil(_SAMPLE_FRAC * F.col("n")))
+        .filter(F.col("rk") <= F.expr(f"(n + {_SAMPLE_DEN - 1}) DIV {_SAMPLE_DEN}"))
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
     )
 
@@ -793,7 +797,7 @@ _CHUNKS_SQL = f"""
                list_slice(tk, i * {_CHUNK_W} + 1,
                           i * {_CHUNK_W} + {_CHUNK_W}), ' ') AS chunk
       FROM toks,
-           unnest(range(0, CAST(ceil(len(tk) / {_CHUNK_W}.0) AS BIGINT)))
+           unnest(range(0, (len(tk) + {_CHUNK_W - 1}) // {_CHUNK_W}))
              r(i)
     ),
     freq AS (
@@ -838,8 +842,8 @@ def q180_line_dedup(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, CAST(ceil(size({_SPARK_TOKS}) "
-                f"/ {_CHUNK_W}.0) AS INT) - 1), "
+                f"transform(sequence(0, CAST((size({_SPARK_TOKS}) "
+                f"+ {_CHUNK_W - 1}) DIV {_CHUNK_W} AS INT) - 1), "
                 f"i -> array_join(slice({_SPARK_TOKS}, "
                 f"i * {_CHUNK_W} + 1, {_CHUNK_W}), ' '))"
             )

@@ -23,6 +23,27 @@ def _tokens():
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 
 
+#: milli-unit quality score (distinct-token ratio) as PURE INTEGER
+#: arithmetic on BOTH engines: (1000 * n_distinct) DIV n_tokens. No
+#: double ever enters the computation, so no representable-boundary
+#: tie can diverge across engines/builds (the q174/q260/q230 bug
+#: class: float floor(1000.0*d/n) can land one ulp off an integer).
+_SCORE_SQL = (
+    f"((1000 * len(list_distinct({_TOKENS_SQL}))) // len({_TOKENS_SQL}))"
+)
+
+_SCORE_SPARK_SQL = (
+    r"((1000 * size(array_distinct(split(trim(lower(text)), '\\s+'))))"
+    r" DIV size(split(trim(lower(text)), '\\s+')))"
+)
+
+
+def _int_score():
+    """Spark Column: the milli-unit quality score via integer DIV -
+    bit-exact vs ``_SCORE_SQL`` on any engine build."""
+    return F.expr(_SCORE_SPARK_SQL).cast("long")
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 _LANG_MARKERS = {

@@ -99,7 +99,7 @@ class ChunkWords:
     ),
     ex AS (
       SELECT doc_id, n,
-             unnest(range(0, CAST(ceil(n / {CHUNK_W}.0) AS BIGINT))) AS i
+             unnest(range(0, (n + {CHUNK_W - 1}) // {CHUNK_W})) AS i
       FROM tk
     )
     SELECT doc_id,
