@@ -1247,13 +1247,15 @@ _CEP_HORIZON_US = 600_000_000  # 10 minutes
     JOIN LATERAL (
       SELECT tu, event_id FROM pur
       WHERE pur.user_id = c.user_id
-        AND pur.tu > c.tu AND pur.tu <= c.tu + {_CEP_HORIZON_US}
+        AND (pur.tu, pur.event_id) > (c.tu, c.event_id)
+        AND pur.tu <= c.tu + {_CEP_HORIZON_US}
       ORDER BY tu, event_id LIMIT 1
     ) p ON TRUE
     WHERE NOT EXISTS (
       SELECT 1 FROM err
       WHERE err.user_id = c.user_id
-        AND err.tu > c.tu AND err.tu < p.tu
+        AND (err.tu, err.event_id) > (c.tu, c.event_id)
+        AND err.tu < p.tu
     )
     """,
 )
@@ -1411,13 +1413,15 @@ _CEP_VIEW_HORIZON_US = 86_400_000_000
       JOIN LATERAL (
         SELECT tu, event_id FROM pur
         WHERE pur.user_id = c.user_id
-          AND pur.tu > c.tu AND pur.tu <= c.tu + {_CEP_HORIZON_US}
+          AND (pur.tu, pur.event_id) > (c.tu, c.event_id)
+          AND pur.tu <= c.tu + {_CEP_HORIZON_US}
         ORDER BY tu, event_id LIMIT 1
       ) p ON TRUE
       WHERE NOT EXISTS (
         SELECT 1 FROM err
         WHERE err.user_id = c.user_id
-          AND err.tu > c.tu AND err.tu < p.tu
+          AND (err.tu, err.event_id) > (c.tu, c.event_id)
+          AND err.tu < p.tu
       )
     )
     SELECT v.user_id, v.event_id AS view_id, m.click_id, m.purchase_id,
@@ -1426,7 +1430,7 @@ _CEP_VIEW_HORIZON_US = 86_400_000_000
     JOIN LATERAL (
       SELECT click_id, purchase_id, p_tu FROM mclick
       WHERE mclick.user_id = v.user_id
-        AND mclick.c_tu > v.tu
+        AND (mclick.c_tu, mclick.click_id) > (v.tu, v.event_id)
         AND mclick.c_tu <= v.tu + {_CEP_VIEW_HORIZON_US}
       ORDER BY c_tu, click_id LIMIT 1
     ) m ON TRUE
@@ -1799,17 +1803,23 @@ def q240_interval_overlap_join(spark, sf_dir):
     ),
     km AS (
       SELECT t_days, d, c, n_risk,
-             SUM(ln(1.0 - d * 1.0 / n_risk))
+             SUM(CASE WHEN d < n_risk
+                      THEN ln(1.0 - d * 1.0 / n_risk) END)
                OVER (ORDER BY t_days
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS logS
+               AS logS,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead
       FROM km1
     )
     SELECT CAST(t_days AS BIGINT) AS t_days,
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d AS BIGINT) AS n_churn,
            CAST(c AS BIGINT) AS n_censored,
-           ROUND(exp(logS), 4) AS survival
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(exp(logS), 4) END AS survival
     FROM km
     """,
 )
@@ -1856,14 +1866,35 @@ def q258_survival_curve(spark, sf_dir):
     n_risk = F.lit(total) - F.coalesce(
         F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
     )
-    km = per_t.withColumn("n_risk", n_risk).withColumn(
-        "logS",
-        F.sum(F.log(1.0 - F.col("d") / F.col("n_risk"))).over(w_cum),
+    # d == n_risk (a churn day that exhausts the risk set) is a legal
+    # KM input whose term is ln(0): DuckDB raises on ln(0) and Spark's
+    # F.log returns NULL which SUM silently skips - both wrong. Guard
+    # the term (NULL out the dead row) and pin survival to exactly 0
+    # from the first such day onward, on BOTH engines.
+    km = (
+        per_t.withColumn("n_risk", n_risk)
+        .withColumn(
+            "logS",
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("n_risk"),
+                    F.log(1.0 - F.col("d") / F.col("n_risk")),
+                )
+            ).over(w_cum),
+        )
+        .withColumn(
+            "dead",
+            F.max(
+                (F.col("d") >= F.col("n_risk")).cast("int")
+            ).over(w_cum),
+        )
     )
     return km.select(
         F.col("t_days").cast("long").alias("t_days"),
         F.col("n_risk").cast("long").alias("n_risk"),
         F.col("d").cast("long").alias("n_churn"),
         F.col("c").cast("long").alias("n_censored"),
-        F.round(F.exp("logS"), 4).alias("survival"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("logS"), 4))
+        .alias("survival"),
     )

@@ -20,6 +20,7 @@ Determinism notes (what makes a streaming query oracle-able):
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -378,8 +379,11 @@ def q176_stream_static_join(spark, sf_dir):
            MAX(ts_us) + 1800000000 AS session_end_us,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM flagged GROUP BY user_id, session_id
+    -- the watermark is held at ms precision (floor of the max event
+    -- time); a session emits once its exact-us end is <= that floored
+    -- watermark (pinned by tests/test_watermark_boundary.py).
     HAVING MAX(ts_us) + 1800000000
-           <= (SELECT max(epoch_us(ts)) FROM events)
+           <= (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events)
     """,
 )
 def q212_stream_session_finalized(spark, sf_dir):
@@ -434,12 +438,18 @@ def q212_stream_session_finalized(spark, sf_dir):
       SELECT (LEAST((SELECT MAX(purchase_us) FROM p),
                     (SELECT MAX(click_us) FROM c)) // 1000) * 1000 AS w
     )
+    -- eviction boundary (pinned by tests/test_watermark_boundary.py):
+    -- state rows are keyed at millisecond resolution rounded UP, and
+    -- evict when strictly below the watermark ms - i.e.
+    -- ceil_ms(purchase_us) < wm_ms, equivalently
+    -- purchase_us <= w - 1000. A purchase in the open millisecond
+    -- just under the watermark stays buffered.
     SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us
     FROM p LEFT JOIN c
       ON p.user_id = c.user_id
      AND c.click_us BETWEEN p.purchase_us - 3600000000 AND p.purchase_us
     , wm
-    WHERE c.click_id IS NOT NULL OR p.purchase_us < wm.w
+    WHERE c.click_id IS NOT NULL OR p.purchase_us <= wm.w - 1000
     """,
 )
 def q223_stream_stream_left_outer(spark, sf_dir):
@@ -524,9 +534,12 @@ def q223_stream_stream_left_outer(spark, sf_dir):
       ON p.user_id = c.user_id
      AND c.click_us BETWEEN p.purchase_us - 3600000000 AND p.purchase_us
     , wm
+    -- ceil-ms eviction boundary on both sides (see q223's note and
+    -- tests/test_watermark_boundary.py): <= w - 1000, not < w.
     WHERE (p.purchase_id IS NOT NULL AND c.click_id IS NOT NULL)
-       OR (c.click_id IS NULL AND p.purchase_us < wm.w)
-       OR (p.purchase_id IS NULL AND c.click_us < wm.w - 3600000000)
+       OR (c.click_id IS NULL AND p.purchase_us <= wm.w - 1000)
+       OR (p.purchase_id IS NULL
+           AND c.click_us <= wm.w - 3600000000 - 1000)
     """,
 )
 def q232_stream_stream_full_outer(spark, sf_dir):
@@ -638,7 +651,12 @@ def q237_stream_update_upsert(spark, sf_dir):
         sess = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["day_us", "event_type"]).cache()
         try:
-            try:
+            # First-batch detection: probe the sink path itself rather
+            # than string-matching an exception message that can change
+            # across Spark versions (the sink is a local scratch dir
+            # here; a cluster deployment swaps in the Hadoop FS API's
+            # FileSystem.exists on the same path).
+            if os.path.isdir(sink_dir):
                 current = sess.read.parquet(sink_dir)
                 kept = current.join(
                     F.broadcast(batch.select("day_us", "event_type")),
@@ -646,9 +664,7 @@ def q237_stream_update_upsert(spark, sf_dir):
                     "left_anti",
                 )
                 merged = kept.unionByName(batch)
-            except Exception as exc:  # first batch: no sink yet
-                if "PATH_NOT_FOUND" not in str(exc):
-                    raise
+            else:
                 merged = batch
             staged = merged.localCheckpoint(eager=True)
             staged.write.mode("overwrite").parquet(sink_dir)
@@ -756,12 +772,18 @@ if _q249_decorator is not None:  # register only where runnable
         ON p.user_id = c.user_id
        AND c.click_us BETWEEN p.purchase_us - 3600000000 AND p.purchase_us
     )
+    -- chained-stateful watermark (pinned by
+    -- tests/test_watermark_boundary.py): the interval join delays its
+    -- OUTPUT watermark by the interval span (min over both sides'
+    -- state watermarks = wm - 1h), and the downstream window
+    -- finalizes at the same ceil-ms boundary as join eviction - so a
+    -- day emits iff day_end + 1h + 1ms <= the global watermark.
     SELECT (purchase_us // {US_PER_DAY}) * {US_PER_DAY} AS day_us,
            CAST(COUNT(*) AS BIGINT) AS n_attributed
     FROM pairs, wm
     GROUP BY 1, wm.w
     HAVING (purchase_us // {US_PER_DAY}) * {US_PER_DAY} + {US_PER_DAY}
-           <= wm.w
+           + 3600000000 + 1000 <= wm.w
     """,
 )
 def q262_stream_join_then_window(spark, sf_dir):
@@ -771,10 +793,11 @@ def q262_stream_join_then_window(spark, sf_dir):
     of attributed purchases, both stateful stages sharing the
     pipeline's event-time watermark. Emission rule (empirically
     pinned, same machinery as q223/q232): join matches flow into
-    window state as found; append mode finalizes a day once the
-    global watermark (min of the two sources' maxima, ms floor)
-    passes its end - so the emitted set is the days with
-    day_end <= watermark, which the oracle's HAVING states.
+    window state as found; the join's OUTPUT watermark lags the
+    global one by the interval span (1 h), and append mode finalizes
+    a day once that delayed watermark strictly passes its end at ms
+    resolution - day_end + 1h + 1ms <= watermark, which the oracle's
+    HAVING states (see tests/test_watermark_boundary.py).
 
     Scale: join state evicts on the 1-hour interval bound, window
     state holds one partial count per (day) - the chained plan never
@@ -838,8 +861,13 @@ def q262_stream_join_then_window(spark, sf_dir):
            MAX(ts_us) + 1800000000 AS session_end_us,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM flagged GROUP BY user_id, session_id
-    HAVING MAX(ts_us) + 1800000000
-           <= (SELECT max(epoch_us(ts)) FROM events)
+    -- the event-time TIMER is armed at floor-ms(session end) and
+    -- fires only when the watermark ms is STRICTLY greater (Spark's
+    -- GroupState event-time timeout), so unlike q212's native
+    -- session_window (inclusive <=) the boundary here is floor-ms <
+    -- floor-ms (pinned by tests/test_watermark_boundary.py).
+    HAVING (MAX(ts_us) + 1800000000) // 1000
+           < (SELECT max(epoch_us(ts)) // 1000 FROM events)
     """,
 )
 def q265_stateful_timeout_sessions(spark, sf_dir):
