@@ -49,3 +49,43 @@ def test_oracle_keys_match_queries():
     o = set(entry_mod.oracle_sql())
     assert o <= q
     assert q - o == {"q74_approx_ndv", "q256_hll_sketch_union"}
+
+
+def test_rotation_covers_every_query_within_bounded_period(monkeypatch):
+    # VERDICT r4 item 3: with ~36 free slots over the rotating tail,
+    # the driver checks a given extension query every ~period rounds.
+    # Pin that the rotation (a) keeps the pinned core inside the
+    # 50-slot window at EVERY round, and (b) cycles the full registry
+    # through the window within ceil(len(rest)/free) rounds - so a
+    # future registry insertion can't silently starve a query of
+    # driver checks.
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    names = list(QUERIES)
+    pinned = [n for n in entry_mod.PINNED_CORE if n in names]
+    rest = sorted(n for n in names if n not in entry_mod.PINNED_CORE)
+    free = max(entry_mod.GATE_SLOTS - len(pinned), 1)
+    period = -(-len(rest) // free)  # ceil
+
+    seen: set[str] = set()
+    for rnd in range(period):
+        monkeypatch.setattr(entry_mod, "_round_number", lambda r=rnd: r)
+        window = entry_mod._gate_order(names)[: entry_mod.GATE_SLOTS]
+        assert window[: len(pinned)] == pinned, f"core left window at round {rnd}"
+        seen.update(window)
+    assert seen == set(names), (
+        f"rotation period {period} misses {sorted(set(names) - seen)[:5]}..."
+    )
+
+
+def test_rotation_advances_between_rounds(monkeypatch):
+    # consecutive rounds must present different tails (the rotation
+    # actually rotates), with deterministic order inside one round.
+    names = list(entry_mod.QUERIES)
+    monkeypatch.setattr(entry_mod, "_round_number", lambda: 3)
+    w3 = entry_mod._gate_order(names)
+    w3b = entry_mod._gate_order(names)
+    assert w3 == w3b
+    monkeypatch.setattr(entry_mod, "_round_number", lambda: 4)
+    w4 = entry_mod._gate_order(names)
+    assert w3[: entry_mod.GATE_SLOTS] != w4[: entry_mod.GATE_SLOTS]

@@ -152,3 +152,41 @@ def test_run_batch_bucketed(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # batch side only
+
+
+def test_run_batch_single_pass(spark, tmp_path, monkeypatch):
+    # VERDICT r4 item 4: the F6/A2 stats action and the silver write
+    # must share ONE computation of the clean+anti-join lineage. The
+    # batch is persisted before the stats action and unpersisted after
+    # the write; this spy pins that contract (a cached plan means the
+    # write replays from the in-memory batch, not a second scan).
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"persist": 0, "unpersist": 0, "cached_at_write": None}
+    orig_persist = DataFrame.persist
+    orig_unpersist = DataFrame.unpersist
+    orig_write = DataFrame.write
+
+    def spy_persist(self, *a, **kw):
+        calls["persist"] += 1
+        return orig_persist(self, *a, **kw)
+
+    def spy_unpersist(self, *a, **kw):
+        calls["unpersist"] += 1
+        return orig_unpersist(self, *a, **kw)
+
+    @property
+    def spy_write(self):
+        calls["cached_at_write"] = self.is_cached
+        return orig_write.fget(self)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+    monkeypatch.setattr(DataFrame, "write", spy_write)
+
+    silver = str(tmp_path / "silver")
+    state = str(tmp_path / "state.json")
+    res = run_batch(spark, _raw_batch(spark), silver, state, now_us=BASE_US)
+    assert res["rows"] == 3
+    assert calls["persist"] == 1 and calls["unpersist"] == 1
+    assert calls["cached_at_write"] is True

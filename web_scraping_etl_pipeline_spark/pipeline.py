@@ -139,14 +139,22 @@ def run_batch(
     cleaned = cleaned.select(*[f.name for f in JOBS.fields])
 
     # One aggregation pass gives both the F6 empty-batch gate and the A2
-    # batch-max watermark - avoids a second scan just to count.
-    stats = cleaned.agg(
-        F.count("*").alias("n"), F.max("posted_date").alias("mx")
-    ).first()
-    if stats["n"] == 0:
-        return {"rows": 0, "watermark": wm, "skipped": True}
+    # batch-max watermark - avoids a second scan just to count. The
+    # batch is persisted so the stats action and the silver write share
+    # ONE computation of the clean+anti-join lineage (batches are
+    # bounded - one scrape run - so caching them is cheap; the
+    # anti-join's silver scan is the part worth not paying twice).
+    cleaned = cleaned.persist()
+    try:
+        stats = cleaned.agg(
+            F.count("*").alias("n"), F.max("posted_date").alias("mx")
+        ).first()
+        if stats["n"] == 0:
+            return {"rows": 0, "watermark": wm, "skipped": True}
 
-    cleaned.write.mode("append").parquet(silver_path)
+        cleaned.write.mode("append").parquet(silver_path)
+    finally:
+        cleaned.unpersist()
     new_wm = advance_watermark(state_path, stats["mx"])
     return {"rows": stats["n"], "watermark": new_wm, "skipped": False}
 
@@ -194,18 +202,24 @@ def run_batch_bucketed(
         )
     cleaned = cleaned.select(*[f.name for f in JOBS.fields])
 
-    stats = cleaned.agg(
-        F.count("*").alias("n"), F.max("posted_date").alias("mx")
-    ).first()
-    if stats["n"] == 0:
-        return {"rows": 0, "watermark": wm, "skipped": True}
+    # same one-pass persist as run_batch: stats + bucketed write share
+    # one computation of the clean+anti-join lineage.
+    cleaned = cleaned.persist()
+    try:
+        stats = cleaned.agg(
+            F.count("*").alias("n"), F.max("posted_date").alias("mx")
+        ).first()
+        if stats["n"] == 0:
+            return {"rows": 0, "watermark": wm, "skipped": True}
 
-    (
-        cleaned.write.mode("append")
-        .format("parquet")
-        .bucketBy(buckets, "job_link")
-        .sortBy("job_link")
-        .saveAsTable(silver_table)
-    )
+        (
+            cleaned.write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, "job_link")
+            .sortBy("job_link")
+            .saveAsTable(silver_table)
+        )
+    finally:
+        cleaned.unpersist()
     new_wm = advance_watermark(state_path, stats["mx"])
     return {"rows": stats["n"], "watermark": new_wm, "skipped": False}
