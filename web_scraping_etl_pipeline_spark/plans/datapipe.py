@@ -807,6 +807,8 @@ def q218_ngram_novelty(spark, sf_dir):
 #: duplicate of an indexed document.
 _INC_AGREE_T = 0.5
 
+from .dedup import LSH_BUCKET_CAP as _LSH_CAP  # noqa: E402
+
 
 @query(
     "q219_incremental_lsh_dedup",
@@ -829,9 +831,16 @@ _INC_AGREE_T = 0.5
                AS band_key
       FROM sig GROUP BY doc_id, perm // 2
     ),
+    bsz AS (
+      SELECT band, band_key, COUNT(*) AS bn
+      FROM banded GROUP BY band, band_key
+    ),
     cands AS (
       SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-      FROM banded n JOIN banded o
+      FROM banded n
+      JOIN bsz ON bsz.band = n.band AND bsz.band_key = n.band_key
+             AND bsz.bn <= {_LSH_CAP}
+      JOIN banded o
         ON n.band = o.band AND n.band_key = o.band_key
       WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
     ),
@@ -880,10 +889,12 @@ def q219_incremental_lsh_dedup(spark, sf_dir):
     bounded candidate list; the best-match pick is a window PARTITIONED
     by new_id. One small shuffle end to end beyond the standing index
     scan."""
-    from .dedup import MINHASH_K, band_keys, cached_minhash_sigs
+    from .dedup import MINHASH_K, cached_minhash_sigs, safe_band_keys
 
     sig = cached_minhash_sigs(spark, sf_dir)
-    keys = band_keys(sig)
+    # hot-bucket guard shared with q43: over-cap buckets never enter
+    # the probe join (see dedup.LSH_BUCKET_CAP).
+    keys = safe_band_keys(spark, sf_dir)
     new_keys = keys.filter(F.col("doc_id") % 10 == 0)
     old_keys = keys.filter(F.col("doc_id") % 10 != 0)
     cands = (
@@ -2632,9 +2643,13 @@ def q269_greedy_coverage(spark, sf_dir):
 
     Scale: each round is one distributed aggregate - per-doc marginal
     gain = size(array_except(doc shingles, covered set)) with the
-    covered set BROADCAST (it grows by at most one doc's shingles per
-    round), then a 1-row TakeOrdered argmax. k rounds = k scans; the
-    covered set stays bounded by k x max-doc-shingles. The oracle
+    covered set carried as a BROADCAST one-row DataFrame (it grows by
+    at most one doc's shingles per round, bounded by k x
+    max-doc-shingles), then a 1-row TakeOrdered argmax. k rounds = k
+    scans. The covered set rides the broadcast DATA path, never the
+    query plan: a plan literal (F.array of lits) would re-compile and
+    re-ship a growing expression tree every round, while the
+    broadcast relation keeps plan size constant for any k. The oracle
     unrolls the same greedy chain as {_COVER_K} chained CTEs - no
     iteration is hidden from verification."""
     from .dedup import _shingles
@@ -2645,22 +2660,22 @@ def q269_greedy_coverage(spark, sf_dir):
             "doc_id", F.array_distinct(_shingles()).alias("sset")
         ).filter(F.size("sset") > 0)
     )
+    spark_ = sh.sparkSession
     picks = []
-    covered = None  # python list of shingles, broadcast via literal
+    covered: set[str] = set()
     chosen: list[int] = []
     for rnd in range(1, _COVER_K + 1):
-        if covered is None:
-            gain = F.size("sset")
-        else:
-            gain = F.size(
-                F.array_except(
-                    "sset",
-                    F.array(*[F.lit(x) for x in covered]),
-                )
-            )
         cand = sh
         for c in chosen:
             cand = cand.filter(F.col("doc_id") != c)
+        if covered:
+            cov_df = spark_.createDataFrame(
+                [(sorted(covered),)], "cov: array<string>"
+            )
+            cand = cand.crossJoin(F.broadcast(cov_df))
+            gain = F.size(F.array_except("sset", "cov"))
+        else:
+            gain = F.size("sset")
         best = (
             cand.select("doc_id", "sset", gain.alias("gain"))
             .orderBy(F.desc("gain"), F.asc("doc_id"))
@@ -2669,9 +2684,7 @@ def q269_greedy_coverage(spark, sf_dir):
         )
         picks.append((rnd, best["doc_id"], int(best["gain"])))
         chosen.append(best["doc_id"])
-        new_set = set(covered or []) | set(best["sset"])
-        covered = sorted(new_set)
-    spark_ = sh.sparkSession
+        covered |= set(best["sset"])
     return spark_.createDataFrame(
         picks, "pick int, doc_id long, marginal_gain long"
     )

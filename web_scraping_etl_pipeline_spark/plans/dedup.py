@@ -30,6 +30,18 @@ MINHASH_K = 8
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
+#: hot-bucket guard: a degenerate band_key (near-empty documents
+#: sharing a signature, boilerplate-collapsed shingle sets) makes one
+#: LSH bucket quadratic at corpus scale. Buckets with more than this
+#: many members are EXCLUDED from the pair join and surfaced by
+#: q270_lsh_hot_buckets instead - the CCNet/Lee-et-al. move: a bucket
+#: that large is not "near-duplicates of each other", it is a
+#: boilerplate class needing its own treatment, and joining it buys
+#: O(bn^2) rows of noise. Capped == uncapped on the test corpora (max
+#: observed bucket is 4); tests/test_lsh_bucket_cap.py pins both that
+#: invariance and the exclusion on a synthetic hot bucket.
+LSH_BUCKET_CAP = 64
+
 
 def _tokens():
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -199,9 +211,16 @@ _LSH_CANDS_SQL = f"""
              md5(string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm)) AS band_key
       FROM sig GROUP BY doc_id, perm // {LSH_ROWS}
     ),
+    bsz AS (
+      SELECT band, band_key, COUNT(*) AS bn
+      FROM banded GROUP BY band, band_key
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
+      FROM banded a
+      JOIN bsz ON bsz.band = a.band AND bsz.band_key = a.band_key
+             AND bsz.bn <= {LSH_BUCKET_CAP}
+      JOIN banded b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
 """
@@ -252,9 +271,28 @@ def band_keys(sig):
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
+def safe_band_keys(spark, sf_dir):
+    """Band keys with the hot-bucket guard applied: members of
+    (band, band_key) buckets larger than :data:`LSH_BUCKET_CAP` are
+    dropped before any pair join. The size count and the filter join
+    share the (band, band_key) hash partitioning, so the guard costs
+    one map-side-combined count over key columns - nothing like the
+    O(bn^2) join rows it prevents."""
+    banded = band_keys(cached_minhash_sigs(spark, sf_dir))
+    sizes = banded.groupBy("band", "band_key").agg(
+        F.count("*").alias("_bn")
+    )
+    return (
+        banded.join(
+            sizes.filter(F.col("_bn") <= LSH_BUCKET_CAP),
+            ["band", "band_key"],
+        )
+        .drop("_bn")
+    )
+
+
 def _build_lsh_pairs(spark, sf_dir):
-    sig = cached_minhash_sigs(spark, sf_dir)
-    banded = band_keys(sig)
+    banded = safe_band_keys(spark, sf_dir)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -1246,3 +1284,42 @@ def q152_golden_record(spark, sf_dir):
         F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
     )
     return agg.join(best_src, "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# q270: LSH hot-bucket audit (the flag side of the bucket cap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q270_lsh_hot_buckets",
+    oracle=_LSH_CANDS_SQL
+    + f"""
+    SELECT band, band_key, CAST(bn AS BIGINT) AS n_members
+    FROM bsz WHERE bn > {LSH_BUCKET_CAP}
+    ORDER BY n_members DESC, band, band_key
+    """,
+)
+def q270_lsh_hot_buckets(spark, sf_dir):
+    """The FLAG side of the LSH hot-bucket guard: every (band,
+    band_key) bucket whose membership exceeds :data:`LSH_BUCKET_CAP`
+    - the buckets q43/q46/q219 silently exclude from their pair
+    joins. At healthy corpora this is EMPTY (max observed bucket on
+    the fixtures is 4); a non-empty report is the signal that a
+    boilerplate class (empty pages, license stubs, navigation chrome)
+    has collapsed into one signature and needs source-level handling
+    rather than pairwise dedup. Dropping without flagging would make
+    the cap a silent coverage hole; this query is the no-silent-caps
+    ledger.
+
+    Scale: one map-side-combined count on the key columns of the band
+    relation - the same aggregate the guard itself computes - with a
+    trivially small result (over-cap buckets are by definition rare).
+    """
+    banded = band_keys(cached_minhash_sigs(spark, sf_dir))
+    return (
+        banded.groupBy("band", "band_key")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .filter(F.col("n_members") > LSH_BUCKET_CAP)
+        .orderBy(F.desc("n_members"), "band", "band_key")
+    )
