@@ -13,6 +13,7 @@ from . import udx  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import datapipe  # noqa: E402,F401
+from . import pipelineq  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from ..streaming import events_stream  # noqa: E402,F401
 from ..streaming import docs_stream  # noqa: E402,F401
