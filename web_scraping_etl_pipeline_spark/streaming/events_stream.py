@@ -20,12 +20,38 @@ Determinism notes (what makes a streaming query oracle-able):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import configure
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def stream_scratch(prefix: str) -> str:
+    """Throwaway checkpoint/sink scratch for an availableNow drain, on
+    tmpfs when the host has one (/dev/shm): checkpoint fsyncs and sink
+    commits are pure SETUP cost for these bounded drains, and on ext4
+    they dominate the per-query wall at small SF - the bench should
+    measure the operators. A production deployment checkpoints to
+    durable storage instead; nothing in the DATA path changes. Dirs
+    are removed at interpreter exit (results are read back before
+    then)."""
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=root)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 from ..sources.star import US_PER_DAY, ts_us_col
 from ..plans.common import t
 from ..plans.registry import query
@@ -72,7 +98,7 @@ def _run_to_sink(df: DataFrame, spark: SparkSession, tag: str) -> DataFrame:
     fresh every run), and restored for the batch plans around the
     stream. A production deployment sizes this to state volume /
     executor count instead."""
-    scratch = tempfile.mkdtemp(prefix=f"wsep-stream-{tag}-")
+    scratch = stream_scratch(f"wsep-stream-{tag}-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -644,7 +670,7 @@ def q237_stream_update_upsert(spark, sf_dir):
             "sum_value",
         )
     )
-    scratch = tempfile.mkdtemp(prefix="wsep-stream-q237-")
+    scratch = stream_scratch("wsep-stream-q237-")
     sink_dir = f"{scratch}/sink"
 
     def merge_batch(batch_df, batch_id):
