@@ -49,6 +49,13 @@ STREAMING = {
     "q247_python_stream_source",
     "q262_stream_join_then_window",
     "q265_stateful_timeout_sessions",
+    # not streams, but construction executes the full batch pipeline
+    # (scratch silver writes) / k driver-argmax rounds - not a pure
+    # lazy plan either; their plan properties are pinned by
+    # tests/test_pipeline.py and the q269 docstring instead.
+    "q271_pipeline_silver",
+    "q272_pipeline_silver_bucketed",
+    "q269_greedy_coverage",
 }
 
 FLAG_PATTERNS = {

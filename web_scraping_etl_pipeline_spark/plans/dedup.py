@@ -277,18 +277,22 @@ def safe_band_keys(spark, sf_dir):
     dropped before any pair join. The size count and the filter join
     share the (band, band_key) hash partitioning, so the guard costs
     one map-side-combined count over key columns - nothing like the
-    O(bn^2) join rows it prevents."""
-    banded = band_keys(cached_minhash_sigs(spark, sf_dir))
-    sizes = banded.groupBy("band", "band_key").agg(
-        F.count("*").alias("_bn")
-    )
-    return (
-        banded.join(
+    O(bn^2) join rows it prevents. Persisted per session (4 small rows
+    per doc) - q43's pair build and q219's incremental probe both
+    consume it, and at cluster scale it is the written-once guarded
+    band index those jobs share."""
+
+    def build():
+        banded = band_keys(cached_minhash_sigs(spark, sf_dir))
+        sizes = banded.groupBy("band", "band_key").agg(
+            F.count("*").alias("_bn")
+        )
+        return banded.join(
             sizes.filter(F.col("_bn") <= LSH_BUCKET_CAP),
             ["band", "band_key"],
-        )
-        .drop("_bn")
-    )
+        ).drop("_bn")
+
+    return shared_stage(spark, sf_dir, "safe_band_keys", build)
 
 
 def _build_lsh_pairs(spark, sf_dir):
