@@ -79,9 +79,18 @@ def probe_minhash_lsh(spark, sf_dir, k):
         minhash_sig_array,
     )
 
+    from web_scraping_etl_pipeline_spark.plans.dedup import LSH_BUCKET_CAP
+
     docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
     sig = minhash_sig_array(docs)
-    banded = band_keys(sig)
+    raw = band_keys(sig)
+    # production shape includes the hot-bucket guard (count + filter
+    # join); at 16x replication buckets reach ~16 members, still under
+    # the cap, so the guarded and raw outputs coincide here.
+    sizes = raw.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
+    banded = raw.join(
+        sizes.filter(F.col("_bn") <= LSH_BUCKET_CAP), ["band", "band_key"]
+    ).drop("_bn")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
