@@ -67,6 +67,8 @@ def test_rotation_covers_every_query_within_bounded_period(monkeypatch):
     free = max(entry_mod.GATE_SLOTS - len(pinned), 1)
     period = -(-len(rest) // free)  # ceil
 
+    # neutralize the failure fast-track for the pure-rotation math
+    monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
     seen: set[str] = set()
     for rnd in range(period):
         monkeypatch.setattr(entry_mod, "_round_number", lambda r=rnd: r)
@@ -89,3 +91,31 @@ def test_rotation_advances_between_rounds(monkeypatch):
     monkeypatch.setattr(entry_mod, "_round_number", lambda: 4)
     w4 = entry_mod._gate_order(names)
     assert w3[: entry_mod.GATE_SLOTS] != w4[: entry_mod.GATE_SLOTS]
+
+
+def test_last_round_failures_fast_tracked(monkeypatch):
+    # a red row in the previous round's driver artifact must appear in
+    # THIS round's 50-slot window, right after the pinned core.
+    names = list(entry_mod.QUERIES)
+    victim = "q230_token_budget_fill"
+    monkeypatch.setattr(
+        entry_mod, "_last_round_failures", lambda: [victim]
+    )
+    window = entry_mod._gate_order(names)[: entry_mod.GATE_SLOTS]
+    pinned = [n for n in entry_mod.PINNED_CORE if n in names]
+    assert window[len(pinned)] == victim
+
+
+def test_failure_parser_reads_r04_artifact():
+    # the real r4 artifact contains exactly one red row (q230's
+    # cross-engine hash); the parser must find it and nothing else,
+    # and treat rows-only records as green. Pinned to the r4 file
+    # explicitly so the test survives later rounds' artifacts.
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.abspath(entry_mod.__file__)),
+        "CORRECTNESS_r04.json",
+    )
+    fails = entry_mod._last_round_failures(art)
+    assert fails == ["q230_token_budget_fill"]
