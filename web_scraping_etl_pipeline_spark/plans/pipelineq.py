@@ -43,13 +43,17 @@ _PROBE_ORACLE = f"""
              || ' ngày để ứng tuyển' AS remaining_time,
            {ANCHOR_US} + (p_partkey % 20 + 1) * {US_PER_DAY} AS due_us
     FROM part
+    WHERE p_partkey % 10 = 0
 """
 
 
 def _raw_batch(spark, sf_dir):
     """Deterministic JOBS_RAW batch from ``part``: salary text in the
-    'a - b triệu' / sentinel shapes, posted/due anchored to ANCHOR_US."""
-    part = t(spark, sf_dir, "part")
+    'a - b triệu' / sentinel shapes, posted/due anchored to ANCHOR_US.
+    A 1-in-10 partkey slice: the probe pins the PATH (clean ->
+    transform -> dedup -> write, twice), not scan volume - the full
+    tables are every other query's job."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
     k1 = (F.col("p_partkey") % 50 + 1).cast("string")
     k2 = (F.col("p_partkey") % 50 + 11).cast("string")
     salary_text = F.when(
