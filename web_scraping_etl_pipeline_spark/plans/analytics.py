@@ -423,21 +423,46 @@ def q73_distinct_users(spark, sf_dir):
     )
 
 
-@query("q74_approx_ndv")  # no SQL oracle: HLL estimates are
-# engine-specific; the driver records the weaker rows-only check, and
-# the pytest-free sanity bound lives in this function's assertion-free
-# contract: estimate within ~5% of exact for this cardinality.
+@query(
+    "q74_approx_ndv",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q74_approx_ndv(spark, sf_dir):
     """Approximate distinct counting (HyperLogLog++, 2% target rsd):
     the scale path for NDV - partial sketches merge map-side and the
     shuffle carries one sketch per group instead of every distinct
-    pair. Deterministic for fixed input (no RNG in HLL add/merge), but
-    the estimate differs from DuckDB's approx_count_distinct sketch, so
-    this entry has no SQL oracle by design."""
+    pair.
+
+    The HLL estimate itself is engine-specific (differs from DuckDB's
+    sketch), so the oracle bridge emits the EXACT distinct count plus
+    a tolerance verdict derived from the estimate - the sketch stays
+    in the value-checked path (a broken HLL flips the boolean) without
+    asking two engines to agree on sketch internals. The exact-distinct
+    twin exists ONLY for this bridge; the production form is the
+    sketch alone - that is the whole point of HLL at 100 TB."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
-        F.count("*").alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("n_users_exact").cast("long").alias("n_users_exact"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                <= 0.1 * F.col("n_users_exact")
+            ).alias("approx_within_10pct"),
+        )
     )
 
 

@@ -2131,9 +2131,20 @@ def q255_split_leakage(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("q256_hll_sketch_union")  # rows-only: sketch binaries are
-# engine-specific (Apache DataSketches); the merge-law and accuracy
-# invariants are pinned in tests/test_new_ops_invariants.py
+@query(
+    "q256_hll_sketch_union",
+    oracle="""
+    SELECT event_type AS scope,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact,
+           TRUE AS sketch_within_10pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS scope,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact,
+           TRUE AS sketch_within_10pct
+    FROM events
+    """,
+)
 def q256_hll_sketch_union(spark, sf_dir):
     """MERGEABLE distinct-count sketches: per-source HLL sketches of
     the user population (``hll_sketch_agg``), unioned losslessly into
@@ -2145,25 +2156,51 @@ def q256_hll_sketch_union(spark, sf_dir):
     group; this is the MERGE half that makes sketches a scale
     primitive rather than a point estimate.
 
-    Output: per-source estimates plus one 'ALL' row whose estimate
-    comes from the union of the per-source sketches - NOT from
-    re-scanning the facts. Rows-only oracle (sketch binaries are
-    engine-specific); the invariants (union == direct whole-corpus
-    sketch, estimate within HLL error of exact) are pytest-pinned."""
+    Output: per-source rows plus one 'ALL' row whose estimate comes
+    from the union of the per-source sketches - NOT from re-scanning
+    the facts. The sketch binaries are engine-specific, so the oracle
+    bridge (cf. q74) emits the EXACT distinct count alongside a
+    tolerance verdict derived from the sketch estimate: the sketch
+    and the union stay in the value-checked path while the engines
+    only have to agree on exact counts and a generous boolean. The
+    exact twin exists only for the bridge; the stronger merge law
+    (union == direct whole-corpus sketch) stays pytest-pinned in
+    tests/test_new_ops_invariants.py."""
     ev = t(spark, sf_dir, "events")
     # per-"source" shard: partition the stream by event_type
     per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("ndv_exact"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate(F.col("sk")) - F.col("ndv_exact"))
+        <= 0.1 * F.col("ndv_exact")
     )
     per_est = per.select(
         F.col("event_type").alias("scope"),
-        F.hll_sketch_estimate("sk").cast("long").alias("ndv_users"),
+        F.col("ndv_exact").cast("long").alias("ndv_exact"),
+        ok.alias("sketch_within_10pct"),
     )
-    union_est = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("long")
-        .alias("ndv_users")
-    ).select(F.lit("ALL").alias("scope"), "ndv_users")
+    union_est = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(
+                    F.count_distinct("user_id").alias("ndv_exact")
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            F.col("ndv_exact").cast("long").alias("ndv_exact"),
+            (
+                F.abs(F.col("_est") - F.col("ndv_exact"))
+                <= 0.1 * F.col("ndv_exact")
+            ).alias("sketch_within_10pct"),
+        )
+    )
     return per_est.unionByName(union_est)
 
 
