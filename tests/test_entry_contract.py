@@ -37,18 +37,17 @@ def test_gated_prefix_is_oracle_backed():
     q = list(entry_mod.queries())[: entry_mod.GATE_SLOTS]
     oracles = entry_mod.oracle_sql()
     missing = [n for n in q if n not in oracles]
-    # the rows-only set: q74's HLL row and q256's sketch-merge row
-    # (sketch binaries are engine-specific; both carry pytest
-    # invariants instead). Anything else missing an oracle in the gate
-    # window is a registration bug.
-    assert set(missing) <= {"q74_approx_ndv", "q256_hll_sketch_union"}, missing
+    # since round 5 every query carries an oracle (the former
+    # rows-only sketch rows q74/q256 now use exact-count bridges);
+    # anything missing an oracle is a registration bug.
+    assert missing == [], missing
 
 
 def test_oracle_keys_match_queries():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q
-    assert q - o == {"q74_approx_ndv", "q256_hll_sketch_union"}
+    assert q - o == set()  # full oracle coverage since round 5
 
 
 def test_rotation_covers_every_query_within_bounded_period(monkeypatch):
