@@ -518,3 +518,76 @@ def q251_collation_distinct(spark, sf_dir):
         .cast("long")
         .alias("n_lcase_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q273: custom Python DataSource WRITER (two-phase-commit sink)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q273_python_datasource_write",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def q273_python_datasource_write(spark, sf_dir):
+    """WRITE through a custom Python data sink (the writer half of
+    Spark 4's DataSource API - q246 covered the reader): each task
+    streams its partition to a task-unique JSON-lines part and
+    returns a commit message; the driver's ``commit`` publishes a
+    manifest naming exactly the committed parts, so orphan files from
+    failed tasks are never visible to readers (two-phase commit, the
+    contract every cloud-native table format honors). The sink's
+    production role is pushing curated slices to systems without JVM
+    connectors - labeling queues, eval services, feature stores.
+
+    The probe writes a deterministic 1-in-20 events slice (integer
+    cents - no float ever serialized), reads back ONLY what the
+    manifest names, and returns it; the oracle states the slice
+    directly, so a dropped row, a double-committed part, or a
+    phantom orphan file all surface as a value mismatch.
+
+    Scale: the write is map-only (one Python task per partition,
+    streaming iteration - no driver materialization); manifest size
+    is one line per task."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.pyds import register_sink  # noqa: PLC0415
+
+    register_sink(spark)
+    scratch = _tempfile.mkdtemp(prefix="wsep-q273-")
+    try:
+        slice_df = (
+            t(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 20 == 0)
+            .select(
+                "event_id",
+                "user_id",
+                F.round(F.col("value") * 100)
+                .cast("long")
+                .alias("value_cents"),
+            )
+        )
+        (
+            slice_df.write.format("wsep_jsonl_sink")
+            .option("path", scratch)
+            .mode("append")
+            .save()
+        )
+        with open(_os.path.join(scratch, "_MANIFEST.json")) as fh:
+            manifest = _json.load(fh)
+        files = [_os.path.join(scratch, f) for f in manifest["files"]]
+        out = spark.read.schema(
+            "event_id long, user_id long, value_cents long"
+        ).json(files)
+        rows = out.collect()
+        assert len(rows) == manifest["rows"]
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(scratch, ignore_errors=True)

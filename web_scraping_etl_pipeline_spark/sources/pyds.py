@@ -132,3 +132,89 @@ def register_stream(spark) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(WsepRangeStreamDataSource)
         _REGISTERED.add(key)
+
+
+# ---------------------------------------------------------------------------
+# writer flavor: a Python data SINK with two-phase commit
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, name: str, rows: int):
+        self.name = name
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side writer: each task streams its partition to a
+    task-unique JSON-lines part file and returns the file name as its
+    commit message; the DRIVER's ``commit`` then writes a manifest
+    naming exactly the committed parts. Readers trust only the
+    manifest, so a failed/zombie task's orphan file is invisible -
+    the same two-phase rename-free commit protocol cloud-native
+    tables use, in its smallest honest Python form."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wsep_jsonl_sink requires a 'path' option")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}-{_uuid.uuid4().hex}.jsonl"
+        _os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(name, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "files": sorted(m.name for m in messages if m),
+            "rows": sum(m.rows for m in messages if m),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            fh.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.name))
+                except OSError:
+                    pass
+
+
+class WsepJsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "wsep_jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    app = spark.sparkContext.applicationId
+    key = f"sink:{app}"
+    if key not in _REGISTERED:
+        spark.dataSource.register(WsepJsonlSinkDataSource)
+        _REGISTERED.add(key)
