@@ -552,7 +552,12 @@ def q273_python_datasource_write(spark, sf_dir):
 
     Scale: the write is map-only (one Python task per partition,
     streaming iteration - no driver materialization); manifest size
-    is one line per task."""
+    is one line per task. The sink writes through the local
+    filesystem here (single-JVM test box); a cluster deployment
+    points ``path`` at shared/object storage (fsspec URI) - the
+    protocol (task part + driver manifest) is exactly what makes
+    that swap safe, since visibility is decided by the manifest
+    write alone."""
     import json as _json
     import os as _os
     import shutil as _shutil
