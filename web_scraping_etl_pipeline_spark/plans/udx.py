@@ -530,7 +530,7 @@ def q251_collation_distinct(spark, sf_dir):
     oracle="""
     SELECT event_id, user_id,
            CAST(ROUND(value * 100) AS BIGINT) AS value_cents
-    FROM events WHERE event_id % 20 = 0
+    FROM events WHERE event_id % 100 = 0
     """,
 )
 def q273_python_datasource_write(spark, sf_dir):
@@ -544,7 +544,7 @@ def q273_python_datasource_write(spark, sf_dir):
     production role is pushing curated slices to systems without JVM
     connectors - labeling queues, eval services, feature stores.
 
-    The probe writes a deterministic 1-in-20 events slice (integer
+    The probe writes a deterministic 1-in-100 events slice (integer
     cents - no float ever serialized), reads back ONLY what the
     manifest names, and returns it; the oracle states the slice
     directly, so a dropped row, a double-committed part, or a
@@ -570,7 +570,7 @@ def q273_python_datasource_write(spark, sf_dir):
     try:
         slice_df = (
             t(spark, sf_dir, "events")
-            .filter(F.col("event_id") % 20 == 0)
+            .filter(F.col("event_id") % 100 == 0)
             .select(
                 "event_id",
                 "user_id",
