@@ -304,3 +304,63 @@ def q197_subtree_rollup(spark, sf_dir):
         F.round("subtree_value", 2).alias("subtree_value"),
         "subtree_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# q274: NATIVE recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q274_recursive_ancestors",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey AS node, p_partkey AS cur,
+             CAST(0 AS BIGINT) AS depth
+      FROM part
+      UNION ALL
+      SELECT node, (cur - 1) // 4, depth + 1
+      FROM walk WHERE (cur - 1) // 4 > 0
+    )
+    SELECT node AS p_partkey,
+           CAST(cur AS BIGINT) AS root_key,
+           depth
+    FROM walk WHERE (cur - 1) // 4 = 0
+    """,
+)
+def q274_recursive_ancestors(spark, sf_dir):
+    """NATIVE ``WITH RECURSIVE`` (landed in Spark 4) walking every
+    part up the synthetic 4-ary hierarchy (parent = (key-1) DIV 4) to
+    its root, reporting (root_key, depth) per node - the
+    org-chart/BOM ancestor resolution that q197 computes as an
+    explicit driver loop, here expressed declaratively and executed
+    by the engine's own recursion operator. Both engines run the
+    SAME recursive SQL (dialect differs only in the integer-division
+    spelling), so this pins Spark's recursion semantics - step
+    union, termination on the empty increment - against an
+    independent implementation.
+
+    Scale: each recursion step is one equi-free map (the parent is
+    computed arithmetically, no join needed) over the previous
+    step's frontier; total work is O(depth x |nodes|) with depth =
+    log4(max key) (~9 at 200k parts, ~16 at any conceivable key
+    space). Spark's cteRecursionLevelLimit (default 100) sits far
+    above that; an unbounded-depth hierarchy would hit the limit
+    loudly rather than loop."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("q274_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT p_partkey AS node, p_partkey AS cur,
+                 CAST(0 AS BIGINT) AS depth
+          FROM q274_part
+          UNION ALL
+          SELECT node, (cur - 1) DIV 4, depth + 1
+          FROM walk WHERE (cur - 1) DIV 4 > 0
+        )
+        SELECT node AS p_partkey,
+               CAST(cur AS BIGINT) AS root_key,
+               depth
+        FROM walk WHERE (cur - 1) DIV 4 = 0
+        """
+    )
