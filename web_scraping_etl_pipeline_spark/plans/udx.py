@@ -596,3 +596,96 @@ def q273_python_datasource_write(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         _shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q275: ANSI-safe dirty-data parsing (try_cast / try_divide)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q275_try_safe_parsing",
+    oracle="""
+    WITH raw AS (
+      SELECT p_partkey,
+             CAST(p_partkey % 6 AS BIGINT) AS variant,
+             CASE CAST(p_partkey % 6 AS INTEGER)
+               WHEN 0 THEN CAST(p_partkey AS VARCHAR)
+               WHEN 1 THEN '  ' || CAST(p_partkey AS VARCHAR)
+               WHEN 2 THEN CAST(p_partkey AS VARCHAR) || '.5'
+               WHEN 3 THEN 'n/a'
+               WHEN 4 THEN ''
+               ELSE '99999999999999999999'
+             END AS s
+      FROM part
+    ),
+    parsed AS (
+      SELECT variant,
+             -- Spark's try_cast to BIGINT rejects decimal strings;
+             -- DuckDB's TRY_CAST would ROUND them (42.5 -> 43), so
+             -- the oracle states Spark's stricter semantics with a
+             -- regex guard (overflow still handled by TRY_CAST).
+             CASE WHEN trim(s) SIMILAR TO '[+-]?[0-9]+'
+                  THEN TRY_CAST(trim(s) AS BIGINT) END AS i,
+             TRY_CAST(s AS DOUBLE) AS d,
+             100 / CAST(NULLIF(p_partkey % 3, 0) AS DOUBLE) AS q
+      FROM raw
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(i) AS BIGINT) AS n_int,
+           CAST(COALESCE(SUM(i), 0) AS BIGINT) AS sum_int,
+           CAST(COUNT(d) AS BIGINT) AS n_dbl,
+           SUM(d) AS sum_dbl,
+           CAST(COUNT(*) - COUNT(q) AS BIGINT) AS n_div_null
+    FROM parsed GROUP BY variant
+    """,
+)
+def q275_try_safe_parsing(spark, sf_dir):
+    """ANSI-safe dirty-data parsing: Spark 4 runs in ANSI mode where a
+    bad cast or a division by zero RAISES; the ``try_`` family
+    (try_cast / try_divide) is how a cleaning pipeline expresses
+    "parse what parses, NULL the rest" without abandoning ANSI
+    safety everywhere else. Synthesized dirt covers every failure
+    class: clean ints, padded ints (both engines trim), decimal
+    strings (Spark's try_cast to BIGINT REJECTS these where DuckDB's
+    would round - the oracle pins Spark's stricter reading with a
+    regex guard), garbage, empties, and 20-digit overflow (NULL on
+    both).
+
+    sum_dbl is exact cross-engine: every parsed value is an integer
+    or integer+0.5, so all partial sums are exactly representable
+    and addition order cannot matter.
+
+    Scale: a pure map stage + 6-key aggregate; try_cast compiles to
+    the same codegen cast with a null-on-error flag - safety here is
+    free, unlike the catch-per-row UDF it replaces."""
+    part = t(spark, sf_dir, "part")
+    v = (F.col("p_partkey") % 6).cast("int")
+    ks = F.col("p_partkey").cast("string")
+    s = (
+        F.when(v == 0, ks)
+        .when(v == 1, F.concat(F.lit("  "), ks))
+        .when(v == 2, F.concat(ks, F.lit(".5")))
+        .when(v == 3, F.lit("n/a"))
+        .when(v == 4, F.lit(""))
+        .otherwise(F.lit("99999999999999999999"))
+    )
+    parsed = part.select(
+        (F.col("p_partkey") % 6).cast("long").alias("variant"),
+        s.alias("s"),
+        F.expr("try_divide(100, p_partkey % 3)").alias("q"),
+    ).select(
+        "variant",
+        F.expr("try_cast(s AS BIGINT)").alias("i"),
+        F.expr("try_cast(s AS DOUBLE)").alias("d"),
+        "q",
+    )
+    return parsed.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("i").cast("long").alias("n_int"),
+        F.coalesce(F.sum("i"), F.lit(0)).cast("long").alias("sum_int"),
+        F.count("d").cast("long").alias("n_dbl"),
+        F.sum("d").alias("sum_dbl"),
+        (F.count("*") - F.count("q")).cast("long").alias("n_div_null"),
+    )
