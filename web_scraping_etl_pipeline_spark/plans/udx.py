@@ -689,3 +689,68 @@ def q275_try_safe_parsing(spark, sf_dir):
         F.sum("d").alias("sum_dbl"),
         (F.count("*") - F.count("q")).cast("long").alias("n_div_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q276: SQL-defined functions (CREATE FUNCTION ... RETURN, Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q276_sql_udfs",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             LEAST(GREATEST(value, 10.0), 400.0) AS clamped,
+             (CAST(ROUND(value * 100) AS BIGINT) + 9999) // 10000
+               AS n_units
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(clamped), 2) AS sum_winsorized,
+           CAST(SUM(n_units) AS BIGINT) AS n_units
+    FROM u GROUP BY event_type
+    """,
+)
+def q276_sql_udfs(spark, sf_dir):
+    """SQL-DEFINED functions (Spark 4's ``CREATE FUNCTION ... RETURN``)
+    - the reference's Postgres stored-procedure idiom
+    (/root/reference/src/create_table.py's remaining-time procedure)
+    has a genuine Spark-native analogue now: a scalar SQL UDF
+    (winsorizing clamp) and a SQL TABLE function (value -> one row
+    per started 100-unit block, lateral-joined), both defined in pure
+    SQL, catalog-registered, and inlined by Catalyst into the calling
+    plan - unlike a Python UDF there is NO language boundary at
+    execution time. The oracle states the same expressions inline,
+    so the function-resolution path itself is what gets value-checked.
+
+    The block count is pure integer ((cents + 9999) DIV 10000) per
+    the engine's float-boundary rule (tools/oracle_check.py --lint).
+
+    Scale: both functions dissolve into codegen expressions at plan
+    time; the lateral expansion is local row generation. Cost is the
+    one 6-key aggregate."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION wsep_clamp("
+        "x DOUBLE, lo DOUBLE, hi DOUBLE) RETURNS DOUBLE "
+        "RETURN least(greatest(x, lo), hi)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION wsep_unit_rows(v DOUBLE) "
+        "RETURNS TABLE(unit INT) RETURN SELECT explode(sequence(1, "
+        "CAST((CAST(ROUND(v * 100) AS BIGINT) + 9999) DIV 10000 AS INT)))"
+    )
+    t(spark, sf_dir, "events").createOrReplaceTempView("q276_events")
+    return spark.sql(
+        """
+        SELECT e.event_type,
+               CAST(COUNT(DISTINCT e.event_id) AS BIGINT) AS n_events,
+               ROUND(SUM(CASE WHEN u.unit = 1
+                         THEN wsep_clamp(e.value, 10.0, 400.0) END), 2)
+                 AS sum_winsorized,
+               CAST(COUNT(*) AS BIGINT) AS n_units
+        FROM q276_events e, LATERAL wsep_unit_rows(e.value) u
+        GROUP BY e.event_type
+        """
+    )
