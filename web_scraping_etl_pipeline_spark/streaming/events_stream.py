@@ -85,7 +85,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_sink(df: DataFrame, spark: SparkSession, tag: str) -> DataFrame:
+def _run_to_sink(
+    df: DataFrame, spark: SparkSession, tag: str, partitions: int = 8
+) -> DataFrame:
     """Execute one availableNow drain into a scratch parquet sink and
     return the materialized result.
 
@@ -93,14 +95,17 @@ def _run_to_sink(df: DataFrame, spark: SparkSession, tag: str) -> DataFrame:
     one state store per shuffle partition per operator, and each store
     pays checkpoint/commit overhead every micro-batch. These queries
     carry kilobytes of state, so the batch default (32) buys nothing
-    and costs seconds per drain - 8 is plenty here. The conf is pinned
-    into the checkpoint at stream creation (scratch checkpoints are
-    fresh every run), and restored for the batch plans around the
-    stream. A production deployment sizes this to state volume /
-    executor count instead."""
+    and costs seconds per drain - 8 is the default here, and the
+    pure-JVM stream-stream joins pass 4 (measured ~0.4 s faster per
+    drain; Python-stateful operators stay at 8 because halving their
+    partitions halves Python-worker parallelism and measured SLOWER).
+    The conf is pinned into the checkpoint at stream creation (scratch
+    checkpoints are fresh every run), and restored for the batch plans
+    around the stream. A production deployment sizes this to state
+    volume / executor count instead."""
     scratch = stream_scratch(f"wsep-stream-{tag}-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         q = (
             df.writeStream.format("parquet")
@@ -304,7 +309,7 @@ def q115_stream_stream_join(spark, sf_dir):
         "purchase_us",
         "click_us",
     )
-    return _run_to_sink(joined, spark, "q115")
+    return _run_to_sink(joined, spark, "q115", partitions=4)
 
 
 @query(
@@ -536,7 +541,7 @@ def q223_stream_stream_left_outer(spark, sf_dir):
         "click_id",
         "click_us",
     )
-    return _run_to_sink(joined, spark, "q223")
+    return _run_to_sink(joined, spark, "q223", partitions=4)
 
 
 @query(
@@ -622,7 +627,7 @@ def q232_stream_stream_full_outer(spark, sf_dir):
         "click_us",
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
     )
-    return _run_to_sink(joined, spark, "q232")
+    return _run_to_sink(joined, spark, "q232", partitions=4)
 
 
 @query(
@@ -860,7 +865,7 @@ def q262_stream_join_then_window(spark, sf_dir):
             F.col("n_attributed").cast("long").alias("n_attributed"),
         )
     )
-    return _run_to_sink(agg, spark, "q262")
+    return _run_to_sink(agg, spark, "q262", partitions=4)
 
 
 @query(
