@@ -754,3 +754,51 @@ def q276_sql_udfs(spark, sf_dir):
         GROUP BY e.event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q277: session variables + modern SQL sugar (DECLARE VARIABLE, GROUP BY ALL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q277_session_variables",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_over,
+           ROUND(SUM(value), 2) AS sum_over
+    FROM events
+    WHERE value > 95.0 AND epoch_us(ts) % 7 = 3
+    GROUP BY ALL
+    """,
+)
+def q277_session_variables(spark, sf_dir):
+    """SESSION VARIABLES (Spark 4 ``DECLARE VARIABLE`` / ``SET VAR``)
+    parameterizing an analytics query, plus ``GROUP BY ALL`` - the
+    parameterized-dashboard idiom: the threshold and a sampling
+    residue live in typed session state instead of string-formatted
+    SQL (no injection surface, plan cache reusable across values),
+    and the grouping clause tracks the select list automatically.
+    DuckDB's oracle inlines the same constants; both engines support
+    GROUP BY ALL natively.
+
+    Scale: variables fold to literals at plan time - the predicate
+    reaches the parquet scan exactly as a hand-written constant
+    would; nothing about the physical plan knows variables exist."""
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE wsep_value_thr DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE wsep_residue BIGINT DEFAULT 0")
+    spark.sql("SET VAR wsep_value_thr = 95.0")
+    spark.sql("SET VAR wsep_residue = 3")
+    t(spark, sf_dir, "events").createOrReplaceTempView("q277_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_over,
+               ROUND(SUM(value), 2) AS sum_over
+        FROM q277_events
+        WHERE value > wsep_value_thr AND ts_us % 7 = wsep_residue
+        GROUP BY ALL
+        """
+    )
