@@ -99,6 +99,7 @@ ALLOW = {
     "q258_survival_curve": {"nested_loop"},  # 1-row max-day frame
     "q260_cusum_changepoint": {"nested_loop"},  # 1-row mean + 1-row peak
     "q253_time_decay_features": {"nested_loop"},  # 1-row anchor frame
+    "q256_hll_sketch_union": {"nested_loop"},  # 1-row exact-NDV bridge frame
     "q266_dedup_agreement": {"nested_loop"},  # three 1-row metric frames
     "q267_distinctive_terms": {"nested_loop"},  # 1-row corpus totals frame
 }
