@@ -12,6 +12,20 @@ DuckDB at the given sf dir, then compares:
 
 Stricter than a hash: shows *where* a mismatch is.
 
+**Fetch path is driver-faithful (round 6)**: both sides go through
+pandas - Spark via ``DataFrame.toPandas()``, DuckDB via
+``relation.df()`` - because the driver's gate does the same. That is
+what makes type-level divergence reproducible locally: a DuckDB
+HUGEINT output column becomes float64 (``12`` -> ``12.0``) while the
+Spark side stays int64, and the values desync even when every value
+is identical (the r04/r05 q230 failure class; VERDICT r5 item 1).
+The old ``fetchall()`` path converted HUGEINT to Python int and was
+structurally blind to it. Nullable BIGINT columns float-ize on BOTH
+sides under pandas (NULL forces float64), so they stay comparable.
+Temporal values are canonicalized to ISO strings because DuckDB's
+``.df()`` widens DATE to midnight datetime64 while Spark keeps
+``datetime.date`` - a representation gap the driver tolerates.
+
 Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
 
 ``--json`` additionally writes a machine-readable per-query record
@@ -46,6 +60,12 @@ def duck_connection(sf_dir: str):
 
 
 def normalize(value):
+    import datetime
+
+    import pandas as pd
+
+    if value is None or value is pd.NaT:
+        return None
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
@@ -53,7 +73,24 @@ def normalize(value):
             return 0.0  # fold IEEE -0.0: equal as floats, but its
             # str() sorts differently and desyncs the row alignment
         return value
+    # Canonicalize temporals: duck .df() widens DATE -> midnight
+    # datetime64; Spark toPandas keeps datetime.date. Timestamp
+    # subclasses datetime, so one isinstance covers all three.
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return pd.Timestamp(value).isoformat()
     return value
+
+
+def pandas_rows(pdf):
+    """Driver-faithful extraction: pandas frame -> list of plain-
+    Python tuples. numpy scalars unbox via .item() (this is where a
+    float64-ized HUGEINT/nullable-int column surfaces as ``12.0``)."""
+    out = []
+    for row in pdf.to_numpy(dtype=object):
+        out.append(
+            tuple(v.item() if hasattr(v, "item") else v for v in row)
+        )
+    return out
 
 
 def frame_to_rows(cols, rows):
@@ -116,9 +153,54 @@ def lint_float_boundary():
     return hits
 
 
+#: DuckDB output types the driver's pandas fetch converts lossily
+#: relative to Spark's: HUGEINT/unsigned -> float64 (12 -> 12.0, the
+#: q230/q102 class), DECIMAL -> object/float depending on width. Any
+#: oracle producing one of these will hash-desync in the driver even
+#: when every value matches - oracles must CAST such columns (BIGINT
+#: for integers, DOUBLE for decimals). Judge sweep r5: exactly q230 +
+#: q102 hit this; both are now cast.
+BAD_ORACLE_TYPES = (
+    "HUGEINT",
+    "UHUGEINT",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+    "DECIMAL",
+)
+
+
+def lint_result_types(sf_dir: str = "/root/testdata/sf0.001"):
+    """Bind every oracle in DuckDB and flag output columns whose type
+    the driver's pandas fetch would convert lossily. Returns
+    {query_name: [(col, type), ...]} for hits; empty dict = clean."""
+    con = duck_connection(sf_dir)
+    hits: dict[str, list[tuple[str, str]]] = {}
+    for name, sql in sorted(ORACLE.items()):
+        if sql is None:
+            continue
+        rel = con.sql(sql)  # bind only: .types comes from the plan
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper().startswith(BAD_ORACLE_TYPES)
+        ]
+        if bad:
+            hits[name] = bad
+    return hits
+
+
 def main():
     argv = list(sys.argv[1:])
     json_out = None
+    if "--lint-types" in argv:
+        sf = argv[argv.index("--lint-types") + 1] if len(argv) > 1 else "/root/testdata/sf0.001"
+        hits = lint_result_types(sf)
+        for name, cols in sorted(hits.items()):
+            print(f"TYPELINT {name}: {cols}")
+        print(f"{len(hits)} oracles with driver-lossy output types")
+        return 1 if hits else 0
     if "--lint" in argv:
         hits = lint_float_boundary()
         for name, exprs in sorted(hits.items()):
@@ -154,8 +236,9 @@ def main():
         start = time.time()
         try:
             sdf = QUERIES[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = pandas_rows(spdf)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             record(name, err=f"spark error: {exc}")
@@ -173,9 +256,9 @@ def main():
             print(f"SKIP {name}: no oracle (rows-only) rows={len(srows)}")
             continue
         try:
-            res = con.execute(ORACLE[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(ORACLE[name]).df()
+            dcols = list(dpdf.columns)
+            drows = pandas_rows(dpdf)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             record(name, spark_rows=len(srows), err=f"duckdb error: {exc}")

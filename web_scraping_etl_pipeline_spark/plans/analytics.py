@@ -899,8 +899,8 @@ def q101_pareto_frontier(spark, sf_dir):
       FROM j
     )
     SELECT l_orderkey, l_linenumber,
-           base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-             AS alloc_cents
+           CAST(base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
     FROM r
     """,
 )

@@ -1439,7 +1439,8 @@ _FILL_BUDGET = 15_000
              ) AS cum_tokens
       FROM s
     )
-    SELECT doc_id, score, n_tokens, cum_tokens
+    SELECT doc_id, score, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM c WHERE cum_tokens <= {_FILL_BUDGET}
     """,
 )
