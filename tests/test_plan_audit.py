@@ -107,6 +107,48 @@ def test_global_window_flag_detects_the_antipattern(spark):
     assert "global_window" in audit(plan)["flags"]
 
 
+def test_global_window_flag_detects_sortless_variant(spark):
+    """r5-judge detector gap: an UNORDERED unpartitioned window (e.g.
+    ``F.sum(...).over(Window.partitionBy())``) plans WITHOUT the Sort
+    node - Window directly over Exchange SinglePartition - and the old
+    three-line regex missed it (that is how q104's whole-vocabulary
+    total went unflagged). Pin the stronger regex on a synthetic
+    Sort-less global window over a fact table."""
+    from pyspark.sql import Window, functions as F
+
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    df = t(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.sum("o_totalprice").over(Window.partitionBy()).alias("tot"),
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Sort" not in plan.split("Window")[1].split("Exchange")[0]
+    assert "global_window" in audit(plan)["flags"]
+
+
+def test_q104_corpus_total_is_one_row_agg_not_window(spark):
+    """q104's corpus total must come from a 1-row agg + broadcast
+    crossJoin, never a whole-vocabulary single-partition window
+    (VERDICT r5 item 4). The plan may still contain the legitimate
+    SinglePartition exchange of the global agg itself - that moves 32
+    partial sums, not the vocabulary - so assert (a) no Window node at
+    all, and (b) every SinglePartition exchange feeds from a partial
+    aggregate, not from the full vocab relation."""
+    plan = _plan(spark, "q104_unigram_lm_score")
+    assert "global_window" not in audit(plan)["flags"]
+    assert "Window" not in plan, plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "partial_sum" in below, plan
+
+
 def test_python_stages_are_arrow_batched(spark):
     """Every Python eval in the watched set must be Arrow-batched
     (MapInPandas/FlatMapGroupsInPandas/ArrowEvalPython/arrow UDTF),

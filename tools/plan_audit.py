@@ -64,15 +64,19 @@ FLAG_PATTERNS = {
     # row-at-a-time Python eval; Arrow-batched evals show up as
     # ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas instead.
     "row_python_udf": r"\bBatchEvalPython(?!UDTF)",
-    # Window.orderBy with no partitionBy: the whole relation sorts on
-    # ONE task ("WindowExec: No Partition Defined") - the classic
-    # 100 TB serialization point. In the physical plan an unpartitioned
-    # window is always Window -> Sort -> Exchange SinglePartition;
-    # partitioned windows exchange on hashpartitioning instead, and a
-    # plain global agg's SinglePartition exchange has no Window parent,
-    # so the three-line sandwich is the precise signature.
+    # Window with no partitionBy: the whole relation moves to ONE task
+    # ("WindowExec: No Partition Defined") - the classic 100 TB
+    # serialization point. An ORDERED unpartitioned window plans as
+    # Window -> Sort -> Exchange SinglePartition; an UNORDERED one
+    # (e.g. F.sum(...).over(Window.partitionBy())) plans WITHOUT the
+    # Sort, directly Window -> Exchange SinglePartition - the r5-judge
+    # detector gap that let q104's whole-vocabulary window through.
+    # The optional Sort line covers both; a plain global agg's
+    # SinglePartition exchange has no Window parent, so the sandwich
+    # stays precise.
     "global_window": (
-        r"Window [^\n]*\n[^\n]*Sort [^\n]*\n[^\n]*Exchange SinglePartition"
+        r"Window [^\n]*\n(?:[^\n]*Sort [^\n]*\n)?"
+        r"[^\n]*Exchange SinglePartition"
     ),
 }
 
@@ -85,6 +89,7 @@ FLAG_PATTERNS = {
 ALLOW = {
     "q77_tfidf_topterms": {"nested_loop"},  # 1-row n_docs frame
     "q99_kmeans_assign": {"nested_loop"},  # k=10 centroid frame
+    "q104_unigram_lm_score": {"nested_loop"},  # 1-row corpus-total frame
     "q118_equidepth_histogram": {"nested_loop"},  # 1-row cutpoints
     "q132_skew_report": {"nested_loop"},  # 1-row mean-frequency frame
     "q165_important_parts": {"nested_loop"},  # 1-row revenue threshold
@@ -111,6 +116,24 @@ ALLOW_GLOBAL_WINDOW = {
     # distinct (brand, type) dimension - bounded by the dimension
     # domain (~|brands| x |types|), never fact-sized.
     "q103_surrogate_keys",
+    # ratio-to-report over the 5-row o_orderpriority aggregate; the
+    # heavy groupBy is map-side-combined, window touches 5 rows.
+    "q92_priority_revenue_share",
+    # chi-square margins over the (source, lang) contingency cells -
+    # bounded by the dimension cross product, never fact-sized.
+    "q116_lang_source_drift",
+    # percent-of-parent grand total over the (region, nation) revenue
+    # aggregate (~25 rows).
+    "q163_percent_of_parent",
+    # mixture normalization over the per-SOURCE count aggregate -
+    # bounded by |sources|.
+    "q181_mixture_weights",
+    # DSIR corpus totals over the fixed B-row hashed-bucket feature
+    # frame (_DSIR_B rows by construction).
+    "q226_dsir_importance",
+    # KL marginals over the (source, length-bucket) aggregate -
+    # bounded by |sources| x (_KL_MAX_BUCKET + 1).
+    "q229_source_length_kl",
     # LAG over the MONTHLY revenue aggregate - bounded by calendar
     # months in the data.
     "q137_mom_revenue_growth",

@@ -580,13 +580,15 @@ def q104_unigram_lm_score(spark, sf_dir):
     (it is tiny and covers most mass) and shuffle-joining only the
     tail - same two-phase split as q67's salted aggregation. Here the
     full vocab rides one ordinary join; AQE's skew-join split handles
-    the head."""
+    the head. The corpus token total is a 1-row ``agg(sum)`` broadcast
+    back over the vocabulary - NOT a ``Window.partitionBy()`` sum,
+    which would move the entire (Zipf-unbounded) vocabulary through a
+    single-partition exchange (VERDICT r5 item 4)."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
     vocab = tok.groupBy("term").agg(F.count("*").alias("tf"))
-    vocab = vocab.withColumn(
-        "total", F.sum("tf").over(Window.partitionBy())
-    )
+    total = vocab.agg(F.sum("tf").alias("total"))
+    vocab = vocab.crossJoin(F.broadcast(total))
     nll = -F.log(F.col("tf").cast("double") / F.col("total"))
     return (
         tok.join(vocab, "term")
