@@ -808,6 +808,8 @@ def q218_ngram_novelty(spark, sf_dir):
 _INC_AGREE_T = 0.5
 
 from .dedup import LSH_BUCKET_CAP as _LSH_CAP  # noqa: E402
+from .dedup import MINHASH_P as _MH_P  # noqa: E402
+from .dedup import _MINHASH_PERM_SQL  # noqa: E402
 
 
 @query(
@@ -816,13 +818,14 @@ from .dedup import LSH_BUCKET_CAP as _LSH_CAP  # noqa: E402
     WITH sh AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
     ),
+    hx AS (
+      SELECT doc_id, {_H64_SQL.format(x="s")} % {_MH_P} AS x FROM sh
+    ),
     k AS (
-      SELECT doc_id, s, unnest(range(0, 8)) AS perm FROM sh
+      SELECT doc_id, x, unnest(range(0, 8)) AS perm FROM hx
     ),
     sig AS (
-      SELECT doc_id, perm,
-             MIN({_H64_SQL.format(x="s || '#' || CAST(perm AS VARCHAR)")})
-               AS sig
+      SELECT doc_id, perm, MIN({_MINHASH_PERM_SQL}) AS sig
       FROM k GROUP BY doc_id, perm
     ),
     banded AS (

@@ -14,7 +14,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..plans.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K, _h64, _shingles
+from ..plans.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    MINHASH_P,
+    _MINHASH_PERM_SQL,
+    _h64,
+    _shingles,
+)
 from ..plans.mlprep import _h60, _h60_sql
 from ..plans.registry import query
 from ..plans.common import t
@@ -44,28 +52,38 @@ def _band_keys(df: DataFrame) -> DataFrame:
     K-min-aggregate because that keeps the heavy path in whole-stage
     codegen for a full-corpus scan; an aggregate is not stateless, so
     the stream computes each signature as ``array_min(transform(...))``
-    over the distinct-shingle array instead - same
-    ``min(h64(shingle || '#' || perm))`` formula, same band_key
-    ``md5(concat_ws('_', sigs))``, per-row. The higher-order lambda
-    evaluates interpreted, which is the price of statelessness; the
-    arrays are per-document (bounded), so the cost stays linear and
-    partition-parallel.
+    over the per-shingle base-hash array instead - same affine
+    ``(A_p * x + B_p) mod P`` permutation family as the batch side
+    (dedup.MINHASH_P), same band_key ``md5(concat_ws('_', sigs))``,
+    per-row. The base hash is materialized ONCE per shingle and the K
+    permutations are cheap arithmetic transforms over it (the same
+    1-md5-per-shingle economy the batch builder gets). The
+    higher-order lambdas evaluate interpreted, which is the price of
+    statelessness; the arrays are per-document (bounded), so the cost
+    stays linear and partition-parallel.
 
     Documents with no 3-gram shingles (<3 tokens) produce no signature
     in the batch pipeline (no rows survive its explode) and are
     filtered identically here."""
     sh = F.array_distinct(_shingles())
+    xs = F.transform(sh, lambda s: _h64(s) % MINHASH_P)
 
-    def salt(p):
-        # one-arg lambda per permutation: a 2-arg lambda (s, p=p) would
+    def perm(p):
+        # one-arg lambda per permutation: a 2-arg lambda (x, p=p) would
         # be treated by F.transform as the (element, index) form.
-        return lambda s: _h64(F.concat(s, F.lit(f"#{p}")))
+        return lambda x: (
+            F.lit(2 * p + 1) * x + F.lit(1000003 * p + 12345)
+        ) % MINHASH_P
 
     sigs = [
-        F.array_min(F.transform(sh, salt(p))).alias(f"m{p}")
+        F.array_min(F.transform(F.col("_xs"), perm(p))).alias(f"m{p}")
         for p in range(MINHASH_K)
     ]
-    with_sigs = df.filter(F.size(sh) > 0).select("doc_id", *sigs)
+    with_sigs = (
+        df.filter(F.size(sh) > 0)
+        .select("doc_id", xs.alias("_xs"))
+        .select("doc_id", *sigs)
+    )
     bands = F.array(
         *[
             F.struct(
@@ -107,14 +125,18 @@ _BANDED_SQL = f"""
                AS s
       FROM split
     ),
-    k AS (
-      SELECT doc_id, bucket, s, unnest(range(0, {MINHASH_K})) AS perm
+    hx AS (
+      SELECT doc_id, bucket,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+               % {MINHASH_P} AS x
       FROM sh
     ),
+    k AS (
+      SELECT doc_id, bucket, x, unnest(range(0, {MINHASH_K})) AS perm
+      FROM hx
+    ),
     sig AS (
-      SELECT doc_id, bucket, perm,
-             MIN(CAST(concat('0x', substr(md5(s || '#' ||
-                 CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
+      SELECT doc_id, bucket, perm, MIN({_MINHASH_PERM_SQL}) AS sig
       FROM k GROUP BY 1, 2, 3
     ),
     banded AS (
