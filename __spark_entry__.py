@@ -46,14 +46,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 2. Any query the PREVIOUS round's driver gate marked non-green is
 #:    fast-tracked next (so a fix is driver-verified the very next
 #:    round instead of waiting out the rotation period).
-#: 3. Every other query follows in sorted-name order, cyclically
-#:    shifted by a deterministic function of the ROUND NUMBER (the
-#:    count of driver-written CORRECTNESS_r*.json artifacts). The
-#:    shift advances by exactly the number of free slots per round, so
-#:    the gate walks the whole registry fairly: every query re-enters
-#:    the gated window every ceil(rest/36) rounds, nothing is picked
-#:    by hand, and previously-green queries are re-checked on the same
-#:    fixed cadence as never-checked ones.
+#: 3. Every other query follows LEAST-RECENTLY-DRIVER-CHECKED first
+#:    (ties broken by name): a query that has never appeared in any
+#:    CORRECTNESS_r*.json artifact sorts before one checked in round
+#:    3, which sorts before one checked in round 5. This is
+#:    self-correcting scheduling - each round's artifact updates the
+#:    last-checked map, so whatever the window actually sampled drops
+#:    to the back of the queue and everything else moves forward.
+#:    Never-checked queries therefore drain first (VERDICT r5 item 7:
+#:    130/274 had never been driver-checked under the old round-robin
+#:    shift), and no rotation arithmetic exists to drift when retries
+#:    consume slots (ADVICE r5).
 #:
 #: The in-repo full sweep (tools/oracle_check.py ->
 #: CORRECTNESS_FULL.json) still covers all queries every round.
@@ -68,14 +71,39 @@ PINNED_CORE = [
 GATE_SLOTS = 50
 
 
-def _round_number() -> int:
-    """Deterministic round index: how many driver correctness
-    artifacts exist. Stable within a round (the driver writes r{N}
-    only after running the gate)."""
+def _correctness_artifacts() -> list[tuple[int, str]]:
+    """(round, path) for every driver correctness artifact, sorted
+    NUMERICALLY by round - lexicographic sorting would put r100 before
+    r99 and feed the fast-track a stale artifact (ADVICE r5)."""
     import glob  # noqa: PLC0415
+    import re  # noqa: PLC0415
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    out = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
+def _last_checked_round() -> dict[str, int]:
+    """query name -> highest round whose driver artifact contains it
+    (queries absent from every artifact are simply absent)."""
+    import json  # noqa: PLC0415
+
+    out: dict[str, int] = {}
+    for rnd, path in _correctness_artifacts():
+        try:
+            with open(path) as fh:
+                records = json.load(fh)
+        except Exception:  # noqa: BLE001 - unreadable artifact: skip
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name in records:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _last_round_failures(artifact: str | None = None) -> list[str]:
@@ -83,17 +111,13 @@ def _last_round_failures(artifact: str | None = None) -> list[str]:
     into this round's window so a fix is driver-verified the very next
     round instead of waiting out the rotation period (~7 rounds).
     Rows-only records (no oracle) are not failures."""
-    import glob  # noqa: PLC0415
     import json  # noqa: PLC0415
 
     if artifact is None:
-        here = os.path.dirname(os.path.abspath(__file__))
-        files = sorted(
-            glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        )
-        if not files:
+        arts = _correctness_artifacts()
+        if not arts:
             return []
-        artifact = files[-1]
+        artifact = arts[-1][1]
     try:
         with open(artifact) as fh:
             records = json.load(fh)
@@ -123,14 +147,12 @@ def _gate_order(names: list[str]) -> list[str]:
         n for n in _last_round_failures()
         if n in names and n not in PINNED_CORE
     ]
+    checked = _last_checked_round()
     rest = sorted(
-        n for n in names if n not in PINNED_CORE and n not in retry
+        (n for n in names if n not in PINNED_CORE and n not in retry),
+        key=lambda n: (checked.get(n, -1), n),
     )
-    if not rest:
-        return pinned + retry
-    free = max(GATE_SLOTS - len(pinned), 1)
-    start = (_round_number() * free) % len(rest)
-    return pinned + retry + rest[start:] + rest[:start]
+    return pinned + retry + rest
 
 
 def _ordered(names_to_vals: dict) -> dict:

@@ -50,14 +50,13 @@ def test_oracle_keys_match_queries():
     assert q - o == set()  # full oracle coverage since round 5
 
 
-def test_rotation_covers_every_query_within_bounded_period(monkeypatch):
-    # VERDICT r4 item 3: with ~36 free slots over the rotating tail,
-    # the driver checks a given extension query every ~period rounds.
-    # Pin that the rotation (a) keeps the pinned core inside the
-    # 50-slot window at EVERY round, and (b) cycles the full registry
-    # through the window within ceil(len(rest)/free) rounds - so a
-    # future registry insertion can't silently starve a query of
-    # driver checks.
+def test_schedule_covers_every_query_within_bounded_period(monkeypatch):
+    # Least-recently-checked-first scheduling: simulate the driver
+    # loop (each round's 50-slot window lands in an artifact, which
+    # updates the last-checked map) and pin that (a) the pinned core
+    # stays inside the window at EVERY round and (b) the full registry
+    # cycles through within ceil(len(rest)/free) rounds - a registry
+    # insertion can't silently starve a query of driver checks.
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
@@ -66,30 +65,73 @@ def test_rotation_covers_every_query_within_bounded_period(monkeypatch):
     free = max(entry_mod.GATE_SLOTS - len(pinned), 1)
     period = -(-len(rest) // free)  # ceil
 
-    # neutralize the failure fast-track for the pure-rotation math
+    # neutralize the failure fast-track for the pure-schedule math
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    checked: dict[str, int] = {}
+    monkeypatch.setattr(
+        entry_mod, "_last_checked_round", lambda: dict(checked)
+    )
     seen: set[str] = set()
-    for rnd in range(period):
-        monkeypatch.setattr(entry_mod, "_round_number", lambda r=rnd: r)
+    for rnd in range(1, period + 1):
         window = entry_mod._gate_order(names)[: entry_mod.GATE_SLOTS]
         assert window[: len(pinned)] == pinned, f"core left window at round {rnd}"
         seen.update(window)
+        for name in window:  # the driver records the window it ran
+            checked[name] = rnd
     assert seen == set(names), (
-        f"rotation period {period} misses {sorted(set(names) - seen)[:5]}..."
+        f"schedule period {period} misses {sorted(set(names) - seen)[:5]}..."
     )
 
 
-def test_rotation_advances_between_rounds(monkeypatch):
-    # consecutive rounds must present different tails (the rotation
-    # actually rotates), with deterministic order inside one round.
+def test_never_checked_queries_lead_the_tail(monkeypatch):
+    # A query absent from every driver artifact must outrank one
+    # already checked, regardless of name order.
     names = list(entry_mod.QUERIES)
-    monkeypatch.setattr(entry_mod, "_round_number", lambda: 3)
-    w3 = entry_mod._gate_order(names)
-    w3b = entry_mod._gate_order(names)
-    assert w3 == w3b
-    monkeypatch.setattr(entry_mod, "_round_number", lambda: 4)
-    w4 = entry_mod._gate_order(names)
-    assert w3[: entry_mod.GATE_SLOTS] != w4[: entry_mod.GATE_SLOTS]
+    monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    tail = [n for n in sorted(names) if n not in entry_mod.PINNED_CORE]
+    # mark everything checked except one late-alphabet victim
+    victim = tail[-1]
+    monkeypatch.setattr(
+        entry_mod,
+        "_last_checked_round",
+        lambda: {n: 1 for n in tail if n != victim},
+    )
+    order = entry_mod._gate_order(names)
+    pinned = [n for n in entry_mod.PINNED_CORE if n in names]
+    assert order[len(pinned)] == victim
+
+
+def test_schedule_advances_between_rounds(monkeypatch):
+    # after a round's artifact lands, the window must move on to the
+    # next least-recently-checked block (deterministic within a round).
+    names = list(entry_mod.QUERIES)
+    monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    checked: dict[str, int] = {}
+    monkeypatch.setattr(
+        entry_mod, "_last_checked_round", lambda: dict(checked)
+    )
+    w1 = entry_mod._gate_order(names)
+    assert w1 == entry_mod._gate_order(names)
+    for name in w1[: entry_mod.GATE_SLOTS]:
+        checked[name] = 1
+    w2 = entry_mod._gate_order(names)
+    assert w1[: entry_mod.GATE_SLOTS] != w2[: entry_mod.GATE_SLOTS]
+
+
+def test_artifact_round_sort_is_numeric(tmp_path, monkeypatch):
+    # ADVICE r5: sorted(glob(...)) puts r100 before r99; the artifact
+    # listing must sort by the numeric round.
+    import json
+
+    for rnd in (9, 10, 100, 99):
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps({f"marker_r{rnd}": {"hash_match": True}})
+        )
+    monkeypatch.setattr(
+        entry_mod.os.path, "dirname", lambda _p: str(tmp_path)
+    )
+    arts = entry_mod._correctness_artifacts()
+    assert [r for r, _ in arts] == [9, 10, 99, 100]
 
 
 def test_last_round_failures_fast_tracked(monkeypatch):
