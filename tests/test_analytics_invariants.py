@@ -222,3 +222,20 @@ def test_weighted_sample_is_deterministic(spark):
         for r in q105_weighted_sample(spark, SF_DIR).repartition(7).collect()
     )
     assert a == b
+
+
+def test_events_value_honors_q66_bucket_contract(spark):
+    """q66's cents-based bucket id (ROUND(value*100) DIV 2500) equals
+    floor(value/25) ONLY for non-negative, exactly-2-decimal values
+    (Spark DIV truncates toward zero, DuckDB // floors; see the q66
+    docstring). Pin the fixture contract so a future data-generator
+    change fails loudly instead of silently shifting boundary rows."""
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    ev = t(spark, SF_DIR, "events")
+    bad = ev.filter(
+        (F.col("value") < 0)
+        | (F.abs(F.col("value") * 100 - F.round(F.col("value") * 100, 0))
+           > 1e-6)
+    ).count()
+    assert bad == 0

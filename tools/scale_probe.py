@@ -85,9 +85,29 @@ def probe_minhash_lsh(spark, sf_dir, k):
     sig = minhash_sig_array(docs)
     raw = band_keys(sig)
     # production shape includes the hot-bucket guard (count + filter
-    # join); at 16x replication buckets reach ~16 members, still under
-    # the cap, so the guarded and raw outputs coincide here.
-    sizes = raw.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
+    # join). Replication multiplies bucket membership, so at high k
+    # the cap can start excluding the hottest buckets - which would
+    # silently make the probe measure LESS join work than the uncapped
+    # shape (the repo's no-silent-caps rule, ADVICE r5). Report what
+    # the guard dropped so the scaling curve is interpretable.
+    sizes = raw.groupBy("band", "band_key").agg(
+        F.count("*").alias("_bn")
+    )
+    dropped = (
+        sizes.filter(F.col("_bn") > LSH_BUCKET_CAP)
+        .agg(
+            F.count("*").alias("buckets"),
+            F.coalesce(F.sum("_bn"), F.lit(0)).alias("rows"),
+        )
+        .first()
+    )
+    if dropped["buckets"]:
+        print(
+            f"    [minhash_lsh k={k}] hot-bucket cap dropped "
+            f"{dropped['buckets']} buckets / {dropped['rows']} rows "
+            f"(cap={LSH_BUCKET_CAP}) - curve excludes their join work",
+            file=sys.stderr,
+        )
     banded = raw.join(
         sizes.filter(F.col("_bn") <= LSH_BUCKET_CAP), ["band", "band_key"]
     ).drop("_bn")

@@ -220,6 +220,16 @@ def q66_value_histogram(spark, sf_dir):
     - no float floor at a bucket boundary can diverge across engine
     builds (the q174/q230 tie class).
 
+    CONTRACT (adjudicated, ADVICE r5): the cents trick is equivalent
+    to floor(value/25) ONLY because ``events.value`` is non-negative
+    and exactly 2-decimal (fixture generator invariant, pinned by
+    tests/test_analytics_invariants.py). Spark ``DIV`` truncates
+    toward zero while DuckDB ``//`` floors, so a NEGATIVE value would
+    silently bucket differently cross-engine, and finer-than-cent
+    precision would shift rows at bucket boundaries - if the data
+    contract ever loosens, switch both sides to an explicit
+    floor-of-integer form.
+
     The bucket id is a plain projected expression, so this is an
     ordinary hash aggregate with map-side combine: the shuffle carries
     at most n_buckets rows per task no matter how large the scan."""

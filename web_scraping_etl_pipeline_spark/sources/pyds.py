@@ -159,8 +159,9 @@ class JsonlSinkWriter(DataSourceWriter):
     the same two-phase rename-free commit protocol cloud-native
     tables use, in its smallest honest Python form."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("wsep_jsonl_sink requires a 'path' option")
 
@@ -182,15 +183,43 @@ class JsonlSinkWriter(DataSourceWriter):
         return _PartFile(name, n)
 
     def commit(self, messages):
+        """Driver-side commit: publish the manifest. ``append`` MERGES
+        with a pre-existing manifest (prior committed parts stay
+        visible - a second save() must not silently hide them from
+        manifest-driven readers); ``overwrite`` retires the previously
+        committed parts and starts a fresh manifest."""
         import json as _json
         import os as _os
 
+        mpath = _os.path.join(self.path, "_MANIFEST.json")
+        prior = {"files": [], "rows": 0}
+        if _os.path.exists(mpath):
+            try:
+                with open(mpath) as fh:
+                    prior = _json.load(fh)
+            except (OSError, ValueError):
+                # unreadable prior manifest: treat the dir as fresh
+                # (its parts were never trustworthy to readers anyway)
+                prior = {"files": [], "rows": 0}
+        if self.overwrite:
+            for name in prior.get("files", []):
+                try:
+                    _os.remove(_os.path.join(self.path, name))
+                except OSError:
+                    pass
+            prior = {"files": [], "rows": 0}
         manifest = {
-            "files": sorted(m.name for m in messages if m),
-            "rows": sum(m.rows for m in messages if m),
+            "files": sorted(
+                set(prior.get("files", []))
+                | {m.name for m in messages if m}
+            ),
+            "rows": prior.get("rows", 0)
+            + sum(m.rows for m in messages if m),
         }
-        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(_json.dumps(manifest))
+        _os.replace(tmp, mpath)  # readers never see a torn manifest
 
     def abort(self, messages):
         import os as _os
@@ -209,7 +238,7 @@ class WsepJsonlSinkDataSource(DataSource):
         return "wsep_jsonl_sink"
 
     def writer(self, schema, overwrite):
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite)
 
 
 def register_sink(spark) -> None:
