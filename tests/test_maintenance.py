@@ -90,3 +90,52 @@ def test_collect_stats_one_pass_matches_exact(spark):
     ).first()
     assert cols["value"]["min"] == mm.lo
     assert cols["value"]["max"] == mm.hi
+
+
+def test_refresh_remaining_time_rewrites_in_place(spark, tmp_path):
+    """pipeline.refresh_remaining_time: re-renders the materialized
+    remaining_time column over the whole silver table at a later clock
+    (the reference's daily stored-procedure intent, script.sql:13-49)
+    without changing any other column or the row count, and leaves no
+    tmp/bak debris."""
+    import os
+
+    from web_scraping_etl_pipeline_spark.pipeline import (
+        refresh_remaining_time,
+        run_batch,
+    )
+    from web_scraping_etl_pipeline_spark.plans.pipelineq import (
+        _raw_batch,
+    )
+    from web_scraping_etl_pipeline_spark.sources.star import (
+        ANCHOR_US,
+        US_PER_DAY,
+    )
+
+    silver = str(tmp_path / "silver")
+    state = str(tmp_path / "state.json")
+    run_batch(spark, _raw_batch(spark, SF_DIR), silver, state,
+              now_us=ANCHOR_US)
+    before = {
+        r["job_link"]: r
+        for r in spark.read.parquet(silver).collect()
+    }
+
+    n = refresh_remaining_time(
+        spark, silver, now_us=ANCHOR_US + 10 * US_PER_DAY
+    )
+    after = {
+        r["job_link"]: r for r in spark.read.parquet(silver).collect()
+    }
+    assert n == len(before) == len(after)
+    changed = 0
+    for link, row in after.items():
+        prev = before[link]
+        for col in ("job_name", "salary", "company_name",
+                    "posted_date", "job_location", "due_date"):
+            assert row[col] == prev[col], col
+        if row["remaining_time"] != prev["remaining_time"]:
+            changed += 1
+    assert changed > 0  # the clock moved; buckets must move with it
+    assert not os.path.exists(silver + ".refresh_tmp")
+    assert not os.path.exists(silver + ".bak")

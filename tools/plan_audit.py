@@ -55,6 +55,7 @@ STREAMING = {
     # tests/test_pipeline.py and the q269 docstring instead.
     "q271_pipeline_silver",
     "q272_pipeline_silver_bucketed",
+    "q278_remaining_time_refresh",
     "q269_greedy_coverage",
 }
 

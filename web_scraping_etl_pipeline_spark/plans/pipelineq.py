@@ -144,3 +144,64 @@ def q272_pipeline_silver_bucketed(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+#: refresh probe clock: 10 days + 3 hours past the write-time anchor,
+#: so the re-render moves every silver row to a DIFFERENT bucket than
+#: the one materialized at write (days 1-10 -> expired, day 11 ->
+#: '21 giờ', days 12-20 -> 'd-11 ngày') - a refresh that accidentally
+#: no-ops cannot pass the oracle.
+_REFRESH_NOW_US = ANCHOR_US + 10 * US_PER_DAY + 3 * _HOUR_US
+
+_REFRESH_ORACLE = f"""
+    WITH s AS (
+      SELECT p_partkey,
+             ({ANCHOR_US} + (p_partkey % 20 + 1) * {US_PER_DAY}
+              - {_REFRESH_NOW_US}) // 1000000 AS diff_s
+      FROM part WHERE p_partkey % 10 = 0
+    )
+    SELECT 'https://jobs/' || CAST(p_partkey AS VARCHAR) AS job_link,
+           CASE
+             WHEN diff_s <= 0 THEN 'Đã hết thời gian ứng tuyển'
+             WHEN diff_s < 60 THEN 'Còn ' || CAST(diff_s AS VARCHAR)
+                  || ' giây để ứng tuyển'
+             WHEN diff_s < 3600 THEN 'Còn ' || CAST(diff_s // 60 AS VARCHAR)
+                  || ' phút để ứng tuyển'
+             WHEN diff_s < 86400 THEN 'Còn ' || CAST(diff_s // 3600 AS VARCHAR)
+                  || ' giờ để ứng tuyển'
+             ELSE 'Còn ' || CAST(diff_s // 86400 AS VARCHAR)
+                  || ' ngày để ứng tuyển'
+           END AS remaining_time
+    FROM s
+"""
+
+
+@query("q278_remaining_time_refresh", oracle=_REFRESH_ORACLE)
+def q278_remaining_time_refresh(spark, sf_dir):
+    """The reference's DAILY stored-procedure refresh, end to end
+    (/root/reference/script.sql:13-49, daily intent README.md:19):
+    build a scratch silver at ANCHOR_US, advance the clock 10 days 3
+    hours, run pipeline.refresh_remaining_time (tmp-write + validate +
+    swap rewrite), and return (job_link, remaining_time) from the
+    refreshed table. The oracle recomputes every bucket at the new
+    clock, so both the render semantics AND the in-place rewrite
+    actually landing are value-pinned in the driver gate.
+
+    Scale: the refresh is a map-only scan -> project -> write (zero
+    shuffles); see pipeline.refresh_remaining_time."""
+    from ..pipeline import refresh_remaining_time, run_batch
+
+    scratch = tempfile.mkdtemp(prefix="wsep-q278-")
+    try:
+        raw = _raw_batch(spark, sf_dir)
+        silver = f"{scratch}/silver"
+        state = f"{scratch}/state.json"
+        run_batch(spark, raw, silver, state, now_us=ANCHOR_US)
+        refresh_remaining_time(spark, silver, now_us=_REFRESH_NOW_US)
+        out = spark.read.parquet(silver).select(
+            "job_link", "remaining_time"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
