@@ -832,24 +832,28 @@ def q180_line_dedup(spark, sf_dir):
     3 docs) vs kept. The actual filter step is this plan plus one
     array_join of the kept chunks - the audit IS the expensive part.
 
-    Scale: the chunk relation is linear in corpus tokens; the
-    frequency pass is one shuffle on chunk text (map-side combined
-    after the per-doc DISTINCT), and the join-back is chunk-keyed. At
-    100 TB chunk text is hashed to a 64-bit key before the shuffle
-    (collision-safe for counting at these cardinalities), which this
-    plan would adopt by wrapping the chunk in xxhash64 - same shape,
-    narrower shuffle."""
+    Scale: the chunk relation is linear in corpus tokens and is
+    persisted once (both the frequency pass and the join-back consume
+    it - without the persist the scan + tokenize + chunk transform
+    runs twice). The shuffle key is xxhash64(chunk), never the chunk
+    TEXT: the output carries only per-doc aggregates, so the Spark
+    side is free to narrow its shuffle to 8 bytes/chunk
+    (collision-safe for counting at these cardinalities) while the
+    DuckDB twin keeps counting by text - both sides produce identical
+    doc-level numbers."""
     docs = t(spark, sf_dir, "documents")
-    chunks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, CAST((size({_SPARK_TOKS}) "
-                f"+ {_CHUNK_W - 1}) DIV {_CHUNK_W} AS INT) - 1), "
-                f"i -> array_join(slice({_SPARK_TOKS}, "
-                f"i * {_CHUNK_W} + 1, {_CHUNK_W}), ' '))"
-            )
-        ).alias("chunk"),
+    chunks = transient_persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size({_SPARK_TOKS}) "
+                    f"+ {_CHUNK_W - 1}) DIV {_CHUNK_W} AS INT) - 1), "
+                    f"i -> array_join(slice({_SPARK_TOKS}, "
+                    f"i * {_CHUNK_W} + 1, {_CHUNK_W}), ' '))"
+                )
+            ).alias("chunk_text"),
+        ).select("doc_id", F.xxhash64("chunk_text").alias("chunk"))
     )
     freq = chunks.groupBy("chunk").agg(
         F.count_distinct("doc_id").alias("nd")
