@@ -1955,45 +1955,41 @@ def q252_consistent_hash_shards(spark, sf_dir):
     compare q79's mod-hash split, which is the right tool only when
     the shard count never changes).
 
-    Scale: both rings are tiny generated literals (shards x vnodes
-    rows) BROADCAST against the corpus; the clockwise-successor pick
-    is an aggregate over the broadcast ring per row (min over
-    {_CH_BEFORE * _CH_VNODES} candidates, pure codegen) - one scan,
-    zero shuffles before the final matrix aggregate."""
+    Scale: both rings fold to CONSTANT array/map literals (a
+    per-element CASE-struct formulation defeated whole-stage codegen
+    and cost ~5 s of interpreted evaluation at sf0.1); the clockwise
+    successor of h is "smallest ring position >= h, else the ring
+    minimum (wrap)" - one filter + array_min over a folded literal
+    array and a literal-map lookup pos -> shard. One scan, zero
+    shuffles before the final matrix aggregate."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", _h60(F.col("doc_id").cast("string")).alias("h")
     )
-    span = 1 << 60
 
     def assign(n_shards: int, out: str):
-        ring = [
-            (
-                s,
-                int(
+        # equal clockwise distance <=> equal ring position, and the
+        # oracle breaks distance ties by smaller shard - so dedup
+        # duplicate positions driver-side keeping the smaller shard.
+        by_pos: dict[int, int] = {}
+        for s in range(n_shards):
+            for v in range(_CH_VNODES):
+                pos = int(
                     __import__("hashlib")
                     .md5(f"shard#{s}#{v}".encode())
                     .hexdigest()[:15],
                     16,
-                ),
-            )
-            for s in range(n_shards)
-            for v in range(_CH_VNODES)
-        ]
-        # clockwise distance to every vnode, min (distance, shard) wins
-        dist_structs = F.array(
-            *[
-                F.struct(
-                    F.when(
-                        F.lit(pos) >= F.col("h"), F.lit(pos) - F.col("h")
-                    )
-                    .otherwise(F.lit(pos) + span - F.col("h"))
-                    .alias("d"),
-                    F.lit(shard).alias("shard"),
                 )
-                for shard, pos in ring
-            ]
+                if pos not in by_pos or s < by_pos[pos]:
+                    by_pos[pos] = s
+        positions = sorted(by_pos)
+        succ_pos = F.coalesce(
+            F.array_min(F.filter(F.lit(positions), lambda p: p >= F.col("h"))),
+            F.lit(positions[0]),
         )
-        return F.array_min(dist_structs).getField("shard").alias(out)
+        owner = F.map_from_arrays(
+            F.lit(positions), F.lit([by_pos[p] for p in positions])
+        )
+        return F.element_at(owner, succ_pos).alias(out)
 
     assigned = docs.select(
         "doc_id",
