@@ -336,8 +336,18 @@ def q99_kmeans_assign(spark, sf_dir):
 
 
 def kmeans_assign(spark, sf_dir):
-    """The q99 assignment plan as a reusable stage (q209's semantic
-    dedup clusters on it)."""
+    """The q99 assignment plan as a reusable stage, persisted once per
+    session (q99 returns it, q209's semantic dedup clusters on it; on
+    a cluster the assignment is materialized once and every dedup job
+    scans it)."""
+    from .common import shared_stage
+
+    return shared_stage(
+        spark, sf_dir, "kmeans_assign", lambda: _kmeans_assign_build(spark, sf_dir)
+    )
+
+
+def _kmeans_assign_build(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
