@@ -602,3 +602,114 @@ def q261_source_similarity_map(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q279: BM25 top-k lexical ranking
+# ---------------------------------------------------------------------------
+
+#: Okapi BM25 shape parameters (the universal defaults) and the result
+#: cutoff; the query terms are the suite's fixed lexical query
+#: (_RRF_TERMS), so q225's overlap pool, q257's nDCG and this ranker
+#: are three graders of the same information need.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 20
+
+
+@query(
+    "q279_bm25_topk",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(CAST(len({_TOKENS_SQL}) AS DOUBLE)) AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+      WHERE term IN ({_RRF_TERMS_SQL})
+      GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS DOUBLE) AS dl
+      FROM documents
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             ROUND(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B}
+                         + {_BM25_B} * dl.dl / stats.avgdl)), 6) AS c
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(c), 6) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_K}
+    """,
+)
+def q279_bm25_topk(spark, sf_dir):
+    """OKAPI BM25 top-{_BM25_K} for the suite's fixed lexical query -
+    the ranking function every search/RAG lexical leg actually runs
+    (q225's overlap pool is the recall-oriented candidate generator;
+    BM25 is the scorer that orders it): per-term IDF in the Lucene
+    +1 form times a saturating tf normalized by document length
+    against the corpus average (k1={_BM25_K1}, b={_BM25_B}).
+
+    Scale: term postings are filtered to the query's terms BEFORE the
+    tf aggregate, so the only corpus-sized work is the token explode
+    (map-side, no shuffle of non-matching tokens); N/avgdl is a 1-row
+    broadcast aggregate, df a |Q|-row broadcast, and the final ranking
+    is TakeOrderedAndProject over docs that matched at least one term.
+    All arithmetic inputs (tf, df, N, dl, sum-of-int dl for avgdl) are
+    integer-exact in doubles, so the score is the same float expression
+    over identical operands in both engines; per-term contributions
+    round to 1e-6 before the <=|Q|-term sum."""
+    docs = t(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(_tokens()).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(_tokens()).cast("double").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom, 6).alias(
+                "c"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum("c"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )

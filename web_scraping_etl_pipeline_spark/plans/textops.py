@@ -462,3 +462,105 @@ def q175_vocab_coverage(spark, sf_dir):
             ).alias("covered_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q280: per-source Zipf/Heaps corpus audit
+# ---------------------------------------------------------------------------
+
+#: rank cutoff for the per-source Zipf fit: the regression runs on each
+#: source's top-K terms (the head is where the power law lives; the
+#: tail is noise at any corpus size).
+_ZIPF_TOP = 100
+
+
+@query(
+    "q280_zipf_source_audit",
+    oracle=f"""
+    WITH tt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    src AS (
+      SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM tt GROUP BY 1
+    ),
+    rk AS (
+      SELECT source, f,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY f DESC, term
+             ) AS r
+      FROM tt
+    ),
+    z AS (
+      SELECT source,
+             ROUND(regr_slope(ln(CAST(f AS DOUBLE)),
+                              ln(CAST(r AS DOUBLE))), 4) AS zipf_slope,
+             ROUND(regr_r2(ln(CAST(f AS DOUBLE)),
+                           ln(CAST(r AS DOUBLE))), 4) AS zipf_r2
+      FROM rk WHERE r <= {_ZIPF_TOP} GROUP BY 1
+    )
+    SELECT src.source, src.n_tokens, src.vocab,
+           ROUND(CAST(src.vocab AS DOUBLE) / src.n_tokens, 6) AS ttr,
+           z.zipf_slope, z.zipf_r2
+    FROM src JOIN z USING (source)
+    """,
+)
+def q280_zipf_source_audit(spark, sf_dir):
+    """PER-SOURCE linguistic health audit: token count, vocabulary
+    size, type-token ratio (the Heaps'-law observable - vocab growth
+    vs corpus growth), and the Zipf slope/r2 fitted by least squares
+    over ln(freq) ~ ln(rank) on each source's top-{_ZIPF_TOP} terms.
+    A source whose slope is far from ~-1 or whose r2 collapses is
+    boilerplate, spam, or machine-generated - the corpus-intake
+    screen run before a source is admitted to a training mix.
+
+    Scale: per-(source, term) frequency is one explode + map-side
+    combinable hash aggregate; ranking is a window partitioned by
+    source (shuffles only the vocabulary relation, never documents);
+    the regression is Spark's algebraic regr_slope/regr_r2 over
+    {_ZIPF_TOP} rows per source. Every stage partitions by source or
+    term - nothing global, nothing single-partition."""
+    from pyspark.sql import Window
+
+    tt = (
+        t_split(spark, sf_dir, "documents")
+        .select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    src = tt.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    rk = tt.select(
+        "source",
+        "f",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("f"), F.asc("term")
+            )
+        )
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    z = rk.groupBy("source").agg(
+        F.round(F.expr("regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE)))"), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.expr("regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE)))"), 4).alias(
+            "zipf_r2"
+        ),
+    )
+    return src.join(z, "source").select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias(
+            "ttr"
+        ),
+        "zipf_slope",
+        "zipf_r2",
+    )
