@@ -940,3 +940,111 @@ def q181_mixture_weights(spark, sf_dir):
         .cast("long")
         .alias("expected_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q281: bigram-LM perplexity terciles (CCNet-style quality triage)
+# ---------------------------------------------------------------------------
+
+#: DuckDB bigram list for a token array ``toks`` (q83's zip motif).
+_BIGRAMS_SQL = (
+    "list_transform("
+    "list_zip(list_slice(toks, 1, len(toks) - 1),"
+    "         list_slice(toks, 2, len(toks))),"
+    " z -> z[1] || ' ' || z[2])"
+)
+
+
+@query(
+    "q281_lm_perplexity_buckets",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    db AS (
+      SELECT doc_id, source, unnest({_BIGRAMS_SQL}) AS bigram FROM base
+    ),
+    bg AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY 1),
+    ctx AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, SUM(c2) AS c1
+      FROM bg GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT term) AS vocab
+      FROM (SELECT unnest(toks) AS term FROM base)
+    ),
+    scored AS (
+      SELECT db.doc_id, db.source,
+             ROUND(AVG(-ln((bg.c2 + 1.0) / (ctx.c1 + v.vocab))), 6)
+               AS avg_nll
+      FROM db
+      JOIN bg USING (bigram)
+      JOIN ctx ON string_split(db.bigram, ' ')[1] = ctx.w1,
+      v
+      GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT source,
+             NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS bucket
+      FROM scored
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM bucketed
+    GROUP BY 1, 2
+    """,
+)
+def q281_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-STYLE perplexity triage (Wenzek et al. 2020): score every
+    document with a corpus-trained bigram language model (add-one
+    smoothing, P(w2|w1) = (C(w1 w2)+1)/(C(w1)+V)), then split the
+    corpus into head/middle/tail TERCILES of average negative
+    log-likelihood and report each source's composition - the triage
+    CCNet runs with a KenLM 5-gram before keeping only the
+    low-perplexity head for training. Counts, contexts, and V are all
+    integers, so the smoothed probability is the identical float
+    expression in both engines.
+
+    Scale: bigram and context counts are explode + map-side-combined
+    hash aggregates partitioned by n-gram key; scoring joins each
+    document's bigram instances against those tables ON the n-gram key
+    (never broadcastable at corpus scale, and never needs to be); the
+    per-doc fold shuffles (doc_id, partial sums); the tercile split is
+    the two-pass range-partitioned global_ntile, not a
+    single-partition window."""
+    from .common import global_ntile
+
+    base = t_split(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens().alias("toks")
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    db = transient_persist(
+        base.select("doc_id", "source", F.explode(bigrams).alias("bigram"))
+    )
+    bg = db.groupBy("bigram").agg(F.count("*").alias("c2"))
+    ctx = bg.groupBy(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    vocab = base.select(F.explode("toks").alias("term")).agg(
+        F.countDistinct("term").alias("vocab")
+    )
+    nll = -F.log(
+        (F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))
+    )
+    scored = (
+        db.join(bg, "bigram")
+        .join(ctx, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg(nll), 6).alias("avg_nll"))
+    )
+    bucketed = global_ntile(
+        scored, [F.asc("avg_nll"), F.asc("doc_id")], 3, "bucket"
+    )
+    return bucketed.groupBy(
+        "source", F.col("bucket").cast("long").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
