@@ -1418,3 +1418,60 @@ def q270_lsh_hot_buckets(spark, sf_dir):
         )
         .orderBy(F.desc("n_members"), "band", "band_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q282: edit-distance verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q282_edit_distance_verify",
+    oracle=_LSH_CANDS_SQL + """
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                       / GREATEST(len(a.text), len(b.text)), 4) AS edit_sim
+    FROM cands c
+    JOIN documents a ON c.doc_a = a.doc_id
+    JOIN documents b ON c.doc_b = b.doc_id
+    """,
+)
+def q282_edit_distance_verify(spark, sf_dir):
+    """CHARACTER-LEVEL verification of the LSH candidate pairs: exact
+    Levenshtein distance and its length-normalized similarity
+    (1 - d/max_len) for every candidate - the second verifier next to
+    q46's set-Jaccard, sensitive to in-place edits that token-set
+    measures miss entirely (a 1-char tweak per line leaves the shingle
+    set almost intact but racks up edit distance).
+
+    Scale: the O(len^2) dynamic program is confined to CANDIDATES ONLY
+    - the same bounded-pair discipline as q46; texts are joined onto
+    the pair list by doc key (two doc_id-partitioned shuffles), and the
+    expensive expression is JVM codegen (built-in levenshtein), zero
+    Python. Distances and lengths are integers, so the normalized
+    score divides identically in both engines."""
+    cands = q43_lsh_candidate_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    d = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            d.cast("long").alias("edit_dist"),
+            F.round(
+                1.0
+                - d.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b")),
+                4,
+            ).alias("edit_sim"),
+        )
+    )
