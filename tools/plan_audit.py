@@ -108,6 +108,8 @@ ALLOW = {
     "q256_hll_sketch_union": {"nested_loop"},  # 1-row exact-NDV bridge frame
     "q266_dedup_agreement": {"nested_loop"},  # three 1-row metric frames
     "q267_distinctive_terms": {"nested_loop"},  # 1-row corpus totals frame
+    "q279_bm25_topk": {"nested_loop"},  # 1-row N/avgdl stats frame
+    "q281_lm_perplexity_buckets": {"nested_loop"},  # 1-row vocab-size frame
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
