@@ -110,6 +110,9 @@ ALLOW = {
     "q267_distinctive_terms": {"nested_loop"},  # 1-row corpus totals frame
     "q279_bm25_topk": {"nested_loop"},  # 1-row N/avgdl stats frame
     "q281_lm_perplexity_buckets": {"nested_loop"},  # 1-row vocab-size frame
+    # 50-row depth-weight literal theta-joined to a <=50-row pool
+    # intersection + 1-row n_common frame
+    "q283_rank_agreement_rbo": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

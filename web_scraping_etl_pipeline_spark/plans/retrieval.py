@@ -713,3 +713,153 @@ def q279_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q283: rank-biased overlap between the lexical and vector rankers
+# ---------------------------------------------------------------------------
+
+#: RBO persistence parameter (Webber et al. 2010): p = 0.9 weights the
+#: top ~10 ranks with ~2/3 of the mass; evaluation depth = the pool.
+_RBO_P = 0.9
+
+
+def _rbo_weights() -> list[tuple[int, float]]:
+    """(depth, (1-p) * p^(d-1)) pairs computed ONCE driver-side so both
+    engines consume bit-identical double literals (cross-engine pow()
+    can differ in the last ulp)."""
+    return [
+        (d, (1.0 - _RBO_P) * _RBO_P ** (d - 1))
+        for d in range(1, _RRF_POOL + 1)
+    ]
+
+
+@query(
+    "q283_rank_agreement_rbo",
+    oracle=f"""
+    WITH lexpool AS (
+      SELECT doc_id, overlap FROM (
+        SELECT doc_id,
+               len(list_intersect(list_distinct({_TOKENS_SQL}),
+                                  [{_RRF_TERMS_SQL}])) AS overlap
+        FROM documents
+      ) ORDER BY overlap DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS r_lex
+      FROM lexpool
+    ),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id AS doc_id,
+             SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                 * CAST(qv.qe[r.i] AS DOUBLE)) AS dp
+      FROM embeddings e, qv, range(1, {DIM} + 1) r(i)
+      GROUP BY e.vec_id
+    ),
+    vecpool AS (
+      SELECT doc_id, ROUND(dp, 6) AS cos_sim FROM dots
+      ORDER BY ROUND(dp, 6) DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+      FROM vecpool
+    ),
+    common_docs AS (
+      SELECT lex.doc_id, lex.r_lex, vec.r_vec
+      FROM lex JOIN vec USING (doc_id)
+    ),
+    w(d, wt) AS (VALUES {{RBO_W_ROWS}}),
+    agreement AS (
+      SELECT w.d, w.wt,
+             CAST(COUNT(common_docs.doc_id) AS DOUBLE) / w.d AS a_d
+      FROM w
+      LEFT JOIN common_docs
+        ON common_docs.r_lex <= w.d AND common_docs.r_vec <= w.d
+      GROUP BY w.d, w.wt
+    )
+    SELECT CAST({_RRF_POOL} AS BIGINT) AS depth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM common_docs) AS n_common,
+           ROUND(SUM(wt * a_d), 6) AS rbo_trunc
+    FROM agreement
+    """.replace(
+        "{RBO_W_ROWS}",
+        ", ".join(f"({d}, {w!r})" for d, w in _rbo_weights()),
+    ),
+)
+def q283_rank_agreement_rbo(spark, sf_dir):
+    """RANK-BIASED OVERLAP (Webber et al. 2010) between the suite's two
+    rankers for the fixed information need: the lexical overlap pool
+    and the cosine pool (q225's two legs), compared as truncated
+    RBO@{_RRF_POOL} with p={_RBO_P} - the top-weighted agreement
+    measure for indefinite rankings, reported alongside q257's nDCG
+    (quality vs ground truth) as the complementary "do the rankers
+    even agree" diagnostic that decides whether hybrid fusion is worth
+    its cost. Depth weights (1-p)p^(d-1) are driver-computed literals
+    fed to BOTH engines, so no cross-engine pow() is in play.
+
+    Scale: both rank lists are bounded {_RRF_POOL}-row
+    TakeOrderedAndProject pools; the agreement-at-depth profile is a
+    theta-join of a {_RRF_POOL}-row frame against a {_RRF_POOL}-row
+    literal depth table and one bounded aggregate - nothing in the
+    metric ever revisits the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(_tokens()),
+            F.array(*[F.lit(w) for w in _RRF_TERMS]),
+        )
+    )
+    lex = (
+        docs.select("doc_id", overlap.alias("overlap"))
+        .orderBy(F.desc("overlap"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("overlap"), F.asc("doc_id")))
+            .alias("r_lex"),
+        )
+    )
+    qv = _query_vec(spark, sf_dir)
+    vec = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+            .alias("r_vec"),
+        )
+    )
+    both = lex.join(vec, "doc_id").select("doc_id", "r_lex", "r_vec")
+    w = spark.createDataFrame(_rbo_weights(), "d int, wt double")
+    agreement = (
+        F.broadcast(w)
+        .join(
+            both,
+            (F.col("r_lex") <= F.col("d")) & (F.col("r_vec") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d", "wt")
+        .agg(
+            (
+                F.count("doc_id").cast("double") / F.col("d")
+            ).alias("a_d")
+        )
+    )
+    n_common = both.agg(F.count("*").cast("long").alias("n_common"))
+    return agreement.agg(
+        F.round(F.sum(F.col("wt") * F.col("a_d")), 6).alias("rbo_trunc")
+    ).crossJoin(F.broadcast(n_common)).select(
+        F.lit(_RRF_POOL).cast("long").alias("depth"),
+        "n_common",
+        "rbo_trunc",
+    )
