@@ -17,7 +17,7 @@ import math
 
 from pyspark.sql import Window, functions as F
 
-from .common import t
+from .common import t, transient_persist
 from .registry import query
 from .textops import _TOKENS_SQL, _tokens
 from .vectors import (
@@ -862,4 +862,140 @@ def q283_rank_agreement_rbo(spark, sf_dir):
         F.lit(_RRF_POOL).cast("long").alias("depth"),
         "n_common",
         "rbo_trunc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284: maximal-marginal-relevance diversified re-ranking
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off (0.5 = equal weight on relevance and novelty), pool
+#: and result sizes. lambda is written as the literal 0.5 in BOTH
+#: engines' SQL/expressions, so the score arithmetic is identical.
+_MMR_POOL = 50
+_MMR_K = 10
+
+_MMR_PAIR_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a CTE chain (the q269 set-cover oracle
+    technique: one CTE trio per selection step, no recursion)."""
+    parts = [
+        f"""
+    WITH qv AS (SELECT embedding AS qe FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID}),
+    dots AS MATERIALIZED (
+      SELECT e.vec_id AS doc_id, e.embedding,
+             ROUND(SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                       * CAST(qv.qe[r.i] AS DOUBLE)), 6) AS rel
+      FROM embeddings e, qv, range(1, {DIM} + 1) r(i)
+      GROUP BY e.vec_id, e.embedding
+    ),
+    pool AS MATERIALIZED (
+      SELECT doc_id, embedding, rel FROM dots
+      ORDER BY rel DESC, doc_id LIMIT {_MMR_POOL}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             ROUND({_MMR_PAIR_DOT}, 6) AS sim
+      FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
+    ),
+    s1 AS MATERIALIZED (SELECT doc_id, ROUND(0.5 * rel, 6) AS score FROM pool
+           ORDER BY score DESC, doc_id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM s1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""
+    c{i} AS MATERIALIZED (
+      SELECT p.doc_id, ROUND(0.5 * p.rel - 0.5 * MAX(s.sim), 6) AS score
+      FROM pool p JOIN sims s ON s.da = p.doc_id
+      WHERE s.db IN (SELECT doc_id FROM sel{i - 1})
+        AND p.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+      GROUP BY p.doc_id, p.rel
+    ),
+    s{i} AS MATERIALIZED (SELECT doc_id, score FROM c{i}
+             ORDER BY score DESC, doc_id LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT doc_id FROM sel{i - 1}
+               UNION ALL SELECT doc_id FROM s{i})"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rk, doc_id, score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return ",".join(parts) + "\n    " + final
+
+
+@query("q284_mmr_rerank", oracle=_mmr_oracle())
+def q284_mmr_rerank(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998)
+    diversified top-{_MMR_K}: greedily pick the candidate maximizing
+    0.5*relevance - 0.5*max-similarity-to-already-selected from the
+    cosine top-{_MMR_POOL} pool - the standard diversity re-ranker a
+    RAG retrieval stage runs so the context window isn't {_MMR_K}
+    near-copies of the same passage (and the retrieval-side cousin of
+    the SemDeDup idea in q209).
+
+    Scale: the greedy loop is inherently sequential in K, but every
+    step's work is over BOUNDED frames: the pool is a
+    {_MMR_POOL}-row TakeOrdered, pairwise sims are pool x pool, and
+    each iteration is one bounded aggregate + 1-row argmax collect
+    (driver state = the <= {_MMR_K} selected ids, the same
+    bounded-driver-aggregate class as global_cumsum's partition
+    stats). The corpus is touched exactly once, by the pool scan."""
+    qv = _query_vec(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    pool = transient_persist(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(_MMR_POOL)
+    )
+    a = pool.select(
+        F.col("doc_id").alias("da"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("doc_id").alias("db"), F.col("embedding").alias("eb")
+    )
+    sims = transient_persist(
+        a.join(b, F.col("da") != F.col("db")).select(
+            "da", "db", F.round(_dot("ea", "eb"), 6).alias("sim")
+        )
+    )
+    chosen: list[tuple[int, int, float]] = []
+    for rk in range(1, _MMR_K + 1):
+        if not chosen:
+            cand = pool.select(
+                "doc_id", F.round(0.5 * F.col("rel"), 6).alias("score")
+            )
+        else:
+            sel_ids = [c[1] for c in chosen]
+            maxsim = (
+                sims.filter(F.col("db").isin(sel_ids))
+                .groupBy("da")
+                .agg(F.max("sim").alias("ms"))
+            )
+            cand = (
+                pool.filter(~F.col("doc_id").isin(sel_ids))
+                .join(maxsim, pool["doc_id"] == maxsim["da"])
+                .select(
+                    "doc_id",
+                    F.round(
+                        0.5 * F.col("rel") - 0.5 * F.col("ms"), 6
+                    ).alias("score"),
+                )
+            )
+        top = (
+            cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(1).first()
+        )
+        chosen.append((rk, top["doc_id"], float(top["score"])))
+    return spark.createDataFrame(
+        chosen, "rk long, doc_id long, score double"
     )
