@@ -166,12 +166,45 @@ def probe_hash_join_agg(spark, sf_dir, k):
     return out.count()
 
 
+def probe_ngram_lm_join(spark, sf_dir, k):
+    """q281's shape: bigram explode -> n-gram-keyed count tables ->
+    score join back onto the per-doc bigram instances -> per-doc fold.
+    Replication multiplies every bigram's corpus count by k but the
+    join keys stay vocabulary-sized, so the curve isolates the
+    n-gram-keyed shuffle joins (the stage that dominates LM scoring
+    at corpus scale)."""
+    docs = replicate(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", k
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    db = docs.select(
+        "doc_id", toks.alias("toks")
+    ).select("doc_id", F.explode(bigrams).alias("bigram"))
+    bg = db.groupBy("bigram").agg(F.count("*").alias("c2"))
+    ctx = bg.groupBy(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    scored = (
+        db.join(bg, "bigram")
+        .join(ctx, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log(F.col("c2") / F.col("c1"))).alias("nll"))
+    )
+    return scored.count()
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
     "prefix_sum": probe_prefix_sum,
     "window_rank": probe_window_rank,
     "hash_join_agg": probe_hash_join_agg,
+    "ngram_lm_join": probe_ngram_lm_join,
 }
 
 
