@@ -113,6 +113,7 @@ ALLOW = {
     # 50-row depth-weight literal theta-joined to a <=50-row pool
     # intersection + 1-row n_common frame
     "q283_rank_agreement_rbo": {"nested_loop"},
+    "q285_gate_agreement_kappa": {"nested_loop"},  # 1-row percentile cutoff
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

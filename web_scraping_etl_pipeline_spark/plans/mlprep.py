@@ -16,7 +16,7 @@ from pyspark.sql import Window, functions as F
 
 from .common import t, t_split, transient_persist
 from .registry import query
-from .textops import _TOKENS_SQL, _tokens
+from .textops import _SCORE_SQL, _TOKENS_SQL, _tokens
 
 #: cross-engine 60-bit hash bridge (plans/registry.py): Spark
 #: conv(substr(md5(x),1,15),16,10) == DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT)
@@ -1048,3 +1048,152 @@ def q281_lm_perplexity_buckets(spark, sf_dir):
     return bucketed.groupBy(
         "source", F.col("bucket").cast("long").alias("bucket")
     ).agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# q285: Cohen's kappa between the two quality gates
+# ---------------------------------------------------------------------------
+
+#: q214's gate parameters, re-stated here so the two raters are frozen
+#: even if the source queries evolve.
+_KAPPA_PCT = 0.75
+
+
+@query(
+    "q285_gate_agreement_kappa",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             (len(toks) BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+              AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    >= {_MIN_DISTINCT_RATIO}
+              AND CAST(len(list_filter(toks, t -> t IN {_STOPWORDS_SQL}))
+                       AS DOUBLE) / len(toks)
+                    >= {_MIN_STOPWORD_RATIO}) AS keep_a
+      FROM x
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST({_SCORE_SQL} AS BIGINT) AS score
+      FROM documents
+    ),
+    cut AS (
+      SELECT quantile_cont(CAST(score AS DOUBLE), {_KAPPA_PCT}) AS cutoff
+      FROM s
+    ),
+    b AS (SELECT s.doc_id, (s.score > cut.cutoff) AS keep_b FROM s, cut),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both,
+             CAST(SUM(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_a,
+             CAST(SUM(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_b,
+             CAST(SUM(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_neither
+      FROM a JOIN b USING (doc_id)
+    )
+    SELECT n, n_both, n_only_a, n_only_b, n_neither,
+           ROUND(CAST(n_both + n_neither AS DOUBLE) / n, 6) AS po,
+           ROUND((CAST(n_both + n_only_a AS DOUBLE) * (n_both + n_only_b)
+                  + CAST(n_only_b + n_neither AS DOUBLE)
+                    * (n_only_a + n_neither))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           ROUND((CAST(n_both + n_neither AS DOUBLE) / n
+                  - (CAST(n_both + n_only_a AS DOUBLE) * (n_both + n_only_b)
+                     + CAST(n_only_b + n_neither AS DOUBLE)
+                       * (n_only_a + n_neither))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0
+                    - (CAST(n_both + n_only_a AS DOUBLE) * (n_both + n_only_b)
+                       + CAST(n_only_b + n_neither AS DOUBLE)
+                         * (n_only_a + n_neither))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM m
+    """,
+)
+def q285_gate_agreement_kappa(spark, sf_dir):
+    """COHEN'S KAPPA between the suite's two independent quality
+    raters: the C4/Gopher rule gate (q84's keep decision) and the
+    corpus-relative percentile gate (q214's score > p{_KAPPA_PCT:.0%}
+    cutoff) - chance-corrected agreement, the metric annotation/eval
+    ops reports where raw percent-agreement misleads (two gates that
+    both keep 90% agree 81% by luck alone). Complements q266, which
+    scores the dedup systems' agreement as precision/recall/F1.
+
+    Scale: both raters are map-stage predicates over one documents
+    scan (the percentile cutoff is a 1-row mergeable aggregate
+    broadcast back); the contingency table is a single 4-counter
+    aggregate, and kappa is driver-free arithmetic on its one row.
+    Counts are integers, so po/pe/kappa are identical float
+    expressions in both engines."""
+    from .textops import _int_score
+
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    a = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(
+                toks,
+                lambda c: c.isin(
+                    "the", "a", "of", "and", "to",
+                    "in", "is", "it", "for", "on",
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+        _int_score().alias("score"),
+    )
+    keep_a = (
+        F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+        & (F.col("n_distinct") / F.col("n_tokens") >= _MIN_DISTINCT_RATIO)
+        & (F.col("n_stop") / F.col("n_tokens") >= _MIN_STOPWORD_RATIO)
+    )
+    cut = a.agg(
+        F.percentile(F.col("score").cast("double"), _KAPPA_PCT).alias(
+            "cutoff"
+        )
+    )
+    flags = a.crossJoin(F.broadcast(cut)).select(
+        keep_a.alias("keep_a"), (F.col("score") > F.col("cutoff")).alias("keep_b")
+    )
+    m = flags.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("keep_a") & F.col("keep_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(F.col("keep_a") & ~F.col("keep_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_a"),
+        F.sum(F.when(~F.col("keep_a") & F.col("keep_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_b"),
+        F.sum(F.when(~F.col("keep_a") & ~F.col("keep_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    po = (F.col("n_both") + F.col("n_neither")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n_both") + F.col("n_only_a")).cast("double")
+        * (F.col("n_both") + F.col("n_only_b"))
+        + (F.col("n_only_b") + F.col("n_neither")).cast("double")
+        * (F.col("n_only_a") + F.col("n_neither"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return m.select(
+        "n",
+        "n_both",
+        "n_only_a",
+        "n_only_b",
+        "n_neither",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
