@@ -114,6 +114,8 @@ ALLOW = {
     # intersection + 1-row n_common frame
     "q283_rank_agreement_rbo": {"nested_loop"},
     "q285_gate_agreement_kappa": {"nested_loop"},  # 1-row percentile cutoff
+    # |langs| x |sources| marginal grid + 1-row total/dims frames
+    "q286_lang_source_chi2": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

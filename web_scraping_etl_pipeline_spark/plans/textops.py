@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import global_cumsum, t, t_split
+from .common import global_cumsum, t, t_split, transient_persist
 from .registry import query
 
 #: tokens = whitespace split of the trimmed, lowercased text. Documents
@@ -563,4 +563,118 @@ def q280_zipf_source_audit(spark, sf_dir):
         ),
         "zipf_slope",
         "zipf_r2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286: chi-square independence audit (lang x source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q286_lang_source_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(c) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT source, SUM(c) AS s FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM cells),
+    grid AS (
+      SELECT rt.lang, ct.source, rt.r, ct.s,
+             COALESCE(cells.c, 0) AS o,
+             CAST(rt.r AS DOUBLE) * ct.s / tot.n AS e
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells USING (lang, source), tot
+    ),
+    contrib AS (
+      SELECT ROUND((o - e) * (o - e) / e, 6) AS x FROM grid
+    ),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_langs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_sources,
+             (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs
+    )
+    SELECT d.n_docs, d.n_langs, d.n_sources,
+           (d.n_langs - 1) * (d.n_sources - 1) AS dof,
+           ROUND(SUM(c.x), 4) AS chi2,
+           ROUND(SQRT(SUM(c.x) / (d.n_docs
+                 * LEAST(d.n_langs - 1, d.n_sources - 1))), 6) AS cramers_v
+    FROM contrib c, dims d
+    GROUP BY d.n_docs, d.n_langs, d.n_sources, dof
+    """,
+)
+def q286_lang_source_chi2(spark, sf_dir):
+    """PEARSON CHI-SQUARE independence audit of the lang x source
+    contingency table, with Cramer's V as the bounded effect size -
+    the categorical-association screen a corpus intake runs to catch
+    "this source is secretly single-language" or "language mix shifted
+    under one crawler" (the categorical sibling of q200's KS and
+    q244's PSI drift tests). Expected counts include OBSERVED-ZERO
+    cells (marginal cross join), which a cells-only formulation would
+    silently drop from the statistic.
+
+    Scale: the contingency table is one map-side-combinable count
+    aggregate; marginals, the |langs| x |sources| grid, and the final
+    fold are all bounded by category cardinality, never by corpus
+    size. Integer observed/marginal counts make each cell's
+    contribution the identical float expression in both engines;
+    contributions round at 1e-6 before the bounded sum."""
+    docs = t_split(spark, sf_dir, "documents")
+    cells = transient_persist(
+        docs.groupBy("lang", "source").agg(
+            F.count("*").cast("long").alias("c")
+        )
+    )
+    rt = cells.groupBy("lang").agg(F.sum("c").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("c").alias("s"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(cells, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(F.col("c"), F.lit(0)).alias("o"),
+            (F.col("r").cast("double") * F.col("s") / F.col("n")).alias(
+                "e"
+            ),
+        )
+    )
+    contrib = grid.select(
+        F.round(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+            / F.col("e"),
+            6,
+        ).alias("x")
+    )
+    dims = (
+        rt.agg(F.count("*").cast("long").alias("n_langs"))
+        .crossJoin(ct.agg(F.count("*").cast("long").alias("n_sources")))
+        .crossJoin(tot.select(F.col("n").cast("long").alias("n_docs")))
+    )
+    return (
+        contrib.agg(F.sum("x").alias("chi2_raw"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias(
+                "dof"
+            ),
+            F.round(F.col("chi2_raw"), 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (
+                        F.col("n_docs")
+                        * F.least(
+                            F.col("n_langs") - 1, F.col("n_sources") - 1
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
     )
