@@ -156,6 +156,9 @@ ALLOW_GLOBAL_WINDOW = {
     "q258_survival_curve",
     # CUSUM path over the per-DAY aggregate - bounded by days.
     "q260_cusum_changepoint",
+    # rank cumsum over the SCORE-GROUP aggregate - bounded by the
+    # milli-unit score domain (<= 1001 rows), never fact-sized.
+    "q287_quality_dup_auc",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

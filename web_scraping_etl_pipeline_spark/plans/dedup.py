@@ -1475,3 +1475,118 @@ def q282_edit_distance_verify(spark, sf_dir):
             ).alias("edit_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q287: exact AUC of the quality score as a near-dup predictor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q287_quality_dup_auc",
+    oracle=_LSH_CANDS_SQL + """,
+    members AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cands
+        UNION ALL SELECT doc_b FROM cands
+      )
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             ((1000 * len(list_distinct(
+                 string_split_regex(trim(lower(d.text)), '\\s+'))))
+              // len(string_split_regex(trim(lower(d.text)), '\\s+')))
+               AS score,
+             (m.doc_id IS NOT NULL) AS is_dup
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    ),
+    grp AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_cnt
+      FROM scored GROUP BY score
+    ),
+    rk AS (
+      SELECT score, cnt, pos_cnt,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM grp
+    ),
+    folds AS (
+      SELECT SUM(pos_cnt * (below + 1 + (cnt - 1) / 2.0)) AS pos_ranksum,
+             SUM(pos_cnt) AS p,
+             SUM(cnt - pos_cnt) AS n
+      FROM rk
+    )
+    SELECT CAST(p AS BIGINT) AS n_dup, CAST(n AS BIGINT) AS n_clean,
+           ROUND((pos_ranksum - p * (p + 1) / 2.0) / (p * n), 6) AS auc
+    FROM folds
+    """,
+)
+def q287_quality_dup_auc(spark, sf_dir):
+    """EXACT ROC-AUC (Mann-Whitney U with midrank tie handling) of the
+    milli-unit quality score as a predictor of near-dup membership
+    (label = the document appears in an LSH candidate pair) - the
+    threshold-free answer to "does low quality predict duplication?"
+    that q231's bucketed calibration curve approximates. AUC is
+    computed from score-GROUP counts: avg rank of a tie group =
+    ranks-below + 1 + (cnt-1)/2, so every intermediate is an integer
+    or exact half and the statistic is bit-identical cross-engine -
+    no float summation-order exposure at all.
+
+    Scale: scoring is a map stage; the group table is bounded by the
+    score domain (<= 1001 milli-unit values), so the rank cumsum is a
+    window over a BOUNDED aggregate (the adjudicated bounded-frame
+    class), and the fold is one row. The only corpus-sized shuffles
+    are the label semi-join and the score groupBy."""
+    from .textops import _int_score
+
+    cands = q43_lsh_candidate_pairs(spark, sf_dir)
+    members = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = t(spark, sf_dir, "documents")
+    scored = (
+        docs.join(members.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .select(
+            _int_score().alias("score"),
+            F.col("hit").isNotNull().alias("is_dup"),
+        )
+    )
+    grp = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("pos_cnt"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = grp.select(
+        "cnt",
+        "pos_cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    folds = rk.agg(
+        F.sum(
+            F.col("pos_cnt")
+            * (F.col("below") + 1 + (F.col("cnt") - 1) / 2.0)
+        ).alias("pos_ranksum"),
+        F.sum("pos_cnt").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n"),
+    )
+    return folds.select(
+        F.col("p").cast("long").alias("n_dup"),
+        F.col("n").cast("long").alias("n_clean"),
+        F.round(
+            (F.col("pos_ranksum") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("n")),
+            6,
+        ).alias("auc"),
+    )
