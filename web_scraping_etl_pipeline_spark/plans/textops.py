@@ -678,3 +678,64 @@ def q286_lang_source_chi2(spark, sf_dir):
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q288: Good-Turing frequency-of-frequencies per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q288_good_turing_mass",
+    oracle=f"""
+    WITH tt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           ROUND(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(f), 6) AS gt_unseen_mass,
+           ROUND(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_share
+    FROM tt
+    GROUP BY source
+    """,
+)
+def q288_good_turing_mass(spark, sf_dir):
+    """GOOD-TURING unseen-mass estimate per source: the
+    frequency-of-frequencies profile (N1 singletons, N2 doubletons,
+    vocabulary, tokens) and the two derived health numbers - GT unseen
+    probability mass N1/N ("how much of this source's distribution
+    have we NOT seen yet"; high = the crawl is far from exhausting the
+    source, also the smoothing mass a KN/GT-smoothed LM reserves) and
+    hapax share N1/V (high = productive/noisy vocabulary; near zero =
+    templated boilerplate). Completes the corpus-intake panel next to
+    q280's Zipf slope.
+
+    Scale: one explode + two chained map-side-combinable hash
+    aggregates ((source, term) then source); every output is an
+    integer count or a single exact division - nothing global, no
+    float summation anywhere."""
+    tt = (
+        t_split(spark, sf_dir, "documents")
+        .select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    n1 = F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+    return tt.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(n1.cast("double") / F.sum("f"), 6).alias(
+            "gt_unseen_mass"
+        ),
+        F.round(n1.cast("double") / F.count("*"), 6).alias("hapax_share"),
+    )
