@@ -765,3 +765,75 @@ def q184_multiprobe_ann(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q289: embedding isotropy audit per label
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q289_embedding_isotropy",
+    oracle=f"""
+    WITH dimsum AS (
+      SELECT e.label, r.i AS dim,
+             SUM(CAST(e.embedding[r.i] AS DOUBLE)) AS s
+      FROM embeddings e, range(1, {DIM} + 1) r(i)
+      GROUP BY 1, 2
+    ),
+    persum AS (
+      SELECT label, SUM(s * s) AS ssum2 FROM dimsum GROUP BY 1
+    ),
+    selfdot AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(list_sum(list_transform(range(1, {DIM} + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[i] AS DOUBLE)))) AS sumsq
+      FROM embeddings
+      GROUP BY 1
+    )
+    SELECT p.label, d.n,
+           ROUND(SQRT(p.ssum2) / d.n, 4) AS mean_norm,
+           ROUND((p.ssum2 - d.sumsq) / (CAST(d.n AS DOUBLE) * (d.n - 1)),
+                 4) AS avg_pair_cos
+    FROM persum p JOIN selfdot d USING (label)
+    """,
+)
+def q289_embedding_isotropy(spark, sf_dir):
+    """EMBEDDING-SPACE isotropy audit per label: the mean pairwise
+    cosine among a label's vectors computed EXACTLY via the identity
+    avg_pair = (||sum v||^2 - sum ||v||^2) / (n(n-1)) - no pair join,
+    ever - plus the mean-vector norm. High average pairwise cosine is
+    the anisotropy/"narrow cone" pathology (Ethayarajh 2019) that
+    cripples cosine-based retrieval and similarity dedup; this is the
+    one-scan screen run before trusting q50/q209-style cosine
+    operators on a new embedding model.
+
+    Scale: one posexplode aggregate for per-dim sums ({DIM} x |labels|
+    rows) and one map-stage self-dot aggregate; the identity removes
+    the O(n^2) pair enumeration entirely. The only shuffles carry
+    (label, dim) partials."""
+    emb = t(spark, sf_dir, "embeddings")
+    dimsum = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("val").cast("double")).alias("s"))
+    )
+    persum = dimsum.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ssum2")
+    )
+    selfdot = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(_dot("embedding", "embedding")).alias("sumsq"),
+    )
+    return persum.join(selfdot, "label").select(
+        "label",
+        "n",
+        F.round(F.sqrt(F.col("ssum2")) / F.col("n"), 4).alias("mean_norm"),
+        F.round(
+            (F.col("ssum2") - F.col("sumsq"))
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            4,
+        ).alias("avg_pair_cos"),
+    )
