@@ -116,6 +116,7 @@ ALLOW = {
     "q285_gate_agreement_kappa": {"nested_loop"},  # 1-row percentile cutoff
     # |langs| x |sources| marginal grid + 1-row total/dims frames
     "q286_lang_source_chi2": {"nested_loop"},
+    "q290_truncation_sweep": {"nested_loop"},  # 4-row max_len literal frame
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -1197,3 +1197,69 @@ def q285_gate_agreement_kappa(spark, sf_dir):
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q290: max-sequence-length truncation sweep
+# ---------------------------------------------------------------------------
+
+#: candidate context lengths swept (tokens); the suite's documents run
+#: ~20-80 whitespace tokens, so the grid brackets the distribution.
+_TRUNC_LENS = (16, 32, 64, 128)
+
+
+@query(
+    "q290_truncation_sweep",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n FROM documents
+    ),
+    lens(max_len) AS (VALUES {", ".join(f"({n})" for n in _TRUNC_LENS)})
+    SELECT CAST(lens.max_len AS BIGINT) AS max_len,
+           CAST(SUM(CASE WHEN dl.n > lens.max_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(SUM(LEAST(dl.n, lens.max_len)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(GREATEST(dl.n - lens.max_len, 0)) AS BIGINT)
+             AS tokens_lost,
+           ROUND(CAST(SUM(GREATEST(dl.n - lens.max_len, 0)) AS DOUBLE)
+                 / SUM(dl.n), 6) AS loss_share,
+           ROUND(CAST(SUM(LEAST(dl.n, lens.max_len)) AS DOUBLE)
+                 / (COUNT(*) * lens.max_len), 6) AS fill_ratio
+    FROM dl CROSS JOIN lens
+    GROUP BY lens.max_len
+    """,
+)
+def q290_truncation_sweep(spark, sf_dir):
+    """MAX-SEQUENCE-LENGTH sweep: for each candidate context length,
+    how many documents truncate, how many tokens survive vs fall off,
+    the corpus token-loss share, and the context fill ratio if each
+    doc occupied one sequence - the two-sided waste curve (short
+    max_len loses tail tokens, long max_len pads air) that picks a
+    training max_seq_len BEFORE committing to tokenize-and-pack
+    (q86's packing then works within the chosen budget).
+
+    Scale: per-doc length is one map stage; the sweep is a cross join
+    against a {len(_TRUNC_LENS)}-row literal frame (bounded broadcast
+    multiplication, the q175 coverage-targets shape) folding into a
+    {len(_TRUNC_LENS)}-row aggregate. Integer-exact throughout; the
+    two ratios are single divisions."""
+    dl = t_split(spark, sf_dir, "documents").select(
+        F.size(_tokens()).cast("long").alias("n")
+    )
+    lens = spark.createDataFrame(
+        [(n,) for n in _TRUNC_LENS], "max_len long"
+    )
+    j = dl.crossJoin(F.broadcast(lens))
+    kept = F.sum(F.least(F.col("n"), F.col("max_len")))
+    lost = F.sum(F.greatest(F.col("n") - F.col("max_len"), F.lit(0)))
+    return j.groupBy("max_len").agg(
+        F.sum(F.when(F.col("n") > F.col("max_len"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        kept.cast("long").alias("tokens_kept"),
+        lost.cast("long").alias("tokens_lost"),
+        F.round(lost.cast("double") / F.sum("n"), 6).alias("loss_share"),
+        F.round(
+            kept.cast("double") / (F.count("*") * F.col("max_len")), 6
+        ).alias("fill_ratio"),
+    )
