@@ -739,3 +739,86 @@ def q288_good_turing_mass(spark, sf_dir):
         ),
         F.round(n1.cast("double") / F.count("*"), 6).alias("hapax_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q291: character-entropy quality signal per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q291_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(text) + 1),
+                                   i -> substring(text, i, 1))) AS c
+      FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ch GROUP BY 1, 2, 3
+    ),
+    dl AS (
+      SELECT doc_id, source, SUM(k) AS n,
+             SUM(-1.0 * k * log2(CAST(k AS DOUBLE))) AS partial
+      FROM cc GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT doc_id, source,
+             log2(CAST(n AS DOUBLE)) + partial / n AS h
+      FROM dl
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(h), 4) AS avg_entropy,
+           ROUND(MIN(h), 4) AS min_entropy,
+           ROUND(MAX(h), 4) AS max_entropy
+    FROM ent
+    GROUP BY source
+    """,
+)
+def q291_char_entropy(spark, sf_dir):
+    """CHARACTER-LEVEL Shannon entropy per document, aggregated per
+    source - the cheap proxy for compression ratio that quality
+    pipelines use to flag both pathologies at once: near-zero entropy
+    is repeated-character/templated junk, abnormally high entropy is
+    base64/binary-in-text contamination. Uses the algebraic identity
+    H = log2(n) - (1/n) * sum k_i*log2(k_i), so the fold needs only
+    the integer (char, count) table, never materialized probabilities.
+
+    Scale: the char explode is map-side (rows = corpus characters, no
+    wider than the scan); (doc, char) counts combine map-side into a
+    bounded-alphabet table per doc; the entropy fold and the source
+    rollup are ordinary hash aggregates. No corpus-sized shuffle
+    carries anything wider than (doc_id, char, count)."""
+    ch = t_split(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(text)),"
+                " i -> substring(text, i, 1))"
+            )
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "source", "c").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    dl = cc.groupBy("doc_id", "source").agg(
+        F.sum("k").alias("n"),
+        F.sum(
+            -1.0 * F.col("k") * F.log2(F.col("k").cast("double"))
+        ).alias("partial"),
+    )
+    ent = dl.select(
+        "source",
+        (F.log2(F.col("n").cast("double")) + F.col("partial") / F.col("n"))
+        .alias("h"),
+    )
+    return ent.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("h"), 4).alias("avg_entropy"),
+        F.round(F.min("h"), 4).alias("min_entropy"),
+        F.round(F.max("h"), 4).alias("max_entropy"),
+    )
