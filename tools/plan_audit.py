@@ -117,6 +117,7 @@ ALLOW = {
     # |langs| x |sources| marginal grid + 1-row total/dims frames
     "q286_lang_source_chi2": {"nested_loop"},
     "q290_truncation_sweep": {"nested_loop"},  # 4-row max_len literal frame
+    "q292_source_transfer_matrix": {"nested_loop"},  # 1-row vocab frame
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -1263,3 +1263,101 @@ def q290_truncation_sweep(spark, sf_dir):
             kept.cast("double") / (F.count("*") * F.col("max_len")), 6
         ).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q292: cross-source LM transfer matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q292_source_transfer_matrix",
+    oracle=f"""
+    WITH tt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, SUM(tf) AS n FROM tt GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT term) AS vocab FROM tt),
+    matched AS (
+      SELECT e.source AS src_eval, tr.source AS src_train,
+             SUM(e.tf * ln(CAST(tr.tf + 1 AS DOUBLE))) AS m
+      FROM tt e JOIN tt tr USING (term)
+      GROUP BY 1, 2
+    )
+    SELECT m.src_eval, m.src_train,
+           ROUND(ln(CAST(t_tr.n + v.vocab AS DOUBLE))
+                 - m.m / t_ev.n, 4) AS cross_entropy
+    FROM matched m
+    JOIN totals t_ev ON t_ev.source = m.src_eval
+    JOIN totals t_tr ON t_tr.source = m.src_train, v
+    """,
+)
+def q292_source_transfer_matrix(spark, sf_dir):
+    """CROSS-SOURCE LM TRANSFER MATRIX: train an add-one-smoothed
+    unigram LM on each source, evaluate every source's cross-entropy
+    under every other source's LM - the |S| x |S| "train on A, how
+    surprised is B" map that data-mixing work reads to find redundant
+    sources (low off-diagonal), islands (high everywhere), and
+    transfer direction before committing mixture weights (the matrix
+    view of what q226's DSIR scores pointwise). Add-one smoothing
+    folds algebraically to matched terms only:
+    H(e,t) = ln(N_t + V) - (1/N_e) * sum_matched tf_e * ln(tf_t + 1),
+    so unseen-term handling costs NOTHING - no full vocab x source
+    cross join, just the natural term-keyed equi-join.
+
+    Scale: the per-(source, term) table is one explode + hash
+    aggregate; the transfer sum is a self-join ON TERM whose output is
+    bounded by |S|^2 per term (source count is bounded at any corpus
+    size, the classic bounded-dimension fan-out); totals and V are
+    broadcast frames. Integer tf/N/V make the per-term contribution
+    the identical float expression cross-engine."""
+    tt = transient_persist(
+        t_split(spark, sf_dir, "documents")
+        .select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    totals = tt.groupBy("source").agg(F.sum("tf").alias("n"))
+    v = tt.agg(F.countDistinct("term").alias("vocab"))
+    e = tt.select(
+        F.col("source").alias("src_eval"),
+        "term",
+        F.col("tf").alias("tf_e"),
+    )
+    tr = tt.select(
+        F.col("source").alias("src_train"),
+        "term",
+        F.col("tf").alias("tf_t"),
+    )
+    matched = (
+        e.join(tr, "term")
+        .groupBy("src_eval", "src_train")
+        .agg(
+            F.sum(
+                F.col("tf_e")
+                * F.log((F.col("tf_t") + 1).cast("double"))
+            ).alias("m")
+        )
+    )
+    t_ev = totals.select(
+        F.col("source").alias("src_eval"), F.col("n").alias("n_e")
+    )
+    t_tr = totals.select(
+        F.col("source").alias("src_train"), F.col("n").alias("n_t")
+    )
+    return (
+        matched.join(F.broadcast(t_ev), "src_eval")
+        .join(F.broadcast(t_tr), "src_train")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "src_eval",
+            "src_train",
+            F.round(
+                F.log((F.col("n_t") + F.col("vocab")).cast("double"))
+                - F.col("m") / F.col("n_e"),
+                4,
+            ).alias("cross_entropy"),
+        )
+    )
