@@ -1590,3 +1590,95 @@ def q287_quality_dup_auc(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q293: dedup-adjusted effective token yield per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q293_effective_token_yield",
+    oracle=_LSH_CANDS_SQL + f""",
+    base AS (
+      SELECT doc_id, source,
+             CAST(len({{TOKENS}}) AS BIGINT) AS n_tokens,
+             md5(text) AS digest
+      FROM documents
+    ),
+    keepers AS (
+      SELECT doc_id, source, n_tokens,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY digest))
+               AS keep_exact
+      FROM base
+    ),
+    nd_drop AS (SELECT DISTINCT doc_b AS doc_id FROM cands),
+    final AS (
+      SELECT k.doc_id, k.source, k.n_tokens, k.keep_exact,
+             (k.keep_exact AND d.doc_id IS NULL) AS keep_final
+      FROM keepers k LEFT JOIN nd_drop d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+           CAST(SUM(CASE WHEN keep_exact THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_exact,
+           CAST(SUM(CASE WHEN keep_final THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_final,
+           ROUND(CAST(SUM(CASE WHEN keep_final THEN n_tokens ELSE 0 END)
+                      AS DOUBLE) / SUM(n_tokens), 4) AS yield_rate
+    FROM final
+    GROUP BY source
+    """.replace("{TOKENS}", "string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def q293_effective_token_yield(spark, sf_dir):
+    """EFFECTIVE TOKEN YIELD per source: raw tokens, tokens surviving
+    exact dedup (keep the min-id doc per content digest), tokens
+    surviving the near-dup pass on top (drop the higher-id member of
+    every LSH candidate pair), and the final yield rate - the number
+    corpus planning actually budgets with, because a source quoting
+    10B raw tokens at 40% yield funds less training than one quoting
+    6B at 95% (and the per-source drop pattern is itself the
+    mirror/spam tell).
+
+    Scale: the exact-dedup keeper flag is one digest-partitioned
+    window (dup groups are tiny); the near-dup drop list is the
+    LSH pair table's distinct right side (bounded by LSH output,
+    shared via the q43 stage); everything else is map-stage flags
+    folding into a per-source aggregate. Integer token sums; one
+    exact division."""
+    cands = q43_lsh_candidate_pairs(spark, sf_dir)
+    nd_drop = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    keep_exact = (
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    keepers = base.select(
+        "doc_id", "source", "n_tokens", keep_exact.alias("keep_exact")
+    )
+    final = keepers.join(
+        nd_drop.withColumn("hit", F.lit(1)), "doc_id", "left"
+    ).select(
+        "source",
+        "n_tokens",
+        "keep_exact",
+        (F.col("keep_exact") & F.col("hit").isNull()).alias("keep_final"),
+    )
+    tok_if = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c), F.col("n_tokens")).otherwise(0)
+    )
+    return final.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_raw"),
+        tok_if("keep_exact").cast("long").alias("tokens_exact"),
+        tok_if("keep_final").cast("long").alias("tokens_final"),
+        F.round(
+            tok_if("keep_final").cast("double") / F.sum("n_tokens"), 4
+        ).alias("yield_rate"),
+    )
