@@ -1682,3 +1682,126 @@ def q293_effective_token_yield(spark, sf_dir):
             tok_if("keep_final").cast("double") / F.sum("n_tokens"), 4
         ).alias("yield_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q294: sorted-suffix LCP duplicate-span mining
+# ---------------------------------------------------------------------------
+
+#: tokens per suffix (the comparison horizon) and the minimum shared
+#: token span worth reporting.
+_SUF_T = 12
+_SUF_MIN = 6
+
+
+@query(
+    "q294_suffix_lcp_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    prep AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+               i -> struct_pack(pos := i,
+                 suf := array_to_string(
+                   list_slice(toks, i, i + {_SUF_T - 1}), ' ')))) AS u
+      FROM base
+    ),
+    sufs AS (SELECT doc_id, u.pos AS pos, u.suf AS suf FROM prep),
+    led AS (
+      SELECT doc_id, pos, suf,
+             LEAD(suf) OVER w AS lead_suf,
+             LEAD(doc_id) OVER w AS lead_doc
+      FROM sufs WINDOW w AS (ORDER BY suf, doc_id, pos)
+    ),
+    lcps AS (
+      SELECT doc_id, lead_doc,
+             CASE WHEN mm > 0 THEN mm - 1
+                  ELSE LEAST(len(a), len(b)) END AS lcp
+      FROM (
+        SELECT doc_id, lead_doc,
+               string_split(suf, ' ') AS a,
+               string_split(lead_suf, ' ') AS b,
+               list_position(
+                 list_transform(list_zip(string_split(suf, ' '),
+                                         string_split(lead_suf, ' ')),
+                                z -> z[1] IS DISTINCT FROM z[2]),
+                 true) AS mm
+        FROM led
+        WHERE lead_doc IS NOT NULL AND lead_doc <> doc_id
+      )
+    )
+    SELECT LEAST(doc_id, lead_doc) AS doc_a,
+           GREATEST(doc_id, lead_doc) AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_sites,
+           CAST(MAX(lcp) AS BIGINT) AS max_lcp
+    FROM lcps
+    WHERE lcp >= {_SUF_MIN}
+    GROUP BY 1, 2
+    """,
+)
+def q294_suffix_lcp_spans(spark, sf_dir):
+    """SORTED-SUFFIX duplicate-span mining (the suffix-array pass of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every token-boundary suffix (capped at {_SUF_T}
+    tokens) is globally sorted; adjacent suffixes from DIFFERENT
+    documents with a token-LCP >= {_SUF_MIN} expose maximal
+    VARIABLE-LENGTH shared spans - the copies q205's fixed-width
+    window hashing can only see at its one width, found here at any
+    length up to the horizon. Adjacency in suffix order is the
+    standard first pass: equal long spans sort together, so every
+    cross-doc repeat surfaces as at least one adjacent pair.
+
+    Scale: suffix rows = corpus tokens (linear, map-stage); the global
+    sort is :func:`plans.common.global_lead` - range-partitioned with
+    map-only in-partition lookahead and broadcast fringe patching,
+    never a single-partition window; the LCP is a per-row expression
+    over two {_SUF_T}-token arrays (Spark's zip_with and DuckDB's
+    list_zip both null-pad the shorter side, so the first-mismatch
+    semantics agree engine-for-engine)."""
+    base = t_split(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    sufs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks)),"
+                f" i -> array_join(slice(toks, i, {_SUF_T}), ' '))"
+            )
+        ).alias("pos0", "suf"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "suf")
+    led = global_lead(
+        sufs, ["suf", "doc_id", "pos"], ["suf", "doc_id"], k=1
+    )
+    cand = led.filter(
+        F.col("_lead1_doc_id").isNotNull()
+        & (F.col("_lead1_doc_id") != F.col("doc_id"))
+    ).select(
+        "doc_id",
+        F.col("_lead1_doc_id").alias("lead_doc"),
+        F.expr(
+            "array_position(zip_with(split(suf, ' '),"
+            " split(_lead1_suf, ' '), (x, y) -> NOT (x <=> y)), true)"
+        ).alias("mm"),
+        F.least(
+            F.size(F.split(F.col("suf"), " ")),
+            F.size(F.split(F.col("_lead1_suf"), " ")),
+        ).alias("minlen"),
+    )
+    lcp = F.when(F.col("mm") > 0, F.col("mm") - 1).otherwise(
+        F.col("minlen")
+    )
+    return (
+        cand.select("doc_id", "lead_doc", lcp.alias("lcp"))
+        .filter(F.col("lcp") >= _SUF_MIN)
+        .groupBy(
+            F.least("doc_id", "lead_doc").alias("doc_a"),
+            F.greatest("doc_id", "lead_doc").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_sites"),
+            F.max("lcp").cast("long").alias("max_lcp"),
+        )
+    )
