@@ -118,6 +118,8 @@ ALLOW = {
     "q286_lang_source_chi2": {"nested_loop"},
     "q290_truncation_sweep": {"nested_loop"},  # 4-row max_len literal frame
     "q292_source_transfer_matrix": {"nested_loop"},  # 1-row vocab frame
+    # ~|values|-row grid broadcast + 1-row corpus-total frame
+    "q295_wasserstein_length_drift": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -158,6 +160,9 @@ ALLOW_GLOBAL_WINDOW = {
     "q258_survival_curve",
     # CUSUM path over the per-DAY aggregate - bounded by days.
     "q260_cusum_changepoint",
+    # corpus CDF cumsum over the length VALUE-DOMAIN aggregate
+    # (token counts span ~20-80 values) - bounded, never fact-sized.
+    "q295_wasserstein_length_drift",
     # rank cumsum over the SCORE-GROUP aggregate - bounded by the
     # milli-unit score domain (<= 1001 rows), never fact-sized.
     "q287_quality_dup_auc",

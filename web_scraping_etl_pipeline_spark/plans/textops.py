@@ -822,3 +822,127 @@ def q291_char_entropy(spark, sf_dir):
         F.round(F.min("h"), 4).alias("min_entropy"),
         F.round(F.max("h"), 4).alias("max_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q295: Wasserstein-1 length drift per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q295_wasserstein_length_drift",
+    oracle=f"""
+    WITH dl AS (
+      SELECT source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS v
+      FROM documents
+    ),
+    vals AS (SELECT DISTINCT v FROM dl),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
+             FROM dl GROUP BY 1),
+    cnt AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS n
+            FROM dl GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, s.tot, va.v, COALESCE(c.n, 0) AS n
+      FROM srcs s CROSS JOIN vals va
+      LEFT JOIN cnt c ON c.source = s.source AND c.v = va.v
+    ),
+    scum AS (
+      SELECT source, tot, v,
+             SUM(n) OVER (PARTITION BY source ORDER BY v) AS cum
+      FROM grid
+    ),
+    ccnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM dl GROUP BY 1),
+    ccum AS (
+      SELECT v, SUM(n) OVER (ORDER BY v) AS cum,
+             (SELECT COUNT(*) FROM dl) AS tot
+      FROM ccnt
+    ),
+    step AS (
+      SELECT s.source, s.v,
+             LEAD(s.v) OVER (PARTITION BY s.source ORDER BY s.v) AS nv,
+             CAST(s.cum AS DOUBLE) / s.tot
+               - CAST(c.cum AS DOUBLE) / c.tot AS d
+      FROM scum s JOIN ccum c USING (v)
+    )
+    SELECT source,
+           ROUND(SUM((nv - v) * ABS(d)), 6) AS w1_tokens
+    FROM step
+    WHERE nv IS NOT NULL
+    GROUP BY source
+    """,
+)
+def q295_wasserstein_length_drift(spark, sf_dir):
+    """WASSERSTEIN-1 (earth mover's) distance between each source's
+    document-length distribution and the corpus distribution, in TOKEN
+    units - the drift measure with a magnitude: KS (q200) says the
+    CDFs differ, PSI (q244) and KL (q229) score bucket ratios, W1 says
+    "this source's docs are effectively N tokens longer/shorter" - the
+    number that directly predicts packing and truncation impact
+    (q86/q290). On the 1-D line W1 is exactly the area between CDFs:
+    sum over the value grid of gap x |F_s - F_corpus|.
+
+    Scale: per-(source, value) counts are one hash aggregate; the
+    grid, cumsums, and LEAD all live on frames bounded by
+    |sources| x |value domain| (token counts span ~20-80), never
+    corpus-sized - the per-source windows partition by source and the
+    corpus cum windows over the ~|values|-row aggregate (the
+    adjudicated bounded class). Integer counts make each CDF fraction
+    the identical single division cross-engine."""
+    from pyspark.sql import Window
+
+    dl = t_split(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens()).cast("long").alias("v")
+    )
+    vals = dl.select("v").distinct()
+    srcs = dl.groupBy("source").agg(F.count("*").alias("tot"))
+    cnt = dl.groupBy("source", "v").agg(F.count("*").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(cnt, ["source", "v"], "left")
+        .select(
+            "source",
+            "tot",
+            "v",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    ws = Window.partitionBy("source").orderBy("v")
+    scum = grid.select(
+        "source",
+        "tot",
+        "v",
+        F.sum("n").over(ws.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    ctot = dl.agg(F.count("*").alias("ctot"))
+    wc = Window.orderBy("v")
+    ccum = (
+        dl.groupBy("v")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "v",
+            F.sum("n")
+            .over(wc.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("ccum"),
+        )
+        .crossJoin(F.broadcast(ctot))
+    )
+    step = scum.join(ccum, "v").select(
+        "source",
+        "v",
+        F.lead("v").over(ws).alias("nv"),
+        (
+            F.col("cum").cast("double") / F.col("tot")
+            - F.col("ccum").cast("double") / F.col("ctot")
+        ).alias("d"),
+    )
+    return (
+        step.filter(F.col("nv").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum((F.col("nv") - F.col("v")) * F.abs(F.col("d"))), 6
+            ).alias("w1_tokens")
+        )
+    )
