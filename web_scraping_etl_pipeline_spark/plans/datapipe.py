@@ -2725,3 +2725,72 @@ def q269_greedy_coverage(spark, sf_dir):
     return spark_.createDataFrame(
         picks, "pick int, doc_id long, marginal_gain long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q296: l-diversity audit (the sensitive-attribute side of q236)
+# ---------------------------------------------------------------------------
+
+#: minimum distinct sensitive values required per quasi-identifier
+#: group, and the sensitive attribute's bucket width (quality-score
+#: deciles in milli-units).
+_L_DIVERSE = 3
+_SENS_BUCKET = 100
+
+
+@query(
+    "q296_l_diversity",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, lang,
+             (n_chars // {_K_LEN_BUCKET}) * {_K_LEN_BUCKET} AS len_bucket,
+             {_SCORE_SQL} // {_SENS_BUCKET} AS sens
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang, len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT source, lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+           group_size, l_distinct
+    FROM g
+    WHERE l_distinct < {_L_DIVERSE}
+    """,
+)
+def q296_l_diversity(spark, sf_dir):
+    """L-DIVERSITY audit (Machanavajjhala et al. 2007): for every
+    quasi-identifier group (q236's source x lang x length-bucket),
+    count DISTINCT sensitive values (quality-score deciles) and flag
+    groups below l={_L_DIVERSE} - the attack k-anonymity misses: a
+    group can be comfortably large yet leak the sensitive attribute
+    outright when every member shares one value (homogeneity attack).
+    Together q236/q296 are the release-gate pair run before
+    publishing grouped corpus statistics.
+
+    Scale: one hash aggregate with a distinct-count per group
+    (partial-aggregated two-phase distinct), bounded output =
+    offending groups only. Integer everything."""
+    from .textops import _SCORE_SPARK_SQL
+
+    docs = t(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        "lang",
+        (F.expr(f"n_chars DIV {_K_LEN_BUCKET}") * _K_LEN_BUCKET).alias(
+            "len_bucket"
+        ),
+        F.expr(f"({_SCORE_SPARK_SQL}) DIV {_SENS_BUCKET}").alias("sens"),
+    )
+    g = q.groupBy("source", "lang", "len_bucket").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.countDistinct("sens").cast("long").alias("l_distinct"),
+    )
+    return g.filter(F.col("l_distinct") < _L_DIVERSE).select(
+        "source",
+        "lang",
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+        "group_size",
+        "l_distinct",
+    )
