@@ -1805,3 +1805,131 @@ def q294_suffix_lcp_spans(spark, sf_dir):
             F.max("lcp").cast("long").alias("max_lcp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q297: Fellegi-Sunter record-linkage weights
+# ---------------------------------------------------------------------------
+
+#: fixed m-probability prior (P(field agrees | same entity)); the
+#: u-probabilities (P(agree | different entities)) are estimated from
+#: the data as sum(freq^2)/n^2 per field - the random-agreement rate.
+_FS_M = 0.9
+_FS_FIELDS = ("p_brand", "p_type", "p_size")
+
+
+@query(
+    "q297_fellegi_sunter_weights",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+    {", ".join(
+        f'''u_{f} AS (
+      SELECT SUM(c * c) AS sq FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM part GROUP BY {f}
+      )
+    )''' for f in _FS_FIELDS
+    )},
+    u AS (
+      SELECT {", ".join(
+        f"CAST(u_{f}.sq AS DOUBLE) / (n.n * n.n) AS u_{f}"
+        for f in _FS_FIELDS
+      )}
+      FROM n, {", ".join(f"u_{f}" for f in _FS_FIELDS)}
+    ),
+    blocked AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part
+    ),
+    pairs AS (
+      SELECT {" + ".join(
+        f"(CASE WHEN a.{f} = b.{f} THEN ln({_FS_M} / u.u_{f})"
+        f" ELSE ln((1 - {_FS_M}) / (1 - u.u_{f})) END)"
+        for f in _FS_FIELDS
+      )} AS w,
+      {" + ".join(
+        f"(CASE WHEN a.{f} = b.{f} THEN 1 ELSE 0 END)"
+        for f in _FS_FIELDS
+      )} AS n_agree
+      FROM blocked a
+      JOIN blocked b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey, u
+    )
+    SELECT CAST(ROUND(w, 0) AS BIGINT) AS weight_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(CAST(n_agree AS DOUBLE)), 4) AS avg_fields_agree
+    FROM pairs
+    GROUP BY 1
+    """,
+)
+def q297_fellegi_sunter_weights(spark, sf_dir):
+    """FELLEGI-SUNTER probabilistic record linkage (1969), the
+    statistical backbone every entity-resolution system (Splink et
+    al.) still runs: candidate pairs blocked on the first name token
+    are scored with per-field log-likelihood weights ln(m/u) on
+    agreement and ln((1-m)/(1-u)) on disagreement, where each field's
+    u-probability (random agreement rate) is estimated FROM THE DATA
+    as sum(freq^2)/n^2 and m is the {_FS_M} prior. Output is the
+    match-weight histogram (integer-rounded buckets) with average
+    fields-agreed per bucket - the bimodal picture linkage reviewers
+    threshold on. Complements q106 (distance-based fuzzy match) and
+    q152 (golden-record merge) with the probabilistic scorer.
+
+    Scale: u-probabilities are integer sum-of-squared-frequency
+    aggregates (1-row broadcast); pairs exist only WITHIN name-token
+    blocks (the q106 blocking discipline - never all-pairs); the
+    weight is a codegen CASE chain over broadcast constants; the
+    histogram is a bounded aggregate. ln() runs on identical
+    single-division doubles in both engines, and integer bucket
+    rounding keeps ulp noise away from the output."""
+    part = t(spark, sf_dir, "part")
+    n = part.count()
+    us = {}
+    for f in _FS_FIELDS:
+        sq = (
+            part.groupBy(f)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("sq"))
+            .first()["sq"]
+        )
+        us[f] = float(sq) / (float(n) * float(n))
+    blocked = part.select(
+        "p_partkey",
+        *_FS_FIELDS,
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("blk"),
+        *[F.col(f).alias(f"a_{f}") for f in _FS_FIELDS],
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("blk"),
+        *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
+    )
+    import math as _math
+
+    w = None
+    agree = None
+    for f in _FS_FIELDS:
+        hit = F.col(f"a_{f}") == F.col(f"b_{f}")
+        term = F.when(hit, F.lit(_math.log(_FS_M / us[f]))).otherwise(
+            F.lit(_math.log((1 - _FS_M) / (1 - us[f])))
+        )
+        ind = F.when(hit, 1).otherwise(0)
+        w = term if w is None else w + term
+        agree = ind if agree is None else agree + ind
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .select(w.alias("w"), agree.alias("n_agree"))
+    )
+    return pairs.groupBy(
+        F.round(F.col("w"), 0).cast("long").alias("weight_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg(F.col("n_agree").cast("double")), 4).alias(
+            "avg_fields_agree"
+        ),
+    )
