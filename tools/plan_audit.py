@@ -120,6 +120,8 @@ ALLOW = {
     "q292_source_transfer_matrix": {"nested_loop"},  # 1-row vocab frame
     # ~|values|-row grid broadcast + 1-row corpus-total frame
     "q295_wasserstein_length_drift": {"nested_loop"},
+    # two 1-row normalization frames (corpus total, partition Z)
+    "q298_corpus_plan": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -1933,3 +1933,154 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
             "avg_fields_agree"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q298: one-stop corpus plan (gate + dedup + temperature + budget)
+# ---------------------------------------------------------------------------
+
+#: q84's gate thresholds and q207's temperature, frozen here so the
+#: plan table is stable even if the source queries evolve; budget =
+#: half the post-cleaning corpus.
+_PLAN_STOP = "('the','a','of','and','to','in','is','it','for','on')"
+_PLAN_MIN_T, _PLAN_MAX_T = 20, 80
+_PLAN_DIST, _PLAN_STOPR = 0.4, 0.02
+_PLAN_TEMP = 2.0
+_PLAN_BUDGET_FRAC = 0.5
+
+
+@query(
+    "q298_corpus_plan",
+    oracle=_LSH_CANDS_SQL + f""",
+    base AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, source, digest,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (len(toks) BETWEEN {_PLAN_MIN_T} AND {_PLAN_MAX_T}
+              AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    >= {_PLAN_DIST}
+              AND CAST(len(list_filter(toks, t -> t IN {_PLAN_STOP}))
+                       AS DOUBLE) / len(toks) >= {_PLAN_STOPR}) AS keep_q
+      FROM base
+    ),
+    keepers AS (
+      SELECT *,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY digest))
+               AS keep_exact
+      FROM flags
+    ),
+    nd AS (SELECT DISTINCT doc_b AS doc_id FROM cands),
+    surv AS (
+      SELECT k.source, k.n_tokens
+      FROM keepers k LEFT JOIN nd ON nd.doc_id = k.doc_id
+      WHERE k.keep_exact AND k.keep_q AND nd.doc_id IS NULL
+    ),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS clean_tok
+      FROM surv GROUP BY 1
+    ),
+    tot AS (SELECT SUM(clean_tok) AS ct FROM g),
+    u AS (
+      SELECT g.source, g.n_docs, g.clean_tok,
+             pow(CAST(g.clean_tok AS DOUBLE) / tot.ct,
+                 1.0 / {_PLAN_TEMP}) AS uw
+      FROM g, tot
+    ),
+    z AS (SELECT SUM(uw) AS zs FROM u)
+    SELECT u.source, u.n_docs, u.clean_tok,
+           ROUND(u.uw / z.zs, 6) AS weight,
+           CAST(ROUND(u.uw / z.zs * tot.ct * {_PLAN_BUDGET_FRAC}, 0)
+                AS BIGINT) AS planned_tok
+    FROM u, z, tot
+    """,
+)
+def q298_corpus_plan(spark, sf_dir):
+    """THE CORPUS PLAN: one table per source folding the whole intake
+    pipeline - C4/Gopher quality gate (q84's rules), exact dedup
+    (min-id digest keeper), LSH near-dup drop (q43's pair table),
+    then temperature-{_PLAN_TEMP} mixture weights over the CLEAN token
+    counts and the planned token allocation under a budget of
+    {_PLAN_BUDGET_FRAC:.0%} of the post-cleaning corpus - the one
+    artifact a training-data lead actually signs off on, and the
+    composition proof that the suite's gate/dedup/mixture primitives
+    agree end to end (each stage is separately oracle-checked by
+    q84/q40/q43/q207; this checks their conjunction).
+
+    Scale: inherits each stage's plan shape - map-stage gate flags,
+    digest-partitioned keeper window, the shared bounded LSH pair
+    table, then aggregates bounded by |sources| with two 1-row
+    broadcast normalization frames."""
+    cands = q43_lsh_candidate_pairs(spark, sf_dir)
+    nd = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    toks = _tokens()
+    flags = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(toks).between(_PLAN_MIN_T, _PLAN_MAX_T)
+            & (
+                F.size(F.array_distinct(toks)) / F.size(toks)
+                >= _PLAN_DIST
+            )
+            & (
+                F.size(
+                    F.filter(
+                        toks,
+                        lambda c: c.isin(
+                            "the", "a", "of", "and", "to",
+                            "in", "is", "it", "for", "on",
+                        ),
+                    )
+                )
+                / F.size(toks)
+                >= _PLAN_STOPR
+            )
+        ).alias("keep_q"),
+    )
+    keep_exact = (
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    surv = (
+        flags.select("doc_id", "source", "n_tokens", "keep_q",
+                     keep_exact.alias("keep_exact"))
+        .join(nd.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .filter(
+            F.col("keep_exact") & F.col("keep_q") & F.col("hit").isNull()
+        )
+    )
+    g = surv.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("clean_tok"),
+    )
+    tot = g.agg(F.sum("clean_tok").alias("ct"))
+    u = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "clean_tok",
+        "ct",
+        F.pow(
+            F.col("clean_tok").cast("double") / F.col("ct"),
+            1.0 / _PLAN_TEMP,
+        ).alias("uw"),
+    )
+    z = u.agg(F.sum("uw").alias("zs"))
+    return u.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "clean_tok",
+        F.round(F.col("uw") / F.col("zs"), 6).alias("weight"),
+        F.round(
+            F.col("uw") / F.col("zs") * F.col("ct") * _PLAN_BUDGET_FRAC,
+            0,
+        )
+        .cast("long")
+        .alias("planned_tok"),
+    )
