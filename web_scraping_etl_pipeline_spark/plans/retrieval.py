@@ -949,6 +949,10 @@ def q284_mmr_rerank(spark, sf_dir):
     stats). The corpus is touched exactly once, by the pool scan."""
     qv = _query_vec(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
+    # the pool is a bounded {_MMR_POOL}-row frame: collapse it to ONE
+    # partition so each of the K greedy iterations schedules one task,
+    # not defaultParallelism of them (10 iterations x 32 empty tasks
+    # was pure scheduler overhead at any scale).
     pool = transient_persist(
         emb.select(
             F.col("vec_id").alias("doc_id"),
@@ -957,6 +961,7 @@ def q284_mmr_rerank(spark, sf_dir):
         )
         .orderBy(F.desc("rel"), F.asc("doc_id"))
         .limit(_MMR_POOL)
+        .coalesce(1)
     )
     a = pool.select(
         F.col("doc_id").alias("da"), F.col("embedding").alias("ea")
