@@ -139,3 +139,50 @@ def test_refresh_remaining_time_rewrites_in_place(spark, tmp_path):
     assert changed > 0  # the clock moved; buckets must move with it
     assert not os.path.exists(silver + ".refresh_tmp")
     assert not os.path.exists(silver + ".bak")
+
+
+def test_refresh_recovers_from_between_renames_crash(spark, tmp_path):
+    """A prior refresh that crashed AFTER renaming the table to .bak
+    but BEFORE promoting the tmp dir leaves base missing - the next
+    call must RESTORE the backup (the only surviving copy), never
+    delete it (the round-6 review finding)."""
+    import os
+    import shutil
+
+    from web_scraping_etl_pipeline_spark.pipeline import (
+        refresh_remaining_time,
+        run_batch,
+    )
+    from web_scraping_etl_pipeline_spark.plans.pipelineq import (
+        _raw_batch,
+    )
+    from web_scraping_etl_pipeline_spark.sources.star import (
+        ANCHOR_US,
+        US_PER_DAY,
+    )
+
+    silver = str(tmp_path / "silver")
+    state = str(tmp_path / "state.json")
+    run_batch(spark, _raw_batch(spark, SF_DIR), silver, state,
+              now_us=ANCHOR_US)
+    n_rows = spark.read.parquet(silver).count()
+
+    # simulate the mid-swap crash state: base gone, backup holds data
+    os.rename(silver, silver + ".bak")
+    assert not os.path.exists(silver)
+
+    n = refresh_remaining_time(
+        spark, silver, now_us=ANCHOR_US + 10 * US_PER_DAY
+    )
+    assert n == n_rows
+    assert spark.read.parquet(silver).count() == n_rows
+    assert not os.path.exists(silver + ".bak")
+    assert not os.path.exists(silver + ".refresh_tmp")
+
+    # and the fully-lost state (no base, no backup, no tmp) raises
+    # instead of limping on
+    shutil.rmtree(silver)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        refresh_remaining_time(spark, silver, now_us=ANCHOR_US)

@@ -195,7 +195,9 @@ def main():
     argv = list(sys.argv[1:])
     json_out = None
     if "--lint-types" in argv:
-        sf = argv[argv.index("--lint-types") + 1] if len(argv) > 1 else "/root/testdata/sf0.001"
+        i = argv.index("--lint-types")
+        nxt = argv[i + 1] if i + 1 < len(argv) else None
+        sf = nxt if nxt and not nxt.startswith("--") else "/root/testdata/sf0.001"
         hits = lint_result_types(sf)
         for name, cols in sorted(hits.items()):
             print(f"TYPELINT {name}: {cols}")

@@ -57,6 +57,10 @@ STREAMING = {
     "q272_pipeline_silver_bucketed",
     "q278_remaining_time_refresh",
     "q269_greedy_coverage",
+    # construction executes the K-step greedy loop (bounded 1-row
+    # argmax jobs); the returned frame is a LocalTableScan, so the
+    # default audit would pay the workload to audit nothing.
+    "q284_mmr_rerank",
 }
 
 FLAG_PATTERNS = {
@@ -122,6 +126,8 @@ ALLOW = {
     "q295_wasserstein_length_drift": {"nested_loop"},
     # two 1-row normalization frames (corpus total, partition Z)
     "q298_corpus_plan": {"nested_loop"},
+    # 1-row u-probability frame (sum-of-squared-frequency aggregates)
+    "q297_fellegi_sunter_weights": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -256,6 +256,19 @@ def refresh_remaining_time(
     base = silver_path.rstrip("/")
     tmp_path = f"{base}.refresh_tmp"
     bak_path = f"{base}.bak"
+    if not os.path.exists(base):
+        # a prior run crashed BETWEEN the two renames: the backup (or
+        # the validated tmp) is the only surviving copy - restore it
+        # before any cleanup, never delete it.
+        if os.path.exists(bak_path):
+            os.rename(bak_path, base)
+        elif os.path.exists(tmp_path):
+            os.rename(tmp_path, base)
+        else:
+            raise FileNotFoundError(
+                f"refresh_remaining_time: {base} missing and no "
+                f"backup/tmp to restore"
+            )
     for leftover in (tmp_path, bak_path):  # crashed prior run
         shutil.rmtree(leftover, ignore_errors=True)
 

@@ -537,12 +537,20 @@ def _simhash_df(docs):
     FROM votes GROUP BY doc_id
     """,
 )
-def cached_simhash(spark, sf_dir):
-    """The (doc_id, simhash) sketch table, persisted once per session:
-    q45 presents it, q85 bands it into pairs, q266 scores those pairs
-    against MinHash - three consumers that each re-ran the token
-    explode + 32-vote aggregate before round 6. At cluster scale this
-    is the materialized fingerprint column every SimHash job scans."""
+def q45_simhash(spark, sf_dir):
+    """32-bit SimHash per document: explode tokens once, hash each in
+    codegen, take 32 signed bit-votes as parallel SUM aggregates
+    (map-side combined - the shuffle carries 32 longs per doc), then
+    assemble the fingerprint from the vote signs. Near-dups then
+    compare by hamming distance on a bigint. (An aggregate/zip_with
+    fold over the token array is shuffle-free on paper but runs
+    interpreted - measured slower than this codegen explode+agg.)
+
+    The sketch table is persisted once per session: q45 presents it,
+    q85 bands it into pairs, q266 scores those pairs against MinHash -
+    three consumers that each re-ran the token explode + 32-vote
+    aggregate before round 6. At cluster scale this is the
+    materialized fingerprint column every SimHash job scans."""
     return shared_stage(
         spark,
         sf_dir,
@@ -551,15 +559,8 @@ def cached_simhash(spark, sf_dir):
     )
 
 
-def q45_simhash(spark, sf_dir):
-    """32-bit SimHash per document: explode tokens once, hash each in
-    codegen, take 32 signed bit-votes as parallel SUM aggregates
-    (map-side combined - the shuffle carries 32 longs per doc), then
-    assemble the fingerprint from the vote signs. Near-dups then
-    compare by hamming distance on a bigint. (An aggregate/zip_with
-    fold over the token array is shuffle-free on paper but runs
-    interpreted - measured slower than this codegen explode+agg.)"""
-    return cached_simhash(spark, sf_dir)
+#: q85/q266 scan the same persisted sketch through this alias.
+cached_simhash = q45_simhash
 
 
 # ---------------------------------------------------------------------------
@@ -1883,16 +1884,26 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
     single-division doubles in both engines, and integer bucket
     rounding keeps ulp noise away from the output."""
     part = t(spark, sf_dir, "part")
-    n = part.count()
-    us = {}
+    # u-probabilities stay IN the plan as one lazy 1-row broadcast
+    # frame (sum-of-squared-frequency aggregates joined to the total),
+    # mirroring the oracle - no eager driver jobs at construction.
+    u = part.agg(F.count("*").alias("nn"))
     for f in _FS_FIELDS:
         sq = (
             part.groupBy(f)
             .agg(F.count("*").alias("c"))
-            .agg(F.sum(F.col("c") * F.col("c")).alias("sq"))
-            .first()["sq"]
+            .agg(F.sum(F.col("c") * F.col("c")).alias(f"sq_{f}"))
         )
-        us[f] = float(sq) / (float(n) * float(n))
+        u = u.crossJoin(F.broadcast(sq))
+    u = u.select(
+        *[
+            (
+                F.col(f"sq_{f}").cast("double")
+                / (F.col("nn") * F.col("nn"))
+            ).alias(f"u_{f}")
+            for f in _FS_FIELDS
+        ]
+    )
     blocked = part.select(
         "p_partkey",
         *_FS_FIELDS,
@@ -1908,14 +1919,12 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
         F.col("blk"),
         *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
     )
-    import math as _math
-
     w = None
     agree = None
     for f in _FS_FIELDS:
         hit = F.col(f"a_{f}") == F.col(f"b_{f}")
-        term = F.when(hit, F.lit(_math.log(_FS_M / us[f]))).otherwise(
-            F.lit(_math.log((1 - _FS_M) / (1 - us[f])))
+        term = F.when(hit, F.log(_FS_M / F.col(f"u_{f}"))).otherwise(
+            F.log((1 - _FS_M) / (1 - F.col(f"u_{f}")))
         )
         ind = F.when(hit, 1).otherwise(0)
         w = term if w is None else w + term
@@ -1923,6 +1932,7 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
     pairs = (
         a.join(b, "blk")
         .filter(F.col("pk_a") < F.col("pk_b"))
+        .crossJoin(F.broadcast(u))
         .select(w.alias("w"), agree.alias("n_agree"))
     )
     return pairs.groupBy(
@@ -1943,6 +1953,15 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
 #: plan table is stable even if the source queries evolve; budget =
 #: half the post-cleaning corpus.
 _PLAN_STOP = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+def _plan_stopwords():
+    """Same tuple as textops._STOPWORDS; _PLAN_STOP above is its
+    frozen SQL twin (q84's thresholds are deliberately frozen here,
+    but the stopword list itself has one Python source of truth)."""
+    from .textops import _STOPWORDS
+
+    return _STOPWORDS
 _PLAN_MIN_T, _PLAN_MAX_T = 20, 80
 _PLAN_DIST, _PLAN_STOPR = 0.4, 0.02
 _PLAN_TEMP = 2.0
@@ -2030,15 +2049,7 @@ def q298_corpus_plan(spark, sf_dir):
                 >= _PLAN_DIST
             )
             & (
-                F.size(
-                    F.filter(
-                        toks,
-                        lambda c: c.isin(
-                            "the", "a", "of", "and", "to",
-                            "in", "is", "it", "for", "on",
-                        ),
-                    )
-                )
+                F.size(F.filter(toks, lambda c: c.isin(*_plan_stopwords())))
                 / F.size(toks)
                 >= _PLAN_STOPR
             )

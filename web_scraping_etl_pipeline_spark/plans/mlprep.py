@@ -1059,6 +1059,15 @@ def q281_lm_perplexity_buckets(spark, sf_dir):
 _KAPPA_PCT = 0.75
 
 
+def _TO_STOPWORDS():
+    """The one stopword list (textops._STOPWORDS) - the oracle side
+    uses the matching _STOPWORDS_SQL constant, so both raters desync
+    together or not at all."""
+    from .textops import _STOPWORDS
+
+    return _STOPWORDS
+
+
 @query(
     "q285_gate_agreement_kappa",
     oracle=f"""
@@ -1139,15 +1148,7 @@ def q285_gate_agreement_kappa(spark, sf_dir):
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.size(
-            F.filter(
-                toks,
-                lambda c: c.isin(
-                    "the", "a", "of", "and", "to",
-                    "in", "is", "it", "for", "on",
-                ),
-            )
-        )
+        F.size(F.filter(toks, lambda c: c.isin(*_TO_STOPWORDS())))
         .cast("long")
         .alias("n_stop"),
         _int_score().alias("score"),

@@ -792,7 +792,13 @@ def q291_char_entropy(spark, sf_dir):
     bounded-alphabet table per doc; the entropy fold and the source
     rollup are ordinary hash aggregates. No corpus-sized shuffle
     carries anything wider than (doc_id, char, count)."""
-    ch = t_split(spark, sf_dir, "documents").select(
+    ch = (
+        t_split(spark, sf_dir, "documents")
+        # empty text: DuckDB range(1, 1) is empty but Spark
+        # sequence(1, 0) DESCENDS to [1, 0] - filter the degenerate
+        # case identically on both sides (zero char rows)
+        .filter(F.expr("char_length(text) > 0"))
+        .select(
         "doc_id",
         "source",
         F.explode(
@@ -801,6 +807,7 @@ def q291_char_entropy(spark, sf_dir):
                 " i -> substring(text, i, 1))"
             )
         ).alias("c"),
+        )
     )
     cc = ch.groupBy("doc_id", "source", "c").agg(
         F.count("*").cast("long").alias("k")
