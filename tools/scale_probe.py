@@ -83,7 +83,11 @@ def probe_minhash_lsh(spark, sf_dir, k):
 
     docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
     sig = minhash_sig_array(docs)
-    raw = band_keys(sig)
+    # persist the banded index like production's cached_band_keys
+    # does: the census .first() below would otherwise re-run the whole
+    # minhash+banding lineage a second time INSIDE the timed probe,
+    # doubling the measured work (round-6 review finding).
+    raw = band_keys(sig).persist()
     # production shape includes the hot-bucket guard (count + filter
     # join). Replication multiplies bucket membership, so at high k
     # the cap can start excluding the hottest buckets - which would
@@ -92,7 +96,7 @@ def probe_minhash_lsh(spark, sf_dir, k):
     # the guard dropped so the scaling curve is interpretable.
     sizes = raw.groupBy("band", "band_key").agg(
         F.count("*").alias("_bn")
-    )
+    ).persist()
     dropped = (
         sizes.filter(F.col("_bn") > LSH_BUCKET_CAP)
         .agg(
@@ -122,7 +126,10 @@ def probe_minhash_lsh(spark, sf_dir, k):
         .select("a.doc_id", "b.doc_id")
         .distinct()
     )
-    return pairs.count()
+    n = pairs.count()
+    raw.unpersist()
+    sizes.unpersist()
+    return n
 
 
 def probe_prefix_sum(spark, sf_dir, k):

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window, functions as F
 
 from .common import global_lead, shared_stage, t, t_split
+from .textops import _STOPWORDS
 from .registry import query
 
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -1594,6 +1595,30 @@ def q287_quality_dup_auc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# shared dedup-policy primitives (q293 + q298)
+# ---------------------------------------------------------------------------
+
+
+def exact_keeper_flag() -> Column:
+    """keep the MIN-id document per content digest (column ``digest``
+    must be in scope) - the one exact-dedup keeper rule, shared so
+    q293 and q298 cannot silently diverge."""
+    return F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("digest")
+    )
+
+
+def neardup_drop_ids(spark, sf_dir):
+    """doc_ids dropped by the near-dup policy: the higher-id member of
+    every LSH candidate pair (bounded by the shared q43 pair table)."""
+    return (
+        q43_lsh_candidate_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # q293: dedup-adjusted effective token yield per source
 # ---------------------------------------------------------------------------
 
@@ -1648,20 +1673,16 @@ def q293_effective_token_yield(spark, sf_dir):
     shared via the q43 stage); everything else is map-stage flags
     folding into a per-source aggregate. Integer token sums; one
     exact division."""
-    cands = q43_lsh_candidate_pairs(spark, sf_dir)
-    nd_drop = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    nd_drop = neardup_drop_ids(spark, sf_dir)
     base = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(_tokens()).cast("long").alias("n_tokens"),
         F.md5("text").alias("digest"),
     )
-    keep_exact = (
-        F.col("doc_id")
-        == F.min("doc_id").over(Window.partitionBy("digest"))
-    )
     keepers = base.select(
-        "doc_id", "source", "n_tokens", keep_exact.alias("keep_exact")
+        "doc_id", "source", "n_tokens",
+        exact_keeper_flag().alias("keep_exact"),
     )
     final = keepers.join(
         nd_drop.withColumn("hit", F.lit(1)), "doc_id", "left"
@@ -1952,16 +1973,9 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
 #: q84's gate thresholds and q207's temperature, frozen here so the
 #: plan table is stable even if the source queries evolve; budget =
 #: half the post-cleaning corpus.
-_PLAN_STOP = "('the','a','of','and','to','in','is','it','for','on')"
-
-
-def _plan_stopwords():
-    """Same tuple as textops._STOPWORDS; _PLAN_STOP above is its
-    frozen SQL twin (q84's thresholds are deliberately frozen here,
-    but the stopword list itself has one Python source of truth)."""
-    from .textops import _STOPWORDS
-
-    return _STOPWORDS
+#: derived from the one Python source of truth, so the oracle literal
+#: and the Spark rater desync together or not at all.
+_PLAN_STOP = "('" + "','".join(_STOPWORDS) + "')"
 _PLAN_MIN_T, _PLAN_MAX_T = 20, 80
 _PLAN_DIST, _PLAN_STOPR = 0.4, 0.02
 _PLAN_TEMP = 2.0
@@ -2034,8 +2048,7 @@ def q298_corpus_plan(spark, sf_dir):
     digest-partitioned keeper window, the shared bounded LSH pair
     table, then aggregates bounded by |sources| with two 1-row
     broadcast normalization frames."""
-    cands = q43_lsh_candidate_pairs(spark, sf_dir)
-    nd = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    nd = neardup_drop_ids(spark, sf_dir)
     toks = _tokens()
     flags = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2049,19 +2062,15 @@ def q298_corpus_plan(spark, sf_dir):
                 >= _PLAN_DIST
             )
             & (
-                F.size(F.filter(toks, lambda c: c.isin(*_plan_stopwords())))
+                F.size(F.filter(toks, lambda c: c.isin(*_STOPWORDS)))
                 / F.size(toks)
                 >= _PLAN_STOPR
             )
         ).alias("keep_q"),
     )
-    keep_exact = (
-        F.col("doc_id")
-        == F.min("doc_id").over(Window.partitionBy("digest"))
-    )
     surv = (
         flags.select("doc_id", "source", "n_tokens", "keep_q",
-                     keep_exact.alias("keep_exact"))
+                     exact_keeper_flag().alias("keep_exact"))
         .join(nd.withColumn("hit", F.lit(1)), "doc_id", "left")
         .filter(
             F.col("keep_exact") & F.col("keep_q") & F.col("hit").isNull()

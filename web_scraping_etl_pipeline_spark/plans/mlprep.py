@@ -16,7 +16,7 @@ from pyspark.sql import Window, functions as F
 
 from .common import t, t_split, transient_persist
 from .registry import query
-from .textops import _SCORE_SQL, _TOKENS_SQL, _tokens
+from .textops import _SCORE_SQL, _STOPWORDS, _TOKENS_SQL, _tokens
 
 #: cross-engine 60-bit hash bridge (plans/registry.py): Spark
 #: conv(substr(md5(x),1,15),16,10) == DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT)
@@ -1059,15 +1059,6 @@ def q281_lm_perplexity_buckets(spark, sf_dir):
 _KAPPA_PCT = 0.75
 
 
-def _TO_STOPWORDS():
-    """The one stopword list (textops._STOPWORDS) - the oracle side
-    uses the matching _STOPWORDS_SQL constant, so both raters desync
-    together or not at all."""
-    from .textops import _STOPWORDS
-
-    return _STOPWORDS
-
-
 @query(
     "q285_gate_agreement_kappa",
     oracle=f"""
@@ -1148,7 +1139,7 @@ def q285_gate_agreement_kappa(spark, sf_dir):
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.size(F.filter(toks, lambda c: c.isin(*_TO_STOPWORDS())))
+        F.size(F.filter(toks, lambda c: c.isin(*_STOPWORDS)))
         .cast("long")
         .alias("n_stop"),
         _int_score().alias("score"),
@@ -1314,12 +1305,9 @@ def q292_source_transfer_matrix(spark, sf_dir):
     size, the classic bounded-dimension fan-out); totals and V are
     broadcast frames. Integer tf/N/V make the per-term contribution
     the identical float expression cross-engine."""
-    tt = transient_persist(
-        t_split(spark, sf_dir, "documents")
-        .select("source", F.explode(_tokens()).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    from .textops import cached_source_term_tf
+
+    tt = cached_source_term_tf(spark, sf_dir)
     totals = tt.groupBy("source").agg(F.sum("tf").alias("n"))
     v = tt.agg(F.countDistinct("term").alias("vocab"))
     e = tt.select(

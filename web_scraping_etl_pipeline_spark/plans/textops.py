@@ -465,6 +465,33 @@ def q175_vocab_coverage(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# shared (source, term, tf) frequency stage
+# ---------------------------------------------------------------------------
+
+
+def cached_source_term_tf(spark, sf_dir):
+    """The per-(source, term) token-frequency table, persisted once per
+    session: q280's Zipf fit, q288's frequency-of-frequencies, and
+    q292's transfer matrix all fold over it - before sharing, each ran
+    its own corpus scan + token explode + hash aggregate. At cluster
+    scale this is the materialized term-frequency table every
+    corpus-linguistics job scans."""
+    from .common import shared_stage
+
+    return shared_stage(
+        spark,
+        sf_dir,
+        "source_term_tf",
+        lambda: (
+            t_split(spark, sf_dir, "documents")
+            .select("source", F.explode(_tokens()).alias("term"))
+            .groupBy("source", "term")
+            .agg(F.count("*").alias("tf"))
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q280: per-source Zipf/Heaps corpus audit
 # ---------------------------------------------------------------------------
 
@@ -525,11 +552,8 @@ def q280_zipf_source_audit(spark, sf_dir):
     term - nothing global, nothing single-partition."""
     from pyspark.sql import Window
 
-    tt = (
-        t_split(spark, sf_dir, "documents")
-        .select("source", F.explode(_tokens()).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count("*").alias("f"))
+    tt = cached_source_term_tf(spark, sf_dir).withColumnRenamed(
+        "tf", "f"
     )
     src = tt.groupBy("source").agg(
         F.sum("f").cast("long").alias("n_tokens"),
@@ -721,11 +745,8 @@ def q288_good_turing_mass(spark, sf_dir):
     aggregates ((source, term) then source); every output is an
     integer count or a single exact division - nothing global, no
     float summation anywhere."""
-    tt = (
-        t_split(spark, sf_dir, "documents")
-        .select("source", F.explode(_tokens()).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count("*").alias("f"))
+    tt = cached_source_term_tf(spark, sf_dir).withColumnRenamed(
+        "tf", "f"
     )
     n1 = F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
     n2 = F.sum(F.when(F.col("f") == 2, 1).otherwise(0))

@@ -201,12 +201,13 @@ class JsonlSinkWriter(DataSourceWriter):
                 # unreadable prior manifest: treat the dir as fresh
                 # (its parts were never trustworthy to readers anyway)
                 prior = {"files": [], "rows": 0}
+        retired: list[str] = []
         if self.overwrite:
-            for name in prior.get("files", []):
-                try:
-                    _os.remove(_os.path.join(self.path, name))
-                except OSError:
-                    pass
+            # publish FIRST, delete after: removing retired parts
+            # before the atomic manifest swap leaves a crash window
+            # where the surviving (old) manifest names deleted files -
+            # breaking the "readers trust only the manifest" contract.
+            retired = list(prior.get("files", []))
             prior = {"files": [], "rows": 0}
         manifest = {
             "files": sorted(
@@ -220,6 +221,13 @@ class JsonlSinkWriter(DataSourceWriter):
         with open(tmp, "w") as fh:
             fh.write(_json.dumps(manifest))
         _os.replace(tmp, mpath)  # readers never see a torn manifest
+        for name in retired:  # garbage-collect AFTER the publish
+            if name in manifest["files"]:
+                continue  # same-named fresh part: do not delete it
+            try:
+                _os.remove(_os.path.join(self.path, name))
+            except OSError:
+                pass
 
     def abort(self, messages):
         import os as _os
