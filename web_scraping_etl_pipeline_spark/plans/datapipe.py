@@ -2525,13 +2525,18 @@ def q267_distinctive_terms(spark, sf_dir):
     PARTITIONED by source for the top-k. The token explode is the
     only fact-sized stage and it feeds both aggregates in one
     shuffle round."""
-    docs = t_split(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(_tokens()).alias("term"))
-    st = tok.groupBy("source", "term").agg(F.count("*").alias("y_si"))
-    tt = tok.groupBy("term").agg(F.count("*").alias("y_i"))
-    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
-    tot = tok.agg(
-        F.count("*").alias("n"), F.countDistinct("term").alias("v")
+    from .textops import cached_source_term_tf
+
+    # the session-shared (source, term, tf) stage; every marginal
+    # below folds over the VOCABULARY-sized table instead of re-
+    # exploding corpus tokens (identical integer counts either way)
+    st = cached_source_term_tf(spark, sf_dir).withColumnRenamed(
+        "tf", "y_si"
+    )
+    tt = st.groupBy("term").agg(F.sum("y_si").alias("y_i"))
+    ns = st.groupBy("source").agg(F.sum("y_si").alias("n_s"))
+    tot = st.agg(
+        F.sum("y_si").alias("n"), F.countDistinct("term").alias("v")
     )
     a = _LO_ALPHA
     joined = (
