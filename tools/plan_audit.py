@@ -128,6 +128,7 @@ ALLOW = {
     "q298_corpus_plan": {"nested_loop"},
     # 1-row u-probability frame (sum-of-squared-frequency aggregates)
     "q297_fellegi_sunter_weights": {"nested_loop"},
+    "q299_hard_negative_mining": {"nested_loop"},  # 10-row query frame
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -1004,3 +1004,92 @@ def q284_mmr_rerank(spark, sf_dir):
     return spark.createDataFrame(
         chosen, "rk long, doc_id long, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q299: hard-negative mining for retrieval training
+# ---------------------------------------------------------------------------
+
+#: positives per query (the docs a training pair treats as relevant)
+#: and hard negatives mined per query (the closest non-positives -
+#: the examples contrastive training actually learns from).
+_HN_POS = 3
+_HN_NEG = 5
+
+
+@query(
+    "q299_hard_negative_mining",
+    oracle=_EVAL_DOTS_SQL
+    + f""",
+    rk AS (
+      SELECT query_id, vec_id, ROUND(dp, 6) AS dp,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dp, 6) DESC, vec_id
+             ) AS rnk
+      FROM dots
+      WHERE vec_id <> query_id
+    ),
+    pos AS (
+      SELECT query_id, MIN(dp) AS floor_dp
+      FROM rk WHERE rnk <= {_HN_POS} GROUP BY query_id
+    )
+    SELECT rk.query_id, rk.vec_id,
+           CAST(rk.rnk - {_HN_POS} AS BIGINT) AS neg_rank,
+           rk.dp AS neg_sim,
+           ROUND(pos.floor_dp - rk.dp, 6) AS margin
+    FROM rk JOIN pos USING (query_id)
+    WHERE rk.rnk > {_HN_POS} AND rk.rnk <= {_HN_POS + _HN_NEG}
+    """,
+)
+def q299_hard_negative_mining(spark, sf_dir):
+    """HARD-NEGATIVE MINING for contrastive retrieval training: per
+    held-out query, ranks {_HN_POS + 1}..{_HN_POS + _HN_NEG} of the
+    exact similarity ordering (self excluded) - the nearest
+    NON-positives - with each negative's similarity and its margin to
+    the weakest positive. Random negatives are trivially separable and
+    teach an embedding model nothing; the near-miss negatives this
+    emits are the pairs DPR/SBERT-style training actually learns from,
+    making this the data-GENERATION op beside the suite's retrieval
+    evals (q221 recall, q257 nDCG, q283 RBO).
+
+    Scale: the query set is a broadcast M-row frame; scoring is one
+    codegen map pass over the corpus (M dots per vector); ranking is a
+    window PARTITIONED by query; output is M x {_HN_NEG} rows. Nothing
+    unbounded, nothing single-partition."""
+    emb = t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    dots = (
+        emb.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot("embedding", "qe"), 6).alias("dp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dp"), F.asc("vec_id")
+    )
+    rk = dots.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _HN_POS + _HN_NEG
+    )
+    pos = (
+        rk.filter(F.col("rnk") <= _HN_POS)
+        .groupBy("query_id")
+        .agg(F.min("dp").alias("floor_dp"))
+    )
+    return (
+        rk.filter(F.col("rnk") > _HN_POS)
+        .join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("rnk") - _HN_POS).cast("long").alias("neg_rank"),
+            F.col("dp").alias("neg_sim"),
+            F.round(F.col("floor_dp") - F.col("dp"), 6).alias("margin"),
+        )
+    )
