@@ -163,3 +163,66 @@ def test_python_stages_are_arrow_batched(spark):
         a = audit(_plan(spark, name))
         assert a["arrow"] >= 1 or "ArrowEvalPythonUDTF" in _plan(spark, name), name
         assert "row_python_udf" not in a["flags"], name
+
+
+def test_unbounded_broadcast_flag_detects_the_antipattern(spark):
+    """r6-verdict detector: an explicit F.broadcast over a frame that
+    grows with the corpus (distinct ids derived from a fact scan - the
+    exact shape of the old q121/q231 LSH membership hint) must flag.
+    Deduplicate is deliberately NOT a bounding node."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import hint_boundedness
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    docs = t(spark, SF_DIR, "documents")
+    flagged = docs.select("doc_id").distinct()
+    df = docs.join(F.broadcast(flagged), "doc_id", "left")
+    assert hint_boundedness(df), "corpus-proportional broadcast not flagged"
+
+
+def test_unbounded_broadcast_flag_allows_bounded_builds(spark):
+    """The three provably-bounded build shapes stay clean: aggregate-
+    derived, limit-derived, and a fixed-size dimension scan."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import hint_boundedness
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    docs = t(spark, SF_DIR, "documents")
+    agg = docs.groupBy("source").count()
+    assert hint_boundedness(docs.join(F.broadcast(agg), "source")) == []
+
+    top = docs.orderBy("doc_id").limit(5).select("doc_id")
+    assert hint_boundedness(docs.join(F.broadcast(top), "doc_id")) == []
+
+    nat = t(spark, SF_DIR, "nation")
+    cust = t(spark, SF_DIR, "customer")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    assert hint_boundedness(j) == []
+
+    # driver-built createDataFrame frame (LogicalRDD / LocalRelation):
+    # already driver-resident, broadcastable by construction.
+    lit = spark.createDataFrame([(1, 0)], "c_nationkey int, adj long")
+    assert hint_boundedness(cust.join(F.broadcast(lit), "c_nationkey")) == []
+
+
+def test_fixed_broadcast_hints_stay_dropped(spark):
+    """The r6-verdict scale hazards - forced broadcast of the LSH
+    flagged-doc membership set (q121/q231) and of SF-proportional
+    part/supplier/customer/orders fractions (relational family) - must
+    stay unhinted so AQE picks broadcast-vs-shuffle from runtime sizes."""
+    from tools.plan_audit import ALLOW_UNBOUNDED_BROADCAST, hint_boundedness
+
+    for name in [
+        "q121_neardup_rate_by_source",
+        "q231_quality_dup_calibration",
+        "q141_bloom_semi_join",
+        "q146_market_share",
+        "q168_supplier_part_counts",
+        "q191_product_profit",
+        "q234_erasure_cascade_audit",
+    ]:
+        assert name not in ALLOW_UNBOUNDED_BROADCAST, name
+        df = QUERIES[name](spark, SF_DIR)
+        assert hint_boundedness(df) == [], name

@@ -40,6 +40,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -83,12 +84,21 @@ def normalize(value):
 
 def pandas_rows(pdf):
     """Driver-faithful extraction: pandas frame -> list of plain-
-    Python tuples. numpy scalars unbox via .item() (this is where a
-    float64-ized HUGEINT/nullable-int column surfaces as ``12.0``)."""
+    Python tuples. numpy SCALARS unbox via .item() (this is where a
+    float64-ized HUGEINT/nullable-int column surfaces as ``12.0``);
+    numpy ARRAYS (an ArrayType result column) convert via .tolist() -
+    calling .item() on those raises "can only convert an array of
+    size 1" and would crash the checker instead of comparing
+    (ADVICE r6)."""
     out = []
     for row in pdf.to_numpy(dtype=object):
         out.append(
-            tuple(v.item() if hasattr(v, "item") else v for v in row)
+            tuple(
+                v.item()
+                if isinstance(v, np.generic)
+                else (v.tolist() if isinstance(v, np.ndarray) else v)
+                for v in row
+            )
         )
     return out
 

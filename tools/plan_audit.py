@@ -10,7 +10,9 @@ For each query the tool prints operator counts parsed from the
 - ``wsc``   - whole-stage-codegen spans (more/wider is better)
 - flags: CartesianProduct, BroadcastNestedLoopJoin, row-at-a-time
   PythonUDF in a hot path (Arrow/pandas evals are fine and listed as
-  ``arrow``)
+  ``arrow``), and ``unbounded_broadcast`` - an explicit broadcast hint
+  whose build side is not provably bounded (see
+  :func:`hint_boundedness`)
 
 Streaming queries execute a real drain when their DataFrame is built,
 so they are skipped by default (pass --all to include them).
@@ -179,6 +181,115 @@ ALLOW_GLOBAL_WINDOW = {
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")
 
+#: adjudicated unbounded_broadcast exceptions: broadcast hints whose
+#: build side IS bounded by construction, just not through a node the
+#: structural walk can prove (Aggregate/Limit/constant leaf/fixed dim).
+#: Each entry names the bound. Everything NOT here must either derive
+#: its broadcast side from an aggregate/limit or drop the hint so AQE
+#: decides broadcast-vs-shuffle from runtime sizes.
+ALLOW_UNBOUNDED_BROADCAST = {
+    # distinct over the CLOSED (p_brand, p_type) dimension domain -
+    # ~|brands| x |types| rows at any SF; Deduplicate is not a bounding
+    # node in general (the LSH flagged-id set taught us that), but a
+    # distinct over enum-like dim columns is.
+    "q103_surrogate_keys",
+    # global_lead fringe heads: filter to <= npartitions*k literal row
+    # numbers (plans/common.py:421) - partition-count-sized metadata.
+    "q131_sorted_neighborhood",
+    "q136_key_gap_audit",
+    "q294_suffix_lcp_spans",
+    # Misra-Gries candidate superset: each partition emits <= K
+    # counters by sketch construction - <= K * npartitions rows.
+    "q151_heavy_hitters",
+    # per-dim rows of the ONE query vector (filter vec_id == const):
+    # |dims| rows (64), constant in the corpus.
+    "q156_quantized_rerank",
+    # eval query frame: filter vec_id < _EVAL_QUERIES literal - <= 10
+    # vectors at any SF.
+    "q221_ann_recall",
+    "q257_ndcg_eval",
+    "q299_hard_negative_mining",
+    # distinct over the token-count VALUE DOMAIN (~20-80 values) -
+    # bounded by the length distribution's support, not the corpus.
+    "q295_wasserstein_length_drift",
+}
+for _name in ALLOW_UNBOUNDED_BROADCAST:
+    ALLOW.setdefault(_name, set()).add("unbounded_broadcast")
+
+
+#: parquet basenames whose row count is FIXED by the data model, not by
+#: the data volume: TPC-H nation (25 rows) and region (5 rows) stay the
+#: same size at SF 100 000. Every other table (customer, part, orders,
+#: lineitem, documents, embeddings, events) grows with the corpus and
+#: must NOT be force-broadcast from a raw scan.
+BOUNDED_TABLES = {"nation.parquet", "region.parquet"}
+
+#: logical nodes whose OUTPUT cardinality is bounded regardless of the
+#: input: an Aggregate's rows are its group-key domain (adjudicated
+#: bounded per the audit contract - fact-keyed groupBys are caught at
+#: review, not here), a Limit is literally capped. Deduplicate is
+#: deliberately ABSENT: distinct() over fact-derived ids (the LSH
+#:   flagged-doc membership set) grows with the corpus.
+_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit"}
+
+#: leaves that are constant-derived (driver literals, ranges).
+#: LogicalRDD qualifies because in this codebase it only arises from
+#: ``spark.createDataFrame(<driver-local list>)`` (partition-stat
+#: offsets, literal grids, cutpoints) - the RDD API is banned by the
+#: UDF policy (SURVEY.md 2.8), so a LogicalRDD frame was already
+#: materialized in driver memory and is broadcastable by construction.
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
+
+
+def _node_bounded(node) -> bool:
+    """True if this logical subtree provably yields a bounded frame."""
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING:
+        return True
+    if name in _BOUNDED_LEAVES:
+        return True
+    if name == "LogicalRelation":
+        try:
+            path = node.relation().location().rootPaths().head().toString()
+        except Exception:  # noqa: BLE001 - non-file relation (JDBC etc.)
+            return False
+        return path.rstrip("/").rsplit("/", 1)[-1] in BOUNDED_TABLES
+    children = node.children()
+    n = children.size()
+    if n == 0:
+        return False  # unknown leaf: assume data-proportional
+    return all(_node_bounded(children.apply(i)) for i in range(n))
+
+
+def hint_boundedness(df) -> list[str]:
+    """Audit every explicit broadcast hint in ``df``'s analyzed plan.
+
+    Returns a description line per hint whose build side is NOT
+    aggregate/limit/constant-derived (or a fixed-size dimension scan) -
+    the construct that forces an OOM at 100 TB where an unhinted join
+    would let AQE choose broadcast-when-small, shuffle-when-not.
+
+    Walks the ANALYZED logical plan (pre-optimizer, pre-cache
+    substitution), so ``F.broadcast`` hints are still visible as
+    ``ResolvedHint(strategy=broadcast)`` nodes even when the optimizer
+    later folds them into the join.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    bad: list[str] = []
+
+    def visit(node):
+        name = node.getClass().getSimpleName()
+        if name == "ResolvedHint" and "broadcast" in node.hints().toString():
+            child = node.children().apply(0)
+            if not _node_bounded(child):
+                bad.append(child.getClass().getSimpleName())
+        children = node.children()
+        for i in range(children.size()):
+            visit(children.apply(i))
+
+    visit(plan)
+    return bad
+
 
 def audit(plan: str) -> dict:
     return {
@@ -220,6 +331,7 @@ def main() -> int:
                     "simple"
                 )
             )
+            unbounded_hints = hint_boundedness(df)
         except Exception as exc:  # noqa: BLE001
             print(f"ERR  {name}: {exc}")
             bad += 1
@@ -227,6 +339,8 @@ def main() -> int:
         finally:
             release_transients()
         a = audit(plan)
+        if unbounded_hints:
+            a["flags"].append("unbounded_broadcast")
         a["flags"] = [f for f in a["flags"] if f not in ALLOW.get(name, ())]
         flag_note = f"  FLAGS={','.join(a['flags'])}" if a["flags"] else ""
         if a["flags"]:

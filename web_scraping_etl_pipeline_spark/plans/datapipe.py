@@ -1526,9 +1526,11 @@ def q231_quality_dup_calibration(spark, sf_dir):
 
     Scale: deciles come from :func:`plans.common.global_ntile` (range
     exchange + exact NTILE arithmetic, no single-partition window);
-    the dup flag is a left join against the LSH pair membership list
-    (bounded by LSH output, broadcast-sized after distinct); the
-    report is a 10-key aggregate."""
+    the dup flag is an UNHINTED left join against the LSH pair
+    membership list - that list grows linearly with corpus duplication
+    (billions of ids at 100 TB on a dirty crawl), so AQE decides
+    broadcast-vs-shuffle at runtime instead of a forced broadcast that
+    would OOM at scale; the report is a 10-key aggregate."""
     from .common import global_ntile
     from .dedup import q43_lsh_candidate_pairs
 
@@ -1541,7 +1543,7 @@ def q231_quality_dup_calibration(spark, sf_dir):
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    flagged = s.join(F.broadcast(members), "doc_id", "left").select(
+    flagged = s.join(members, "doc_id", "left").select(
         "doc_id",
         "score",
         F.coalesce("is_dup", F.lit(0)).alias("is_dup"),

@@ -942,8 +942,11 @@ def q121_neardup_rate_by_source(spark, sf_dir):
 
     Scale: reuses q43's candidate pairs (bounded by LSH output, never
     all-pairs); flagged-doc extraction is an explode+distinct over the
-    pair list, and the final rate is a broadcast-left-join + one
-    aggregate over the documents scan."""
+    pair list. The join is deliberately UNHINTED: the flagged set
+    grows linearly with corpus duplication (billions of ids at 100 TB
+    on a dirty crawl), so AQE must be free to pick broadcast when it
+    is small and shuffle when it is not - a forced broadcast here is
+    an OOM at scale."""
     pairs = q43_lsh_candidate_pairs(spark, sf_dir)
     flagged = (
         pairs.select(
@@ -953,7 +956,7 @@ def q121_neardup_rate_by_source(spark, sf_dir):
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     return (
-        docs.join(F.broadcast(flagged), "doc_id", "left")
+        docs.join(flagged, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -798,7 +798,8 @@ def q141_bloom_semi_join(spark, sf_dir):
     one legitimate driver fetch in this file - is embedded as an array
     literal in the fact scan's filter, so ~99% of non-matching fact
     rows die inside whole-stage codegen *before* the join shuffle;
-    (3) a broadcast left-semi join removes the ~0.8% false positives.
+    (3) an UNHINTED left-semi join (AQE broadcasts it while small)
+    removes the ~0.8% false positives.
     At 100 TB the shuffle carries only surviving rows - the bloom turns
     a full-fact shuffle into a matching-slice shuffle."""
     M_BITS = 1 << 16  # 65536 bits = 1024 longs = 8 KB; k=2 probes
@@ -849,7 +850,7 @@ def q141_bloom_semi_join(spark, sf_dir):
         .filter(probe_hit)
         .drop("__bloom", "__p1", "__p2")
         .join(
-            F.broadcast(urgent),
+            urgent,
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_semi",
         )
@@ -893,12 +894,12 @@ def q146_market_share(spark, sf_dir):
     customers, the fraction supplied from NATION_2, by order year -
     the deepest join tree in the suite (lineitem x 7 dimensions).
 
-    Scale shape: part/supplier/nation/region are broadcast (all true
-    dims); lineitem->orders is the ONE big shuffle, on the join key
-    both sides already produce; customer is left UNHINTED - at sf0.1
-    AQE broadcasts it, at 100 TB it is fact-sized and AQE keeps the
-    shuffle (hard-coding the hint was flagged on q17 and is wrong at
-    scale). The part filter runs before the first join, so the fact
+    Scale shape: nation/region are broadcast (the only FIXED-size
+    dims); part/supplier/customer are left UNHINTED - at sf0.1 AQE
+    broadcasts them, at 100 TB they are data-proportional and AQE
+    keeps the shuffle (hard-coding the hint was flagged on q17 and is
+    wrong at scale); lineitem->orders is the ONE big shuffle, on the
+    join key both sides already produce. The part filter runs before the first join, so the fact
     rows that survive to the shuffle are only PROMO items."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -914,8 +915,8 @@ def q146_market_share(spark, sf_dir):
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
     )
     flat = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1171,8 +1172,8 @@ def q164_min_cost_supplier(spark, sf_dir):
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("price")
     )
     elig = offers.join(
-        F.broadcast(p), offers.l_partkey == p.p_partkey
-    ).join(F.broadcast(euro_supp), offers.l_suppkey == F.col("s_suppkey"))
+        p, offers.l_partkey == p.p_partkey
+    ).join(euro_supp, offers.l_suppkey == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")
     return (
         elig.withColumn("best", F.min("price").over(w))
@@ -1333,7 +1334,8 @@ def q168_supplier_part_counts(spark, sf_dir):
 
     Scale: the DISTINCT (part, supplier) projection collapses the fact
     before anything else touches it (the only full-width shuffle);
-    part filters broadcast-prune, the blacklist is a broadcast anti
+    part filters prune via an UNHINTED join (AQE broadcasts while
+    small), the blacklist is an unhinted anti
     join (NULL-safe NOT IN semantics don't bite here - s_suppkey is a
     key, never NULL - but anti join is the correct translation when
     the subquery is null-free). COUNT(DISTINCT) over the pruned set is
@@ -1347,9 +1349,9 @@ def q168_supplier_part_counts(spark, sf_dir):
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        supply.join(p, supply.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad),
+            bad,
             supply.l_suppkey == bad.s_suppkey,
             "left_anti",
         )
@@ -1388,7 +1390,8 @@ def q169_excess_volume_suppliers(spark, sf_dir):
     Scale: one shuffle on l_partkey serves the (part, supplier)
     aggregate and BOTH per-part windows (total and supplier count -
     no second scan, no re-aggregation); the dominant-pair list then
-    joins the broadcast supplier dim for names. Quantities are
+    joins the supplier dim (unhinted - SF-proportional, AQE decides)
+    for names. Quantities are
     integral doubles, so sums and the 60% threshold compare exactly
     across engines. (Pairs, not just supplier ids: the dim has 100
     rows, so a supplier-level projection saturates and verifies
@@ -1411,7 +1414,7 @@ def q169_excess_volume_suppliers(spark, sf_dir):
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         dominant.join(
-            F.broadcast(s), dominant.l_suppkey == s.s_suppkey
+            s, dominant.l_suppkey == s.s_suppkey
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -1787,8 +1790,10 @@ def q191_product_profit(spark, sf_dir):
     cost proxied by half the part's retail price; the slim schema has
     no partsupp).
 
-    Scale: the LIKE prunes part BEFORE it broadcasts, shrinking the
-    lineitem join's build side; supplier/nation broadcast; the only
+    Scale: the LIKE prunes part BEFORE the join, shrinking the build
+    side AQE sees; part/supplier joins are UNHINTED (data-proportional
+    dims - broadcast-when-small is AQE's call); nation broadcasts
+    (fixed 25 rows); the only
     fact-fact shuffle is lineitem x orders on orderkey. Group
     keyspace is |nations| x |years| - the final agg is almost free."""
     li = t(spark, sf_dir, "lineitem")
@@ -1802,8 +1807,8 @@ def q191_product_profit(spark, sf_dir):
         0.5
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
@@ -1882,7 +1887,8 @@ def q193_promo_share(spark, sf_dir):
     month - conditional aggregation over a dim join, both sums in the
     SAME pass (never two scans + a divide of scalars).
 
-    Scale: part broadcasts; the month band prunes lineitem at the
+    Scale: the part join is unhinted (AQE broadcasts while small;
+    part is data-proportional); the month band prunes lineitem at the
     scan; the whole measure is one partial+final agg producing a
     single row."""
     li = t(spark, sf_dir, "lineitem").filter(
@@ -1893,7 +1899,7 @@ def q193_promo_share(spark, sf_dir):
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
                 "promo_revenue_pct"
@@ -1981,11 +1987,11 @@ def q195_disjunctive_predicate(spark, sf_dir):
     Scale: the join stays a partkey equi-join (the OR only gates
     rows, not keys); Catalyst additionally derives the
     brand-IN-(...) prune on the part side from the disjunction, so
-    the broadcast build side carries three brands, not the whole
+    the build side AQE sees carries three brands, not the whole
     dim."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     band = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -2100,7 +2106,7 @@ def q234_erasure_cascade_audit(spark, sf_dir):
         "c_custkey"
     )
     del_orders = orders.join(
-        F.broadcast(del_cust),
+        del_cust,
         orders["o_custkey"] == del_cust["c_custkey"],
         "left_semi",
     ).select("o_orderkey")

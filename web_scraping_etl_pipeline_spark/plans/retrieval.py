@@ -22,6 +22,7 @@ from .registry import query
 from .textops import _TOKENS_SQL, _tokens
 from .vectors import (
     DIM,
+    QUERY_VEC_ID,
     _bucket_expr,
     _bucket_expr_sql,
     _dot,
@@ -272,7 +273,7 @@ _RRF_TERMS_SQL = ", ".join(f"'{w}'" for w in _RRF_TERMS)
              ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS r_lex
       FROM lexpool
     ),
-    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     dots AS (
       SELECT e.vec_id AS doc_id,
              SUM(CAST(e.embedding[r.i] AS DOUBLE)
@@ -368,8 +369,6 @@ def q225_hybrid_rrf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q257: nDCG@k ranking-quality evaluation of the hybrid retriever
 # ---------------------------------------------------------------------------
-
-from .vectors import QUERY_VEC_ID  # noqa: E402
 
 _NDCG_K = 10
 
@@ -750,7 +749,7 @@ def _rbo_weights() -> list[tuple[int, float]]:
              ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS r_lex
       FROM lexpool
     ),
-    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     dots AS (
       SELECT e.vec_id AS doc_id,
              SUM(CAST(e.embedding[r.i] AS DOUBLE)
