@@ -102,6 +102,27 @@ def main() -> int:
             time.sleep(0.2)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # Load normalization: this VM's wall-clock swings +/-25% run-to-run
+    # under host contention, which swamps real per-query regressions in
+    # raw seconds (the r6 lesson: a uniform ~12% suite-wide shift read
+    # as six "regressions"). Each query divided by the suite MEDIAN
+    # cancels the uniform load factor - a genuine 1.5x plan regression
+    # still shows as 1.5x in the normalized view under any VM weather,
+    # while a noisy-neighbor round shows ~1.0x everywhere.
+    ok_sorted = sorted(v for v in timings.values() if v >= 0)
+    median = (
+        round(
+            (ok_sorted[len(ok_sorted) // 2]
+             + ok_sorted[(len(ok_sorted) - 1) // 2]) / 2, 4
+        )
+        if ok_sorted
+        else None
+    )
+    queries_norm = {
+        n: round(v / median, 3)
+        for n, v in timings.items()
+        if v >= 0 and median
+    }
     # Full per-query timings go to a repo-root artifact; the stdout
     # line is size-capped because the driver keeps only the final ~2000
     # characters of output - a 161-query dict (~5 KB) gets truncated
@@ -111,6 +132,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "suite_median_sec": median,
+        "queries_norm": queries_norm,
         "queries_run": len(timings),
         "errors": sorted(n for n, v in timings.items() if v < 0),
         "sf": sf,
@@ -139,6 +162,11 @@ def main() -> int:
                 "queries_run": len(timings),
                 "errors": len([v for v in timings.values() if v < 0]),
                 "sf": sf,
+                # full normalized per-query view: round-over-round
+                # regression detection works off THIS (load-cancelled)
+                # column, never raw seconds.
+                "suite_median_sec": median,
+                "queries_norm": queries_norm,
             }) + "\n")
     except OSError:
         pass
@@ -164,10 +192,12 @@ def main() -> int:
         "sf": sf,
         "queries_run": len(timings),
         "per_query_mean_sec": round(total / len(ok), 3) if ok else None,
+        "suite_median_sec": median,
         "errors": sorted(n for n, v in timings.items() if v < 0),
         "queries": slowest,
         "queries_is_top10_only": True,
         "full_timings": "BENCH_FULL.json",
+        "normalized_timings": "BENCH_FULL.json:queries_norm",
     }
     line = json.dumps(head, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never exceed the tail buffer

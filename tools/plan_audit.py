@@ -15,7 +15,11 @@ For each query the tool prints operator counts parsed from the
   :func:`hint_boundedness`)
 
 Streaming queries execute a real drain when their DataFrame is built,
-so they are skipped by default (pass --all to include them).
+so they are skipped by default (pass --all to include them). Their
+STREAM-side executed plans get the equivalent gate in
+``tests/test_stream_plan_audit.py``, which audits the plans captured
+by ``_run_to_sink`` (state-store operators, static-dim broadcast,
+banned operator list).
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 Exit code 1 if any query trips a flag, else 0 - usable as a CI gate.

@@ -85,6 +85,15 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: executed STREAM-side physical plans, keyed by drain tag ("q34", ...).
+#: Captured from the terminated query's lastExecution so the streaming
+#: plans get the same regression audit the batch side has (state-store
+#: operator placement, broadcast of static dims, no row-Python UDFs) -
+#: tools/plan_audit.py skips these queries because building them runs a
+#: real drain; tests/test_stream_plan_audit.py audits THIS dict instead.
+STREAM_PLANS: dict[str, str] = {}
+
+
 def _run_to_sink(
     df: DataFrame, spark: SparkSession, tag: str, partitions: int = 8
 ) -> DataFrame:
@@ -116,6 +125,12 @@ def _run_to_sink(
             .start()
         )
         q.awaitTermination(600)
+        try:
+            # lastExecution survives availableNow termination; True =
+            # extended (logical + physical), what the audit wants.
+            STREAM_PLANS[tag] = q._jsq.explainInternal(True)
+        except Exception:  # noqa: BLE001 - plan capture is best-effort
+            STREAM_PLANS.pop(tag, None)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(f"{scratch}/sink")
