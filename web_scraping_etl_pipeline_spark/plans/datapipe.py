@@ -2801,3 +2801,144 @@ def q296_l_diversity(spark, sf_dir):
         "group_size",
         "l_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# q300: full BPE tokenizer-TRAINING loop (q227 iterated to a merge table)
+# ---------------------------------------------------------------------------
+
+#: merge rounds the training loop runs. Production trains to a vocab
+#: target (e.g. 32k merges); the loop below is round-count-agnostic -
+#: each round is the same distributed job.
+_BPE_ROUNDS = 10
+
+
+def _bpe_oracle(m: int) -> str:
+    """Unrolled DuckDB twin of the m-round BPE training loop: the
+    q269/q284 technique - no iteration hidden from verification, each
+    round a MATERIALIZED CTE (DuckDB inlines CTEs by default and the
+    chain re-expands exponentially otherwise).
+
+    Representation shared with the Spark side: a word's symbol
+    sequence is one string, symbols joined by TWO spaces with a single
+    leading/trailing space (" a  b  c "). Merging pair (l, r) is then
+    plain left-to-right ``replace(' l  r ', ' lr ')``: the pattern
+    consumes one of the two boundary spaces on each side and the
+    replacement re-emits it, so adjacent occurrences ("a a a a" with
+    merge a+a) stay mergeable in one pass - both engines' replace()
+    resumes after the replacement, giving identical greedy semantics.
+    """
+    parts = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]),
+               '  ') || ' ' AS spaced,
+             CAST(cnt AS BIGINT) AS freq
+      FROM (SELECT w, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+            GROUP BY w)
+    )"""
+    ]
+    for i in range(1, m + 1):
+        parts.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT s[r.i] || ' ' || s[r.i + 1] AS pair, SUM(freq) AS cnt
+      FROM (SELECT string_split(trim(spaced), '  ') AS s, freq
+            FROM w{i - 1}) t,
+           LATERAL unnest(range(1, len(s))) r(i)
+      WHERE len(s) >= 2
+      GROUP BY 1
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT CAST({i} AS BIGINT) AS merge_rank, pair,
+             CAST(cnt AS BIGINT) AS cnt
+      FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT replace(w.spaced,
+                     ' ' || replace(b.pair, ' ', '  ') || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS spaced,
+             w.freq
+      FROM w{i - 1} w, b{i} b
+    )"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT merge_rank, pair, cnt FROM b{i}" for i in range(1, m + 1)
+    )
+    return ",".join(parts) + "\n    " + final
+
+
+@query("q300_bpe_train_loop", oracle=_bpe_oracle(_BPE_ROUNDS))
+def q300_bpe_train_loop(spark, sf_dir):
+    """FULL BPE tokenizer training over the corpus: {_BPE_ROUNDS}
+    merge rounds, each round counting every adjacent symbol pair
+    (weighted by word frequency), merging the argmax pair corpus-wide,
+    and re-tokenizing - the loop that turns q227's single merge STEP
+    into the merge TABLE a tokenizer ships (Sennrich et al. 2016). The
+    result is (merge_rank, pair, cnt): the ranked merge list plus each
+    merge's support at selection time.
+
+    Key scale property (the trick every real BPE trainer uses): the
+    loop runs over the WORD-FREQUENCY table, not the corpus. One
+    corpus-wide explode+groupBy builds (word, freq); every round after
+    that is an aggregate over |vocab| rows - at 100 TB the corpus is
+    ~10^11 words but the vocab is ~10^8, a 1000x reduction before the
+    iteration starts, and each round's pair census is Zipf-bounded.
+
+    Driver state is one (pair, cnt) row per round (the q177/q269
+    bounded-argmax pattern); the word table is localCheckpoint-ed per
+    round so the lineage never chains (a 32k-merge production run
+    would otherwise stack 32k plan nodes). Merge application is a
+    literal string replace on the double-space symbol encoding (no
+    regex, no Python) - see :func:`_bpe_oracle` for why the encoding
+    makes left-to-right replace() exactly the greedy BPE re-tokenize
+    in both engines.
+    """
+    docs = t_split(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split("w", ""), "  "),
+                F.lit(" "),
+            ).alias("spaced"),
+            "freq",
+        )
+    )
+    tbl = words.localCheckpoint()
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("spaced")), "  ")
+        n = F.size(syms) - 1
+        z = F.arrays_zip(F.slice(syms, 1, n), F.slice(syms, 2, n))
+        pair = F.transform(z, lambda g: F.concat_ws(" ", g["0"], g["1"]))
+        top = (
+            tbl.filter(F.size(syms) >= 2)
+            .select(F.explode(pair).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word fully merged: vocabulary saturated
+        best, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((rank, best, cnt))
+        left, right = best.split(" ")
+        tbl = tbl.withColumn(
+            "spaced",
+            F.replace(
+                F.col("spaced"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, pair string, cnt bigint"
+    )
