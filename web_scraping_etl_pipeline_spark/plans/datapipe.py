@@ -2938,7 +2938,14 @@ def q300_bpe_train_loop(spark, sf_dir):
                 F.lit(f" {left}  {right} "),
                 F.lit(f" {left}{right} "),
             ),
-        ).localCheckpoint()
+        )
+        # Lineage cut every 4th round, not every round: each merge adds
+        # one narrow projection (no shuffle), so a <=4-replace chain is
+        # free to recompute, while materializing the table 10x costs
+        # more than it saves. A 32k-merge production run keeps the same
+        # cadence arithmetic - plans stay O(cadence), never O(rounds).
+        if rank % 4 == 0:
+            tbl = tbl.localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair string, cnt bigint"
     )
