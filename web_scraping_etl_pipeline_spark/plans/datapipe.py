@@ -2813,11 +2813,14 @@ def q296_l_diversity(spark, sf_dir):
 _BPE_ROUNDS = 10
 
 
-def _bpe_oracle(m: int) -> str:
+def _bpe_chain(m: int) -> str:
     """Unrolled DuckDB twin of the m-round BPE training loop: the
     q269/q284 technique - no iteration hidden from verification, each
     round a MATERIALIZED CTE (DuckDB inlines CTEs by default and the
-    chain re-expands exponentially otherwise).
+    chain re-expands exponentially otherwise). Returns the CTE BODY
+    (caller prepends WITH and appends its final select), exposing
+    ``b1..b{m}`` (the per-round argmax merges) and ``w{m}`` (the word
+    table after all merges, keyed by the original word ``w``).
 
     Representation shared with the Spark side: a word's symbol
     sequence is one string, symbols joined by TWO spaces with a single
@@ -2829,9 +2832,9 @@ def _bpe_oracle(m: int) -> str:
     resumes after the replacement, giving identical greedy semantics.
     """
     parts = [
-        f"""
-    WITH w0 AS MATERIALIZED (
-      SELECT ' ' || array_to_string(
+        f"""w0 AS MATERIALIZED (
+      SELECT w,
+             ' ' || array_to_string(
                list_transform(range(1, length(w) + 1), i -> w[i]),
                '  ') || ' ' AS spaced,
              CAST(cnt AS BIGINT) AS freq
@@ -2857,45 +2860,39 @@ def _bpe_oracle(m: int) -> str:
       FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
     ),
     w{i} AS MATERIALIZED (
-      SELECT replace(w.spaced,
+      SELECT w.w,
+             replace(w.spaced,
                      ' ' || replace(b.pair, ' ', '  ') || ' ',
                      ' ' || replace(b.pair, ' ', '') || ' ') AS spaced,
              w.freq
       FROM w{i - 1} w, b{i} b
     )"""
         )
+    return ",".join(parts)
+
+
+def _bpe_oracle(m: int) -> str:
     final = "\n    UNION ALL ".join(
         f"SELECT merge_rank, pair, cnt FROM b{i}" for i in range(1, m + 1)
     )
-    return ",".join(parts) + "\n    " + final
+    return f"WITH {_bpe_chain(m)}\n    {final}"
 
 
-@query("q300_bpe_train_loop", oracle=_bpe_oracle(_BPE_ROUNDS))
-def q300_bpe_train_loop(spark, sf_dir):
-    """FULL BPE tokenizer training over the corpus: {_BPE_ROUNDS}
-    merge rounds, each round counting every adjacent symbol pair
-    (weighted by word frequency), merging the argmax pair corpus-wide,
-    and re-tokenizing - the loop that turns q227's single merge STEP
-    into the merge TABLE a tokenizer ships (Sennrich et al. 2016). The
-    result is (merge_rank, pair, cnt): the ranked merge list plus each
-    merge's support at selection time.
+#: trained merge lists cached per (applicationId, sf_dir) - the
+#: driver-side analogue of plans/common.shared_stage for a Python
+#: value: q300 ships the merge table, q301 applies it; without the
+#: cache each consumer re-runs the {_BPE_ROUNDS}-round loop.
+_BPE_CACHE: dict[tuple[str, str], list[tuple[int, str, int]]] = {}
 
-    Key scale property (the trick every real BPE trainer uses): the
-    loop runs over the WORD-FREQUENCY table, not the corpus. One
-    corpus-wide explode+groupBy builds (word, freq); every round after
-    that is an aggregate over |vocab| rows - at 100 TB the corpus is
-    ~10^11 words but the vocab is ~10^8, a 1000x reduction before the
-    iteration starts, and each round's pair census is Zipf-bounded.
 
-    Driver state is one (pair, cnt) row per round (the q177/q269
-    bounded-argmax pattern); the word table is localCheckpoint-ed per
-    round so the lineage never chains (a 32k-merge production run
-    would otherwise stack 32k plan nodes). Merge application is a
-    literal string replace on the double-space symbol encoding (no
-    regex, no Python) - see :func:`_bpe_oracle` for why the encoding
-    makes left-to-right replace() exactly the greedy BPE re-tokenize
-    in both engines.
+def _bpe_train(spark, sf_dir) -> list[tuple[int, str, int]]:
+    """Run the BPE training loop; returns [(rank, "l r", cnt), ...].
+    See :func:`q300_bpe_train_loop` for the algorithm and scale notes.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = t_split(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(_tokens()).alias("w"))
@@ -2946,6 +2943,247 @@ def q300_bpe_train_loop(spark, sf_dir):
         # cadence arithmetic - plans stay O(cadence), never O(rounds).
         if rank % 4 == 0:
             tbl = tbl.localCheckpoint()
+    _BPE_CACHE[key] = merges
+    return merges
+
+
+@query("q300_bpe_train_loop", oracle=_bpe_oracle(_BPE_ROUNDS))
+def q300_bpe_train_loop(spark, sf_dir):
+    """FULL BPE tokenizer training over the corpus: {_BPE_ROUNDS}
+    merge rounds, each round counting every adjacent symbol pair
+    (weighted by word frequency), merging the argmax pair corpus-wide,
+    and re-tokenizing - the loop that turns q227's single merge STEP
+    into the merge TABLE a tokenizer ships (Sennrich et al. 2016). The
+    result is (merge_rank, pair, cnt): the ranked merge list plus each
+    merge's support at selection time.
+
+    Key scale property (the trick every real BPE trainer uses): the
+    loop runs over the WORD-FREQUENCY table, not the corpus. One
+    corpus-wide explode+groupBy builds (word, freq); every round after
+    that is an aggregate over |vocab| rows - at 100 TB the corpus is
+    ~10^11 words but the vocab is ~10^8, a 1000x reduction before the
+    iteration starts, and each round's pair census is Zipf-bounded.
+
+    Driver state is one (pair, cnt) row per round (the q177/q269
+    bounded-argmax pattern); the word table is localCheckpoint-ed per
+    round so the lineage never chains (a 32k-merge production run
+    would otherwise stack 32k plan nodes). Merge application is a
+    literal string replace on the double-space symbol encoding (no
+    regex, no Python) - see :func:`_bpe_chain` for why the encoding
+    makes left-to-right replace() exactly the greedy BPE re-tokenize
+    in both engines.
+    """
+    merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair string, cnt bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q301: tokenizer fertility/compression evaluation (applies q300's merges)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q301_tokenizer_fertility",
+    oracle=f"""
+    WITH {_bpe_chain(_BPE_ROUNDS)},
+    census AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest({_TOKENS_SQL}) AS w FROM documents)
+      GROUP BY source, w
+    ),
+    tok AS (
+      SELECT w,
+             CAST(len(string_split(trim(spaced), '  ')) AS BIGINT)
+               AS n_tok,
+             CAST(length(w) AS BIGINT) AS n_chr
+      FROM w{_BPE_ROUNDS}
+    )
+    SELECT census.source,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * n_chr) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(cnt * n_tok) AS DOUBLE) / SUM(cnt), 6)
+             AS fertility,
+           ROUND(CAST(SUM(cnt * n_chr) AS DOUBLE) / SUM(cnt * n_tok), 6)
+             AS chars_per_token
+    FROM census JOIN tok USING (w)
+    GROUP BY census.source
+    """,
+)
+def q301_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer EVALUATION: apply the merge table q300 trained and
+    measure, per source, fertility (tokens per word) and compression
+    (characters per token) - the two numbers a tokenizer is judged by
+    before it ships (a fertility regression on one language/source is
+    the classic symptom of a train-corpus mixture bug).
+
+    Scale: the learned merges are a driver-side constant (10 rows;
+    32k in production - still constant w.r.t. the corpus), applied as
+    a chain of literal replaces over the DISTINCT-word frame, never
+    the corpus: one corpus-wide explode builds the (source, word,
+    cnt) census, the merge chain runs over |vocab| rows, and the
+    final join is census x vocab on the word key (unhinted - vocab is
+    sublinear but data-derived, AQE decides). All sums are exact
+    integers; the two ratios are single IEEE divisions, identical
+    cross-engine.
+    """
+    merges = _bpe_train(spark, sf_dir)
+    docs = t_split(spark, sf_dir, "documents")
+    census = (
+        docs.select("source", F.explode(_tokens()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    spaced = F.concat(
+        F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+    )
+    for _, pair, _ in merges:
+        left, right = pair.split(" ")
+        spaced = F.replace(
+            spaced, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        )
+    tok = census.select("w").distinct().select(
+        "w",
+        F.size(F.split(F.trim(spaced), "  ")).cast("long").alias("n_tok"),
+        F.length("w").cast("long").alias("n_chr"),
+    )
+    return (
+        census.join(tok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sum(F.col("cnt") * F.col("n_chr")).cast("long").alias(
+                "n_chars"
+            ),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302: Count-Min sketch term-frequency estimation (mergeable sketch)
+# ---------------------------------------------------------------------------
+
+#: sketch geometry: _CMS_D independent hash rows x _CMS_W buckets.
+#: Tiny on purpose so collisions actually occur at test SF and the
+#: overestimate column exercises the estimate-vs-exact comparison.
+_CMS_D = 4
+_CMS_W = 64
+#: how many head terms the point-query report covers.
+_CMS_TOPK = 15
+
+_CMS_ROWS_SQL = "[" + ", ".join(str(j) for j in range(_CMS_D)) + "]"
+
+
+@query(
+    "q302_count_min_sketch",
+    oracle=f"""
+    WITH census AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+      GROUP BY w
+    ),
+    cells AS (
+      SELECT r.j,
+             {_h60_sql("CAST(r.j AS VARCHAR) || ':' || term")} % {_CMS_W}
+               AS b,
+             CAST(SUM(cnt) AS BIGINT) AS cell
+      FROM census, LATERAL unnest({_CMS_ROWS_SQL}) r(j)
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT term, cnt FROM census
+      ORDER BY cnt DESC, term LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT term, cnt, r.j,
+             {_h60_sql("CAST(r.j AS VARCHAR) || ':' || term")} % {_CMS_W}
+               AS b
+      FROM topk, LATERAL unnest({_CMS_ROWS_SQL}) r(j)
+    )
+    SELECT p.term,
+           p.cnt AS exact_cnt,
+           CAST(MIN(c.cell) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.cell) - p.cnt AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
+    GROUP BY p.term, p.cnt
+    """,
+)
+def q302_count_min_sketch(spark, sf_dir):
+    """COUNT-MIN SKETCH frequency estimation: build a {_CMS_D} x
+    {_CMS_W} CMS over corpus term occurrences, then point-query the
+    top {_CMS_TOPK} head terms and report estimate vs exact - the
+    mergeable fixed-size sketch every streaming frequency monitor
+    ships (Cormode & Muthukrishnan 2005), complementing q151's
+    Misra-Gries (candidate SET) with per-key COUNT estimates whose
+    error is one-sided (estimate >= exact, the overestimate column).
+
+    Scale: the sketch is built from the term CENSUS, not the raw
+    occurrence stream - one corpus explode+groupBy (the same partial-
+    aggregated shuffle every term query here pays), then the {_CMS_D}
+    hash rows explode only |vocab| rows and collapse to {_CMS_D} x
+    {_CMS_W} = {_CMS_D * _CMS_W} cells. On a cluster the cells frame
+    IS the sketch: constant-size, mergeable across shards by cell-wise
+    sum (the groupBy does exactly that merge). Point queries join two
+    aggregate-derived bounded frames ({_CMS_TOPK} x {_CMS_D} probes
+    against {_CMS_D * _CMS_W} cells) - AQE broadcasts. Hashes are the
+    suite's cross-engine md5-60bit; all counts integer-exact.
+    """
+    docs = t_split(spark, sf_dir, "documents")
+    census = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+    def bucket(j):
+        return (
+            _h60(F.concat(F.lit(f"{j}:"), F.col("term"))) % _CMS_W
+        ).alias("b")
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), bucket(j))
+                for j in range(_CMS_D)
+            ]
+        )
+    ).alias("jb")
+    cells = (
+        census.select(rows, "cnt")
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+    topk = census.orderBy(F.desc("cnt"), F.asc("term")).limit(_CMS_TOPK)
+    probes = topk.select("term", "cnt", rows).select(
+        "term", "cnt", F.col("jb.j").alias("j"), F.col("jb.b").alias("b")
+    )
+    return (
+        probes.join(cells, ["j", "b"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+        .select(
+            "term",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
     )

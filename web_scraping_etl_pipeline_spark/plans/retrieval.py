@@ -17,7 +17,7 @@ import math
 
 from pyspark.sql import Window, functions as F
 
-from .common import t, transient_persist
+from .common import t, t_split, transient_persist
 from .registry import query
 from .textops import _TOKENS_SQL, _tokens
 from .vectors import (
@@ -1091,4 +1091,105 @@ def q299_hard_negative_mining(spark, sf_dir):
             F.col("dp").alias("neg_sim"),
             F.round(F.col("floor_dp") - F.col("dp"), 6).alias("margin"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304: positional-index phrase search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q304_phrase_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS tk FROM documents
+    ),
+    pairs AS (
+      SELECT tk[r.i] || ' ' || tk[r.i + 1] AS pair
+      FROM tok, LATERAL unnest(range(1, len(tk))) r(i)
+      WHERE len(tk) >= 2
+    ),
+    phrase AS (
+      SELECT string_split(pair, ' ')[1] AS w1,
+             string_split(pair, ' ')[2] AS w2,
+             pair
+      FROM (SELECT pair, COUNT(*) AS c FROM pairs
+            GROUP BY pair ORDER BY c DESC, pair LIMIT 1)
+    ),
+    post AS (
+      SELECT doc_id, r.i AS pos, tk[r.i] AS term
+      FROM tok, LATERAL unnest(range(1, len(tk) + 1)) r(i)
+    )
+    SELECT p1.doc_id,
+           d.source,
+           ph.pair AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM post p1
+    JOIN post p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+    JOIN phrase ph ON p1.term = ph.w1 AND p2.term = ph.w2
+    JOIN documents d ON p1.doc_id = d.doc_id
+    GROUP BY p1.doc_id, d.source, ph.pair
+    """,
+)
+def q304_phrase_search(spark, sf_dir):
+    """PHRASE search over a positional inverted index: find every
+    document containing the exact two-word phrase, with occurrence
+    counts - the positional-postings join (term w1 at pos p, term w2
+    at p+1 in the same doc) that phrase and proximity queries compile
+    to in every IR engine, the capability BM25 bag-of-words ranking
+    (q279) cannot express. The query phrase is data-derived for
+    determinism: the corpus's most frequent adjacent pair (q227's
+    argmax), computed in-plan as a 1-row frame.
+
+    Scale: postings are posexplode over the corpus (the unavoidable
+    explode every index build pays, same envelope as q279/q267); each
+    side then joins the 1-row phrase frame FIRST - broadcast by
+    construction (aggregate+limit-derived, the plan-audit-provable
+    bound), collapsing each posting stream to one term's postings
+    before the positional join - so the only real shuffle joins the
+    two PRUNED posting lists on (doc_id, pos), never full postings
+    against full postings. At 100 TB this is the textbook
+    selective-term-first phrase plan."""
+    docs = t_split(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens().alias("tk")
+    )
+    pair_col = F.transform(
+        F.arrays_zip(
+            F.slice("tk", 1, F.size("tk") - 1),
+            F.slice("tk", 2, F.size("tk") - 1),
+        ),
+        lambda g: F.concat_ws(" ", g["0"], g["1"]),
+    )
+    phrase = (
+        docs.filter(F.size("tk") >= 2)
+        .select(F.explode(pair_col).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.split("pair", " ").getItem(0).alias("w1"),
+            F.split("pair", " ").getItem(1).alias("w2"),
+            F.col("pair").alias("phrase"),
+        )
+    )
+    post = docs.select(
+        "doc_id", "source", F.posexplode("tk").alias("pos", "term")
+    )
+    m1 = post.join(
+        F.broadcast(phrase.select("w1", "phrase")),
+        post.term == F.col("w1"),
+    ).select("doc_id", "source", "pos", "phrase")
+    m2 = post.join(
+        F.broadcast(phrase.select("w2")), post.term == F.col("w2")
+    ).select(F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"))
+    return (
+        m1.join(
+            m2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id", "source", "phrase")
+        .agg(F.count("*").cast("long").alias("n_hits"))
     )

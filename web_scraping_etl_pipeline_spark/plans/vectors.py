@@ -837,3 +837,132 @@ def q289_embedding_isotropy(spark, sf_dir):
             4,
         ).alias("avg_pair_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q303: dominant principal component via power iteration
+# ---------------------------------------------------------------------------
+
+#: power-iteration rounds. Correctness does not depend on convergence:
+#: both engines run the SAME fixed iteration count from the same exact
+#: start vector, so the comparison pins the computation, and 6 rounds
+#: already separate the dominant eigenvector on this data.
+_PI_ROUNDS = 6
+
+#: exact start vector: 1/sqrt(DIM) = 0.125 for DIM=64 - representable
+#: exactly in binary, so both engines begin bit-identical.
+_PI_V0 = 0.125
+
+
+def _pi_oracle(t_rounds: int) -> str:
+    """Unrolled DuckDB twin of the power iteration (q300's no-hidden-
+    iteration discipline): v0 is a 64-element literal; each round
+    computes the per-row projection s = <x, v> as the same unrolled
+    64-term sum the Spark side uses, aggregates u = X^T s, and
+    normalizes. Only the cross-ROW sums are engine-order-dependent
+    (~1e-15 relative); power iteration is self-correcting, and the
+    outputs are rounded (loadings 5dp, eigenvalue 3dp)."""
+    v0 = ", ".join([str(_PI_V0)] * DIM)
+    parts = [f"v0 AS (SELECT [{v0}] AS v)"]
+    for i in range(1, t_rounds + 1):
+        s_terms = " + ".join(
+            f"(CAST(e.embedding[{k}] AS DOUBLE) * v.v[{k}])"
+            for k in range(1, DIM + 1)
+        )
+        u_terms = ", ".join(
+            f"SUM(s * CAST(embedding[{d}] AS DOUBLE))"
+            for d in range(1, DIM + 1)
+        )
+        parts.append(
+            f"""
+    s{i} AS MATERIALIZED (
+      SELECT {s_terms} AS s, e.embedding
+      FROM embeddings e, v{i - 1} v
+    ),
+    u{i} AS MATERIALIZED (
+      SELECT [{u_terms}] AS u FROM s{i}
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT list_transform(
+               u, x -> x / sqrt(list_sum(list_transform(u, y -> y * y)))
+             ) AS v
+      FROM u{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(r.d AS BIGINT) AS dim,
+           ROUND(v.v[r.d], 5) AS loading,
+           ROUND(sqrt(list_sum(list_transform(u.u, y -> y * y))), 3)
+             AS eigenvalue
+    FROM v{t_rounds} v, u{t_rounds} u,
+         LATERAL unnest(range(1, {DIM + 1})) r(d)
+    """
+    )
+
+
+@query("q303_power_iteration_pca", oracle=_pi_oracle(_PI_ROUNDS))
+def q303_power_iteration_pca(spark, sf_dir):
+    """Dominant PRINCIPAL COMPONENT of the embedding matrix by power
+    iteration: {_PI_ROUNDS} rounds of v <- normalize(X^T (X v)) from
+    the exact 1/sqrt(64) start vector, returning the 64 loadings and
+    the dominant eigenvalue of X^T X (= ||u|| after the final round).
+    The anisotropy axis this finds is what embedding post-processing
+    removes (all-but-the-top principal component, Mu & Viswanath
+    2018), and the same iteration shape is every distributed spectral
+    method's inner loop.
+
+    Scale: each round is ONE map + aggregate pass - the projection
+    s = <x, v> is an unrolled 64-term codegen expression (v rides in
+    as literals, the q269 broadcast-not-plan rule doesn't apply: v is
+    64 doubles, constant-size), and u = X^T s is 64 partial-aggregated
+    SUMs, so the full iteration is {_PI_ROUNDS} scans with NO shuffle
+    beyond each aggregate's 64-value reduce. Driver state is one
+    64-double vector per round (the q177/q269 bounded pattern). At
+    1B vectors this is the textbook distributed power method.
+
+    Cross-engine: per-row products and the iteration arithmetic are
+    IEEE-identical; only cross-row SUM order differs (~1e-15
+    relative), which power iteration self-corrects; outputs rounded
+    (loadings 5dp, eigenvalue 3dp, the suite's adjudicated float
+    pattern)."""
+    import math  # noqa: PLC0415
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = [_PI_V0] * DIM
+    u = v
+    for _ in range(_PI_ROUNDS):
+        s_sql = " + ".join(
+            f"(CAST(element_at(embedding, {k}) AS DOUBLE) * ({v[k - 1]!r}))"
+            for k in range(1, DIM + 1)
+        )
+        proj = emb.select(F.expr(s_sql).alias("s"), "embedding")
+        row = proj.agg(
+            *[
+                F.sum(
+                    F.expr(f"s * CAST(element_at(embedding, {d}) AS DOUBLE)")
+                ).alias(f"u{d}")
+                for d in range(1, DIM + 1)
+            ]
+        ).collect()[0]
+        u = [float(row[f"u{d}"]) for d in range(1, DIM + 1)]
+        ss = 0.0
+        for x in u:  # left-assoc fold, mirroring list_sum
+            ss += x * x
+        norm = math.sqrt(ss)
+        v = [x / norm for x in u]
+    ss = 0.0
+    for x in u:
+        ss += x * x
+    lam = math.sqrt(ss)
+    out = spark.createDataFrame(
+        [(d, v[d - 1], lam) for d in range(1, DIM + 1)],
+        "dim bigint, raw_loading double, raw_eigenvalue double",
+    )
+    return out.select(
+        "dim",
+        F.round("raw_loading", 5).alias("loading"),
+        F.round("raw_eigenvalue", 3).alias("eigenvalue"),
+    )
