@@ -118,6 +118,8 @@ ALLOW = {
     "q256_hll_sketch_union": {"nested_loop"},  # 1-row exact-NDV bridge frame
     "q266_dedup_agreement": {"nested_loop"},  # three 1-row metric frames
     "q267_distinctive_terms": {"nested_loop"},  # 1-row corpus totals frame
+    "q305_pmi_collocations": {"nested_loop"},  # two 1-row total frames
+    "q306_kmeans_lloyd": {"nested_loop"},  # k=4 centroid frame per round
     "q279_bm25_topk": {"nested_loop"},  # 1-row N/avgdl stats frame
     "q281_lm_perplexity_buckets": {"nested_loop"},  # 1-row vocab-size frame
     # 50-row depth-weight literal theta-joined to a <=50-row pool

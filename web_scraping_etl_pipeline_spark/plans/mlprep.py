@@ -16,7 +16,13 @@ from pyspark.sql import Window, functions as F
 
 from .common import t, t_split, transient_persist
 from .registry import query
-from .textops import _SCORE_SQL, _STOPWORDS, _TOKENS_SQL, _tokens
+from .textops import (
+    _SCORE_SPARK_SQL,
+    _SCORE_SQL,
+    _STOPWORDS,
+    _TOKENS_SQL,
+    _tokens,
+)
 
 #: cross-engine 60-bit hash bridge (plans/registry.py): Spark
 #: conv(substr(md5(x),1,15),16,10) == DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT)
@@ -1349,4 +1355,189 @@ def q292_source_transfer_matrix(spark, sf_dir):
                 4,
             ).alias("cross_entropy"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q307: Pearson correlation matrix of per-doc quality signals, by source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q307_signal_correlations",
+    oracle=f"""
+    WITH sig AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS y,
+             CAST({_SCORE_SQL} AS BIGINT) AS z
+      FROM documents
+    ),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(z * z) AS BIGINT) AS szz,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * z) AS BIGINT) AS sxz,
+             CAST(SUM(y * z) AS BIGINT) AS syz
+      FROM sig GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS r_chars_tokens,
+           ROUND(CAST(n * sxz - sx * sz AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6)
+             AS r_chars_score,
+           ROUND(CAST(n * syz - sy * sz AS DOUBLE) /
+                 (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) *
+                  sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6)
+             AS r_tokens_score
+    FROM m
+    """,
+)
+def q307_signal_correlations(spark, sf_dir):
+    """PEARSON correlation matrix of the three per-document quality
+    signals (char length, token count, milli-unit quality score), per
+    source - the signal-redundancy audit run before combining quality
+    signals into one filter (two signals correlating at 0.98 means the
+    "ensemble" is really one signal, the classic quality-gate design
+    error).
+
+    Scale: one scan, one groupBy(source) computing all ten moment sums
+    (n, three sums, three squares, three cross products) in a single
+    partial-aggregated pass - no second scan, no join, |sources| rows
+    out. Every moment is EXACT integer arithmetic (the signals are
+    ints; squares/cross-products fit long comfortably at any SF that
+    fits a bigint row count), and the correlation formula is written
+    operation-for-operation identically on both engines, so the
+    doubles agree bit-for-bit before the 6dp round."""
+    sig = t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(_tokens()).cast("long").alias("y"),
+        F.expr(_SCORE_SPARK_SQL).cast("long").alias("z"),
+    )
+    m = sig.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+    )
+
+    def corr(spq, sp, sq, spp, sqq):
+        num = (F.col("n") * F.col(spq) - F.col(sp) * F.col(sq)).cast(
+            "double"
+        )
+        vp = (F.col("n") * F.col(spp) - F.col(sp) * F.col(sp)).cast(
+            "double"
+        )
+        vq = (F.col("n") * F.col(sqq) - F.col(sq) * F.col(sq)).cast(
+            "double"
+        )
+        return F.round(num / (F.sqrt(vp) * F.sqrt(vq)), 6)
+
+    return m.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("r_chars_tokens"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("r_chars_score"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("r_tokens_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q308: per-source OLS fit of quality score on token count
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q308_ols_score_on_tokens",
+    oracle=f"""
+    WITH sig AS (
+      SELECT source,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS x,
+             CAST({_SCORE_SQL} AS BIGINT) AS y
+      FROM documents
+    ),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM sig GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE) -
+                  (CAST(n * sxy - sx * sy AS DOUBLE) /
+                   CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE) *
+                  CAST(n * sxy - sx * sy AS DOUBLE)) /
+                 (CAST(n * sxx - sx * sx AS DOUBLE) *
+                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_squared
+    FROM m
+    """,
+)
+def q308_ols_score_on_tokens(spark, sf_dir):
+    """Per-source ORDINARY LEAST SQUARES fit of the quality score on
+    token count (slope, intercept, R^2) - the length-bias calibration
+    every quality classifier needs: if score is mostly a linear
+    function of length, a "quality" filter is silently a length
+    filter, and the residual (score - fit) is the de-biased signal.
+
+    Scale: identical shape to q307 - one scan, one groupBy(source)
+    producing the six moment sums in a single pass, closed-form OLS
+    from the moments (the textbook distributed-regression trick: no
+    iteration, no second pass). Moments are exact integers; the
+    closed-form arithmetic is written identically on both engines
+    (squared numerator computed in DOUBLE - it overflows int64 by
+    design - everything else exact until the final divisions)."""
+    sig = t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(_tokens()).cast("long").alias("x"),
+        F.expr(_SCORE_SPARK_SQL).cast("long").alias("y"),
+    )
+    m = sig.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / vx
+    return m.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+        F.round((num * num) / (vx * vy), 6).alias("r_squared"),
     )

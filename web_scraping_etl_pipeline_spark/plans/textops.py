@@ -974,3 +974,115 @@ def q295_wasserstein_length_drift(spark, sf_dir):
             ).alias("w1_tokens")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q305: PMI collocation mining (adjacent-pair pointwise mutual information)
+# ---------------------------------------------------------------------------
+
+#: minimum pair support - PMI's classic failure mode is rare pairs
+#: saturating the top of the list, so collocation miners always gate
+#: on a count floor first.
+_PMI_MIN = 5
+_PMI_TOP = 20
+
+
+@query(
+    "q305_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (SELECT {_TOKENS_SQL} AS tk FROM documents),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w
+    ),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    pr AS (
+      SELECT tk[r.i] AS w1, tk[r.i + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS cp
+      FROM tok, LATERAL unnest(range(1, len(tk))) r(i)
+      WHERE len(tk) >= 2
+      GROUP BY 1, 2
+    ),
+    np AS (SELECT CAST(SUM(cp) AS BIGINT) AS n FROM pr),
+    scored AS (
+      SELECT pr.w1 || ' ' || pr.w2 AS pair, pr.cp,
+             ROUND(LN((CAST(pr.cp AS DOUBLE) / np.n) /
+                      ((CAST(u1.c AS DOUBLE) / nu.n) *
+                       (CAST(u2.c AS DOUBLE) / nu.n))), 6) AS pmi
+      FROM pr
+      JOIN uni u1 ON pr.w1 = u1.w
+      JOIN uni u2 ON pr.w2 = u2.w
+      CROSS JOIN nu CROSS JOIN np
+      WHERE pr.cp >= {_PMI_MIN}
+    )
+    SELECT pair, cp AS pair_cnt, pmi
+    FROM scored ORDER BY pmi DESC, pair LIMIT {_PMI_TOP}
+    """,
+)
+def q305_pmi_collocations(spark, sf_dir):
+    """COLLOCATION mining by pointwise mutual information: the top
+    {_PMI_TOP} adjacent word pairs whose co-occurrence beats the
+    independence expectation, gated on >= {_PMI_MIN} support - the
+    statistic (Church & Hanks 1990) behind multi-word-expression
+    vocabularies and phrase-aware tokenizer seeding, and the natural
+    companion to q227 (which ranks by RAW count: PMI re-ranks by
+    informativeness).
+
+    Scale: one corpus explode feeds BOTH censuses (unigram and
+    adjacent-pair, each a map-side-combinable hash aggregate); the PMI
+    join is pair-census x unigram-census on the word key twice -
+    vocab-bounded frames, unhinted - plus two 1-row total frames
+    (aggregate-derived, broadcast by construction). All counts are
+    exact integers and the PMI expression is written operation-for-
+    operation identically on both engines, so even the float ordering
+    is deterministic cross-engine before the 6dp round."""
+    docs = t_split(spark, sf_dir, "documents")
+    toks = docs.select(_tokens().alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").cast("long").alias("nu"))
+    z = F.arrays_zip(
+        F.slice("tk", 1, F.size("tk") - 1),
+        F.slice("tk", 2, F.size("tk") - 1),
+    )
+    pr = (
+        toks.filter(F.size("tk") >= 2)
+        .select(F.explode(z).alias("g"))
+        .select(F.col("g.0").alias("w1"), F.col("g.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cp"))
+        .filter(F.col("cp") >= _PMI_MIN)
+    )
+    np_ = (
+        toks.filter(F.size("tk") >= 2)
+        .select((F.size("tk") - 1).cast("long").alias("k"))
+        .agg(F.sum("k").cast("long").alias("np"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cp").cast("double") / F.col("np"))
+            / (
+                (F.col("c1").cast("double") / F.col("nu"))
+                * (F.col("c2").cast("double") / F.col("nu"))
+            )
+        ),
+        6,
+    )
+    return (
+        pr.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("pair"),
+            F.col("cp").alias("pair_cnt"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(_PMI_TOP)
+    )

@@ -13,7 +13,7 @@ divides by the norms (q52 computes them).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .common import t
 from .registry import query
@@ -965,4 +965,168 @@ def q303_power_iteration_pca(spark, sf_dir):
         "dim",
         F.round("raw_loading", 5).alias("loading"),
         F.round("raw_eigenvalue", 3).alias("eigenvalue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q306: full k-means (Lloyd) training loop
+# ---------------------------------------------------------------------------
+
+#: clusters and Lloyd rounds. q99 is the ASSIGNMENT unit; this is the
+#: training loop around it: assign -> re-center -> repeat.
+_KM_K = 4
+_KM_T = 3
+#: centroid re-sync precision: after every AVG re-center both engines
+#: round to 7dp, collapsing their ~1e-15 cross-row summation-order
+#: difference to bit-identical centroids, so the NEXT round's
+#: assignments compare identical doubles (the distance expression
+#: itself is unrolled in fixed order on both sides).
+_KM_DP = 7
+
+
+def _km_dist_duck() -> str:
+    return " + ".join(
+        f"((CAST(e.embedding[{k}] AS DOUBLE) - c.c[{k}])"
+        f" * (CAST(e.embedding[{k}] AS DOUBLE) - c.c[{k}]))"
+        for k in range(1, DIM + 1)
+    )
+
+
+def _km_oracle(t_rounds: int) -> str:
+    """Unrolled Lloyd chain (no hidden iteration): ctr0 = the first
+    {_KM_K} vectors; a{{i}} assigns every vector to its nearest
+    ctr{{i-1}} centroid (squared L2, ties to the lower cluster id);
+    ctr{{i}} re-centers as the 7dp-rounded per-dim mean."""
+    dist = _km_dist_duck()
+    avg_list = ", ".join(
+        f"ROUND(AVG(CAST(embedding[{d}] AS DOUBLE)), {_KM_DP})"
+        for d in range(1, DIM + 1)
+    )
+    parts = [
+        f"""ctr0 AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS cluster,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < {_KM_K}
+    )"""
+    ]
+    for i in range(1, t_rounds + 1):
+        parts.append(
+            f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cluster, embedding FROM (
+        SELECT e.vec_id, c.cluster, e.embedding,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dist}, c.cluster
+               ) AS rn
+        FROM embeddings e, ctr{i - 1} c
+      ) WHERE rn = 1
+    ),
+    ctr{i} AS MATERIALIZED (
+      SELECT cluster, [{avg_list}] AS c
+      FROM a{i} GROUP BY cluster
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT c.cluster, CAST(r.d AS BIGINT) AS dim,
+           c.c[r.d] AS centroid, s.n_members
+    FROM ctr{t_rounds} c
+    JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM a{t_rounds} GROUP BY cluster) s USING (cluster),
+         LATERAL unnest(range(1, {DIM + 1})) r(d)
+    """
+    )
+
+
+@query("q306_kmeans_lloyd", oracle=_km_oracle(_KM_T))
+def q306_kmeans_lloyd(spark, sf_dir):
+    """FULL k-means training (Lloyd's algorithm): {_KM_T} rounds of
+    assign-to-nearest-centroid + re-center over the embedding table,
+    from the deterministic init (first {_KM_K} vectors), returning the
+    final centroids (per dim) and cluster sizes. q99 ships the
+    assignment STEP; this is the training LOOP - the clustering stage
+    SemDeDup-style semantic dedup (q209) and IVF index construction
+    (q54) both assume as given.
+
+    Scale: the whole loop is ONE lazy plan - no driver collects at
+    all. Each round is (a) a broadcast nested-loop join of the corpus
+    against the {_KM_K}-row centroid frame (aggregate/limit-derived,
+    provably bounded - the adjudicated q99/q269 crossJoin shape), with
+    the squared-L2 distance unrolled into a fixed-order codegen
+    expression, (b) a per-vector window argmin (partitioned by vec_id,
+    never global), (c) a groupBy re-center whose per-dim AVGs are the
+    round's only shuffle. {_KM_T} rounds = {_KM_T} scans; at 1B
+    vectors this is the textbook broadcast-Lloyd with k small.
+
+    Cross-engine: distances are computed in identical operation order
+    on identical doubles (centroids re-sync to {_KM_DP}dp after every
+    AVG), so ASSIGNMENTS match exactly; only the AVG itself carries
+    the adjudicated rounding-boundary risk."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ctr = (
+        emb.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            F.col("vec_id").cast("long").alias("cluster"),
+            F.transform("embedding", lambda v: v.cast("double")).alias("c"),
+        )
+    )
+    dist = F.expr(
+        " + ".join(
+            f"((CAST(element_at(embedding, {k}) AS DOUBLE)"
+            f" - element_at(c, {k}))"
+            f" * (CAST(element_at(embedding, {k}) AS DOUBLE)"
+            f" - element_at(c, {k})))"
+            for k in range(1, DIM + 1)
+        )
+    )
+    assigned = None
+    for _ in range(_KM_T):
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        assigned = (
+            emb.crossJoin(F.broadcast(ctr))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "embedding")
+        )
+        ctr = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(
+                            F.expr(
+                                f"CAST(element_at(embedding, {d}) AS DOUBLE)"
+                            )
+                        ),
+                        _KM_DP,
+                    ).alias(f"c{d}")
+                    for d in range(1, DIM + 1)
+                ]
+            )
+            .select(
+                "cluster",
+                F.array(*[f"c{d}" for d in range(1, DIM + 1)]).alias("c"),
+            )
+        )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        ctr.join(sizes, "cluster")
+        .select(
+            "cluster",
+            F.posexplode("c").alias("pos", "centroid"),
+            "n_members",
+        )
+        .select(
+            "cluster",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            "centroid",
+            "n_members",
+        )
     )
