@@ -2794,3 +2794,205 @@ def q260_cusum_changepoint(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q310: CUPED-adjusted A/B experiment readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q310_cuped_ab_readout",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+    ),
+    bounds AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM ev),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts_us < (mn + mx) // 2
+                      THEN value ELSE 0.0 END) AS x,
+             SUM(CASE WHEN ts_us >= (mn + mx) // 2
+                      THEN value ELSE 0.0 END) AS y,
+             MAX(CASE WHEN ts_us >= (mn + mx) // 2
+                      THEN 1 ELSE 0 END) AS has_post
+      FROM ev, bounds GROUP BY user_id
+    ),
+    p AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm_id, x, y
+      FROM u WHERE has_post = 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM p
+    ),
+    a AS (
+      SELECT arm_id, CAST(COUNT(*) AS BIGINT) AS n_users,
+             SUM(x) AS asx, SUM(y) AS asy
+      FROM p GROUP BY arm_id
+    )
+    SELECT CASE WHEN arm_id = 0 THEN 'A' ELSE 'B' END AS arm,
+           n_users,
+           ROUND(asy / n_users, 6) AS mean_post,
+           ROUND(asy / n_users
+                 - ((g.n * g.sxy - g.sx * g.sy)
+                    / (g.n * g.sxx - g.sx * g.sx))
+                   * (asx / n_users - g.sx / g.n), 6) AS mean_cuped
+    FROM a, g
+    """,
+)
+def q310_cuped_ab_readout(spark, sf_dir):
+    """CUPED-adjusted A/B readout (Deng et al. 2013): users hash-split
+    into two arms, per-arm post-period mean of ``value`` reported raw
+    AND adjusted by the pre-period covariate - y_adj = y - theta *
+    (x - mean(x)) with theta = cov(x, y)/var(x) - the
+    variance-reduction every mature experimentation platform applies
+    before reading a metric. Pre/post split at the integer midpoint of
+    the event time range (exact bigint arithmetic); arm = the suite's
+    md5-60bit user hash mod 2 (the q79 deterministic-split pattern).
+
+    Scale: one scan -> per-user pre/post sums (one groupBy, both
+    periods in the same pass via conditional aggregation), then the
+    pooled moments (1-row) and per-arm sums (2-row) are aggregates of
+    the user frame; the only unbounded shuffle is the user groupBy.
+    The 1-row bounds/moments frames ride broadcast nested-loop joins
+    (aggregate-derived, the adjudicated q104 shape). theta and the
+    adjusted means are computed in identical operation order on both
+    engines from the per-user sums (which carry the suite's
+    adjudicated ~1e-15 summation-order tolerance under a 6dp round).
+    """
+    from .mlprep import _h60
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts_us", "value")
+    bounds = ev.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    mid = F.expr("(mn + mx) DIV 2")
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < mid, F.col("value")).otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts_us") >= mid, F.col("value")).otherwise(0.0)
+            ).alias("y"),
+            F.max(
+                F.when(F.col("ts_us") >= mid, F.lit(1)).otherwise(0)
+            ).alias("has_post"),
+        )
+    )
+    p = u.filter(F.col("has_post") == 1).select(
+        (_h60(F.col("user_id").cast("string")) % 2).alias("arm_id"),
+        "x",
+        "y",
+    )
+    g = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    a = p.groupBy("arm_id").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").alias("asx"),
+        F.sum("y").alias("asy"),
+    )
+    theta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        a.crossJoin(F.broadcast(g))
+        .select(
+            F.when(F.col("arm_id") == 0, "A").otherwise("B").alias("arm"),
+            "n_users",
+            F.round(F.col("asy") / F.col("n_users"), 6).alias("mean_post"),
+            F.round(
+                F.col("asy") / F.col("n_users")
+                - theta
+                * (
+                    F.col("asx") / F.col("n_users")
+                    - F.col("sx") / F.col("n")
+                ),
+                6,
+            ).alias("mean_cuped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q311: Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q311_benford_audit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS observed_share,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
+           ROUND(CAST(n AS DOUBLE) / t - LOG10(1.0 + 1.0 / digit), 6)
+             AS deviation
+    FROM d, tot
+    """,
+)
+def q311_benford_audit(spark, sf_dir):
+    """BENFORD first-digit audit of order totals: observed leading-
+    digit distribution vs the Benford expectation log10(1 + 1/d) - the
+    standard screen for fabricated or unit-mangled monetary data (a
+    synthetic generator that draws uniform prices fails it loudly,
+    which is itself the informative answer here).
+
+    Digit extraction is DELIBERATELY string-over-integer: the price is
+    first made an exact integer of cents (ROUND(x*100) fits bigint),
+    then the leading character is taken from the integer's decimal
+    rendering - identical cross-engine, where the tempting
+    floor(x / 10^floor(log10(x))) arithmetic can land one ulp under a
+    power of ten and emit digit 10 (float-boundary bug class).
+
+    Scale: scan -> 9-key hash aggregate; the 1-row total rides the
+    adjudicated broadcast-NLJ shape. Scale-up changes nothing - the
+    digit census is the whole query."""
+    c = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    d = c.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = d.agg(F.sum("n").cast("long").alias("t"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+            "observed_share"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+            "benford_share"
+        ),
+        F.round(
+            F.col("n").cast("double") / F.col("t")
+            - F.log10(1.0 + 1.0 / F.col("digit")),
+            6,
+        ).alias("deviation"),
+    )

@@ -1086,3 +1086,88 @@ def q305_pmi_collocations(spark, sf_dir):
         .orderBy(F.desc("pmi"), F.asc("pair"))
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q309: source-level vocabulary overlap matrix (corpus-mixture Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q309_source_vocab_overlap",
+    oracle=f"""
+    WITH sv AS (
+      SELECT DISTINCT source, w
+      FROM (SELECT source, unnest({_TOKENS_SQL}) AS w FROM documents)
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM sv GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.v AS vocab_a, sb.v AS vocab_b,
+           ROUND(CAST(i.n_common AS DOUBLE) /
+                 (sa.v + sb.v - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    """,
+)
+def q309_source_vocab_overlap(spark, sf_dir):
+    """SOURCE-level vocabulary overlap matrix: Jaccard similarity
+    between every pair of sources' distinct-term sets - the corpus-
+    mixture diagnostic run before blending sources (two sources with
+    jaccard ~1 are the same distribution twice, and their mixture
+    weights should be designed jointly; doc-level Jaccard q44/q46
+    answers a different question - near-duplicate DOCUMENTS).
+
+    Scale: the (source, term) DISTINCT frame collapses the corpus
+    before any pairing (vocab x |sources| rows max); the intersection
+    is a TERM-KEYED equi self-join - per term at most |sources|^2
+    pair rows, so output is bounded by vocab x sources^2, never
+    corpus-sized - and inclusion-exclusion turns the two bounded
+    aggregates into the union size without a second join. All counts
+    exact integers; one IEEE division before the round."""
+    sv = (
+        t_split(spark, sf_dir, "documents")
+        .select("source", F.explode(_tokens()).alias("w"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    a = sv.select(F.col("source").alias("src_a"), "w")
+    b = sv.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("v").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
