@@ -205,6 +205,81 @@ def probe_ngram_lm_join(spark, sf_dir, k):
     return scored.count()
 
 
+def probe_bpe_rounds(spark, sf_dir, k):
+    """q300's shape: corpus explode -> word-frequency table -> THREE
+    pair-census + argmax rounds. Replication grows the corpus k-fold
+    but the word VOCABULARY stays fixed, so the expected curve is:
+    census build linear in k, per-round cost ~flat (the corpus-to-
+    vocab reduction is exactly the scale claim q300 makes)."""
+    docs = replicate(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", k
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+            ).alias("spaced"),
+            "freq",
+        )
+    )
+    tbl = words.localCheckpoint()
+    vocab = tbl.count()
+    for _ in range(3):
+        syms = F.split(F.trim(F.col("spaced")), "  ")
+        n = F.size(syms) - 1
+        z = F.arrays_zip(F.slice(syms, 1, n), F.slice(syms, 2, n))
+        pair = F.transform(z, lambda g: F.concat_ws(" ", g["0"], g["1"]))
+        top = (
+            tbl.filter(F.size(syms) >= 2)
+            .select(F.explode(pair).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        left, right = top[0]["pair"].split(" ")
+        tbl = tbl.withColumn(
+            "spaced",
+            F.replace(
+                F.col("spaced"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ),
+        )
+    return vocab
+
+
+def probe_power_iteration(spark, sf_dir, k):
+    """q303's shape: one X^T(Xv) pass - a 64-term codegen projection
+    plus 64 partial-aggregated SUMs. Pure map+reduce, expected
+    sub-linear on local[32] until the scan saturates cores."""
+    emb = replicate(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+        k,
+    )
+    v = [0.125] * 64
+    s_sql = " + ".join(
+        f"(CAST(element_at(embedding, {i}) AS DOUBLE) * ({v[i - 1]!r}))"
+        for i in range(1, 65)
+    )
+    proj = emb.select(F.expr(s_sql).alias("s"), "embedding")
+    row = proj.agg(
+        *[
+            F.sum(
+                F.expr(f"s * CAST(element_at(embedding, {d}) AS DOUBLE)")
+            ).alias(f"u{d}")
+            for d in range(1, 65)
+        ]
+    ).collect()[0]
+    return sum(1 for d in range(1, 65) if row[f"u{d}"] is not None)
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
@@ -212,6 +287,8 @@ PROBES = {
     "window_rank": probe_window_rank,
     "hash_join_agg": probe_hash_join_agg,
     "ngram_lm_join": probe_ngram_lm_join,
+    "bpe_rounds": probe_bpe_rounds,
+    "power_iteration": probe_power_iteration,
 }
 
 

@@ -3187,3 +3187,69 @@ def q302_count_min_sketch(spark, sf_dir):
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q313: differentially-private release histogram (seeded Laplace)
+# ---------------------------------------------------------------------------
+
+#: epsilon for the per-source count release; sensitivity 1 (one
+#: document moves one count), so the Laplace scale b = 1/epsilon.
+_DP_EPS = 1.0
+#: seeded-uniform resolution (inverse-CDF input grid).
+_DP_RES = 1_000_000_000
+
+
+@query(
+    "q313_dp_histogram",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, true_n,
+             ({_h60_sql("'dp:' || source")} % {_DP_RES} + 0.5)
+               / {_DP_RES}.0 AS u
+      FROM h
+    )
+    SELECT source, true_n,
+           ROUND((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * (1.0 / {_DP_EPS})
+                 * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noise,
+           ROUND(true_n + (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * (1.0 / {_DP_EPS})
+                 * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS released_n
+    FROM u
+    """,
+)
+def q313_dp_histogram(spark, sf_dir):
+    """Differentially-private RELEASE histogram: per-source document
+    counts plus Laplace(1/epsilon) noise via inverse-CDF transform -
+    the release mechanism behind every DP data datasheet
+    (sensitivity 1, epsilon {_DP_EPS}), completing the governance
+    family (k-anonymity q236, l-diversity q296, erasure q234) with the
+    publishable-counts side. DETERMINISM CAVEAT (by design, for the
+    oracle): the uniform draw is the md5-60bit hash of the group key,
+    so the release is reproducible and cross-engine checkable; a
+    production release swaps in a real entropy source - everything
+    else (scan shape, inverse CDF, clamped rounding) is unchanged.
+
+    Scale: one groupBy(source) aggregate; the noise is a map-stage
+    expression on the |sources|-row result. The inverse-CDF arithmetic
+    is written identically on both engines (one LN per row under a 6dp
+    round)."""
+    h = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    u = (
+        (_h60(F.concat(F.lit("dp:"), F.col("source"))) % _DP_RES) + 0.5
+    ) / float(_DP_RES)
+    sign = F.when(u >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    noise = sign * (1.0 / _DP_EPS) * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return h.select(
+        "source",
+        "true_n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_n") + noise, 6).alias("released_n"),
+    )

@@ -1541,3 +1541,87 @@ def q308_ols_score_on_tokens(spark, sf_dir):
         ).alias("intercept"),
         F.round((num * num) / (vx * vy), 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q312: sequence-length bucketing (padding-efficiency planning)
+# ---------------------------------------------------------------------------
+
+#: bucket count for the length-bucketed batching plan.
+_LB_BUCKETS = 8
+
+
+@query(
+    "q312_length_bucketing",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(NTILE({_LB_BUCKETS})
+                  OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS bucket
+      FROM lens
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tok) AS BIGINT) AS min_len,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_len,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+             AS padding_tokens,
+           ROUND(CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE)
+                 / (COUNT(*) * MAX(n_tok)), 6) AS padding_pct
+    FROM b GROUP BY bucket
+    """,
+)
+def q312_length_bucketing(spark, sf_dir):
+    """SEQUENCE-LENGTH BUCKETING plan: split documents into
+    {_LB_BUCKETS} equal-count buckets by token length (exact global
+    NTILE) and report each bucket's padding overhead if batches pad to
+    the bucket max - the batching-efficiency study run before training
+    (the alternative to q86's concat-and-chunk packing: bucketing
+    preserves document boundaries at the cost of the padding measured
+    here; the padding_pct column IS the decision input).
+
+    Scale: lengths are a map-stage projection; the global NTILE is
+    :func:`plans.common.global_ntile` (range exchange + exact bucket
+    arithmetic, no single-partition window - the q104-class fix); the
+    report is a {_LB_BUCKETS}-key aggregate with exact integer
+    arithmetic throughout (one IEEE division per bucket before the
+    round)."""
+    from .common import global_ntile
+
+    lens = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tok")
+    )
+    b = global_ntile(
+        lens, [F.col("n_tok"), F.col("doc_id")], _LB_BUCKETS, "bucket"
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_len"),
+            F.max("n_tok").cast("long").alias("max_len"),
+            F.sum("n_tok").cast("long").alias("sum_len"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_len",
+            "max_len",
+            "sum_len",
+            (F.col("n_docs") * F.col("max_len") - F.col("sum_len"))
+            .cast("long")
+            .alias("padding_tokens"),
+            F.round(
+                (
+                    F.col("n_docs") * F.col("max_len") - F.col("sum_len")
+                ).cast("double")
+                / (F.col("n_docs") * F.col("max_len")),
+                6,
+            ).alias("padding_pct"),
+        )
+    )
