@@ -1625,3 +1625,154 @@ def q312_length_bucketing(spark, sf_dir):
             ).alias("padding_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q314: Poisson-bootstrap confidence intervals for per-source quality
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicates and the CI rank picks (2.5%/97.5% of B=100 by
+#: sorted position with a deterministic tie-break).
+_BOOT_B = 100
+_BOOT_LO = 3
+_BOOT_HI = 98
+
+#: cumulative Poisson(1) pmf for k = 0..6 (k = 7 catches the tail).
+#: IDENTICAL literals on both engines - decimal parse gives the same
+#: nearest double everywhere.
+_POIS_CUM = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+)
+
+#: identical u arithmetic, engine-specific spellings (Spark SQL has no
+#: bare VARCHAR; conv() is its hex-to-bigint bridge).
+_BOOT_U_SQL = (
+    "("
+    + "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)"
+    + " % 1000000000 + 0.5) / 1000000000.0"
+)
+_BOOT_U_SPARK = (
+    "(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+    "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    " % 1000000000 + 0.5) / 1000000000.0"
+)
+
+_BOOT_W_SQL = "CASE " + " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+) + " ELSE 7 END"
+
+
+@query(
+    "q314_poisson_bootstrap",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, CAST({_SCORE_SQL} AS BIGINT) AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT source, score,
+             {_BOOT_U_SQL} AS u, b
+      FROM (SELECT doc_id, source, score, r.b
+            FROM s, LATERAL unnest(range(1, {_BOOT_B} + 1)) r(b))
+    ),
+    m AS (
+      SELECT source, b,
+             CAST(SUM(({_BOOT_W_SQL}) * score) AS DOUBLE)
+               / SUM({_BOOT_W_SQL}) AS mean_b
+      FROM r GROUP BY source, b
+    ),
+    rk AS (
+      SELECT source, mean_b,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY mean_b, b
+             ) AS rn
+      FROM m
+    ),
+    ci AS (
+      SELECT source,
+             MIN(CASE WHEN rn = {_BOOT_LO} THEN mean_b END) AS lo,
+             MIN(CASE WHEN rn = {_BOOT_HI} THEN mean_b END) AS hi
+      FROM rk GROUP BY source
+    ),
+    pt AS (
+      SELECT source, CAST(SUM(score) AS DOUBLE) / COUNT(*) AS point
+      FROM s GROUP BY source
+    )
+    SELECT pt.source,
+           ROUND(pt.point, 6) AS mean_score,
+           ROUND(ci.lo, 6) AS ci_lo,
+           ROUND(ci.hi, 6) AS ci_hi
+    FROM pt JOIN ci ON pt.source = ci.source
+    """,
+)
+def q314_poisson_bootstrap(spark, sf_dir):
+    """POISSON-BOOTSTRAP 95% confidence intervals for each source's
+    mean quality score: {_BOOT_B} replicates where every document's
+    weight in replicate b is an independent-ish Poisson(1) draw - the
+    ONLY bootstrap that works at cluster scale, because it needs no
+    global resample (each row computes its own weight in the map
+    stage; Chamandy et al., Google 2012). The CI is the sorted
+    replicate means at positions {_BOOT_LO}/{_BOOT_HI} of {_BOOT_B}
+    with a deterministic tie-break.
+
+    Determinism/exactness: the draw is the md5-60bit hash of
+    (doc_id, b) pushed through the exact cumulative-pmf ladder
+    (identical decimal literals both engines), the score is INTEGER
+    milli-units, so every replicate mean is a ratio of exact integers
+    - the whole bootstrap is bit-identical cross-engine before the
+    final 6dp round.
+
+    Scale: the replicate explode is the bootstrap's inherent x{_BOOT_B}
+    cost, generated in-map (sequence + explode, no join); the census
+    is one (source, b)-keyed partial aggregate; ranking is a
+    per-source window over {_BOOT_B} rows. Nothing global, nothing
+    quadratic."""
+    s = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(_SCORE_SPARK_SQL).cast("long").alias("score"),
+    )
+    r = (
+        s.select(
+            "doc_id",
+            "source",
+            "score",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_BOOT_B))
+            ).alias("b"),
+        )
+        .withColumn("u", F.expr(_BOOT_U_SPARK))
+        .withColumn("w", F.expr(_BOOT_W_SQL))
+    )
+    m = r.groupBy("source", "b").agg(
+        (
+            F.sum(F.col("w") * F.col("score")).cast("double")
+            / F.sum("w")
+        ).alias("mean_b")
+    )
+    rk = m.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("mean_b", "b")
+        ),
+    )
+    ci = rk.groupBy("source").agg(
+        F.min(F.when(F.col("rn") == _BOOT_LO, F.col("mean_b"))).alias("lo"),
+        F.min(F.when(F.col("rn") == _BOOT_HI, F.col("mean_b"))).alias("hi"),
+    )
+    pt = s.groupBy("source").agg(
+        (F.sum("score").cast("double") / F.count("*")).alias("point")
+    )
+    return pt.join(ci, "source").select(
+        "source",
+        F.round("point", 6).alias("mean_score"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+    )
