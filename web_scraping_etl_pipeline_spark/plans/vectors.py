@@ -1085,13 +1085,21 @@ def q306_kmeans_lloyd(spark, sf_dir):
     )
     assigned = None
     for _ in range(_KM_T):
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        # argmin by (dist, cluster) as a HASH aggregate (min_by over a
+        # struct orders lexicographically = the oracle's ROW_NUMBER
+        # tie-break), not a per-vector sort window: at 1B vectors the
+        # window would sort k x N rows every round, min_by folds them
+        # in the partial aggregate.
         assigned = (
             emb.crossJoin(F.broadcast(ctr))
             .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "embedding")
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.col("cluster"), F.struct("dist", "cluster")
+                ).alias("cluster"),
+                F.any_value("embedding").alias("embedding"),
+            )
         )
         ctr = (
             assigned.groupBy("cluster")
