@@ -92,13 +92,6 @@ def test_vocab_overlap_jaccard_bounds(spark):
         assert r["n_common"] <= min(r["vocab_a"], r["vocab_b"])
 
 
-def test_benford_shares_sum_to_one(spark):
-    rows = _rows(spark, "q311_benford_audit")
-    assert {r["digit"] for r in rows} <= set(range(1, 10))
-    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
-    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
-
-
 def test_length_buckets_balanced_and_ordered(spark):
     rows = sorted(
         _rows(spark, "q312_length_bucketing"), key=lambda r: r["bucket"]

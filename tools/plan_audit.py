@@ -121,7 +121,6 @@ ALLOW = {
     "q305_pmi_collocations": {"nested_loop"},  # two 1-row total frames
     "q306_kmeans_lloyd": {"nested_loop"},  # k=4 centroid frame per round
     "q310_cuped_ab_readout": {"nested_loop"},  # 1-row bounds + moments
-    "q311_benford_audit": {"nested_loop"},  # 1-row digit total
     "q279_bm25_topk": {"nested_loop"},  # 1-row N/avgdl stats frame
     "q281_lm_perplexity_buckets": {"nested_loop"},  # 1-row vocab-size frame
     # 50-row depth-weight literal theta-joined to a <=50-row pool

@@ -2920,79 +2920,3 @@ def q310_cuped_ab_readout(spark, sf_dir):
             ).alias("mean_cuped"),
         )
     )
-
-
-# ---------------------------------------------------------------------------
-# q311: Benford first-digit audit of order totals
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q311_benford_audit",
-    oracle="""
-    WITH c AS (
-      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      FROM orders WHERE o_totalprice > 0
-    ),
-    d AS (
-      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit
-    ),
-    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d)
-    SELECT digit, n,
-           ROUND(CAST(n AS DOUBLE) / t, 6) AS observed_share,
-           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
-           ROUND(CAST(n AS DOUBLE) / t - LOG10(1.0 + 1.0 / digit), 6)
-             AS deviation
-    FROM d, tot
-    """,
-)
-def q311_benford_audit(spark, sf_dir):
-    """BENFORD first-digit audit of order totals: observed leading-
-    digit distribution vs the Benford expectation log10(1 + 1/d) - the
-    standard screen for fabricated or unit-mangled monetary data (a
-    synthetic generator that draws uniform prices fails it loudly,
-    which is itself the informative answer here).
-
-    Digit extraction is DELIBERATELY string-over-integer: the price is
-    first made an exact integer of cents (ROUND(x*100) fits bigint),
-    then the leading character is taken from the integer's decimal
-    rendering - identical cross-engine, where the tempting
-    floor(x / 10^floor(log10(x))) arithmetic can land one ulp under a
-    power of ten and emit digit 10 (float-boundary bug class).
-
-    Scale: scan -> 9-key hash aggregate; the 1-row total rides the
-    adjudicated broadcast-NLJ shape. Scale-up changes nothing - the
-    digit census is the whole query."""
-    c = (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 0)
-        .select(
-            F.substring(
-                F.round(F.col("o_totalprice") * 100, 0)
-                .cast("long")
-                .cast("string"),
-                1,
-                1,
-            )
-            .cast("long")
-            .alias("digit")
-        )
-    )
-    d = c.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
-    tot = d.agg(F.sum("n").cast("long").alias("t"))
-    return d.crossJoin(F.broadcast(tot)).select(
-        "digit",
-        "n",
-        F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
-            "observed_share"
-        ),
-        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
-            "benford_share"
-        ),
-        F.round(
-            F.col("n").cast("double") / F.col("t")
-            - F.log10(1.0 + 1.0 / F.col("digit")),
-            6,
-        ).alias("deviation"),
-    )
