@@ -1416,7 +1416,14 @@ def q307_signal_correlations(spark, sf_dir):
     ints; squares/cross-products fit long comfortably at any SF that
     fits a bigint row count), and the correlation formula is written
     operation-for-operation identically on both engines, so the
-    doubles agree bit-for-bit before the 6dp round."""
+    doubles agree bit-for-bit before the 6dp round.
+
+    Relation to q140 (SQL2003 regr_*/corr aggregates): q140 exercises
+    the ENGINE's built-in regression aggregates (float-summed,
+    engine-order-dependent internals); this query derives the same
+    statistics from integer moments so the cross-engine comparison is
+    exact by construction - the technique to reach for when a metric
+    must be reproducible bit-for-bit across engines/runs."""
     sig = t(spark, sf_dir, "documents").select(
         "source",
         F.col("n_chars").cast("long").alias("x"),
@@ -1506,7 +1513,9 @@ def q308_ols_score_on_tokens(spark, sf_dir):
     iteration, no second pass). Moments are exact integers; the
     closed-form arithmetic is written identically on both engines
     (squared numerator computed in DOUBLE - it overflows int64 by
-    design - everything else exact until the final divisions)."""
+    design - everything else exact until the final divisions).
+    Same relation to q140's built-in regr_* aggregates as q307:
+    integer-moment OLS is the bit-reproducible variant."""
     sig = t(spark, sf_dir, "documents").select(
         "source",
         F.size(_tokens()).cast("long").alias("x"),
