@@ -177,7 +177,15 @@ def test_run_batch_single_pass(spark, tmp_path, monkeypatch):
 
     @property
     def spy_write(self):
-        calls["cached_at_write"] = self.is_cached
+        # the written frame is the observe() wrapper around the cached
+        # batch, so check the CONTRACT (one persist still live at write
+        # time) plus lineage: the wrapper's plan must contain the
+        # in-memory relation, i.e. the write replays from cache.
+        calls["cached_at_write"] = (
+            calls["persist"] - calls["unpersist"] == 1
+            and "InMemoryRelation"
+            in self._jdf.queryExecution().optimizedPlan().toString()
+        )
         return orig_write.fget(self)
 
     monkeypatch.setattr(DataFrame, "persist", spy_persist)
@@ -190,3 +198,21 @@ def test_run_batch_single_pass(spark, tmp_path, monkeypatch):
     assert res["rows"] == 3
     assert calls["persist"] == 1 and calls["unpersist"] == 1
     assert calls["cached_at_write"] is True
+
+
+def test_observed_write_metrics_match_stats(spark, tmp_path):
+    """observe() telemetry rides the silver WRITE job: rows_written
+    must equal the gate's pre-write count, and the null-salary counter
+    must match a direct count - no extra action, no drift between the
+    two channels."""
+    from pyspark.sql import functions as F
+
+    silver = str(tmp_path / "silver")
+    state = str(tmp_path / "state.json")
+    res = run_batch(spark, _raw_batch(spark), silver, state, now_us=BASE_US)
+    m = res["metrics"]
+    assert m["rows_written"] == res["rows"]
+    nulls = (
+        spark.read.parquet(silver).filter(F.col("salary").isNull()).count()
+    )
+    assert m["null_salary_rows"] == nulls

@@ -152,11 +152,34 @@ def run_batch(
         if stats["n"] == 0:
             return {"rows": 0, "watermark": wm, "skipped": True}
 
-        cleaned.write.mode("append").parquet(silver_path)
+        # Write-path telemetry via observe(): CollectMetricsExec rides
+        # the WRITE job itself, so these counters cost no extra action
+        # or scan - the channel a 100 TB deployment uses for per-batch
+        # data-quality counters (the pre-write stats action above must
+        # stay: the F6 empty-batch GATE needs its count before deciding
+        # to write at all, and B4 ordering needs mx before the state
+        # move; rows_written cross-checks it after the fact).
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        obs = Observation("silver_write")
+        observed = cleaned.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum(
+                F.when(F.col("salary").isNull(), 1).otherwise(0)
+            ).alias("null_salary_rows"),
+        )
+        observed.write.mode("append").parquet(silver_path)
+        metrics = dict(obs.get)
     finally:
         cleaned.unpersist()
     new_wm = advance_watermark(state_path, stats["mx"])
-    return {"rows": stats["n"], "watermark": new_wm, "skipped": False}
+    return {
+        "rows": stats["n"],
+        "watermark": new_wm,
+        "skipped": False,
+        "metrics": metrics,
+    }
 
 
 #: bucket count for the bucketed-silver deploy path. At 100 TB size
