@@ -2127,3 +2127,181 @@ def q298_corpus_plan(spark, sf_dir):
         .cast("long")
         .alias("planned_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q315: Bradley-Terry source-strength fit from near-dup quality duels
+# ---------------------------------------------------------------------------
+
+#: MM-algorithm iterations (Hunter 2004) and the per-round re-sync
+#: precision: both engines round the normalized strengths to 10dp
+#: every iteration, collapsing their ~1e-16 summation-order spread to
+#: identical inputs for the next round (the q306 centroid technique).
+_BT_ITERS = 4
+_BT_DP = 10
+_BT_INIT = 0.05
+
+
+def _bt_oracle() -> str:
+    from .textops import _SCORE_SQL
+
+    parts = [
+        _LSH_CANDS_SQL
+        + f"""
+    , sc AS MATERIALIZED (
+      SELECT doc_id, source, CAST({_SCORE_SQL} AS BIGINT) AS score
+      FROM documents
+    ),
+    duel AS MATERIALIZED (
+      SELECT CASE WHEN a.score > b.score THEN a.source ELSE b.source END
+               AS winner,
+             CASE WHEN a.score > b.score THEN b.source ELSE a.source END
+               AS loser
+      FROM cands c
+      JOIN sc a ON c.doc_a = a.doc_id
+      JOIN sc b ON c.doc_b = b.doc_id
+      WHERE a.source <> b.source AND a.score <> b.score
+    ),
+    m AS MATERIALIZED (
+      SELECT i, j, CAST(SUM(won) AS BIGINT) AS w_ij,
+             CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM (
+        SELECT winner AS i, loser AS j, 1 AS won FROM duel
+        UNION ALL
+        SELECT loser AS i, winner AS j, 0 AS won FROM duel
+      )
+      GROUP BY i, j
+    ),
+    p0 AS MATERIALIZED (SELECT DISTINCT i AS src, {_BT_INIT} AS p FROM m)"""
+    ]
+    for t_ in range(1, _BT_ITERS + 1):
+        parts.append(
+            f"""
+    raw{t_} AS MATERIALIZED (
+      SELECT m.i AS src,
+             CAST(SUM(m.w_ij) AS DOUBLE)
+               / SUM(m.n_ij / (pi.p + pj.p)) AS praw
+      FROM m
+      JOIN p{t_ - 1} pi ON m.i = pi.src
+      JOIN p{t_ - 1} pj ON m.j = pj.src
+      GROUP BY m.i
+    ),
+    tot{t_} AS MATERIALIZED (SELECT SUM(praw) AS s FROM raw{t_}),
+    p{t_} AS MATERIALIZED (
+      SELECT src, ROUND(praw / tot{t_}.s, {_BT_DP}) AS p
+      FROM raw{t_}, tot{t_}
+    )"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT p.src AS source,
+           ROUND(p.p, 6) AS bt_strength,
+           s.w AS n_wins,
+           s.n AS n_duels
+    FROM p{_BT_ITERS} p
+    JOIN (SELECT i AS src, CAST(SUM(w_ij) AS BIGINT) AS w,
+                 CAST(SUM(n_ij) AS BIGINT) AS n
+          FROM m GROUP BY i) s ON p.src = s.src
+    """
+    )
+
+
+@query("q315_bradley_terry_sources", oracle=_bt_oracle())
+def q315_bradley_terry_sources(spark, sf_dir):
+    """BRADLEY-TERRY strength fit over sources from pairwise quality
+    duels: every LSH near-duplicate candidate pair whose two documents
+    come from different sources and differ in quality score is a
+    "duel" the higher-score source wins; {_BT_ITERS} rounds of the MM
+    algorithm (Hunter 2004) turn the win matrix into maximum-likelihood
+    source strengths - the preference-modeling fit behind reward-model
+    data curation and pairwise eval leaderboards, grounded here in the
+    question "when the same content appears on two sources, which
+    source carries the better copy?".
+
+    Scale split: the DISTRIBUTED part is the duel census - LSH pair
+    list (bounded, candidates-only, reuses q43's shared stage) joined
+    twice against the slim (doc_id, source, score) projection and
+    collapsed to a |sources|^2-bounded win matrix. The ITERATION runs
+    on that bounded matrix (collected once; 20 sources = 400 cells),
+    driver state O(sources) - the q269 bounded-argmax discipline. Both
+    engines round the normalized strengths to {_BT_DP}dp each round,
+    so the fixed-point iterates stay bit-identical cross-engine
+    despite summation-order differences."""
+    from .textops import _int_score
+
+    pairs = q43_lsh_candidate_pairs(spark, sf_dir)
+    sc = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _int_score().alias("score")
+    )
+    a = sc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("score").alias("score_a"),
+    )
+    b = sc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("score").alias("score_b"),
+    )
+    duel = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            (F.col("src_a") != F.col("src_b"))
+            & (F.col("score_a") != F.col("score_b"))
+        )
+        .select(
+            F.when(F.col("score_a") > F.col("score_b"), F.col("src_a"))
+            .otherwise(F.col("src_b"))
+            .alias("winner"),
+            F.when(F.col("score_a") > F.col("score_b"), F.col("src_b"))
+            .otherwise(F.col("src_a"))
+            .alias("loser"),
+        )
+    )
+    directed = duel.select(
+        F.col("winner").alias("i"), F.col("loser").alias("j"), F.lit(1).alias("won")
+    ).unionByName(
+        duel.select(
+            F.col("loser").alias("i"),
+            F.col("winner").alias("j"),
+            F.lit(0).alias("won"),
+        )
+    )
+    mat = (
+        directed.groupBy("i", "j")
+        .agg(
+            F.sum("won").cast("long").alias("w_ij"),
+            F.count("*").cast("long").alias("n_ij"),
+        )
+        .collect()
+    )
+    cells = {(r["i"], r["j"]): (int(r["w_ij"]), int(r["n_ij"])) for r in mat}
+    srcs = sorted({i for i, _ in cells})
+    wins = {s: sum(w for (i, _), (w, _) in cells.items() if i == s) for s in srcs}
+    duels = {s: sum(n for (i, _), (_, n) in cells.items() if i == s) for s in srcs}
+    p = {s: _BT_INIT for s in srcs}
+    for _ in range(_BT_ITERS):
+        praw = {}
+        for s in srcs:
+            denom = 0.0
+            for (i, j), (_, n) in sorted(cells.items()):
+                if i == s:
+                    denom += n / (p[i] + p[j])
+            praw[s] = float(wins[s]) / denom
+        tot = 0.0
+        for s in srcs:  # fixed fold order; 10dp round re-syncs anyway
+            tot += praw[s]
+        p = {s: round(praw[s] / tot, _BT_DP) for s in srcs}
+    out = spark.createDataFrame(
+        [(s, p[s], wins[s], duels[s]) for s in srcs],
+        "source string, p double, n_wins bigint, n_duels bigint",
+    )
+    return out.select(
+        "source",
+        F.round("p", 6).alias("bt_strength"),
+        "n_wins",
+        "n_duels",
+    )
