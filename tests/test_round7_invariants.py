@@ -109,3 +109,13 @@ def test_bootstrap_interval_ordered(spark):
     for r in _rows(spark, "q314_poisson_bootstrap"):
         assert r["ci_lo"] <= r["ci_hi"], r
         assert r["ci_lo"] > 0
+
+
+def test_bradley_terry_strengths(spark):
+    rows = _rows(spark, "q315_bradley_terry_sources")
+    assert rows
+    total = sum(r["bt_strength"] for r in rows)
+    assert abs(total - 1.0) < 1e-3  # normalized each MM round
+    for r in rows:
+        assert 0.0 < r["bt_strength"] < 1.0
+        assert 0 <= r["n_wins"] <= r["n_duels"]
