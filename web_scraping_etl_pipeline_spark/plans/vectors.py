@@ -704,8 +704,6 @@ def q158_knn_graph(spark, sf_dir):
             F.round(_dot("ea", "eb"), 6).alias("sim"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))
