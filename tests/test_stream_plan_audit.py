@@ -58,6 +58,27 @@ _CASES = {
 _BANNED = ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]
 
 
+def test_stream_plan_q249_transform_with_state(spark):
+    """q249 also drains through _run_to_sink (tag q249) but is
+    env-gated on transformWithState availability - audited here with
+    the same banned/required gate when the runtime supports it."""
+    from web_scraping_etl_pipeline_spark.streaming.events_stream import (
+        _tws_available,
+    )
+
+    if not _tws_available():
+        pytest.skip("transformWithState not available in this runtime")
+    try:
+        QUERIES["q249_transform_with_state"](spark, SF_DIR)
+    finally:
+        release_transients()
+    plan = STREAM_PLANS.get("q249")
+    assert plan, "q249: no captured stream plan"
+    for op in _BANNED:
+        assert op not in plan, f"q249: banned operator {op}"
+    assert "TransformWithState" in plan
+
+
 @pytest.mark.parametrize("name", sorted(_CASES))
 def test_stream_plan(spark, name):
     tag, required = _CASES[name]

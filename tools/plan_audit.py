@@ -67,6 +67,14 @@ STREAMING = {
     # argmax jobs); the returned frame is a LocalTableScan, so the
     # default audit would pay the workload to audit nothing.
     "q284_mmr_rerank",
+    # same class (round-7): construction runs the full driver loop
+    # (10 BPE merge rounds / 6 power-iteration collects / the BT
+    # matrix collect) and returns a LocalTableScan; the distributed
+    # shapes are audited through q301 (shares the BPE census + merge
+    # application) and the scale probes.
+    "q300_bpe_train_loop",
+    "q303_power_iteration_pca",
+    "q315_bradley_terry_sources",
 }
 
 FLAG_PATTERNS = {

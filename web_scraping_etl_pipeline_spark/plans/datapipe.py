@@ -2820,7 +2820,11 @@ def _bpe_chain(m: int) -> str:
     chain re-expands exponentially otherwise). Returns the CTE BODY
     (caller prepends WITH and appends its final select), exposing
     ``b1..b{m}`` (the per-round argmax merges) and ``w{m}`` (the word
-    table after all merges, keyed by the original word ``w``).
+    table after all merges, keyed by the original word ``w``). A round
+    whose pair census is empty (vocabulary fully merged) yields an
+    empty ``b{{i}}``; ``w{{i}}`` LEFT JOINs it so the word table
+    carries forward unchanged - matching the Spark loop's early break
+    (once no word has two symbols, no later round can either).
 
     Representation shared with the Spark side: a word's symbol
     sequence is one string, symbols joined by TWO spaces with a single
@@ -2861,11 +2865,13 @@ def _bpe_chain(m: int) -> str:
     ),
     w{i} AS MATERIALIZED (
       SELECT w.w,
-             replace(w.spaced,
-                     ' ' || replace(b.pair, ' ', '  ') || ' ',
-                     ' ' || replace(b.pair, ' ', '') || ' ') AS spaced,
+             CASE WHEN b.pair IS NULL THEN w.spaced
+                  ELSE replace(w.spaced,
+                               ' ' || replace(b.pair, ' ', '  ') || ' ',
+                               ' ' || replace(b.pair, ' ', '') || ' ')
+             END AS spaced,
              w.freq
-      FROM w{i - 1} w, b{i} b
+      FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE
     )"""
         )
     return ",".join(parts)
@@ -2965,9 +2971,10 @@ def q300_bpe_train_loop(spark, sf_dir):
     iteration starts, and each round's pair census is Zipf-bounded.
 
     Driver state is one (pair, cnt) row per round (the q177/q269
-    bounded-argmax pattern); the word table is localCheckpoint-ed per
-    round so the lineage never chains (a 32k-merge production run
-    would otherwise stack 32k plan nodes). Merge application is a
+    bounded-argmax pattern); the word table is localCheckpoint-ed
+    every 4th round, so plan depth stays O(cadence) instead of
+    O(rounds) (a 32k-merge production run keeps the same cadence
+    arithmetic). Merge application is a
     literal string replace on the double-space symbol encoding (no
     regex, no Python) - see :func:`_bpe_chain` for why the encoding
     makes left-to-right replace() exactly the greedy BPE re-tokenize

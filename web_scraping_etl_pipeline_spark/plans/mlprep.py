@@ -1667,11 +1667,20 @@ _BOOT_U_SQL = (
     "CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)"
     + " % 1000000000 + 0.5) / 1000000000.0"
 )
-_BOOT_U_SPARK = (
-    "(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
-    "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    " % 1000000000 + 0.5) / 1000000000.0"
-)
+#: Spark twin of _BOOT_U_SQL via the module's _h60 bridge (one place
+#: owns the 60-bit hash spelling; review finding r7).
+def _boot_u_spark():
+    return (
+        _h60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1_000_000_000
+        + 0.5
+    ) / 1_000_000_000.0
 
 _BOOT_W_SQL = "CASE " + " ".join(
     f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
@@ -1696,6 +1705,7 @@ _BOOT_W_SQL = "CASE " + " ".join(
              CAST(SUM(({_BOOT_W_SQL}) * score) AS DOUBLE)
                / SUM({_BOOT_W_SQL}) AS mean_b
       FROM r GROUP BY source, b
+      HAVING SUM({_BOOT_W_SQL}) > 0
     ),
     rk AS (
       SELECT source, mean_b,
@@ -1757,14 +1767,23 @@ def q314_poisson_bootstrap(spark, sf_dir):
                 F.sequence(F.lit(1), F.lit(_BOOT_B))
             ).alias("b"),
         )
-        .withColumn("u", F.expr(_BOOT_U_SPARK))
+        .withColumn("u", _boot_u_spark())
         .withColumn("w", F.expr(_BOOT_W_SQL))
     )
-    m = r.groupBy("source", "b").agg(
-        (
-            F.sum(F.col("w") * F.col("score")).cast("double")
-            / F.sum("w")
-        ).alias("mean_b")
+    # HAVING sum(w) > 0: a replicate whose every document drew weight 0
+    # is an empty resample - dropped identically on both engines (NULL
+    # means would otherwise sort differently: Spark NULLS FIRST asc vs
+    # DuckDB last, shifting the rank-picked CI rows).
+    m = (
+        r.groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("score")).cast("double").alias("sw"),
+            F.sum("w").alias("ww"),
+        )
+        .filter(F.col("ww") > 0)
+        .select(
+            "source", "b", (F.col("sw") / F.col("ww")).alias("mean_b")
+        )
     )
     rk = m.withColumn(
         "rn",
