@@ -802,3 +802,57 @@ def q277_session_variables(spark, sf_dir):
         GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q316: LATERAL correlated subquery (decorrelated to a window by Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q316_lateral_topk_per_key",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def q316_lateral_topk_per_key(spark, sf_dir):
+    """LATERAL correlated subquery in SQL text: each rich customer's
+    two most expensive orders via a correlated ORDER BY ... LIMIT in
+    the FROM clause - the SQL:1999 lateral-join surface (DuckDB/
+    Postgres idiom) that Spark 4 accepts natively. Completes the
+    entry-surface matrix next to q245 (LATERAL VIEW explode), q250
+    (pipe syntax) and q276 (SQL-defined functions): a user porting
+    lateral-join SQL runs it unchanged.
+
+    Scale: the naive reading is a per-row subquery (one orders probe
+    per customer - death at 100 TB); Catalyst's DecorrelateInnerQuery
+    + RewriteLateralSubquery rewrite it to a JOIN + per-key
+    WindowGroupLimit partial top-k, the same plan the handwritten
+    window top-k (q204 family) produces - pinned by the plan audit
+    (no BroadcastNestedLoopJoin, no cartesian). The customer filter
+    prunes before the join on both engines."""
+    from .common import t  # noqa: PLC0415
+
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q316")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q316")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               o.o_orderkey, o.o_totalprice
+        FROM customer_q316 c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders_q316
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) o
+        WHERE c.c_acctbal > 9000
+        """
+    )
