@@ -146,6 +146,10 @@ ALLOW = {
     # 1-row u-probability frame (sum-of-squared-frequency aggregates)
     "q297_fellegi_sunter_weights": {"nested_loop"},
     "q299_hard_negative_mining": {"nested_loop"},  # 10-row query frame
+    "q317_kneser_ney_bigrams": {"nested_loop"},  # 1-row distinct-bigram total
+    # minimax isotonic fit: theta self-joins (j<=i<=k) on the ~11-row
+    # score-decile BIN aggregate - cubic in bins, constant in corpus.
+    "q320_isotonic_calibration": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -192,6 +196,12 @@ ALLOW_GLOBAL_WINDOW = {
     # rank cumsum over the SCORE-GROUP aggregate - bounded by the
     # milli-unit score domain (<= 1001 rows), never fact-sized.
     "q287_quality_dup_auc",
+    # tie-rank cumsum over the distinct-LENGTH aggregate - bounded by
+    # the n_chars value domain (~hundreds of rows), never fact-sized.
+    "q318_mann_whitney_u",
+    # prefix sums over the ~11-row score-decile bin aggregate feeding
+    # the minimax isotonic fit.
+    "q320_isotonic_calibration",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

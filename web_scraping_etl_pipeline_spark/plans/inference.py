@@ -1,0 +1,660 @@
+"""Statistical-inference suite over ``documents`` — the model-fitting
+and hypothesis-testing operators a training-data pipeline runs on top
+of its quality signals: smoothed language-model estimation, two-sample
+rank tests, an in-engine trained quality classifier, isotonic
+calibration of a score against an outcome, and ranked-retrieval
+average precision.
+
+Exactness discipline (the suite's integer-first rules, see
+plans/registry.py): every cross-engine sum is either an exact integer
+count or a micro-unit-FLOORed integer, so partial-aggregation order
+can never flip a digit; scalar double arithmetic (ratios, sqrt, the
+rational sigmoid) is written as the IDENTICAL expression string on
+both engines, which IEEE 754 makes bit-identical; rounding happens
+once, at the very end.
+
+Scale discipline: every query is scan → hash-aggregate → joins among
+aggregate-bounded frames. The only iterative op (q319) keeps O(1)
+driver state (3 coefficients) and scans the data once per step — the
+q177/q306/q315 bounded-driver-loop pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import global_cumsum, t
+from .dedup import _LSH_CANDS_SQL, q43_lsh_candidate_pairs
+from .registry import query
+from .textops import _SCORE_SPARK_SQL, _SCORE_SQL, _TOKENS_SQL, _tokens
+
+#: shared near-dup outcome label for the score-evaluation family
+#: (q287 AUC / q320 isotonic / q321 AP): a document is a POSITIVE if
+#: it appears in any LSH candidate pair - the same membership set on
+#: both engines via the shared q43 stage / _LSH_CANDS_SQL prefix.
+_MEMBERS_SQL = """,
+    members AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cands
+        UNION ALL SELECT doc_b FROM cands
+      )
+    )"""
+
+
+def _neardup_labeled(spark, sf_dir):
+    """(doc_id, score, y) with y = LSH near-dup membership - the
+    Spark twin of ``_LSH_CANDS_SQL + _MEMBERS_SQL`` left-joined onto
+    ``documents``."""
+    cands = q43_lsh_candidate_pairs(spark, sf_dir)
+    members = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .join(members.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(_SCORE_SPARK_SQL).cast("long").alias("score"),
+            F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("y"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# q317: interpolated Kneser-Ney bigram probabilities
+# ---------------------------------------------------------------------------
+
+#: absolute discount (Chen & Goodman 1999's fixed-D variant). 0.75 is
+#: exactly representable, so the discounted numerator stays a clean
+#: quarter-integer on both engines.
+_KN_D = "0.75"
+_KN_TOPN = 30
+
+#: identical arithmetic string on both engines: discounted bigram MLE
+#: interpolated with the continuation-probability unigram backoff.
+#: c12/c1 are integer counts; n1f = N1+(w1 ·) distinct continuations
+#: of w1, n1r = N1+(· w2) distinct histories of w2, nb = N1+(· ·)
+#: total distinct bigrams.
+_KN_PROB = (
+    f"GREATEST(CAST(c12 AS DOUBLE) - {_KN_D}, 0.0) / CAST(c1 AS DOUBLE)"
+    f" + {_KN_D} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    f" * (CAST(n1r AS DOUBLE) / CAST(nb AS DOUBLE))"
+)
+
+
+@query(
+    "q317_kneser_ney_bigrams",
+    oracle=f"""
+    WITH base AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(
+               list_zip(list_slice(toks, 1, len(toks) - 1),
+                        list_slice(toks, 2, len(toks))),
+               z -> z[1] || ' ' || z[2])) AS bigram
+      FROM base
+    ),
+    c AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2,
+             COUNT(*) AS c12
+      FROM bg GROUP BY 1, 2
+    ),
+    lhs AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM c GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1r FROM c GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS nb FROM c)
+    SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS cnt,
+           ROUND({_KN_PROB}, 6) AS kn_prob
+    FROM c JOIN lhs USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ORDER BY cnt DESC, w1, w2 LIMIT {_KN_TOPN}
+    """,
+)
+def q317_kneser_ney_bigrams(spark, sf_dir):
+    """Interpolated KNESER-NEY bigram probabilities (fixed discount
+    D={_KN_D}) for the corpus's top-{_KN_TOPN} bigrams — the smoothing
+    every production n-gram LM (KenLM-style perplexity filters) uses,
+    and the missing sibling of q281's add-one bigram LM and q288's
+    Good-Turing mass: the backoff weight is mass *freed by
+    discounting*, and the unigram backoff is the CONTINUATION count
+    (how many distinct histories precede w2), not raw frequency.
+
+    Exactness: all four statistics (c12, c1, N1+ forward/reverse, nb)
+    are exact integer counts; the probability is ONE identical
+    expression string on both engines (IEEE-deterministic), rounded
+    6dp once.
+
+    Scale: bigram explode → hash aggregate (map-side combined); the
+    three smoothing statistics are further aggregates OF that
+    aggregate, joined back on w1/w2 — vocabulary-bounded, never
+    fact-sized. The 1-row nb frame rides a broadcast NLJ (adjudicated
+    allowlist). Top-N is a TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    c = (
+        docs.select(_tokens().alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    lhs = c.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = c.groupBy("w2").agg(F.count("*").alias("n1r"))
+    tot = c.agg(F.count("*").alias("nb"))
+    return (
+        c.join(lhs, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("cnt"),
+            F.round(F.expr(_KN_PROB), 6).alias("kn_prob"),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(_KN_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318: Mann-Whitney U rank test between two sources
+# ---------------------------------------------------------------------------
+
+_MWU_A, _MWU_B = "src0", "src1"
+
+#: identical z-statistic string on both engines. u2_0 = 2*U_A (exact
+#: integer), mu2 = 2*mu = n0*n1; the tie-corrected variance is the
+#: standard normal approximation (Lehmann, Nonparametrics):
+#: sigma^2 = n0*n1/12 * ((N+1) - T/(N*(N-1))), T = sum(t^3 - t).
+#: z = (U - mu)/sigma = (u2_0 - mu2) / (2*sigma). sqrt is correctly
+#: rounded per IEEE 754 on both JVMs and libm, so the whole scalar
+#: expression is bit-identical given identical integer inputs.
+_MWU_Z = (
+    "(CAST(u2_0 AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"
+    " / (2.0 * SQRT("
+    "CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0"
+    " * ((CAST(nn AS DOUBLE) + 1.0)"
+    "    - CAST(tt AS DOUBLE)"
+    "      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))"
+)
+
+
+@query(
+    "q318_mann_whitney_u",
+    oracle=f"""
+    WITH x AS (
+      SELECT n_chars AS v,
+             CASE WHEN source = '{_MWU_A}' THEN 1 ELSE 0 END AS g0,
+             CASE WHEN source = '{_MWU_B}' THEN 1 ELSE 0 END AS g1
+      FROM documents WHERE source IN ('{_MWU_A}', '{_MWU_B}')
+    ),
+    pv AS (
+      SELECT v, SUM(g0) AS c0, SUM(g1) AS c1, COUNT(*) AS ct
+      FROM x GROUP BY v
+    ),
+    rk AS (
+      SELECT c0, c1, ct,
+             SUM(ct) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct
+               AS below
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c0) + SUM(c1) AS BIGINT) AS nn,
+             CAST(SUM(c0 * (2 * below + ct + 1)) AS BIGINT) AS r2_0,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tt
+      FROM rk
+    ),
+    u AS (
+      SELECT n0, n1, nn, tt,
+             r2_0 - n0 * (n0 + 1) AS u2_0
+      FROM s
+    )
+    SELECT n0 AS n_{_MWU_A}, n1 AS n_{_MWU_B},
+           CAST(u2_0 AS BIGINT) AS u_times2,
+           ROUND({_MWU_Z}, 6) AS z
+    FROM u
+    """,
+)
+def q318_mann_whitney_u(spark, sf_dir):
+    """MANN-WHITNEY U test: do '{_MWU_A}' and '{_MWU_B}' draw their
+    document lengths from the same distribution? The rank-based
+    two-sample test that needs no normality assumption — the robust
+    sibling of q200's KS distance and q295's Wasserstein drift, and
+    the standard readout when comparing a new crawl source against an
+    incumbent. Ties get average ranks with the textbook variance
+    correction.
+
+    Exactness: average ranks are half-integers, so the query carries
+    2*rank-sum and 2*U as EXACT BIGINTs end-to-end; the z-score is one
+    identical expression string on both engines (IEEE sqrt is
+    correctly rounded everywhere), rounded 6dp once.
+
+    Scale: rank sums over ties need no per-row global sort — group by
+    the VALUE first (hash aggregate, map-side combined), then a
+    window over the distinct-length aggregate (domain-bounded,
+    ~hundreds of rows; adjudicated global_window allowlist), then a
+    1-row reduce. The fact table is scanned once, shuffled once on
+    the length key."""
+    x = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_MWU_A, _MWU_B))
+        .select(
+            F.col("n_chars").alias("v"),
+            F.when(F.col("source") == _MWU_A, 1).otherwise(0).alias("g0"),
+            F.when(F.col("source") == _MWU_B, 1).otherwise(0).alias("g1"),
+        )
+    )
+    pv = x.groupBy("v").agg(
+        F.sum("g0").alias("c0"),
+        F.sum("g1").alias("c1"),
+        F.count("*").alias("ct"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = pv.select(
+        "c0",
+        "c1",
+        "ct",
+        (F.sum("ct").over(w) - F.col("ct")).alias("below"),
+    )
+    s = rk.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        (F.sum("c0") + F.sum("c1")).cast("long").alias("nn"),
+        F.sum(
+            F.col("c0") * (2 * F.col("below") + F.col("ct") + 1)
+        ).cast("long").alias("r2_0"),
+        F.sum(
+            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).cast("long").alias("tt"),
+    )
+    u = s.select(
+        "n0",
+        "n1",
+        "nn",
+        "tt",
+        (F.col("r2_0") - F.col("n0") * (F.col("n0") + 1)).alias("u2_0"),
+    )
+    return u.select(
+        F.col("n0").alias(f"n_{_MWU_A}"),
+        F.col("n1").alias(f"n_{_MWU_B}"),
+        F.col("u2_0").cast("long").alias("u_times2"),
+        F.round(F.expr(_MWU_Z), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q319: logistic-regression quality classifier via in-engine gradient descent
+# ---------------------------------------------------------------------------
+
+_LR_RATE = 0.5
+_LR_STEPS = 5
+
+#: rational sigmoid s(z) = 0.5 + z / (2*(1+|z|)) — the
+#: "fast sigmoid" (Elliott 1993). Chosen over exp() DELIBERATELY:
+#: add/mul/div/abs are all IEEE-exactly-specified, so per-row
+#: activations are bit-identical across engines, where libm exp vs
+#: Java Math.exp may differ in the last ulp and would cascade through
+#: the training iterations.
+_SIG = "(0.5 + z / (2.0 * (1.0 + ABS(z))))"
+
+#: per-row features: x1 = chars in hecto-chars, x2 = distinct-token
+#: ratio (the milli-unit quality score); label = "is English".
+_LR_FEAT_SQL = f"""
+      SELECT CAST(n_chars AS DOUBLE) / 100.0 AS x1,
+             CAST({_SCORE_SQL} AS DOUBLE) / 1000.0 AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+"""
+
+
+def _lr_oracle() -> str:
+    """Unrolled CTE chain: one gradient CTE + one weight CTE per step
+    (the q269/q284 unrolling technique). Gradients are micro-unit
+    FLOORed integers, so DuckDB's sequential sum and Spark's partial
+    aggregation agree exactly."""
+    parts = [
+        f"WITH f AS ({_LR_FEAT_SQL}),",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2),",
+    ]
+    prev = "w0"
+    for i in range(1, _LR_STEPS + 1):
+        parts.append(
+            f"g{i} AS (SELECT "
+            "SUM(CAST(FLOOR(r * 1000000.0) AS BIGINT)) AS gb, "
+            "SUM(CAST(FLOOR(r * x1 * 1000000.0) AS BIGINT)) AS g1, "
+            "SUM(CAST(FLOOR(r * x2 * 1000000.0) AS BIGINT)) AS g2 "
+            f"FROM (SELECT {_SIG} - y AS r, x1, x2 FROM "
+            f"(SELECT {prev}.b + {prev}.w1 * x1 + {prev}.w2 * x2 AS z,"
+            f" x1, x2, y FROM f, {prev}))),"
+        )
+        parts.append(
+            f"w{i} AS (SELECT "
+            f"{prev}.b - {_LR_RATE} * (CAST(g{i}.gb AS DOUBLE) / 1000000.0 / n.n) AS b, "
+            f"{prev}.w1 - {_LR_RATE} * (CAST(g{i}.g1 AS DOUBLE) / 1000000.0 / n.n) AS w1, "
+            f"{prev}.w2 - {_LR_RATE} * (CAST(g{i}.g2 AS DOUBLE) / 1000000.0 / n.n) AS w2 "
+            f"FROM {prev}, g{i}, n),"
+        )
+        prev = f"w{i}"
+    parts.append(
+        "acc AS (SELECT CAST(SUM(CASE WHEN "
+        f"(CASE WHEN {_SIG} >= 0.5 THEN 1.0 ELSE 0.0 END) = y "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM "
+        f"(SELECT {prev}.b + {prev}.w1 * x1 + {prev}.w2 * x2 AS z, y "
+        f"FROM f, {prev}))"
+    )
+    parts.append(
+        f"SELECT ROUND({prev}.b, 6) AS w_intercept, "
+        f"ROUND({prev}.w1, 6) AS w_hectochars, "
+        f"ROUND({prev}.w2, 6) AS w_distinct_ratio, "
+        "CAST(n.n AS BIGINT) AS n_docs, acc.n_correct "
+        f"FROM {prev}, n, acc"
+    )
+    return "\n".join(parts)
+
+
+@query("q319_logreg_quality_gd", oracle=_lr_oracle())
+def q319_logreg_quality_gd(spark, sf_dir):
+    """Train a LOGISTIC-REGRESSION language classifier IN-ENGINE by
+    full-batch gradient descent ({_LR_STEPS} steps, lr={_LR_RATE}):
+    predict "is English" from (document length, distinct-token ratio).
+    This is the train-a-filter-model loop a data pipeline runs to
+    replace hand-tuned quality thresholds (fastText-style filters),
+    expressed the Spark way: the MODEL is 3 driver-held scalars, the
+    GRADIENT is one map-side-combined aggregate per step, and the data
+    never moves — the q177/q306/q315 bounded-driver-loop pattern.
+
+    Exactness by construction: activations use the rational "fast
+    sigmoid" 0.5 + z/(2(1+|z|)) (Elliott 1993) — pure IEEE-exact
+    add/mul/div/abs, no libm exp whose last ulp differs across
+    engines — and per-row gradient contributions are FLOORed to
+    micro-unit BIGINTs before summation, so aggregation order cannot
+    change the total. The oracle unrolls the identical {_LR_STEPS}
+    steps as a CTE chain. Final report: weights (6dp), corpus size,
+    and integer-exact training accuracy.
+
+    Scale: per step one scan + one 1-row aggregate collect; driver
+    state O(features). 100 TB cost = {_LR_STEPS} scans, no shuffle at
+    all (the aggregate is a global reduce of 3 longs)."""
+    feat = (
+        t(spark, sf_dir, "documents")
+        .select(
+            (F.col("n_chars").cast("double") / 100.0).alias("x1"),
+            (F.expr(_SCORE_SPARK_SQL).cast("double") / 1000.0).alias("x2"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+        .persist()
+    )
+    n = float(feat.count())
+    b, w1, w2 = 0.0, 0.0, 0.0
+    for _ in range(_LR_STEPS):
+        g = (
+            feat.select(
+                F.expr(f"({b} + {w1} * x1 + {w2} * x2)").alias("z"),
+                "x1",
+                "x2",
+                "y",
+            )
+            .select(
+                (F.expr(_SIG) - F.col("y")).alias("r"), "x1", "x2"
+            )
+            .agg(
+                F.sum(
+                    F.floor(F.col("r") * 1000000.0).cast("long")
+                ).alias("gb"),
+                F.sum(
+                    F.floor(F.col("r") * F.col("x1") * 1000000.0).cast(
+                        "long"
+                    )
+                ).alias("g1"),
+                F.sum(
+                    F.floor(F.col("r") * F.col("x2") * 1000000.0).cast(
+                        "long"
+                    )
+                ).alias("g2"),
+            )
+            .collect()[0]
+        )
+        b = b - _LR_RATE * (g["gb"] / 1000000.0 / n)
+        w1 = w1 - _LR_RATE * (g["g1"] / 1000000.0 / n)
+        w2 = w2 - _LR_RATE * (g["g2"] / 1000000.0 / n)
+    acc = (
+        feat.select(
+            F.expr(f"({b} + {w1} * x1 + {w2} * x2)").alias("z"), "y"
+        )
+        .select(
+            F.when(
+                F.when(F.expr(_SIG) >= 0.5, 1.0).otherwise(0.0)
+                == F.col("y"),
+                1,
+            )
+            .otherwise(0)
+            .alias("ok")
+        )
+        .agg(F.sum("ok").cast("long").alias("n_correct"))
+        .collect()[0]["n_correct"]
+    )
+    feat.unpersist()
+    out = spark.createDataFrame(
+        [(b, w1, w2, int(n), int(acc))],
+        "b double, w1 double, w2 double, n_docs bigint, n_correct bigint",
+    )
+    return out.select(
+        F.round("b", 6).alias("w_intercept"),
+        F.round("w1", 6).alias("w_hectochars"),
+        F.round("w2", 6).alias("w_distinct_ratio"),
+        "n_docs",
+        "n_correct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320: isotonic calibration of the quality score against the dup outcome
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q320_isotonic_calibration",
+    oracle=_LSH_CANDS_SQL + _MEMBERS_SQL + f""",
+    fl AS (
+      SELECT CAST({_SCORE_SQL} AS BIGINT) // 100 AS bin,
+             CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    ),
+    b AS (
+      SELECT bin, COUNT(*) AS cnt, SUM(y) AS pos FROM fl GROUP BY bin
+    ),
+    p AS (
+      SELECT bin, cnt, pos,
+             SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccnt,
+             SUM(pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+      FROM b
+    ),
+    inner_min AS (
+      SELECT i.bin AS ib, j.bin AS jb,
+             MIN(CAST(k.cpos - j.cpos + j.pos AS DOUBLE)
+                 / CAST(k.ccnt - j.ccnt + j.cnt AS DOUBLE)) AS minmean
+      FROM p i JOIN p j ON j.bin <= i.bin
+               JOIN p k ON k.bin >= i.bin
+      GROUP BY i.bin, j.bin
+    ),
+    fit AS (
+      SELECT ib AS bin, MAX(minmean) AS fitted FROM inner_min GROUP BY ib
+    )
+    SELECT b.bin, CAST(b.cnt AS BIGINT) AS cnt,
+           ROUND(CAST(b.pos AS DOUBLE) / CAST(b.cnt AS DOUBLE), 6)
+             AS raw_rate,
+           ROUND(fit.fitted, 6) AS fitted_rate
+    FROM b JOIN fit USING (bin)
+    ORDER BY bin
+    """,
+)
+def q320_isotonic_calibration(spark, sf_dir):
+    """ISOTONIC REGRESSION calibrating the milli-unit quality score
+    against the LSH near-dup outcome (q287's label): per score-decile
+    bin, the raw dup rate and the monotone least-squares fit — the
+    calibration step that turns an arbitrary quality score into a
+    usable probability (Zadrozny & Elkan 2002). q287 answers "does
+    the score rank dups correctly AT ALL?" (threshold-free AUC); this
+    answers "what dup PROBABILITY does each score decile imply?" —
+    the number a keep/drop policy actually thresholds on.
+
+    Spark-first trick: instead of the sequential PAVA pool-adjacent
+    loop, use the CLOSED-FORM minimax characterization
+    ``fit(i) = max_{{j<=i}} min_{{k>=i}} mean(y[j..k])`` — with bin
+    prefix sums, every interval mean is a ratio of two integer
+    deltas, so the whole fit is three set-based self-joins on an
+    ~11-row aggregate (theta-join NLJs on a bounded frame; adjudicated
+    allowlist). No iteration, no driver state, and the interval means
+    are identical doubles on both engines (one division of exact
+    integers), so min/max pick identical values.
+
+    Scale: the corpus-sized work is the shared LSH candidate stage +
+    one label semi-join + one 11-row aggregate; the cubic minimax
+    enumeration touches ~10^3 aggregate rows regardless of corpus
+    size."""
+    fl = _neardup_labeled(spark, sf_dir).select(
+        F.expr("score DIV 100").alias("bin"), "y"
+    )
+    b = fl.groupBy("bin").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = b.select(
+        "bin",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w).alias("ccnt"),
+        F.sum("pos").over(w).alias("cpos"),
+    ).persist()
+    i, j, k = p.alias("i"), p.alias("j"), p.alias("k")
+    # broadcast the ~11-row aggregate sides: the theta-joins become
+    # broadcast NLJs (bounded build, adjudicated) instead of the
+    # CartesianProduct Spark would otherwise plan for non-equi joins.
+    inner_min = (
+        i.join(F.broadcast(j), F.col("j.bin") <= F.col("i.bin"))
+        .join(F.broadcast(k), F.col("k.bin") >= F.col("i.bin"))
+        .groupBy(F.col("i.bin").alias("ib"), F.col("j.bin").alias("jb"))
+        .agg(
+            F.min(
+                (F.col("k.cpos") - F.col("j.cpos") + F.col("j.pos")).cast(
+                    "double"
+                )
+                / (F.col("k.ccnt") - F.col("j.ccnt") + F.col("j.cnt")).cast(
+                    "double"
+                )
+            ).alias("minmean")
+        )
+    )
+    fit = inner_min.groupBy(F.col("ib").alias("bin")).agg(
+        F.max("minmean").alias("fitted")
+    )
+    return (
+        b.join(fit, "bin")
+        .select(
+            "bin",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.col("pos").cast("double") / F.col("cnt").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round("fitted", 6).alias("fitted_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q321: average precision of the quality score as a dup-detector
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q321_average_precision",
+    oracle=_LSH_CANDS_SQL + _MEMBERS_SQL + f""",
+    fl AS (
+      SELECT d.doc_id, CAST({_SCORE_SQL} AS BIGINT) AS score,
+             CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    ),
+    rk AS (
+      SELECT y,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+             SUM(y) OVER (ORDER BY score, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+      FROM fl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CASE WHEN y = 1 THEN
+                   CAST(FLOOR(CAST(cpos AS DOUBLE) / CAST(rn AS DOUBLE)
+                              * 1000000000.0) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+                 / 1000000000.0 / CAST(SUM(y) AS DOUBLE), 6) AS ap
+    FROM rk
+    """,
+)
+def q321_average_precision(spark, sf_dir):
+    """AVERAGE PRECISION of "low quality score predicts near-dup"
+    (q287's LSH-membership label): rank documents most-suspicious
+    first (score ASC — low distinct-token ratio first), then average
+    the precision at every positive. AP is the PR-curve area the
+    dedup literature reports alongside q287's ROC-AUC; ROC-AUC is
+    prevalence-blind, AP is the one that moves when positives are
+    rare — which is exactly the duplicated-document regime. AP near
+    the positive base rate is the null reading; above it, the score
+    carries dedup signal.
+
+    Exactness: each positive's precision cpos/rn is quantized to
+    nano-unit BIGINTs BEFORE summation (FLOOR of one IEEE division of
+    exact integers — identical on both engines), so the sum is
+    order-independent; one final divide + 6dp round.
+
+    Scale: the global (score ASC, doc_id) rank + running positive
+    count use the two-pass range-partitioned prefix primitive
+    (``global_cumsum`` — no single-partition window anywhere); the
+    rest is one global reduce to a single row, plus the shared LSH
+    label stage."""
+    fl = _neardup_labeled(spark, sf_dir)
+    rk, _total, _sums = global_cumsum(
+        fl,
+        [F.asc("score"), F.asc("doc_id")],
+        sums=[("y", "cpos")],
+        rn_col="rn",
+    )
+    return rk.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("y") == 1,
+                    F.floor(
+                        F.col("cpos").cast("double")
+                        / F.col("rn").cast("double")
+                        * 1000000000.0
+                    ).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 1000000000.0
+            / F.sum("y").cast("double"),
+            6,
+        ).alias("ap"),
+    )
