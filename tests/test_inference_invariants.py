@@ -1,5 +1,7 @@
 """Structural invariants for the statistical-inference suite
-(q317-q321). The oracle comparison pins exact values; these pin the
+(q317-q321) plus the round's dedup/sketch additions (q322 CDC
+chunking, q323 bottom-k sample sketch - including its merge law).
+The oracle comparison pins exact values; these pin the
 ALGEBRAIC guarantees each statistic advertises - Kneser-Ney
 probabilities are proper and discounting shrinks MLE mass, the
 Mann-Whitney U statistic sits inside [0, n0*n1], gradient descent
@@ -104,3 +106,56 @@ def test_auc_ap_label_consistency(spark):
     assert auc["n_dup"] == ap["n_pos"]
     assert auc["n_dup"] + auc["n_clean"] == ap["n_docs"]
     assert abs(n_pos_iso - ap["n_pos"]) <= len(iso)  # 6dp per-bin round
+
+
+def test_bottomk_sketch_merge_law(spark):
+    # the sketch's reason to exist: min-k of a union == min-k of the
+    # merged per-shard min-ks. Split docs into 3 shards by doc_id,
+    # sketch each, merge, re-cut to k - must equal the global sketch.
+    from pyspark.sql import functions as F
+
+    from web_scraping_etl_pipeline_spark.plans.datapipe import (
+        _BK_K,
+        _h60,
+    )
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    s = t(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("v"),
+        _h60(F.col("doc_id").cast("string")).alias("u"),
+    )
+    global_k = s.orderBy("u", "doc_id").limit(_BK_K)
+    shards = [
+        s.filter(F.col("doc_id") % 3 == i)
+        .orderBy("u", "doc_id")
+        .limit(_BK_K)
+        for i in range(3)
+    ]
+    merged = shards[0]
+    for sh in shards[1:]:
+        merged = merged.unionByName(sh)
+    recut = merged.orderBy("u", "doc_id").limit(_BK_K)
+    a = sorted(tuple(r) for r in global_k.collect())
+    b = sorted(tuple(r) for r in recut.collect())
+    assert a == b
+
+
+def test_bottomk_estimates_bracket_exact(spark):
+    (r,) = _rows(spark, "q323_bottomk_sample_quantiles")
+    assert r["k"] == min(256, r["n_total"])
+    # estimates are observed values, and quartile order must hold.
+    assert r["est_p25"] <= r["est_p50"] <= r["est_p75"]
+    assert r["exact_p25"] <= r["exact_p50"] <= r["exact_p75"]
+
+
+def test_cdc_chunks_cover_all_tokens(spark):
+    # chunk instances partition every document's token sequence: the
+    # per-source chunk count times nothing is hard to pin, but the
+    # dup fraction is a valid rate and chunk counts are positive.
+    rows = _rows(spark, "q322_content_defined_chunks")
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_chunks"] > 0
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert abs(r["dup_rate"] - r["n_dup_chunks"] / r["n_chunks"]) < 1e-6

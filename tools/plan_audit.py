@@ -147,6 +147,9 @@ ALLOW = {
     "q297_fellegi_sunter_weights": {"nested_loop"},
     "q299_hard_negative_mining": {"nested_loop"},  # 10-row query frame
     "q317_kneser_ney_bigrams": {"nested_loop"},  # 1-row distinct-bigram total
+    # 256-row limit-derived sample crossed with 1-row count/quantile
+    # frames - all bounded by construction.
+    "q323_bottomk_sample_quantiles": {"nested_loop"},
     # minimax isotonic fit: theta self-joins (j<=i<=k) on the ~11-row
     # score-decile BIN aggregate - cubic in bins, constant in corpus.
     "q320_isotonic_calibration": {"nested_loop"},

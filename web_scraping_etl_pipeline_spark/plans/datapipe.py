@@ -3260,3 +3260,138 @@ def q313_dp_histogram(spark, sf_dir):
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_n") + noise, 6).alias("released_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q323: mergeable bottom-k sample sketch -> approximate quantiles
+# ---------------------------------------------------------------------------
+
+#: sketch size. Bottom-k BY A FIXED HASH is the mergeable uniform
+#: sample: min-k of a union equals min-k of the per-partition min-ks,
+#: so shards/streams combine associatively with O(k) state - unlike
+#: reservoir sampling, which needs coordinated randomness to merge.
+_BK_K = 256
+
+
+@query(
+    "q323_bottomk_sample_quantiles",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars AS v,
+             {_h60_sql("CAST(doc_id AS VARCHAR)")} AS u
+      FROM documents
+    ),
+    samp AS (
+      SELECT v FROM s ORDER BY u, doc_id LIMIT {_BK_K}
+    ),
+    kf AS (SELECT COUNT(*) AS k_eff FROM samp),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM samp),
+    est AS (
+      SELECT
+        MIN(CASE WHEN rn = CAST(ceil(0.25 * k_eff) AS BIGINT)
+            THEN v END) AS e25,
+        MIN(CASE WHEN rn = CAST(ceil(0.50 * k_eff) AS BIGINT)
+            THEN v END) AS e50,
+        MIN(CASE WHEN rn = CAST(ceil(0.75 * k_eff) AS BIGINT)
+            THEN v END) AS e75
+      FROM r, kf
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             quantile_disc(n_chars, 0.25) AS x25,
+             quantile_disc(n_chars, 0.50) AS x50,
+             quantile_disc(n_chars, 0.75) AS x75
+      FROM documents
+    )
+    SELECT ex.n_total, CAST(kf.k_eff AS BIGINT) AS k,
+           CAST(est.e25 AS BIGINT) AS est_p25,
+           CAST(est.e50 AS BIGINT) AS est_p50,
+           CAST(est.e75 AS BIGINT) AS est_p75,
+           CAST(ex.x25 AS BIGINT) AS exact_p25,
+           CAST(ex.x50 AS BIGINT) AS exact_p50,
+           CAST(ex.x75 AS BIGINT) AS exact_p75
+    FROM est, ex, kf
+    """,
+)
+def q323_bottomk_sample_quantiles(spark, sf_dir):
+    """MERGEABLE BOTTOM-K SAMPLE SKETCH for approximate quantiles:
+    keep the {_BK_K} rows with the smallest fixed content hash - a
+    uniform sample that MERGES associatively (min-k of a union = min-k
+    of per-shard min-ks), the property reservoir sampling lacks and
+    the reason bottom-k/KMV sketches back distributed quantile and
+    distinct-count estimation (Bar-Yossef et al. 2002; the
+    quantile-sketch sibling of q256's HLL and q302's CMS, with the
+    same merge-law pytest discipline). Reports sample-estimated vs
+    exact discrete quartiles of document length side by side, so the
+    sketch error is the query's own output.
+
+    Exactness: the hash is the md5-60bit bridge, the sample is a
+    deterministic top-k under (u, doc_id) total order, estimates are
+    rank-selected OBSERVED values (integers), and the exact side is
+    percentile_disc - every output column is a BIGINT, nothing
+    floats.
+
+    Scale: the sample is TakeOrderedAndProject ({_BK_K} rows per
+    partition -> {_BK_K} global, constant memory); the rank window
+    runs on the {_BK_K}-row bounded frame (adjudicated); exact
+    quartiles are per-group sorts the 100 TB deployment would swap
+    for approx_percentile with the same API shape (q149's note)."""
+    s = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("v"),
+        _h60(F.col("doc_id").cast("string")).alias("u"),
+    )
+    samp = s.orderBy("u", "doc_id").limit(_BK_K).select("v")
+    kf = samp.agg(F.count("*").alias("k_eff"))
+    r = samp.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v")).cast("long")
+    )
+    est = r.crossJoin(F.broadcast(kf)).agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(0.25 * F.col("k_eff")).cast("long"),
+                F.col("v"),
+            )
+        ).alias("e25"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(0.50 * F.col("k_eff")).cast("long"),
+                F.col("v"),
+            )
+        ).alias("e50"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(0.75 * F.col("k_eff")).cast("long"),
+                F.col("v"),
+            )
+        ).alias("e75"),
+    )
+    ex = t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("x25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("x50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("x75"),
+    )
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(kf))
+        .select(
+            "n_total",
+            F.col("k_eff").cast("long").alias("k"),
+            F.col("e25").cast("long").alias("est_p25"),
+            F.col("e50").cast("long").alias("est_p50"),
+            F.col("e75").cast("long").alias("est_p75"),
+            F.col("x25").cast("long").alias("exact_p25"),
+            F.col("x50").cast("long").alias("exact_p50"),
+            F.col("x75").cast("long").alias("exact_p75"),
+        )
+    )

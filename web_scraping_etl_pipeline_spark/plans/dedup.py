@@ -2305,3 +2305,139 @@ def q315_bradley_terry_sources(spark, sf_dir):
         "n_wins",
         "n_duels",
     )
+
+
+# ---------------------------------------------------------------------------
+# q322: content-defined chunking dedup (token-granular gear-style CDC)
+# ---------------------------------------------------------------------------
+
+#: boundary density: a token opens a new chunk when its 60-bit content
+#: hash lands in the 1/16 residue class - expected chunk length ~16
+#: tokens, variance-robust to insertions/deletions the way
+#: fixed-length blocks are not (the rsync/LBFS/FastCDC property).
+_CDC_MOD = 16
+
+
+@query(
+    "q322_content_defined_chunks",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, CAST(r.i AS BIGINT) AS i, toks[r.i] AS tok
+      FROM base, LATERAL unnest(range(1, len(toks) + 1)) r(i)
+    ),
+    b AS (
+      SELECT doc_id, source, i, tok,
+             CASE WHEN {_H64_SQL.format(x="tok")} % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM pos
+    ),
+    c AS (
+      SELECT doc_id, source, i, tok,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk_id
+      FROM b
+    ),
+    inst AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS ckey
+      FROM c GROUP BY doc_id, source, chunk_id
+    ),
+    g AS (SELECT ckey, COUNT(*) AS cnt FROM inst GROUP BY ckey)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM inst JOIN g USING (ckey)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q322_content_defined_chunks(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup at token granularity: a chunk
+    boundary opens wherever a token's content hash falls in a fixed
+    1/{_CDC_MOD} residue class (expected chunk ~{_CDC_MOD} tokens),
+    then chunks dedup by content across the corpus - the
+    rsync/LBFS/FastCDC technique that keeps chunk boundaries STABLE
+    under insertions and deletions, where fixed-size blocks shift and
+    miss every repeat after the first edit. Output: per-source share
+    of chunk instances whose content also appears elsewhere - the
+    sub-document redundancy a line-level (q180) or span-level (q205)
+    pass under- or over-counts.
+
+    Exactness: boundaries come from the shared md5-60bit bridge,
+    chunk identity is md5 of the ORDER-pinned token join (Spark side:
+    collect_list -> array_sort on (i, tok) structs, the q112 idiom),
+    and every output is an integer count or one int/int division.
+
+    Scale: posexplode is a map stage; the running boundary count and
+    the chunk reassembly are doc_id-partitioned (never global); the
+    chunk-frequency census is one hash aggregate on the chunk hash
+    with map-side combine. No unbounded state, no skew risk beyond
+    the chunk-key distribution itself."""
+    pos = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("i0", "tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.col("i0") + 1).cast("long").alias("i"),
+            "tok",
+        )
+    )
+    b = pos.withColumn(
+        "bnd",
+        F.when(_h64(F.col("tok")) % _CDC_MOD == 0, 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.withColumn("chunk_id", F.sum("bnd").over(w))
+    inst = (
+        c.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("ckey")
+        )
+    )
+    g = inst.groupBy("ckey").agg(F.count("*").alias("cnt"))
+    return (
+        inst.join(g, "ckey")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
