@@ -903,7 +903,7 @@ def _mmr_oracle() -> str:
              ROUND({_MMR_PAIR_DOT}, 6) AS sim
       FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
     ),
-    s1 AS MATERIALIZED (SELECT doc_id, ROUND(0.5 * rel, 6) AS score FROM pool
+    s1 AS MATERIALIZED (SELECT doc_id, 0.5 * rel AS score FROM pool
            ORDER BY score DESC, doc_id LIMIT 1),
     sel1 AS MATERIALIZED (SELECT doc_id FROM s1)"""
     ]
@@ -911,7 +911,7 @@ def _mmr_oracle() -> str:
         parts.append(
             f"""
     c{i} AS MATERIALIZED (
-      SELECT p.doc_id, ROUND(0.5 * p.rel - 0.5 * MAX(s.sim), 6) AS score
+      SELECT p.doc_id, 0.5 * p.rel - 0.5 * MAX(s.sim) AS score
       FROM pool p JOIN sims s ON s.da = p.doc_id
       WHERE s.db IN (SELECT doc_id FROM sel{i - 1})
         AND p.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
@@ -923,7 +923,8 @@ def _mmr_oracle() -> str:
                UNION ALL SELECT doc_id FROM s{i})"""
         )
     final = "\n    UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS rk, doc_id, score FROM s{i}"
+        f"SELECT CAST({i} AS BIGINT) AS rk, doc_id, ROUND(score, 6)"
+        f" AS score FROM s{i}"
         for i in range(1, _MMR_K + 1)
     )
     return ",".join(parts) + "\n    " + final
@@ -939,19 +940,19 @@ def q284_mmr_rerank(spark, sf_dir):
     near-copies of the same passage (and the retrieval-side cousin of
     the SemDeDup idea in q209).
 
-    Scale: the greedy loop is inherently sequential in K, but every
-    step's work is over BOUNDED frames: the pool is a
-    {_MMR_POOL}-row TakeOrdered, pairwise sims are pool x pool, and
-    each iteration is one bounded aggregate + 1-row argmax collect
-    (driver state = the <= {_MMR_K} selected ids, the same
-    bounded-driver-aggregate class as global_cumsum's partition
-    stats). The corpus is touched exactly once, by the pool scan."""
+    Scale: the cluster does the UNBOUNDED work exactly once - the
+    corpus scan into the {_MMR_POOL}-row TakeOrdered pool and the
+    pool x pool similarity matrix - and the inherently-sequential
+    greedy loop runs on the DRIVER over those two collected frames
+    ({_MMR_POOL} rels + {_MMR_POOL}^2 sims, bounded by the literal
+    pool size), instead of scheduling K near-empty Spark jobs
+    (measured: the 10 argmax jobs cost ~10x the actual arithmetic).
+    Selection uses EXACT double scores (0.5*rel - 0.5*max_sim over
+    the 6dp-rounded rel/sim inputs) - identical IEEE arithmetic in
+    Python and DuckDB, so no per-step rounding is needed; only the
+    reported score is rounded, in Spark, at the end."""
     qv = _query_vec(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
-    # the pool is a bounded {_MMR_POOL}-row frame: collapse it to ONE
-    # partition so each of the K greedy iterations schedules one task,
-    # not defaultParallelism of them (10 iterations x 32 empty tasks
-    # was pure scheduler overhead at any scale).
     pool = transient_persist(
         emb.select(
             F.col("vec_id").alias("doc_id"),
@@ -960,7 +961,6 @@ def q284_mmr_rerank(spark, sf_dir):
         )
         .orderBy(F.desc("rel"), F.asc("doc_id"))
         .limit(_MMR_POOL)
-        .coalesce(1)
     )
     a = pool.select(
         F.col("doc_id").alias("da"), F.col("embedding").alias("ea")
@@ -968,41 +968,36 @@ def q284_mmr_rerank(spark, sf_dir):
     b = pool.select(
         F.col("doc_id").alias("db"), F.col("embedding").alias("eb")
     )
-    sims = transient_persist(
-        a.join(b, F.col("da") != F.col("db")).select(
-            "da", "db", F.round(_dot("ea", "eb"), 6).alias("sim")
-        )
-    )
+    rel = {
+        r["doc_id"]: r["rel"] for r in pool.select("doc_id", "rel").collect()
+    }
+    sim: dict[tuple[int, int], float] = {
+        (r["da"], r["db"]): r["sim"]
+        for r in a.join(b, F.col("da") != F.col("db"))
+        .select("da", "db", F.round(_dot("ea", "eb"), 6).alias("sim"))
+        .collect()
+    }
+    pool.unpersist()
     chosen: list[tuple[int, int, float]] = []
+    selected: list[int] = []
     for rk in range(1, _MMR_K + 1):
-        if not chosen:
-            cand = pool.select(
-                "doc_id", F.round(0.5 * F.col("rel"), 6).alias("score")
-            )
-        else:
-            sel_ids = [c[1] for c in chosen]
-            maxsim = (
-                sims.filter(F.col("db").isin(sel_ids))
-                .groupBy("da")
-                .agg(F.max("sim").alias("ms"))
-            )
-            cand = (
-                pool.filter(~F.col("doc_id").isin(sel_ids))
-                .join(maxsim, pool["doc_id"] == maxsim["da"])
-                .select(
-                    "doc_id",
-                    F.round(
-                        0.5 * F.col("rel") - 0.5 * F.col("ms"), 6
-                    ).alias("score"),
+        best_id, best_score = None, None
+        for d in sorted(rel):  # doc_id ASC + strict > == the SQL tie-break
+            if d in selected:
+                continue
+            if not selected:
+                score = 0.5 * rel[d]
+            else:
+                score = 0.5 * rel[d] - 0.5 * max(
+                    sim[(d, s)] for s in selected
                 )
-            )
-        top = (
-            cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(1).first()
-        )
-        chosen.append((rk, top["doc_id"], float(top["score"])))
+            if best_score is None or score > best_score:
+                best_id, best_score = d, score
+        chosen.append((rk, best_id, best_score))
+        selected.append(best_id)
     return spark.createDataFrame(
         chosen, "rk long, doc_id long, score double"
-    )
+    ).select("rk", "doc_id", F.round("score", 6).alias("score"))
 
 
 # ---------------------------------------------------------------------------
