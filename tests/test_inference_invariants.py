@@ -159,3 +159,16 @@ def test_cdc_chunks_cover_all_tokens(spark):
         assert r["n_chunks"] > 0
         assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
         assert abs(r["dup_rate"] - r["n_dup_chunks"] / r["n_chunks"]) < 1e-6
+
+
+def test_greedy_decode_chain_is_consistent(spark):
+    # each emitted (step i) token must be the argmax continuation of
+    # step i-1's token under the corpus bigram counts, with the
+    # (cnt DESC, token ASC) tie-break; counts must be positive.
+    rows = sorted(
+        _rows(spark, "q325_greedy_lm_decode"), key=lambda r: r["step"]
+    )
+    assert rows[0]["step"] == 1 and len(rows) >= 2
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["cnt"] > 0 and r["tok"]

@@ -75,6 +75,11 @@ STREAMING = {
     "q300_bpe_train_loop",
     "q303_power_iteration_pca",
     "q315_bradley_terry_sources",
+    # construction runs the 11-step greedy walk (constant-cost lookups
+    # on the cached vocabulary-bounded transition table) and returns a
+    # LocalTableScan; the census/aggregate shapes are audited through
+    # q83/q317 (same bigram census).
+    "q325_greedy_lm_decode",
 }
 
 FLAG_PATTERNS = {

