@@ -172,3 +172,26 @@ def test_greedy_decode_chain_is_consistent(spark):
     assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
     for r in rows:
         assert r["cnt"] > 0 and r["tok"]
+
+
+def test_lsh_sweep_sharpness_ordering(spark):
+    # with b*r fixed, more rows per band = sharper S-curve: both the
+    # expected catches and (much faster) the expected false-candidate
+    # load must be non-increasing in r. All rows share one pair census.
+    rows = sorted(
+        _rows(spark, "q324_lsh_parameter_sweep"),
+        key=lambda r: r["rows_per_band"],
+    )
+    assert len(rows) == 4
+    assert len({r["n_pairs"] for r in rows}) == 1
+    assert len({r["n_above_thresh"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["exp_caught"] >= b["exp_caught"] - 1e-9
+        assert a["exp_false_cands"] >= b["exp_false_cands"] - 1e-9
+    for r in rows:
+        assert 0.0 <= r["exp_caught"] <= r["n_above_thresh"] + 1e-9
+        assert (
+            0.0
+            <= r["exp_false_cands"]
+            <= r["n_pairs"] - r["n_above_thresh"] + 1e-9
+        )

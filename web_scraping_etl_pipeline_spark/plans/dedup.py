@@ -2441,3 +2441,185 @@ def q322_content_defined_chunks(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q324: LSH (bands, rows) parameter sweep over observed similarities
+# ---------------------------------------------------------------------------
+
+#: candidate configurations, all with b*r = 128 signature slots. Both
+#: factors are POWERS OF TWO deliberately: s^r and (1-s^r)^b then
+#: compute by repeated exact IEEE squarings - no libm pow() anywhere,
+#: so the whole S-curve is bit-identical cross-engine.
+_SWEEP_CONFIGS = ((32, 4), (16, 8), (8, 16), (4, 32))
+_SWEEP_THRESH = "0.5"
+
+
+def _sweep_chain() -> list[tuple[str, str]]:
+    """(column, expression) chain shared VERBATIM by both engines:
+    squaring ladders for s^r, then for (1-s^r)^b, per config."""
+    chain = [
+        ("s2", "s * s"),
+        ("s4", "s2 * s2"),
+        ("s8", "s4 * s4"),
+        ("s16", "s8 * s8"),
+        ("s32", "s16 * s16"),
+    ]
+    for b, r in _SWEEP_CONFIGS:
+        t0 = f"t{r}"
+        chain.append((t0, f"1.0 - s{r}"))
+        prev, e = t0, 1
+        while e < b:
+            nxt = f"{t0}_{e * 2}"
+            chain.append((nxt, f"{prev} * {prev}"))
+            prev, e = nxt, e * 2
+        chain.append((f"p_b{b}r{r}", f"1.0 - {prev}"))
+    return chain
+
+
+def _sweep_oracle() -> str:
+    ctes = [
+        f"""
+    WITH sh AS (
+      SELECT doc_id, source, list_distinct({_SHINGLES_SQL}) AS sset
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    c0 AS (
+      SELECT CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sset, b.sset))) AS s
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    )"""
+    ]
+    prev = "c0"
+    for idx, (name, expr) in enumerate(_sweep_chain(), 1):
+        ctes.append(
+            f"c{idx} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        )
+        prev = f"c{idx}"
+    sums = []
+    for b, r in _SWEEP_CONFIGS:
+        p = f"p_b{b}r{r}"
+        sums.append(
+            f"SUM(CASE WHEN s >= {_SWEEP_THRESH} THEN 1 ELSE 0 END)"
+            f" AS n_hi"
+        )
+        sums.append(
+            f"SUM(CASE WHEN s >= {_SWEEP_THRESH} THEN"
+            f" CAST(FLOOR({p} * 1000000000.0) AS BIGINT)"
+            f" ELSE 0 END) AS caught_b{b}r{r}"
+        )
+        sums.append(
+            f"SUM(CASE WHEN s < {_SWEEP_THRESH} THEN"
+            f" CAST(FLOOR({p} * 1000000000.0) AS BIGINT)"
+            f" ELSE 0 END) AS load_b{b}r{r}"
+        )
+    # n_hi repeats per config; keep one of each name via dedup below
+    seen, uniq = set(), []
+    for s_ in sums:
+        key = s_.split(" AS ")[-1]
+        if key in seen:
+            continue
+        seen.add(key)
+        uniq.append(s_)
+    ctes.append(
+        "agg AS (SELECT COUNT(*) AS n_pairs, "
+        + ", ".join(uniq)
+        + f" FROM {prev})"
+    )
+    selects = []
+    for b, r in _SWEEP_CONFIGS:
+        selects.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_hi AS BIGINT) AS n_above_thresh,
+               ROUND(CAST(caught_b{b}r{r} AS DOUBLE) / 1000000000.0, 4)
+                 AS exp_caught,
+               ROUND(CAST(load_b{b}r{r} AS DOUBLE) / 1000000000.0, 4)
+                 AS exp_false_cands
+             FROM agg"""
+        )
+    return ",".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("q324_lsh_parameter_sweep", oracle=_sweep_oracle())
+def q324_lsh_parameter_sweep(spark, sf_dir):
+    """LSH (bands, rows) DESIGN SWEEP: for each banding of a 128-slot
+    MinHash signature, the S-curve collision probability
+    ``1 - (1 - s^r)^b`` evaluated against the OBSERVED pair-similarity
+    distribution (q44's deterministic 1-in-5 same-source sample),
+    split at the dedup threshold s >= {_SWEEP_THRESH}: expected
+    true-pair catches vs expected below-threshold candidate load.
+    This is the tuning readout run BEFORE committing an LSH config to
+    a 100 TB pass - more rows per band = sharper curve = fewer false
+    candidates but more misses (Leskovec/Rajaraman/Ullman ch.3).
+
+    Exactness trick: every config has b and r POWERS OF TWO, so s^r
+    and (1-s^r)^b evaluate by chains of exact IEEE squarings shared
+    verbatim with the oracle - no libm pow(), whose last-ulp behavior
+    differs across engines. Per-pair probabilities are FLOORed to
+    nano-unit BIGINTs before summation (order-independent), and s
+    itself is one division of exact set-cardinality integers.
+
+    Scale: the pair sample is q44's quadratic-in-bucket BASELINE
+    shape (documented there; the production path verifies LSH
+    candidates only) - the sweep adds a fixed 20-odd column ladder of
+    multiplications per pair and one global aggregate; config rows
+    are 4 projections of the single 1-row aggregate."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(_shingles()).alias("sset")
+    )
+    a = sh.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b_ = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.size(F.array_union(F.col("a.sset"), F.col("b.sset")))
+    pairs = a.join(
+        b_,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select((inter.cast("double") / union).alias("s"))
+    for name, expr in _sweep_chain():
+        pairs = pairs.withColumn(name, F.expr(expr))
+    aggs = [F.count("*").alias("n_pairs")]
+    hi = F.col("s") >= F.expr(_SWEEP_THRESH)
+    aggs.append(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("n_hi")
+    )
+    for b, r in _SWEEP_CONFIGS:
+        p = F.col(f"p_b{b}r{r}")
+        aggs.append(
+            F.sum(
+                F.when(
+                    hi,
+                    F.floor(p * 1000000000.0).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias(f"caught_b{b}r{r}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    ~hi,
+                    F.floor(p * 1000000000.0).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias(f"load_b{b}r{r}")
+        )
+    agg = pairs.agg(*aggs)
+    out = None
+    for b, r in _SWEEP_CONFIGS:
+        row = agg.select(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_hi").cast("long").alias("n_above_thresh"),
+            F.round(
+                F.col(f"caught_b{b}r{r}").cast("double") / 1000000000.0,
+                4,
+            ).alias("exp_caught"),
+            F.round(
+                F.col(f"load_b{b}r{r}").cast("double") / 1000000000.0, 4
+            ).alias("exp_false_cands"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
