@@ -125,6 +125,19 @@ FLOAT_LINT_ALLOW = {
     # engines; LEAST(..., 255) clamps the high side.
     "q123_embedding_quantization",
     "q156_quantized_rerank",
+    # Deliberate FLOOR-quantization of cross-engine-IDENTICAL doubles
+    # (round-7 inference suite): the floored value is built from exact
+    # integer ratios / the shared rational sigmoid / exact squaring
+    # ladders with IDENTICAL expression strings on both engines, so
+    # both engines floor the same bit pattern. The floor is what makes
+    # the subsequent SUM order-independent - it is the exactness
+    # mechanism here, not a hazard.
+    "q319_logreg_quality_gd",  # micro-unit gradient contributions
+    "q321_average_precision",  # nano-unit precision contributions
+    "q323_bottomk_sample_quantiles",  # ceil(q * k_eff) rank picks:
+    # 0.25/0.5/0.75 * integer are exact doubles, ceil is exact
+    "q324_lsh_parameter_sweep",  # nano-unit S-curve contributions
+    # (power-of-two squaring ladders, no libm pow)
 }
 
 
