@@ -158,6 +158,22 @@ ALLOW = {
     # minimax isotonic fit: theta self-joins (j<=i<=k) on the ~11-row
     # score-decile BIN aggregate - cubic in bins, constant in corpus.
     "q320_isotonic_calibration": {"nested_loop"},
+    # Kendall pair stage: non-equi self-join of the 365-row
+    # CALENDAR-bounded daily aggregate (explicitly broadcast; grows
+    # with days, never with data volume).
+    "q327_kendall_tau_daily": {"nested_loop"},
+    # 1-row class-totals frame + 1-row argmin frame crossed into the
+    # ~18-row length-bucket sweep.
+    "q329_gini_stump_split": {"nested_loop"},
+    # three 1-row frames (totals, loo-mean, centered SS) crossed into
+    # the |sources|-row sufficient-statistics frame.
+    "q330_jackknife_group_mean": {"nested_loop"},
+    # 1-row global-prior frame crossed into the (source, fold) grid.
+    "q331_target_encoding": {"nested_loop"},
+    # EMD grid: |QI-groups| aggregate x <=11-row score-decile
+    # aggregate x 1-row totals - all aggregate-bounded by
+    # construction.
+    "q332_t_closeness": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -210,6 +226,10 @@ ALLOW_GLOBAL_WINDOW = {
     # prefix sums over the ~11-row score-decile bin aggregate feeding
     # the minimax isotonic fit.
     "q320_isotonic_calibration",
+    # Gini-sweep cumulative counts over the ~18-row length-bucket
+    # VALUE-DOMAIN aggregate - bounded by the n_chars range DIV 32,
+    # never fact-sized.
+    "q329_gini_stump_split",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

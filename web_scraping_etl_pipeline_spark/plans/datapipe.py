@@ -3395,3 +3395,178 @@ def q323_bottomk_sample_quantiles(spark, sf_dir):
             F.col("x75").cast("long").alias("exact_p75"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q332: t-closeness audit (ordered EMD per quasi-identifier group)
+# ---------------------------------------------------------------------------
+
+#: t-closeness release threshold: groups whose sensitive-attribute
+#: distribution sits farther than this (ordered EMD) from the corpus
+#: distribution are flagged.
+_T_CLOSE_MILLI = 200
+
+
+@query(
+    "q332_t_closeness",
+    oracle=f"""
+    WITH q AS (
+      SELECT source, lang,
+             (n_chars // {_K_LEN_BUCKET}) * {_K_LEN_BUCKET}
+               AS len_bucket,
+             {_SCORE_SQL} // {_SENS_BUCKET} AS sens
+      FROM documents
+    ),
+    gc AS (
+      SELECT source, lang, len_bucket, sens,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2, 3, 4
+    ),
+    grp AS (
+      SELECT source, lang, len_bucket,
+             CAST(SUM(c) AS BIGINT) AS n_g
+      FROM gc GROUP BY 1, 2, 3
+    ),
+    bkt AS (
+      SELECT sens, CAST(SUM(c) AS BIGINT) AS g_k
+      FROM gc GROUP BY sens
+    ),
+    tot AS (
+      SELECT CAST(SUM(g_k) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM bkt
+    ),
+    grid AS (
+      SELECT grp.source, grp.lang, grp.len_bucket, grp.n_g,
+             bkt.sens, bkt.g_k, tot.n, tot.m,
+             COALESCE(gc.c, 0) AS c
+      FROM grp CROSS JOIN bkt CROSS JOIN tot
+      LEFT JOIN gc ON gc.source = grp.source AND gc.lang = grp.lang
+                  AND gc.len_bucket = grp.len_bucket
+                  AND gc.sens = bkt.sens
+    ),
+    cum AS (
+      SELECT source, lang, len_bucket, n_g, n, m,
+             CAST(SUM(c * n - g_k * n_g) OVER (
+               PARTITION BY source, lang, len_bucket
+               ORDER BY sens
+             ) AS BIGINT) AS e
+      FROM grid
+    )
+    SELECT source, lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+           MAX(n_g) AS group_size,
+           ROUND(CAST(SUM(ABS(e)) AS DOUBLE)
+                 / (MAX(n_g) * MAX(n) * (MAX(m) - 1)), 6) AS emd,
+           CAST(CASE WHEN ROUND(CAST(SUM(ABS(e)) AS DOUBLE)
+                     / (MAX(n_g) * MAX(n) * (MAX(m) - 1)), 6)
+                     > {_T_CLOSE_MILLI} / 1000.0
+                THEN 1 ELSE 0 END AS BIGINT) AS t_violation
+    FROM cum
+    GROUP BY source, lang, len_bucket
+    """,
+)
+def q332_t_closeness(spark, sf_dir):
+    """T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007), the
+    third leg of the release-gate tripod: q236 checks groups are big
+    enough (k-anonymity), q296 checks the sensitive attribute varies
+    (l-diversity), and this checks the group's sensitive-value
+    DISTRIBUTION stays close to the corpus's - the skewness attack
+    both miss: a large, 3-diverse group whose quality scores are
+    nearly all in the top decile still tells an attacker which
+    members are high-quality. Distance is the ordered-attribute
+    Earth Mover's Distance: EMD = sum_k |cumsum_k(p - q)| / (m-1)
+    over the score-decile buckets; groups past t={_T_CLOSE_MILLI}
+    milli-units are flagged.
+
+    Exactness: the cumulative difference is kept INTEGRAL by scaling
+    to the common denominator n_g*N - each cell contributes
+    c_gk*N - g_k*n_g (exact bigint, |e| <= n_g*N) - so the window
+    cumsum and the |.| sum are exact regardless of aggregation
+    order; ONE double division at the end, identical expression
+    string both engines, and the violation flag compares the ROUNDED
+    value so it cannot straddle a rounding edge.
+
+    Scale: one hash aggregate over the corpus (QI x decile cells),
+    then everything is aggregate-bounded: the QI-group frame times
+    the <=11-row decile frame is a bounded grid (adjudicated NLJ
+    over aggregate frames), the cumsum window is PARTITIONED by
+    group, and the final aggregate returns |groups| rows."""
+    from .textops import _SCORE_SPARK_SQL
+
+    q = t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        (F.expr(f"n_chars DIV {_K_LEN_BUCKET}") * _K_LEN_BUCKET).alias(
+            "len_bucket"
+        ),
+        F.expr(f"({_SCORE_SPARK_SQL}) DIV {_SENS_BUCKET}").alias("sens"),
+    )
+    gc = transient_persist(
+        q.groupBy("source", "lang", "len_bucket", "sens").agg(
+            F.count("*").cast("long").alias("c")
+        )
+    )
+    grp = gc.groupBy("source", "lang", "len_bucket").agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    bkt = gc.groupBy("sens").agg(F.sum("c").cast("long").alias("g_k"))
+    tot = bkt.agg(
+        F.sum("g_k").cast("long").alias("n"),
+        F.count("*").cast("long").alias("m"),
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(bkt))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            gc.withColumnRenamed("c", "c_obs"),
+            ["source", "lang", "len_bucket", "sens"],
+            "left",
+        )
+        .select(
+            "source",
+            "lang",
+            "len_bucket",
+            "n_g",
+            "sens",
+            "g_k",
+            "n",
+            "m",
+            F.coalesce(F.col("c_obs"), F.lit(0)).alias("c"),
+        )
+    )
+    wg = (
+        Window.partitionBy("source", "lang", "len_bucket")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "lang",
+        "len_bucket",
+        "n_g",
+        "n",
+        "m",
+        F.sum(
+            F.col("c") * F.col("n") - F.col("g_k") * F.col("n_g")
+        ).over(wg).cast("long").alias("e"),
+    )
+    emd = F.round(
+        F.sum(F.abs(F.col("e"))).cast("double")
+        / (F.max("n_g") * F.max("n") * (F.max("m") - 1)),
+        6,
+    )
+    return cum.groupBy("source", "lang", "len_bucket").agg(
+        F.max("n_g").alias("group_size"),
+        emd.alias("emd"),
+        F.when(emd > _T_CLOSE_MILLI / 1000.0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("t_violation"),
+    ).select(
+        "source",
+        "lang",
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+        "group_size",
+        "emd",
+        "t_violation",
+    )

@@ -800,3 +800,385 @@ def q325_greedy_lm_decode(spark, sf_dir):
     return spark.createDataFrame(
         decoded, "step long, tok string, cnt long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q326: Spearman rank correlation of quality signals, per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q326_spearman_rank_corr",
+    oracle=f"""
+    WITH sig AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST({_SCORE_SQL} AS BIGINT) AS y
+      FROM documents
+    ),
+    rk AS (
+      SELECT source,
+             2 * RANK() OVER (PARTITION BY source ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY source, x) - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY source ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY source, y) - 1 AS ry
+      FROM sig
+    ),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx,
+             CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy
+      FROM rk GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS rho_spearman
+    FROM m
+    """,
+)
+def q326_spearman_rank_corr(spark, sf_dir):
+    """SPEARMAN rank correlation between char length and the
+    milli-unit quality score, per source - the monotone-association
+    audit that catches what q307's Pearson misses: a signal pair can
+    be strongly monotonically related (one is a saturating function
+    of the other) while linearly correlating near zero, and a quality
+    ensemble should not double-count two signals that RANK documents
+    identically.
+
+    Exactness: ties get the textbook AVERAGE rank, kept integral by
+    DOUBLING it - a tie block at min-rank r of size c has average
+    rank r + (c-1)/2, so 2*avg = 2*RANK() + COUNT(tie block) - 1 is
+    an exact integer (scaling both rank vectors by 2 leaves the
+    correlation unchanged). All six moments are exact BIGINT sums
+    (DuckDB's HUGEINT sums are cast back down, the q230 lesson);
+    the correlation formula is the identical expression string on
+    both engines, and every product stays far below 2^53 at suite
+    scale (per-source n ~ thousands; at 100 TB per-source moments
+    would move to DECIMAL(38) or the mean-centered double form).
+
+    Scale: rank windows are PARTITIONED BY source (parallel across
+    the corpus, q318's tie-rank discipline without its global
+    frame), then one hash-aggregate computes all moments in a single
+    partial-aggregated pass; |sources| rows out, no joins."""
+    sig = t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.expr(_SCORE_SPARK_SQL).cast("long").alias("y"),
+    )
+    rk = sig.select(
+        "source",
+        (
+            2 * F.rank().over(Window.partitionBy("source").orderBy("x"))
+            + F.count("*").over(Window.partitionBy("source", "x"))
+            - 1
+        ).cast("long").alias("rx"),
+        (
+            2 * F.rank().over(Window.partitionBy("source").orderBy("y"))
+            + F.count("*").over(Window.partitionBy("source", "y"))
+            - 1
+        ).cast("long").alias("ry"),
+    )
+    m = rk.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias(
+            "rho_spearman"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q327: Kendall tau-b between daily order count and daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q327_kendall_tau_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(o_orderdate) = 1995
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT
+        CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                        OR (a.x > b.x AND a.y > b.y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                        OR (a.x > b.x AND a.y < b.y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+        CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT nn.n AS n_days, p.conc AS concordant, p.disc AS discordant,
+           p.tx AS ties_x, p.ty AS ties_y, p.tb AS ties_both,
+           ROUND(CAST(p.conc - p.disc AS DOUBLE) /
+                 sqrt(CAST(nn.n * (nn.n - 1) / 2 - (p.tx + p.tb)
+                      AS DOUBLE) *
+                      CAST(nn.n * (nn.n - 1) / 2 - (p.ty + p.tb)
+                      AS DOUBLE)), 6) AS tau_b
+    FROM p, nn
+    """,
+)
+def q327_kendall_tau_daily(spark, sf_dir):
+    """KENDALL tau-b rank association between the 1995 daily order
+    count and daily revenue - the concordant-pair statistic that
+    complements q326: Spearman correlates rank POSITIONS (sensitive
+    to how far apart discordances land), tau measures the PROBABILITY
+    a random day pair agrees in direction, with the tau-b tie
+    correction making it exact on a discrete series where equal-count
+    days are common.
+
+    Exactness: the series collapses to integer (count, revenue-cents)
+    per day - cents via per-row round(price*100) BEFORE the sum, so
+    the aggregate is an exact BIGINT sum in both engines regardless
+    of partial-aggregation order (never a float sum). Concordant /
+    discordant / tie counts are integer pair counts; tau-b's
+    denominator products (~(66k)^2 ~ 4.4e9) are exact doubles, and
+    the formula is the identical expression string on both engines.
+
+    Scale: the ONLY fact-sized work is the groupBy(day) aggregate -
+    the pair stage is a self-join of the 365-row CALENDAR-bounded
+    daily frame (66k comparisons, constant in data volume: 100 TB of
+    orders still collapses to |days| rows first). The non-equi pair
+    join broadcasts the explicitly-bounded aggregate side
+    (adjudicated BNLJ, the q323 bounded-frame discipline); an
+    O(n log n) merge-sort tau exists but is pointless below millions
+    of DAYS."""
+    d = transient_persist(
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("long").alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("day").alias("day_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    p = (
+        a.join(F.broadcast(b), F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                    | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("conc"),
+            F.sum(
+                F.when(
+                    ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                    | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("disc"),
+            F.sum(
+                F.when(
+                    (F.col("xa") == F.col("xb"))
+                    & (F.col("ya") != F.col("yb")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tx"),
+            F.sum(
+                F.when(
+                    (F.col("ya") == F.col("yb"))
+                    & (F.col("xa") != F.col("xb")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("ty"),
+            F.sum(
+                F.when(
+                    (F.col("xa") == F.col("xb"))
+                    & (F.col("ya") == F.col("yb")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tb"),
+        )
+    )
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return (
+        p.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.col("tx").alias("ties_x"),
+            F.col("ty").alias("ties_y"),
+            F.col("tb").alias("ties_both"),
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(
+                    (n0 - (F.col("tx") + F.col("tb"))).cast("double")
+                    * (n0 - (F.col("ty") + F.col("tb"))).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q330: delete-a-group jackknife for the corpus mean document length
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q330_jackknife_group_mean",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(n_chars) AS BIGINT) AS s_i
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(s_i) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    loo AS (
+      SELECT g.source, g.n_i,
+             ((tot.s - g.s_i) * 1000000) // (tot.n - g.n_i)
+               AS theta_u,
+             tot.n AS n, tot.s AS s, tot.k AS k
+      FROM g, tot
+    ),
+    mu AS (
+      SELECT CAST(SUM(theta_u) AS BIGINT) // MAX(k) AS mean_u,
+             CAST(SUM(theta_u) AS BIGINT) AS sum_u
+      FROM loo
+    ),
+    dev AS (
+      SELECT CAST(SUM((theta_u - mu.mean_u) * (theta_u - mu.mean_u))
+                  AS BIGINT) AS ss
+      FROM loo, mu
+    )
+    SELECT loo.source, loo.n_i AS n_docs,
+           ROUND(theta_u / 1000000.0, 6) AS loo_mean,
+           ROUND(CAST(loo.s AS DOUBLE) / loo.n, 6) AS corpus_mean,
+           ROUND(sqrt(CAST((loo.k - 1) * dev.ss AS DOUBLE) / loo.k)
+                 / 1000000.0, 6) AS jackknife_se
+    FROM loo, mu, dev
+    """,
+)
+def q330_jackknife_group_mean(spark, sf_dir):
+    """DELETE-A-GROUP JACKKNIFE standard error for the corpus mean
+    document length, leaving out one SOURCE at a time - the
+    resampling design that respects the corpus's real sampling unit:
+    documents within a source are correlated (one crawl, one domain),
+    so q314's per-row Poisson bootstrap understates the variance of
+    any source-clustered statistic. Dropping whole groups is the
+    grouped-data complement (Efron & Tibshirani ch. 11; the
+    delete-a-group variant is how large survey pipelines estimate
+    design-based variance).
+
+    Exactness: each leave-one-out mean is quantized to micro-units by
+    INTEGER division - ((S - s_i) * 1e6) // (N - n_i) is pure bigint
+    arithmetic, no float anywhere in the estimate. The variance is
+    computed from mean-CENTERED integer deviations (theta_u -
+    mean_u), keeping every product below 2^53 where the raw
+    sum-of-squares form would overflow bigint at ~5e8-micro-unit
+    means; the final sqrt/divide is the identical expression string
+    on both engines (the q319 micro-unit discipline).
+
+    Scale: one groupBy(source) over the corpus, then every subsequent
+    frame is |sources|-row or 1-row - the three crossJoins multiply
+    against 1-row aggregates (adjudicated NLJ). The jackknife needs
+    NO second data pass: (S - s_i)/(N - n_i) derives all k leave-out
+    estimates from the single sufficient-statistics frame."""
+    g = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum("n_chars").cast("long").alias("s_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s"),
+        F.count("*").cast("long").alias("k"),
+    )
+    loo = transient_persist(
+        g.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_i",
+            F.expr(
+                "((s - s_i) * 1000000) DIV (n - n_i)"
+            ).alias("theta_u"),
+            "n",
+            "s",
+            "k",
+        )
+    )
+    mu = loo.agg(
+        F.expr("CAST(SUM(theta_u) AS LONG) DIV MAX(k)").alias("mean_u")
+    )
+    dev = (
+        loo.crossJoin(F.broadcast(mu))
+        .agg(
+            F.sum(
+                (F.col("theta_u") - F.col("mean_u"))
+                * (F.col("theta_u") - F.col("mean_u"))
+            ).cast("long").alias("ss")
+        )
+    )
+    return (
+        loo.crossJoin(F.broadcast(dev))
+        .select(
+            "source",
+            F.col("n_i").alias("n_docs"),
+            F.round(F.col("theta_u") / 1000000.0, 6).alias("loo_mean"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "corpus_mean"
+            ),
+            F.round(
+                F.sqrt(
+                    ((F.col("k") - 1) * F.col("ss")).cast("double")
+                    / F.col("k")
+                )
+                / 1000000.0,
+                6,
+            ).alias("jackknife_se"),
+        )
+    )

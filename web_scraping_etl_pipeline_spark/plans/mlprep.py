@@ -1804,3 +1804,360 @@ def q314_poisson_bootstrap(spark, sf_dir):
         F.round("lo", 6).alias("ci_lo"),
         F.round("hi", 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q328: weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+#: sample size for the weighted draw.
+_WS_K = 64
+
+#: modulus folding the 60-bit hash into an EXACTLY-representable
+#: double range: h % 2^52 fits the 52-bit mantissa, so u =
+#: (h % 2^52 + 0.5) / 2^52 is computed bit-identically on both
+#: engines (no rounding in the +0.5 or the power-of-two divide) and
+#: lies strictly inside (0, 1) - LN(u) is always finite.
+_WS_MOD = 2**52
+
+
+@query(
+    "q328_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             GREATEST(CAST({_SCORE_SQL} AS BIGINT), 1) AS weight,
+             ({_h60_sql("concat('ws:', CAST(doc_id AS VARCHAR))")}
+              % {_WS_MOD} + 0.5) / {_WS_MOD}.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, weight,
+             ln(u) / weight AS k
+      FROM w
+    )
+    SELECT doc_id, source, weight, ROUND(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def q328_weighted_sample(spark, sf_dir):
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT by the one-pass
+    exponential-key method (Efraimidis & Spirakis 2006): each
+    document draws u ~ U(0,1) from its content hash and keeps key
+    ln(u)/w (the log of u^(1/w)); the {_WS_K} LARGEST keys are
+    exactly a weighted draw without replacement - the distributed
+    sampling primitive behind quality-weighted corpus subsampling,
+    where plain reservoir sampling cannot honor weights and
+    per-partition reservoirs cannot merge.
+
+    Exactness: u is built from the md5-60bit hash folded into the
+    52-bit mantissa range, so (h % 2^52 + 0.5) / 2^52 involves ZERO
+    floating-point rounding on either engine and never hits 0 or 1.
+    LN is the one transcendental (both engines evaluate the same
+    double, agreeing to <=1 ulp); keys are md5-spread across ~16
+    orders of magnitude, so a cross-engine ORDER flip would need two
+    keys within ~2^-52 relative distance - probability ~ n*k*2^-52,
+    vanishing (same adjudication as q313's LN noise). The tie-break
+    on doc_id makes equal keys deterministic anyway.
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject - each
+    partition keeps its local top-{_WS_K}, the driver merges
+    |partitions|*{_WS_K} rows; no shuffle of the corpus, no window.
+    This is the textbook distributed top-k reduction of A-ES (the
+    q323 bottom-k shape with a weight-skewed key)."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.expr(_SCORE_SPARK_SQL).cast("long"), F.lit(1)
+        ).alias("weight"),
+        (
+            (
+                _h60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+                % _WS_MOD
+                + 0.5
+            )
+            / float(_WS_MOD)
+        ).alias("u"),
+    )
+    keyed = w.select(
+        "doc_id",
+        "source",
+        "weight",
+        (F.log(F.col("u")) / F.col("weight")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.round("k", 6).alias("sample_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q329: decision-stump split search by weighted Gini impurity
+# ---------------------------------------------------------------------------
+
+#: length-bucket width for candidate thresholds: n_chars spans a few
+#: hundred values, so DIV 32 yields ~18 candidate split points -
+#: value-domain-bounded, never corpus-sized.
+_GINI_BW = 32
+
+
+@query(
+    "q329_gini_stump_split",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CAST(n_chars AS BIGINT) // {_GINI_BW} AS b,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bk AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM lab GROUP BY b
+    ),
+    cum AS (
+      SELECT b,
+             CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (ORDER BY b) AS BIGINT) AS pl
+      FROM bk
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM bk
+    ),
+    sweep AS (
+      SELECT (b + 1) * {_GINI_BW} AS threshold_chars,
+             nl AS n_left, pl AS pos_left,
+             tot.n - nl AS n_right, tot.p - pl AS pos_right,
+             ROUND((
+               (CAST(nl AS DOUBLE)
+                - CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / nl)
+               + (CAST(tot.n - nl AS DOUBLE)
+                  - CAST((tot.p - pl) * (tot.p - pl)
+                         + ((tot.n - nl) - (tot.p - pl))
+                           * ((tot.n - nl) - (tot.p - pl))
+                    AS DOUBLE) / (tot.n - nl))
+             ) / tot.n, 6) AS gini
+      FROM cum, tot
+      WHERE tot.n - nl > 0
+    ),
+    best AS (SELECT MIN(gini) AS g FROM sweep)
+    SELECT sweep.*,
+           CAST(CASE WHEN sweep.gini = best.g THEN 1 ELSE 0 END
+                AS BIGINT) AS is_best
+    FROM sweep, best
+    """,
+)
+def q329_gini_stump_split(spark, sf_dir):
+    """DECISION-STUMP SPLIT SEARCH: sweep every candidate threshold
+    on document length and score the split by weighted Gini impurity
+    against the lang='en' label - the single tree-node computation at
+    the heart of every distributed tree learner (and the quality-gate
+    design tool: "does length alone separate English?" is answered by
+    the best split's impurity drop). The whole sweep is returned with
+    the argmin flagged, so the query is its own audit.
+
+    Exactness: class counts per bucket are integers; the weighted
+    Gini n_L*G_L + n_R*G_R expands to n_L - (p_L^2 + (n_L-p_L)^2)/n_L
+    with every square an exact integer (< 2^53 through ~9e7 rows per
+    side; past that the ratio-first double form (p/n)^2 takes over
+    with the identical-expression-string guarantee), divided once by
+    N at the end - written operation-for-operation identically on
+    both engines, rounded to 6dp, then argmin-flagged by EQUALITY ON
+    THE ROUNDED value so the flag can never straddle a rounding edge.
+
+    Scale: one scan -> groupBy(length-bucket) hash aggregate (~18
+    rows at any SF - the bucket domain is the VALUE range, not the
+    corpus); the cumulative window runs on that bounded aggregate
+    (adjudicated global window, the q295 CDF pattern) and the argmin
+    crossJoin multiplies a 1-row frame (adjudicated NLJ)."""
+    lab = t(spark, sf_dir, "documents").select(
+        F.expr(
+            f"CAST(n_chars AS LONG) DIV {_GINI_BW}"
+        ).alias("b"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bk = lab.groupBy("b").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bk.select(
+        "b",
+        F.sum("cnt").over(wcum).cast("long").alias("nl"),
+        F.sum("pos").over(wcum).cast("long").alias("pl"),
+    )
+    tot = bk.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("n") - nl
+    pr = F.col("p") - pl
+    gini = F.round(
+        (
+            (
+                nl.cast("double")
+                - (pl * pl + (nl - pl) * (nl - pl)).cast("double") / nl
+            )
+            + (
+                nr.cast("double")
+                - (pr * pr + (nr - pr) * (nr - pr)).cast("double") / nr
+            )
+        )
+        / F.col("n"),
+        6,
+    )
+    sweep = transient_persist(
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nr > 0)
+        .select(
+            ((F.col("b") + 1) * _GINI_BW).cast("long").alias(
+                "threshold_chars"
+            ),
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            nr.cast("long").alias("n_right"),
+            pr.cast("long").alias("pos_right"),
+            gini.alias("gini"),
+        )
+    )
+    best = sweep.agg(F.min("gini").alias("g"))
+    return sweep.crossJoin(F.broadcast(best)).select(
+        "threshold_chars",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        "gini",
+        F.when(F.col("gini") == F.col("g"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331: leakage-free K-fold target encoding of the source category
+# ---------------------------------------------------------------------------
+
+#: fold count and smoothing pseudo-count for the encoder.
+_TE_FOLDS = 5
+_TE_M = 20
+
+
+@query(
+    "q331_target_encoding",
+    oracle=f"""
+    WITH lab AS (
+      SELECT source,
+             {_h60_sql("concat('te:', CAST(doc_id AS VARCHAR))")}
+               % {_TE_FOLDS} AS fold,
+             CAST({_SCORE_SQL} AS BIGINT) AS y
+      FROM documents
+    ),
+    cf AS (
+      SELECT source, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+             CAST(SUM(y) AS BIGINT) AS s_cf
+      FROM lab GROUP BY source, fold
+    ),
+    c AS (
+      SELECT source, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+             CAST(SUM(s_cf) AS BIGINT) AS s_c
+      FROM cf GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+             CAST(SUM(s_c) AS BIGINT) AS s
+      FROM c
+    )
+    SELECT cf.source, CAST(cf.fold AS BIGINT) AS fold,
+           cf.n_cf AS n_in_fold,
+           c.n_c - cf.n_cf AS n_out_fold,
+           CASE WHEN c.n_c - cf.n_cf > 0
+                THEN ROUND(CAST(c.s_c - cf.s_cf AS DOUBLE)
+                           / (c.n_c - cf.n_cf), 6) END AS enc_raw,
+           ROUND((CAST(c.s_c - cf.s_cf AS DOUBLE)
+                  + {_TE_M} * (CAST(tot.s AS DOUBLE) / tot.n))
+                 / ((c.n_c - cf.n_cf) + {_TE_M}), 6) AS enc_smoothed
+    FROM cf JOIN c USING (source), tot
+    """,
+)
+def q331_target_encoding(spark, sf_dir):
+    """LEAKAGE-FREE K-FOLD TARGET ENCODING of the ``source``
+    category against the milli-unit quality score: the encoding a
+    row receives is the mean target of its category computed WITHOUT
+    the row's own fold - the out-of-fold discipline that separates a
+    usable categorical feature from a leaked one (a category's
+    within-fold mean memorizes the fold's labels; downstream models
+    trained on it overfit invisibly). The m={_TE_M} smoothed variant
+    shrinks sparse folds toward the global prior, the standard
+    high-cardinality guard.
+
+    Exactness: fold assignment is the deterministic md5 bridge mod
+    {_TE_FOLDS}; leave-fold-out sums are BIGINT subtractions of two
+    exact integer aggregates (no per-row recomputation, no float
+    sums); both divisions are the identical expression string on
+    both engines, rounded once. The raw encoding NULLs (identical
+    CASE guard) when a category lives entirely in one fold.
+
+    Scale: two hash aggregates - (source, fold) then its rollup to
+    (source) - and one equi-join between them (|sources| x
+    {_TE_FOLDS} rows vs |sources| rows: AQE broadcasts the smaller
+    side unhinted); the global prior is a 1-row frame (adjudicated
+    NLJ). The heavy work is ONE map-side-combinable pass over the
+    corpus; per-row encoding at apply time is a broadcast-join
+    lookup, never a shuffle of the facts."""
+    lab = t(spark, sf_dir, "documents").select(
+        "source",
+        (
+            _h60(F.concat(F.lit("te:"), F.col("doc_id").cast("string")))
+            % _TE_FOLDS
+        ).alias("fold"),
+        F.expr(_SCORE_SPARK_SQL).cast("long").alias("y"),
+    )
+    cf = lab.groupBy("source", "fold").agg(
+        F.count("*").cast("long").alias("n_cf"),
+        F.sum("y").cast("long").alias("s_cf"),
+    )
+    c = cf.groupBy("source").agg(
+        F.sum("n_cf").cast("long").alias("n_c"),
+        F.sum("s_cf").cast("long").alias("s_c"),
+    )
+    tot = c.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.sum("s_c").cast("long").alias("s"),
+    )
+    n_out = F.col("n_c") - F.col("n_cf")
+    s_out = F.col("s_c") - F.col("s_cf")
+    prior = F.col("s").cast("double") / F.col("n")
+    return (
+        cf.join(c, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n_cf").alias("n_in_fold"),
+            n_out.alias("n_out_fold"),
+            F.when(
+                n_out > 0,
+                F.round(s_out.cast("double") / n_out, 6),
+            ).alias("enc_raw"),
+            F.round(
+                (s_out.cast("double") + _TE_M * prior)
+                / (n_out + _TE_M),
+                6,
+            ).alias("enc_smoothed"),
+        )
+    )
