@@ -101,6 +101,23 @@ def test_target_encoding_out_of_fold(spark):
             assert 0.0 <= r["enc_smoothed"] <= 1000.0
 
 
+def test_negative_sampling_table_is_a_cdf(spark):
+    rows = sorted(
+        _rows(spark, "q333_negative_sampling_table"),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) > 0
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    cum = [r["cum_prob"] for r in rows]
+    assert cum == sorted(cum)  # monotone CDF
+    assert abs(cum[-1] - 1.0) <= 1e-5
+    assert abs(sum(r["prob"] for r in rows) - 1.0) <= 1e-3
+    for r in rows:
+        assert r["prob"] > 0.0
+
+
 def test_t_closeness_emd_is_bounded_distance(spark):
     rows = _rows(spark, "q332_t_closeness")
     assert len(rows) > 0

@@ -138,6 +138,11 @@ FLOAT_LINT_ALLOW = {
     # 0.25/0.5/0.75 * integer are exact doubles, ceil is exact
     "q324_lsh_parameter_sweep",  # nano-unit S-curve contributions
     # (power-of-two squaring ladders, no libm pow)
+    # f^0.75 as sqrt(f)*sqrt(sqrt(f)): IEEE sqrt is CORRECTLY ROUNDED
+    # on both engines, so the floored double is bit-identical by
+    # construction; the floor makes the normalizer/cumsum integer-
+    # exact (same mechanism as the entries above).
+    "q333_negative_sampling_table",
 }
 
 

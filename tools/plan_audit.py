@@ -174,6 +174,8 @@ ALLOW = {
     # aggregate x 1-row totals - all aggregate-bounded by
     # construction.
     "q332_t_closeness": {"nested_loop"},
+    # 1-row normalizer frame crossed into the 256-row sampling table.
+    "q333_negative_sampling_table": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -230,6 +232,9 @@ ALLOW_GLOBAL_WINDOW = {
     # VALUE-DOMAIN aggregate - bounded by the n_chars range DIV 32,
     # never fact-sized.
     "q329_gini_stump_split",
+    # inverse-CDF cumsum over the 256-row LIMIT-derived sampling
+    # table - bounded by construction.
+    "q333_negative_sampling_table",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

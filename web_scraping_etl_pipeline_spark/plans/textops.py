@@ -8,7 +8,7 @@ stages with no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .common import global_cumsum, t, t_split, transient_persist
 from .registry import query
@@ -1170,4 +1170,111 @@ def q309_source_vocab_overlap(spark, sf_dir):
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q333: negative-sampling distribution (unigram^0.75 cumulative table)
+# ---------------------------------------------------------------------------
+
+#: vocabulary size of the sampling table.
+_NEG_V = 256
+
+
+@query(
+    "q333_negative_sampling_table",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    cnt AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY term
+      ORDER BY f DESC, term LIMIT {_NEG_V}
+    ),
+    w AS (
+      SELECT term, f,
+             CAST(floor(sqrt(CAST(f AS DOUBLE))
+                        * sqrt(sqrt(CAST(f AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS w_u
+      FROM cnt
+    ),
+    z AS (SELECT CAST(SUM(w_u) AS BIGINT) AS z_u FROM w),
+    c AS (
+      SELECT term, f, w_u,
+             CAST(SUM(w_u) OVER (ORDER BY f DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_u,
+             CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term)
+               AS BIGINT) AS rank
+      FROM w
+    )
+    SELECT c.rank, c.term, c.f AS freq,
+           ROUND(CAST(c.w_u AS DOUBLE) / z.z_u, 6) AS prob,
+           ROUND(CAST(c.cum_u AS DOUBLE) / z.z_u, 6) AS cum_prob
+    FROM c, z
+    """,
+)
+def q333_negative_sampling_table(spark, sf_dir):
+    """NEGATIVE-SAMPLING TABLE construction (Mikolov et al. 2013):
+    the top-{_NEG_V} vocabulary weighted by unigram frequency raised
+    to 3/4 - the exponent that lifts rare words' sampling odds
+    without letting stopwords dominate - materialized as a cumulative
+    inverse-CDF table: a trainer draws u ~ U(0,1) and binary-searches
+    ``cum_prob``, so building THIS table is the entire distributed
+    part of negative sampling (the per-step draws are O(log V) lookups
+    against a broadcast copy).
+
+    Exactness: f^0.75 is computed WITHOUT libm pow as sqrt(f) *
+    sqrt(sqrt(f)) - IEEE 754 requires sqrt correctly rounded, so both
+    engines produce the SAME double bit pattern - then FLOOR-quantized
+    to micro-units, making the normalizer and the cumulative sums
+    exact integer arithmetic (partial-aggregation order cannot flip a
+    digit; the q319/q324 quantize-then-sum discipline, adjudicated in
+    the float lint). The two final ratios are identical expression
+    strings rounded once.
+
+    Scale: token census = one explode + hash aggregate (map-side
+    combined); the table itself is a {_NEG_V}-row limit-derived frame
+    (TakeOrderedAndProject), and its cumulative window is bounded by
+    construction (adjudicated global window)."""
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), "term")
+        .limit(_NEG_V)
+    )
+    fd = F.col("f").cast("double")
+    w = transient_persist(
+        cnt.select(
+            "term",
+            "f",
+            F.floor(
+                F.sqrt(fd) * F.sqrt(F.sqrt(fd)) * 1000000
+            ).cast("long").alias("w_u"),
+        )
+    )
+    z = w.agg(F.sum("w_u").cast("long").alias("z_u"))
+    wc = Window.orderBy(F.col("f").desc(), "term")
+    c = w.select(
+        F.row_number().over(wc).cast("long").alias("rank"),
+        "term",
+        F.col("f").alias("freq"),
+        "w_u",
+        F.sum("w_u").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_u"),
+    )
+    return c.crossJoin(F.broadcast(z)).select(
+        "rank",
+        "term",
+        "freq",
+        F.round(F.col("w_u").cast("double") / F.col("z_u"), 6).alias(
+            "prob"
+        ),
+        F.round(F.col("cum_u").cast("double") / F.col("z_u"), 6).alias(
+            "cum_prob"
+        ),
     )
