@@ -118,6 +118,25 @@ def test_negative_sampling_table_is_a_cdf(spark):
         assert r["prob"] > 0.0
 
 
+def test_jl_distortion_concentrates_near_one(spark):
+    rows = _rows(spark, "q334_jl_projection_distortion")
+    # all unordered pairs of the 32-vector probe sample
+    assert len(rows) == 32 * 31 // 2
+    vals = [r["distortion"] for r in rows if r["distortion"] is not None]
+    assert len(vals) > 0
+    for r in rows:
+        assert r["proj_sq"] >= 0 and r["orig_sq"] >= 0
+        if r["distortion"] is not None:
+            assert r["within_half"] == (
+                1 if 0.5 <= r["distortion"] <= 1.5 else 0
+            )
+    # the JL lemma's whole point: the MEAN ratio over pairs sits
+    # near 1 (each projected coordinate has variance = the original
+    # squared distance); 3-sigma slack for k=16
+    mean = sum(vals) / len(vals)
+    assert 0.5 < mean < 1.5, mean
+
+
 def test_t_closeness_emd_is_bounded_distance(spark):
     rows = _rows(spark, "q332_t_closeness")
     assert len(rows) > 0

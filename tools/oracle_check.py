@@ -143,6 +143,11 @@ FLOAT_LINT_ALLOW = {
     # construction; the floor makes the normalizer/cumsum integer-
     # exact (same mechanism as the entries above).
     "q333_negative_sampling_table",
+    # micro-unit floor of float32 parquet coordinates widened to
+    # doubles: the widening and the multiply are bit-identical on
+    # both engines, so the floored integer is too; everything after
+    # is exact bigint (same mechanism as the entries above).
+    "q334_jl_projection_distortion",
 }
 
 

@@ -176,6 +176,9 @@ ALLOW = {
     "q332_t_closeness": {"nested_loop"},
     # 1-row normalizer frame crossed into the 256-row sampling table.
     "q333_negative_sampling_table": {"nested_loop"},
+    # sign-matrix grid: Range({DIM}) x Range(16) crossJoin - two
+    # constant Range leaves, 1024 rows by construction.
+    "q334_jl_projection_distortion": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

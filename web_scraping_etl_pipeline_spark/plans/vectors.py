@@ -1136,3 +1136,198 @@ def q306_kmeans_lloyd(spark, sf_dir):
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q334: Johnson-Lindenstrauss random-projection distortion audit
+# ---------------------------------------------------------------------------
+
+#: projection target dimensionality and audited sample size.
+_JL_K = 16
+_JL_SAMPLE = 32
+
+
+@query(
+    "q334_jl_projection_distortion",
+    oracle=f"""
+    WITH s AS (
+      SELECT e.vec_id, CAST(r.i - 1 AS BIGINT) AS d,
+             CAST(floor(CAST(e.embedding[r.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings e, range(1, {DIM} + 1) r(i)
+      WHERE e.vec_id < {_JL_SAMPLE}
+    ),
+    sgn AS (
+      SELECT dd.d, jj.j,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                    concat('jl:', CAST(dd.d AS VARCHAR), ':',
+                           CAST(jj.j AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % 2 = 0 THEN 1 ELSE -1 END AS r
+      FROM range(0, {DIM}) dd(d), range(0, {_JL_K}) jj(j)
+    ),
+    y AS (
+      SELECT s.vec_id, sgn.j,
+             CAST(SUM(s.q * sgn.r) AS BIGINT) AS y
+      FROM s JOIN sgn ON s.d = sgn.d
+      GROUP BY s.vec_id, sgn.j
+    ),
+    proj AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS proj_sq
+      FROM y a JOIN y b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    orig AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS orig_sq
+      FROM s a JOIN s b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT o.vec_a, o.vec_b, o.orig_sq, p.proj_sq,
+           CASE WHEN o.orig_sq > 0
+                THEN ROUND(CAST(p.proj_sq AS DOUBLE) / {_JL_K}
+                           / o.orig_sq, 6) END AS distortion,
+           CAST(CASE WHEN o.orig_sq > 0
+                      AND ROUND(CAST(p.proj_sq AS DOUBLE) / {_JL_K}
+                                / o.orig_sq, 6) BETWEEN 0.5 AND 1.5
+                THEN 1 ELSE 0 END AS BIGINT) AS within_half
+    FROM orig o JOIN proj p
+      ON o.vec_a = p.vec_a AND o.vec_b = p.vec_b
+    """,
+)
+def q334_jl_projection_distortion(spark, sf_dir):
+    """JOHNSON-LINDENSTRAUSS random-projection distortion audit:
+    project the {DIM}-dim embeddings to {_JL_K} dims with a
+    deterministic +-1 sign matrix (Achlioptas 2003's database-friendly
+    construction - signs from the md5 bridge, no Gaussian needed) and
+    measure, over all pairs of a {_JL_SAMPLE}-vector probe sample,
+    the ratio ||y_a-y_b||^2/k over ||x_a-x_b||^2 that the JL lemma
+    promises concentrates near 1. This is the go/no-go audit run
+    before swapping full embeddings for cheap projections in dedup /
+    ANN candidate generation (q47/q51 consume exactly such
+    projections; this query quantifies what they lose).
+
+    Exactness: embedding coordinates are micro-unit FLOOR-quantized
+    (float32 parquet values widen to identical doubles on both
+    engines, so the floor is bit-identical - the q319/q333 quantize-
+    then-sum discipline, adjudicated in the float lint); projections,
+    squared distances, and their sums are then EXACT BIGINT
+    arithmetic end-to-end (pair diffs bounded by ~2^27 micro-units,
+    squares ~2^54 comfortably inside bigint). One double division at
+    the end, identical expression string, rounded once; the JL band
+    flag compares the ROUNDED ratio.
+
+    Scale: the sign matrix is a {DIM}x{_JL_K} constant grid
+    (Range-derived, broadcastable by construction); the projection
+    y = R'q is ONE equi-join on dim + hash aggregate - at corpus
+    scale this is the map-side pattern that projects billions of
+    vectors without a shuffle of the embedding table (the grid
+    broadcasts). Pair distances run on the {_JL_SAMPLE}-vector
+    probe frame only (~500 pairs, adjudicated bounded self-joins) -
+    the full-corpus consumer of the projections is ANN, not this
+    audit."""
+    s = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _JL_SAMPLE)
+        .select(
+            "vec_id", F.posexplode("embedding").alias("d", "x")
+        )
+        .select(
+            "vec_id",
+            F.col("d").cast("long").alias("d"),
+            F.floor(F.col("x").cast("double") * 1000000)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    dims = spark.range(DIM).select(F.col("id").alias("d"))
+    projs = spark.range(_JL_K).select(F.col("id").alias("j"))
+    sgn = dims.crossJoin(projs).select(
+        "d",
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("jl:"),
+                            F.col("d").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("r"),
+    )
+    from .common import transient_persist  # noqa: PLC0415
+
+    s = transient_persist(s)
+    y = (
+        s.join(F.broadcast(sgn), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("r")).cast("long").alias("y"))
+    )
+    ya = y.select(
+        F.col("vec_id").alias("vec_a"),
+        "j",
+        F.col("y").alias("y_a"),
+    )
+    yb = y.select(
+        F.col("vec_id").alias("vec_b"),
+        "j",
+        F.col("y").alias("y_b"),
+    )
+    proj = (
+        ya.join(yb, "j")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum(
+                (F.col("y_a") - F.col("y_b"))
+                * (F.col("y_a") - F.col("y_b"))
+            ).cast("long").alias("proj_sq")
+        )
+    )
+    sa = s.select(
+        F.col("vec_id").alias("vec_a"), "d", F.col("q").alias("q_a")
+    )
+    sb = s.select(
+        F.col("vec_id").alias("vec_b"), "d", F.col("q").alias("q_b")
+    )
+    orig = (
+        sa.join(sb, "d")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum(
+                (F.col("q_a") - F.col("q_b"))
+                * (F.col("q_a") - F.col("q_b"))
+            ).cast("long").alias("orig_sq")
+        )
+    )
+    ratio = F.round(
+        F.col("proj_sq").cast("double") / _JL_K / F.col("orig_sq"), 6
+    )
+    return orig.join(proj, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        "orig_sq",
+        "proj_sq",
+        F.when(F.col("orig_sq") > 0, ratio).alias("distortion"),
+        F.when(
+            (F.col("orig_sq") > 0) & ratio.between(0.5, 1.5), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("within_half"),
+    )
