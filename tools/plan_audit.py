@@ -238,6 +238,9 @@ ALLOW_GLOBAL_WINDOW = {
     # inverse-CDF cumsum over the 256-row LIMIT-derived sampling
     # table - bounded by construction.
     "q333_negative_sampling_table",
+    # centered 7-day moving window over the per-DAY aggregate -
+    # bounded by calendar days (the q260 CUSUM precedent).
+    "q335_seasonal_decomposition",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -2920,3 +2920,117 @@ def q310_cuped_ab_readout(spark, sf_dir):
             ).alias("mean_cuped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q335: classical period-7 seasonal decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q335_seasonal_decomposition",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+               AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day_idx, y, day_idx % 7 AS phase,
+             CAST(SUM(y) OVER w7 AS BIGINT) AS trend7,
+             CAST(COUNT(*) OVER w7 AS BIGINT) AS cnt7
+      FROM daily
+      WINDOW w7 AS (ORDER BY day_idx
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, CASE WHEN cnt7 = 7 THEN 7 * y - trend7 END AS det7
+      FROM tr
+    ),
+    seas AS (
+      SELECT phase,
+             CAST(SUM(det7) AS BIGINT) AS s_num,
+             CAST(7 * COUNT(det7) AS BIGINT) AS s_den
+      FROM det GROUP BY phase
+    )
+    SELECT d.day_idx, d.y, CAST(d.phase AS BIGINT) AS phase,
+           CASE WHEN d.cnt7 = 7
+                THEN ROUND(CAST(d.trend7 AS DOUBLE) / 7.0, 6)
+           END AS trend,
+           ROUND(CAST(s.s_num AS DOUBLE) / s.s_den, 6) AS seasonal,
+           CASE WHEN d.cnt7 = 7
+                THEN ROUND(CAST(d.y AS DOUBLE)
+                           - CAST(d.trend7 AS DOUBLE) / 7.0
+                           - CAST(s.s_num AS DOUBLE) / s.s_den, 6)
+           END AS residual
+    FROM det d JOIN seas s ON d.phase = s.phase
+    """,
+)
+def q335_seasonal_decomposition(spark, sf_dir):
+    """CLASSICAL additive seasonal decomposition (period 7) of the
+    daily event-count series: trend = centered 7-day moving average,
+    seasonal = mean detrended value per weekly phase, residual = the
+    rest - the y = T + S + R readout behind every ingest-volume
+    anomaly monitor (q260's CUSUM flags WHERE a shift happened; this
+    separates WHAT is weekly rhythm from what is genuine drift, so
+    the monitor does not page on Sundays).
+
+    Exactness: the moving average is carried as the INTEGER 7-day sum
+    (trend7) and the detrended series as 7*y - trend7 - both exact
+    bigints, so the per-phase seasonal means are exact integer
+    rationals (s_num/s_den); every double division is an identical
+    expression string rounded once, and edge days (incomplete 7-day
+    windows) NULL out via the same cnt7 guard on both engines. The
+    weekly phase is day_idx % 7 - pure integer arithmetic on the
+    tz-free epoch-microsecond day index (q29's discipline), immune
+    to engine dayofweek conventions.
+
+    Scale: the fact scan collapses to the CALENDAR-bounded daily
+    aggregate first (the q260/q327 shape); the 7-day window and the
+    7-row phase join run on that bounded frame (adjudicated global
+    window; equi-join a broadcastable 7-row aggregate)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US))
+                / F.lit(US_PER_DAY)
+            ).alias("day_idx")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w7 = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    det = transient_persist(
+        daily.select(
+            "day_idx",
+            "y",
+            (F.col("day_idx") % 7).alias("phase"),
+            F.sum("y").over(w7).cast("long").alias("trend7"),
+            F.count("*").over(w7).cast("long").alias("cnt7"),
+        ).withColumn(
+            "det7",
+            F.when(
+                F.col("cnt7") == 7, 7 * F.col("y") - F.col("trend7")
+            ),
+        )
+    )
+    seas = det.groupBy("phase").agg(
+        F.sum("det7").cast("long").alias("s_num"),
+        (7 * F.count("det7")).cast("long").alias("s_den"),
+    )
+    trend = F.col("trend7").cast("double") / 7.0
+    seasonal = F.col("s_num").cast("double") / F.col("s_den")
+    return det.join(seas, "phase").select(
+        "day_idx",
+        "y",
+        F.col("phase").cast("long").alias("phase"),
+        F.when(F.col("cnt7") == 7, F.round(trend, 6)).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.when(
+            F.col("cnt7") == 7,
+            F.round(
+                F.col("y").cast("double") - trend - seasonal, 6
+            ),
+        ).alias("residual"),
+    )
