@@ -179,6 +179,10 @@ ALLOW = {
     # sign-matrix grid: Range({DIM}) x Range(16) crossJoin - two
     # constant Range leaves, 1024 rows by construction.
     "q334_jl_projection_distortion": {"nested_loop"},
+    # ACF lag pair stage: non-equi self-join of the ~|days|-row
+    # CALENDAR-bounded daily aggregate + 1-row moments frame
+    # (the q327 adjudicated-BNLJ discipline).
+    "q336_daily_autocorrelation": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
