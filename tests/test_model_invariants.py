@@ -1,0 +1,87 @@
+"""Algebraic invariants for the in-engine model-training additions
+(q337 Naive Bayes, q338 Brier/ECE, q339 AdaBoost). The oracle
+comparison pins exact values; these pin what each construct
+GUARANTEES: a confusion matrix partitions the test fold, calibration
+metrics live in their proper ranges and the bins partition the
+corpus, and the boosting loop picks stumps no worse than chance whose
+weighted errors are conserved fractions of the weight mass.
+"""
+
+from __future__ import annotations
+
+from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+from conftest import SF_DIR
+
+
+def _rows(spark, name):
+    return QUERIES[name](spark, SF_DIR).collect()
+
+
+def test_nb_confusion_partitions_test_fold(spark):
+    rows = _rows(spark, "q337_naive_bayes_lang")
+    assert len(rows) > 0
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_test"], r
+        acc = (1000 * (r["tp"] + r["tn"])) // r["n_test"]
+        assert r["acc_milli"] == acc
+        assert 0 <= r["acc_milli"] <= 1000
+
+
+def test_nb_predictions_are_nondegenerate(spark):
+    # generalization to the held-out fold is NOT a construction
+    # guarantee on synthetic near-random text, so no majority-class
+    # bar here; what IS guaranteed: the fold is non-empty, the model
+    # emits BOTH classes (it learned something, not a constant), and
+    # it lands at least the better constant classifier's complement
+    # (a deterministic pin on the fixed test data).
+    rows = _rows(spark, "q337_naive_bayes_lang")
+    n = sum(r["n_test"] for r in rows)
+    correct = sum(r["tp"] + r["tn"] for r in rows)
+    pos_pred = sum(r["tp"] + r["fp"] for r in rows)
+    pos = sum(r["tp"] + r["fn"] for r in rows)
+    assert n > 0
+    assert 0 < pos_pred < n  # both classes predicted
+    assert correct >= min(pos, n - pos), (correct, pos, n)
+
+
+def test_calibration_bins_partition_and_bound(spark):
+    rows = _rows(spark, "q338_brier_ece_calibration")
+    assert len(rows) > 1
+    n = sum(r["n"] for r in rows)
+    assert n > 0
+    eces = {r["ece_micro"] for r in rows}
+    briers = {r["brier_micro"] for r in rows}
+    assert len(eces) == 1 and len(briers) == 1  # corpus constants
+    assert 0 <= eces.pop() <= 1_000_000
+    assert 0 <= briers.pop() <= 1_000_000
+    for r in rows:
+        assert 0 <= r["pos"] <= r["n"]
+        assert 0 <= r["conf_milli"] <= 1000
+        assert 0 <= r["rate_milli"] <= 1000
+        # bin b holds scores in [100b, 100b+99] (b=10 only score 1000)
+        assert 100 * r["bin"] <= r["conf_milli"] <= 100 * r["bin"] + 100
+
+
+def test_adaboost_stumps_beat_chance_and_conserve_mass(spark):
+    rows = sorted(
+        _rows(spark, "q339_adaboost_stumps"), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    wrongs = {r["ensemble_wrong"] for r in rows}
+    ns = {r["n_docs"] for r in rows}
+    assert len(wrongs) == 1 and len(ns) == 1
+    n = ns.pop()
+    for r in rows:
+        # best stump is never worse than chance on the weighted set
+        assert 0 <= r["err_w"] * 2 <= r["tot_w"], r
+        # and strictly better => positive vote weight
+        assert r["alpha_u"] >= 0
+        assert 1_000_000 <= r["ratio_u"] <= 10_000_000
+        assert r["feat"] in (1, 2)
+        assert r["pol"] in (-1, 1)
+    # the boosted ensemble should not be worse than the single best
+    # first-round stump on unweighted training error: err_w round 1
+    # IS the unweighted error (uniform weights) in micro-units
+    stump1_wrong = rows[0]["err_w"] // 1_000_000
+    assert wrongs.pop() <= stump1_wrong + max(n // 20, 1)

@@ -183,6 +183,16 @@ ALLOW = {
     # CALENDAR-bounded daily aggregate + 1-row moments frame
     # (the q327 adjudicated-BNLJ discipline).
     "q336_daily_autocorrelation": {"nested_loop"},
+    # 1-row smoothing-statistics frame (n1tok/n0tok/V) + 1-row prior
+    # frame crossed into the vocabulary-bounded model / test fold.
+    "q337_naive_bayes_lang": {"nested_loop"},
+    # two 1-row metric frames (ECE, Brier) crossed into the <=11-row
+    # score-decile bin aggregate.
+    "q338_brier_ece_calibration": {"nested_loop"},
+    # per boosting round: 1-row weighted-totals frame crossed into
+    # the ~50-row (feature, bucket) sweep; final 1-row ensemble-error
+    # frame crossed into the 3-row stump table.
+    "q339_adaboost_stumps": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

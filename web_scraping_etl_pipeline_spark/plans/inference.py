@@ -25,6 +25,7 @@ from pyspark.sql import Window, functions as F
 
 from .common import global_cumsum, t, transient_persist
 from .dedup import _LSH_CANDS_SQL, q43_lsh_candidate_pairs
+from .mlprep import _h60, _h60_sql
 from .registry import query
 from .textops import _SCORE_SPARK_SQL, _SCORE_SQL, _TOKENS_SQL, _tokens
 
@@ -1182,3 +1183,602 @@ def q330_jackknife_group_mean(spark, sf_dir):
             ).alias("jackknife_se"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q337: multinomial Naive Bayes language classifier (train + apply)
+# ---------------------------------------------------------------------------
+
+#: micro-log quantum shared by weights and prior: every log-prob is
+#: FLOOR-quantized to integer micro-units BEFORE any sum, so the
+#: per-document score is pure bigint arithmetic (order-independent by
+#: construction) and the only cross-engine float exposure is the
+#: adjudicated FLOOR(LN(...)*1e6) boundary class (q313/q328).
+_NB_Q = "1000000"
+
+
+@query(
+    "q337_naive_bayes_lang",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {_h60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    ),
+    tr AS (SELECT * FROM split WHERE bucket < 80),
+    te AS (SELECT * FROM split WHERE bucket >= 90),
+    trtc AS (
+      SELECT term, y, COUNT(*) AS c
+      FROM (SELECT y, unnest({_TOKENS_SQL}) AS term FROM tr)
+      GROUP BY term, y
+    ),
+    model AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT) AS c0
+      FROM trtc GROUP BY term
+    ),
+    stats AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1tok,
+             CAST(SUM(c0) AS BIGINT) AS n0tok,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM model
+    ),
+    prior AS (
+      SELECT CAST(FLOOR(LN(CAST(SUM(y) AS DOUBLE) / SUM(1 - y))
+                        * {_NB_Q}) AS BIGINT) AS prior_u
+      FROM tr
+    ),
+    wts AS (
+      SELECT term,
+             CAST(FLOOR(LN(CAST(c1 + 1 AS DOUBLE) / (n1tok + v))
+                        * {_NB_Q}) AS BIGINT)
+             - CAST(FLOOR(LN(CAST(c0 + 1 AS DOUBLE) / (n0tok + v))
+                          * {_NB_Q}) AS BIGINT) AS delta_u
+      FROM model, stats
+    ),
+    tetc AS (
+      SELECT doc_id, term, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM te)
+      GROUP BY doc_id, term
+    ),
+    contrib AS (
+      SELECT tetc.doc_id,
+             CAST(SUM(tetc.n * wts.delta_u) AS BIGINT) AS dot_u
+      FROM tetc JOIN wts USING (term)
+      GROUP BY tetc.doc_id
+    ),
+    pred AS (
+      SELECT te.source, te.y,
+             CASE WHEN prior.prior_u + COALESCE(contrib.dot_u, 0) > 0
+                  THEN 1 ELSE 0 END AS yhat
+      FROM te LEFT JOIN contrib USING (doc_id) CROSS JOIN prior
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           (1000 * CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END)
+                        AS BIGINT)) // COUNT(*) AS acc_milli
+    FROM pred GROUP BY source
+    """,
+)
+def q337_naive_bayes_lang(spark, sf_dir):
+    """MULTINOMIAL NAIVE BAYES trained and applied entirely in-engine:
+    fit a Laplace-smoothed bag-of-words classifier for lang='en' on
+    the q79 hash-split train fold (buckets 0-79), score the held-out
+    test fold (buckets 90-99), and report the per-source confusion
+    matrix — the fastText-style model-based quality/language gate
+    every corpus pipeline runs where heuristics (q32's n-gram
+    lang-id, q84's rule gate) stop being enough, here as pure
+    DataFrame algebra instead of an external model server.
+
+    Exactness: every log-probability is FLOOR-quantized to integer
+    micro-units BEFORE any summation, so a document's score is
+    ``prior_u + SUM(count * delta_u)`` — bigint arithmetic whose
+    value is independent of Spark's partial-aggregation order. The
+    only float exposure is the adjudicated FLOOR(LN)*1e6 boundary
+    class (q313): LN's argument is a ratio of exact integers, so both
+    engines floor the same double except within ~1 ulp of a quantum
+    edge. The decision threshold (score > 0) then compares exact
+    integers.
+
+    Scale: train pass = token explode → (term, class) hash aggregate;
+    the MODEL is vocabulary-bounded (never corpus-sized) and the
+    smoothing statistics are 1-row aggregates riding broadcast NLJs
+    (adjudicated). Apply pass = test-fold explode → (doc, term) hash
+    aggregate → term-keyed equi-join against the model (AQE
+    broadcasts it when small, shuffles when not — no forced hint) →
+    per-doc hash aggregate. No windows, no iteration, no driver
+    state; at 100 TB the model is a table both folds stream against.
+    """
+    docs = t(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (_h60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+    )
+    tr = split.filter(F.col("bucket") < 80)
+    te = split.filter(F.col("bucket") >= 90)
+    trtc = (
+        tr.select("y", F.explode(_tokens()).alias("term"))
+        .groupBy("term", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    model = trtc.groupBy("term").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("y") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    stats = model.agg(
+        F.sum("c1").cast("long").alias("n1tok"),
+        F.sum("c0").cast("long").alias("n0tok"),
+        F.count("*").cast("long").alias("v"),
+    )
+    prior = tr.agg(
+        F.expr(
+            f"CAST(FLOOR(LN(CAST(SUM(y) AS DOUBLE) / SUM(1 - y))"
+            f" * {_NB_Q}) AS LONG)"
+        ).alias("prior_u")
+    )
+    wts = model.crossJoin(F.broadcast(stats)).select(
+        "term",
+        (
+            F.expr(
+                f"CAST(FLOOR(LN(CAST(c1 + 1 AS DOUBLE) / (n1tok + v))"
+                f" * {_NB_Q}) AS LONG)"
+            )
+            - F.expr(
+                f"CAST(FLOOR(LN(CAST(c0 + 1 AS DOUBLE) / (n0tok + v))"
+                f" * {_NB_Q}) AS LONG)"
+            )
+        ).alias("delta_u"),
+    )
+    tetc = (
+        te.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    contrib = (
+        tetc.join(wts, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("delta_u")).cast("long").alias("dot_u"))
+    )
+    pred = (
+        te.join(contrib, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "source",
+            "y",
+            F.when(
+                F.col("prior_u") + F.coalesce(F.col("dot_u"), F.lit(0)) > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("yhat"),
+        )
+    )
+    return pred.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.expr(
+            "(1000 * CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END)"
+            " AS LONG)) DIV COUNT(*)"
+        ).alias("acc_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q338: Brier score + expected calibration error of the quality score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q338_brier_ece_calibration",
+    oracle=_LSH_CANDS_SQL + _MEMBERS_SQL + f""",
+    fl AS (
+      SELECT CAST({_SCORE_SQL} AS BIGINT) AS s,
+             CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    ),
+    b AS (
+      SELECT s // 100 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(s) AS BIGINT) AS sum_s
+      FROM fl GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             (1000000 * CAST(SUM(ABS(1000 * pos - sum_s)) AS BIGINT))
+               // (1000 * CAST(SUM(n) AS BIGINT)) AS ece_micro
+      FROM b
+    ),
+    br AS (
+      SELECT CAST(SUM((s - 1000 * y) * (s - 1000 * y)) AS BIGINT)
+               // COUNT(*) AS brier_micro
+      FROM fl
+    )
+    SELECT b.bin, b.n, b.pos,
+           sum_s // n AS conf_milli,
+           (1000 * pos) // n AS rate_milli,
+           tot.ece_micro, br.brier_micro
+    FROM b, tot, br
+    ORDER BY b.bin
+    """,
+)
+def q338_brier_ece_calibration(spark, sf_dir):
+    """BRIER SCORE + EXPECTED CALIBRATION ERROR of the milli-unit
+    quality score read as a near-dup probability — the reliability
+    audit that complements q287 (threshold-free ranking power) and
+    q320 (the monotone recalibration itself): ECE says how far the
+    raw score is from being a probability BEFORE recalibrating, and
+    the Brier score is the proper scoring rule a gate comparison
+    should optimize (Murphy 1973 decomposition's calibration term is
+    exactly the per-bin |rate - confidence| mass this query surfaces).
+
+    Exactness — no float anywhere: with the milli-unit score s and
+    binary y, ``n_b * |acc_b - conf_b| = |1000*pos_b - sum_s_b| / 1000``
+    exactly, so ``ece_micro = (1e6 * SUM|1000*pos_b - sum_s_b|) DIV
+    (1000*N)`` and ``brier_micro = SUM((s - 1000y)^2) DIV N`` are pure
+    bigint folds — order-independent by construction, no quantization
+    drift class at all (stronger than the FLOOR(LN) queries). Products
+    stay under 2^63 through ~10^9 documents.
+
+    Scale: the corpus-sized work is the shared LSH candidate stage
+    (amortized across the q287/q320/q321/q338 family) + one label
+    left-join + one ~11-row hash aggregate; ECE/Brier are 1-row folds
+    riding broadcast NLJs (adjudicated)."""
+    fl = _neardup_labeled(spark, sf_dir).select(F.col("score").alias("s"), "y")
+    b = fl.groupBy(F.expr("s DIV 100").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("s").cast("long").alias("sum_s"),
+    )
+    tot = b.agg(
+        F.expr(
+            "(1000000 * CAST(SUM(ABS(1000 * pos - sum_s)) AS LONG))"
+            " DIV (1000 * CAST(SUM(n) AS LONG))"
+        ).alias("ece_micro")
+    )
+    br = fl.agg(
+        F.expr(
+            "CAST(SUM((s - 1000 * y) * (s - 1000 * y)) AS LONG)"
+            " DIV COUNT(*)"
+        ).alias("brier_micro")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(br))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr("sum_s DIV n").alias("conf_milli"),
+            F.expr("(1000 * pos) DIV n").alias("rate_milli"),
+            "ece_micro",
+            "brier_micro",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q339: AdaBoost decision-stump training loop (3 rounds, integer weights)
+# ---------------------------------------------------------------------------
+
+#: boosting rounds; driver state is one stump + two integers per round
+_ADA_ROUNDS = 3
+#: feature-1 bucket width (n_chars DIV 64: value-domain-bounded sweep)
+_ADA_BW = 64
+#: multiplicative update cap: ratio (1-e)/e is stored in micro-units
+#: and clamped so the bigint product w * ratio_u stays < 2^63 under
+#: the renorm invariant below (standard AdaBoost alpha clamp)
+_ADA_RCAP = 10_000_000
+#: renorm target: when SUM(w) exceeds ~1e10 the weights are floor-
+#: divided back, bounding any single w by ~2e10 and hence
+#: w * ratio_u < 2e17 regardless of corpus size
+_ADA_NORM = 100_000_000_000 // 10
+
+
+def _ada_feat_sql(alias: str, p: str) -> str:
+    """stump prediction in SQL: pol * (+1 if f <= thr else -1)"""
+    return (
+        f"{p}.pol * (CASE WHEN (CASE WHEN {p}.feat = 1 THEN {alias}.f1"
+        f" ELSE {alias}.f2 END) <= {p}.thr THEN 1 ELSE -1 END)"
+    )
+
+
+def _ada_oracle() -> str:
+    from .textops import _SCORE_SQL
+
+    parts = [
+        f"""
+    WITH d0 AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) // {_ADA_BW} AS f1,
+             CAST({_SCORE_SQL} AS BIGINT) // 100 AS f2,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             CAST(1000000 AS BIGINT) AS w
+      FROM documents
+    )"""
+    ]
+    for r in range(1, _ADA_ROUNDS + 1):
+        d = f"d{r - 1}"
+        parts.append(
+            f"""
+    tot{r} AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT)
+               AS tpos,
+             CAST(SUM(w) AS BIGINT) AS tw
+      FROM {d}
+    ),
+    bk{r} AS MATERIALIZED (
+      SELECT feat, thr,
+             CAST(SUM(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT)
+               AS wpos,
+             CAST(SUM(CASE WHEN y = -1 THEN w ELSE 0 END) AS BIGINT)
+               AS wneg
+      FROM (SELECT 1 AS feat, f1 AS thr, y, w FROM {d}
+            UNION ALL
+            SELECT 2 AS feat, f2 AS thr, y, w FROM {d})
+      GROUP BY feat, thr
+    ),
+    cum{r} AS MATERIALIZED (
+      SELECT feat, thr,
+             SUM(wneg) OVER (PARTITION BY feat ORDER BY thr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg,
+             SUM(wpos) OVER (PARTITION BY feat ORDER BY thr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+      FROM bk{r}
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT feat, thr, pol, err, tw FROM (
+        SELECT c.feat, c.thr, 1 AS pol,
+               c.cneg + (t.tpos - c.cpos) AS err, t.tw
+        FROM cum{r} c, tot{r} t
+        UNION ALL
+        SELECT c.feat, c.thr, -1 AS pol,
+               t.tw - (c.cneg + (t.tpos - c.cpos)) AS err, t.tw
+        FROM cum{r} c, tot{r} t)
+      ORDER BY err, feat, thr, pol LIMIT 1
+    ),
+    par{r} AS MATERIALIZED (
+      SELECT feat, thr, pol, err, tw,
+             LEAST(((tw - err) * 1000000) // GREATEST(err, 1),
+                   {_ADA_RCAP}) AS ratio_u,
+             CAST(FLOOR(LN(CAST(tw - err AS DOUBLE) / GREATEST(err, 1))
+                        * 500000) AS BIGINT) AS alpha_u
+      FROM best{r}
+    ),
+    up{r} AS MATERIALIZED (
+      SELECT d.doc_id, d.f1, d.f2, d.y,
+             CASE WHEN {_ada_feat_sql("d", "p")} <> d.y
+                  THEN (d.w * p.ratio_u) // 1000000 ELSE d.w END AS w
+      FROM {d} d, par{r} p
+    ),
+    sc{r} AS MATERIALIZED (
+      SELECT GREATEST(CAST(SUM(w) AS BIGINT) // {_ADA_NORM}, 1) AS s
+      FROM up{r}
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT doc_id, f1, f2, y, CAST(w // sc{r}.s AS BIGINT) AS w
+      FROM up{r}, sc{r}
+    )"""
+        )
+    votes = " + ".join(
+        f"p{r}.alpha_u * ({_ada_feat_sql('d', f'p{r}')})"
+        for r in range(1, _ADA_ROUNDS + 1)
+    )
+    pjoin = ", ".join(f"par{r} p{r}" for r in range(1, _ADA_ROUNDS + 1))
+    rows = "\n      UNION ALL\n".join(
+        f"      SELECT {r} AS round, feat, thr, pol, err AS err_w,"
+        f" tw AS tot_w, ratio_u, alpha_u FROM par{r}"
+        for r in range(1, _ADA_ROUNDS + 1)
+    )
+    return (
+        ",".join(parts)
+        + f""",
+    ens AS MATERIALIZED (
+      SELECT d.y, {votes} AS vote
+      FROM d0 d, {pjoin}
+    ),
+    err_ens AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN (CASE WHEN vote > 0 THEN 1 ELSE -1 END)
+                           <> y THEN 1 ELSE 0 END) AS BIGINT) AS wrong,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM ens
+    )
+    SELECT CAST(s.round AS BIGINT) AS round,
+           CAST(s.feat AS BIGINT) AS feat,
+           CAST(s.thr AS BIGINT) AS thr,
+           CAST(s.pol AS BIGINT) AS pol,
+           CAST(s.err_w AS BIGINT) AS err_w,
+           CAST(s.tot_w AS BIGINT) AS tot_w,
+           CAST(s.ratio_u AS BIGINT) AS ratio_u,
+           CAST(s.alpha_u AS BIGINT) AS alpha_u,
+           e.wrong AS ensemble_wrong, e.n_docs
+    FROM (
+{rows}
+    ) s, err_ens e
+    ORDER BY round
+    """
+    )
+
+
+@query("q339_adaboost_stumps", oracle=_ada_oracle())
+def q339_adaboost_stumps(spark, sf_dir):
+    """ADABOOST with decision stumps, trained fully in-engine: 3
+    rounds of weighted-error stump search over two document features
+    (length bucket f1 = n_chars DIV 64, quality decile f2 = score DIV
+    100) against the lang='en' label, with the classic exponential
+    reweighting — the boosting loop behind every "weak rules into a
+    strong quality gate" pipeline (and the direct upgrade of q329's
+    single Gini stump to an ensemble).
+
+    Exactness — Freund & Schapire's multiplicative update done in
+    PURE BIGINT: sample weights live in micro-units; the update
+    factor (1-e)/e is the exact integer ratio (tw-err)/err quantized
+    by integer division to ratio_u (clamped at {_ADA_RCAP}) and
+    applied as ``w*ratio_u DIV 1e6``; renormalization floor-divides
+    by ``SUM(w) DIV {_ADA_NORM}`` once the mass passes ~1e10, keeping
+    every product < 2^63 at ANY corpus size. Weighted errors are
+    bigint sums (order-independent); the argmin stump is picked by a
+    total order (err, feat, thr, pol), so round state is bit-exact
+    cross-engine. alpha_u = FLOOR(LN((tw-err)/err)*5e5) is driver-
+    computed from the SAME two integers both engines hold (the
+    adjudicated FLOOR(LN) class, q313/q337).
+
+    Scale — the q177/q306/q315 bounded-driver-loop discipline: each
+    round is one scan of the weighted corpus into a (feature, bucket)
+    hash aggregate whose size is the VALUE domain (~50 rows), a
+    cumulative window over that bounded frame, a 1-row argmin collect
+    (driver holds 5 integers), and a map-only reweight with literal
+    stump parameters; transient persists cut the lineage each round.
+    The oracle is the unrolled MATERIALIZED-CTE chain of the same
+    algebra."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"CAST(n_chars AS LONG) DIV {_ADA_BW}").alias("f1"),
+        (F.expr(_SCORE_SPARK_SQL).cast("long") / F.lit(100))
+        .cast("long")
+        .alias("f2"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.lit(1000000).cast("long").alias("w"),
+    )
+    d = transient_persist(d)
+    import math
+
+    stumps = []
+    for _r in range(_ADA_ROUNDS):
+        unpiv = d.select(
+            F.lit(1).alias("feat"), F.col("f1").alias("thr"), "y", "w"
+        ).unionByName(
+            d.select(F.lit(2).alias("feat"), F.col("f2").alias("thr"), "y", "w")
+        )
+        bk = unpiv.groupBy("feat", "thr").agg(
+            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("wpos"),
+            F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("wneg"),
+        )
+        wcum = (
+            Window.partitionBy("feat")
+            .orderBy("thr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = bk.select(
+            "feat",
+            "thr",
+            F.sum("wneg").over(wcum).alias("cneg"),
+            F.sum("wpos").over(wcum).alias("cpos"),
+        )
+        tot = d.agg(
+            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("tpos"),
+            F.sum("w").cast("long").alias("tw"),
+        )
+        cand = cum.crossJoin(F.broadcast(tot))
+        err_pos = F.col("cneg") + (F.col("tpos") - F.col("cpos"))
+        both = cand.select(
+            "feat", "thr", F.lit(1).alias("pol"), err_pos.alias("err"), "tw"
+        ).unionByName(
+            cand.select(
+                "feat",
+                "thr",
+                F.lit(-1).alias("pol"),
+                (F.col("tw") - err_pos).alias("err"),
+                "tw",
+            )
+        )
+        best = both.orderBy("err", "feat", "thr", "pol").limit(1).collect()[0]
+        feat, thr, pol = int(best["feat"]), int(best["thr"]), int(best["pol"])
+        err, tw = int(best["err"]), int(best["tw"])
+        ratio_u = min(((tw - err) * 1000000) // max(err, 1), _ADA_RCAP)
+        alpha_u = math.floor(
+            math.log(float(tw - err) / max(err, 1)) * 500000
+        )
+        stumps.append((feat, thr, pol, err, tw, ratio_u, alpha_u))
+        fcol = F.col("f1") if feat == 1 else F.col("f2")
+        pred = F.lit(pol) * F.when(fcol <= thr, 1).otherwise(-1)
+        up = d.select(
+            "doc_id",
+            "f1",
+            "f2",
+            "y",
+            F.when(
+                pred != F.col("y"),
+                F.expr(f"(w * {ratio_u}) DIV 1000000"),
+            )
+            .otherwise(F.col("w"))
+            .alias("w"),
+        )
+        up = transient_persist(up)
+        scale = max(
+            int(up.agg(F.sum("w").cast("long")).collect()[0][0]) // _ADA_NORM,
+            1,
+        )
+        d = transient_persist(
+            up.select(
+                "doc_id", "f1", "f2", "y", F.expr(f"w DIV {scale}").alias("w")
+            )
+        )
+    vote = None
+    for feat, thr, pol, _e, _t, _ru, alpha_u in stumps:
+        fcol = F.col("f1") if feat == 1 else F.col("f2")
+        h = F.lit(pol) * F.when(fcol <= thr, 1).otherwise(-1)
+        term = F.lit(alpha_u) * h
+        vote = term if vote is None else vote + term
+    d0 = docs.select(
+        F.expr(f"CAST(n_chars AS LONG) DIV {_ADA_BW}").alias("f1"),
+        (F.expr(_SCORE_SPARK_SQL).cast("long") / F.lit(100))
+        .cast("long")
+        .alias("f2"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+    )
+    err_ens = d0.select(vote.alias("vote"), "y").agg(
+        F.sum(
+            F.when(
+                F.when(F.col("vote") > 0, 1).otherwise(-1) != F.col("y"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ensemble_wrong"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    rows = spark.createDataFrame(
+        [
+            (r + 1, s[0], s[1], s[2], s[3], s[4], s[5], s[6])
+            for r, s in enumerate(stumps)
+        ],
+        "round long, feat long, thr long, pol long, err_w long,"
+        " tot_w long, ratio_u long, alpha_u long",
+    )
+    return rows.crossJoin(F.broadcast(err_ens)).orderBy("round")
