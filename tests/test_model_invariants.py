@@ -85,3 +85,59 @@ def test_adaboost_stumps_beat_chance_and_conserve_mass(spark):
     # IS the unweighted error (uniform weights) in micro-units
     stump1_wrong = rows[0]["err_w"] // 1_000_000
     assert wrongs.pop() <= stump1_wrong + max(n // 20, 1)
+
+
+def test_knn_smoothing_counts_are_consistent(spark):
+    rows = _rows(spark, "q340_knn_label_smoothing")
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_isolated"] <= r["n_vecs"]
+        assert 0 <= r["n_flipped"] <= r["n_vecs"] - r["n_isolated"]
+        assert r["flip_milli"] == (1000 * r["n_flipped"]) // r["n_vecs"]
+
+
+def test_textrank_scores_bounded_below_and_sorted(spark):
+    rows = _rows(spark, "q341_textrank_keywords")
+    assert len(rows) == 20
+    scores = [r["rank_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # damped update floor: (1-d) = 0.15 in micro-units
+        assert r["rank_micro"] >= 150000
+        assert r["freq"] >= 1
+
+
+def test_dataset_digest_is_order_independent(spark):
+    from web_scraping_etl_pipeline_spark.plans.datapipe import _DIG_MOD
+
+    rows = _rows(spark, "q342_dataset_digest")
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    assert sum(r["n_rows"] for r in rows) == t(
+        spark, SF_DIR, "documents"
+    ).count()
+    for r in rows:
+        assert 0 <= r["digest1"] < _DIG_MOD
+        assert 0 <= r["digest2"] < _DIG_MOD
+    # the two salts must actually be independent
+    assert any(r["digest1"] != r["digest2"] for r in rows)
+    # order-independence: recompute under a different partitioning
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    again = {
+        r["source"]: (r["digest1"], r["digest2"])
+        for r in QUERIES["q342_dataset_digest"](spark, SF_DIR)
+        .repartition(7)
+        .collect()
+    }
+    for r in rows:
+        assert again[r["source"]] == (r["digest1"], r["digest2"])
+
+
+def test_bleu_pair_bounds(spark):
+    rows = _rows(spark, "q343_bleu_pair_verify")
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["m1"] <= r["hyp_len"]
+        assert 0 <= r["m2"] <= max(r["h2"], 0)
+        assert 0.0 <= r["bleu2"] <= 1.0

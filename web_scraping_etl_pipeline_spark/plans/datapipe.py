@@ -3570,3 +3570,78 @@ def q332_t_closeness(spark, sf_dir):
         "emd",
         "t_violation",
     )
+
+
+# ---------------------------------------------------------------------------
+# q342: order-independent dataset digest (reproducibility fingerprint)
+# ---------------------------------------------------------------------------
+
+#: digest modulus: folding each row hash to 31 bits before the sum
+#: keeps SUM < 2^63 through ~4e9 rows per group; two salted digests
+#: push the collision/anticommutation failure odds to ~2^-62
+_DIG_MOD = 2_147_483_647
+
+
+@query(
+    "q342_dataset_digest",
+    oracle=f"""
+    WITH rowsig AS (
+      SELECT source,
+             CAST(doc_id AS VARCHAR) || '|' || md5(text) || '|' ||
+               lang || '|' || CAST(n_chars AS VARCHAR) AS canon
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_h60_sql("'d1|' || canon")} % {_DIG_MOD})
+                AS BIGINT) % {_DIG_MOD} AS digest1,
+           CAST(SUM({_h60_sql("'d2|' || canon")} % {_DIG_MOD})
+                AS BIGINT) % {_DIG_MOD} AS digest2
+    FROM rowsig GROUP BY source
+    """,
+)
+def q342_dataset_digest(spark, sf_dir):
+    """ORDER-INDEPENDENT DATASET DIGEST per source: each row is
+    canonicalized (id | content-md5 | lang | length), hashed with two
+    salts, folded to 31 bits, and SUMMED modulo 2^31-1 — a
+    commutative checksum that is identical no matter how the table is
+    partitioned, shuffled, or re-ordered. This is the reproducibility
+    primitive a 100 TB pipeline pins in its run manifest: "did this
+    rebuild produce byte-identical content?" is one cheap scan and an
+    equality check on (n_rows, digest1, digest2) per partition, with
+    no sort and no single-reducer bottleneck (the anti-pattern:
+    md5(string_agg(...)) needs a global ORDER BY). Two independent
+    salts guard the additive construction against coordinated
+    collisions.
+
+    Exactness: pure bigint — the 60-bit md5 bridge hash (identical on
+    both engines by the registry's conv/hex-cast equivalence), an
+    integer mod, an integer sum bounded by n * 2^31 < 2^63, and a
+    final mod. No float, no order sensitivity, by construction.
+
+    Scale: one scan, map-side-combined hash aggregate on source;
+    digest state per group is two bigints. At 100 TB this is the
+    cheapest possible full-content audit - and the same expression
+    works per-file or per-partition for incremental Merkle-style
+    roll-ups."""
+    canon = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.md5(F.col("text")),
+        F.col("lang"),
+        F.col("n_chars").cast("string"),
+    )
+    d = t(spark, sf_dir, "documents").select("source", canon.alias("canon"))
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (
+            F.sum(_h60(F.concat(F.lit("d1|"), F.col("canon"))) % _DIG_MOD)
+            .cast("long")
+            % _DIG_MOD
+        ).alias("digest1"),
+        (
+            F.sum(_h60(F.concat(F.lit("d2|"), F.col("canon"))) % _DIG_MOD)
+            .cast("long")
+            % _DIG_MOD
+        ).alias("digest2"),
+    )

@@ -2623,3 +2623,175 @@ def q324_lsh_parameter_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q343: BLEU-2 verification of LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q343_bleu_pair_verify",
+    oracle=_LSH_CANDS_SQL + f""",
+    base AS MATERIALIZED (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    tc AS MATERIALIZED (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      GROUP BY doc_id, term
+    ),
+    bc AS MATERIALIZED (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 list_zip(list_slice(toks, 1, len(toks) - 1),
+                          list_slice(toks, 2, len(toks))),
+                 z -> z[1] || ' ' || z[2])) AS bg
+        FROM base
+      )
+      GROUP BY doc_id, bg
+    ),
+    ln_ AS MATERIALIZED (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS l1,
+             CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS l2
+      FROM base
+    ),
+    m1 AS (
+      SELECT c.doc_a, c.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+      FROM cands c
+      JOIN tc b ON b.doc_id = c.doc_b
+      JOIN tc a ON a.doc_id = c.doc_a AND a.term = b.term
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    m2 AS (
+      SELECT c.doc_a, c.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+      FROM cands c
+      JOIN bc b ON b.doc_id = c.doc_b
+      JOIN bc a ON a.doc_id = c.doc_a AND a.bg = b.bg
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(m1.m, 0) AS m1, la.l1 AS ref_len, lb.l1 AS hyp_len,
+           COALESCE(m2.m, 0) AS m2, lb.l2 AS h2,
+           ROUND(CASE WHEN COALESCE(m1.m, 0) = 0 OR COALESCE(m2.m, 0) = 0
+                      THEN 0.0
+                      ELSE (CASE WHEN lb.l1 >= la.l1 THEN 1.0
+                            ELSE EXP(1.0 - CAST(la.l1 AS DOUBLE) / lb.l1)
+                            END)
+                         * SQRT((CAST(m1.m AS DOUBLE) / lb.l1)
+                                * (CAST(m2.m AS DOUBLE) / lb.l2))
+                 END, 6) AS bleu2
+    FROM cands c
+    LEFT JOIN m1 ON m1.doc_a = c.doc_a AND m1.doc_b = c.doc_b
+    LEFT JOIN m2 ON m2.doc_a = c.doc_a AND m2.doc_b = c.doc_b
+    JOIN ln_ la ON la.doc_id = c.doc_a
+    JOIN ln_ lb ON lb.doc_id = c.doc_b
+    """,
+)
+def q343_bleu_pair_verify(spark, sf_dir):
+    """BLEU-2 verification of the LSH candidate pairs (doc_a as
+    reference, doc_b as hypothesis): clipped unigram/bigram precision
+    with the brevity penalty (Papineni et al. 2002) - the third
+    verifier next to q46's set-Jaccard and q282's edit distance, and
+    the one sensitive to PHRASE overlap: token-set measures cannot
+    tell reordered words from copied phrasing; clipped bigram
+    precision can.
+
+    Exactness: the clipped matches m1/m2 and lengths are exact
+    integer aggregates (order-independent); the BLEU fold
+    ``BP * sqrt(p1 * p2)`` is ONE identical expression string over
+    those integers on both engines (sqrt is IEEE-correctly-rounded;
+    EXP's 1-ulp variance is absorbed by the 6dp round - the q286
+    adjudicated class), and the zero-match guard short-circuits the
+    log-domain singularity the same way on both sides.
+
+    Scale: candidates-only discipline throughout - per-doc n-gram
+    count frames join onto the bounded LSH pair list by doc key; the
+    clipped-min sum runs once per (pair, shared n-gram), never
+    all-pairs. At 100 TB the n-gram frames are the existing dedup
+    byproducts and this is three bounded equi-joins."""
+    cands = q43_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens().alias("toks"))
+    tc = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    bc = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ln_ = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("l1"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).cast("long").alias("l2"),
+    )
+    m1 = (
+        cands.join(
+            tc.select(
+                F.col("doc_id").alias("doc_b"), "term", F.col("c").alias("cb")
+            ),
+            "doc_b",
+        )
+        .join(
+            tc.select(
+                F.col("doc_id").alias("doc_a"), "term", F.col("c").alias("ca")
+            ),
+            ["doc_a", "term"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("m1"))
+    )
+    m2 = (
+        cands.join(
+            bc.select(
+                F.col("doc_id").alias("doc_b"), "bg", F.col("c").alias("cb")
+            ),
+            "doc_b",
+        )
+        .join(
+            bc.select(
+                F.col("doc_id").alias("doc_a"), "bg", F.col("c").alias("ca")
+            ),
+            ["doc_a", "bg"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("m2"))
+    )
+    la = ln_.select(F.col("doc_id").alias("doc_a"), F.col("l1").alias("ref_len"))
+    lb = ln_.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("l1").alias("hyp_len"),
+        F.col("l2").alias("h2"),
+    )
+    out = (
+        cands.join(m1, ["doc_a", "doc_b"], "left")
+        .join(m2, ["doc_a", "doc_b"], "left")
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("m1", F.lit(0)).cast("long").alias("m1"),
+            "ref_len",
+            "hyp_len",
+            F.coalesce("m2", F.lit(0)).cast("long").alias("m2"),
+            "h2",
+        )
+    )
+    bleu = F.expr(
+        "ROUND(CASE WHEN m1 = 0 OR m2 = 0 THEN 0.0"
+        " ELSE (CASE WHEN hyp_len >= ref_len THEN 1.0"
+        "       ELSE EXP(1.0 - CAST(ref_len AS DOUBLE) / hyp_len) END)"
+        "      * SQRT((CAST(m1 AS DOUBLE) / hyp_len)"
+        "             * (CAST(m2 AS DOUBLE) / h2)) END, 6)"
+    )
+    return out.withColumn("bleu2", bleu)

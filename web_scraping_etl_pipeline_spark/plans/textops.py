@@ -1278,3 +1278,149 @@ def q333_negative_sampling_table(spark, sf_dir):
             "cum_prob"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q341: TextRank keyword extraction (integer-exact power iteration)
+# ---------------------------------------------------------------------------
+
+#: power-iteration rounds; Mihalcea & Tarau run to convergence, 4
+#: rounds separates the head cleanly on this corpus and keeps the
+#: unrolled oracle chain shallow
+_TR_ITERS = 4
+_TR_TOPN = 20
+
+#: adjacency-pair explode shared with q317/q305: consecutive token
+#: pairs, self-loops dropped
+_TR_BIGRAM_SQL = """
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2
+      FROM (
+        SELECT unnest(list_transform(
+                 list_zip(list_slice(toks, 1, len(toks) - 1),
+                          list_slice(toks, 2, len(toks))),
+                 z -> z[1] || ' ' || z[2])) AS bigram
+        FROM (SELECT {toks} AS toks FROM documents)
+      )
+"""
+
+
+def _textrank_oracle() -> str:
+    parts = [
+        f"""
+    WITH bg AS ({_TR_BIGRAM_SQL.format(toks=_TOKENS_SQL)}),
+    e AS (
+      SELECT w1 AS a, w2 AS b FROM bg WHERE w1 <> w2
+      UNION ALL
+      SELECT w2 AS a, w1 AS b FROM bg WHERE w1 <> w2
+    ),
+    adj AS MATERIALIZED (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM e GROUP BY a, b
+    ),
+    deg AS MATERIALIZED (
+      SELECT a AS node, CAST(SUM(w) AS BIGINT) AS wd FROM adj GROUP BY a
+    ),
+    s0 AS MATERIALIZED (
+      SELECT node, CAST(1000000 AS BIGINT) AS s FROM deg
+    )"""
+    ]
+    for r in range(1, _TR_ITERS + 1):
+        parts.append(
+            f"""
+    s{r} AS MATERIALIZED (
+      SELECT adj.b AS node,
+             150000 + (17 * CAST(SUM((adj.w * s.s) // d.wd) AS BIGINT))
+               // 20 AS s
+      FROM adj
+      JOIN s{r - 1} s ON adj.a = s.node
+      JOIN deg d ON adj.a = d.node
+      GROUP BY adj.b
+    )"""
+        )
+    return (
+        ",".join(parts)
+        + f""",
+    freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY term
+    )
+    SELECT s.node AS term, s.s AS rank_micro, f.freq
+    FROM s{_TR_ITERS} s JOIN freq f ON s.node = f.term
+    ORDER BY s.s DESC, s.node LIMIT {_TR_TOPN}
+    """
+    )
+
+
+@query("q341_textrank_keywords", oracle=_textrank_oracle())
+def q341_textrank_keywords(spark, sf_dir):
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004): damped
+    PageRank over the word co-occurrence graph (adjacent-token edges,
+    weight = adjacency count), {_TR_ITERS} power-iteration rounds,
+    top-{_TR_TOPN} terms — the unsupervised keyword/keyphrase signal
+    corpus datasheets and topic drift monitors use, and the word-graph
+    sibling of q177's user-graph PageRank.
+
+    Exactness — damping 0.85 in PURE BIGINT: scores live in
+    micro-units and the update is ``s' = 150000 + (17 * SUM((w_ij *
+    s_j) DIV W_j)) DIV 20`` — every neighbor contribution is an exact
+    integer floor, the sum is order-independent, and 17/20 IS 0.85
+    exactly. No float enters the iteration, so no re-sync rounding is
+    even needed (stronger than q306/q315's re-synced doubles).
+
+    Scale: the co-occurrence explode is one scan (map-side combined
+    into the vocabulary-bounded ``adj``); each iteration is a
+    vocab-keyed equi-join + hash aggregate on that bounded frame with
+    transient persists cutting lineage (the q177 discipline); nothing
+    is ever collected to the driver and the iteration count is a
+    constant. Top-N is a TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    bg = (
+        docs.select(_tokens().alias("toks"))
+        .select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    e = bg.select(F.col("w1").alias("a"), F.col("w2").alias("b")).unionByName(
+        bg.select(F.col("w2").alias("a"), F.col("w1").alias("b"))
+    )
+    adj = transient_persist(
+        e.groupBy("a", "b").agg(F.count("*").cast("long").alias("w"))
+    )
+    deg = transient_persist(
+        adj.groupBy(F.col("a").alias("node")).agg(
+            F.sum("w").cast("long").alias("wd")
+        )
+    )
+    s = deg.select("node", F.lit(1000000).cast("long").alias("s"))
+    for _ in range(_TR_ITERS):
+        s = transient_persist(
+            adj.join(s, adj.a == s.node)
+            .drop("node")
+            .join(deg.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(
+                (
+                    F.lit(150000)
+                    + F.expr(
+                        "(17 * CAST(SUM((w * s) DIV wd) AS LONG)) DIV 20"
+                    )
+                ).alias("s")
+            )
+        )
+    freq = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return (
+        s.join(freq, s.node == freq.term)
+        .select(F.col("term"), F.col("s").alias("rank_micro"), "freq")
+        .orderBy(F.desc("rank_micro"), "term")
+        .limit(_TR_TOPN)
+    )

@@ -1331,3 +1331,117 @@ def q334_jl_projection_distortion(spark, sf_dir):
         .cast("long")
         .alias("within_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q340: kNN-vote label smoothing over the q158 neighbor graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q340_knn_label_smoothing",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, label,
+             {_bucket_expr_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, x.vec_id AS dst, x.label AS nb_label,
+             ROUND(SUM(CAST(a.embedding[r.i] AS DOUBLE)
+                       * CAST(x.embedding[r.i] AS DOUBLE)), 6) AS sim
+      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id,
+           range(1, {DIM} + 1) r(i)
+      GROUP BY a.vec_id, x.vec_id, x.label
+    ),
+    knn AS (
+      SELECT src, nb_label FROM (
+        SELECT src, nb_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY sim DESC, dst
+               ) AS rk
+        FROM pairs
+      ) WHERE rk <= {KNN_K}
+    ),
+    votes AS (
+      SELECT src, nb_label, COUNT(*) AS cnt FROM knn GROUP BY src, nb_label
+    ),
+    smoothed AS (
+      SELECT src, nb_label AS voted FROM (
+        SELECT src, nb_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY cnt DESC, nb_label
+               ) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT b.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN s.voted IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_isolated,
+           CAST(SUM(CASE WHEN s.voted IS NOT NULL AND s.voted <> b.label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+           (1000 * CAST(SUM(CASE WHEN s.voted IS NOT NULL
+                                  AND s.voted <> b.label
+                                 THEN 1 ELSE 0 END) AS BIGINT))
+             // COUNT(*) AS flip_milli
+    FROM b LEFT JOIN smoothed s ON b.vec_id = s.src
+    GROUP BY b.label
+    """,
+)
+def q340_knn_label_smoothing(spark, sf_dir):
+    """WEAK-LABEL DENOISING BY NEIGHBORHOOD VOTE: re-label every
+    vector by the majority label of its {KNN_K} nearest same-bucket
+    neighbors (the q158 graph) and report, per original label, how
+    many points the vote would FLIP - the standard label-noise audit
+    before training on weakly-labeled embeddings (Confident Learning
+    / kNN-agreement screens), and the one-step special case of label
+    propagation.
+
+    Semantics are deterministic end to end: q158's neighbor ranking
+    ties break on dst id, the vote argmax breaks on (count DESC,
+    label ASC), and every reported number is an integer count or a
+    milli-rate by integer division.
+
+    Scale: inherits q158's never-all-pairs discipline (sign-LSH
+    bucket equi-join, per-src window top-{KNN_K}); the vote is one
+    hash aggregate on the |V|*{KNN_K}-edge frame plus a per-src
+    window over <={KNN_K} rows; the final per-label rollup is
+    dimension-bounded. Isolated vectors (no same-bucket neighbor)
+    are surfaced, not silently dropped."""
+    emb = t(spark, sf_dir, "embeddings")
+    labels = emb.select(F.col("vec_id").alias("dst"), F.col("label").alias("nb_label"))
+    knn = (
+        q158_knn_graph(spark, sf_dir)
+        .join(labels, "dst")
+        .select("src", "nb_label")
+    )
+    votes = knn.groupBy("src", "nb_label").agg(F.count("*").alias("cnt"))
+    wv = Window.partitionBy("src").orderBy(
+        F.desc("cnt"), F.asc("nb_label")
+    )
+    smoothed = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("src", F.col("nb_label").alias("voted"))
+    )
+    flipped = F.when(
+        F.col("voted").isNotNull() & (F.col("voted") != F.col("label")), 1
+    ).otherwise(0)
+    return (
+        emb.select("vec_id", "label")
+        .join(smoothed, emb.vec_id == smoothed.src, "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("voted").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_isolated"),
+            F.sum(flipped).cast("long").alias("n_flipped"),
+            F.expr(
+                "(1000 * CAST(SUM(CASE WHEN voted IS NOT NULL"
+                " AND voted <> label THEN 1 ELSE 0 END) AS LONG))"
+                " DIV COUNT(*)"
+            ).alias("flip_milli"),
+        )
+    )
