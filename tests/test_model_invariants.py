@@ -141,3 +141,51 @@ def test_bleu_pair_bounds(spark):
         assert 0 <= r["m1"] <= r["hyp_len"]
         assert 0 <= r["m2"] <= max(r["h2"], 0)
         assert 0.0 <= r["bleu2"] <= 1.0
+
+
+def test_feature_hash_mass_conservation(spark):
+    rows = _rows(spark, "q344_feature_hash_audit")
+    assert len(rows) >= 1
+    # signed cancellation can only shrink mass, never grow it
+    for r in rows:
+        assert 0 <= r["surviving_mass"] <= r["mass"]
+        assert r["n_buckets"] >= 1
+        assert 0 <= r["collision_milli"] <= 1000
+        assert 0 <= r["collided_mass_milli"] <= 1000
+    # occupancy histogram accounts for the full vocabulary: k * buckets
+    from web_scraping_etl_pipeline_spark.plans.mlprep import _FH_B
+
+    assert sum(r["n_buckets"] for r in rows) <= _FH_B
+
+
+def test_dispersion_is_bounded_unit_interval(spark):
+    rows = _rows(spark, "q345_term_dispersion")
+    assert len(rows) == 30
+    for r in rows:
+        assert 0 <= r["dp_micro"] <= 1_000_000
+        assert r["freq"] >= 1
+
+
+def test_ses_tracks_level_and_reports_mae(spark):
+    rows = sorted(_rows(spark, "q346_ses_forecast"), key=lambda r: r["day_idx"])
+    assert len(rows) > 5
+    maes = {r["mae_micro"] for r in rows}
+    assert len(maes) == 1
+    ys = [r["y"] for r in rows]
+    for r in rows:
+        # smoothed level stays inside the observed value range
+        assert min(ys) * 1_000_000 - 1_000_000 <= r["ses_micro"]
+        assert r["ses_micro"] <= max(ys) * 1_000_000
+    assert rows[0]["err_micro"] is None  # no forecast for day 1
+    assert all(r["err_micro"] is not None for r in rows[1:])
+
+
+def test_vocab_growth_monotone_and_complete(spark):
+    rows = sorted(_rows(spark, "q347_vocab_growth_curve"), key=lambda r: r["pct"])
+    assert [r["pct"] for r in rows] == list(range(10, 101, 10))
+    assert sum(r["new_terms"] for r in rows) == rows[-1]["vocab_cum"]
+    assert sum(r["new_tokens"] for r in rows) == rows[-1]["tokens_cum"]
+    vocabs = [r["vocab_cum"] for r in rows]
+    toks = [r["tokens_cum"] for r in rows]
+    assert vocabs == sorted(vocabs)
+    assert toks == sorted(toks)

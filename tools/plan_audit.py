@@ -193,12 +193,25 @@ ALLOW = {
     # the ~50-row (feature, bucket) sweep; final 1-row ensemble-error
     # frame crossed into the 3-row stump table.
     "q339_adaboost_stumps": {"nested_loop"},
+    # 1-row corpus-totals frame crossed into the <=16-row bucket
+    # occupancy histogram.
+    "q344_feature_hash_audit": {"nested_loop"},
+    # top-30 term frame x |sources| marginal grid + 1-row corpus
+    # total - all aggregate-bounded by construction.
+    "q345_term_dispersion": {"nested_loop"},
+    # banded lag self-join of the CALENDAR-bounded daily aggregate
+    # (fan-in capped at _SES_MAXLAG) + 1-row min-day/MAE frames
+    # (the q327/q336 adjudicated-BNLJ discipline).
+    "q346_ses_forecast": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
 #: AGGREGATE, not an unbounded relation, so one task holding it is by
 #: construction fine (and cheaper than a two-phase prefix pass).
 ALLOW_GLOBAL_WINDOW = {
+    # cumulative window over the 10-row hash-fraction bucket
+    # aggregate - bounded by the nest design, never fact-sized.
+    "q347_vocab_growth_curve",
     # distinct (brand, type) dimension - bounded by the dimension
     # domain (~|brands| x |types|), never fact-sized.
     "q103_surrogate_keys",

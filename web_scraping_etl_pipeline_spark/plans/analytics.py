@@ -3147,3 +3147,176 @@ def q336_daily_autocorrelation(spark, sf_dir):
             6,
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q346: exact-dyadic simple exponential smoothing of the daily series
+# ---------------------------------------------------------------------------
+
+#: smoothing lag cap: contributions beyond 2^-40 are identically zero
+#: at micro-unit resolution anyway, so the truncation changes nothing
+#: numerically while bounding the join fan-in at any calendar span
+_SES_MAXLAG = 40
+
+
+@query(
+    "q346_ses_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    d0 AS (SELECT MIN(day_idx) AS dmin FROM daily),
+    contrib AS (
+      SELECT tgt.day_idx,
+             CAST(SUM((src.y * 1000000)
+                      // (CAST(1 AS BIGINT) << CAST(
+                            tgt.day_idx - src.day_idx + 1 AS INTEGER)))
+                  AS BIGINT) AS s_sum
+      FROM daily tgt
+      JOIN daily src
+        ON src.day_idx <= tgt.day_idx
+       AND src.day_idx > tgt.day_idx - {_SES_MAXLAG}, d0
+      WHERE src.day_idx > d0.dmin
+      GROUP BY tgt.day_idx
+    ),
+    init AS (
+      SELECT d.day_idx,
+             CASE WHEN d.day_idx - d0.dmin < {_SES_MAXLAG}
+                  THEN (f.y * 1000000)
+                       // (CAST(1 AS BIGINT) << CAST(
+                             d.day_idx - d0.dmin AS INTEGER))
+                  ELSE 0 END AS s_init
+      FROM daily d, d0, daily f
+      WHERE f.day_idx = d0.dmin
+    ),
+    ses AS (
+      SELECT i.day_idx,
+             COALESCE(c.s_sum, 0) + i.s_init AS ses_micro
+      FROM init i LEFT JOIN contrib c ON c.day_idx = i.day_idx
+    ),
+    scored AS (
+      SELECT d.day_idx, d.y, s.ses_micro,
+             ABS(d.y * 1000000 - lag_s.ses_micro) AS err_micro
+      FROM daily d
+      JOIN ses s ON s.day_idx = d.day_idx
+      LEFT JOIN ses lag_s ON lag_s.day_idx = d.day_idx - 1
+    ),
+    mae AS (
+      SELECT CAST(SUM(err_micro) AS BIGINT) // COUNT(err_micro)
+               AS mae_micro
+      FROM scored WHERE err_micro IS NOT NULL
+    )
+    SELECT s.day_idx, s.y, s.ses_micro, s.err_micro, mae.mae_micro
+    FROM scored s, mae
+    ORDER BY s.day_idx
+    """,
+)
+def q346_ses_forecast(spark, sf_dir):
+    """SIMPLE EXPONENTIAL SMOOTHING (alpha = 1/2) of the daily event
+    series with one-step-ahead forecast error - the level-tracking
+    baseline behind every ops dashboard's "expected volume" line and
+    the anomaly denominator q254/q260 compare against. SES's
+    recursion s_t = y_t/2 + s_{{t-1}}/2 unrolls to the closed form
+    s_t = sum_k y_{{t-k}}/2^(k+1) + y_0/2^(t-t0), so no sequential
+    scan is needed: the whole fit is one bounded self-join.
+
+    Exactness - the DYADIC trick: alpha = 1/2 makes every term
+    ``(y * 1e6) >> (k+1)`` an exact integer floor; the sum is bigint
+    (order-independent), and the {_SES_MAXLAG}-lag truncation drops
+    only terms that integer-shift to zero at micro resolution anyway.
+    Unlike float SES, two engines (or two partitionings) can NEVER
+    disagree - the q341 pure-bigint discipline applied to a time
+    series.
+
+    Scale: the daily frame is CALENDAR-bounded (one row per day); the
+    lag self-join is a banded non-equi join on that bounded aggregate
+    (the q327/q336 adjudicated-BNLJ discipline) with fan-in capped at
+    {_SES_MAXLAG}; MAE is a 1-row fold. The fact-sized work is one
+    groupBy(day)."""
+    daily = transient_persist(
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+            ).alias("day_idx")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    d0 = daily.agg(F.min("day_idx").alias("dmin"))
+    tgt = daily.select(F.col("day_idx").alias("t_day"))
+    src = daily.select(F.col("day_idx").alias("s_day"), F.col("y").alias("sy"))
+    contrib = (
+        tgt.join(
+            F.broadcast(src),
+            (F.col("s_day") <= F.col("t_day"))
+            & (F.col("s_day") > F.col("t_day") - _SES_MAXLAG),
+        )
+        .crossJoin(F.broadcast(d0))
+        .filter(F.col("s_day") > F.col("dmin"))
+        .groupBy("t_day")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(sy * 1000000) DIV SHIFTLEFT(CAST(1 AS LONG),"
+                    " CAST(t_day - s_day + 1 AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("s_sum")
+        )
+    )
+    first = daily.crossJoin(F.broadcast(d0)).filter(
+        F.col("day_idx") == F.col("dmin")
+    ).select(F.col("y").alias("fy"), "dmin")
+    init = (
+        daily.crossJoin(F.broadcast(first))
+        .select(
+            "day_idx",
+            F.when(
+                F.col("day_idx") - F.col("dmin") < _SES_MAXLAG,
+                F.expr(
+                    "(fy * 1000000) DIV SHIFTLEFT(CAST(1 AS LONG),"
+                    " CAST(day_idx - dmin AS INT))"
+                ),
+            )
+            .otherwise(0)
+            .alias("s_init"),
+        )
+    )
+    ses = transient_persist(
+        init.join(contrib, init.day_idx == contrib.t_day, "left")
+        .select(
+            "day_idx",
+            (F.coalesce("s_sum", F.lit(0)) + F.col("s_init"))
+            .cast("long")
+            .alias("ses_micro"),
+        )
+    )
+    lagged = ses.select(
+        (F.col("day_idx") + 1).alias("day_idx"),
+        F.col("ses_micro").alias("prev_ses"),
+    )
+    scored = (
+        daily.join(ses, "day_idx")
+        .join(lagged, "day_idx", "left")
+        .select(
+            "day_idx",
+            "y",
+            "ses_micro",
+            F.abs(F.col("y") * 1000000 - F.col("prev_ses"))
+            .cast("long")
+            .alias("err_micro"),
+        )
+    )
+    mae = scored.filter(F.col("err_micro").isNotNull()).agg(
+        F.expr(
+            "CAST(SUM(err_micro) AS LONG) DIV COUNT(err_micro)"
+        ).alias("mae_micro")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mae))
+        .select("day_idx", "y", "ses_micro", "err_micro", "mae_micro")
+        .orderBy("day_idx")
+    )

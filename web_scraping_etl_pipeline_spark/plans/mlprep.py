@@ -2161,3 +2161,138 @@ def q331_target_encoding(spark, sf_dir):
             ).alias("enc_smoothed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q344: feature-hashing (hashing-trick) collision audit
+# ---------------------------------------------------------------------------
+
+#: hashed feature-space width; the synthetic lexicon is ~31 terms, so
+#: 2^4 buckets gives load factor ~2 - the same collision regime a
+#: 2^18-bucket space has against a real 500k-term vocabulary
+_FH_B = 16
+
+
+@query(
+    "q344_feature_hash_audit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY term
+    ),
+    hashed AS (
+      SELECT term, freq,
+             {_h60_sql("'fh|' || term")} % {_FH_B} AS bucket,
+             CASE WHEN {_h60_sql("'sg|' || term")} % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tf
+    ),
+    bk AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(freq) AS BIGINT) AS mass,
+             ABS(CAST(SUM(sign * freq) AS BIGINT)) AS abs_net
+      FROM hashed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_terms) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS buckets_used,
+             CAST(SUM(mass) AS BIGINT) AS total_mass,
+             CAST(SUM(CASE WHEN n_terms > 1 THEN mass ELSE 0 END)
+                  AS BIGINT) AS collided_mass
+      FROM bk
+    )
+    SELECT bk.n_terms AS terms_in_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(bk.mass) AS BIGINT) AS mass,
+           CAST(SUM(bk.abs_net) AS BIGINT) AS surviving_mass,
+           (1000 * (tot.v - tot.buckets_used)) // tot.v
+             AS collision_milli,
+           (1000 * tot.collided_mass) // tot.total_mass
+             AS collided_mass_milli
+    FROM bk, tot
+    GROUP BY bk.n_terms, tot.v, tot.buckets_used, tot.total_mass,
+             tot.collided_mass
+    ORDER BY terms_in_bucket
+    """,
+)
+def q344_feature_hash_audit(spark, sf_dir):
+    """FEATURE-HASHING (hashing-trick) COLLISION AUDIT: project the
+    vocabulary into a {_FH_B}-bucket signed hashed feature space
+    (Weinberger et al. 2009 - the trick behind every fixed-width
+    bag-of-words featurizer that cannot afford a vocabulary dict at
+    100 TB) and report, per bucket-occupancy class, how many buckets
+    hold k terms, the token mass they carry, and the SIGNED mass that
+    survives cancellation - plus the corpus-level collision rate and
+    the share of token mass sitting in collided buckets. This is the
+    design audit run before committing to a hashed width B: if
+    collided_mass_milli is high, double B.
+
+    Exactness: everything is an integer - the 60-bit md5 bridge hash,
+    modular bucket/sign assignment, token-frequency sums, and
+    milli-rates by integer division. Order-independent by
+    construction.
+
+    Scale: one token explode -> vocabulary-bounded term-frequency
+    aggregate; hashing is a map over the VOCAB frame (never the
+    corpus); the occupancy histogram is a {_FH_B}-row aggregate and
+    the totals ride a broadcast NLJ (adjudicated)."""
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    hashed = tf.select(
+        "freq",
+        (_h60(F.concat(F.lit("fh|"), F.col("term"))) % _FH_B).alias("bucket"),
+        F.when(
+            _h60(F.concat(F.lit("sg|"), F.col("term"))) % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    bk = hashed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("freq").cast("long").alias("mass"),
+        F.abs(F.sum(F.col("sign") * F.col("freq")).cast("long")).alias(
+            "abs_net"
+        ),
+    )
+    tot = bk.agg(
+        F.sum("n_terms").cast("long").alias("v"),
+        F.count("*").cast("long").alias("buckets_used"),
+        F.sum("mass").cast("long").alias("total_mass"),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("mass")).otherwise(0))
+        .cast("long")
+        .alias("collided_mass"),
+    )
+    return (
+        bk.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("n_terms").alias("terms_in_bucket"),
+            "v",
+            "buckets_used",
+            "total_mass",
+            "collided_mass",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("mass").cast("long").alias("mass"),
+            F.sum("abs_net").cast("long").alias("surviving_mass"),
+        )
+        .select(
+            "terms_in_bucket",
+            "n_buckets",
+            "mass",
+            "surviving_mass",
+            F.expr("(1000 * (v - buckets_used)) DIV v").alias(
+                "collision_milli"
+            ),
+            F.expr("(1000 * collided_mass) DIV total_mass").alias(
+                "collided_mass_milli"
+            ),
+        )
+        .orderBy("terms_in_bucket")
+    )

@@ -1424,3 +1424,215 @@ def q341_textrank_keywords(spark, sf_dir):
         .orderBy(F.desc("rank_micro"), "term")
         .limit(_TR_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# q345: Gries' DP term dispersion across sources
+# ---------------------------------------------------------------------------
+
+_DP_TOPN = 30
+
+
+@query(
+    "q345_term_dispersion",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY source, term
+    ),
+    srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM st
+             GROUP BY source),
+    tot AS (SELECT CAST(SUM(ts) AS BIGINT) AS tt FROM srcs),
+    terms AS (
+      SELECT term, CAST(SUM(c) AS BIGINT) AS ci FROM st GROUP BY term
+      ORDER BY ci DESC, term LIMIT {_DP_TOPN}
+    ),
+    grid AS (
+      SELECT t.term, t.ci, s.source, s.ts, COALESCE(st.c, 0) AS c
+      FROM terms t CROSS JOIN srcs s
+      LEFT JOIN st ON st.term = t.term AND st.source = s.source
+    )
+    SELECT g.term, MAX(g.ci) AS freq,
+           (1000000 * CAST(SUM(ABS(g.c * tot.tt - g.ts * g.ci))
+                           AS BIGINT))
+             // (2 * MAX(g.ci) * MAX(tot.tt)) AS dp_micro
+    FROM grid g, tot
+    GROUP BY g.term
+    """,
+)
+def q345_term_dispersion(spark, sf_dir):
+    """GRIES' DP (deviation of proportions) dispersion for the
+    top-{_DP_TOPN} corpus terms: how unevenly each term spreads
+    across sources relative to the sources' token-mass shares
+    (Gries 2008) - the corpus-linguistics complement of q267's
+    "which terms mark a source": DP ~ 0 means the term follows the
+    corpus everywhere (a function word); DP -> 1 means it lives in
+    one source (a domain marker that a mixture re-weighting, q181/
+    q207, will amplify or starve).
+
+    Exactness: ``|v_is - p_s| = |c_is*T - T_s*C_i| / (C_i*T)`` turns
+    every absolute deviation into an exact integer numerator over a
+    shared denominator, so ``dp_micro = (1e6 * SUM|c_is*T - T_s*C_i|)
+    DIV (2*C_i*T)`` is pure bigint - order-independent, no float.
+    Products stay in int64 through ~3e9 corpus tokens; past that the
+    same formula lifts to decimal(38) unchanged.
+
+    Scale: one token explode feeds the (source, term) aggregate
+    (map-side combined); the top-N term list and the |sources|-row
+    marginal are both bounded frames whose cross-product grid is
+    {_DP_TOPN} x |sources| rows; absent cells are materialized by
+    LEFT JOIN so missing-source penalties are counted, not skipped."""
+    st = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    st = transient_persist(st)
+    srcs = st.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    tot = srcs.agg(F.sum("ts").cast("long").alias("tt"))
+    terms = (
+        st.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("ci"))
+        .orderBy(F.desc("ci"), "term")
+        .limit(_DP_TOPN)
+    )
+    grid = (
+        terms.crossJoin(F.broadcast(srcs))
+        .join(st, ["term", "source"], "left")
+        .select(
+            "term",
+            "ci",
+            "ts",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("term")
+        .agg(
+            F.max("ci").alias("freq"),
+            F.expr(
+                "(1000000 * CAST(SUM(ABS(c * tt - ts * ci)) AS LONG))"
+                " DIV (2 * MAX(ci) * MAX(tt))"
+            ).alias("dp_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q347: vocabulary growth curve over nested corpus fractions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q347_vocab_growth_curve",
+    oracle=f"""
+    WITH db AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b, unnest({_TOKENS_SQL}) AS term
+      FROM documents
+    ),
+    bt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS toks FROM db GROUP BY b
+    ),
+    tm AS (
+      SELECT term, CAST(MIN(b) AS BIGINT) AS mb FROM db GROUP BY term
+    ),
+    vb AS (
+      SELECT mb AS b, CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM tm GROUP BY mb
+    ),
+    cur AS (
+      SELECT bt.b, bt.toks, COALESCE(vb.new_terms, 0) AS new_terms,
+             CAST(SUM(bt.toks) OVER (ORDER BY bt.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tokens_cum,
+             CAST(SUM(COALESCE(vb.new_terms, 0)) OVER (ORDER BY bt.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS vocab_cum
+      FROM bt LEFT JOIN vb ON bt.b = vb.b
+    )
+    SELECT (b + 1) * 10 AS pct, toks AS new_tokens,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           tokens_cum, vocab_cum,
+           (1000000 * CAST(new_terms AS BIGINT)) // toks
+             AS heaps_rate_ppm
+    FROM cur ORDER BY pct
+    """,
+)
+def q347_vocab_growth_curve(spark, sf_dir):
+    """VOCABULARY GROWTH CURVE over nested 10%..100% hash-fraction
+    subsets of the corpus: cumulative token count, cumulative distinct
+    vocabulary, and the marginal new-terms-per-token rate of each
+    additional 10% slice - the empirical Heaps' law curve (the
+    in-sequence sibling of q280's per-source Heaps ratio) that answers
+    the scaling question "does more of this corpus still buy new
+    vocabulary, or only repetition?" before committing ingest budget.
+
+    Spark-first trick: cumulative DISTINCT counting without re-scanning
+    K prefixes - a term first appears in prefix f iff MIN(bucket) over
+    its occurrences < f, so ONE aggregate per term yields every
+    prefix's vocabulary size at once (the q153 cumulative-distinct
+    identity applied to the hash-nest design).
+
+    Exactness: counts and integer-division rates only. Nested subsets
+    share membership by construction (bucket = h60(doc_id) % 10), so
+    the curve is monotone and each document enters exactly one
+    marginal slice.
+
+    Scale: one token explode -> two map-side-combined aggregates (per
+    bucket, per term); the cumulative window runs on the 10-row bucket
+    frame (adjudicated bounded-aggregate window)."""
+    from .common import t as _t
+
+    db = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+            ).alias("b"),
+            F.explode(_tokens()).alias("term"),
+        )
+    )
+    db = transient_persist(db)
+    bt = db.groupBy("b").agg(F.count("*").cast("long").alias("toks"))
+    vb = (
+        db.groupBy("term")
+        .agg(F.min("b").cast("long").alias("mb"))
+        .groupBy(F.col("mb").alias("b"))
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = (
+        bt.join(vb, "b", "left")
+        .select(
+            "b",
+            "toks",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .select(
+            "b",
+            "toks",
+            "new_terms",
+            F.sum("toks").over(w).cast("long").alias("tokens_cum"),
+            F.sum("new_terms").over(w).cast("long").alias("vocab_cum"),
+        )
+    )
+    return cur.select(
+        ((F.col("b") + 1) * 10).cast("long").alias("pct"),
+        F.col("toks").alias("new_tokens"),
+        "new_terms",
+        "tokens_cum",
+        "vocab_cum",
+        F.expr("(1000000 * new_terms) DIV toks").alias("heaps_rate_ppm"),
+    ).orderBy("pct")
