@@ -189,3 +189,49 @@ def test_vocab_growth_monotone_and_complete(spark):
     toks = [r["tokens_cum"] for r in rows]
     assert vocabs == sorted(vocabs)
     assert toks == sorted(toks)
+
+
+def test_epoch_allocation_respects_budget_and_order(spark):
+    rows = _rows(spark, "q348_epoch_allocation")
+    assert len(rows) > 0
+    total = sum(r["tokens"] for r in rows)
+    budget = 2 * total
+    spent = sum(r["repeat_tokens"] for r in rows)
+    assert spent == min(
+        budget, 4 * total
+    ), (spent, budget)  # budget binds (or everything fits)
+    for r in rows:
+        assert 0 <= r["epochs_full"] <= 4
+        full = r["epochs_full"] * r["tokens"]
+        assert r["repeat_tokens"] == full + r["partial_tokens"]
+        assert 0 <= r["partial_tokens"] < max(r["tokens"], 1)
+        # dyadic decay: effective value never exceeds 2x nominal mass
+        assert r["effective_value_m"] <= 2000 * r["tokens"]
+
+
+def test_pq_codebooks_shape_and_occupancy(spark):
+    from web_scraping_etl_pipeline_spark.plans.vectors import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBD,
+    )
+
+    rows = _rows(spark, "q349_pq_codebooks")
+    # every (subspace, code) cell that survived has SUBD dims
+    from collections import defaultdict
+
+    dims = defaultdict(set)
+    occ = {}
+    for r in rows:
+        assert 0 <= r["subspace"] < _PQ_M
+        assert 0 <= r["code"] < _PQ_K
+        dims[(r["subspace"], r["code"])].add(r["dim"])
+        occ[(r["subspace"], r["code"])] = r["n_members"]
+    for cell, ds in dims.items():
+        assert ds == set(range(1, _PQ_SUBD + 1)), cell
+    # each subspace partitions the whole vector set
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    n = t(spark, SF_DIR, "embeddings").count()
+    for m in range(_PQ_M):
+        assert sum(v for (mm, _), v in occ.items() if mm == m) == n

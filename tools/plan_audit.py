@@ -203,6 +203,12 @@ ALLOW = {
     # (fan-in capped at _SES_MAXLAG) + 1-row min-day/MAE frames
     # (the q327/q336 adjudicated-BNLJ discipline).
     "q346_ses_forecast": {"nested_loop"},
+    # |sources| x 4-row epoch grid crossed with the 1-row budget
+    # frame - all aggregate-bounded by construction.
+    "q348_epoch_allocation": {"nested_loop"},
+    # per subspace round: broadcast NLJ against the K=4-row
+    # limit/aggregate-derived codebook frame (the q306 Lloyd shape).
+    "q349_pq_codebooks": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -212,6 +218,9 @@ ALLOW_GLOBAL_WINDOW = {
     # cumulative window over the 10-row hash-fraction bucket
     # aggregate - bounded by the nest design, never fact-sized.
     "q347_vocab_growth_curve",
+    # greedy-knapsack sweep over the |sources| x 4 epoch candidate
+    # grid - aggregate-bounded by construction.
+    "q348_epoch_allocation",
     # distinct (brand, type) dimension - bounded by the dimension
     # domain (~|brands| x |types|), never fact-sized.
     "q103_surrogate_keys",

@@ -3645,3 +3645,134 @@ def q342_dataset_digest(spark, sf_dir):
             % _DIG_MOD
         ).alias("digest2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q348: data-constrained epoch-repeat budget allocation
+# ---------------------------------------------------------------------------
+
+#: maximum useful repeat epochs (diminishing returns beyond ~4 epochs
+#: per Muennighoff et al. 2023); per-epoch value decays dyadically
+_EP_MAX = 4
+
+
+@query(
+    "q348_epoch_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    b AS (SELECT CAST(SUM(toks) AS BIGINT) * 2 AS budget FROM st),
+    cand AS (
+      SELECT st.source, st.toks, e.epoch,
+             (st.toks * 1000) // (CAST(1 AS BIGINT)
+                << CAST(e.epoch - 1 AS INTEGER)) AS value_m
+      FROM st, (SELECT unnest(range(1, {_EP_MAX} + 1)) AS epoch) e
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(SUM(toks) OVER (ORDER BY epoch, toks DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM cand
+    ),
+    taken AS (
+      SELECT r.source, r.toks, r.epoch, r.value_m, r.cum, b.budget,
+             CASE WHEN r.cum <= b.budget THEN r.toks
+                  WHEN r.cum - r.toks < b.budget
+                    THEN b.budget - (r.cum - r.toks)
+                  ELSE 0 END AS got
+      FROM ranked r, b
+    )
+    SELECT source, MAX(toks) AS tokens,
+           CAST(SUM(CASE WHEN got = toks THEN 1 ELSE 0 END) AS BIGINT)
+             AS epochs_full,
+           CAST(SUM(CASE WHEN got > 0 AND got < toks THEN got
+                         ELSE 0 END) AS BIGINT) AS partial_tokens,
+           CAST(SUM(got) AS BIGINT) AS repeat_tokens,
+           CAST(SUM((got * value_m) // toks) AS BIGINT)
+             AS effective_value_m
+    FROM taken GROUP BY source
+    """,
+)
+def q348_epoch_allocation(spark, sf_dir):
+    """DATA-CONSTRAINED EPOCH ALLOCATION (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a token budget
+    of 2x the deduplicated corpus, decide how many REPEAT EPOCHS each
+    source gets when the value of epoch e decays dyadically
+    (value ~ 2^-(e-1), zero past {_EP_MAX}) - the budgeting step
+    between q293's effective-yield audit and q230's fill plan, for
+    the regime where there is NOT enough unique data and repetition
+    is the knob.
+
+    The greedy-by-marginal-value schedule is provably epoch-ordered
+    (all epoch-1 slices dominate every epoch-2 slice, etc.), so the
+    whole optimization collapses to ONE cumulative-sum sweep over the
+    (source x epoch) candidate grid in (epoch, tokens DESC, source)
+    order, with the budget boundary splitting one candidate into a
+    partial epoch - no iteration, no driver state.
+
+    Exactness: token counts, dyadic epoch values ((toks*1000) >>
+    (e-1)), the cumulative sweep, and the pro-rated partial value
+    ((got*value)/toks by integer division) are all bigint -
+    order-independent by construction.
+
+    Scale: one token-count aggregate per source (map-side combined)
+    is the only corpus-sized stage; the grid is |sources| x {_EP_MAX}
+    rows and its window is an adjudicated bounded-aggregate sweep."""
+    st = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(_tokens())).cast("long").alias("toks"))
+    )
+    st = transient_persist(st)
+    b = st.agg((F.sum("toks") * 2).cast("long").alias("budget"))
+    epochs = spark.range(1, _EP_MAX + 1).select(
+        F.col("id").cast("long").alias("epoch")
+    )
+    cand = st.crossJoin(F.broadcast(epochs)).select(
+        "source",
+        "toks",
+        "epoch",
+        F.expr(
+            "(toks * 1000) DIV SHIFTLEFT(CAST(1 AS LONG),"
+            " CAST(epoch - 1 AS INT))"
+        ).alias("value_m"),
+    )
+    w = Window.orderBy(
+        "epoch", F.desc("toks"), "source"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = cand.select(
+        "*", F.sum("toks").over(w).cast("long").alias("cum")
+    )
+    taken = ranked.crossJoin(F.broadcast(b)).select(
+        "source",
+        "toks",
+        "value_m",
+        F.when(F.col("cum") <= F.col("budget"), F.col("toks"))
+        .when(
+            F.col("cum") - F.col("toks") < F.col("budget"),
+            F.col("budget") - (F.col("cum") - F.col("toks")),
+        )
+        .otherwise(0)
+        .alias("got"),
+    )
+    return taken.groupBy("source").agg(
+        F.max("toks").alias("tokens"),
+        F.sum(F.when(F.col("got") == F.col("toks"), 1).otherwise(0))
+        .cast("long")
+        .alias("epochs_full"),
+        F.sum(
+            F.when(
+                (F.col("got") > 0) & (F.col("got") < F.col("toks")),
+                F.col("got"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("partial_tokens"),
+        F.sum("got").cast("long").alias("repeat_tokens"),
+        F.sum(F.expr("(got * value_m) DIV toks"))
+        .cast("long")
+        .alias("effective_value_m"),
+    )

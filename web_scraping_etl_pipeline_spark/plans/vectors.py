@@ -1445,3 +1445,173 @@ def q340_knn_label_smoothing(spark, sf_dir):
             ).alias("flip_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q349: product-quantization codebooks (per-subspace Lloyd)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: M subspaces of SUBD dims, K codes each, T Lloyd rounds
+_PQ_M = 4
+_PQ_SUBD = DIM // _PQ_M
+_PQ_K = 4
+_PQ_T = 2
+
+
+def _pq_oracle() -> str:
+    parts = []
+    for m in range(_PQ_M):
+        base = m * _PQ_SUBD
+        dist = " + ".join(
+            f"((CAST(e.embedding[{base + k}] AS DOUBLE) - c.c[{k}])"
+            f" * (CAST(e.embedding[{base + k}] AS DOUBLE) - c.c[{k}]))"
+            for k in range(1, _PQ_SUBD + 1)
+        )
+        avg_list = ", ".join(
+            f"ROUND(AVG(CAST(embedding[{base + d}] AS DOUBLE)), {_KM_DP})"
+            for d in range(1, _PQ_SUBD + 1)
+        )
+        parts.append(
+            f"""c{m}_0 AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS code,
+             list_transform(embedding[{base + 1}:{base + _PQ_SUBD}],
+                            v -> CAST(v AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < {_PQ_K}
+    )"""
+        )
+        for i in range(1, _PQ_T + 1):
+            parts.append(
+                f"""
+    a{m}_{i} AS MATERIALIZED (
+      SELECT vec_id, code, embedding FROM (
+        SELECT e.vec_id, c.code, e.embedding,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dist}, c.code
+               ) AS rn
+        FROM embeddings e, c{m}_{i - 1} c
+      ) WHERE rn = 1
+    ),
+    c{m}_{i} AS MATERIALIZED (
+      SELECT code, [{avg_list}] AS c
+      FROM a{m}_{i} GROUP BY code
+    )"""
+            )
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({m} AS BIGINT) AS subspace, c.code,
+           CAST(r.d AS BIGINT) AS dim, c.c[r.d] AS centroid, s.n_members
+    FROM c{m}_{_PQ_T} c
+    JOIN (SELECT code, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM a{m}_{_PQ_T} GROUP BY code) s USING (code),
+         LATERAL unnest(range(1, {_PQ_SUBD + 1})) r(d)"""
+        for m in range(_PQ_M)
+    )
+    return "WITH " + ",".join(parts) + "\n" + selects
+
+
+@query("q349_pq_codebooks", oracle=_pq_oracle())
+def q349_pq_codebooks(spark, sf_dir):
+    """PRODUCT-QUANTIZATION codebook training (Jegou et al. 2011):
+    split the {DIM}-dim embedding into {_PQ_M} subspaces of
+    {_PQ_SUBD} dims and run an independent {_PQ_K}-centroid Lloyd
+    loop ({_PQ_T} rounds, deterministic first-{_PQ_K} init) in each -
+    the quantizer that turns q54's IVF into IVF-PQ: a vector becomes
+    {_PQ_M} one-byte codes, distances become table lookups, and a
+    100 TB embedding store shrinks ~256x. Returns every subspace's
+    codebook (per-dim centroids) with cluster occupancy.
+
+    Cross-engine discipline inherited from q306: distances are
+    fixed-operation-order doubles against {_KM_DP}dp-re-synced
+    centroids, argmin ties break to the lower code id (min_by struct
+    == ROW_NUMBER tie-break), so assignments match exactly and only
+    the AVG re-center carries the adjudicated rounding-boundary risk.
+
+    Scale: the {_PQ_M} sub-loops share the SAME scans (one lazy plan;
+    Spark schedules the subspace branches independently); each round
+    is a broadcast NLJ against a {_PQ_K}-row aggregate-derived frame
+    (adjudicated) + min_by hash argmin + groupBy re-center. No driver
+    state, no collects; codebook size is {_PQ_M}x{_PQ_K}x{_PQ_SUBD}
+    by construction."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    outs = []
+    for m in range(_PQ_M):
+        base = m * _PQ_SUBD
+        ctr = (
+            emb.orderBy("vec_id")
+            .limit(_PQ_K)
+            .select(
+                F.col("vec_id").cast("long").alias("code"),
+                F.transform(
+                    F.slice("embedding", base + 1, _PQ_SUBD),
+                    lambda v: v.cast("double"),
+                ).alias("c"),
+            )
+        )
+        dist = F.expr(
+            " + ".join(
+                f"((CAST(element_at(embedding, {base + k}) AS DOUBLE)"
+                f" - element_at(c, {k}))"
+                f" * (CAST(element_at(embedding, {base + k}) AS DOUBLE)"
+                f" - element_at(c, {k})))"
+                for k in range(1, _PQ_SUBD + 1)
+            )
+        )
+        assigned = None
+        for _ in range(_PQ_T):
+            assigned = (
+                emb.crossJoin(F.broadcast(ctr))
+                .withColumn("dist", dist)
+                .groupBy("vec_id")
+                .agg(
+                    F.min_by(F.col("code"), F.struct("dist", "code")).alias(
+                        "code"
+                    ),
+                    F.any_value("embedding").alias("embedding"),
+                )
+            )
+            ctr = (
+                assigned.groupBy("code")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(
+                                F.expr(
+                                    f"CAST(element_at(embedding, {base + d})"
+                                    " AS DOUBLE)"
+                                )
+                            ),
+                            _KM_DP,
+                        ).alias(f"c{d}")
+                        for d in range(1, _PQ_SUBD + 1)
+                    ]
+                )
+                .select(
+                    "code",
+                    F.array(
+                        *[f"c{d}" for d in range(1, _PQ_SUBD + 1)]
+                    ).alias("c"),
+                )
+            )
+        sizes = assigned.groupBy("code").agg(
+            F.count("*").cast("long").alias("n_members")
+        )
+        outs.append(
+            ctr.join(sizes, "code")
+            .select(
+                F.lit(m).cast("long").alias("subspace"),
+                "code",
+                F.posexplode("c").alias("pos", "centroid"),
+                "n_members",
+            )
+            .select(
+                "subspace",
+                "code",
+                (F.col("pos") + 1).cast("long").alias("dim"),
+                "centroid",
+                "n_members",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
