@@ -209,6 +209,12 @@ ALLOW = {
     # per subspace round: broadcast NLJ against the K=4-row
     # limit/aggregate-derived codebook frame (the q306 Lloyd shape).
     "q349_pq_codebooks": {"nested_loop"},
+    # three 1-row metric frames (cands/truth/caught counts) crossed
+    # into the 1-row doc-count frame - all aggregate-bounded.
+    "q350_blocking_quality": {"nested_loop"},
+    # 14-literal cutoff grid broadcast against the per-CHUNK metadata
+    # aggregate - both sides bounded by construction.
+    "q351_zone_map_pruning": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

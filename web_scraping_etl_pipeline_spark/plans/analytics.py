@@ -3320,3 +3320,109 @@ def q346_ses_forecast(spark, sf_dir):
         .select("day_idx", "y", "ses_micro", "err_micro", "mae_micro")
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q351: zone-map pruning audit over key-range chunks of lineitem
+# ---------------------------------------------------------------------------
+
+#: zone size in orderkeys: one "chunk" of the physical layout. Parquet
+#: row groups / Delta file stats play this role in production; keying
+#: zones by l_orderkey range models the common ingest-ordered layout.
+_ZONE_ORDERKEYS = 512
+
+#: the audit's predicate grid: half-year ship-date cutoffs spanning the
+#: table's 1995-2001 range (a fixed calendar grid, not data-derived, so
+#: the frame is constant-folded on both engines).
+_ZONE_CUTOFFS = [
+    f"{y}-{m:02d}-01" for y in range(1995, 2002) for m in (1, 7)
+]
+
+
+@query(
+    "q351_zone_map_pruning",
+    oracle=f"""
+    WITH ch AS (
+      SELECT l_orderkey // {_ZONE_ORDERKEYS} AS chunk,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MAX(CAST(l_shipdate AS DATE)) AS max_ship
+      FROM lineitem GROUP BY 1
+    ),
+    cuts AS (
+      SELECT UNNEST([{", ".join(f"DATE '{c}'" for c in _ZONE_CUTOFFS)}])
+        AS cutoff
+    )
+    SELECT cuts.cutoff,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN ch.max_ship < cuts.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN ch.max_ship < cuts.cutoff THEN ch.cnt
+                         ELSE 0 END) AS BIGINT) AS rows_skipped,
+           CAST(SUM(CASE WHEN ch.max_ship < cuts.cutoff THEN 0
+                         ELSE ch.cnt END) AS BIGINT) AS rows_scanned,
+           ROUND(CAST(SUM(CASE WHEN ch.max_ship < cuts.cutoff THEN ch.cnt
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM(ch.cnt), 6) AS prune_frac
+    FROM ch, cuts
+    GROUP BY cuts.cutoff
+    """,
+)
+def q351_zone_map_pruning(spark, sf_dir):
+    """ZONE-MAP PRUNING AUDIT: how much of the table would per-chunk
+    min/max statistics let a scan skip for the predicate
+    ``l_shipdate >= cutoff``, across a calendar grid of cutoffs. This
+    is the planning-time question behind every data-layout decision
+    (parquet row-group stats, Delta/Iceberg file skipping, the q117
+    z-order key): a chunk whose ``max_ship < cutoff`` is provably
+    predicate-free and never leaves the metadata layer. Chunks are
+    {_ZONE_ORDERKEYS}-orderkey ranges - the ingest-ordered layout - so
+    the audit also REVEALS the date-vs-orderkey correlation: high
+    prune fractions mean time-correlated keys, low ones mean a
+    z-order/sort would pay for itself.
+
+    Exactness: counts are bigint; dates compare tz-free as DATE on
+    both engines; the one ratio rounds at 6dp.
+
+    Scale: the fact-sized work is ONE groupBy(chunk) with map-side
+    combine emitting (cnt, max_ship) per chunk - exactly the metadata
+    a real table format already maintains, i.e. at 100 TB this query
+    reads statistics, not data. The cutoff grid is a
+    {len(_ZONE_CUTOFFS)}-literal constant frame broadcast against the
+    chunk aggregate; the final rollup groups by cutoff over
+    |chunks| x |cuts| bounded rows."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ch = li.groupBy(
+        F.expr(f"l_orderkey DIV {_ZONE_ORDERKEYS}").alias("chunk")
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max(F.to_date("l_shipdate")).alias("max_ship"),
+    )
+    cuts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c).cast("date") for c in _ZONE_CUTOFFS])
+        ).alias("cutoff")
+    )
+    pruned = F.col("max_ship") < F.col("cutoff")
+    return (
+        ch.crossJoin(F.broadcast(cuts))
+        .groupBy("cutoff")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(pruned, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum(F.when(pruned, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("rows_skipped"),
+            F.sum(F.when(pruned, F.lit(0)).otherwise(F.col("cnt")))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.round(
+                F.sum(F.when(pruned, F.col("cnt")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("cnt"),
+                6,
+            ).alias("prune_frac"),
+        )
+    )

@@ -2795,3 +2795,119 @@ def q343_bleu_pair_verify(spark, sf_dir):
         "             * (CAST(m2 AS DOUBLE) / h2)) END, 6)"
     )
     return out.withColumn("bleu2", bleu)
+
+
+# ---------------------------------------------------------------------------
+# q350: blocking quality of the LSH candidate generator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q350_blocking_quality",
+    oracle=_LSH_CANDS_SQL + f""",
+    norm AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    grp AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM norm GROUP BY h
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM norm a
+      JOIN norm b ON a.h = b.h AND a.doc_id < b.doc_id
+      JOIN grp g ON g.h = a.h AND g.cnt BETWEEN 2 AND {LSH_BUCKET_CAP}
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cands FROM cands),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+    ng AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_caught
+      FROM truth t JOIN cands c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT nd.n_docs,
+           CAST(nd.n_docs * (nd.n_docs - 1) / 2 AS BIGINT) AS total_pairs,
+           nc.n_cands, nt.n_true_pairs, ng.n_caught,
+           ROUND(1.0 - CAST(nc.n_cands AS DOUBLE)
+                       / (nd.n_docs * (nd.n_docs - 1) / 2.0), 6)
+             AS reduction_ratio,
+           ROUND(CASE WHEN nt.n_true_pairs = 0 THEN 1.0
+                      ELSE CAST(ng.n_caught AS DOUBLE) / nt.n_true_pairs
+                 END, 6) AS pairs_completeness
+    FROM nd, nc, nt, ng
+    """,
+)
+def q350_blocking_quality(spark, sf_dir):
+    """BLOCKING-QUALITY scorecard for the LSH candidate generator: the
+    two standard entity-resolution metrics (Christen 2012) computed
+    exactly - REDUCTION RATIO (fraction of the all-pairs search space
+    the blocker prunes, 1 - |cands| / C(N,2)) and PAIRS COMPLETENESS
+    (recall of ground-truth duplicate pairs among the candidates).
+    Ground truth = pairs sharing the q41 normalized content digest:
+    byte-identical-after-normalization duplicates are the one label
+    obtainable at corpus scale without human annotation, and any sane
+    blocker must catch them.
+
+    Exactness: every metric is a ratio of exact bigint counts, rounded
+    once at 6dp - no float accumulates anywhere.
+
+    Scale: the truth self-join runs per digest GROUP, capped at
+    {LSH_BUCKET_CAP} members (the q43 hot-bucket discipline: a larger
+    group is a boilerplate class, not pairwise truth, and would buy
+    O(k^2) join rows); the candidate list is the shared LSH stage;
+    everything else is 1-row aggregate frames combined by broadcast
+    crossJoin. C(N,2) is arithmetic on a count, never materialized."""
+    docs = t(spark, sf_dir, "documents")
+    cands = q43_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    norm_h = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    norm = docs.select("doc_id", norm_h.alias("h"))
+    grp = (
+        norm.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= LSH_BUCKET_CAP))
+        .select("h")
+    )
+    a = norm.select(F.col("doc_id").alias("doc_a"), "h")
+    b = norm.select(F.col("doc_id").alias("doc_b"), "h")
+    truth = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(grp, "h", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    nc = cands.agg(F.count("*").cast("long").alias("n_cands"))
+    nt = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    ng = truth.join(cands, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_caught")
+    )
+    return (
+        nd.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+            .cast("long")
+            .alias("total_pairs"),
+            "n_cands",
+            "n_true_pairs",
+            "n_caught",
+            F.round(
+                1.0
+                - F.col("n_cands").cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_caught").cast("double") / F.col("n_true_pairs")
+                ),
+                6,
+            ).alias("pairs_completeness"),
+        )
+    )

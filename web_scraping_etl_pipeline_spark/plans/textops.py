@@ -1636,3 +1636,82 @@ def q347_vocab_growth_curve(spark, sf_dir):
         "vocab_cum",
         F.expr("(1000000 * new_terms) DIV toks").alias("heaps_rate_ppm"),
     ).orderBy("pct")
+
+
+# ---------------------------------------------------------------------------
+# q352: Lorenz/Gini concentration of token mass within each source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q352_token_gini_by_source",
+    oracle=f"""
+    WITH x AS (
+      SELECT source, doc_id,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tok,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS i
+      FROM x
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(2 * SUM(i * n_tok) - (COUNT(*) + 1) * SUM(n_tok)
+                      AS DOUBLE)
+                 / (COUNT(*) * SUM(n_tok)), 6) AS gini
+    FROM r
+    GROUP BY source
+    """,
+)
+def q352_token_gini_by_source(spark, sf_dir):
+    """GINI COEFFICIENT of token mass across documents, per source -
+    the concentration audit a corpus datasheet (q241) needs next to
+    its means: two sources with equal average length can differ wildly
+    in whether tokens come from many mid-size documents (gini ~ 0) or
+    a few giants (gini ~ 1), which changes packing efficiency (q86),
+    shard balance (q211), and dedup hot-spots. Uses the rank-weighted
+    identity gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    ascending-sorted x - the discrete Lorenz-curve area, exact, no
+    binning.
+
+    Exactness: ranks break ties by doc_id, so the rank-weighted bigint
+    sum is deterministic despite tied lengths (the tie-broken i*x sum
+    is identical under any tie order ONLY if x values are equal - and
+    within a tie group they are, so any tie permutation yields the
+    same sum; doc_id ordering just pins both engines to one plan).
+    Everything is bigint until the single 6dp division.
+
+    Scale: one map stage for token counts, one window PARTITIONED by
+    source (shuffles each source's docs to its reducers - no global
+    sort, no single-partition WindowExec), one groupBy(source) fold.
+    Skewed sources parallelize at the window sort, the known scalable
+    shape; output is |sources| rows."""
+    docs = t(spark, sf_dir, "documents")
+    x = docs.select(
+        "source",
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    r = x.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    n = F.count("*")
+    s = F.sum("n_tok")
+    return r.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        s.cast("long").alias("total_tokens"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("n_tok")) - (n + 1) * s).cast(
+                "double"
+            )
+            / (n * s),
+            6,
+        ).alias("gini"),
+    )
