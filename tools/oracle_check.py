@@ -148,6 +148,17 @@ FLOAT_LINT_ALLOW = {
     # both engines, so the floored integer is too; everything after
     # is exact bigint (same mechanism as the entries above).
     "q334_jl_projection_distortion",
+    # FLOOR(LN(exact-integer ratio) * 1e6): LN is the one libm call in
+    # the floored family that is NOT guaranteed correctly rounded, so
+    # bit-identity is 1-ulp-class rather than by-construction. The
+    # floor argument is LN of a ratio of exact integers (identical
+    # inputs both engines); a flip needs LN(x)*1e6 within ~1 ulp of an
+    # integer boundary (~1e-10 per evaluation, x vocabulary-bounded
+    # evaluations). Dual-SF sweeps pass; if a flake ever appears,
+    # switch the log-weight quantization to a rational approximation
+    # (the q319 sigmoid device).
+    "q337_naive_bayes_lang",  # per-term smoothed log-likelihood weights
+    "q339_adaboost_stumps",  # per-round LN alpha in half-micro units
 }
 
 

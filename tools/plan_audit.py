@@ -215,6 +215,15 @@ ALLOW = {
     # 14-literal cutoff grid broadcast against the per-CHUNK metadata
     # aggregate - both sides bounded by construction.
     "q351_zone_map_pruning": {"nested_loop"},
+    # 1-row credit-total frame crossed back into the |channels|-row
+    # rollup - aggregate-bounded by construction.
+    "q353_u_shaped_attribution": {"nested_loop"},
+    # 2x2 pivot: four 1-row (cohort x period) cell frames crossed -
+    # aggregate-bounded by construction.
+    "q354_did_readout": {"nested_loop"},
+    # 1-row pooled-moments frame crossed into the |event_type|-row
+    # group-moments aggregate - aggregate-bounded by construction.
+    "q355_simpsons_slope_audit": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -1782,3 +1782,232 @@ def q339_adaboost_stumps(spark, sf_dir):
         " tot_w long, ratio_u long, alpha_u long",
     )
     return rows.crossJoin(F.broadcast(err_ens)).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q354: difference-in-differences readout on purchase value
+# ---------------------------------------------------------------------------
+
+#: period split: Jan 16 00:00 (micros) - mid-span of the events month.
+_DID_SPLIT_US = 1_704_067_200_000_000 + 15 * 86_400_000_000
+
+
+@query(
+    "q354_did_readout",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 = 0) AS treated,
+             (epoch_us(ts) >= {_DID_SPLIT_US}) AS post,
+             CAST(value AS DECIMAL(20,6)) AS v
+      FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST((2 * CAST(SUM(v) * 1000000 AS BIGINT) + COUNT(*))
+                  // (2 * COUNT(*)) AS BIGINT) AS avg_micro
+      FROM p GROUP BY treated, post
+    )
+    SELECT tpre.cnt AS n_treat_pre, tpost.cnt AS n_treat_post,
+           cpre.cnt AS n_ctrl_pre, cpost.cnt AS n_ctrl_post,
+           tpre.avg_micro AS treat_pre_micro,
+           tpost.avg_micro AS treat_post_micro,
+           cpre.avg_micro AS ctrl_pre_micro,
+           cpost.avg_micro AS ctrl_post_micro,
+           (tpost.avg_micro - tpre.avg_micro)
+             - (cpost.avg_micro - cpre.avg_micro) AS did_micro
+    FROM (SELECT * FROM cell WHERE treated AND NOT post) tpre,
+         (SELECT * FROM cell WHERE treated AND post) tpost,
+         (SELECT * FROM cell WHERE NOT treated AND NOT post) cpre,
+         (SELECT * FROM cell WHERE NOT treated AND post) cpost
+    """,
+)
+def q354_did_readout(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES readout: the 2x2 (cohort x period)
+    table of average purchase value and the DiD estimate
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre). Cohort = the
+    deterministic unit-hash assignment on user_id (the q79 split
+    device, cross-engine md5 parity - any observational cohort
+    predicate slots into the same plan); periods split at mid-month.
+    The quasi-experimental companion to q310's CUPED readout: CUPED
+    removes pre-period variance from a randomized readout, DiD removes
+    level differences across NON-randomized cohorts.
+
+    Exactness: cell sums ride DECIMAL(20,6) (exact, order-free); each
+    cell average is half-up integer-rounded micro-units via
+    ``(2*sum + cnt) DIV (2*cnt)`` (the q174 device - no cross-engine
+    ROUND-on-double tie exposure), so the DiD contrast is pure bigint.
+
+    Scale: cohort membership is a semi-join on user_id (broadcastable
+    when the cohort is small, AQE decides); the fact scan aggregates
+    once into FOUR cells; the 2x2 pivot is a crossJoin of four 1-row
+    frames (bounded-frame class). Nothing here is larger than the
+    purchase slice of one scan."""
+    ev = t(spark, sf_dir, "events")
+    treated = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        treated.alias("treated"),
+        (F.col("ts_us") >= _DID_SPLIT_US).alias("post"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    cell = p.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.expr(
+            "CAST((2 * CAST(SUM(v) * 1000000 AS BIGINT) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("avg_micro"),
+    )
+
+    def pick(tr, po, cn, an):
+        return (
+            cell.filter((F.col("treated") == tr) & (F.col("post") == po))
+            .select(F.col("cnt").alias(cn), F.col("avg_micro").alias(an))
+        )
+
+    tpre = pick(True, False, "n_treat_pre", "treat_pre_micro")
+    tpost = pick(True, True, "n_treat_post", "treat_post_micro")
+    cpre = pick(False, False, "n_ctrl_pre", "ctrl_pre_micro")
+    cpost = pick(False, True, "n_ctrl_post", "ctrl_post_micro")
+    return (
+        tpre.crossJoin(F.broadcast(tpost))
+        .crossJoin(F.broadcast(cpre))
+        .crossJoin(F.broadcast(cpost))
+        .select(
+            "n_treat_pre",
+            "n_treat_post",
+            "n_ctrl_pre",
+            "n_ctrl_post",
+            "treat_pre_micro",
+            "treat_post_micro",
+            "ctrl_pre_micro",
+            "ctrl_post_micro",
+            (
+                (F.col("treat_post_micro") - F.col("treat_pre_micro"))
+                - (F.col("ctrl_post_micro") - F.col("ctrl_pre_micro"))
+            ).alias("did_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q355: Simpson's-paradox audit - pooled vs per-group regression slope
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q355_simpsons_slope_audit",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT)
+               AS hr,
+             CAST(value AS DECIMAL(20,6)) AS v
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(hr) AS BIGINT) AS sx,
+             CAST(SUM(hr * hr) AS BIGINT) AS sxx,
+             SUM(v) AS sy,
+             SUM(hr * v) AS sxy
+      FROM x GROUP BY event_type
+    ),
+    pool AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+             CAST(SUM(sxx) AS BIGINT) AS sxx, SUM(sy) AS sy,
+             SUM(sxy) AS sxy
+      FROM g
+    ),
+    sl AS (
+      SELECT g.event_type, g.n,
+             ROUND(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                   / (g.n * g.sxx - g.sx * g.sx), 6) AS group_slope,
+             ROUND(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                   / (p.n * p.sxx - p.sx * p.sx), 6) AS pooled_slope
+      FROM g, pool p
+    )
+    SELECT event_type, n, group_slope, pooled_slope,
+           (CASE WHEN group_slope > 0 THEN 1
+                 WHEN group_slope < 0 THEN -1 ELSE 0 END)
+           <> (CASE WHEN pooled_slope > 0 THEN 1
+                    WHEN pooled_slope < 0 THEN -1 ELSE 0 END) AS reversed
+    FROM sl
+    """,
+)
+def q355_simpsons_slope_audit(spark, sf_dir):
+    """SIMPSON'S-PARADOX AUDIT: the OLS slope of event value on
+    hour-of-day, fitted POOLED and WITHIN each event_type, with a
+    ``reversed`` flag where the within-group trend contradicts the
+    pooled one - the aggregation-bias check any metrics layer should
+    run before reporting a pooled trend (a composition shift across
+    groups can manufacture or invert it).
+
+    Exactness: the sufficient statistics are exact - integer hr
+    moments (bigint) and DECIMAL(20,6) value moments, all
+    order-independent; the pooled moments are SUMS of the group
+    moments (one pass, algebraically identical to a pooled refit).
+    Each slope is ONE double division of exact quantities, rounded
+    once at 6dp - the identical-expression IEEE class.
+
+    Scale: one groupBy(event_type) over the scan; the pooled frame is
+    a 1-row fold of the |groups|-row aggregate crossed back
+    (bounded-frame class). No second scan for the pooled fit."""
+    ev = t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.expr("CAST((ts_us % 86400000000) DIV 3600000000 AS LONG)").alias(
+            "hr"
+        ),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("hr").cast("long").alias("sx"),
+        F.sum(F.col("hr") * F.col("hr")).cast("long").alias("sxx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("hr") * F.col("v")).alias("sxy"),
+    )
+    pool = g.agg(
+        F.sum("n").cast("long").alias("pn"),
+        F.sum("sx").cast("long").alias("psx"),
+        F.sum("sxx").cast("long").alias("psxx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+    )
+    sl = g.crossJoin(F.broadcast(pool)).select(
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("group_slope"),
+        F.round(
+            (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).cast(
+                "double"
+            )
+            / (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")),
+            6,
+        ).alias("pooled_slope"),
+    )
+    sgn = lambda c: F.when(c > 0, 1).when(c < 0, -1).otherwise(0)  # noqa: E731
+    return sl.select(
+        "event_type",
+        "n",
+        "group_slope",
+        "pooled_slope",
+        (sgn(F.col("group_slope")) != sgn(F.col("pooled_slope"))).alias(
+            "reversed"
+        ),
+    )

@@ -1898,3 +1898,175 @@ def q258_survival_curve(spark, sf_dir):
         .otherwise(F.round(F.exp("logS"), 4))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q353: U-shaped (position-based) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+#: attribution lookback, micros (7 days - the q144 convention).
+_MTA_LOOKBACK_US = 7 * 86_400_000_000
+
+#: one conversion's credit in micro-units (1.0 == 10_000_000): first
+#: and last touch take 40% each, the middle touches split 20%.
+_MTA_TOTAL = 10_000_000
+_MTA_END = 4_000_000
+_MTA_MID_POOL = 2_000_000
+
+
+@query(
+    "q353_u_shaped_attribution",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             last_value(p_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us DESC, tag DESC,
+                                             event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conv_id,
+             last_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us DESC, tag DESC,
+                                             event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conv_ts
+      FROM u
+    ),
+    touches AS (
+      SELECT event_id, event_type, conv_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY ts_us, event_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+      FROM w
+      WHERE event_type IN ('click', 'view')
+        AND conv_id IS NOT NULL
+        AND conv_ts - ts_us <= {_MTA_LOOKBACK_US}
+        AND conv_ts >= ts_us
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN n = 1 THEN {_MTA_TOTAL}
+               WHEN n = 2 THEN {_MTA_TOTAL // 2}
+               WHEN pos = 1 OR pos = n THEN {_MTA_END}
+               ELSE {_MTA_MID_POOL} // (n - 2)
+                    + CASE WHEN pos - 1 <= {_MTA_MID_POOL} % (n - 2)
+                           THEN 1 ELSE 0 END
+             END AS credit_micro
+      FROM touches
+    ),
+    bych AS (
+      SELECT event_type AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+      FROM credited GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(credit_micro) AS BIGINT) AS t FROM bych)
+    SELECT b.channel, b.n_touches, b.credit_micro,
+           ROUND(CAST(b.credit_micro AS DOUBLE) / tot.t, 6) AS credit_share
+    FROM bych b, tot
+    """,
+)
+def q353_u_shaped_attribution(spark, sf_dir):
+    """U-SHAPED (position-based) multi-touch attribution: every
+    purchase's credit is split 40/20/40 across the user's touchpoint
+    path (clicks + views since the previous purchase, within a 7-day
+    lookback) - first touch 40%, last touch 40%, middles share 20%.
+    The multi-touch generalization of q144's last-touch rule.
+
+    Touch-to-conversion assignment is the q144/q55 union+window shape
+    run in REVERSE time order: the carried ``last(ignorenulls)`` over
+    the DESC stream gives each touch the NEXT purchase of that user
+    (same-instant purchases count, via the tag sort), so paths never
+    overlap and no touch x purchase join exists.
+
+    Exactness: credit is INTEGER micro-units; the 20% middle pool
+    divides by floor with the remainder handed to the earliest
+    middles one micro each (deterministic in both engines), so every
+    path sums to exactly {_MTA_TOTAL} and the channel rollup is a
+    bigint sum - no float until the final 6dp share.
+
+    Scale: two partitioned windows (user_id, then conv_id - both
+    corpus-keyed, no global sort), one groupBy(channel), and a 1-row
+    total frame crossed back (bounded-frame class). A hot user is one
+    window partition - AQE-splittable, no join explosion anywhere."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    is_p = F.col("event_type") == "purchase"
+    u = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        is_p.cast("int").alias("tag"),
+        F.when(is_p, F.col("event_id")).alias("p_id"),
+        F.when(is_p, F.col("ts_us")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts_us").desc(), F.col("tag").desc(), F.col("event_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("p_id", ignorenulls=True).over(w).alias("conv_id"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("conv_ts"),
+    )
+    touches = carried.filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("conv_id").isNotNull()
+        & (F.col("conv_ts") - F.col("ts_us") <= _MTA_LOOKBACK_US)
+        & (F.col("conv_ts") >= F.col("ts_us"))
+    )
+    wp = Window.partitionBy("conv_id").orderBy("ts_us", "event_id")
+    wn = Window.partitionBy("conv_id")
+    pos_n = touches.select(
+        "event_type",
+        F.row_number().over(wp).cast("long").alias("pos"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(_MTA_TOTAL))
+        .when(F.col("n") == 2, F.lit(_MTA_TOTAL // 2))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(_MTA_END),
+        )
+        .otherwise(
+            F.expr(
+                f"{_MTA_MID_POOL} DIV (n - 2)"
+                f" + CASE WHEN pos - 1 <= {_MTA_MID_POOL} % (n - 2)"
+                f" THEN 1 ELSE 0 END"
+            )
+        )
+    )
+    bych = (
+        pos_n.select(
+            F.col("event_type").alias("channel"),
+            credit.cast("long").alias("credit_micro"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_micro").cast("long").alias("credit_micro"),
+        )
+    )
+    tot = bych.agg(F.sum("credit_micro").cast("long").alias("t"))
+    return bych.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_touches",
+        "credit_micro",
+        F.round(F.col("credit_micro").cast("double") / F.col("t"), 6).alias(
+            "credit_share"
+        ),
+    )
