@@ -224,6 +224,13 @@ ALLOW = {
     # 1-row pooled-moments frame crossed into the |event_type|-row
     # group-moments aggregate - aggregate-bounded by construction.
     "q355_simpsons_slope_audit": {"nested_loop"},
+    # 1-row OLS-coefficient / conformal-quantile / test-count frames
+    # crossed into the fact scan and each other - the q202
+    # exact-quantile shape; all broadcast sides are 1-row aggregates.
+    "q356_conformal_coverage": {"nested_loop"},
+    # 1-row minsup/n_docs frame crossed into the pair- and
+    # triple-support aggregates - aggregate-bounded by construction.
+    "q358_apriori_triples": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

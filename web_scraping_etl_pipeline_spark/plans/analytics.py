@@ -3426,3 +3426,102 @@ def q351_zone_map_pruning(spark, sf_dir):
             ).alias("prune_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q357: Holt linear-trend smoothing of the daily series (exact integer)
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division - BOTH engines' integer
+    division semantics (Spark ``DIV``, DuckDB ``//``: probe -3 -> -1),
+    unlike Python's floor ``//`` (-3 -> -2). The Holt trend state goes
+    negative, so the driver recursion must match the engines."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@query(
+    "q357_holt_trend_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day_idx, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS tstep
+      FROM daily
+    ),
+    holt AS (
+      SELECT i1.tstep, i1.day_idx, i1.y,
+             i1.y * 1000000 AS l_micro,
+             COALESCE((i2.y - i1.y) * 1000000, 0) AS b_micro,
+             CAST(NULL AS BIGINT) AS err_micro
+      FROM idx i1 LEFT JOIN idx i2 ON i2.tstep = 2
+      WHERE i1.tstep = 1
+      UNION ALL
+      SELECT i.tstep, i.day_idx, i.y,
+             (i.y * 1000000) // 2 + (h.l_micro + h.b_micro) // 2
+               AS l_micro,
+             ((i.y * 1000000) // 2 + (h.l_micro + h.b_micro) // 2
+              - h.l_micro) // 2 + h.b_micro // 2 AS b_micro,
+             ABS(i.y * 1000000 - (h.l_micro + h.b_micro)) AS err_micro
+      FROM holt h JOIN idx i ON i.tstep = h.tstep + 1
+    )
+    SELECT day_idx, y, l_micro, b_micro, err_micro FROM holt
+    """,
+)
+def q357_holt_trend_forecast(spark, sf_dir):
+    """HOLT LINEAR-TREND exponential smoothing (alpha = beta = 1/2) of
+    the daily event series with one-step-ahead forecast error - the
+    trend-following upgrade of q346's SES: SES lags a ramping series
+    by a constant, Holt's explicit trend state closes that gap, and
+    |y - (l + b)| is the anomaly residual a volume monitor pages on.
+
+        l_t = y_t/2 + (l_{{t-1}} + b_{{t-1}})/2
+        b_t = (l_t - l_{{t-1}})/2 + b_{{t-1}}/2
+
+    Exactness: unlike SES, Holt's recursion has no dyadic closed form
+    (coefficients are binomial tails, not pure 2^-k), so the recursion
+    is run LITERALLY, in integer micro-units with truncate-toward-zero
+    halving - Spark DIV and DuckDB // share that semantics (probed:
+    -3 -> -1), and the driver loop mirrors it via :func:`_tdiv`
+    (Python's floor // would diverge on the negative trend states).
+    Every state is a bigint; engines cannot disagree.
+
+    Scale: the fact-sized work is ONE groupBy(day); the recursion runs
+    on the CALENDAR-bounded daily aggregate (|days| rows at ANY data
+    volume - the q177/q319 bounded-driver-state class: a year of
+    100 TB/day is still 365 rows) and ships back as a literal frame.
+    The oracle is the same recursion as a recursive CTE."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+            ).alias("day_idx")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    rows = sorted(
+        ((r["day_idx"], r["y"]) for r in daily.collect()),
+    )
+    out = []
+    l = b = None
+    for i, (day_idx, y) in enumerate(rows):
+        if i == 0:
+            l = y * 1_000_000
+            b = (rows[1][1] - y) * 1_000_000 if len(rows) > 1 else 0
+            out.append((day_idx, y, l, b, None))
+            continue
+        err = abs(y * 1_000_000 - (l + b))
+        l_new = _tdiv(y * 1_000_000, 2) + _tdiv(l + b, 2)
+        b_new = _tdiv(l_new - l, 2) + _tdiv(b, 2)
+        l, b = l_new, b_new
+        out.append((day_idx, y, l, b, err))
+    return spark.createDataFrame(
+        out, "day_idx long, y long, l_micro long, b_micro long, err_micro long"
+    )

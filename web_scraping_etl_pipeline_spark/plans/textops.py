@@ -1715,3 +1715,159 @@ def q352_token_gini_by_source(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q358: a-priori frequent term triples over the bounded top vocabulary
+# ---------------------------------------------------------------------------
+
+#: candidate vocabulary: the 25 highest-document-frequency terms
+#: (deterministic tie-break by term); support threshold = 57% of docs
+#: - the synthetic corpus draws from a small dense vocabulary (top
+#: terms sit in ~80% of docs, so every triple clears a classic 5%
+#: bar); 57% is the measured selective point (~top decile of triple
+#: supports at sf0.01). On a natural corpus the same plan runs with
+#: the classic low threshold.
+_AP_VOCAB = 25
+_AP_SUP_NUM, _AP_SUP_DEN = 57, 100
+
+
+@query(
+    "q358_apriori_triples",
+    oracle=f"""
+    WITH dt0 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term
+      FROM documents
+    ),
+    top AS MATERIALIZED (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS df FROM dt0 GROUP BY term
+        ORDER BY df DESC, term LIMIT {_AP_VOCAB}
+      )
+    ),
+    dt AS MATERIALIZED (
+      SELECT dt0.doc_id, dt0.term FROM dt0 JOIN top USING (term)
+    ),
+    ms AS MATERIALIZED (
+      SELECT CAST({_AP_SUP_NUM} * COUNT(DISTINCT doc_id) AS BIGINT)
+               // {_AP_SUP_DEN} AS minsup,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents
+    ),
+    fp AS MATERIALIZED (
+      SELECT t1, t2 FROM (
+        SELECT a.term AS t1, b.term AS t2,
+               CAST(COUNT(*) AS BIGINT) AS sup
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+      ), ms WHERE sup >= ms.minsup
+    ),
+    tri AS MATERIALIZED (
+      SELECT a.term AS t1, b.term AS t2, c.term AS t3,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM dt a
+      JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      JOIN fp p12 ON p12.t1 = a.term AND p12.t2 = b.term
+      JOIN dt c ON a.doc_id = c.doc_id AND b.term < c.term
+      JOIN fp p13 ON p13.t1 = a.term AND p13.t2 = c.term
+      JOIN fp p23 ON p23.t1 = b.term AND p23.t2 = c.term
+      GROUP BY a.term, b.term, c.term
+    )
+    SELECT tri.t1, tri.t2, tri.t3, tri.support,
+           ROUND(CAST(tri.support AS DOUBLE) / ms.n_docs, 6)
+             AS support_frac
+    FROM tri, ms
+    WHERE tri.support >= ms.minsup
+    """,
+)
+def q358_apriori_triples(spark, sf_dir):
+    """A-PRIORI frequent 3-itemset mining (Agrawal & Srikant 1994)
+    over document term sets: which term TRIPLES co-occur in a
+    threshold fraction of documents - the co-occurrence structure one
+    level above q83's bigrams and q187's pairwise lift, and the
+    candidate source for phrase/topic features. Classic a-priori
+    pruning: a triple is counted ONLY if all three of its pairs are
+    frequent (downward closure), so the 3-way expansion never touches
+    infrequent combinations.
+
+    Exactness: supports are exact bigint document counts (the DISTINCT
+    doc-term projection makes multiplicity irrelevant); the threshold
+    is integer (({_AP_SUP_NUM} * n_docs) DIV {_AP_SUP_DEN}); only the
+    final support-fraction rounds.
+
+    Scale: the candidate vocabulary is capped at the top-{_AP_VOCAB}
+    document-frequency terms (deterministic tie-break), so per-doc
+    fan-out is <= C({_AP_VOCAB},3) by construction and smaller after
+    the frequent-pair semi-joins - the candidates-only discipline
+    (q43) applied to itemsets. All joins are equi-joins on doc_id with
+    the tiny vocab/pair frames broadcast; supports combine map-side.
+    (Oracle note: every CTE is MATERIALIZED - DuckDB's default
+    inlining re-expands dt/fp per reference, measured 116 s -> 0.2 s.)
+    """
+    docs = t(spark, sf_dir, "documents")
+    dt0 = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).distinct()
+    top = (
+        dt0.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_AP_VOCAB)
+        .select("term")
+    )
+    dt = transient_persist(
+        dt0.join(F.broadcast(top), "term").select("doc_id", "term")
+    )
+    ms = docs.agg(
+        F.expr(
+            f"CAST({_AP_SUP_NUM} * COUNT(DISTINCT doc_id) AS BIGINT)"
+            f" DIV {_AP_SUP_DEN}"
+        ).alias("minsup"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    a = dt.select("doc_id", F.col("term").alias("t1"))
+    b = dt.select("doc_id", F.col("term").alias("t2"))
+    c = dt.select("doc_id", F.col("term").alias("t3"))
+    fp = transient_persist(
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .crossJoin(F.broadcast(ms.select("minsup")))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("t1", "t2")
+    )
+    tri = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .join(F.broadcast(fp), ["t1", "t2"], "left_semi")
+        .join(c, "doc_id")
+        .filter(F.col("t2") < F.col("t3"))
+        .join(
+            F.broadcast(fp.select(F.col("t1"), F.col("t2").alias("t3"))),
+            ["t1", "t3"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                fp.select(F.col("t1").alias("t2"), F.col("t2").alias("t3"))
+            ),
+            ["t2", "t3"],
+            "left_semi",
+        )
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(ms))
+        .filter(F.col("support") >= F.col("minsup"))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("n_docs"), 6
+            ).alias("support_frac"),
+        )
+    )
