@@ -231,6 +231,9 @@ ALLOW = {
     # 1-row minsup/n_docs frame crossed into the pair- and
     # triple-support aggregates - aggregate-bounded by construction.
     "q358_apriori_triples": {"nested_loop"},
+    # 9-row constant cell-offset frame (the 3x3 neighborhood) crossed
+    # into the point scan - constant-bounded by construction.
+    "q360_dbscan_grid": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -2173,3 +2173,132 @@ def q356_conformal_coverage(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q359: Viterbi decode (2-state HMM, integer max-sum) over user sessions
+# ---------------------------------------------------------------------------
+
+#: integer max-sum HMM scores (one source of truth for BOTH engines'
+#: CASE expressions): state 0 = ENGAGED, state 1 = IDLE. Stay bonus
+#: +1, switch penalty -2. Log-prob-shaped integers, not floats: the
+#: whole DP is bigint, so no cross-engine exposure exists.
+_VIT_EMIT = (
+    {"click": 2, "purchase": 3, "view": 1, "signup": 0, "error": -2},
+    {"view": 0, "error": 2, "signup": 1, "click": -1, "purchase": -3},
+)
+_VIT_STAY, _VIT_SWITCH = 1, -2
+_VIT_MAXLEN = 12
+
+
+def _vit_case(state: int, x: str, long_suffix: str) -> str:
+    """Emission CASE expression for one state; the ELSE mirrors the
+    state's rarest score so unseen event types are not silently 0."""
+    emit = _VIT_EMIT[state]
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}{long_suffix}" for k, v in emit.items()
+    )
+    default = min(emit.values())
+    return f"CASE {x} {whens} ELSE {default}{long_suffix} END"
+
+
+def _vit_oracle() -> str:
+    e0 = lambda x: _vit_case(0, x, "")  # noqa: E731
+    e1 = lambda x: _vit_case(1, x, "")  # noqa: E731
+    return f"""
+    WITH RECURSIVE seq AS MATERIALIZED (
+      SELECT user_id, event_type AS et,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS BIGINT) AS pos
+      FROM events
+      QUALIFY pos <= {_VIT_MAXLEN}
+    ),
+    nn AS MATERIALIZED (
+      SELECT user_id AS uid, MAX(pos) AS n FROM seq GROUP BY user_id
+    ),
+    v AS (
+      SELECT user_id, pos,
+             CAST({e0("et")} AS BIGINT) AS d0,
+             CAST({e1("et")} AS BIGINT) AS d1
+      FROM seq WHERE pos = 1
+      UNION ALL
+      SELECT s.user_id, s.pos,
+             {e0("s.et")} + GREATEST(v.d0 + {_VIT_STAY},
+                                     v.d1 + {_VIT_SWITCH}) AS d0,
+             {e1("s.et")} + GREATEST(v.d0 + {_VIT_SWITCH},
+                                     v.d1 + {_VIT_STAY}) AS d1
+      FROM v JOIN seq s ON s.user_id = v.user_id AND s.pos = v.pos + 1
+    )
+    SELECT v.user_id, nn.n AS n_obs, GREATEST(v.d0, v.d1) AS score,
+           CAST(CASE WHEN v.d0 >= v.d1 THEN 0 ELSE 1 END AS BIGINT)
+             AS final_state
+    FROM v JOIN nn ON nn.uid = v.user_id AND v.pos = nn.n
+    """
+
+
+@query("q359_viterbi_sessions", oracle=_vit_oracle())
+def q359_viterbi_sessions(spark, sf_dir):
+    """VITERBI DECODE of a 2-state HMM (ENGAGED/IDLE) over each user's
+    first {_VIT_MAXLEN} events: the max-sum DP score of the most
+    likely hidden-state path and its final state - the sequential-
+    inference operator behind session-intent labeling, and the
+    engine's demonstration that a SEQUENTIAL per-key DP needs no
+    Python and no driver loop: the recursion folds INSIDE a row.
+
+    Plan shape: events shuffle ONCE on user_id (window row-number cap
+    at {_VIT_MAXLEN}), collect_list + array_sort(struct(pos, et))
+    builds each user's bounded observation array, and the Viterbi
+    recursion delta_t(s) = emit(s, x_t) + max_s'(delta(s') +
+    trans(s', s)) runs as a single ``aggregate`` higher-order fold
+    over that array - interpreted, but over <= {_VIT_MAXLEN} elements
+    per row, vectorization-irrelevant. The oracle unrolls the same DP
+    as a recursive CTE; emission/transition scores come from ONE
+    Python table (no twin-drift).
+
+    Exactness: all-integer max-sum (argmax tie -> state 0, identical
+    CASE on both engines). Scale: per-user state is 2 bigints however
+    long the corpus; the cap bounds the fold; one exchange total."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+    ).filter(F.col("pos") <= _VIT_MAXLEN)
+    arr = seq.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", F.col("event_type").alias("et"))
+                )
+            ),
+            lambda s: s["et"],
+        ).alias("ets")
+    )
+    e0 = lambda x: _vit_case(0, x, "L")  # noqa: E731
+    e1 = lambda x: _vit_case(1, x, "L")  # noqa: E731
+    fold = f"""
+    aggregate(
+      slice(ets, 2, size(ets) - 1),
+      named_struct('d0', {e0("element_at(ets, 1)")},
+                   'd1', {e1("element_at(ets, 1)")}),
+      (acc, x) -> named_struct(
+        'd0', {e0("x")} + GREATEST(acc.d0 + {_VIT_STAY}L,
+                                   acc.d1 + {_VIT_SWITCH}L),
+        'd1', {e1("x")} + GREATEST(acc.d0 + {_VIT_SWITCH}L,
+                                   acc.d1 + {_VIT_STAY}L))
+    )
+    """
+    return arr.select(
+        "user_id",
+        F.size("ets").cast("long").alias("n_obs"),
+        F.expr(fold).alias("_v"),
+    ).select(
+        "user_id",
+        "n_obs",
+        F.greatest("_v.d0", "_v.d1").alias("score"),
+        F.when(F.col("_v.d0") >= F.col("_v.d1"), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("final_state"),
+    )

@@ -1615,3 +1615,276 @@ def q349_pq_codebooks(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q360: grid-accelerated DBSCAN over the 2D-projected embeddings
+# ---------------------------------------------------------------------------
+
+#: DBSCAN parameters in integer micro-coordinates: eps = 0.025 on the
+#: (dim0, dim1) projection, minPts = 5 (self included - standard
+#: DBSCAN). Probed at sf0.01: 303/500 core points, 7 clusters.
+_DBSCAN_EPS = 25_000
+_DBSCAN_MINPTS = 5
+
+
+@query(
+    "q360_dbscan_grid",
+    oracle=f"""
+    WITH RECURSIVE p AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+               AS yi
+      FROM embeddings
+    ),
+    c AS MATERIALIZED (
+      SELECT vec_id, xi, yi,
+             xi // {_DBSCAN_EPS} AS cx, yi // {_DBSCAN_EPS} AS cy
+      FROM p
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM c a JOIN c b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      WHERE (a.xi - b.xi) * (a.xi - b.xi)
+            + (a.yi - b.yi) * (a.yi - b.yi)
+            <= CAST({_DBSCAN_EPS} AS BIGINT) * {_DBSCAN_EPS}
+    ),
+    deg AS MATERIALIZED (
+      SELECT ia AS v, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY ia
+    ),
+    core AS MATERIALIZED (
+      SELECT v FROM deg WHERE n >= {_DBSCAN_MINPTS}
+    ),
+    e AS MATERIALIZED (
+      SELECT cand.ia AS s, cand.ib AS d FROM cand
+      JOIN core c1 ON c1.v = cand.ia
+      JOIN core c2 ON c2.v = cand.ib
+      WHERE cand.ia <> cand.ib
+    ),
+    reach AS (
+      SELECT s, d FROM e
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+    ),
+    lab AS MATERIALIZED (
+      SELECT core.v,
+             LEAST(core.v, COALESCE(m.mn, core.v)) AS cluster_id
+      FROM core LEFT JOIN
+           (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+        ON m.s = core.v
+    ),
+    border AS MATERIALIZED (
+      SELECT cand.ia AS v, MIN(lab.cluster_id) AS cluster_id
+      FROM cand
+      JOIN lab ON lab.v = cand.ib
+      LEFT JOIN core nc ON nc.v = cand.ia
+      WHERE nc.v IS NULL AND cand.ia <> cand.ib
+      GROUP BY cand.ia
+    ),
+    clusters AS (
+      SELECT l.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_core,
+             CAST(COALESCE(ANY_VALUE(b.nb), 0) AS BIGINT) AS n_border
+      FROM lab l
+      LEFT JOIN (SELECT cluster_id, COUNT(*) AS nb
+                 FROM border GROUP BY cluster_id) b
+        ON b.cluster_id = l.cluster_id
+      GROUP BY l.cluster_id
+    ),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster_id,
+             CAST(0 AS BIGINT) AS n_core,
+             CAST(COUNT(*) AS BIGINT) AS n_border
+      FROM p
+      WHERE vec_id NOT IN (SELECT v FROM core)
+        AND vec_id NOT IN (SELECT v FROM border)
+    )
+    SELECT cluster_id, n_core, n_border, n_core + n_border AS n_total
+    FROM (SELECT * FROM clusters UNION ALL SELECT * FROM noise)
+    """,
+)
+def q360_dbscan_grid(spark, sf_dir):
+    """GRID-ACCELERATED DBSCAN (Ester et al. 1996) over the (dim0,
+    dim1) projection of the embeddings: density clustering with
+    eps = {_DBSCAN_EPS} micro-units and minPts = {_DBSCAN_MINPTS} -
+    the density-based companion to q306's k-means (finds non-convex
+    clusters, labels sparse points NOISE instead of forcing them into
+    a centroid). Output: per-cluster core/border counts plus a
+    cluster_id = -1 noise row.
+
+    The neighbor search is the GRID trick that makes DBSCAN a
+    data-parallel plan: bucket points into eps-sized cells, join each
+    point only to the 3x3 adjacent cells (banded non-equi join on two
+    integer keys), then exact-filter by squared distance - the q173
+    geo-grid device. Core points (>= minPts neighbors incl. self)
+    form an edge graph; clusters are min-label connected components
+    (the q78 loop: localCheckpoint lineage cuts, label-sum
+    convergence); border points take the MIN cluster among their core
+    neighbors (deterministic, where textbook DBSCAN is
+    arrival-order-dependent); everything else is noise.
+
+    Exactness: coordinates are micro-FLOORed float32-widened doubles
+    (bit-identical cross-engine - the q334 adjudicated mechanism);
+    distances and counts are pure bigint from there.
+
+    Scale: cell join fan-in is bounded by 9 x occupancy (eps-density
+    bound), never all-pairs; components iterate on the CORE edge
+    list only. 100x data at the same density = 100x cells, same
+    per-cell work; the oracle's transitive closure is replaced by the
+    iterative loop whose state is |core| labels."""
+    emb = t(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("xi"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("yi"),
+    )
+    c = p.select(
+        "vec_id",
+        "xi",
+        "yi",
+        F.expr(f"xi DIV {_DBSCAN_EPS}").alias("cx"),
+        F.expr(f"yi DIV {_DBSCAN_EPS}").alias("cy"),
+    )
+    offs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).cast("long").alias("dx"),
+                        F.lit(dy).cast("long").alias("dy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o")
+    ).select("o.dx", "o.dy")
+    a = (
+        c.crossJoin(F.broadcast(offs))
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.col("xi").alias("xa"),
+            F.col("yi").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"),
+        F.col("xi").alias("xb"),
+        F.col("yi").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    cand = (
+        a.join(b, ["jx", "jy"])
+        .filter(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= F.lit(_DBSCAN_EPS).cast("long") * _DBSCAN_EPS
+        )
+        .select("ia", "ib")
+        .persist()
+    )
+    from .common import _TRANSIENT_PERSISTS
+
+    _TRANSIENT_PERSISTS.append(cand)
+    deg = cand.groupBy("ia").agg(F.count("*").alias("n"))
+    core = deg.filter(F.col("n") >= _DBSCAN_MINPTS).select(
+        F.col("ia").alias("v")
+    )
+    e = (
+        cand.filter(F.col("ia") != F.col("ib"))
+        .join(core.select(F.col("v").alias("ia")), "ia", "left_semi")
+        .join(core.select(F.col("v").alias("ib")), "ib", "left_semi")
+        .select(F.col("ia").alias("s"), F.col("ib").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    labels = core.select(F.col("v").alias("node"), F.col("v").alias("label"))
+    prev = None
+    # labels only decrease, so label-sum stability IS convergence.
+    # Each round: (1) min over graph neighbors, (2) POINTER JUMP
+    # (label := label's label) - the contraction that turns a
+    # diameter-D grid snake from D rounds (measured ~30 at sf0.01)
+    # into O(log D); cap is a safety net, never the stop condition.
+    for _ in range(60):
+        nbr = (
+            e.join(labels, e.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, labels.node == nbr.s, "left").select(
+            "node",
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("nbr_min"), F.col("label")),
+            ).alias("label"),
+        )
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        labels = (
+            stepped.join(parent, stepped.label == parent.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("plabel"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    lab = labels.select(
+        F.col("node").alias("v"), F.col("label").alias("cluster_id")
+    )
+    border = (
+        cand.filter(F.col("ia") != F.col("ib"))
+        .join(core.select(F.col("v").alias("ia")), "ia", "left_anti")
+        .join(lab.select(F.col("v").alias("ib"), "cluster_id"), "ib")
+        .groupBy("ia")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    clusters = (
+        lab.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_core"))
+        .join(
+            border.groupBy("cluster_id").agg(
+                F.count("*").cast("long").alias("nb")
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "cluster_id",
+            "n_core",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_border"),
+        )
+    )
+    assigned = core.select("v").union(border.select(F.col("ia").alias("v")))
+    noise = (
+        p.join(assigned, p.vec_id == assigned.v, "left_anti")
+        .agg(F.count("*").cast("long").alias("n_border"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_core"),
+            "n_border",
+        )
+    )
+    return clusters.unionByName(noise).select(
+        "cluster_id",
+        "n_core",
+        "n_border",
+        (F.col("n_core") + F.col("n_border")).alias("n_total"),
+    )
