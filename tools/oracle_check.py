@@ -163,6 +163,7 @@ FLOAT_LINT_ALLOW = {
     # doubles (the q334 mechanism): widening and one multiply are
     # bit-identical cross-engine, so the floored grid coordinate is.
     "q360_dbscan_grid",
+    "q362_kcenter_coreset",  # same micro-floor lattice as q360
 }
 
 

@@ -2302,3 +2302,162 @@ def q359_viterbi_sessions(spark, sf_dir):
         .cast("long")
         .alias("final_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q361: beam-search decode (width 2) from the corpus bigram LM
+# ---------------------------------------------------------------------------
+
+_BEAM_W = 2
+_BEAM_STEPS = 8
+
+
+def _beam_oracle() -> str:
+    """Unrolled beam levels, one MATERIALIZED CTE per step (the q325
+    device); scores are exact integer ppm, so the beam order is
+    deterministic on both engines."""
+    head = f"""
+    WITH base AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    bg AS MATERIALIZED (
+      SELECT string_split(b.bigram, ' ')[1] AS w1,
+             string_split(b.bigram, ' ')[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(
+                 list_zip(list_slice(toks, 1, len(toks) - 1),
+                          list_slice(toks, 2, len(toks))),
+                 z -> z[1] || ' ' || z[2])) AS bigram
+        FROM base
+      ) b GROUP BY 1, 2
+    ),
+    pp AS MATERIALIZED (
+      SELECT bg.w1, bg.w2,
+             (1000000 * bg.cnt) // tt.tot AS p_ppm
+      FROM bg JOIN (SELECT w1, SUM(cnt) AS tot FROM bg GROUP BY w1) tt
+        ON tt.w1 = bg.w1
+    ),
+    uni AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS tot
+      FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+    ),
+    b1 AS MATERIALIZED (
+      SELECT w AS seq, w AS last, (1000000 * cnt) // tot AS score
+      FROM uni ORDER BY score DESC, w LIMIT {_BEAM_W}
+    )"""
+    parts = [head]
+    for i in range(2, _BEAM_STEPS + 1):
+        parts.append(
+            f"""
+    b{i} AS MATERIALIZED (
+      SELECT b.seq || ' ' || g.w2 AS seq, g.w2 AS last,
+             b.score + g.p_ppm AS score
+      FROM b{i - 1} b JOIN pp g ON g.w1 = b.last
+      ORDER BY score DESC, seq LIMIT {_BEAM_W}
+    )"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS step,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, seq) AS BIGINT)
+             AS rank, seq, CAST(score AS BIGINT) AS score_ppm
+        FROM b{i}"""
+        for i in range(1, _BEAM_STEPS + 1)
+    )
+    return ",".join(parts) + "\n    " + final
+
+
+@query("q361_beam_search_decode", oracle=_beam_oracle())
+def q361_beam_search_decode(spark, sf_dir):
+    """BEAM-SEARCH DECODING (width {_BEAM_W}, {_BEAM_STEPS} levels)
+    from the corpus bigram LM - the non-greedy generalization of
+    q325: at every level the {_BEAM_W} best partial sequences expand
+    through ALL their continuations and only the top-{_BEAM_W}
+    (score DESC, sequence ASC) survive, which recovers sequences a
+    greedy walk forfeits by committing to the single local argmax.
+
+    Exactness - the INTEGER-SCORE surrogate: hypotheses are ranked by
+    the SUM of exact ppm transition weights (1e6*cnt DIV row_total)
+    rather than the float log-prob sum, so scores are bigint, beam
+    ties resolve lexicographically, and both engines keep an
+    IDENTICAL beam at every level (a float beam could diverge at the
+    cut once and never re-converge - the one operator where a 1-ulp
+    difference is not self-correcting but amplifying).
+
+    Scale: the bigram census and its row totals are computed once
+    (vocabulary-bounded, persisted); each level is a filter of that
+    cached table on the <= {_BEAM_W} live last-tokens + a
+    TakeOrdered(2) - per-level work is branching-factor-bounded, and
+    driver state is {_BEAM_W} (sequence, score) tuples (the
+    q177/q325 bounded-driver-loop class). The oracle unrolls the same
+    levels as MATERIALIZED CTEs."""
+    docs = t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    toks = docs.select(_tokens().alias("toks"))
+    bg = (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = bg.groupBy("w1").agg(F.sum("cnt").alias("tot"))
+    pp = transient_persist(
+        bg.join(tot, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.expr("(1000000 * cnt) DIV tot").alias("p_ppm"),
+        )
+        .coalesce(1)
+    )
+    uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    n_tok = uni.agg(F.sum("cnt").alias("tot"))
+    seed = (
+        uni.crossJoin(F.broadcast(n_tok))
+        .select(
+            F.col("w").alias("seq"),
+            F.col("w").alias("last"),
+            F.expr("(1000000 * cnt) DIV tot").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "seq")
+        .limit(_BEAM_W)
+        .collect()
+    )
+    beam = [(r["seq"], r["last"], int(r["score"])) for r in seed]
+    out: list[tuple[int, int, str, int]] = [
+        (1, j + 1, s, sc) for j, (s, _, sc) in enumerate(beam)
+    ]
+    for step in range(2, _BEAM_STEPS + 1):
+        if not beam:
+            break
+        hyp = spark.createDataFrame(
+            [(s, l, sc) for (s, l, sc) in beam],
+            "seq string, last string, score long",
+        )
+        nxt = (
+            hyp.join(pp, hyp.last == pp.w1)
+            .select(
+                F.concat_ws(" ", "seq", "w2").alias("seq"),
+                F.col("w2").alias("last"),
+                (F.col("score") + F.col("p_ppm")).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "seq")
+            .limit(_BEAM_W)
+            .collect()
+        )
+        beam = [(r["seq"], r["last"], int(r["score"])) for r in nxt]
+        out.extend(
+            (step, j + 1, s, sc) for j, (s, _, sc) in enumerate(beam)
+        )
+    pp.unpersist()
+    return spark.createDataFrame(
+        out, "step long, rank long, seq string, score_ppm long"
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from .common import t
+from .common import t, transient_persist
 from .registry import query
 
 DIM = 64
@@ -1887,4 +1887,138 @@ def q360_dbscan_grid(spark, sf_dir):
         "n_core",
         "n_border",
         (F.col("n_core") + F.col("n_border")).alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q362: k-center greedy coreset (farthest-first traversal)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+#: micro-quantized integer coordinates (the q334/q360 mechanism):
+#: float32 -> double widening and one multiply are bit-identical
+#: cross-engine, so the floored lattice point is too; every distance
+#: after that is pure bigint.
+_KC_QI_SQL = (
+    "list_transform(embedding,"
+    " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+)
+_KC_DIST_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+)
+
+
+def _kcenter_oracle() -> str:
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, {_KC_QI_SQL} AS qi FROM embeddings
+    ),
+    c1 AS MATERIALIZED (
+      SELECT vec_id, qi FROM pts ORDER BY vec_id LIMIT 1
+    ),
+    d1 AS MATERIALIZED (
+      SELECT p.vec_id,
+             {_KC_DIST_SQL.format(a="p.qi", b="c.qi")} AS md
+      FROM pts p, c1 c
+    )"""
+    parts = [head]
+    for i in range(2, _KC_K + 1):
+        parts.append(
+            f"""
+    c{i} AS MATERIALIZED (
+      SELECT p.vec_id, p.qi, d.md AS radius
+      FROM pts p JOIN d{i - 1} d ON d.vec_id = p.vec_id
+      ORDER BY d.md DESC, p.vec_id LIMIT 1
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT p.vec_id,
+             LEAST(d.md, {_KC_DIST_SQL.format(a="p.qi", b="c.qi")}) AS md
+      FROM pts p
+      JOIN d{i - 1} d ON d.vec_id = p.vec_id, c{i} c
+    )"""
+        )
+    finals = [
+        "SELECT CAST(1 AS BIGINT) AS step,"
+        " CAST(vec_id AS BIGINT) AS center_id,"
+        " CAST(NULL AS BIGINT) AS radius_sq FROM c1"
+    ]
+    finals += [
+        f"SELECT CAST({i} AS BIGINT) AS step,"
+        f" CAST(vec_id AS BIGINT) AS center_id,"
+        f" CAST(radius AS BIGINT) AS radius_sq FROM c{i}"
+        for i in range(2, _KC_K + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query("q362_kcenter_coreset", oracle=_kcenter_oracle())
+def q362_kcenter_coreset(spark, sf_dir):
+    """K-CENTER GREEDY CORESET (farthest-first traversal, Gonzalez
+    1985 - the 2-approximation behind coreset data pruning a la
+    Sener & Savarese): pick {_KC_K} embedding rows such that every
+    point is close to some pick, by repeatedly taking the point
+    FARTHEST from the current centers. Output: each center with the
+    max-min squared distance at its selection - the COVERAGE RADIUS
+    curve, which is both the pruning-quality certificate and the
+    elbow diagnostic for choosing k.
+
+    Exactness: coordinates are micro-floored float32-widened doubles
+    (bit-identical cross-engine - q334/q360 mechanism); 64-dim squared
+    distances are bigint zip_with/aggregate folds (~1e13 max, no
+    overflow); argmax ties break on vec_id. Both engines walk the
+    identical center sequence.
+
+    Scale - the RUNNING-MIN-DIST device: the naive greedy recomputes
+    |centers| x |points| distances per step; instead ONE per-point
+    running min-distance column is maintained (persisted, updated by
+    a map against the broadcast 1-row new-center frame), so each of
+    the {_KC_K} steps is one vectorized map + one TakeOrdered(1) -
+    total work O(k * N) distances, driver state O(1). This is the
+    textbook distributed k-center; the oracle unrolls the same steps
+    as MATERIALIZED CTEs."""
+    emb = t(spark, sf_dir, "embeddings")
+    qi_spark = (
+        "transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pts = transient_persist(
+        emb.select("vec_id", F.expr(qi_spark).alias("qi"))
+    )
+    dist = (
+        "aggregate(zip_with(qi, cqi, (p, q) -> (p - q) * (p - q)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    c1 = pts.orderBy("vec_id").limit(1)
+    first = c1.first()
+    out = [(1, int(first["vec_id"]), None)]
+    center = c1.select(F.col("qi").alias("cqi"))
+    d = pts.crossJoin(F.broadcast(center)).select(
+        "vec_id", "qi", F.expr(dist).alias("md")
+    )
+    for step in range(2, _KC_K + 1):
+        d = d.persist()
+        from .common import _TRANSIENT_PERSISTS
+
+        _TRANSIENT_PERSISTS.append(d)
+        far = (
+            d.orderBy(F.col("md").desc(), "vec_id").limit(1).first()
+        )
+        out.append((step, int(far["vec_id"]), int(far["md"])))
+        center = (
+            d.filter(F.col("vec_id") == int(far["vec_id"]))
+            .limit(1)
+            .select(F.col("qi").alias("cqi"))
+        )
+        d = (
+            d.crossJoin(F.broadcast(center))
+            .select(
+                "vec_id",
+                "qi",
+                F.least(F.col("md"), F.expr(dist)).alias("md"),
+            )
+        )
+    return spark.createDataFrame(
+        out, "step long, center_id long, radius_sq long"
     )
