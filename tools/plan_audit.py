@@ -234,6 +234,12 @@ ALLOW = {
     # 9-row constant cell-offset frame (the 3x3 neighborhood) crossed
     # into the point scan - constant-bounded by construction.
     "q360_dbscan_grid": {"nested_loop"},
+    # 9-row decile grid crossed into the (cohort, micro-value)
+    # VALUE-DOMAIN aggregate - both sides bounded by construction.
+    "q363_quantile_treatment_effect": {"nested_loop"},
+    # 64-row constant assignment grid + 1-row observed-statistic frame
+    # crossed into the per-user aggregate - bounded by construction.
+    "q364_permutation_test": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -2461,3 +2461,240 @@ def q361_beam_search_decode(spark, sf_dir):
     return spark.createDataFrame(
         out, "step long, rank long, seq string, score_ppm long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q363: quantile treatment effects (exact per-cohort deciles)
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = (
+    "(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 2 = 0)"
+)
+
+
+def _cohort_spark():
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+
+
+@query(
+    "q363_quantile_treatment_effect",
+    oracle=f"""
+    WITH p AS (
+      SELECT {_COHORT_SQL} AS treated,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT treated, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM p GROUP BY treated, v
+    ),
+    c AS (
+      SELECT treated, v,
+             SUM(cnt) OVER (PARTITION BY treated ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY treated) AS n
+      FROM g
+    ),
+    ks AS (SELECT UNNEST(range(1, 10)) AS k),
+    q AS (
+      SELECT c.treated, ks.k, MIN(c.v) AS qv
+      FROM c JOIN ks ON c.cum >= (ks.k * c.n + 9) // 10
+      GROUP BY c.treated, ks.k
+    )
+    SELECT tq.k AS decile,
+           tq.qv AS treat_q_micro,
+           cq.qv AS ctrl_q_micro,
+           tq.qv - cq.qv AS qte_micro
+    FROM (SELECT k, qv FROM q WHERE treated) tq
+    JOIN (SELECT k, qv FROM q WHERE NOT treated) cq ON cq.k = tq.k
+    """,
+)
+def q363_quantile_treatment_effect(spark, sf_dir):
+    """QUANTILE TREATMENT EFFECTS: the per-decile difference of the
+    two cohorts' EXACT purchase-value quantiles - where q354's DiD
+    reads one mean, the QTE curve shows WHERE the distribution moved
+    (a lift concentrated in the top decile and a uniform shift have
+    the same mean effect and opposite product meaning). Cohorts are
+    the q354 deterministic unit-hash assignment.
+
+    Exactness: values land on the micro lattice by one per-row
+    ROUND(value*1e6) (identical IEEE multiply both engines); deciles
+    are ORDER STATISTICS - min v with cumcount >= ceil(k*n/10), the
+    ceil in pure integers ((k*n+9) DIV 10) - so every output is
+    bigint. percentile_disc semantics, derived rather than called,
+    because Spark's percentile() interpolates.
+
+    Scale: one groupBy on (cohort, micro-value) - the VALUE-DOMAIN
+    aggregate (bounded by price granularity, the q287/q318 class) -
+    then a cumsum window PARTITIONED by cohort over that bounded
+    frame and a 9-row decile-grid join. No global sort of raw rows,
+    no per-row window."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        _cohort_spark().alias("treated"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+    )
+    g = p.groupBy("treated", "v").agg(F.count("*").cast("long").alias("cnt"))
+    wc = Window.partitionBy("treated").orderBy("v")
+    wn = Window.partitionBy("treated")
+    c = g.select(
+        "treated",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    q = (
+        c.crossJoin(F.broadcast(ks))
+        .filter(F.col("cum") >= F.expr("(k * n + 9) DIV 10"))
+        .groupBy("treated", "k")
+        .agg(F.min("v").alias("qv"))
+    )
+    tq = q.filter(F.col("treated")).select(
+        F.col("k").alias("decile"), F.col("qv").alias("treat_q_micro")
+    )
+    cq = q.filter(~F.col("treated")).select(
+        F.col("k").alias("decile"), F.col("qv").alias("ctrl_q_micro")
+    )
+    return tq.join(cq, "decile").select(
+        "decile",
+        "treat_q_micro",
+        "ctrl_q_micro",
+        (F.col("treat_q_micro") - F.col("ctrl_q_micro")).alias("qte_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q364: hash-seeded permutation (sign-flip) test on the cohort contrast
+# ---------------------------------------------------------------------------
+
+_PERM_B = 64
+
+
+@query(
+    "q364_permutation_test",
+    oracle=f"""
+    WITH ux AS (
+      SELECT user_id,
+             {_COHORT_SQL} AS treated,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) * 1000000 AS BIGINT)
+               AS x
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN treated THEN x ELSE -x END) AS BIGINT)
+               AS t_obs
+      FROM ux
+    ),
+    b AS (SELECT UNNEST(range(0, {_PERM_B})) AS bi),
+    perm AS (
+      SELECT b.bi,
+             CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(
+                        CAST(ux.user_id AS VARCHAR) || '|' ||
+                        CAST(b.bi AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                       THEN ux.x ELSE -ux.x END) AS BIGINT) AS t_b
+      FROM ux, b GROUP BY b.bi
+    )
+    SELECT obs.t_obs AS t_obs_micro,
+           CAST({_PERM_B} AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN ABS(perm.t_b) >= ABS(obs.t_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           ROUND((1.0 + SUM(CASE WHEN ABS(perm.t_b) >= ABS(obs.t_obs)
+                                 THEN 1 ELSE 0 END))
+                 / (1 + {_PERM_B}), 6) AS p_value
+    FROM perm, obs
+    GROUP BY obs.t_obs
+    """,
+)
+def q364_permutation_test(spark, sf_dir):
+    """PERMUTATION TEST of the cohort contrast in per-user purchase
+    totals, with HASH-SEEDED sign flips standing in for random
+    relabelings: pseudo-assignment b relabels user u by the parity of
+    md5(u || '|' || b) - deterministic, reproducible, shuffle-order-
+    free, and cross-engine identical, which is how a distributed
+    engine does randomization inference without a random number in
+    sight. p = (1 + #extreme) / (B + 1), the standard add-one
+    permutation p-value (Phipson & Smyth 2010).
+
+    Exactness: per-user totals ride DECIMAL(20,6) to micro bigints;
+    every statistic T_b is a bigint sum of signed integers
+    (order-independent); the only float is the final 6dp p-value.
+
+    Scale: per-user totals are one groupBy(user); the {_PERM_B}
+    pseudo-assignments expand via a {_PERM_B}-row constant grid
+    crossed into that aggregate (each user's row is hashed {_PERM_B}
+    times map-side, combining before the B-row shuffle). B scales the
+    work linearly and is independent of corpus size."""
+    ev = t(spark, sf_dir, "events")
+    ux = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(20,6)")) * 1_000_000)
+            .cast("long")
+            .alias("x")
+        )
+        .select("user_id", _cohort_spark().alias("treated"), "x")
+    )
+    obs = ux.agg(
+        F.sum(
+            F.when(F.col("treated"), F.col("x")).otherwise(-F.col("x"))
+        )
+        .cast("long")
+        .alias("t_obs")
+    )
+    bgrid = spark.range(_PERM_B).select(F.col("id").alias("bi"))
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("user_id").cast("string"),
+                        F.col("bi").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    perm = (
+        ux.crossJoin(F.broadcast(bgrid))
+        .groupBy("bi")
+        .agg(
+            F.sum(F.when(flip, F.col("x")).otherwise(-F.col("x")))
+            .cast("long")
+            .alias("t_b")
+        )
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("t_obs")
+        .agg(
+            F.sum(
+                (F.abs(F.col("t_b")) >= F.abs(F.col("t_obs"))).cast("int")
+            )
+            .cast("long")
+            .alias("n_extreme")
+        )
+        .select(
+            F.col("t_obs").alias("t_obs_micro"),
+            F.lit(_PERM_B).cast("long").alias("n_perms"),
+            "n_extreme",
+            F.round(
+                (1.0 + F.col("n_extreme")) / (1 + _PERM_B), 6
+            ).alias("p_value"),
+        )
+    )
