@@ -240,6 +240,10 @@ ALLOW = {
     # 64-row constant assignment grid + 1-row observed-statistic frame
     # crossed into the per-user aggregate - bounded by construction.
     "q364_permutation_test": {"nested_loop"},
+    # DP split enumeration: non-equi self-joins and backtrack joins
+    # over the <=|distinct lengths|-row VALUE-DOMAIN prefix aggregate
+    # and 1-row boundary frames - aggregate-bounded by construction.
+    "q365_optimal_1d_segmentation": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -308,6 +312,9 @@ ALLOW_GLOBAL_WINDOW = {
     # centered 7-day moving window over the per-DAY aggregate -
     # bounded by calendar days (the q260 CUSUM precedent).
     "q335_seasonal_decomposition",
+    # prefix sums + per-level argmin windows over the VALUE-DOMAIN
+    # length aggregate (<= ~500 rows) - bounded, never fact-sized.
+    "q365_optimal_1d_segmentation",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

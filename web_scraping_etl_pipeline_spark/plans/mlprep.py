@@ -2296,3 +2296,263 @@ def q344_feature_hash_audit(spark, sf_dir):
         )
         .orderBy("terms_in_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q365: optimal 1-D k-segmentation of the length distribution (exact DP)
+# ---------------------------------------------------------------------------
+
+_SEG_K = 4
+
+
+def _seg_cost(hi: str, lo: str, div: str) -> str:
+    """1000x-scaled within-segment SSE between prefix rows ``lo`` and
+    ``hi``: (S2)*1000 - (S1^2*1000) div W, with the division TRUNCATED
+    identically by Spark DIV and DuckDB // - not mathematically exact
+    SSE, but an exactly-defined integer objective both engines
+    minimize bit-identically (W >= 1 always: segments are non-empty
+    index ranges)."""
+    return (
+        f"(({hi}.p2 - {lo}.p2) * 1000"
+        f" - (({hi}.p1 - {lo}.p1) * ({hi}.p1 - {lo}.p1) * 1000)"
+        f" {div} ({hi}.p0 - {lo}.p0))"
+    )
+
+
+def _seg_oracle() -> str:
+    head = f"""
+    WITH vals AS MATERIALIZED (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    ps AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS i, x,
+             CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS p0,
+             CAST(SUM(cnt * x) OVER (ORDER BY x) AS BIGINT) AS p1,
+             CAST(SUM(cnt * x * x) OVER (ORDER BY x) AS BIGINT) AS p2
+      FROM vals
+      UNION ALL
+      SELECT 0, NULL, 0, 0, 0
+    ),
+    dp1 AS MATERIALIZED (
+      SELECT v.i AS v, CAST(0 AS BIGINT) AS s,
+             {_seg_cost("v", "z", "//")} AS cost
+      FROM ps v, (SELECT * FROM ps WHERE i = 0) z
+      WHERE v.i >= 1
+    )"""
+    parts = [head]
+    for j in range(2, _SEG_K + 1):
+        parts.append(
+            f"""
+    dp{j} AS MATERIALIZED (
+      SELECT v, s, cost FROM (
+        SELECT vp.i AS v, p.v AS s,
+               p.cost + {_seg_cost("vp", "sp", "//")} AS cost,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vp.i
+                 ORDER BY p.cost + {_seg_cost("vp", "sp", "//")}, p.v
+               ) AS rn
+        FROM dp{j - 1} p
+        JOIN ps sp ON sp.i = p.v
+        JOIN ps vp ON vp.i > p.v
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    , vmax AS MATERIALIZED (SELECT MAX(i) AS vv FROM ps),
+    b3 AS MATERIALIZED (
+      SELECT d.s FROM dp{_SEG_K} d, vmax WHERE d.v = vmax.vv
+    ),
+    b2 AS MATERIALIZED (
+      SELECT d.s FROM dp{_SEG_K - 1} d, b3 WHERE d.v = b3.s
+    ),
+    b1 AS MATERIALIZED (
+      SELECT d.s FROM dp{_SEG_K - 2} d, b2 WHERE d.v = b2.s
+    ),
+    bounds AS MATERIALIZED (
+      SELECT CAST(1 AS BIGINT) AS seg_id, CAST(0 AS BIGINT) AS lo_i,
+             b1.s AS hi_i FROM b1
+      UNION ALL SELECT 2, b1.s, b2.s FROM b1, b2
+      UNION ALL SELECT 3, b2.s, b3.s FROM b2, b3
+      UNION ALL SELECT 4, b3.s, vmax.vv FROM b3, vmax
+    )
+    SELECT b.seg_id, lo1.x AS lo_x, hi.x AS hi_x,
+           hi.p0 - lop.p0 AS n_docs,
+           {_seg_cost("hi", "lop", "//")} AS cost_scaled
+    FROM bounds b
+    JOIN ps hi ON hi.i = b.hi_i
+    JOIN ps lop ON lop.i = b.lo_i
+    JOIN ps lo1 ON lo1.i = b.lo_i + 1
+    """
+    )
+
+
+@query("q365_optimal_1d_segmentation", oracle=_seg_oracle())
+def q365_optimal_1d_segmentation(spark, sf_dir):
+    """OPTIMAL 1-D k-SEGMENTATION of the document-length distribution
+    (the exact-DP counterpart of Ckmeans.1d.dp / optimal equal-
+    variance binning): split the sorted n_chars value domain into
+    {_SEG_K} contiguous segments minimizing total within-segment SSE
+    - the principled version of the ad-hoc length buckets q312/q290
+    use, and the discretizer a feature pipeline wants when quantile
+    bins straddle modes. Output: per-segment [lo_x, hi_x], mass, and
+    cost; ties in the DP break on the SMALLER split index, so the
+    segmentation is unique on both engines.
+
+    Exactness: the value-domain prefix sums (count, sum, sum-of-
+    squares) are bigint; the cost is the 1000x-scaled SSE with an
+    engine-matched truncating division (:func:`_seg_cost`) - an
+    exactly-defined integer objective, so argmins cannot diverge.
+
+    Scale: the corpus collapses to the VALUE-DOMAIN aggregate first
+    (<= |distinct lengths| rows - the q287/q318 bounded class); the
+    DP's O(V^2) split enumeration and its windows run entirely on
+    that bounded frame (adjudicated BNLJ/global-window classes), and
+    backtracking joins three 1-row frames. Fact-sized work: one
+    groupBy(n_chars)."""
+    docs = t(spark, sf_dir, "documents")
+    vals = docs.groupBy(F.col("n_chars").cast("long").alias("x")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("x")
+    ps_rows = vals.select(
+        F.row_number().over(w).cast("long").alias("i"),
+        "x",
+        F.sum("cnt").over(w).cast("long").alias("p0"),
+        F.sum(F.col("cnt") * F.col("x")).over(w).cast("long").alias("p1"),
+        F.sum(F.col("cnt") * F.col("x") * F.col("x"))
+        .over(w)
+        .cast("long")
+        .alias("p2"),
+    )
+    zero = spark.range(1).select(
+        F.lit(0).cast("long").alias("i"),
+        F.lit(None).cast("long").alias("x"),
+        F.lit(0).cast("long").alias("p0"),
+        F.lit(0).cast("long").alias("p1"),
+        F.lit(0).cast("long").alias("p2"),
+    )
+    ps = transient_persist(ps_rows.unionByName(zero).coalesce(1))
+
+    def pref(alias):
+        return ps.select(
+            F.col("i").alias(f"{alias}_i"),
+            F.col("x").alias(f"{alias}_x"),
+            F.col("p0").alias(f"{alias}_p0"),
+            F.col("p1").alias(f"{alias}_p1"),
+            F.col("p2").alias(f"{alias}_p2"),
+        )
+
+    def cost(hi, lo):
+        return F.expr(
+            f"(({hi}_p2 - {lo}_p2) * 1000"
+            f" - (({hi}_p1 - {lo}_p1) * ({hi}_p1 - {lo}_p1) * 1000)"
+            f" DIV ({hi}_p0 - {lo}_p0))"
+        )
+
+    # dp[j] maps segment-count j to its (end-index v, best split s,
+    # best cost) table; every level is kept for the backtracking pass.
+    dps = {}
+    dp = (
+        pref("v")
+        .filter(F.col("v_i") >= 1)
+        .crossJoin(F.broadcast(pref("z").filter(F.col("z_i") == 0)))
+        .select(
+            F.col("v_i").alias("v"),
+            F.lit(0).cast("long").alias("s"),
+            cost("v", "z").alias("cost"),
+        )
+    )
+    dps[1] = transient_persist(dp.coalesce(1))
+    for j in range(2, _SEG_K + 1):
+        cand = (
+            dps[j - 1]
+            .join(pref("sp"), dps[j - 1].v == F.col("sp_i"))
+            .join(pref("vp"), F.col("vp_i") > F.col("sp_i"))
+            .select(
+                F.col("vp_i").alias("nv"),
+                F.col("v").alias("ns"),
+                (F.col("cost") + cost("vp", "sp")).alias("ncost"),
+            )
+        )
+        wr = Window.partitionBy("nv").orderBy("ncost", "ns")
+        dps[j] = transient_persist(
+            cand.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("nv").alias("v"),
+                F.col("ns").alias("s"),
+                F.col("ncost").alias("cost"),
+            )
+            .coalesce(1)
+        )
+    vmax = ps.agg(F.max("i").alias("vv"))
+    b3 = (
+        dps[_SEG_K]
+        .join(F.broadcast(vmax), dps[_SEG_K].v == F.col("vv"))
+        .limit(1)
+        .select(F.col("s").alias("b3"))
+    )
+    b2 = (
+        dps[_SEG_K - 1]
+        .join(F.broadcast(b3), dps[_SEG_K - 1].v == F.col("b3"))
+        .limit(1)
+        .select(F.col("s").alias("b2"))
+    )
+    b1 = (
+        dps[_SEG_K - 2]
+        .join(F.broadcast(b2), dps[_SEG_K - 2].v == F.col("b2"))
+        .limit(1)
+        .select(F.col("s").alias("b1"))
+    )
+    bounds = (
+        b1.crossJoin(F.broadcast(b2))
+        .crossJoin(F.broadcast(b3))
+        .crossJoin(F.broadcast(vmax))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).cast("long").alias("seg_id"),
+                        F.lit(0).cast("long").alias("lo_i"),
+                        F.col("b1").alias("hi_i"),
+                    ),
+                    F.struct(
+                        F.lit(2).cast("long").alias("seg_id"),
+                        F.col("b1").alias("lo_i"),
+                        F.col("b2").alias("hi_i"),
+                    ),
+                    F.struct(
+                        F.lit(3).cast("long").alias("seg_id"),
+                        F.col("b2").alias("lo_i"),
+                        F.col("b3").alias("hi_i"),
+                    ),
+                    F.struct(
+                        F.lit(4).cast("long").alias("seg_id"),
+                        F.col("b3").alias("lo_i"),
+                        F.col("vv").alias("hi_i"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select(
+            "b.seg_id",
+            F.col("b.lo_i").alias("b_lo"),
+            F.col("b.hi_i").alias("b_hi"),
+        )
+    )
+    return (
+        bounds.join(pref("hi"), F.col("b_hi") == F.col("hi_i"))
+        .join(pref("lop"), F.col("b_lo") == F.col("lop_i"))
+        .join(pref("lo1"), F.col("b_lo") + 1 == F.col("lo1_i"))
+        .select(
+            "seg_id",
+            F.col("lo1_x").alias("lo_x"),
+            F.col("hi_x").alias("hi_x"),
+            (F.col("hi_p0") - F.col("lop_p0")).alias("n_docs"),
+            cost("hi", "lop").alias("cost_scaled"),
+        )
+    )
