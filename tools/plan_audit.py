@@ -244,6 +244,9 @@ ALLOW = {
     # over the <=|distinct lengths|-row VALUE-DOMAIN prefix aggregate
     # and 1-row boundary frames - aggregate-bounded by construction.
     "q365_optimal_1d_segmentation": {"nested_loop"},
+    # 1-row positives-total frame crossed into the score-domain sweep
+    # - aggregate-bounded by construction.
+    "q366_pr_curve": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -315,6 +318,9 @@ ALLOW_GLOBAL_WINDOW = {
     # prefix sums + per-level argmin windows over the VALUE-DOMAIN
     # length aggregate (<= ~500 rows) - bounded, never fact-sized.
     "q365_optimal_1d_segmentation",
+    # TP/FP cumsum over the SCORE-DOMAIN aggregate (<= 1001 milli
+    # values - the q287 precedent), never fact-sized.
+    "q366_pr_curve",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -3525,3 +3525,65 @@ def q357_holt_trend_forecast(spark, sf_dir):
     return spark.createDataFrame(
         out, "day_idx long, y long, l_micro long, b_micro long, err_micro long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q368: overdispersion audit of the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q368_overdispersion_audit",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(y) AS BIGINT) AS total,
+           CAST((1000 * SUM(y)) // COUNT(*) AS BIGINT) AS mean_milli,
+           ROUND(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)
+                 / (COUNT(*) * SUM(y)), 6) AS dispersion_index
+    FROM daily GROUP BY event_type
+    """,
+)
+def q368_overdispersion_audit(spark, sf_dir):
+    """OVERDISPERSION AUDIT of daily event counts per type: the
+    variance-to-mean (Fisher dispersion) index - 1 for a Poisson
+    arrival process, > 1 for bursty/clumped traffic - computed as
+    (D*Sum(y^2) - Sum(y)^2) / (D*Sum(y)), which is exactly
+    population-variance/mean without ever forming either. This is the
+    distributional-assumption check behind every count-based alert
+    threshold (q254/q260 implicitly assume near-Poisson noise; this
+    query says whether that's true per stream).
+
+    Exactness: all moments are bigint (the q336 n^2-scaled-moment
+    device); the index is one division of exact integers rounded at
+    6dp, and the mean is reported in floor milli-units.
+
+    Scale: one groupBy((type, day)) with map-side combine - the
+    calendar x type bounded aggregate - then a |types|-row fold. The
+    fact is touched once."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+        ).alias("day_idx"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    n = F.count("*")
+    s = F.sum("y")
+    s2 = F.sum(F.col("y") * F.col("y"))
+    return daily.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        s.cast("long").alias("total"),
+        F.expr("(1000 * SUM(y)) DIV COUNT(*)").cast("long").alias(
+            "mean_milli"
+        ),
+        F.round(
+            (n * s2 - s * s).cast("double") / (n * s), 6
+        ).alias("dispersion_index"),
+    )

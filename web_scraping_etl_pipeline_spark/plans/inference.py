@@ -2698,3 +2698,205 @@ def q364_permutation_test(spark, sf_dir):
             ).alias("p_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q366: precision/recall curve of the quality score as a dup predictor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q366_pr_curve",
+    oracle=_LSH_CANDS_SQL + _MEMBERS_SQL + f""",
+    scored AS (
+      SELECT d.doc_id, {_SCORE_SQL} AS score,
+             (m.doc_id IS NOT NULL) AS is_dup
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    ),
+    grp AS (
+      SELECT score,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM scored GROUP BY score
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p FROM grp
+    ),
+    cum AS (
+      SELECT score,
+             CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER (ORDER BY score) AS BIGINT) AS fp
+      FROM grp
+    )
+    SELECT cum.score AS thr, cum.tp, cum.fp, tot.p - cum.tp AS fn,
+           ROUND(CAST(cum.tp AS DOUBLE) / (cum.tp + cum.fp), 6)
+             AS precision_,
+           ROUND(CAST(cum.tp AS DOUBLE) / tot.p, 6) AS recall_,
+           ROUND(CAST(2 * cum.tp AS DOUBLE)
+                 / (2 * cum.tp + cum.fp + (tot.p - cum.tp)), 6) AS f1
+    FROM cum, tot
+    """,
+)
+def q366_pr_curve(spark, sf_dir):
+    """PRECISION/RECALL CURVE of the milli-unit quality score as a
+    near-dup predictor (predict DUP when score <= threshold), swept
+    over every OBSERVED score value - the operating-point companion to
+    q287's threshold-free AUC and q321's AP: this is the table you
+    read to actually pick a production gate. F1 is computed in the
+    2TP/(2TP+FP+FN) form so it needs no intermediate rounding.
+
+    Exactness: TP/FP/FN are cumulative bigint counts over the score-
+    GROUP aggregate; the three ratios round once at 6dp from exact
+    integers (single-division IEEE class).
+
+    Scale: scoring is a map stage; the sweep is a cumsum window over
+    the SCORE-DOMAIN aggregate (<= 1001 milli values - the q287/q318
+    bounded class), with the 1-row positives total crossed back. The
+    only corpus-sized shuffles are the label semi-join and the score
+    groupBy."""
+    labeled = _neardup_labeled(spark, sf_dir)
+    grp = labeled.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    tot = grp.agg(F.sum("pos").cast("long").alias("p"))
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "score",
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        F.sum("neg").over(w).cast("long").alias("fp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("thr"),
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision_"),
+        F.round(F.col("tp").cast("double") / F.col("p"), 6).alias("recall_"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + (F.col("p") - F.col("tp"))),
+            6,
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q367: McNemar's test between two quality gates
+# ---------------------------------------------------------------------------
+
+#: the two paired binary gates: A = distinct-token-ratio (repetition)
+#: gate at 500 milli, B = stopword-ratio (natural-language-ness) gate
+#: at 100 milli - q84's rule family, pinned to integer thresholds.
+_MCN_A_MILLI = 500
+_MCN_B_MILLI = 100
+_MCN_STOPS = (
+    "('the','a','of','and','to','in','is','it','for','on')"
+)
+
+
+@query(
+    "q367_mcnemar_gates",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT ((1000 * len(list_distinct(toks))) // len(toks)
+               >= {_MCN_A_MILLI}) AS pa,
+             ((1000 * len(list_filter(toks, t -> t IN {_MCN_STOPS})))
+               // len(toks) >= {_MCN_B_MILLI}) AS pb
+      FROM x
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(SUM(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(SUM(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM g
+    )
+    SELECT a, b, c, d,
+           ROUND(CAST(a + d AS DOUBLE) / (a + b + c + d), 6) AS agree_rate,
+           ROUND(CASE WHEN b + c = 0 THEN 0.0
+                      ELSE CAST((ABS(b - c) - 1) * (ABS(b - c) - 1)
+                                AS DOUBLE) / (b + c) END, 6) AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def q367_mcnemar_gates(spark, sf_dir):
+    """McNEMAR'S TEST between two paired quality gates (repetition
+    gate vs stopword gate) on the same documents: the 2x2 agreement
+    cells and the continuity-corrected statistic (|b-c|-1)^2/(b+c)
+    over the DISCORDANT pairs only - the right test for "do the two
+    gates disagree systematically, and in which direction", where
+    q285's kappa only scores overall agreement. b >> c means the
+    stopword gate is strictly more permissive - a mixture-shift
+    warning before swapping gates in a cleaning pipeline.
+
+    Exactness: both gates are integer milli-threshold comparisons
+    (DIV), the cells are bigint counts, and the statistic is one
+    division of exact integers rounded at 6dp.
+
+    Scale: map-only gate evaluation (one token-array projection per
+    row, no explode), one 4-cell global aggregate. Nothing else."""
+    docs = t(spark, sf_dir, "documents")
+    g = docs.select(
+        (
+            F.expr(
+                "(1000 * size(array_distinct(split(trim(lower(text)),"
+                " '\\\\s+')))) DIV size(split(trim(lower(text)), '\\\\s+'))"
+            )
+            >= _MCN_A_MILLI
+        ).alias("pa"),
+        (
+            F.expr(
+                "(1000 * size(filter(split(trim(lower(text)), '\\\\s+'),"
+                " t -> t IN ('the','a','of','and','to','in','is','it',"
+                "'for','on')))) DIV size(split(trim(lower(text)), '\\\\s+'))"
+            )
+            >= _MCN_B_MILLI
+        ).alias("pb"),
+    )
+    cells = g.agg(
+        F.sum((F.col("pa") & F.col("pb")).cast("int"))
+        .cast("long")
+        .alias("a"),
+        F.sum((F.col("pa") & ~F.col("pb")).cast("int"))
+        .cast("long")
+        .alias("b"),
+        F.sum((~F.col("pa") & F.col("pb")).cast("int"))
+        .cast("long")
+        .alias("c"),
+        F.sum((~F.col("pa") & ~F.col("pb")).cast("int"))
+        .cast("long")
+        .alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(
+            (F.col("a") + F.col("d")).cast("double")
+            / (F.col("a") + F.col("b") + F.col("c") + F.col("d")),
+            6,
+        ).alias("agree_rate"),
+        F.round(
+            F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+                (
+                    (F.abs(F.col("b") - F.col("c")) - 1)
+                    * (F.abs(F.col("b") - F.col("c")) - 1)
+                ).cast("double")
+                / (F.col("b") + F.col("c"))
+            ),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
