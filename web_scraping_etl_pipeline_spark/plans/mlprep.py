@@ -2556,3 +2556,142 @@ def q365_optimal_1d_segmentation(spark, sf_dir):
             cost("hi", "lop").alias("cost_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q369: Shapley attribution of the cleaning gates' removals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q369_gate_shapley",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(len({_TOKENS_SQL}) AS BIGINT) AS nt,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS nd,
+             CAST(len(list_filter({_TOKENS_SQL},
+                                  t -> t IN {_STOPWORDS_SQL})) AS BIGINT)
+               AS ns
+      FROM documents
+    ),
+    g AS (
+      SELECT (nt BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}) AS ga,
+             (5 * nd >= 2 * nt) AS gb,
+             (50 * ns >= nt) AS gc
+      FROM f
+    ),
+    v AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS va,
+             CAST(SUM(CASE WHEN gb THEN 1 ELSE 0 END) AS BIGINT) AS vb,
+             CAST(SUM(CASE WHEN gc THEN 1 ELSE 0 END) AS BIGINT) AS vc,
+             CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+               AS vab,
+             CAST(SUM(CASE WHEN ga AND gc THEN 1 ELSE 0 END) AS BIGINT)
+               AS vac,
+             CAST(SUM(CASE WHEN gb AND gc THEN 1 ELSE 0 END) AS BIGINT)
+               AS vbc,
+             CAST(SUM(CASE WHEN ga AND gb AND gc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vabc
+      FROM g
+    )
+    SELECT u.gate, u.v_alone, u.phi_sixths,
+           (1000 * u.phi_sixths) // 6 AS phi_milli
+    FROM v, UNNEST([
+      {{'gate': 'len', 'v_alone': v.va,
+        'phi_sixths': 2*(v.va - v.v0) + (v.vab - v.vb) + (v.vac - v.vc)
+                      + 2*(v.vabc - v.vbc)}},
+      {{'gate': 'repetition', 'v_alone': v.vb,
+        'phi_sixths': 2*(v.vb - v.v0) + (v.vab - v.va) + (v.vbc - v.vc)
+                      + 2*(v.vabc - v.vac)}},
+      {{'gate': 'stopword', 'v_alone': v.vc,
+        'phi_sixths': 2*(v.vc - v.v0) + (v.vac - v.va) + (v.vbc - v.vb)
+                      + 2*(v.vabc - v.vab)}}
+    ]) AS t(u)
+    """,
+)
+def q369_gate_shapley(spark, sf_dir):
+    """SHAPLEY ATTRIBUTION of the cleaning pipeline's document
+    removals across its three gates (length window, repetition,
+    stopword - q84's rule family with EXACT integer thresholds):
+    phi_g = the average marginal change in kept-document count when
+    gate g joins a random coalition of the others. Unlike the naive
+    "docs only this gate rejects" number, Shapley values are the
+    unique attribution satisfying efficiency - they sum EXACTLY to
+    total removals - so overlapping gates split shared removals
+    fairly instead of double-counting (the question a data-quality
+    postmortem actually asks: which rule is doing the work?).
+
+    Exactness: with n = 3 gates the Shapley weights are sixths, so
+    6*phi is a pure bigint combination of the EIGHT coalition counts
+    v(S), all computed in ONE conditional aggregate; phi_milli floors
+    via the engines' shared truncating division. Efficiency
+    (sum(6*phi) = 6*(v(N) - v(empty))) is pinned by a pytest.
+
+    Scale: one map stage (token-array projection), one 8-cell global
+    aggregate, a 3-row literal expansion. The corpus is read once
+    regardless of coalition count (2^n conditional sums share the
+    scan; n here is the GATE count, never data-sized)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    f = docs.select(
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.size(
+            F.filter(
+                toks,
+                lambda c: c.isin(
+                    "the", "a", "of", "and", "to", "in", "is", "it",
+                    "for", "on",
+                ),
+            )
+        )
+        .cast("long")
+        .alias("ns"),
+    )
+    g = f.select(
+        F.col("nt").between(_MIN_TOKENS, _MAX_TOKENS).alias("ga"),
+        (5 * F.col("nd") >= 2 * F.col("nt")).alias("gb"),
+        (50 * F.col("ns") >= F.col("nt")).alias("gc"),
+    )
+
+    def cnt(cond, name):
+        return F.sum(cond.cast("int")).cast("long").alias(name)
+
+    v = g.agg(
+        F.count("*").cast("long").alias("v0"),
+        cnt(F.col("ga"), "va"),
+        cnt(F.col("gb"), "vb"),
+        cnt(F.col("gc"), "vc"),
+        cnt(F.col("ga") & F.col("gb"), "vab"),
+        cnt(F.col("ga") & F.col("gc"), "vac"),
+        cnt(F.col("gb") & F.col("gc"), "vbc"),
+        cnt(F.col("ga") & F.col("gb") & F.col("gc"), "vabc"),
+    )
+    phi = {
+        "len": "2*(va - v0) + (vab - vb) + (vac - vc) + 2*(vabc - vbc)",
+        "repetition": "2*(vb - v0) + (vab - va) + (vbc - vc)"
+        " + 2*(vabc - vac)",
+        "stopword": "2*(vc - v0) + (vac - va) + (vbc - vb)"
+        " + 2*(vabc - vab)",
+    }
+    alone = {"len": "va", "repetition": "vb", "stopword": "vc"}
+    return v.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(gate).alias("gate"),
+                        F.col(alone[gate]).alias("v_alone"),
+                        F.expr(expr).cast("long").alias("phi_sixths"),
+                    )
+                    for gate, expr in phi.items()
+                ]
+            )
+        ).alias("u")
+    ).select(
+        "u.gate",
+        "u.v_alone",
+        "u.phi_sixths",
+        F.expr("(1000 * u.phi_sixths) DIV 6").alias("phi_milli"),
+    )

@@ -2131,3 +2131,109 @@ def q234_erasure_cascade_audit(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q370: join-cardinality estimator audit (CBO diagnostics)
+# ---------------------------------------------------------------------------
+
+#: the audited equi-joins: (fact, dim, key) triples spanning the
+#: star schema's four arms.
+_CARD_JOINS = (
+    ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+    ("customer", "orders", "c_custkey", "o_custkey"),
+    ("part", "lineitem", "p_partkey", "l_partkey"),
+    ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+)
+
+
+def _card_oracle() -> str:
+    rows = []
+    for t1, t2, k1, k2 in _CARD_JOINS:
+        rows.append(f"""
+    SELECT '{t1}*{t2}' AS join_pair,
+           s1.n AS n_left, s2.n AS n_right,
+           s1.ndv AS ndv_left, s2.ndv AS ndv_right,
+           (s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv) AS est_rows,
+           a.actual AS actual_rows,
+           ROUND(GREATEST(
+             CAST((s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv) AS DOUBLE)
+               / a.actual,
+             CAST(a.actual AS DOUBLE)
+               / ((s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv))), 4)
+             AS q_error
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {k1}) AS BIGINT) AS ndv
+          FROM {t1}) s1,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {k2}) AS BIGINT) AS ndv
+          FROM {t2}) s2,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+          FROM {t1} JOIN {t2} ON {t1}.{k1} = {t2}.{k2}) a""")
+    return "\n    UNION ALL ".join(rows)
+
+
+@query("q370_join_cardinality_audit", oracle=_card_oracle())
+def q370_join_cardinality_audit(spark, sf_dir):
+    """JOIN-CARDINALITY ESTIMATOR AUDIT: for each star-schema arm,
+    the textbook uniformity estimate |R|*|S| / max(ndv_R, ndv_S)
+    against the TRUE join cardinality, with the q-error
+    (max(est/act, act/est) - Moerkotte et al. 2009) a cost-based
+    optimizer's planning risk is measured in. A q-error near 1 means
+    NDV statistics alone plan this join well; a large one flags
+    skew/correlation where a histogram or runtime re-plan (AQE) is
+    load-bearing. This is the engine auditing ITS OWN planning
+    statistics - the observability layer a 100 TB deployment runs
+    after every stats refresh.
+
+    Exactness: row counts and EXACT NDVs are bigints; the estimate
+    uses the shared truncating division; q-error is one double
+    division of exact integers, rounded at 4dp.
+
+    Scale: per arm, two single-pass aggregates (count + distinct) and
+    one equi-join count - each the natural shuffle shape. At
+    deployment scale the NDVs would come from the catalog's stats
+    (this query IS the stats-validation job), and the actual-count
+    probe runs on a sampled partition instead of the full fact."""
+    out = None
+    for t1n, t2n, k1, k2 in _CARD_JOINS:
+        d1 = t(spark, sf_dir, t1n)
+        d2 = t(spark, sf_dir, t2n)
+        s1 = d1.agg(
+            F.count("*").cast("long").alias("n_left"),
+            F.countDistinct(k1).cast("long").alias("ndv_left"),
+        )
+        s2 = d2.agg(
+            F.count("*").cast("long").alias("n_right"),
+            F.countDistinct(k2).cast("long").alias("ndv_right"),
+        )
+        a = (
+            d1.select(k1)
+            .join(d2.select(k2), d1[k1] == d2[k2])
+            .agg(F.count("*").cast("long").alias("actual_rows"))
+        )
+        est = F.expr(
+            "(n_left * n_right) DIV GREATEST(ndv_left, ndv_right)"
+        )
+        row = (
+            s1.crossJoin(F.broadcast(s2))
+            .crossJoin(F.broadcast(a))
+            .select(
+                F.lit(f"{t1n}*{t2n}").alias("join_pair"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                est.cast("long").alias("est_rows"),
+                "actual_rows",
+                F.round(
+                    F.greatest(
+                        est.cast("double") / F.col("actual_rows"),
+                        F.col("actual_rows").cast("double") / est,
+                    ),
+                    4,
+                ).alias("q_error"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
