@@ -3776,3 +3776,141 @@ def q348_epoch_allocation(spark, sf_dir):
         .cast("long")
         .alias("effective_value_m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q371: Count-Sketch (signed, median estimate) vs exact frequencies
+# ---------------------------------------------------------------------------
+
+_CSK_D = 3
+_CSK_W = 64
+_CSK_TOPK = 15
+_CSK_ROWS_SQL = "[" + ", ".join(str(j) for j in range(_CSK_D)) + "]"
+
+
+@query(
+    "q371_count_sketch",
+    oracle=f"""
+    WITH census AS MATERIALIZED (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+      GROUP BY w
+    ),
+    hashed AS MATERIALIZED (
+      SELECT term, cnt, r.j,
+             {_h60_sql("CAST(r.j AS VARCHAR) || ':' || term")} % {_CSK_W}
+               AS b,
+             CASE WHEN {_h60_sql("'s' || CAST(r.j AS VARCHAR) || ':' || term")}
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM census, LATERAL unnest({_CSK_ROWS_SQL}) r(j)
+    ),
+    cells AS MATERIALIZED (
+      SELECT j, b, CAST(SUM(sgn * cnt) AS BIGINT) AS cell
+      FROM hashed GROUP BY j, b
+    ),
+    topk AS MATERIALIZED (
+      SELECT term, cnt FROM census
+      ORDER BY cnt DESC, term LIMIT {_CSK_TOPK}
+    ),
+    est AS (
+      SELECT t.term, t.cnt,
+             h.sgn * c.cell AS e
+      FROM topk t
+      JOIN hashed h ON h.term = t.term
+      JOIN cells c ON c.j = h.j AND c.b = h.b
+    )
+    SELECT term, CAST(ANY_VALUE(cnt) AS BIGINT) AS exact_cnt,
+           CAST(list_sort(list(e))[{(_CSK_D + 1) // 2}] AS BIGINT)
+             AS est_median,
+           CAST(list_sort(list(e))[{(_CSK_D + 1) // 2}] AS BIGINT)
+             - CAST(ANY_VALUE(cnt) AS BIGINT) AS err
+    FROM est GROUP BY term
+    """,
+)
+def q371_count_sketch(spark, sf_dir):
+    """COUNT-SKETCH frequency estimation (Charikar-Chen-Farach-Colton
+    2002): a {_CSK_D} x {_CSK_W} SIGNED sketch whose per-row estimate
+    is sign(t,j) * cell(j, b(t,j)) and whose point estimate is the
+    MEDIAN across rows - the two-sided-error companion to q302's
+    Count-Min (whose collisions only ever INFLATE): random signs make
+    colliding mass cancel in expectation, so Count-Sketch also
+    estimates the non-head accurately and underpins every
+    feature-hashing trick (q344 is its one-row special case).
+
+    Exactness: both hash families are the cross-engine md5-60bit
+    device; cells are bigint signed sums (order-free); the median of
+    {_CSK_D} integers is an array-sort pick. err is two-sided by
+    design - pinned (vs CMS's one-sided) in pytest.
+
+    Scale: the sketch builds from the term CENSUS (one corpus
+    explode+groupBy), expands |vocab| x {_CSK_D} rows, and collapses
+    to {_CSK_D * _CSK_W} mergeable cells - shard sketches merge by
+    cell-wise sum exactly like q302/q256. Point queries join the
+    top-{_CSK_TOPK} frame against the cells by (row, bucket)."""
+    docs = t(spark, sf_dir, "documents")
+    census = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rows_arr = F.array(*[F.lit(j) for j in range(_CSK_D)])
+    hashed = transient_persist(
+        census.select(
+            "term",
+            "cnt",
+            F.explode(rows_arr).alias("j"),
+        ).select(
+            "term",
+            "cnt",
+            "j",
+            (
+                _h60(
+                    F.concat_ws(
+                        "", F.concat(F.col("j").cast("string"), F.lit(":"), F.col("term"))
+                    )
+                )
+                % _CSK_W
+            ).alias("b"),
+            F.when(
+                _h60(
+                    F.concat(
+                        F.lit("s"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("term"),
+                    )
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    cells = hashed.groupBy("j", "b").agg(
+        F.sum(F.col("sgn") * F.col("cnt")).cast("long").alias("cell")
+    )
+    topk = (
+        census.orderBy(F.col("cnt").desc(), "term")
+        .limit(_CSK_TOPK)
+        .select("term", "cnt")
+    )
+    est = (
+        topk.join(hashed.select("term", "j", "b", "sgn"), "term")
+        .join(cells, ["j", "b"])
+        .select("term", "cnt", (F.col("sgn") * F.col("cell")).alias("e"))
+    )
+    mid = (_CSK_D + 1) // 2  # 1-based middle for odd D
+    return est.groupBy("term").agg(
+        F.first("cnt").cast("long").alias("exact_cnt"),
+        F.element_at(F.sort_array(F.collect_list("e")), mid)
+        .cast("long")
+        .alias("est_median"),
+        (
+            F.element_at(F.sort_array(F.collect_list("e")), mid)
+            - F.first("cnt")
+        )
+        .cast("long")
+        .alias("err"),
+    )
