@@ -259,3 +259,23 @@ def test_join_cardinality_exact_keys(spark):
     assert abs(r["q_error"] - 1.0) < 1e-9
     for r in rows.values():
         assert r["q_error"] >= 1.0
+
+
+def test_wilson_bounds_bracket_rate(spark):
+    rows = _rows(spark, "q372_wilson_ci_by_source")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["fail_rate"] <= r["wilson_hi"] <= 1.0
+
+
+def test_count_sketch_two_sided_error(spark):
+    rows = _rows(spark, "q371_count_sketch")
+    assert len(rows) == 15
+    for r in rows:
+        assert r["err"] == r["est_median"] - r["exact_cnt"]
+    # two-sided by design: unlike CMS, under-estimates are possible;
+    # at minimum the estimator is not uniformly inflating by the
+    # full colliding mass (median cancels signed collisions)
+    assert any(r["err"] <= 0 for r in rows) or all(
+        abs(r["err"]) < r["exact_cnt"] for r in rows
+    )

@@ -2900,3 +2900,98 @@ def q367_mcnemar_gates(spark, sf_dir):
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q372: per-source gate-fail rate with Wilson score interval
+# ---------------------------------------------------------------------------
+
+#: z for the 95% two-sided interval, as a fixed literal so both
+#: engines compute the IDENTICAL expression (no inverse-normal call).
+_WILSON_Z = "1.959963985"
+
+
+@query(
+    "q372_wilson_ci_by_source",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+             CASE WHEN (1000 * len(list_distinct({_TOKENS_SQL})))
+                       // len({_TOKENS_SQL}) < 500
+                  THEN 1 ELSE 0 END AS fails
+      FROM documents
+    ),
+    c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(fails) AS BIGINT) AS k
+      FROM g GROUP BY source
+    )
+    SELECT source, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS fail_rate,
+           ROUND((CAST(k AS DOUBLE) / n + {_WILSON_Z}*{_WILSON_Z}/(2*n)
+                  - {_WILSON_Z} * SQRT((CAST(k AS DOUBLE)/n)
+                        * (1.0 - CAST(k AS DOUBLE)/n) / n
+                        + {_WILSON_Z}*{_WILSON_Z}/(4.0*n*n)))
+                 / (1.0 + {_WILSON_Z}*{_WILSON_Z}/n), 6) AS wilson_lo,
+           ROUND((CAST(k AS DOUBLE) / n + {_WILSON_Z}*{_WILSON_Z}/(2*n)
+                  + {_WILSON_Z} * SQRT((CAST(k AS DOUBLE)/n)
+                        * (1.0 - CAST(k AS DOUBLE)/n) / n
+                        + {_WILSON_Z}*{_WILSON_Z}/(4.0*n*n)))
+                 / (1.0 + {_WILSON_Z}*{_WILSON_Z}/n), 6) AS wilson_hi
+    FROM c
+    """,
+)
+def q372_wilson_ci_by_source(spark, sf_dir):
+    """WILSON SCORE INTERVAL (95%) on each source's repetition-gate
+    fail rate - the uncertainty-aware version of the raw rates every
+    per-source dashboard reports: for a source with 20 documents, a
+    15% fail rate means almost nothing, and the Wilson bounds (which
+    stay inside [0,1] and behave at k=0/k=n, unlike the Wald
+    interval) say exactly how little. The go/no-go question "is this
+    source's fail rate provably above tau?" reads directly off
+    wilson_lo.
+
+    Exactness: (n, k) are exact bigints; the interval is ONE
+    identical expression string over them on both engines - z is a
+    fixed literal, SQRT is IEEE-correctly-rounded, and the 6dp round
+    absorbs the last-ulp class (the q286/q343 adjudicated pattern).
+
+    Scale: a map-stage gate + one groupBy(source). |sources| output
+    rows."""
+    docs = t(spark, sf_dir, "documents")
+    fails = (
+        F.expr(
+            "(1000 * size(array_distinct(split(trim(lower(text)),"
+            " '\\\\s+')))) DIV size(split(trim(lower(text)), '\\\\s+'))"
+        )
+        < 500
+    ).cast("int")
+    c = docs.select("source", fails.alias("fails")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("fails").cast("long").alias("k"),
+    )
+    z = _WILSON_Z
+    lo = F.expr(
+        f"ROUND((CAST(k AS DOUBLE) / n + {z}*{z}/(2*n)"
+        f" - {z} * SQRT((CAST(k AS DOUBLE)/n)"
+        f" * (1.0 - CAST(k AS DOUBLE)/n) / n"
+        f" + {z}*{z}/(4.0*n*n)))"
+        f" / (1.0 + {z}*{z}/n), 6)"
+    )
+    hi = F.expr(
+        f"ROUND((CAST(k AS DOUBLE) / n + {z}*{z}/(2*n)"
+        f" + {z} * SQRT((CAST(k AS DOUBLE)/n)"
+        f" * (1.0 - CAST(k AS DOUBLE)/n) / n"
+        f" + {z}*{z}/(4.0*n*n)))"
+        f" / (1.0 + {z}*{z}/n), 6)"
+    )
+    return c.select(
+        "source",
+        "n",
+        "k",
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias(
+            "fail_rate"
+        ),
+        lo.alias("wilson_lo"),
+        hi.alias("wilson_hi"),
+    )
