@@ -250,6 +250,9 @@ ALLOW = {
     # per join arm: three 1-row stats frames (counts/NDVs/actual)
     # crossed - aggregate-bounded by construction.
     "q370_join_cardinality_audit": {"nested_loop"},
+    # 1-row totals frame crossed into the k-row fold-moment aggregate
+    # - aggregate-bounded by construction.
+    "q373_kfold_cv_mae": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -2995,3 +2995,142 @@ def q372_wilson_ci_by_source(spark, sf_dir):
         lo.alias("wilson_lo"),
         hi.alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q373: k-fold cross-validated MAE via fold-complement moments
+# ---------------------------------------------------------------------------
+
+_CV_K = 5
+
+
+@query(
+    "q373_kfold_cv_mae",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id,
+             {_h60_sql("CAST(doc_id AS VARCHAR)")} % {_CV_K} AS fold,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS xt,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ),
+    fm AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xt) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(xt * xt) AS BIGINT) AS sxx,
+             CAST(SUM(xt * y) AS BIGINT) AS sxy
+      FROM x GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+             CAST(SUM(sy) AS BIGINT) AS sy,
+             CAST(SUM(sxx) AS BIGINT) AS sxx,
+             CAST(SUM(sxy) AS BIGINT) AS sxy
+      FROM fm
+    ),
+    coef AS (
+      SELECT fm.fold,
+             tot.n - fm.n AS n_train,
+             (tot.n - fm.n) * (tot.sxx - fm.sxx)
+               - (tot.sx - fm.sx) * (tot.sx - fm.sx) AS dd,
+             (tot.n - fm.n) * (tot.sxy - fm.sxy)
+               - (tot.sx - fm.sx) * (tot.sy - fm.sy) AS nb,
+             (tot.sy - fm.sy) * (tot.sxx - fm.sxx)
+               - (tot.sx - fm.sx) * (tot.sxy - fm.sxy) AS na
+      FROM fm, tot
+    ),
+    ev AS (
+      SELECT x.fold,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(ABS(x.y * c.dd - (c.na + c.nb * x.xt))) AS BIGINT)
+               AS sae,
+             CAST(ANY_VALUE(c.dd) AS BIGINT) AS dd,
+             CAST(ANY_VALUE(c.n_train) AS BIGINT) AS n_train
+      FROM x JOIN coef c ON c.fold = x.fold
+      GROUP BY x.fold
+    )
+    SELECT fold, n_train, n_test,
+           (1000 * (sae // n_test)) // dd AS mae_milli
+    FROM ev
+    """,
+)
+def q373_kfold_cv_mae(spark, sf_dir):
+    """{_CV_K}-FOLD CROSS-VALIDATED MAE of the OLS predictor
+    (n_chars ~ n_tokens), computed the way a 100 TB deployment must:
+    the corpus is scanned ONCE into per-fold moment vectors, and each
+    fold's TRAINING moments are the algebraic complement
+    (totals - fold) - k models for the price of one aggregation, no
+    k-pass retraining (the q174 partial-merge device applied to model
+    fitting). Out-of-fold evaluation is the leakage-safe default the
+    split-audit family (q255/q268/q331) exists to enforce.
+
+    Exactness: per-fold OLS uses the q356 denominator-cleared bigint
+    residuals |y*dd - (na + nb*x)|; the milli-MAE divides by n_test
+    then dd in two floor steps (both engines' shared truncating
+    division; intermediate magnitudes stay under 2^63 by dividing
+    before rescaling). Everything is bigint end to end.
+
+    Scale: one groupBy(fold) for moments ({_CV_K} x 5 cells), a
+    broadcast join of the {_CV_K}-row coefficient frame back onto the
+    scan, one groupBy(fold) fold. Two passes total, independent of
+    k."""
+    docs = t(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id",
+        (_h60(F.col("doc_id").cast("string")) % _CV_K).alias("fold"),
+        F.size(_tokens()).cast("long").alias("xt"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    fm = x.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xt").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xt") * F.col("xt")).cast("long").alias("sxx"),
+        F.sum(F.col("xt") * F.col("y")).cast("long").alias("sxy"),
+    )
+    tot = fm.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+    )
+    coef = fm.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("n_train"),
+        (
+            (F.col("tn") - F.col("n")) * (F.col("tsxx") - F.col("sxx"))
+            - (F.col("tsx") - F.col("sx")) * (F.col("tsx") - F.col("sx"))
+        ).alias("dd"),
+        (
+            (F.col("tn") - F.col("n")) * (F.col("tsxy") - F.col("sxy"))
+            - (F.col("tsx") - F.col("sx")) * (F.col("tsy") - F.col("sy"))
+        ).alias("nb"),
+        (
+            (F.col("tsy") - F.col("sy")) * (F.col("tsxx") - F.col("sxx"))
+            - (F.col("tsx") - F.col("sx")) * (F.col("tsxy") - F.col("sxy"))
+        ).alias("na"),
+    )
+    ev = (
+        x.join(F.broadcast(coef), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.abs(
+                    F.col("y") * F.col("dd")
+                    - (F.col("na") + F.col("nb") * F.col("xt"))
+                )
+            )
+            .cast("long")
+            .alias("sae"),
+            F.first("dd").alias("dd"),
+            F.first("n_train").cast("long").alias("n_train"),
+        )
+    )
+    return ev.select(
+        "fold",
+        "n_train",
+        "n_test",
+        F.expr("(1000 * (sae DIV n_test)) DIV dd").alias("mae_milli"),
+    )
