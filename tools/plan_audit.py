@@ -253,6 +253,9 @@ ALLOW = {
     # 1-row totals frame crossed into the k-row fold-moment aggregate
     # - aggregate-bounded by construction.
     "q373_kfold_cv_mae": {"nested_loop"},
+    # 1-row corpus-count and query-norm frames crossed into the
+    # vocabulary-bounded idf / postings aggregates - bounded.
+    "q374_tfidf_cosine_topk": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -1188,3 +1188,146 @@ def q304_phrase_search(spark, sf_dir):
         .groupBy("doc_id", "source", "phrase")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q374: TF-IDF cosine retrieval via inverted-index join (integer idf)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 10
+
+
+@query(
+    "q374_tfidf_cosine_topk",
+    oracle=f"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    idf AS MATERIALIZED (
+      SELECT term,
+             CAST(FLOOR(LN(CAST(nn.n AS DOUBLE) / COUNT(*)) * 1000000)
+                  AS BIGINT) AS idf_micro
+      FROM tf, nn GROUP BY term, nn.n
+    ),
+    dnorm AS MATERIALIZED (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * idf.idf_micro * tf.tf * idf.idf_micro)
+                  AS BIGINT) AS dn2
+      FROM tf JOIN idf USING (term) GROUP BY tf.doc_id
+    ),
+    q AS (
+      SELECT term, idf_micro FROM idf
+      WHERE term IN ({_RRF_TERMS_SQL})
+    ),
+    qn AS (SELECT CAST(SUM(idf_micro * idf_micro) AS BIGINT) AS qn2 FROM q),
+    dot AS (
+      SELECT tf.doc_id,
+             CAST(SUM(q.idf_micro * tf.tf * q.idf_micro) AS BIGINT) AS dp,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM tf JOIN q USING (term)
+      GROUP BY tf.doc_id
+    )
+    SELECT dot.doc_id, dot.n_terms, dot.dp AS dot_scaled,
+           ROUND(CAST(dot.dp AS DOUBLE)
+                 / (SQRT(CAST(qn.qn2 AS DOUBLE))
+                    * SQRT(CAST(dnorm.dn2 AS DOUBLE))), 6) AS cosine
+    FROM dot JOIN dnorm USING (doc_id), qn
+    ORDER BY cosine DESC, dot.doc_id
+    LIMIT {_TFIDF_K}
+    """,
+)
+def q374_tfidf_cosine_topk(spark, sf_dir):
+    """TF-IDF COSINE top-{_TFIDF_K} for the suite's fixed lexical
+    query - the classical vector-space baseline next to q279's BM25
+    (BM25 saturates tf and normalizes by length; tf-idf cosine
+    normalizes by the FULL document vector norm, so verbose documents
+    are penalized through geometry instead of a length prior). The
+    sparse dot product runs as an inverted-index equi-join on term -
+    the shape that scales to an impact-ordered index at 100 TB -
+    never as a dense vector op.
+
+    Exactness - INTEGER idf weights: idf_micro = floor(ln(N/df)*1e6)
+    (the q337-adjudicated LN-floor class: exact integer ratio in,
+    1-ulp-class out, micro-floored), after which dot products and
+    squared norms are PURE BIGINT sums - order-independent, no float
+    accumulation anywhere. The single float expression is the final
+    cosine fold (two correctly-rounded SQRTs + one divide, rounded
+    6dp), identical text on both engines.
+
+    Scale: one corpus explode into the (doc, term, tf) postings
+    relation; idf is a vocabulary-bounded aggregate joined back
+    (broadcastable); document norms are one groupBy(doc); the query
+    leg touches only postings matching the |Q| query terms; final
+    ranking is TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    tf = transient_persist(
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    nn = docs.agg(F.count("*").cast("long").alias("n"))
+    idf = transient_persist(
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("n").cast("double") / F.col("df")) * 1_000_000
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    dnorm = (
+        tf.join(idf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.col("idf_micro")
+                * F.col("tf")
+                * F.col("idf_micro")
+            )
+            .cast("long")
+            .alias("dn2")
+        )
+    )
+    q = idf.filter(F.col("term").isin(*_RRF_TERMS))
+    qn = q.agg(
+        F.sum(F.col("idf_micro") * F.col("idf_micro"))
+        .cast("long")
+        .alias("qn2")
+    )
+    dot = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("idf_micro") * F.col("tf") * F.col("idf_micro"))
+            .cast("long")
+            .alias("dp"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        dot.join(dnorm, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            "n_terms",
+            F.col("dp").alias("dot_scaled"),
+            F.round(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("dn2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_TFIDF_K)
+    )
