@@ -279,3 +279,23 @@ def test_count_sketch_two_sided_error(spark):
     assert any(r["err"] <= 0 for r in rows) or all(
         abs(r["err"]) < r["exact_cnt"] for r in rows
     )
+
+
+def test_entropy_rate_bounds(spark):
+    (r,) = _rows(spark, "q375_markov_entropy_rate")
+    import math
+
+    # 0 <= H <= ln(5) nats (5 event types)
+    assert 0 <= r["entropy_rate_micro_nats"] <= math.log(5) * 1e6 + 1
+    assert r["n_cells"] <= 25
+
+
+def test_modularity_bounds_and_cover(spark):
+    rows = _rows(spark, "q376_label_modularity")
+    assert len(rows) == 10
+    q = sum(r["q_contrib"] for r in rows)
+    assert -0.5 - 1e-6 <= q <= 1.0 + 1e-6
+    from web_scraping_etl_pipeline_spark.plans.common import t as _t
+
+    n = _t(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_nodes"] for r in rows) == n

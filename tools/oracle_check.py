@@ -160,6 +160,7 @@ FLOAT_LINT_ALLOW = {
     "q337_naive_bayes_lang",  # per-term smoothed log-likelihood weights
     "q339_adaboost_stumps",  # per-round LN alpha in half-micro units
     "q374_tfidf_cosine_topk",  # micro-floored LN(N/df) idf weights
+    "q375_markov_entropy_rate",  # micro-floored LN(rowtotal/count), 25 cells
     # micro-unit floor of float32 parquet coordinates widened to
     # doubles (the q334 mechanism): widening and one multiply are
     # bit-identical cross-engine, so the floored grid coordinate is.

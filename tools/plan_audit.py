@@ -256,6 +256,9 @@ ALLOW = {
     # 1-row corpus-count and query-norm frames crossed into the
     # vocabulary-bounded idf / postings aggregates - bounded.
     "q374_tfidf_cosine_topk": {"nested_loop"},
+    # 1-row edge-count frame crossed into the |labels|-row cluster
+    # aggregate - aggregate-bounded by construction.
+    "q376_label_modularity": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -3134,3 +3134,88 @@ def q373_kfold_cv_mae(spark, sf_dir):
         "n_test",
         F.expr("(1000 * (sae DIV n_test)) DIV dd").alias("mae_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q375: entropy rate of the event-type Markov chain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q375_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt
+      FROM events
+    ),
+    tc AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    rowt AS (
+      SELECT cur, CAST(SUM(c) AS BIGINT) AS rt FROM tc GROUP BY cur
+    ),
+    contrib AS (
+      SELECT tc.cur, tc.nxt, tc.c, rowt.rt,
+             tc.c * CAST(FLOOR(LN(CAST(rowt.rt AS DOUBLE) / tc.c)
+                               * 1000000) AS BIGINT) AS h_micro
+      FROM tc JOIN rowt USING (cur)
+    ),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc)
+    SELECT CAST((SELECT SUM(h_micro) FROM contrib) // nt.n AS BIGINT)
+             AS entropy_rate_micro_nats,
+           nt.n AS n_transitions,
+           CAST((SELECT COUNT(*) FROM tc) AS BIGINT) AS n_cells
+    FROM nt
+    """,
+)
+def q375_markov_entropy_rate(spark, sf_dir):
+    """ENTROPY RATE of the empirical event-type Markov chain:
+    H = -sum_ij pi_i P_ij ln P_ij, estimated as
+    (1/N) * sum_ij c_ij * ln(rowtotal_i / c_ij) over the transition
+    census - the predictability ceiling of user behavior (how many
+    nats any next-event model, q94's chain included, can possibly
+    save) and the sequence-level companion to q108's per-user
+    marginal entropy. Low rate = sessions are near-deterministic and
+    next-event prediction is easy; the maximum, ln(5) nats, means the
+    chain carries no signal.
+
+    Exactness: transition counts are bigint; each cell's ln(rt/c) is
+    micro-FLOORed (the q337/q374 adjudicated LN class - exact integer
+    ratio in, 25-cell evaluation count), after which the weighted sum
+    and the final DIV are pure integer arithmetic.
+
+    Scale: one window shuffle on user_id for the LEAD pairs, one
+    groupBy over the |types|^2-bounded census; everything after is
+    arithmetic on <= 25 rows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("c"))
+    rowt = tc.groupBy("cur").agg(F.sum("c").cast("long").alias("rt"))
+    contrib = tc.join(rowt, "cur").select(
+        "c",
+        (
+            F.col("c")
+            * F.floor(
+                F.log(F.col("rt").cast("double") / F.col("c")) * 1_000_000
+            ).cast("long")
+        ).alias("h_micro"),
+    )
+    return contrib.agg(
+        F.sum("h_micro").alias("hsum"),
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.count("*").cast("long").alias("n_cells"),
+    ).select(
+        F.expr("hsum DIV n_transitions")
+        .cast("long")
+        .alias("entropy_rate_micro_nats"),
+        "n_transitions",
+        "n_cells",
+    )

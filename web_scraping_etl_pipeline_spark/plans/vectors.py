@@ -635,9 +635,9 @@ def q157_random_projection(spark, sf_dir):
 KNN_K = 3
 
 
-@query(
-    "q158_knn_graph",
-    oracle=f"""
+#: the kNN-graph derivation as shared oracle CTE text (q158's edge
+#: set, reused by the q376 modularity audit).
+_KNN_EDGES_SQL = f"""
     WITH b AS (
       SELECT vec_id, embedding,
              {_bucket_expr_sql("embedding")} AS bucket
@@ -657,7 +657,12 @@ KNN_K = 3
                PARTITION BY src ORDER BY sim DESC, dst
              ) AS rk
       FROM pairs
-    )
+    )"""
+
+
+@query(
+    "q158_knn_graph",
+    oracle=_KNN_EDGES_SQL + f"""
     SELECT src, dst, sim, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= {KNN_K}
     """,
@@ -2021,4 +2026,119 @@ def q362_kcenter_coreset(spark, sf_dir):
         )
     return spark.createDataFrame(
         out, "step long, center_id long, radius_sq long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q376: modularity of the ground-truth labels on the kNN graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q376_label_modularity",
+    oracle=_KNN_EDGES_SQL + f""",
+    dedges AS (
+      SELECT src, dst FROM ranked WHERE rk <= {KNN_K}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM dedges
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY node
+    ),
+    dc AS (
+      SELECT lab.label, CAST(COALESCE(SUM(deg.d), 0) AS BIGINT) AS d_c,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM lab LEFT JOIN deg ON deg.node = lab.vec_id
+      GROUP BY lab.label
+    ),
+    ec AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM und
+      JOIN lab la ON la.vec_id = und.u
+      JOIN lab lb ON lb.vec_id = und.v AND lb.label = la.label
+      GROUP BY la.label
+    )
+    SELECT dc.label, dc.n_nodes,
+           CAST(COALESCE(ec.e_c, 0) AS BIGINT) AS e_within,
+           dc.d_c AS degree_sum,
+           ROUND(CAST(4 * m.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c
+                      AS DOUBLE) / (4.0 * m.m * m.m), 6) AS q_contrib
+    FROM dc LEFT JOIN ec ON ec.label = dc.label, m
+    """,
+)
+def q376_label_modularity(spark, sf_dir):
+    """NEWMAN MODULARITY of the ground-truth label partition on the
+    q158 kNN graph: per label, Q_c = e_c/m - (d_c/2m)^2 over the
+    symmetrized edge set - the standard "are these labels actually
+    graph communities?" audit. Sum of q_contrib near 0 means the kNN
+    structure ignores the labels (embedding space and labels
+    disagree - a red flag for any label-propagation or
+    cluster-dedup plan built on that graph); near its maximum means
+    the graph does the labels' work.
+
+    Exactness: m, e_c, d_c are exact bigints from the deduplicated
+    undirected edge list; each Q_c is ONE division of the exact
+    integer 4m*e_c - d_c^2 by 4m^2, rounded at 6dp.
+
+    Scale: the kNN edges come from the LSH-bucketed build (q158 -
+    candidates only); symmetrization is a distinct over <= 2|E| rows;
+    degrees and within-label counts are two hash aggregates keyed by
+    node/label with the |labels|-row frames joined at the end."""
+    edges = q158_knn_graph(spark, sf_dir).select("src", "dst")
+    und = transient_persist(
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        ).distinct()
+    )
+    m = und.agg(F.count("*").cast("long").alias("m"))
+    lab = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dc = (
+        lab.join(deg, lab.vec_id == deg.node, "left")
+        .groupBy("label")
+        .agg(
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("d_c"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+    )
+    la = lab.select(F.col("vec_id").alias("u"), F.col("label").alias("la"))
+    lb = lab.select(F.col("vec_id").alias("v"), F.col("label").alias("lb"))
+    ec = (
+        und.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    return (
+        dc.join(ec, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_within"),
+            F.col("d_c").alias("degree_sum"),
+            F.round(
+                (
+                    4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                    - F.col("d_c") * F.col("d_c")
+                ).cast("double")
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("q_contrib"),
+        )
     )
