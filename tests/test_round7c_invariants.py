@@ -299,3 +299,20 @@ def test_modularity_bounds_and_cover(spark):
 
     n = _t(spark, SF_DIR, "embeddings").count()
     assert sum(r["n_nodes"] for r in rows) == n
+
+
+def test_theil_sen_pair_count(spark):
+    (r,) = _rows(spark, "q377_theil_sen_trend")
+    # n_pairs == C(D, 2) for D observed days
+    import math
+
+    d = int((1 + math.isqrt(1 + 8 * r["n_pairs"])) // 2)
+    assert d * (d - 1) // 2 == r["n_pairs"]
+
+
+def test_topk_churn_bounds(spark):
+    rows = _rows(spark, "q378_topk_churn")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_common"] <= 5
+        assert 0.0 <= r["jaccard"] <= 1.0

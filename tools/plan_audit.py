@@ -259,6 +259,12 @@ ALLOW = {
     # 1-row edge-count frame crossed into the |labels|-row cluster
     # aggregate - aggregate-bounded by construction.
     "q376_label_modularity": {"nested_loop"},
+    # banded pair self-join of the CALENDAR-bounded daily aggregate
+    # (the q327/q336 class).
+    "q377_theil_sen_trend": {"nested_loop"},
+    # 1-row min-day frame crossed into the calendar-bounded top-k
+    # day frame - aggregate-bounded by construction.
+    "q378_topk_churn": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -333,6 +339,9 @@ ALLOW_GLOBAL_WINDOW = {
     # TP/FP cumsum over the SCORE-DOMAIN aggregate (<= 1001 milli
     # values - the q287 precedent), never fact-sized.
     "q366_pr_curve",
+    # slope-median rank window over the |days|^2/2 CALENDAR-bounded
+    # pair aggregate - bounded, never fact-sized.
+    "q377_theil_sen_trend",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -3587,3 +3587,174 @@ def q368_overdispersion_audit(spark, sf_dir):
             (n * s2 - s * s).cast("double") / (n * s), 6
         ).alias("dispersion_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q377: Theil-Sen robust trend of the daily event series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q377_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (1000 * (b.y - a.y)) // (b.d - a.d) AS s_milli
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    r AS (
+      SELECT s_milli,
+             ROW_NUMBER() OVER (ORDER BY s_milli) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_pairs,
+           CAST((SUM(CASE WHEN rn = (n + 1) // 2 THEN s_milli ELSE 0 END)
+                 + SUM(CASE WHEN rn = n // 2 + 1 THEN s_milli ELSE 0 END))
+                // 2 AS BIGINT) AS sen_slope_milli
+    FROM r
+    """,
+)
+def q377_theil_sen_trend(spark, sf_dir):
+    """THEIL-SEN ROBUST TREND of daily event volume: the median of
+    all pairwise day-to-day slopes - the estimator that shrugs off
+    the outlier days that wreck the OLS trend (up to ~29% arbitrary
+    corruption), i.e. the slope a volume-capacity forecast should
+    trust when q368 reports overdispersion. Median of an even count
+    averages the two middle values (floor-milli arithmetic).
+
+    Exactness: slopes are milli-floored integer rationals via the
+    engines' shared truncating division (negative slopes truncate
+    identically); the median is an exact order statistic over the
+    bounded slope multiset; the final half-sum floors once.
+
+    Scale: the pair enumeration is a banded self-join of the
+    CALENDAR-bounded daily aggregate (|days|^2/2 rows - the
+    q327/q336 adjudicated-BNLJ class, bounded at any corpus size);
+    the median runs on that bounded frame. Fact-sized work: one
+    groupBy(day)."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.floor(
+            (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+        ).alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .select(
+            F.expr("(1000 * (yb - ya)) DIV (db - da)").alias("s_milli")
+        )
+    )
+    w = Window.orderBy("s_milli")
+    r = slopes.select(
+        "s_milli",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.first("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST((SUM(CASE WHEN rn = (n + 1) DIV 2 THEN s_milli ELSE 0 END)"
+            " + SUM(CASE WHEN rn = n DIV 2 + 1 THEN s_milli ELSE 0 END))"
+            " DIV 2 AS BIGINT)"
+        ).alias("sen_slope_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q378: day-over-day top-k churn (trending-set stability)
+# ---------------------------------------------------------------------------
+
+_CHURN_K = 5
+
+
+@query(
+    "q378_topk_churn",
+    oracle=f"""
+    WITH dk AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT d, item FROM (
+        SELECT d, item,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d ORDER BY cnt DESC, item) AS rn
+        FROM dk
+      ) WHERE rn <= {_CHURN_K}
+    ),
+    common AS (
+      SELECT cur.d, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM topk cur JOIN topk prv
+        ON prv.d = cur.d - 1 AND prv.item = cur.item
+      GROUP BY cur.d
+    ),
+    days AS (SELECT DISTINCT d FROM topk WHERE d > (SELECT MIN(d) FROM topk))
+    SELECT days.d AS day_idx,
+           CAST(COALESCE(common.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(common.n_common, 0) AS DOUBLE)
+                 / (2 * {_CHURN_K} - COALESCE(common.n_common, 0)), 6)
+             AS jaccard
+    FROM days LEFT JOIN common ON common.d = days.d
+    """,
+)
+def q378_topk_churn(spark, sf_dir):
+    """DAY-OVER-DAY TOP-{_CHURN_K} CHURN of the hottest item ids (the
+    ``props.k`` payload): for each day, how much of yesterday's
+    trending set survives - n_common and the Jaccard
+    c / (2k - c). The stability audit behind any "trending" feature
+    and behind cache/precompute sizing: Jaccard near 1 says the hot
+    set is static (cache it), near 0 says recompute daily. Ties at
+    the k-th slot break on the smaller item id, so both engines pick
+    the identical set.
+
+    Exactness: counts are bigint; the Jaccard is one exact-integer
+    division rounded at 6dp.
+
+    Scale: one groupBy((day, item)) with map-side combine, a
+    PARTITIONED top-k window (bounded by the item domain per day),
+    and a self-join of the k-per-day frame on (day-1, item) -
+    calendar x k rows. Fact touched once."""
+    ev = t(spark, sf_dir, "events")
+    dk = ev.groupBy(
+        F.floor(
+            (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+        ).alias("d"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("d").orderBy(F.col("cnt").desc(), "item")
+    topk = transient_persist(
+        dk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CHURN_K)
+        .select("d", "item")
+    )
+    prv = topk.select((F.col("d") + 1).alias("d"), "item")
+    common = (
+        topk.join(prv, ["d", "item"])
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    dmin = topk.agg(F.min("d").alias("dmin"))
+    days = (
+        topk.select("d")
+        .distinct()
+        .crossJoin(F.broadcast(dmin))
+        .filter(F.col("d") > F.col("dmin"))
+        .select("d")
+    )
+    return days.join(common, "d", "left").select(
+        F.col("d").alias("day_idx"),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.coalesce("n_common", F.lit(0)).cast("double")
+            / (2 * _CHURN_K - F.coalesce("n_common", F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )
