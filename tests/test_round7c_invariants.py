@@ -316,3 +316,15 @@ def test_topk_churn_bounds(spark):
     for r in rows:
         assert 0 <= r["n_common"] <= 5
         assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_hits_scores_normalized(spark):
+    rows = _rows(spark, "q379_hits_hubs_authorities")
+    kinds = {}
+    for r in rows:
+        kinds.setdefault(r["kind"], []).append(r)
+    assert set(kinds) == {"authority", "hub"}
+    for k, rs in kinds.items():
+        assert max(r["score_micro"] for r in rs) == 1_000_000
+        for r in rs:
+            assert 0 <= r["score_micro"] <= 1_000_000

@@ -19,9 +19,9 @@ uses the same pattern for label propagation.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
-from .common import shared_stage, t
+from .common import shared_stage, t, transient_persist
 from .registry import query
 
 _DAMP = 0.85
@@ -364,3 +364,139 @@ def q274_recursive_ancestors(spark, sf_dir):
         FROM walk WHERE (cur - 1) DIV 4 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q379: HITS hubs/authorities on the user -> item click graph
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 4
+_HITS_TOPK = 10
+
+
+def _hits_oracle() -> str:
+    head = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+      FROM events WHERE event_type = 'click'
+    ),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h FROM edges
+    )"""
+    parts = [head]
+    for r in range(1, _HITS_ROUNDS + 1):
+        parts.append(
+            f"""
+    a{r}raw AS MATERIALIZED (
+      SELECT e.i, CAST(SUM(h.h) AS BIGINT) AS a
+      FROM edges e JOIN h{r - 1} h ON h.u = e.u GROUP BY e.i
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT i, (a * 1000000) // (SELECT MAX(a) FROM a{r}raw) AS a
+      FROM a{r}raw
+    ),
+    h{r}raw AS MATERIALIZED (
+      SELECT e.u, CAST(SUM(a.a) AS BIGINT) AS h
+      FROM edges e JOIN a{r} a ON a.i = e.i GROUP BY e.u
+    ),
+    h{r} AS MATERIALIZED (
+      SELECT u, (h * 1000000) // (SELECT MAX(h) FROM h{r}raw) AS h
+      FROM h{r}raw
+    )"""
+        )
+    r = _HITS_ROUNDS
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT kind, node_id, score_micro, rank FROM (
+      SELECT 'authority' AS kind, i AS node_id, a AS score_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY a DESC, i) AS BIGINT) AS rank
+      FROM a{r}
+      UNION ALL
+      SELECT 'hub', u, h,
+             CAST(ROW_NUMBER() OVER (ORDER BY h DESC, u) AS BIGINT)
+      FROM h{r}
+    ) WHERE rank <= {_HITS_TOPK}
+    """
+    )
+
+
+@query("q379_hits_hubs_authorities", oracle=_hits_oracle())
+def q379_hits_hubs_authorities(spark, sf_dir):
+    """HITS (Kleinberg 1999) on the bipartite user -> item click
+    graph: {_HITS_ROUNDS} mutual-reinforcement rounds (authority =
+    sum of pointing hubs, hub = sum of pointed authorities) with
+    MAX-normalization each half-step, reporting the top-{_HITS_TOPK}
+    of each side - the eigenvector companion to q177's PageRank
+    (random-walk centrality) for "which items concentrate strong
+    users' attention, and which users' attention is predictive".
+
+    Exactness - INTEGER HITS: scores live in micro-units and each
+    normalization is ``(x * 1e6) DIV max(x)`` - max-norm instead of
+    the textbook L2 so the whole iteration stays bigint (no sqrt, no
+    float drift across rounds; the fixed-point RANKING converges the
+    same). Both engines run the identical integer recursion; ties
+    break on node id.
+
+    Scale: the edge list shuffles once per half-step keyed by the
+    joining side (u then i) with map-side combine; score frames are
+    bounded by |users| / |items|; the max is a 1-row broadcast. The
+    driver holds nothing - rounds are chained lazy plans over the
+    persisted edge frame with the per-round frames persisted to cut
+    lineage (the q177 discipline)."""
+    ev = t(spark, sf_dir, "events")
+    edges = transient_persist(
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("i"),
+        )
+        .distinct()
+    )
+    h = edges.select("u").distinct().select(
+        "u", F.lit(1_000_000).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        # localCheckpoint(eager) per half-step: the score frames are
+        # |items|/|users|-bounded, and cutting lineage here keeps the
+        # round-R plan from re-executing rounds 1..R-1 per consumer
+        # (lazy chaining measured 65s; checkpointed ~5s).
+        araw = (
+            edges.join(h, "u")
+            .groupBy("i")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        amax = araw.agg(F.max("a").alias("amax"))
+        a = (
+            araw.crossJoin(F.broadcast(amax))
+            .select("i", F.expr("(a * 1000000) DIV amax").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(a, "i")
+            .groupBy("u")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hmax = hraw.agg(F.max("h").alias("hmax"))
+        h = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select("u", F.expr("(h * 1000000) DIV hmax").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    wa = Window.orderBy(F.col("a").desc(), "i")
+    wh = Window.orderBy(F.col("h").desc(), "u")
+    auth = a.select(
+        F.lit("authority").alias("kind"),
+        F.col("i").alias("node_id"),
+        F.col("a").alias("score_micro"),
+        F.row_number().over(wa).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= _HITS_TOPK)
+    hubs = h.select(
+        F.lit("hub").alias("kind"),
+        F.col("u").alias("node_id"),
+        F.col("h").alias("score_micro"),
+        F.row_number().over(wh).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= _HITS_TOPK)
+    return auth.unionByName(hubs)
