@@ -328,3 +328,23 @@ def test_hits_scores_normalized(spark):
         assert max(r["score_micro"] for r in rs) == 1_000_000
         for r in rs:
             assert 0 <= r["score_micro"] <= 1_000_000
+
+
+def test_holt_winters_recursion_reference(spark):
+    rows = sorted(_rows(spark, "q380_holt_winters"),
+                  key=lambda r: r["day_idx"])
+    assert rows[0]["err_micro"] is None
+    # err at each step uses the PRE-update state: recompute is in the
+    # oracle; here pin the structural invariants
+    for r in rows[1:]:
+        assert r["err_micro"] >= 0
+    assert len(rows) >= 2
+
+
+def test_association_rules_bounds(spark):
+    rows = _rows(spark, "q381_association_rules")
+    assert rows
+    for r in rows:
+        assert 0.87 - 1e-9 <= r["confidence"] <= 1.0
+        assert r["lift"] > 0
+        assert r["ant1"] != r["cons"] and r["ant2"] != r["cons"]

@@ -265,6 +265,9 @@ ALLOW = {
     # 1-row min-day frame crossed into the calendar-bounded top-k
     # day frame - aggregate-bounded by construction.
     "q378_topk_churn": {"nested_loop"},
+    # 1-row minsup/n_docs frames crossed into the vocab-bounded
+    # support aggregates (the q358 shapes) - bounded by construction.
+    "q381_association_rules": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -3758,3 +3758,122 @@ def q378_topk_churn(spark, sf_dir):
             6,
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q380: additive Holt-Winters (period 7) of the daily series
+# ---------------------------------------------------------------------------
+
+_HW_P = 7
+
+
+@query(
+    "q380_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day_idx, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS tstep
+      FROM daily
+    ),
+    init_l AS (
+      SELECT CAST(SUM(y) * 1000000 // {_HW_P} AS BIGINT) AS l0
+      FROM idx WHERE tstep <= {_HW_P}
+    ),
+    init_s AS (
+      SELECT list(i.y * 1000000 - il.l0 ORDER BY i.tstep) AS s0
+      FROM idx i, init_l il WHERE i.tstep <= {_HW_P}
+    ),
+    hw AS (
+      SELECT i.tstep, i.day_idx, i.y,
+             il.l0 AS l_micro, CAST(0 AS BIGINT) AS b_micro,
+             s.s0 AS seas,
+             CAST(NULL AS BIGINT) AS err_micro
+      FROM idx i, init_l il, init_s s WHERE i.tstep = {_HW_P}
+      UNION ALL
+      SELECT i.tstep, i.day_idx, i.y,
+             (i.y * 1000000 - h.seas[1]) // 2
+               + (h.l_micro + h.b_micro) // 2 AS l_micro,
+             (((i.y * 1000000 - h.seas[1]) // 2
+               + (h.l_micro + h.b_micro) // 2) - h.l_micro) // 2
+               + h.b_micro // 2 AS b_micro,
+             list_append(
+               h.seas[2:{_HW_P}],
+               (i.y * 1000000
+                - ((i.y * 1000000 - h.seas[1]) // 2
+                   + (h.l_micro + h.b_micro) // 2)) // 2
+                 + h.seas[1] // 2) AS seas,
+             ABS(i.y * 1000000
+                 - (h.l_micro + h.b_micro + h.seas[1])) AS err_micro
+      FROM hw h JOIN idx i ON i.tstep = h.tstep + 1
+    )
+    SELECT day_idx, y, l_micro, b_micro,
+           seas[{_HW_P}] AS season_micro, err_micro
+    FROM hw WHERE tstep >= {_HW_P}
+    """,
+)
+def q380_holt_winters(spark, sf_dir):
+    """ADDITIVE HOLT-WINTERS (level + trend + period-{_HW_P}
+    seasonality, alpha = beta = gamma = 1/2) of the daily event
+    series - the third member of the exponential-smoothing family
+    (SES q346, Holt q357) and the one that fits real ops traffic:
+    q335's decomposition showed the weekly cycle; HW tracks it
+    adaptively, and |y - (l + b + s)| is the deseasonalized anomaly
+    residual. Warm-up: level = mean of the first week (floor micro),
+    trend = 0, seasonals = first-week deviations; smoothing starts at
+    step {_HW_P} + 1.
+
+        l_t = (y_t - s_(t-p))/2 + (l_(t-1) + b_(t-1))/2
+        b_t = (l_t - l_(t-1))/2 + b_(t-1)/2
+        s_t = (y_t - l_t)/2 + s_(t-p)/2
+
+    Exactness: the recursion runs literally in integer micro-units
+    with the engines' shared truncating division (the q357
+    discipline); the seasonal state is a rolling {_HW_P}-slot integer
+    vector, carried as a LIST in the recursive-CTE oracle and as a
+    Python deque in the driver loop. Engines cannot disagree.
+
+    Scale: the fact-sized work is ONE groupBy(day); the recursion
+    runs on the CALENDAR-bounded daily aggregate ({_HW_P}+2 bigints
+    of state - the q177/q357 bounded-driver class) and ships back as
+    a literal frame."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+            ).alias("day_idx")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    rows = sorted((r["day_idx"], r["y"]) for r in daily.collect())
+    p = _HW_P
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    out = []
+    if len(rows) >= p:
+        l = tdiv(sum(y for _, y in rows[:p]) * 1_000_000, p)
+        b = 0
+        seas = [y * 1_000_000 - l for _, y in rows[:p]]
+        out.append((rows[p - 1][0], rows[p - 1][1], l, b, seas[-1], None))
+        for day_idx, y in rows[p:]:
+            sp = seas.pop(0)
+            err = abs(y * 1_000_000 - (l + b + sp))
+            l_new = tdiv(y * 1_000_000 - sp, 2) + tdiv(l + b, 2)
+            b_new = tdiv(l_new - l, 2) + tdiv(b, 2)
+            s_new = tdiv(y * 1_000_000 - l_new, 2) + tdiv(sp, 2)
+            seas.append(s_new)
+            l, b = l_new, b_new
+            out.append((day_idx, y, l, b, s_new, err))
+    return spark.createDataFrame(
+        out,
+        "day_idx long, y long, l_micro long, b_micro long,"
+        " season_micro long, err_micro long",
+    )

@@ -1871,3 +1871,192 @@ def q358_apriori_triples(spark, sf_dir):
             ).alias("support_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q381: association rules from the frequent triples (confidence/lift)
+# ---------------------------------------------------------------------------
+
+#: only strong rules are reported: confidence >= 87% - the measured
+#: selective point on this dense corpus (max observed rule confidence
+#: is ~0.897; 87% keeps the top ~half-decile of rotations).
+_AR_CONF_NUM, _AR_CONF_DEN = 87, 100
+
+
+@query(
+    "q381_association_rules",
+    oracle=f"""
+    WITH dt0 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term
+      FROM documents
+    ),
+    top AS MATERIALIZED (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS df FROM dt0 GROUP BY term
+        ORDER BY df DESC, term LIMIT {_AP_VOCAB}
+      )
+    ),
+    dt AS MATERIALIZED (
+      SELECT dt0.doc_id, dt0.term FROM dt0 JOIN top USING (term)
+    ),
+    ms AS MATERIALIZED (
+      SELECT CAST({_AP_SUP_NUM} * COUNT(DISTINCT doc_id) AS BIGINT)
+               // {_AP_SUP_DEN} AS minsup,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents
+    ),
+    sup1 AS MATERIALIZED (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS s FROM dt GROUP BY term
+    ),
+    sup2 AS MATERIALIZED (
+      SELECT a.term AS t1, b.term AS t2, CAST(COUNT(*) AS BIGINT) AS s
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    ),
+    sup3 AS MATERIALIZED (
+      SELECT t1, t2, t3, s FROM (
+        SELECT a.term AS t1, b.term AS t2, c.term AS t3,
+               CAST(COUNT(*) AS BIGINT) AS s
+        FROM dt a
+        JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        JOIN dt c ON a.doc_id = c.doc_id AND b.term < c.term
+        GROUP BY 1, 2, 3
+      ), ms WHERE s >= ms.minsup
+    ),
+    rules AS (
+      SELECT s3.t1 AS ant1, s3.t2 AS ant2, s3.t3 AS cons,
+             s3.s AS sup_abc, p.s AS sup_ant, c1.s AS sup_cons
+      FROM sup3 s3
+      JOIN sup2 p ON p.t1 = s3.t1 AND p.t2 = s3.t2
+      JOIN sup1 c1 ON c1.term = s3.t3
+      UNION ALL
+      SELECT s3.t1, s3.t3, s3.t2, s3.s, p.s, c1.s
+      FROM sup3 s3
+      JOIN sup2 p ON p.t1 = s3.t1 AND p.t2 = s3.t3
+      JOIN sup1 c1 ON c1.term = s3.t2
+      UNION ALL
+      SELECT s3.t2, s3.t3, s3.t1, s3.s, p.s, c1.s
+      FROM sup3 s3
+      JOIN sup2 p ON p.t1 = s3.t2 AND p.t2 = s3.t3
+      JOIN sup1 c1 ON c1.term = s3.t1
+    )
+    SELECT r.ant1, r.ant2, r.cons, r.sup_abc,
+           ROUND(CAST(r.sup_abc AS DOUBLE) / r.sup_ant, 6) AS confidence,
+           ROUND(CAST(r.sup_abc AS DOUBLE) * ms.n_docs
+                 / (r.sup_ant * r.sup_cons), 6) AS lift
+    FROM rules r, ms
+    WHERE {_AR_CONF_DEN} * r.sup_abc >= {_AR_CONF_NUM} * r.sup_ant
+    """,
+)
+def q381_association_rules(spark, sf_dir):
+    """ASSOCIATION RULES {{A,B}} -> C from the q358 frequent triples:
+    each frequent triple yields its three pair->singleton rotations,
+    kept when confidence = sup(ABC)/sup(AB) clears
+    {_AR_CONF_NUM}/{_AR_CONF_DEN} - the rule-generation step that
+    completes a-priori (Agrawal & Srikant 1994 part 2), with LIFT
+    (confidence / P(C)) distinguishing "C follows from A,B" from "C
+    is simply everywhere" - the lesson of this dense corpus, where
+    high-confidence rules hover at lift ~ 1.
+
+    Exactness: all supports are exact bigints; the confidence GATE is
+    the integer cross-multiplication {_AR_CONF_DEN}*sup_abc >=
+    {_AR_CONF_NUM}*sup_ant (no float threshold boundary); only the
+    two reported ratios round, once, at 6dp.
+
+    Scale: supports reuse the q358 shapes (vocab-capped postings,
+    doc-keyed equi-joins, map-side combines); rule expansion is 3x
+    the frequent-triple count - output-bounded, never corpus-bounded.
+    """
+    docs = t(spark, sf_dir, "documents")
+    dt0 = docs.select("doc_id", F.explode(_tokens()).alias("term")).distinct()
+    top = (
+        dt0.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_AP_VOCAB)
+        .select("term")
+    )
+    dt = transient_persist(
+        dt0.join(F.broadcast(top), "term").select("doc_id", "term")
+    )
+    ms = docs.agg(
+        F.expr(
+            f"CAST({_AP_SUP_NUM} * COUNT(DISTINCT doc_id) AS BIGINT)"
+            f" DIV {_AP_SUP_DEN}"
+        ).alias("minsup"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    sup1 = dt.groupBy("term").agg(F.count("*").cast("long").alias("s"))
+    a = dt.select("doc_id", F.col("term").alias("t1"))
+    b = dt.select("doc_id", F.col("term").alias("t2"))
+    c = dt.select("doc_id", F.col("term").alias("t3"))
+    sup2 = transient_persist(
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    sup3 = transient_persist(
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .join(c, "doc_id")
+        .filter(F.col("t2") < F.col("t3"))
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("s"))
+        .crossJoin(F.broadcast(ms.select("minsup")))
+        .filter(F.col("s") >= F.col("minsup"))
+        .select("t1", "t2", "t3", "s")
+    )
+
+    def rot(ant_a, ant_b, cons):
+        p = sup2.select(
+            F.col("t1").alias("_p1"),
+            F.col("t2").alias("_p2"),
+            F.col("s").alias("sup_ant"),
+        )
+        c1 = sup1.select(
+            F.col("term").alias("_c"), F.col("s").alias("sup_cons")
+        )
+        return (
+            sup3.join(
+                p,
+                (F.col(ant_a) == F.col("_p1"))
+                & (F.col(ant_b) == F.col("_p2")),
+            )
+            .join(c1, F.col(cons) == F.col("_c"))
+            .select(
+                F.col(ant_a).alias("ant1"),
+                F.col(ant_b).alias("ant2"),
+                F.col(cons).alias("cons"),
+                F.col("s").alias("sup_abc"),
+                "sup_ant",
+                "sup_cons",
+            )
+        )
+
+    rules = (
+        rot("t1", "t2", "t3")
+        .unionByName(rot("t1", "t3", "t2"))
+        .unionByName(rot("t2", "t3", "t1"))
+    )
+    return (
+        rules.filter(
+            _AR_CONF_DEN * F.col("sup_abc") >= _AR_CONF_NUM * F.col("sup_ant")
+        )
+        .crossJoin(F.broadcast(ms.select("n_docs")))
+        .select(
+            "ant1",
+            "ant2",
+            "cons",
+            "sup_abc",
+            F.round(
+                F.col("sup_abc").cast("double") / F.col("sup_ant"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("sup_abc").cast("double")
+                * F.col("n_docs")
+                / (F.col("sup_ant") * F.col("sup_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
