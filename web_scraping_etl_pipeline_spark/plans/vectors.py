@@ -2002,19 +2002,19 @@ def q362_kcenter_coreset(spark, sf_dir):
     d = pts.crossJoin(F.broadcast(center)).select(
         "vec_id", "qi", F.expr(dist).alias("md")
     )
+    from .common import _TRANSIENT_PERSISTS
+
     for step in range(2, _KC_K + 1):
         d = d.persist()
-        from .common import _TRANSIENT_PERSISTS
-
         _TRANSIENT_PERSISTS.append(d)
-        far = (
-            d.orderBy(F.col("md").desc(), "vec_id").limit(1).first()
-        )
+        # ONE job per round: the TakeOrdered argmax row already
+        # carries the new center's quantized coordinates, so the
+        # next round's center is a 1-row literal frame (no second
+        # lookup job against d).
+        far = d.orderBy(F.col("md").desc(), "vec_id").limit(1).first()
         out.append((step, int(far["vec_id"]), int(far["md"])))
-        center = (
-            d.filter(F.col("vec_id") == int(far["vec_id"]))
-            .limit(1)
-            .select(F.col("qi").alias("cqi"))
+        center = spark.createDataFrame(
+            [(list(far["qi"]),)], "cqi array<bigint>"
         )
         d = (
             d.crossJoin(F.broadcast(center))
