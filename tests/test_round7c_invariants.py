@@ -348,3 +348,18 @@ def test_association_rules_bounds(spark):
         assert 0.87 - 1e-9 <= r["confidence"] <= 1.0
         assert r["lift"] > 0
         assert r["ant1"] != r["cons"] and r["ant2"] != r["cons"]
+
+
+def test_lof_positive_scores(spark):
+    rows = _rows(spark, "q382_lof_outliers")
+    assert len(rows) == 10
+    for r in rows:
+        assert r["lof"] > 0 and r["sreach"] > 0
+    lofs = [r["lof"] for r in rows]
+    assert lofs == sorted(lofs, reverse=True)
+
+
+def test_assortativity_bounds(spark):
+    (r,) = _rows(spark, "q383_degree_assortativity")
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edge_ends"] % 2 == 0  # both orderings of each edge

@@ -166,6 +166,7 @@ FLOAT_LINT_ALLOW = {
     # bit-identical cross-engine, so the floored grid coordinate is.
     "q360_dbscan_grid",
     "q362_kcenter_coreset",  # same micro-floor lattice as q360
+    "q382_lof_outliers",  # same micro-floor lattice as q360
 }
 
 

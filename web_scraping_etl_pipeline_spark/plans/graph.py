@@ -500,3 +500,107 @@ def q379_hits_hubs_authorities(spark, sf_dir):
         F.row_number().over(wh).cast("long").alias("rank"),
     ).filter(F.col("rank") <= _HITS_TOPK)
     return auth.unionByName(hubs)
+
+
+# ---------------------------------------------------------------------------
+# q383: degree assortativity of the kNN graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q383_degree_assortativity",
+    oracle="""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) + 1000000
+               AS v
+      FROM events WHERE event_type = 'click'
+    ),
+    und AS MATERIALIZED (
+      SELECT u, v FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY node
+    ),
+    samples AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und JOIN deg da ON da.node = und.u
+               JOIN deg db ON db.node = und.v
+      UNION ALL
+      SELECT db.d, da.d
+      FROM und JOIN deg da ON da.node = und.u
+               JOIN deg db ON db.node = und.v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM samples
+    )
+    SELECT n AS n_edge_ends, sx AS degree_sum,
+           ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS assortativity
+    FROM m
+    """,
+)
+def q383_degree_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY (Newman 2002) of the bipartite user-item
+    click graph: the Pearson correlation of endpoint degrees over all
+    edges - negative (disassortative) means heavy users spread over
+    niche items and hubs avoid hubs (the usual bipartite/web shape),
+    positive means a rich-club core. The one-number structural
+    summary that decides whether degree-targeted sampling or
+    hub-capping (the q43 hot-bucket discipline's graph cousin) will
+    change anything. Item ids are offset by 1e6 so the two node
+    namespaces cannot collide.
+
+    Exactness: each undirected edge contributes BOTH orderings, which
+    makes the x and y marginals identical, collapsing Pearson to
+    (n*Sxy - Sx^2) / (n*Sxx - Sx^2) - every moment an exact bigint;
+    ONE rounded division at the end.
+
+    Scale: degrees are one groupBy over the edge list; the sample
+    relation is two degree joins keyed by node; moments fold in one
+    aggregate. Edge-linear throughout."""
+    ev = t(spark, sf_dir, "events")
+    und = transient_persist(
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("long") + 1_000_000
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    joined = und.join(da, "u").join(db, "v")
+    samples = joined.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionAll(joined.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    return samples.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    ).select(
+        F.col("n").alias("n_edge_ends"),
+        F.col("sx").alias("degree_sum"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("assortativity"),
+    )

@@ -2142,3 +2142,147 @@ def q376_label_modularity(spark, sf_dir):
             ).alias("q_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q382: Local Outlier Factor over the micro-lattice kNN structure
+# ---------------------------------------------------------------------------
+
+_LOF_K = 3
+_LOF_TOPK = 10
+
+
+@query(
+    "q382_lof_outliers",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, {_KC_QI_SQL} AS qi,
+             {_bucket_expr_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    d AS MATERIALIZED (
+      SELECT a.vec_id AS p, b.vec_id AS o,
+             {_KC_DIST_SQL.format(a="a.qi", b="b.qi")} AS d2
+      FROM pts a JOIN pts b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    knn AS MATERIALIZED (
+      SELECT p, o, d2,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY d2, o) AS rk
+      FROM d
+    ),
+    kd AS MATERIALIZED (
+      SELECT p AS node, d2 AS kdist FROM knn WHERE rk = {_LOF_K}
+    ),
+    nb AS MATERIALIZED (
+      SELECT p, o, d2 FROM knn WHERE rk <= {_LOF_K}
+    ),
+    sr AS MATERIALIZED (
+      SELECT nb.p,
+             CAST(SUM(GREATEST(kd.kdist, nb.d2)) AS BIGINT) AS sreach
+      FROM nb JOIN kd ON kd.node = nb.o
+      GROUP BY nb.p
+    )
+    SELECT sr.p AS vec_id, sr.sreach,
+           ROUND(srn.s * CAST(sr.sreach AS DOUBLE) / {_LOF_K * _LOF_K}, 6)
+             AS lof
+    FROM sr
+    JOIN (
+      SELECT nb.p, SUM(1.0 / so.sreach) AS s
+      FROM nb JOIN sr so ON so.p = nb.o
+      GROUP BY nb.p
+    ) srn ON srn.p = sr.p
+    ORDER BY lof DESC, vec_id
+    LIMIT {_LOF_TOPK}
+    """,
+)
+def q382_lof_outliers(spark, sf_dir):
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000, k = {_LOF_K}) over
+    the embedding micro-lattice: density-RELATIVE outlier scoring -
+    a point is anomalous if its neighborhood is sparse compared to
+    its neighbors' neighborhoods, which catches the boundary cases
+    q224's global z-score and q360's fixed-eps noise label both
+    miss (a point can be globally ordinary but locally stranded).
+    Top-{_LOF_TOPK} by LOF, ties on vec_id. Uses the algebraic
+    rearrangement LOF(p) = sreach(p)/k^2 * sum_o 1/sreach(o), which
+    needs only per-node reachability SUMS, never materialized lrd
+    ratios.
+
+    Exactness: squared distances, k-distances, and reachability sums
+    are pure bigint on the q360/q362 micro lattice; the single float
+    stage is the {_LOF_K}-term sum of reciprocals + one multiply,
+    rounded at 6dp (the q286 adjudicated class - a 1-ulp tie would
+    need two LOF values within 1e-6 AND straddling the top-10 cut).
+
+    Scale: candidate pairs come from the sign-LSH bucket EQUI-JOIN
+    (the q158/q51 device - never all-pairs; kNN is "k nearest within
+    bucket", the standard LSH-LOF approximation, identical on both
+    engines because the bucket function is). Downstream kNN / kdist /
+    reachability algebra is per-node bounded ({_LOF_K} reach terms)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qi_spark = (
+        "transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pts = transient_persist(
+        emb.select(
+            "vec_id",
+            F.expr(qi_spark).alias("qi"),
+            _bucket_expr(F.col("embedding")).alias("bucket"),
+        )
+    )
+    a = pts.select(
+        F.col("vec_id").alias("p"), F.col("qi").alias("qa"), "bucket"
+    )
+    b = pts.select(
+        F.col("vec_id").alias("o"), F.col("qi").alias("qb"), "bucket"
+    )
+    dist = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    d = (
+        a.join(b, "bucket")
+        .filter(F.col("p") != F.col("o"))
+        .select("p", "o", F.expr(dist).alias("d2"))
+    )
+    w = Window.partitionBy("p").orderBy("d2", "o")
+    knn = transient_persist(
+        d.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= _LOF_K
+        )
+    )
+    kd = knn.filter(F.col("rk") == _LOF_K).select(
+        F.col("p").alias("node"), F.col("d2").alias("kdist")
+    )
+    sr = transient_persist(
+        knn.join(kd, knn.o == kd.node)
+        .groupBy("p")
+        .agg(
+            F.sum(F.greatest(F.col("kdist"), F.col("d2")))
+            .cast("long")
+            .alias("sreach")
+        )
+    )
+    srn = (
+        knn.select("p", "o")
+        .join(
+            sr.select(F.col("p").alias("o"), F.col("sreach").alias("so")),
+            "o",
+        )
+        .groupBy("p")
+        .agg(F.sum(1.0 / F.col("so")).alias("s"))
+    )
+    return (
+        sr.join(srn, "p")
+        .select(
+            F.col("p").alias("vec_id"),
+            "sreach",
+            F.round(
+                F.col("s") * F.col("sreach").cast("double") / (_LOF_K * _LOF_K),
+                6,
+            ).alias("lof"),
+        )
+        .orderBy(F.col("lof").desc(), "vec_id")
+        .limit(_LOF_TOPK)
+    )
