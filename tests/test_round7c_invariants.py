@@ -363,3 +363,22 @@ def test_assortativity_bounds(spark):
     (r,) = _rows(spark, "q383_degree_assortativity")
     assert -1.0 <= r["assortativity"] <= 1.0
     assert r["n_edge_ends"] % 2 == 0  # both orderings of each edge
+
+
+def test_haar_levels_present(spark):
+    rows = {r["level"]: r for r in _rows(spark, "q384_haar_energy")}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for lvl, r in rows.items():
+        assert r["energy"] >= 0
+        assert r["max_abs_coeff"] * r["max_abs_coeff"] <= r["energy"]
+        assert r["n_blocks"] <= 32 // (2 ** lvl)
+
+
+def test_session_gap_monotone(spark):
+    rows = sorted(_rows(spark, "q385_session_gap_sweep"),
+                  key=lambda r: r["gap_us"])
+    assert len(rows) == 3
+    n_events = {r["n_events"] for r in rows}
+    assert len(n_events) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_sessions"] <= a["n_sessions"]  # wider gap merges

@@ -268,6 +268,12 @@ ALLOW = {
     # 1-row minsup/n_docs frames crossed into the vocab-bounded
     # support aggregates (the q358 shapes) - bounded by construction.
     "q381_association_rules": {"nested_loop"},
+    # 5-row level grid crossed into the CALENDAR-bounded daily
+    # aggregate - constant-bounded by construction.
+    "q384_haar_energy": {"nested_loop"},
+    # 3-row gap-threshold grid crossed into the lagged event stream
+    # (map-stage multiply, the q351/q290 sweep device).
+    "q385_session_gap_sweep": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -3877,3 +3877,100 @@ def q380_holt_winters(spark, sf_dir):
         "day_idx long, y long, l_micro long, b_micro long,"
         " season_micro long, err_micro long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q384: Haar wavelet energy decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+#: dyadic span: days 0..31 (5 levels), absent days count 0 events.
+_HAAR_SPAN = 32
+_HAAR_LEVELS = 5
+
+
+@query(
+    "q384_haar_energy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events
+      WHERE (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+            BETWEEN 0 AND {_HAAR_SPAN - 1}
+      GROUP BY 1
+    ),
+    lv AS (SELECT UNNEST(range(1, {_HAAR_LEVELS + 1})) AS level),
+    coeffs AS (
+      SELECT lv.level,
+             daily.d // (1 << lv.level) AS block,
+             CAST(SUM(CASE WHEN (daily.d % (1 << lv.level))
+                                < (1 << (lv.level - 1))
+                           THEN daily.y ELSE -daily.y END) AS BIGINT) AS c
+      FROM daily, lv
+      GROUP BY 1, 2
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(c * c) AS BIGINT) AS energy,
+           CAST(MAX(ABS(c)) AS BIGINT) AS max_abs_coeff
+    FROM coeffs GROUP BY level
+    """,
+)
+def q384_haar_energy(spark, sf_dir):
+    """UNNORMALIZED HAAR WAVELET energy decomposition of the daily
+    event series (levels 1..{_HAAR_LEVELS} over the dyadic
+    {_HAAR_SPAN}-day span): the level-l detail coefficient of each
+    2^l-day block is (first-half sum) - (second-half sum), so
+    per-level ENERGY localizes variation by time scale - level 1
+    energy = day-to-day jitter, level 3 = intra-week shifts
+    (q335/q380's seasonality shows up here), level 5 = the
+    month-halves trend. The multiresolution screen a capacity planner
+    runs before choosing which smoother (q346/q357/q380) fits.
+
+    Exactness: with the unnormalized Haar basis every coefficient is
+    a +/-1-signed integer sum of daily counts - no division, no
+    sqrt(2) normalization (per-level energies are comparable WITHIN a
+    level; the docstring is the contract) - so coefficients, energies
+    and maxima are pure bigint.
+
+    Scale: one groupBy(day) collapses the fact; the coefficient
+    relation is the calendar-bounded daily aggregate crossed with a
+    {_HAAR_LEVELS}-row level grid (bounded-frame class) and
+    re-grouped - {_HAAR_SPAN} x {_HAAR_LEVELS} rows, constant at any
+    corpus size."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+            ).alias("d")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+        .filter(F.col("d").between(0, _HAAR_SPAN - 1))
+    )
+    lv = spark.range(1, _HAAR_LEVELS + 1).select(F.col("id").alias("level"))
+    coeffs = (
+        daily.crossJoin(F.broadcast(lv))
+        .groupBy(
+            "level",
+            F.expr("d DIV (1 << CAST(level AS INT))").alias("block"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(d % (1 << CAST(level AS INT)))"
+                        " < (1 << (CAST(level AS INT) - 1))"
+                    ),
+                    F.col("y"),
+                ).otherwise(-F.col("y"))
+            )
+            .cast("long")
+            .alias("c")
+        )
+    )
+    return coeffs.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("energy"),
+        F.max(F.abs("c")).cast("long").alias("max_abs_coeff"),
+    )

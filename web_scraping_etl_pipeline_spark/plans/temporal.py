@@ -2070,3 +2070,86 @@ def q353_u_shaped_attribution(spark, sf_dir):
             "credit_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q385: session-gap sensitivity sweep
+# ---------------------------------------------------------------------------
+
+#: candidate inactivity gaps, micros: 15 min / 30 min / 60 min.
+_GAP_SWEEP_US = (900_000_000, 1_800_000_000, 3_600_000_000)
+
+
+@query(
+    "q385_session_gap_sweep",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT UNNEST([{", ".join(str(x) for x in _GAP_SWEEP_US)}]) AS gap_us
+    ),
+    marks AS (
+      SELECT gaps.gap_us,
+             CASE WHEN g.prev_us IS NULL
+                       OR g.ts_us - g.prev_us > gaps.gap_us
+                  THEN 1 ELSE 0 END AS is_start
+      FROM g, gaps
+    )
+    SELECT gap_us,
+           CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((1000 * COUNT(*)) // SUM(is_start) AS BIGINT)
+             AS events_per_session_milli
+    FROM marks GROUP BY gap_us
+    """,
+)
+def q385_session_gap_sweep(spark, sf_dir):
+    """SESSION-GAP SENSITIVITY SWEEP: session counts under 15/30/60-
+    minute inactivity thresholds in ONE pass - the calibration table
+    behind every sessionization constant (q28/q70 pin one gap; this
+    query shows how much the metric moves if that constant is wrong,
+    the elbow in n_sessions vs gap being the natural choice). Session
+    count = number of session STARTS (prev gap exceeds the
+    threshold), which needs no per-gap window: one LAG per user
+    suffices for every threshold.
+
+    Exactness: timestamps are epoch-micros bigints, starts are
+    integer marks, the mean session length is floor-milli - all
+    exact.
+
+    Scale: ONE user-partitioned window (the expensive shuffle+sort,
+    paid once), then the gap grid multiplies rows 3x in a map stage
+    and collapses by gap - sweeping k thresholds costs k map
+    duplicates, not k windows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "ts_us", F.lag("ts_us").over(w).alias("prev_us")
+    )
+    gaps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in _GAP_SWEEP_US])
+        ).alias("gap_us")
+    )
+    marks = g.crossJoin(F.broadcast(gaps)).select(
+        "gap_us",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > F.col("gap_us")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    return marks.groupBy("gap_us").agg(
+        F.sum("is_start").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("(1000 * COUNT(*)) DIV SUM(is_start)")
+        .cast("long")
+        .alias("events_per_session_milli"),
+    )
