@@ -382,3 +382,17 @@ def test_session_gap_monotone(spark):
     assert len(n_events) == 1
     for a, b in zip(rows, rows[1:]):
         assert b["n_sessions"] <= a["n_sessions"]  # wider gap merges
+
+
+def test_silhouette_bounds(spark):
+    rows = _rows(spark, "q386_silhouette_sq")
+    assert len(rows) == 10
+    for r in rows:
+        assert -1000 <= r["avg_silhouette_milli"] <= 1000
+
+
+def test_ch_index_consistency(spark):
+    (r,) = _rows(spark, "q387_calinski_harabasz")
+    assert r["n_clusters"] == 10
+    assert r["w_ssq"] > 0 and r["b_ssq"] >= 0
+    assert r["ch_index"] >= 0.0

@@ -167,6 +167,8 @@ FLOAT_LINT_ALLOW = {
     "q360_dbscan_grid",
     "q362_kcenter_coreset",  # same micro-floor lattice as q360
     "q382_lof_outliers",  # same micro-floor lattice as q360
+    "q386_silhouette_sq",  # same micro-floor lattice as q360
+    "q387_calinski_harabasz",  # same micro-floor lattice as q360
 }
 
 

@@ -274,6 +274,11 @@ ALLOW = {
     # 3-row gap-threshold grid crossed into the lagged event stream
     # (map-stage multiply, the q351/q290 sweep device).
     "q385_session_gap_sweep": {"nested_loop"},
+    # k-row cluster-MOMENT frame broadcast against the point scan
+    # (the moment trick: no pair relation exists) - |labels|-bounded.
+    "q386_silhouette_sq": {"nested_loop"},
+    # 1-row grand-sum frame crossed into the 1-row totals frame.
+    "q387_calinski_harabasz": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -2286,3 +2286,284 @@ def q382_lof_outliers(spark, sf_dir):
         .orderBy(F.col("lof").desc(), "vec_id")
         .limit(_LOF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q386: simplified (squared-distance) silhouette of the label partition
+# ---------------------------------------------------------------------------
+
+#: shared cluster-moment CTE text on the micro lattice: per label,
+#: count, coordinate-sum vector, and sum of squared norms. The
+#: identity sum_j ||x - y_j||^2 = n_c*||x||^2 - 2*x.S_c + Q_c turns
+#: every "mean distance to cluster" into CLUSTER-MOMENT arithmetic -
+#: no point-pair relation exists anywhere.
+_SIL_MOMENTS_SQL = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             {_KC_QI_SQL} AS qi
+      FROM embeddings
+    ),
+    dimsum AS MATERIALIZED (
+      SELECT label, r.i AS i, CAST(SUM(qi[r.i]) AS BIGINT) AS sv
+      FROM pts, range(1, {{dim}} + 1) r(i)
+      GROUP BY label, r.i
+    ),
+    mom AS MATERIALIZED (
+      SELECT m0.label, m0.n_c, sc.s_c, m0.q_c FROM (
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(SUM(list_sum(list_transform(qi, v -> v * v)))
+                    AS BIGINT) AS q_c
+        FROM pts GROUP BY label
+      ) m0 JOIN (
+        SELECT label, list(sv ORDER BY i) AS s_c
+        FROM dimsum GROUP BY label
+      ) sc ON sc.label = m0.label
+    ),
+    pq AS MATERIALIZED (
+      SELECT vec_id, label, qi,
+             CAST(list_sum(list_transform(qi, v -> v * v)) AS BIGINT)
+               AS x2
+      FROM pts
+    ),
+    md AS MATERIALIZED (
+      SELECT pq.vec_id, pq.label AS own, mom.label AS c, mom.n_c,
+             (CASE WHEN mom.label = pq.label THEN
+               (CASE WHEN mom.n_c = 1 THEN NULL ELSE
+                 (mom.n_c * pq.x2
+                  - 2 * list_sum(list_transform(
+                        list_zip(pq.qi, mom.s_c), z -> z[1] * z[2]))
+                  + mom.q_c) // (mom.n_c - 1) END)
+             ELSE
+               (mom.n_c * pq.x2
+                - 2 * list_sum(list_transform(
+                      list_zip(pq.qi, mom.s_c), z -> z[1] * z[2]))
+                + mom.q_c) // mom.n_c
+             END) AS mean_d2
+      FROM pq, mom
+    )"""
+
+
+@query(
+    "q386_silhouette_sq",
+    oracle=_SIL_MOMENTS_SQL.format(dim=64) + """,
+    ab AS (
+      SELECT vec_id, own,
+             MAX(CASE WHEN c = own THEN mean_d2 END) AS a2,
+             MIN(CASE WHEN c <> own THEN mean_d2 END) AS b2
+      FROM md GROUP BY vec_id, own
+    ),
+    s AS (
+      SELECT own AS label,
+             CASE WHEN a2 IS NULL THEN 0
+                  ELSE (1000 * (b2 - a2)) // GREATEST(a2, b2) END AS s_milli
+      FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(s_milli) // COUNT(*) AS BIGINT) AS avg_silhouette_milli
+    FROM s GROUP BY label
+    """,
+)
+def q386_silhouette_sq(spark, sf_dir):
+    """SIMPLIFIED SILHOUETTE (squared-distance variant) of the
+    ground-truth labels on the embedding micro-lattice: per point,
+    a = mean squared distance to its OWN cluster, b = the smallest
+    mean squared distance to any OTHER cluster, s = (b-a)/max(a,b);
+    reported as the per-label average in milli-units - the standard
+    "are these clusters tight and separated?" score next to q376's
+    graph-side modularity.
+
+    THE MOMENT TRICK (why this scales): sum_j ||x-y_j||^2 =
+    n_c*||x||^2 - 2*x.S_c + Q_c, so every mean-distance-to-cluster is
+    arithmetic between a point and its cluster's (count, coordinate
+    sum, squared-norm sum) MOMENTS - the all-pairs relation the
+    textbook silhouette implies never exists; cost is
+    O(N * k * dim), embarrassingly parallel, one aggregate + one
+    broadcast join.
+
+    Exactness: lattice coordinates, moments, dot products and the
+    floor-divided means are pure bigint (max |dot| ~ 64 * 4e5 * 2e8 ~
+    5e15 < 2^63); s_milli floors once; singleton clusters emit s = 0
+    by convention (both engines alike)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qi_spark = (
+        "transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pts = transient_persist(
+        emb.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.expr(qi_spark).alias("qi"),
+        )
+    )
+    x2 = "aggregate(transform(qi, v -> v * v), 0L, (a, v) -> a + v)"
+    mom = pts.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.array(
+            *[
+                F.sum(F.element_at("qi", i)).cast("long")
+                for i in range(1, 65)
+            ]
+        ).alias("s_c"),
+        F.sum(F.expr(x2)).cast("long").alias("q_c"),
+    )
+    pq = pts.select("vec_id", "label", "qi", F.expr(x2).alias("x2"))
+    dot = (
+        "aggregate(zip_with(qi, s_c, (p, q) -> p * q),"
+        " 0L, (a, v) -> a + v)"
+    )
+    md = (
+        pq.crossJoin(F.broadcast(mom.withColumnRenamed("label", "c")))
+        .select(
+            "vec_id",
+            F.col("label").alias("own"),
+            "c",
+            F.when(
+                F.col("c") == F.col("label"),
+                F.when(F.col("n_c") == 1, F.lit(None)).otherwise(
+                    F.expr(
+                        f"(n_c * x2 - 2 * ({dot}) + q_c) DIV (n_c - 1)"
+                    )
+                ),
+            )
+            .otherwise(F.expr(f"(n_c * x2 - 2 * ({dot}) + q_c) DIV n_c"))
+            .alias("mean_d2"),
+        )
+    )
+    ab = md.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("c") == F.col("own"), F.col("mean_d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("c") != F.col("own"), F.col("mean_d2"))).alias(
+            "b2"
+        ),
+    )
+    s = ab.select(
+        F.col("own").alias("label"),
+        F.when(F.col("a2").isNull(), F.lit(0))
+        .otherwise(
+            F.expr("(1000 * (b2 - a2)) DIV GREATEST(a2, b2)")
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+    return s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.expr("SUM(s_milli) DIV COUNT(*)")
+        .cast("long")
+        .alias("avg_silhouette_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q387: Calinski-Harabasz index of the label partition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q387_calinski_harabasz",
+    oracle=_SIL_MOMENTS_SQL.format(dim=64) + """,
+    tot AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(q_c) AS BIGINT) AS q_all
+      FROM mom
+    ),
+    gsum AS (
+      SELECT r.i AS i, CAST(SUM(s_c[r.i]) AS BIGINT) AS g
+      FROM mom, range(1, 65) r(i) GROUP BY r.i
+    ),
+    parts AS (
+      SELECT
+        (SELECT CAST(SUM(list_sum(list_transform(
+                   list_zip(s_c, s_c), z -> z[1] * z[2])) // n_c)
+                AS BIGINT)
+         FROM mom) AS ssc,
+        (SELECT CAST(SUM(g * g) AS BIGINT) FROM gsum) AS g2
+    )
+    SELECT tot.n AS n_points, tot.k AS n_clusters,
+           tot.q_all - parts.ssc AS w_ssq,
+           parts.ssc - parts.g2 // tot.n AS b_ssq,
+           ROUND(CAST(parts.ssc - parts.g2 // tot.n AS DOUBLE)
+                 * (tot.n - tot.k)
+                 / ((tot.q_all - parts.ssc) * (tot.k - 1)), 6) AS ch_index
+    FROM tot, parts
+    """,
+)
+def q387_calinski_harabasz(spark, sf_dir):
+    """CALINSKI-HARABASZ INDEX (variance-ratio criterion) of the
+    ground-truth labels: [B/(k-1)] / [W/(N-k)], where W is
+    within-cluster and B between-cluster sum of squared deviations -
+    the third clustering-quality lens next to q386's silhouette
+    (per-point geometry) and q376's modularity (graph structure),
+    and the one usually used to pick k. Computed ENTIRELY from the
+    q386 cluster moments via the decompositions
+    W = sum_c (Q_c - |S_c|^2/n_c) and B = sum_c |S_c|^2/n_c - |G|^2/N
+    - again no point-pair relation and no centroid materialization.
+
+    Exactness: Q, S, G are exact bigints; the two floor-divided
+    scaled sums (|S_c|^2/n_c summed, |G|^2/N) introduce at most
+    k (resp. 1) unit of floor error on quantities of order 1e16 -
+    documented sub-ppb bias, identical on both engines because the
+    division order is pinned; the final ratio rounds at 6dp.
+
+    Scale: one groupBy(label) for moments, a 64-row dimension fold
+    for the grand sum, constant-size arithmetic after. O(N*dim) total.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    qi_spark = (
+        "transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pts = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.expr(qi_spark).alias("qi"),
+    )
+    x2 = "aggregate(transform(qi, v -> v * v), 0L, (a, v) -> a + v)"
+    mom = transient_persist(
+        pts.groupBy("label").agg(
+            F.count("*").cast("long").alias("n_c"),
+            F.array(
+                *[
+                    F.sum(F.element_at("qi", i)).cast("long")
+                    for i in range(1, 65)
+                ]
+            ).alias("s_c"),
+            F.sum(F.expr(x2)).cast("long").alias("q_c"),
+        )
+    )
+    s2 = (
+        "aggregate(zip_with(s_c, s_c, (p, q) -> p * q),"
+        " 0L, (a, v) -> a + v)"
+    )
+    tot = mom.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("q_c").cast("long").alias("q_all"),
+        F.sum(F.expr(f"({s2}) DIV n_c")).cast("long").alias("ssc"),
+    )
+    gsum = mom.select(
+        F.array(
+            *[
+                F.sum(F.element_at("s_c", i)).cast("long")
+                for i in range(1, 65)
+            ]
+        ).alias("g")
+    ).select(
+        F.expr(
+            "aggregate(transform(g, v -> v * v), 0L, (a, v) -> a + v)"
+        ).alias("g2")
+    )
+    return tot.crossJoin(F.broadcast(gsum)).select(
+        F.col("n").alias("n_points"),
+        F.col("k").alias("n_clusters"),
+        (F.col("q_all") - F.col("ssc")).alias("w_ssq"),
+        (F.col("ssc") - F.expr("g2 DIV n")).alias("b_ssq"),
+        F.round(
+            (F.col("ssc") - F.expr("g2 DIV n")).cast("double")
+            * (F.col("n") - F.col("k"))
+            / ((F.col("q_all") - F.col("ssc")) * (F.col("k") - 1)),
+            6,
+        ).alias("ch_index"),
+    )
