@@ -396,3 +396,17 @@ def test_ch_index_consistency(spark):
     assert r["n_clusters"] == 10
     assert r["w_ssq"] > 0 and r["b_ssq"] >= 0
     assert r["ch_index"] >= 0.0
+
+
+def test_davies_bouldin_positive(spark):
+    (r,) = _rows(spark, "q388_davies_bouldin")
+    assert r["n_clusters"] == 10
+    assert 0 < r["db_milli"] <= r["max_pair_milli"]
+
+
+def test_cluster_agreement_bounds(spark):
+    (r,) = _rows(spark, "q389_cluster_agreement")
+    assert 0.0 < r["purity"] <= 1.0
+    assert 0.0 <= r["nmi"] <= 1.0 + 1e-6
+    # purity is at least the share of the largest truth class
+    assert r["purity"] >= 1.0 / 10 - 1e-9

@@ -169,6 +169,10 @@ FLOAT_LINT_ALLOW = {
     "q382_lof_outliers",  # same micro-floor lattice as q360
     "q386_silhouette_sq",  # same micro-floor lattice as q360
     "q387_calinski_harabasz",  # same micro-floor lattice as q360
+    "q388_davies_bouldin",  # same micro-floor lattice as q360
+    # micro-floor lattice (pred bins) + micro-floored LN of exact
+    # integer ratios over the bounded contingency cells (q375 class)
+    "q389_cluster_agreement",
 }
 
 

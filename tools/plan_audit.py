@@ -279,6 +279,11 @@ ALLOW = {
     "q386_silhouette_sq": {"nested_loop"},
     # 1-row grand-sum frame crossed into the 1-row totals frame.
     "q387_calinski_harabasz": {"nested_loop"},
+    # k x k cluster-moment pair enumeration (|labels|^2-bounded).
+    "q388_davies_bouldin": {"nested_loop"},
+    # 1-row total/purity/MI/entropy frames crossed into the
+    # |labels| x |bins| contingency aggregate - bounded.
+    "q389_cluster_agreement": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -2567,3 +2567,261 @@ def q387_calinski_harabasz(spark, sf_dir):
             6,
         ).alias("ch_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q388: Davies-Bouldin index (squared-distance variant) from moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q388_davies_bouldin",
+    oracle=_SIL_MOMENTS_SQL.format(dim=64) + """,
+    cstat AS (
+      SELECT label, n_c,
+             list_transform(s_c, v -> v // n_c) AS cent,
+             (n_c * q_c - list_sum(list_transform(
+                 list_zip(s_c, s_c), z -> z[1] * z[2]))) // (n_c * n_c)
+               AS s2
+      FROM mom
+    ),
+    pair AS (
+      SELECT a.label AS i, b.label AS j,
+             (1000 * (a.s2 + b.s2))
+               // list_sum(list_transform(
+                    list_zip(a.cent, b.cent),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS r_milli
+      FROM cstat a JOIN cstat b ON a.label <> b.label
+    ),
+    worst AS (
+      SELECT i, CAST(MAX(r_milli) AS BIGINT) AS worst_r_milli
+      FROM pair GROUP BY i
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(worst_r_milli) // COUNT(*) AS BIGINT) AS db_milli,
+           CAST(MAX(worst_r_milli) AS BIGINT) AS max_pair_milli
+    FROM worst
+    """,
+)
+def q388_davies_bouldin(spark, sf_dir):
+    """DAVIES-BOULDIN INDEX (squared-distance variant) of the label
+    partition: DB = mean over clusters of max_j (s2_i + s2_j) /
+    d2_ij, with s2 the mean squared scatter and d2 the squared
+    centroid separation - low DB = tight, well-separated clusters.
+    Completes the internal-validation trio (q386 silhouette: per-
+    point; q387 CH: global variance ratio; DB: WORST-NEIGHBOR per
+    cluster, the one that flags a single merged pair the other two
+    average away).
+
+    Exactness: scatter uses (n*Q - |S|^2) DIV n^2 (max |S|^2 term
+    ~2.6e18, inside bigint); centroids are floor-micro coordinate
+    vectors; every ratio is floor-milli - deterministic on both
+    engines because every floor's operand order is pinned. The
+    squared-distance variant (no sqrt) is documented: rankings match
+    classic DB when scatter/separation scale together.
+
+    Scale: everything after the one groupBy(label) runs on the k-row
+    moment frame - the k^2 pair enumeration is |labels|^2, constant
+    in corpus size (bounded-frame class)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qi_spark = (
+        "transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pts = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.expr(qi_spark).alias("qi"),
+    )
+    x2 = "aggregate(transform(qi, v -> v * v), 0L, (a, v) -> a + v)"
+    mom = pts.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.array(
+            *[
+                F.sum(F.element_at("qi", i)).cast("long")
+                for i in range(1, 65)
+            ]
+        ).alias("s_c"),
+        F.sum(F.expr(x2)).cast("long").alias("q_c"),
+    )
+    s2sum = (
+        "aggregate(zip_with(s_c, s_c, (p, q) -> p * q),"
+        " 0L, (a, v) -> a + v)"
+    )
+    cstat = transient_persist(
+        mom.select(
+            "label",
+            F.expr("transform(s_c, v -> v DIV n_c)").alias("cent"),
+            F.expr(f"(n_c * q_c - ({s2sum})) DIV (n_c * n_c)").alias("s2"),
+        )
+    )
+    a = cstat.select(
+        F.col("label").alias("i"),
+        F.col("cent").alias("ca"),
+        F.col("s2").alias("sa"),
+    )
+    b = cstat.select(
+        F.col("label").alias("j"),
+        F.col("cent").alias("cb"),
+        F.col("s2").alias("sb"),
+    )
+    d2 = (
+        "aggregate(zip_with(ca, cb, (p, q) -> (p - q) * (p - q)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pair = a.join(F.broadcast(b), F.col("i") != F.col("j")).select(
+        "i",
+        F.expr(f"(1000 * (sa + sb)) DIV ({d2})").alias("r_milli"),
+    )
+    worst = pair.groupBy("i").agg(
+        F.max("r_milli").cast("long").alias("worst_r_milli")
+    )
+    return worst.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.expr("SUM(worst_r_milli) DIV COUNT(*)")
+        .cast("long")
+        .alias("db_milli"),
+        F.max("worst_r_milli").cast("long").alias("max_pair_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q389: external cluster validation - purity + NMI vs k-means assignment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q389_cluster_agreement",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(e.label AS BIGINT) AS truth,
+             CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) * 1000000)
+                  AS BIGINT) // 200000 AS pred,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM embeddings e
+      GROUP BY 1, 2
+    ),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    rowm AS (SELECT truth, CAST(SUM(c) AS BIGINT) AS rt FROM cells
+             GROUP BY truth),
+    colm AS (SELECT pred, CAST(SUM(c) AS BIGINT) AS ct FROM cells
+             GROUP BY pred),
+    pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS hits FROM (
+        SELECT pred, MAX(c) AS mx FROM cells GROUP BY pred
+      )
+    ),
+    mi AS (
+      SELECT CAST(SUM(cells.c * FLOOR(LN(CAST(cells.c AS DOUBLE) * nt.n
+                     / (rowm.rt * colm.ct)) * 1000000)) AS BIGINT) AS mi_n
+      FROM cells JOIN rowm USING (truth) JOIN colm USING (pred), nt
+    ),
+    hh AS (
+      SELECT
+        (SELECT CAST(SUM(rt * FLOOR(LN(CAST(nt.n AS DOUBLE) / rt)
+                         * 1000000)) AS BIGINT) FROM rowm, nt) AS ht_n,
+        (SELECT CAST(SUM(ct * FLOOR(LN(CAST(nt.n AS DOUBLE) / ct)
+                         * 1000000)) AS BIGINT) FROM colm, nt) AS hp_n
+    )
+    SELECT nt.n AS n_points,
+           CAST((SELECT COUNT(*) FROM colm) AS BIGINT) AS n_pred_bins,
+           ROUND(CAST(pur.hits AS DOUBLE) / nt.n, 6) AS purity,
+           ROUND(2.0 * mi.mi_n / (hh.ht_n + hh.hp_n), 6) AS nmi
+    FROM nt, pur, mi, hh
+    """,
+)
+def q389_cluster_agreement(spark, sf_dir):
+    """EXTERNAL CLUSTER VALIDATION of a cheap 1-D quantizer against
+    the ground-truth labels: the prediction is the dim-0 micro
+    coordinate bucketed at 0.2 (a deliberately weak, deterministic
+    "clustering" - the operator's value is the metric machinery, and
+    a weak quantizer exercises the full contingency table where a
+    perfect one would make NMI degenerate). Reports PURITY (majority-
+    truth mass per predicted bin) and NMI = 2*I(T;P)/(H(T)+H(P)) -
+    the pair every clustering paper tables.
+
+    Exactness: the contingency cells, margins, and purity hits are
+    exact bigints; each log term is micro-FLOORed from a ratio of
+    exact integers (the q337/q375 adjudicated LN class, |cells| +
+    |margins| evaluations) and weighted by integer counts, so the
+    entropy/MI numerators are bigint sums; the two output ratios
+    round once at 6dp.
+
+    Scale: ONE groupBy over (truth, pred) - the |labels| x |bins|
+    contingency aggregate - then margin folds and constant
+    arithmetic. The corpus is scanned once."""
+    emb = t(spark, sf_dir, "embeddings")
+    cells = transient_persist(
+        emb.groupBy(
+            F.col("label").cast("long").alias("truth"),
+            F.expr(
+                "CAST(FLOOR(CAST(element_at(embedding, 1) AS DOUBLE)"
+                " * 1000000) AS BIGINT) DIV 200000"
+            ).alias("pred"),
+        ).agg(F.count("*").cast("long").alias("c"))
+    )
+    nt = cells.agg(F.sum("c").cast("long").alias("n"))
+    rowm = cells.groupBy("truth").agg(F.sum("c").cast("long").alias("rt"))
+    colm = cells.groupBy("pred").agg(F.sum("c").cast("long").alias("ct"))
+    pur = (
+        cells.groupBy("pred")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("hits"))
+    )
+    mi = (
+        cells.join(rowm, "truth")
+        .join(colm, "pred")
+        .crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                F.col("c")
+                * F.floor(
+                    F.log(
+                        F.col("c").cast("double")
+                        * F.col("n")
+                        / (F.col("rt") * F.col("ct"))
+                    )
+                    * 1_000_000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("mi_n")
+        )
+    )
+    ht = rowm.crossJoin(F.broadcast(nt)).agg(
+        F.sum(
+            F.col("rt")
+            * F.floor(
+                F.log(F.col("n").cast("double") / F.col("rt")) * 1_000_000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ht_n")
+    )
+    hp = colm.crossJoin(F.broadcast(nt)).agg(
+        F.sum(
+            F.col("ct")
+            * F.floor(
+                F.log(F.col("n").cast("double") / F.col("ct")) * 1_000_000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hp_n")
+    )
+    nbins = colm.agg(F.count("*").cast("long").alias("n_pred_bins"))
+    return (
+        nt.crossJoin(F.broadcast(nbins))
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hp))
+        .select(
+            F.col("n").alias("n_points"),
+            "n_pred_bins",
+            F.round(F.col("hits").cast("double") / F.col("n"), 6).alias(
+                "purity"
+            ),
+            F.round(
+                2.0 * F.col("mi_n") / (F.col("ht_n") + F.col("hp_n")), 6
+            ).alias("nmi"),
+        )
+    )
