@@ -280,6 +280,99 @@ def probe_power_iteration(spark, sf_dir, k):
     return sum(1 for d in range(1, 65) if row[f"u{d}"] is not None)
 
 
+def probe_grid_neighbors(spark, sf_dir, k):
+    """q360 DBSCAN's dominant stage: eps-cell bucketing + the 3x3
+    adjacent-cell join + exact distance filter + degree count.
+    Replication places exact twins at identical lattice points, so
+    within-cell pair output grows ~k^2 by construction (like the LSH
+    probe); rows_out normalizes the curve."""
+    emb = replicate(t(spark, sf_dir, "embeddings"), "vec_id", k)
+    eps = 25_000
+    p = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("xi"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("yi"),
+    )
+    c = p.select(
+        "vec_id",
+        "xi",
+        "yi",
+        F.expr(f"xi DIV {eps}").alias("cx"),
+        F.expr(f"yi DIV {eps}").alias("cy"),
+    )
+    offs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).cast("long").alias("dx"),
+                        F.lit(dy).cast("long").alias("dy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o")
+    ).select("o.dx", "o.dy")
+    a = c.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("ia"),
+        F.col("xi").alias("xa"),
+        F.col("yi").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"),
+        F.col("xi").alias("xb"),
+        F.col("yi").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    deg = (
+        a.join(b, ["jx", "jy"])
+        .filter(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= F.lit(eps).cast("long") * eps
+        )
+        .groupBy("ia")
+        .agg(F.count("*").alias("n"))
+    )
+    return deg.agg(F.sum("n")).first()[0]
+
+
+def probe_cluster_moments(spark, sf_dir, k):
+    """q386/q387/q388's shared shape: per-label (count, 64-dim
+    coordinate-sum vector, squared-norm sum) moments in one hash
+    aggregate - pure O(N*dim) map+combine, the no-pairs clustering-
+    validation backbone."""
+    emb = replicate(t(spark, sf_dir, "embeddings"), "vec_id", k)
+    pts = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("qi"),
+    )
+    mom = pts.groupBy("label").agg(
+        F.count("*").alias("n_c"),
+        *[
+            F.sum(F.element_at("qi", i)).alias(f"s{i}")
+            for i in range(1, 65)
+        ],
+        F.sum(
+            F.expr(
+                "aggregate(transform(qi, v -> v * v), 0L, (a, v) -> a + v)"
+            )
+        ).alias("q_c"),
+    )
+    return mom.count()
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
@@ -289,6 +382,8 @@ PROBES = {
     "ngram_lm_join": probe_ngram_lm_join,
     "bpe_rounds": probe_bpe_rounds,
     "power_iteration": probe_power_iteration,
+    "grid_neighbors": probe_grid_neighbors,
+    "cluster_moments": probe_cluster_moments,
 }
 
 
