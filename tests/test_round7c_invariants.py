@@ -410,3 +410,25 @@ def test_cluster_agreement_bounds(spark):
     assert 0.0 <= r["nmi"] <= 1.0 + 1e-6
     # purity is at least the share of the largest truth class
     assert r["purity"] >= 1.0 / 10 - 1e-9
+
+
+def test_cochrans_q_nonneg(spark):
+    (r,) = _rows(spark, "q390_cochrans_q")
+    assert r["cochrans_q"] >= 0.0
+    for c in ("pass_len", "pass_rep", "pass_stop"):
+        assert 0 <= r[c] <= r["n"]
+
+
+def test_mcc_bounds_and_cells(spark):
+    (r,) = _rows(spark, "q391_mcc_gate")
+    assert -1.0 <= r["mcc"] <= 1.0
+    from web_scraping_etl_pipeline_spark.plans.common import t as _t
+
+    n = _t(spark, SF_DIR, "documents").count()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+
+
+def test_runs_test_consistency(spark):
+    (r,) = _rows(spark, "q392_runs_test")
+    assert 1 <= r["n_runs"] <= r["n_above"] + r["n_below"]
+    assert r["expected_runs"] >= 1.0

@@ -284,6 +284,9 @@ ALLOW = {
     # 1-row total/purity/MI/entropy frames crossed into the
     # |labels| x |bins| contingency aggregate - bounded.
     "q389_cluster_agreement": {"nested_loop"},
+    # 1-row median frame crossed into the CALENDAR-bounded daily
+    # aggregate - bounded by construction.
+    "q392_runs_test": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -361,6 +364,9 @@ ALLOW_GLOBAL_WINDOW = {
     # slope-median rank window over the |days|^2/2 CALENDAR-bounded
     # pair aggregate - bounded, never fact-sized.
     "q377_theil_sen_trend",
+    # median-rank and run-boundary LAG windows over the
+    # CALENDAR-bounded daily aggregate - bounded, never fact-sized.
+    "q392_runs_test",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -3974,3 +3974,143 @@ def q384_haar_energy(spark, sf_dir):
         F.sum(F.col("c") * F.col("c")).cast("long").alias("energy"),
         F.max(F.abs("c")).cast("long").alias("max_abs_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q392: Wald-Wolfowitz runs test on the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q392_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT y AS m FROM (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, d) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+      SELECT d, CASE WHEN daily.y > med.m THEN 1 ELSE 0 END AS s
+      FROM daily, med
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                       OR LAG(s) OVER (ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS is_start
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(SUM(is_start) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6)
+             AS z_score
+    FROM agg
+    """,
+)
+def q392_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ RUNS TEST of the daily event series against its
+    median: count the runs of consecutive above/below-median days and
+    compare with the exchangeability expectation 1 + 2*n1*n2/n -
+    too FEW runs (z << 0) means trending/sticky days (q377's slope or
+    q380's seasonality is real structure), too MANY means
+    oscillation. The randomness sanity check that decides whether the
+    time-series operators upstream have anything to model; days equal
+    to the median count as "below" on both engines alike.
+
+    Exactness: the median is an exact order statistic
+    (rank (n+1) DIV 2 over the calendar-bounded aggregate), runs and
+    category counts are exact integers via one LAG window; the
+    z-score is one identical expression over them (correctly-rounded
+    SQRT), rounded at 6dp.
+
+    Scale: the fact collapses to the per-day aggregate; the rank and
+    LAG windows run on that bounded frame (adjudicated
+    bounded-aggregate global windows)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+            ).alias("d")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    wr = Window.orderBy("y", "d")
+    wn = Window.partitionBy()
+    med = (
+        daily.select(
+            "y",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .limit(1)
+        .select(F.col("y").alias("m"))
+    )
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("y") > F.col("m")).cast("int").alias("s")
+    )
+    wd = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull()
+            | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    agg = runs.agg(
+        F.sum("is_start").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    return agg.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.round(
+            1.0 + 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")),
+            6,
+        ).alias("expected_runs"),
+        F.round(
+            (
+                F.col("r")
+                - (
+                    1.0
+                    + 2.0
+                    * F.col("n1")
+                    * F.col("n2")
+                    / (F.col("n1") + F.col("n2"))
+                )
+            )
+            / F.sqrt(
+                2.0
+                * F.col("n1")
+                * F.col("n2")
+                * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+                / (
+                    (F.col("n1") + F.col("n2"))
+                    * (F.col("n1") + F.col("n2"))
+                    * (F.col("n1") + F.col("n2") - 1)
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )

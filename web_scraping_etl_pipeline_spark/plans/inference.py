@@ -3219,3 +3219,204 @@ def q375_markov_entropy_rate(spark, sf_dir):
         "n_transitions",
         "n_cells",
     )
+
+
+# ---------------------------------------------------------------------------
+# q390: Cochran's Q across the three cleaning gates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q390_cochrans_q",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(len({_TOKENS_SQL}) AS BIGINT) AS nt,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS nd,
+             CAST(len(list_filter({_TOKENS_SQL},
+                   t -> t IN ('the','a','of','and','to','in','is','it',
+                              'for','on'))) AS BIGINT) AS ns
+      FROM documents
+    ),
+    g AS (
+      SELECT CASE WHEN nt BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS ga,
+             CASE WHEN 5 * nd >= 2 * nt THEN 1 ELSE 0 END AS gb,
+             CASE WHEN 50 * ns >= nt THEN 1 ELSE 0 END AS gc
+      FROM f
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ga) AS BIGINT) AS g1,
+             CAST(SUM(gb) AS BIGINT) AS g2,
+             CAST(SUM(gc) AS BIGINT) AS g3,
+             CAST(SUM(ga + gb + gc) AS BIGINT) AS sl,
+             CAST(SUM((ga + gb + gc) * (ga + gb + gc)) AS BIGINT) AS sl2
+      FROM g
+    )
+    SELECT n, g1 AS pass_len, g2 AS pass_rep, g3 AS pass_stop,
+           ROUND(CAST(2 * (3 * (g1*g1 + g2*g2 + g3*g3)
+                           - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)
+                 / (3 * sl - sl2), 6) AS cochrans_q
+    FROM agg
+    """,
+)
+def q390_cochrans_q(spark, sf_dir):
+    """COCHRAN'S Q TEST across the THREE cleaning gates on the same
+    documents: Q = (k-1) * [k*sum(G_j^2) - (sum G_j)^2] /
+    [k*sum(L_i) - sum(L_i^2)] with k = 3, G_j the per-gate pass
+    totals and L_i the per-document pass counts - the k-gate
+    generalization of q367's McNemar (which it reduces to at k = 2):
+    "do the three gates have the same pass rate, accounting for the
+    fact that they judge the SAME documents?" Large Q (vs chi^2, 2
+    df) says the gates filter systematically different slices - the
+    pipeline-design fact q369's Shapley then quantifies.
+
+    Exactness: gate indicators, per-gate totals, and per-doc pass
+    counts (0..3) are exact integers; Q is ONE division of bigint
+    combinations rounded at 6dp.
+
+    Scale: one map-stage token projection, one 6-cell global
+    aggregate. Adding gates grows the aggregate width, never the
+    scan count."""
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr(
+            "size(split(trim(lower(text)), '\\\\s+'))"
+        ).cast("long").alias("nt"),
+        F.expr(
+            "size(array_distinct(split(trim(lower(text)), '\\\\s+')))"
+        ).cast("long").alias("nd"),
+        F.expr(
+            "size(filter(split(trim(lower(text)), '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is','it',"
+            "'for','on')))"
+        ).cast("long").alias("ns"),
+    )
+    g = f.select(
+        F.col("nt").between(20, 80).cast("int").alias("ga"),
+        (5 * F.col("nd") >= 2 * F.col("nt")).cast("int").alias("gb"),
+        (50 * F.col("ns") >= F.col("nt")).cast("int").alias("gc"),
+    )
+    agg = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ga").cast("long").alias("g1"),
+        F.sum("gb").cast("long").alias("g2"),
+        F.sum("gc").cast("long").alias("g3"),
+        F.sum(F.col("ga") + F.col("gb") + F.col("gc"))
+        .cast("long")
+        .alias("sl"),
+        F.sum(
+            (F.col("ga") + F.col("gb") + F.col("gc"))
+            * (F.col("ga") + F.col("gb") + F.col("gc"))
+        )
+        .cast("long")
+        .alias("sl2"),
+    )
+    return agg.select(
+        "n",
+        F.col("g1").alias("pass_len"),
+        F.col("g2").alias("pass_rep"),
+        F.col("g3").alias("pass_stop"),
+        F.round(
+            (
+                2
+                * (
+                    3
+                    * (
+                        F.col("g1") * F.col("g1")
+                        + F.col("g2") * F.col("g2")
+                        + F.col("g3") * F.col("g3")
+                    )
+                    - (F.col("g1") + F.col("g2") + F.col("g3"))
+                    * (F.col("g1") + F.col("g2") + F.col("g3"))
+                )
+            ).cast("double")
+            / (3 * F.col("sl") - F.col("sl2")),
+            6,
+        ).alias("cochrans_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q391: Matthews correlation coefficient of the quality gate
+# ---------------------------------------------------------------------------
+
+_MCC_THR = 500
+
+
+@query(
+    "q391_mcc_gate",
+    oracle=_LSH_CANDS_SQL + _MEMBERS_SQL + f""",
+    scored AS (
+      SELECT ({_SCORE_SQL} <= {_MCC_THR}) AS pred_dup,
+             (m.doc_id IS NOT NULL) AS is_dup
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    ),
+    cm AS (
+      SELECT CAST(SUM(CASE WHEN pred_dup AND is_dup THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred_dup AND NOT is_dup THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT pred_dup AND is_dup THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT pred_dup AND NOT is_dup THEN 1
+                      ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+                 / SQRT(CAST((tp + fp) AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc
+    FROM cm
+    """,
+)
+def q391_mcc_gate(spark, sf_dir):
+    """MATTHEWS CORRELATION COEFFICIENT of the milli-{_MCC_THR}
+    quality gate as a near-dup predictor: the single-threshold
+    confusion matrix and its chance-corrected correlation - the
+    class-imbalance-proof summary (accuracy and F1 both flatter a
+    gate on an imbalanced label; MCC ~ 0 exposes it) completing the
+    gate-evaluation family: q287 AUC (threshold-free), q366 PR sweep
+    (all thresholds), MCC (the deployed threshold).
+
+    Exactness: the four cells are exact bigints; MCC is one identical
+    expression (products up to ~1e13 exact in doubles, one
+    correctly-rounded SQRT, one divide) rounded at 6dp.
+
+    Scale: the label semi-join + a 4-cell aggregate; nothing else."""
+    labeled = _neardup_labeled(spark, sf_dir)
+    s = labeled.select(
+        (F.col("score") <= _MCC_THR).alias("pred_dup"),
+        (F.col("y") == 1).alias("is_dup"),
+    )
+    cm = s.agg(
+        F.sum((F.col("pred_dup") & F.col("is_dup")).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum((F.col("pred_dup") & ~F.col("is_dup")).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum((~F.col("pred_dup") & F.col("is_dup")).cast("int"))
+        .cast("long")
+        .alias("fn"),
+        F.sum((~F.col("pred_dup") & ~F.col("is_dup")).cast("int"))
+        .cast("long")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("tp") + F.col("fp")).cast("double")
+                * (F.col("tp") + F.col("fn"))
+                * (F.col("tn") + F.col("fp"))
+                * (F.col("tn") + F.col("fn"))
+            ),
+            6,
+        ).alias("mcc"),
+    )
