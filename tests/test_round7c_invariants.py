@@ -432,3 +432,14 @@ def test_runs_test_consistency(spark):
     (r,) = _rows(spark, "q392_runs_test")
     assert 1 <= r["n_runs"] <= r["n_above"] + r["n_below"]
     assert r["expected_runs"] >= 1.0
+
+
+def test_friedman_rank_sums_conserve(spark):
+    rows = _rows(spark, "q393_friedman_test")
+    assert len(rows) == 5
+    # per day the doubled midranks over k=5 types sum to k(k+1) = 30,
+    # so total rank mass = 30 * n_days; n_days from any mean_rank row
+    total = sum(r["rank_sum_x2"] for r in rows)
+    assert total % 30 == 0
+    for r in rows:
+        assert r["friedman_chi2"] >= -1e-9

@@ -287,6 +287,9 @@ ALLOW = {
     # 1-row median frame crossed into the CALENDAR-bounded daily
     # aggregate - bounded by construction.
     "q392_runs_test": {"nested_loop"},
+    # within-day k^2 rank self-join + 1-row statistic frame over the
+    # calendar x k bounded aggregate (the q327/q336 class).
+    "q393_friedman_test": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -23,7 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import global_cumsum, global_rn, t, transient_persist
+from .common import (
+    EVENTS_EPOCH_US,
+    US_PER_DAY,
+    global_cumsum,
+    global_rn,
+    t,
+    transient_persist,
+)
 from .dedup import _LSH_CANDS_SQL, q43_lsh_candidate_pairs
 from .mlprep import _h60, _h60_sql
 from .registry import query
@@ -3419,4 +3426,111 @@ def q391_mcc_gate(spark, sf_dir):
             ),
             6,
         ).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q393: Friedman test - do event types keep the same daily rank order?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q393_friedman_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             event_type AS ty, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT a.d, a.ty,
+             CAST(2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM daily a JOIN daily b ON b.d = a.d
+      GROUP BY a.d, a.ty, a.y
+    ),
+    sums AS (
+      SELECT ty, CAST(SUM(r2) AS BIGINT) AS rank_sum_x2,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM ranked GROUP BY ty
+    ),
+    stat AS (
+      SELECT CAST(ANY_VALUE(n_days) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(rank_sum_x2 * rank_sum_x2) AS BIGINT) AS sr2
+      FROM sums
+    )
+    SELECT s.ty AS event_type, s.rank_sum_x2,
+           (1000 * s.rank_sum_x2) // (2 * s.n_days) AS mean_rank_milli,
+           ROUND(3.0 * st.sr2 / (st.n * st.k * (st.k + 1))
+                 - 3.0 * st.n * (st.k + 1), 6) AS friedman_chi2
+    FROM sums s, stat st
+    """,
+)
+def q393_friedman_test(spark, sf_dir):
+    """FRIEDMAN TEST over the (day x event-type) count table: rank
+    the k = 5 types WITHIN each day (midranks for ties, carried as
+    exact DOUBLED integers) and test whether the rank sums differ -
+    the ordinal sibling of q390's Cochran Q (binary outcomes) and the
+    repeated-measures answer to "is the traffic mix stable day to
+    day, or do types genuinely trade places?" With doubled midranks,
+    chi2 = 3*sum(R2_j^2)/(n*k*(k+1)) - 3n(k+1) (the classic
+    12/(nk(k+1)) form after R = R2/2).
+
+    Exactness: midranks come from the within-day 5x5 self-join
+    (2*#smaller + #tied + 1 - exact, order-free); rank sums and their
+    squares are bigint; the statistic is one identical float
+    expression rounded at 6dp; mean ranks report as floor-milli.
+
+    Scale: the fact collapses to the calendar x k aggregate; the
+    rank self-join is k^2 rows per day on that bounded frame
+    (adjudicated-BNLJ class); everything else is k-row arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    daily = transient_persist(
+        ev.groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+            ).alias("d"),
+            F.col("event_type").alias("ty"),
+        ).agg(F.count("*").cast("long").alias("y"))
+    )
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("y").alias("yb")
+    )
+    ranked = (
+        daily.join(F.broadcast(b), daily.d == b.d2)
+        .groupBy("d", "ty", "y")
+        .agg(
+            (
+                2 * F.sum((F.col("yb") < F.col("y")).cast("int"))
+                + F.sum((F.col("yb") == F.col("y")).cast("int"))
+                + 1
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    sums = ranked.groupBy("ty").agg(
+        F.sum("r2").cast("long").alias("rank_sum_x2"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    stat = sums.agg(
+        F.first("n_days").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("rank_sum_x2") * F.col("rank_sum_x2"))
+        .cast("long")
+        .alias("sr2"),
+    )
+    return sums.crossJoin(F.broadcast(stat)).select(
+        F.col("ty").alias("event_type"),
+        "rank_sum_x2",
+        F.expr("(1000 * rank_sum_x2) DIV (2 * n_days)").alias(
+            "mean_rank_milli"
+        ),
+        F.round(
+            3.0 * F.col("sr2") / (F.col("n") * F.col("k") * (F.col("k") + 1))
+            - 3.0 * F.col("n") * (F.col("k") + 1),
+            6,
+        ).alias("friedman_chi2"),
     )
