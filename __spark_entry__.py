@@ -47,9 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #:    fast-tracked next (so a fix is driver-verified the very next
 #:    round instead of waiting out the rotation period).
 #: 3. Every other query follows LEAST-RECENTLY-DRIVER-CHECKED first
-#:    (ties broken by name): a query that has never appeared in any
-#:    CORRECTNESS_r*.json artifact sorts before one checked in round
-#:    3, which sorts before one checked in round 5. This is
+#:    (ties broken by NEWEST REGISTRATION first): a query that has
+#:    never appeared in any CORRECTNESS_r*.json artifact sorts before
+#:    one checked in round 3, which sorts before one checked in round
+#:    5. Among equally-stale queries the most recently registered
+#:    drains first - a brand-new operator has the least assurance
+#:    history (no driver check AND no soak time), so it should reach
+#:    the driver gate the round after it lands rather than queueing
+#:    behind older never-checked names (VERDICT r7 item 1). This is
 #:    self-correcting scheduling - each round's artifact updates the
 #:    last-checked map, so whatever the window actually sampled drops
 #:    to the back of the queue and everything else moves forward.
@@ -147,10 +152,19 @@ def _gate_order(names: list[str]) -> list[str]:
         n for n in _last_round_failures()
         if n in names and n not in PINNED_CORE
     ]
+    import re  # noqa: PLC0415
+
     checked = _last_checked_round()
+
+    # Addition order = the numeric query id (q394 was added after
+    # q393, always); -id means newest-added first on ties.
+    def qid(n: str) -> int:
+        m = re.match(r"q(\d+)", n)
+        return int(m.group(1)) if m else 0
+
     rest = sorted(
         (n for n in names if n not in PINNED_CORE and n not in retry),
-        key=lambda n: (checked.get(n, -1), n),
+        key=lambda n: (checked.get(n, -1), -qid(n), n),
     )
     return pinned + retry + rest
 

@@ -101,6 +101,25 @@ def test_never_checked_queries_lead_the_tail(monkeypatch):
     assert order[len(pinned)] == victim
 
 
+def test_never_checked_ties_break_newest_first(monkeypatch):
+    # VERDICT r7 item 1: among equally-stale (e.g. never-checked)
+    # queries, the NEWEST addition (highest numeric qid) drains first,
+    # so a freshly-landed operator reaches the driver gate the next
+    # round instead of queueing behind older never-checked names.
+    names = list(entry_mod.QUERIES)
+    monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(entry_mod, "_last_checked_round", dict)
+    order = entry_mod._gate_order(names)
+    pinned = [n for n in entry_mod.PINNED_CORE if n in names]
+    import re
+
+    tail_ids = [
+        int(re.match(r"q(\d+)", n).group(1))
+        for n in order[len(pinned):]
+    ]
+    assert tail_ids == sorted(tail_ids, reverse=True)
+
+
 def test_schedule_advances_between_rounds(monkeypatch):
     # after a round's artifact lands, the window must move on to the
     # next least-recently-checked block (deterministic within a round).
