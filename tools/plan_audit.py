@@ -21,8 +21,15 @@ STREAM-side executed plans get the equivalent gate in
 by ``_run_to_sink`` (state-store operators, static-dim broadcast,
 banned operator list).
 
-Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Usage: python tools/plan_audit.py [--json PLANSHAPE.json] [sf_dir] [query ...]
 Exit code 1 if any query trips a flag, else 0 - usable as a CI gate.
+
+``--json`` additionally writes the per-query shape counts to an
+artifact (the round's ``PLANSHAPE.json``), rotating any existing
+artifact to ``PLANSHAPE_PREV.json`` first so
+``tests/test_planshape.py`` can diff round-over-round and fail on
+UNEXPLAINED shape drift (a join silently flipping SMJ -> BNLJ is
+invisible in wall-time noise; it is one integer in this diff).
 """
 
 from __future__ import annotations
@@ -409,6 +416,20 @@ ALLOW_UNBOUNDED_BROADCAST = {
 for _name in ALLOW_UNBOUNDED_BROADCAST:
     ALLOW.setdefault(_name, set()).add("unbounded_broadcast")
 
+#: adjudicated single_partition_funnel exceptions: coalesce(1) /
+#: repartition(1) whose child IS bounded by construction, but through
+#: an Aggregate the strict walk refuses to trust. Each entry names the
+#: bound. Everything NOT here must keep its cache distributed
+#: (repartition by key) or funnel only provably-bounded frames.
+ALLOW_PARTITION_FUNNEL: dict[str, str] = {
+    # q365: prefix-sum / DP-level frames over the n_chars VALUE-DOMAIN
+    # aggregate - <= |distinct document lengths| rows (a few hundred at
+    # any SF; lengths are capped by the doc model, not the corpus).
+    "q365_optimal_1d_segmentation": "n_chars value domain (~500 rows)",
+}
+for _name in ALLOW_PARTITION_FUNNEL:
+    ALLOW.setdefault(_name, set()).add("single_partition_funnel")
+
 
 #: parquet basenames whose row count is FIXED by the data model, not by
 #: the data volume: TPC-H nation (25 rows) and region (5 rows) stay the
@@ -418,12 +439,38 @@ for _name in ALLOW_UNBOUNDED_BROADCAST:
 BOUNDED_TABLES = {"nation.parquet", "region.parquet"}
 
 #: logical nodes whose OUTPUT cardinality is bounded regardless of the
-#: input: an Aggregate's rows are its group-key domain (adjudicated
-#: bounded per the audit contract - fact-keyed groupBys are caught at
-#: review, not here), a Limit is literally capped. Deduplicate is
-#: deliberately ABSENT: distinct() over fact-derived ids (the LSH
-#:   flagged-doc membership set) grows with the corpus.
+#: input: an Aggregate's rows are its group-key domain, a Limit is
+#: literally capped. Deduplicate is deliberately ABSENT: distinct()
+#: over fact-derived ids (the LSH flagged-doc membership set) grows
+#: with the corpus. Aggregates get one more check (ADVICE r7): a
+#: groupBy whose keys include a FACT KEY (doc_id, o_orderkey, ...)
+#: has corpus-proportional output - ``F.broadcast(df.groupBy(
+#: "doc_id").count())`` is the same shape as the Deduplicate
+#: antipattern and must NOT pass as bounded.
 _BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit"}
+
+#: per-row identifier columns of the data model's FACT tables: a
+#: grouping on any of these has output cardinality proportional to the
+#: table itself, not to a closed dimension domain.
+FACT_KEY_COLS = {
+    "doc_id", "vec_id", "user_id", "event_id", "o_orderkey",
+    "l_orderkey", "c_custkey", "o_custkey", "s_suppkey", "l_suppkey",
+    "ps_suppkey", "p_partkey", "l_partkey", "ps_partkey",
+}
+
+_FACT_KEY_RE = re.compile(
+    r"\b(" + "|".join(sorted(FACT_KEY_COLS)) + r")#\d+"
+)
+
+
+def _aggregate_fact_keyed(node) -> bool:
+    """True if this Aggregate groups on a known fact-key column
+    (attribute refs render as ``name#exprId`` in the Scala seq)."""
+    try:
+        keys = node.groupingExpressions().toString()
+    except Exception:  # noqa: BLE001 - non-Aggregate shape
+        return False
+    return bool(_FACT_KEY_RE.search(keys))
 
 #: leaves that are constant-derived (driver literals, ranges).
 #: LogicalRDD qualifies because in this codebase it only arises from
@@ -434,10 +481,22 @@ _BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit"}
 _BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
 
 
-def _node_bounded(node) -> bool:
-    """True if this logical subtree provably yields a bounded frame."""
+def _node_bounded(node, trust_aggregates: bool = True) -> bool:
+    """True if this logical subtree provably yields a bounded frame.
+
+    ``trust_aggregates=False`` (the single-partition-funnel gate)
+    refuses to treat ANY Aggregate as bounding: the funnel defect this
+    round (q325/q361 bigram caches) was precisely an Aggregate whose
+    group-key domain (bigram types) grows with the corpus, so a
+    1-partition coalesce below one must be adjudicated by name, never
+    structurally waved through.
+    """
     name = node.getClass().getSimpleName()
     if name in _BOUNDING:
+        if name == "Aggregate" and (
+            not trust_aggregates or _aggregate_fact_keyed(node)
+        ):
+            return False
         return True
     if name in _BOUNDED_LEAVES:
         return True
@@ -451,7 +510,10 @@ def _node_bounded(node) -> bool:
     n = children.size()
     if n == 0:
         return False  # unknown leaf: assume data-proportional
-    return all(_node_bounded(children.apply(i)) for i in range(n))
+    return all(
+        _node_bounded(children.apply(i), trust_aggregates)
+        for i in range(n)
+    )
 
 
 def hint_boundedness(df) -> list[str]:
@@ -476,6 +538,47 @@ def hint_boundedness(df) -> list[str]:
             child = node.children().apply(0)
             if not _node_bounded(child):
                 bad.append(child.getClass().getSimpleName())
+        children = node.children()
+        for i in range(children.size()):
+            visit(children.apply(i))
+
+    visit(plan)
+    return bad
+
+
+def partition_funnels(df) -> list[str]:
+    """Audit every explicit 1-partition funnel in ``df``'s analyzed
+    plan: ``coalesce(1)`` / ``repartition(1)`` (logical ``Repartition``
+    with numPartitions=1) and ``repartition(1, cols...)``
+    (``RepartitionByExpression``). A single task materializing a
+    non-provably-bounded child is the same 100 TB defect class as an
+    unbounded broadcast hint, just on the cache path instead of the
+    join path (VERDICT r7 item 2: the q325/q361 bigram caches).
+
+    Aggregates do NOT count as bounding here (the bigram census IS an
+    Aggregate whose key domain grows with the corpus) - a funnel below
+    an aggregate must be adjudicated by name in
+    ``ALLOW_PARTITION_FUNNEL``, each entry naming its bound.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    bad: list[str] = []
+
+    def n_partitions(node, name):
+        try:
+            if name == "Repartition":
+                return node.numPartitions()
+            opt = node.optNumPartitions()
+            return opt.get() if opt.isDefined() else None
+        except Exception:  # noqa: BLE001 - API drift: treat as unknown
+            return None
+
+    def visit(node):
+        name = node.getClass().getSimpleName()
+        if name in ("Repartition", "RepartitionByExpression"):
+            if n_partitions(node, name) == 1 and not _node_bounded(
+                node.children().apply(0), trust_aggregates=False
+            ):
+                bad.append(node.children().apply(0).getClass().getSimpleName())
         children = node.children()
         for i in range(children.size()):
             visit(children.apply(i))
@@ -509,6 +612,11 @@ def audit(plan: str) -> dict:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--all"]
     include_all = "--all" in sys.argv
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     names = args[1:] or sorted(QUERIES)
     if not include_all:
@@ -516,6 +624,7 @@ def main() -> int:
 
     spark = get_spark(app_name="plan-audit")
     bad = 0
+    shapes: dict[str, dict] = {}
     for name in names:
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -525,6 +634,7 @@ def main() -> int:
                 )
             )
             unbounded_hints = hint_boundedness(df)
+            funnels = partition_funnels(df)
         except Exception as exc:  # noqa: BLE001
             print(f"ERR  {name}: {exc}")
             bad += 1
@@ -534,7 +644,10 @@ def main() -> int:
         a = audit(plan)
         if unbounded_hints:
             a["flags"].append("unbounded_broadcast")
+        if funnels:
+            a["flags"].append("single_partition_funnel")
         a["flags"] = [f for f in a["flags"] if f not in ALLOW.get(name, ())]
+        shapes[name] = dict(a)
         flag_note = f"  FLAGS={','.join(a['flags'])}" if a["flags"] else ""
         if a["flags"]:
             bad += 1
@@ -544,6 +657,20 @@ def main() -> int:
             f"bhj={a['bhj']} wsc={a['wsc']} arrow={a['arrow']}{flag_note}"
         )
     print(f"\n{len(names) - bad}/{len(names)} clean")
+    if json_out:
+        import json  # noqa: PLC0415
+        import os  # noqa: PLC0415
+
+        # rotate: last committed snapshot becomes the diff baseline.
+        if os.path.exists(json_out):
+            prev_path = os.path.join(
+                os.path.dirname(os.path.abspath(json_out)) or ".",
+                "PLANSHAPE_PREV.json",
+            )
+            os.replace(json_out, prev_path)
+        with open(json_out, "w") as fh:
+            json.dump(shapes, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(shapes)} shapes)")
     return 1 if bad else 0
 
 

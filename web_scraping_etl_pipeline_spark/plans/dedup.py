@@ -1521,13 +1521,13 @@ def q282_edit_distance_verify(spark, sf_dir):
       FROM grp
     ),
     folds AS (
-      SELECT SUM(pos_cnt * (below + 1 + (cnt - 1) / 2.0)) AS pos_ranksum,
+      SELECT SUM(pos_cnt * (2 * below + 2 + (cnt - 1))) AS ranksum2,
              SUM(pos_cnt) AS p,
              SUM(cnt - pos_cnt) AS n
       FROM rk
     )
     SELECT CAST(p AS BIGINT) AS n_dup, CAST(n AS BIGINT) AS n_clean,
-           ROUND((pos_ranksum - p * (p + 1) / 2.0) / (p * n), 6) AS auc
+           ROUND((ranksum2 - p * (p + 1)) / (2.0 * p * n), 6) AS auc
     FROM folds
     """,
 )
@@ -1537,10 +1537,11 @@ def q287_quality_dup_auc(spark, sf_dir):
     (label = the document appears in an LSH candidate pair) - the
     threshold-free answer to "does low quality predict duplication?"
     that q231's bucketed calibration curve approximates. AUC is
-    computed from score-GROUP counts: avg rank of a tie group =
-    ranks-below + 1 + (cnt-1)/2, so every intermediate is an integer
-    or exact half and the statistic is bit-identical cross-engine -
-    no float summation-order exposure at all.
+    computed from score-GROUP counts via the DOUBLED midrank device
+    (2*below + 2 + (cnt-1)): every intermediate is a BIGINT - not
+    merely an exact half in double - so the fold is order-independent
+    by construction and overflow-safe to 2^63, with the single /2
+    deferred to the final one-row expression (VERDICT r7 item 7).
 
     Scale: scoring is a map stage; the group table is bounded by the
     score domain (<= 1001 milli-unit values), so the rank cumsum is a
@@ -1581,8 +1582,8 @@ def q287_quality_dup_auc(spark, sf_dir):
     folds = rk.agg(
         F.sum(
             F.col("pos_cnt")
-            * (F.col("below") + 1 + (F.col("cnt") - 1) / 2.0)
-        ).alias("pos_ranksum"),
+            * (2 * F.col("below") + 2 + (F.col("cnt") - 1))
+        ).alias("ranksum2"),
         F.sum("pos_cnt").alias("p"),
         F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n"),
     )
@@ -1590,8 +1591,8 @@ def q287_quality_dup_auc(spark, sf_dir):
         F.col("p").cast("long").alias("n_dup"),
         F.col("n").cast("long").alias("n_clean"),
         F.round(
-            (F.col("pos_ranksum") - F.col("p") * (F.col("p") + 1) / 2.0)
-            / (F.col("p") * F.col("n")),
+            (F.col("ranksum2") - F.col("p") * (F.col("p") + 1))
+            / (2.0 * F.col("p") * F.col("n")),
             6,
         ).alias("auc"),
     )

@@ -723,12 +723,16 @@ def q279_bm25_topk(spark, sf_dir):
 _RBO_P = 0.9
 
 
-def _rbo_weights() -> list[tuple[int, float]]:
-    """(depth, (1-p) * p^(d-1)) pairs computed ONCE driver-side so both
-    engines consume bit-identical double literals (cross-engine pow()
-    can differ in the last ulp)."""
+def _rbo_weights() -> list[tuple[int, int]]:
+    """(depth, round((1-p) * p^(d-1) * 1e15)) FEMTO-UNIT INTEGER
+    weight pairs computed ONCE driver-side so both engines consume
+    identical bigint literals. Integer weights make the final fold
+    SUM(wt_f * cnt DIV d) pure-bigint and therefore order-independent
+    by construction (VERDICT r7 item 7) - the previous double weights
+    summed in engine partial-agg order. Quantization error per term
+    <= 1e-15 * a_d <= 1e-15; 50 terms << the 1e-6 output rounding."""
     return [
-        (d, (1.0 - _RBO_P) * _RBO_P ** (d - 1))
+        (d, round((1.0 - _RBO_P) * _RBO_P ** (d - 1) * 1_000_000_000_000_000))
         for d in range(1, _RRF_POOL + 1)
     ]
 
@@ -770,18 +774,19 @@ def _rbo_weights() -> list[tuple[int, float]]:
       SELECT lex.doc_id, lex.r_lex, vec.r_vec
       FROM lex JOIN vec USING (doc_id)
     ),
-    w(d, wt) AS (VALUES {{RBO_W_ROWS}}),
+    w(d, wtf) AS (VALUES {{RBO_W_ROWS}}),
     agreement AS (
-      SELECT w.d, w.wt,
-             CAST(COUNT(common_docs.doc_id) AS DOUBLE) / w.d AS a_d
+      SELECT w.d, w.wtf,
+             CAST(COUNT(common_docs.doc_id) AS BIGINT) AS hits
       FROM w
       LEFT JOIN common_docs
         ON common_docs.r_lex <= w.d AND common_docs.r_vec <= w.d
-      GROUP BY w.d, w.wt
+      GROUP BY w.d, w.wtf
     )
     SELECT CAST({_RRF_POOL} AS BIGINT) AS depth,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM common_docs) AS n_common,
-           ROUND(SUM(wt * a_d), 6) AS rbo_trunc
+           ROUND(SUM((wtf * hits) // d) / 1000000000000000.0, 6)
+             AS rbo_trunc
     FROM agreement
     """.replace(
         "{RBO_W_ROWS}",
@@ -839,7 +844,7 @@ def q283_rank_agreement_rbo(spark, sf_dir):
         )
     )
     both = lex.join(vec, "doc_id").select("doc_id", "r_lex", "r_vec")
-    w = spark.createDataFrame(_rbo_weights(), "d int, wt double")
+    w = spark.createDataFrame(_rbo_weights(), "d int, wtf long")
     agreement = (
         F.broadcast(w)
         .join(
@@ -847,16 +852,16 @@ def q283_rank_agreement_rbo(spark, sf_dir):
             (F.col("r_lex") <= F.col("d")) & (F.col("r_vec") <= F.col("d")),
             "left",
         )
-        .groupBy("d", "wt")
-        .agg(
-            (
-                F.count("doc_id").cast("double") / F.col("d")
-            ).alias("a_d")
-        )
+        .groupBy("d", "wtf")
+        .agg(F.count("doc_id").cast("long").alias("hits"))
     )
     n_common = both.agg(F.count("*").cast("long").alias("n_common"))
     return agreement.agg(
-        F.round(F.sum(F.col("wt") * F.col("a_d")), 6).alias("rbo_trunc")
+        F.round(
+            F.sum(F.expr("(wtf * hits) DIV d"))
+            / F.lit(1_000_000_000_000_000.0),
+            6,
+        ).alias("rbo_trunc")
     ).crossJoin(F.broadcast(n_common)).select(
         F.lit(_RRF_POOL).cast("long").alias("depth"),
         "n_common",

@@ -613,7 +613,9 @@ def q280_zipf_source_audit(spark, sf_dir):
       LEFT JOIN cells USING (lang, source), tot
     ),
     contrib AS (
-      SELECT ROUND((o - e) * (o - e) / e, 6) AS x FROM grid
+      SELECT CAST(ROUND((o - e) * (o - e) / e * 1000000) AS BIGINT)
+               AS xm
+      FROM grid
     ),
     dims AS (
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_langs,
@@ -622,8 +624,8 @@ def q280_zipf_source_audit(spark, sf_dir):
     )
     SELECT d.n_docs, d.n_langs, d.n_sources,
            (d.n_langs - 1) * (d.n_sources - 1) AS dof,
-           ROUND(SUM(c.x), 4) AS chi2,
-           ROUND(SQRT(SUM(c.x) / (d.n_docs
+           ROUND(SUM(c.xm) / 1000000.0, 4) AS chi2,
+           ROUND(SQRT(SUM(c.xm) / 1000000.0 / (d.n_docs
                  * LEAST(d.n_langs - 1, d.n_sources - 1))), 6) AS cramers_v
     FROM contrib c, dims d
     GROUP BY d.n_docs, d.n_langs, d.n_sources, dof
@@ -644,7 +646,10 @@ def q286_lang_source_chi2(spark, sf_dir):
     fold are all bounded by category cardinality, never by corpus
     size. Integer observed/marginal counts make each cell's
     contribution the identical float expression in both engines;
-    contributions round at 1e-6 before the bounded sum."""
+    contributions quantize to MICRO-UNIT BIGINTS (CAST(ROUND(x*1e6))
+    of the same double both engines computed), so the fold is a
+    bigint sum - order-independent by construction, not merely by
+    rounding slack (VERDICT r7 item 7)."""
     docs = t_split(spark, sf_dir, "documents")
     cells = transient_persist(
         docs.groupBy("lang", "source").agg(
@@ -668,9 +673,11 @@ def q286_lang_source_chi2(spark, sf_dir):
     contrib = grid.select(
         F.round(
             (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
-            / F.col("e"),
-            6,
-        ).alias("x")
+            / F.col("e")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("xm")
     )
     dims = (
         rt.agg(F.count("*").cast("long").alias("n_langs"))
@@ -678,7 +685,7 @@ def q286_lang_source_chi2(spark, sf_dir):
         .crossJoin(tot.select(F.col("n").cast("long").alias("n_docs")))
     )
     return (
-        contrib.agg(F.sum("x").alias("chi2_raw"))
+        contrib.agg(F.sum("xm").alias("chi2_micro"))
         .crossJoin(F.broadcast(dims))
         .select(
             "n_docs",
@@ -687,10 +694,10 @@ def q286_lang_source_chi2(spark, sf_dir):
             ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias(
                 "dof"
             ),
-            F.round(F.col("chi2_raw"), 4).alias("chi2"),
+            F.round(F.col("chi2_micro") / 1_000_000.0, 4).alias("chi2"),
             F.round(
                 F.sqrt(
-                    F.col("chi2_raw")
+                    F.col("chi2_micro") / 1_000_000.0
                     / (
                         F.col("n_docs")
                         * F.least(
