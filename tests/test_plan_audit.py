@@ -226,3 +226,72 @@ def test_fixed_broadcast_hints_stay_dropped(spark):
         assert name not in ALLOW_UNBOUNDED_BROADCAST, name
         df = QUERIES[name](spark, SF_DIR)
         assert hint_boundedness(df) == [], name
+
+
+def test_single_partition_funnel_detects_the_antipattern(spark):
+    """r7-verdict detector: coalesce(1) below a corpus-keyed aggregate
+    (the exact q325/q361 bigram-cache shape) must flag - an Aggregate
+    does NOT count as bounding for the funnel gate, because the
+    motivating defect WAS an aggregate (bigram types grow with corpus
+    tokens under Heaps' law)."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import partition_funnels
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    docs = t(spark, SF_DIR, "documents")
+    census = docs.groupBy("doc_id").agg(F.count("*").alias("c"))
+    assert partition_funnels(census.coalesce(1)), (
+        "1-partition funnel of a fact-keyed aggregate not flagged"
+    )
+    assert partition_funnels(census.repartition(1)), (
+        "repartition(1) variant not flagged"
+    )
+
+
+def test_single_partition_funnel_allows_bounded_frames(spark):
+    """Limit-derived and constant-leaf funnels stay clean; the
+    distributed fix shape (repartition by key) never flags."""
+    from tools.plan_audit import partition_funnels
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    docs = t(spark, SF_DIR, "documents")
+    top = docs.orderBy("doc_id").limit(5)
+    assert partition_funnels(top.coalesce(1)) == []
+    lit = spark.createDataFrame([(1,)], "x int")
+    assert partition_funnels(lit.coalesce(1)) == []
+    # hash-bucketed cache (the r8 q325/q361 fix) is not a funnel.
+    from pyspark.sql import functions as F
+
+    census = docs.groupBy("doc_id").agg(F.count("*").alias("c"))
+    assert partition_funnels(census.repartition("doc_id")) == []
+
+
+def test_fixed_funnels_stay_distributed(spark):
+    """The q325/q361 bigram transition caches must keep their
+    w1-hash distribution (VERDICT r7 item 2) - audited via q361 whose
+    construction is a pure lazy plan (q325 executes its walk at build
+    time and is gated by the STREAMING skip + this allowlist pin)."""
+    from tools.plan_audit import ALLOW_PARTITION_FUNNEL, partition_funnels
+
+    for name in ("q325_greedy_lm_decode", "q361_beam_search_decode"):
+        assert name not in ALLOW_PARTITION_FUNNEL, name
+
+
+def test_fact_keyed_aggregate_broadcast_flags(spark):
+    """ADVICE r7: F.broadcast(df.groupBy(fact_id).count()) is the same
+    corpus-proportional shape as the Deduplicate antipattern and must
+    no longer pass the boundedness walk; dimension-keyed aggregates
+    stay bounded."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import hint_boundedness
+    from web_scraping_etl_pipeline_spark.plans.common import t
+
+    docs = t(spark, SF_DIR, "documents")
+    per_doc = docs.groupBy("doc_id").count()
+    df = docs.join(F.broadcast(per_doc), "doc_id")
+    assert hint_boundedness(df), "fact-keyed aggregate broadcast not flagged"
+
+    per_source = docs.groupBy("source").count()
+    assert hint_boundedness(docs.join(F.broadcast(per_source), "source")) == []

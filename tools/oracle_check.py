@@ -176,6 +176,138 @@ FLOAT_LINT_ALLOW = {
 }
 
 
+#: order-sensitive-fold allowlist (VERDICT r7 item 7): oracles where a
+#: SUM over a FLOAT expression is ADJUDICATED order-safe, with the
+#: rationale class. The hazard: SUM of doubles accumulates in engine
+#: partial-agg order, so two engines (or two partitionings of the
+#: same engine) can differ in the last ulps; if the result feeds an
+#: exact compare after rounding, a value adjacent to a rounding
+#: boundary flips. The three 1e-6-rounded-double folds this flagged
+#: (q283 RBO, q286 chi2, q287 AUC) were FIXED to bigint folds in r8
+#: and must never re-enter this list. Classes:
+#:
+#: - DOT: per-key 64-term dot product of float32-origin doubles,
+#:   consumed after ROUND(..., 6). Reorder error <= ~DIM ulps
+#:   (~1e-14 at O(1) magnitudes) vs the 1e-6 quantum - ~1e8x slack -
+#:   and both engines fold the identical 64 doubles.
+#: - CAT: category/calendar-bounded fold (<= hundreds of terms) of
+#:   O(1)-magnitude LN/ratio terms, consumed after ROUND(>=1e-6):
+#:   same slack argument at n <= ~1e3.
+#: - INTVAL: terms are integer-VALUED doubles (FLOOR(...)*int,
+#:   0/1-indicators cast to double): the double sum is exact until
+#:   2^53, hence order-independent by construction.
+ORDER_FOLD_ALLOW = {
+    # DOT class (the shared brute-force / LSH / IVF / rerank / graph
+    # cosine stages over embeddings):
+    "q50_cosine_topk": "DOT",
+    "q51_ann_lsh_topk": "DOT",
+    "q52_vector_norms": "DOT",
+    "q54_ivf_topk": "DOT",
+    "q99_kmeans_assign": "DOT",
+    "q156_quantized_rerank": "DOT",
+    "q157_random_projection": "DOT",
+    "q158_knn_graph": "DOT",
+    "q184_multiprobe_ann": "DOT",
+    "q209_semantic_cluster_dedup": "DOT",
+    "q221_ann_recall": "DOT",
+    "q225_hybrid_rrf": "DOT",
+    "q257_ndcg_eval": "DOT + 10-term DCG fold (CAT)",
+    "q283_rank_agreement_rbo": "DOT (ranking stage only; RBO fold is bigint since r8)",
+    "q284_mmr_rerank": "DOT",
+    "q289_embedding_isotropy": "DOT",
+    "q299_hard_negative_mining": "DOT",
+    "q303_power_iteration_pca": "DOT (64 per-dim folds per sweep)",
+    "q340_knn_label_smoothing": "DOT",
+    "q376_label_modularity": "DOT",
+    "q382_lof_outliers": "DOT-adjacent: k=5-term reachability ratio fold, ROUND(1e-6)",
+    # CAT class (bounded-cardinality LN/ratio folds):
+    "q108_user_entropy": "CAT: per-user event-type entropy, <=|types| terms",
+    "q177_pagerank": "CAT: per-node in-degree-bounded rank fold, ROUND(1e-6)",
+    "q229_source_length_kl": "CAT: |buckets|-term KL fold, ROUND(1e-6)",
+    "q244_psi_drift": "CAT: |bins|-term PSI fold, ROUND(1e-6)",
+    "q253_time_decay_features": "CAT: per-user exp-decay fold, ROUND(1e-6)",
+    "q258_survival_curve": "CAT: per-day log-survival fold over calendar days",
+    "q291_char_entropy": "CAT: <=36-symbol entropy fold per doc",
+    "q292_source_transfer_matrix": "CAT: vocab-overlap LN fold, ROUND(1e-4)",
+    "q310_cuped_ab_readout": "CAT: per-user halves then 1-row moments, ROUND(1e-6)",
+    "q315_bradley_terry_sources": "CAT: |sources|^2-term MM fold in exact-integer-seeded ratios",
+    # money class: SUM(price-expression) in TPC-H money semantics -
+    # identical doubles both engines, consumed after ROUND(1e-2..1e-4)
+    # with cent-grained inputs; the q327 device (cent-bigint CAST)
+    # is the by-construction form used where a statistic needs
+    # exactness.
+    "q191_product_profit": "money: cent-grained inputs, ROUND(2)",
+    # INTVAL class:
+    "q389_cluster_agreement": "INTVAL: FLOOR(LN*1e6)*count products are integer-valued doubles",
+    # outer CASE sums 0/1 integers; the float expression is inside
+    # the COMPARISON (the shared rational sigmoid), not the summand -
+    # the branch parser just can't see through the nested CASE.
+    "q319_logreg_quality_gd": "INTVAL: 0/1 accuracy indicator",
+}
+
+
+def lint_order_fold():
+    """Flag oracle SQL where SUM wraps a FLOAT expression - the
+    partial-agg-order-sensitivity class (VERDICT r7 item 7). Integer
+    shapes are recognized and skipped: CAST(... AS BIGINT) wrappers
+    and CASE expressions whose every branch is an integer literal or
+    a bigint cast. Returns {name: [inner_expr, ...]} for
+    non-allowlisted hits."""
+    import re
+
+    def _paren_inner(sql, i0):
+        depth, j = 0, i0
+        while j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        return sql[i0 + 1: j]
+
+    int_cast = re.compile(
+        r"(?is)^\s*CAST\s*\(.*AS\s+(BIG)?INT(EGER)?\s*\)\s*$"
+    )
+    int_branch = re.compile(
+        r"(?is)^\s*(-?\d+|CAST\s*\(.*AS\s+(BIG)?INT(EGER)?\s*\))\s*$"
+    )
+
+    def _is_integer_shape(inner: str) -> bool:
+        s = inner.strip()
+        if int_cast.match(s):
+            return True
+        if re.match(r"(?is)^\s*\(?\s*CASE\b", s):
+            branches = re.findall(
+                r"(?is)\bTHEN\s+(.*?)(?=\s+WHEN\b|\s+ELSE\b|\s+END\b)"
+                r"|\bELSE\s+(.*?)(?=\s+END\b)",
+                s,
+            )
+            vals = [a or b for a, b in branches]
+            return bool(vals) and all(int_branch.match(v) for v in vals)
+        return False
+
+    hits: dict[str, list[str]] = {}
+    for name, sql in ORACLE.items():
+        if sql is None or name in ORDER_FOLD_ALLOW:
+            continue
+        for m in re.finditer(r"\bSUM\s*\(", sql, re.I):
+            inner = " ".join(_paren_inner(sql, m.end() - 1).split())
+            if _is_integer_shape(inner):
+                continue
+            no_intdiv = inner.replace("//", "")
+            if (
+                "/" in no_intdiv
+                or re.search(r"\d\.\d", inner)
+                or "DOUBLE" in inner.upper()
+                or re.search(r"\bROUND\s*\(", inner, re.I)
+                or re.search(r"\b(LN|LOG2|LOG10|EXP|SQRT)\s*\(", inner, re.I)
+            ):
+                hits.setdefault(name, []).append(inner[:100])
+    return hits
+
+
 def lint_float_boundary():
     """Flag oracle SQL where floor/ceil/ceiling wraps an expression
     containing float arithmetic (a float literal, a division, or a
@@ -267,8 +399,16 @@ def main():
             print(f"LINT {name}")
             for e in exprs:
                 print(f"  floor/ceil over float expr: {e}")
-        print(f"{len(hits)} unadjudicated float-boundary hits")
-        return 1 if hits else 0
+        ohits = lint_order_fold()
+        for name, exprs in sorted(ohits.items()):
+            print(f"ORDERLINT {name}")
+            for e in exprs:
+                print(f"  SUM over float expr: {e}")
+        print(
+            f"{len(hits)} unadjudicated float-boundary hits, "
+            f"{len(ohits)} unadjudicated order-sensitive folds"
+        )
+        return 1 if hits or ohits else 0
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
