@@ -443,3 +443,30 @@ def test_friedman_rank_sums_conserve(spark):
     assert total % 30 == 0
     for r in rows:
         assert r["friedman_chi2"] >= -1e-9
+
+
+def test_friedman_densify_completes_incomplete_blocks(spark):
+    # ADVICE r7 (medium): a (day, type) cell with zero events must
+    # still occupy a rank cell. Synthetic incomplete block: type 'c'
+    # has no events on day 2 - densification must zero-fill it so
+    # every day ranks k=3 types and n_days is uniform.
+    from web_scraping_etl_pipeline_spark.plans.inference import (
+        _densify_blocks,
+    )
+
+    daily0 = spark.createDataFrame(
+        [
+            (1, "a", 5), (1, "b", 3), (1, "c", 1),
+            (2, "a", 4), (2, "b", 2),  # 'c' missing on day 2
+        ],
+        "d long, ty string, y long",
+    )
+    dense = _densify_blocks(daily0).collect()
+    assert len(dense) == 6  # 2 days x 3 types, complete
+    filled = [r for r in dense if r["d"] == 2 and r["ty"] == "c"]
+    assert len(filled) == 1 and filled[0]["y"] == 0
+    # n_days uniform by construction
+    from collections import Counter
+
+    per_type = Counter(r["ty"] for r in dense)
+    assert set(per_type.values()) == {2}

@@ -154,9 +154,11 @@ FLOAT_LINT_ALLOW = {
     # floor argument is LN of a ratio of exact integers (identical
     # inputs both engines); a flip needs LN(x)*1e6 within ~1 ulp of an
     # integer boundary (~1e-10 per evaluation, x vocabulary-bounded
-    # evaluations). Dual-SF sweeps pass; if a flake ever appears,
-    # switch the log-weight quantization to a rational approximation
-    # (the q319 sigmoid device).
+    # evaluations). The platform assumption is PINNED by
+    # tests/test_ln_bit_identity.py (90k-ratio position-weighted
+    # checksum, both floor scales, both engines - ADVICE r7); if that
+    # test ever fails, switch the log-weight quantization to a
+    # rational approximation (the q319 sigmoid device).
     "q337_naive_bayes_lang",  # per-term smoothed log-likelihood weights
     "q339_adaboost_stumps",  # per-round LN alpha in half-micro units
     "q374_tfidf_cosine_topk",  # micro-floored LN(N/df) idf weights

@@ -3440,13 +3440,41 @@ def q391_mcc_gate(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _densify_blocks(daily0):
+    """Complete the (day x type) block design: cross the distinct
+    days with the distinct types and zero-fill absent cells, so every
+    day ranks exactly k types and every type spans exactly n days.
+    Without this, a type with zero events on one day silently shrinks
+    that day's rank span and desyncs per-type n_days (ADVICE r7).
+    Both sides of the cross join are bounded aggregates (calendar x
+    |types|), never fact-sized. Factored out so the incomplete-block
+    behavior is unit-testable on a synthetic frame."""
+    days = daily0.select("d").distinct()
+    tys = daily0.select("ty").distinct()
+    return (
+        days.crossJoin(F.broadcast(tys))
+        .join(daily0, ["d", "ty"], "left")
+        .select("d", "ty", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+
+
 @query(
     "q393_friedman_test",
     oracle=f"""
-    WITH daily AS (
+    WITH daily0 AS (
       SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
              event_type AS ty, CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      -- DENSIFIED complete block: a type with zero events on a day
+      -- still occupies a rank cell (y = 0); without this, an absent
+      -- (day, type) cell silently shrinks that day's rank span and
+      -- desyncs per-type n_days (ADVICE r7, medium).
+      SELECT days.d, tys.ty, COALESCE(daily0.y, 0) AS y
+      FROM (SELECT DISTINCT d FROM daily0) days
+      CROSS JOIN (SELECT DISTINCT ty FROM daily0) tys
+      LEFT JOIN daily0 USING (d, ty)
     ),
     ranked AS (
       SELECT a.d, a.ty,
@@ -3462,7 +3490,12 @@ def q391_mcc_gate(spark, sf_dir):
       FROM ranked GROUP BY ty
     ),
     stat AS (
-      SELECT CAST(ANY_VALUE(n_days) AS BIGINT) AS n,
+      -- densification makes n_days uniform BY CONSTRUCTION; MIN is
+      -- deterministic (ANY_VALUE was order-dependent) and the
+      -- MIN = MAX guard turns any future incompleteness into a loud
+      -- NULL statistic instead of a silently wrong one.
+      SELECT CAST(CASE WHEN MIN(n_days) = MAX(n_days)
+                       THEN MIN(n_days) END AS BIGINT) AS n,
              CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(rank_sum_x2 * rank_sum_x2) AS BIGINT) AS sr2
       FROM sums
@@ -3484,23 +3517,30 @@ def q393_friedman_test(spark, sf_dir):
     chi2 = 3*sum(R2_j^2)/(n*k*(k+1)) - 3n(k+1) (the classic
     12/(nk(k+1)) form after R = R2/2).
 
-    Exactness: midranks come from the within-day 5x5 self-join
-    (2*#smaller + #tied + 1 - exact, order-free); rank sums and their
-    squares are bigint; the statistic is one identical float
-    expression rounded at 6dp; mean ranks report as floor-milli.
+    Exactness: the (day x type) grid is DENSIFIED first (absent cells
+    rank as y = 0), so the block design is complete by construction
+    and n_days is uniform - guarded by a MIN = MAX check that nulls
+    the statistic loudly if it ever is not. Midranks come from the
+    within-day 5x5 self-join (2*#smaller + #tied + 1 - exact,
+    order-free); rank sums and their squares are bigint; the
+    statistic is one identical float expression rounded at 6dp; mean
+    ranks report as floor-milli. The UNCORRECTED Friedman form is
+    intentional: the standard tie-correction divisor
+    1 - sum(t^3-t)/(nk(k^2-1)) is omitted, which makes the statistic
+    CONSERVATIVE under ties (integer daily counts tie rarely but can)
+    - a deliberate, documented choice, not an oversight (ADVICE r7).
 
     Scale: the fact collapses to the calendar x k aggregate; the
     rank self-join is k^2 rows per day on that bounded frame
     (adjudicated-BNLJ class); everything else is k-row arithmetic."""
     ev = t(spark, sf_dir, "events")
-    daily = transient_persist(
-        ev.groupBy(
-            F.floor(
-                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
-            ).alias("d"),
-            F.col("event_type").alias("ty"),
-        ).agg(F.count("*").cast("long").alias("y"))
-    )
+    daily0 = ev.groupBy(
+        F.floor(
+            (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+        ).alias("d"),
+        F.col("event_type").alias("ty"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    daily = transient_persist(_densify_blocks(daily0))
     b = daily.select(
         F.col("d").alias("d2"), F.col("y").alias("yb")
     )
@@ -3522,7 +3562,13 @@ def q393_friedman_test(spark, sf_dir):
         F.count("*").cast("long").alias("n_days"),
     )
     stat = sums.agg(
-        F.first("n_days").cast("long").alias("n"),
+        # densified blocks make n_days uniform by construction; the
+        # MIN = MAX guard fails LOUDLY (NULL chi2) if that ever
+        # breaks, instead of a nondeterministic first() silently
+        # picking one of several values (ADVICE r7, medium).
+        F.when(F.min("n_days") == F.max("n_days"), F.min("n_days"))
+        .cast("long")
+        .alias("n"),
         F.count("*").cast("long").alias("k"),
         F.sum(F.col("rank_sum_x2") * F.col("rank_sum_x2"))
         .cast("long")
