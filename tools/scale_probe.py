@@ -373,6 +373,83 @@ def probe_cluster_moments(spark, sf_dir, k):
     return mom.count()
 
 
+def probe_lsh_bucket_knn(spark, sf_dir, k):
+    """q382 LOF's dominant stage (and q158/q51's shared device): the
+    sign-LSH bucket EQUI-JOIN pair stage + per-node top-k window.
+    Replication places exact twins in identical buckets, so
+    within-bucket pair output grows ~k^2 by construction (like the
+    LSH probe); rows_out (pairs entering the window) normalizes the
+    curve - the fair check is time per emitted pair + row."""
+    emb = replicate(t(spark, sf_dir, "embeddings"), "vec_id", k)
+    # 8-bit sign-LSH over fixed dims: same class as plans/vectors.py
+    # _bucket_expr (deterministic, data-independent projection).
+    bucket = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, 8),"
+        " v -> CASE WHEN CAST(v AS DOUBLE) >= 0 THEN '1' ELSE '0' END))"
+    )
+    qi = F.expr(
+        "transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pts = emb.select("vec_id", qi.alias("qi"), bucket.alias("bucket"))
+    a = pts.select(
+        F.col("vec_id").alias("p"), F.col("qi").alias("qa"), "bucket"
+    )
+    b = pts.select(
+        F.col("vec_id").alias("o"), F.col("qi").alias("qb"), "bucket"
+    )
+    dist = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    from pyspark.sql import Window
+
+    d = (
+        a.join(b, "bucket")
+        .filter(F.col("p") != F.col("o"))
+        .select("p", "o", F.expr(dist).alias("d2"))
+    )
+    w = Window.partitionBy("p").orderBy("d2", "o")
+    knn = d.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    return knn.count()
+
+
+def probe_banded_edit_verify(spark, sf_dir, k):
+    """q282/q294's verify shape: a BANDED sorted-neighborhood pair
+    stage (256 hash bands, each doc paired with its next W=2
+    neighbors inside the band - linear pair output by construction)
+    followed by the candidates-only Levenshtein verify (the O(len^2)
+    DP that must never run all-pairs). Pair fan-out is W per row, so
+    an ~linear curve here certifies the verify family's 100 TB
+    shape."""
+    from pyspark.sql import Window
+
+    docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.substring(F.md5("text"), 1, 2).alias("band"),
+        F.col("text"),
+    )
+    w = Window.partitionBy("band").orderBy("h", "doc_id")
+    pairs = keyed.select(
+        "doc_id",
+        "text",
+        F.lead("text", 1).over(w).alias("text_b1"),
+        F.lead("text", 2).over(w).alias("text_b2"),
+    )
+    verified = pairs.select(
+        "doc_id",
+        F.explode(
+            F.array_compact(F.array("text_b1", "text_b2"))
+        ).alias("text_b"),
+        "text",
+    ).select(F.levenshtein("text", "text_b").alias("d"))
+    return verified.filter(F.col("d") <= 50).count()
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
@@ -384,6 +461,8 @@ PROBES = {
     "power_iteration": probe_power_iteration,
     "grid_neighbors": probe_grid_neighbors,
     "cluster_moments": probe_cluster_moments,
+    "lsh_bucket_knn": probe_lsh_bucket_knn,
+    "banded_edit_verify": probe_banded_edit_verify,
 }
 
 

@@ -108,8 +108,14 @@ def get_spark(
     builder = builder.master(master or f"local[{cores}]")
     for key, value in {**BUILD_CONF, **RUNTIME_CONF}.items():
         builder = builder.config(key, value)
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS lets CI replay the whole suite
+    # under the cluster-default 200 (VERDICT r7 item 8) without code
+    # changes - a query that silently depends on the tuned
+    # low-partition local config fails that sweep loudly.
+    env_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
     builder = builder.config(
-        "spark.sql.shuffle.partitions", str(shuffle_partitions or cores)
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or env_shuffle or cores),
     )
     spark = builder.getOrCreate()
     return configure(spark)
