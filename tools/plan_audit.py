@@ -297,6 +297,18 @@ ALLOW = {
     # within-day k^2 rank self-join + 1-row statistic frame over the
     # calendar x k bounded aggregate (the q327/q336 class).
     "q393_friedman_test": {"nested_loop"},
+    # 1-row H/tie frames crossed into the k=|sources|-row rank-sum
+    # aggregate - aggregate-bounded by construction (q318 class).
+    "q394_kruskal_wallis": {"nested_loop"},
+    # 1-row moment frames crossed into the k-row group-moment
+    # aggregate - aggregate-bounded by construction.
+    "q395_anova_score_by_source": {"nested_loop"},
+    # 1-row ANOVA-on-z moment frames crossed into the k-row
+    # group-moment/median aggregates - aggregate-bounded (q395 class).
+    "q396_brown_forsythe": {"nested_loop"},
+    # q393's shape verbatim: within-day k^2 rank self-join + 1-row
+    # L/variance frame over the calendar x k bounded aggregate.
+    "q399_page_trend_test": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -377,6 +389,12 @@ ALLOW_GLOBAL_WINDOW = {
     # median-rank and run-boundary LAG windows over the
     # CALENDAR-bounded daily aggregate - bounded, never fact-sized.
     "q392_runs_test",
+    # tie-rank cumsum over the distinct-LENGTH aggregate - the exact
+    # q318 Mann-Whitney window shape, k-group variant.
+    "q394_kruskal_wallis",
+    # hypothesis-order ROW_NUMBER over the k=|event types|-row rank-
+    # sum aggregate - k rows by construction.
+    "q399_page_trend_test",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

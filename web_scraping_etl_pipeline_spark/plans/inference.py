@@ -34,7 +34,13 @@ from .common import (
 from .dedup import _LSH_CANDS_SQL, q43_lsh_candidate_pairs
 from .mlprep import _h60, _h60_sql
 from .registry import query
-from .textops import _SCORE_SPARK_SQL, _SCORE_SQL, _TOKENS_SQL, _tokens
+from .textops import (
+    _SCORE_SPARK_SQL,
+    _SCORE_SQL,
+    _TOKENS_SQL,
+    _int_score,
+    _tokens,
+)
 
 #: shared near-dup outcome label for the score-evaluation family
 #: (q287 AUC / q320 isotonic / q321 AP): a document is a POSITIVE if
@@ -64,6 +70,7 @@ def _neardup_labeled(spark, sf_dir):
         .join(members.withColumn("hit", F.lit(1)), "doc_id", "left")
         .select(
             "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
             F.expr(_SCORE_SPARK_SQL).cast("long").alias("score"),
             F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("y"),
         )
@@ -3585,4 +3592,597 @@ def q393_friedman_test(spark, sf_dir):
             - 3.0 * F.col("n") * (F.col("k") + 1),
             6,
         ).alias("friedman_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q394: Kruskal-Wallis H - do the k sources share a length distribution?
+# ---------------------------------------------------------------------------
+
+#: micro-quantization scale for the sum of R2^2/n terms: small enough
+#: that R2_g^2 * _KW_M stays far below 2^63 at bench SFs (sf0.1:
+#: (2.5e6)^2 * 1e3 ~ 6e15), large enough that the k-term truncation
+#: error (<= k/_KW_M) is orders below the 6dp output rounding.
+_KW_M = 1000
+
+#: identical scalar-statistic strings for both engines (the q318 z
+#: pattern): H from doubled rank sums (R = R2/2 folds the 1/4 into
+#: 12 -> 3), then the textbook tie-correction divisor.
+_KW_H = (
+    f"(3.0 * CAST(sq AS DOUBLE) / ({_KW_M}.0 * CAST(nn AS DOUBLE)"
+    " * (CAST(nn AS DOUBLE) + 1.0)) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))"
+)
+_KW_HC = (
+    f"({_KW_H} / (1.0 - CAST(tt AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
+    " - CAST(nn AS DOUBLE))))"
+)
+
+
+@query(
+    "q394_kruskal_wallis",
+    oracle=f"""
+    WITH x AS (
+      SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    pv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM x GROUP BY v
+    ),
+    rk AS (
+      SELECT v, ct,
+             SUM(ct) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct
+               AS below
+      FROM pv
+    ),
+    gv AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ),
+    gr AS (
+      SELECT gv.g,
+             CAST(SUM(gv.c) AS BIGINT) AS n_g,
+             CAST(SUM(gv.c * (2 * rk.below + rk.ct + 1)) AS BIGINT)
+               AS r2_g
+      FROM gv JOIN rk USING (v) GROUP BY gv.g
+    ),
+    s AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM((r2_g * r2_g * {_KW_M}) // n_g) AS BIGINT) AS sq
+      FROM gr
+    ),
+    tie AS (
+      SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tt FROM pv
+    )
+    SELECT gr.g AS source,
+           gr.n_g AS n_docs,
+           (1000 * gr.r2_g) // (2 * gr.n_g) AS mean_rank_milli,
+           ROUND({_KW_H}, 6) AS h,
+           ROUND({_KW_HC}, 6) AS h_tie_corrected
+    FROM gr, s, tie
+    """,
+)
+def q394_kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS H test across ALL k sources at once: the
+    k-group generalization of q318's two-sample Mann-Whitney - "does
+    ANY crawler draw document lengths from a different distribution?"
+    is one omnibus question, not k^2 pairwise ones, and this is the
+    standard rank-based answer when normality is off the table.
+    Reports per-source mean ranks (floor-milli) plus the shared H and
+    its tie-corrected form H / (1 - sum(t^3-t)/(N^3-N)).
+
+    Exactness: the q318 doubled-midrank device - per-(source, value)
+    counts join the global tie table, so R2_g = sum c * (2*below +
+    ct + 1) is exact bigint; the k-term sum of R2_g^2/n_g is carried
+    as (R2^2 * {_KW_M}) DIV n_g bigints (order-independent by
+    construction; truncation <= k/{_KW_M}, orders below the 6dp
+    rounding); H is one identical expression string both engines.
+
+    Scale: two hash aggregates on the fact (by value, by
+    group x value), a window over the VALUE-DOMAIN aggregate
+    (adjudicated global_window class), and k-row joins. The fact is
+    scanned once.
+
+    Reference: SURVEY.md section 2.5 aggregation family; the
+    inference-layer sibling of q393 (Friedman, blocked ordinal)."""
+    x = t(spark, sf_dir, "documents").select(
+        F.col("source").alias("g"), F.col("n_chars").cast("long").alias("v")
+    )
+    pv = x.groupBy("v").agg(F.count("*").cast("long").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = pv.select(
+        "v", "ct", (F.sum("ct").over(w) - F.col("ct")).alias("below")
+    )
+    gv = x.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    gr = transient_persist(
+        gv.join(rk, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c") * (2 * F.col("below") + F.col("ct") + 1)
+            )
+            .cast("long")
+            .alias("r2_g"),
+        )
+    )
+    s = gr.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.expr(f"(r2_g * r2_g * {_KW_M}) DIV n_g")
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    tie = pv.agg(
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tt")
+    )
+    return (
+        gr.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            F.col("g").alias("source"),
+            F.col("n_g").alias("n_docs"),
+            F.expr("(1000 * r2_g) DIV (2 * n_g)").alias("mean_rank_milli"),
+            F.round(F.expr(_KW_H), 6).alias("h"),
+            F.round(F.expr(_KW_HC), 6).alias("h_tie_corrected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q395: one-way ANOVA F + eta-squared of the quality score by source
+# ---------------------------------------------------------------------------
+
+#: milli-quantization for the between-group sum of S_g^2/n_g terms
+#: (sf0.1 headroom: (2.5e5)^2 * 1e3 ~ 6e13 << 2^63).
+_AOV_M = 1000
+
+_AOV_F = (
+    "((CAST(ssb_q AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))"
+    " / (CAST(ssw_q AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))"
+)
+_AOV_ETA = (
+    "(CAST(ssb_q AS DOUBLE) / (CAST(ssb_q AS DOUBLE)"
+    " + CAST(ssw_q AS DOUBLE)))"
+)
+
+
+@query(
+    "q395_anova_score_by_source",
+    oracle=f"""
+    WITH x AS (
+      SELECT source AS g, CAST({_SCORE_SQL} AS BIGINT) AS v
+      FROM documents
+    ),
+    gm AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(v) AS BIGINT) AS s_g
+      FROM x GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM((s_g * s_g * {_AOV_M}) // n_g) AS BIGINT) AS bsum
+      FROM gm
+    ),
+    q AS (
+      SELECT CAST(SUM(v * v) AS BIGINT) AS qq FROM x
+    ),
+    stat AS (
+      SELECT nn, k,
+             bsum - (s * s * {_AOV_M}) // nn AS ssb_q,
+             {_AOV_M} * qq - bsum AS ssw_q
+      FROM tot, q
+    )
+    SELECT gm.g AS source, gm.n_g AS n_docs,
+           gm.s_g // gm.n_g AS mean_score_milli,
+           ROUND({_AOV_F}, 6) AS f_stat,
+           ROUND({_AOV_ETA}, 6) AS eta_sq
+    FROM gm, stat
+    """,
+)
+def q395_anova_score_by_source(spark, sf_dir):
+    """ONE-WAY ANOVA of the milli-unit quality score across the k
+    sources: the classic variance decomposition F = MSB/MSW plus
+    eta-squared (SSB/SST) as the effect size - the parametric
+    counterpart to q394's rank-based omnibus, and the first statistic
+    a corpus owner reads when deciding whether "source" explains
+    quality variance or the mixture is homogeneous.
+
+    Exactness: scores are exact milli bigints ({_SCORE_SQL} - integer
+    DIV, never a float); group moments (n, sum, sum-of-squares) are
+    bigint; the between-group sum of S_g^2/n_g is carried as
+    (S^2 * {_AOV_M}) DIV n bigints so SSB_q = bsum - grand and
+    SSW_q = {_AOV_M}*Q - bsum are EXACT INTEGERS on both engines
+    (order-independent folds); F and eta^2 are one identical
+    expression string each, rounded once.
+
+    Scale: one hash aggregate by source (k rows), one global
+    sum-of-squares, k-row arithmetic after - pure map+combine, no
+    window, no join on the fact."""
+    x = t(spark, sf_dir, "documents").select(
+        F.col("source").alias("g"), _int_score().alias("v")
+    )
+    gm = transient_persist(
+        x.groupBy("g").agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("v").cast("long").alias("s_g"),
+        )
+    )
+    tot = gm.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum(F.expr(f"(s_g * s_g * {_AOV_M}) DIV n_g"))
+        .cast("long")
+        .alias("bsum"),
+    )
+    q = x.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("qq"))
+    stat = (
+        tot.crossJoin(F.broadcast(q))
+        .select(
+            "nn",
+            "k",
+            F.expr(f"bsum - (s * s * {_AOV_M}) DIV nn").alias("ssb_q"),
+            F.expr(f"{_AOV_M} * qq - bsum").alias("ssw_q"),
+        )
+    )
+    return gm.crossJoin(F.broadcast(stat)).select(
+        F.col("g").alias("source"),
+        F.col("n_g").alias("n_docs"),
+        F.expr("s_g DIV n_g").alias("mean_score_milli"),
+        F.round(F.expr(_AOV_F), 6).alias("f_stat"),
+        F.round(F.expr(_AOV_ETA), 6).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q396: Brown-Forsythe variance-homogeneity test (lengths by source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q396_brown_forsythe",
+    oracle=f"""
+    WITH x AS (
+      SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    gv AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ),
+    gn AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM gv GROUP BY g
+    ),
+    gw AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM gv
+    ),
+    med AS (
+      SELECT gw.g, MIN(gw.v) AS med
+      FROM gw JOIN gn USING (g)
+      WHERE gw.cum >= (gn.n_g + 1) // 2
+      GROUP BY gw.g
+    ),
+    z AS (
+      SELECT x.g, ABS(x.v - med.med) AS zv
+      FROM x JOIN med USING (g)
+    ),
+    gm AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(zv) AS BIGINT) AS s_g
+      FROM z GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM((s_g * s_g * {_AOV_M}) // n_g) AS BIGINT) AS bsum
+      FROM gm
+    ),
+    q AS (
+      SELECT CAST(SUM(zv * zv) AS BIGINT) AS qq FROM z
+    ),
+    stat AS (
+      SELECT nn, k,
+             bsum - (s * s * {_AOV_M}) // nn AS ssb_q,
+             {_AOV_M} * qq - bsum AS ssw_q
+      FROM tot, q
+    )
+    SELECT gm.g AS source, gm.n_g AS n_docs,
+           med.med AS median_chars,
+           (1000 * gm.s_g) // gm.n_g AS mean_absdev_milli,
+           ROUND({_AOV_F}, 6) AS w_stat
+    FROM gm JOIN med ON med.g = gm.g, stat
+    """,
+)
+def q396_brown_forsythe(spark, sf_dir):
+    """BROWN-FORSYTHE test (Levene with group MEDIANS) for variance
+    homogeneity of document lengths across sources: "two crawlers can
+    share a mean length and still differ wildly in spread" - the
+    dispersion sibling of q394/q395's location tests, and the check
+    that validates the equal-variance assumption q395's F quietly
+    makes. Per-source medians are the LOWER median (first value whose
+    within-group cumulative count reaches (n+1) DIV 2) so the center
+    is an EXACT INTEGER on both engines - the reason this implements
+    Brown-Forsythe rather than mean-centered Levene, whose rational
+    centers would float-ize every deviation.
+
+    Exactness: |v - med| is bigint; the ANOVA-on-z decomposition
+    reuses the q395 (S^2 * {_AOV_M}) DIV n device, so SSB/SSW are
+    exact integers and W is one identical expression string.
+
+    Scale: per-group value-domain aggregate + a PARTITIONED window
+    (per-source, never global), one broadcast of the k-row median
+    table back onto the fact, then pure map+combine moments."""
+    x = t(spark, sf_dir, "documents").select(
+        F.col("source").alias("g"), F.col("n_chars").cast("long").alias("v")
+    )
+    gv = x.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    gn = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gw = gv.select("g", "v", F.sum("c").over(w).alias("cum"))
+    med = (
+        gw.join(gn, "g")
+        .filter(F.col("cum") >= F.expr("(n_g + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    z = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("zv")
+    )
+    gm = transient_persist(
+        z.groupBy("g").agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("zv").cast("long").alias("s_g"),
+        )
+    )
+    tot = gm.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum(F.expr(f"(s_g * s_g * {_AOV_M}) DIV n_g"))
+        .cast("long")
+        .alias("bsum"),
+    )
+    q = z.agg(F.sum(F.col("zv") * F.col("zv")).cast("long").alias("qq"))
+    stat = tot.crossJoin(F.broadcast(q)).select(
+        "nn",
+        "k",
+        F.expr(f"bsum - (s * s * {_AOV_M}) DIV nn").alias("ssb_q"),
+        F.expr(f"{_AOV_M} * qq - bsum").alias("ssw_q"),
+    )
+    return (
+        gm.join(F.broadcast(med), "g")
+        .crossJoin(F.broadcast(stat))
+        .select(
+            F.col("g").alias("source"),
+            F.col("n_g").alias("n_docs"),
+            F.col("med").alias("median_chars"),
+            F.expr("(1000 * s_g) DIV n_g").alias("mean_absdev_milli"),
+            F.round(F.expr(_AOV_F), 6).alias("w_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q398: Fleiss' kappa across three independent quality gates
+# ---------------------------------------------------------------------------
+
+#: the three binary "raters": a length gate, a lexical-diversity gate,
+#: and LSH near-dup membership (the q287 label). Thresholds sit near
+#: the corpus medians at every SF (probed), so neither marginal is
+#: degenerate.
+_FK_LEN = 300
+_FK_SCORE = 460
+
+_FK_KAPPA = (
+    "((CAST(a AS DOUBLE) / (6.0 * CAST(nn AS DOUBLE))"
+    " - (CAST(b AS DOUBLE) * b + (3.0 * nn - b) * (3.0 * nn - b))"
+    "   / (9.0 * CAST(nn AS DOUBLE) * nn))"
+    " / (1.0"
+    " - (CAST(b AS DOUBLE) * b + (3.0 * nn - b) * (3.0 * nn - b))"
+    "   / (9.0 * CAST(nn AS DOUBLE) * nn)))"
+)
+
+
+@query(
+    "q398_fleiss_kappa_gates",
+    oracle=_LSH_CANDS_SQL + _MEMBERS_SQL + f""",
+    rated AS (
+      SELECT (CASE WHEN d.n_chars >= {_FK_LEN} THEN 1 ELSE 0 END
+              + CASE WHEN {_SCORE_SQL} >= {_FK_SCORE} THEN 1 ELSE 0 END
+              + CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS xi
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(xi) AS BIGINT) AS b,
+             CAST(SUM(xi * (xi - 1) + (3 - xi) * (2 - xi)) AS BIGINT)
+               AS a
+      FROM rated
+    )
+    SELECT nn AS n_docs,
+           b AS n_positive_ratings,
+           ROUND(CAST(a AS DOUBLE) / (6.0 * CAST(nn AS DOUBLE)), 6)
+             AS p_bar,
+           ROUND({_FK_KAPPA}, 6) AS fleiss_kappa
+    FROM s
+    """,
+)
+def q398_fleiss_kappa_gates(spark, sf_dir):
+    """FLEISS' KAPPA agreement among THREE binary quality raters -
+    the length gate (n_chars >= {_FK_LEN}), the lexical-diversity
+    gate (milli score >= {_FK_SCORE}), and LSH near-dup membership:
+    the m-rater generalization of q285's pairwise Cohen kappa. Near
+    zero means the gates fire on essentially unrelated document sets
+    (each adds real filtering signal); high kappa means the pipeline
+    pays three gate evaluations for one gate's worth of information.
+
+    Exactness: per-doc positive-rating counts x in {{0..3}}; the
+    agreement numerator A = sum x(x-1) + (3-x)(2-x) and marginal
+    B = sum x are EXACT BIGINT folds; P-bar = A/6N, the chance
+    agreement Pe = (B^2 + (3N-B)^2)/(9N^2), and kappa are one
+    identical expression string from those two integers - nothing to
+    reorder, nothing to accumulate in float.
+
+    Scale: the q43 candidate stage (bucketed, capped) + one label
+    left-join + a 2-integer fold. One fact scan beyond the shared
+    LSH stage."""
+    labeled = _neardup_labeled(spark, sf_dir)
+    rated = labeled.select(
+        (
+            (F.col("n_chars") >= _FK_LEN).cast("int")
+            + (F.col("score") >= _FK_SCORE).cast("int")
+            + F.col("y")
+        ).alias("xi")
+    )
+    s = rated.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("xi").cast("long").alias("b"),
+        F.sum(
+            F.col("xi") * (F.col("xi") - 1)
+            + (3 - F.col("xi")) * (2 - F.col("xi"))
+        )
+        .cast("long")
+        .alias("a"),
+    )
+    return s.select(
+        F.col("nn").alias("n_docs"),
+        F.col("b").alias("n_positive_ratings"),
+        F.round(
+            F.col("a").cast("double") / (6.0 * F.col("nn").cast("double")),
+            6,
+        ).alias("p_bar"),
+        F.round(F.expr(_FK_KAPPA), 6).alias("fleiss_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q399: Page's trend test - monotone ordering of event-type intensity
+# ---------------------------------------------------------------------------
+
+#: identical z-statistic string (normal approximation; Page 1963):
+#: E[L] = n*k*(k+1)^2/4, Var[L] = n*k^2*(k+1)*(k^2-1)/144, carried
+#: with the DOUBLED L (l2 = 2L) so the input is an exact bigint.
+_PAGE_Z = (
+    "((CAST(l2 AS DOUBLE) / 2.0"
+    " - CAST(n AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 4.0)"
+    " / SQRT(CAST(n AS DOUBLE) * k * k * (k + 1.0)"
+    " * (k * k - 1.0) / 144.0))"
+)
+
+
+@query(
+    "q399_page_trend_test",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             event_type AS ty, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT days.d, tys.ty, COALESCE(daily0.y, 0) AS y
+      FROM (SELECT DISTINCT d FROM daily0) days
+      CROSS JOIN (SELECT DISTINCT ty FROM daily0) tys
+      LEFT JOIN daily0 USING (d, ty)
+    ),
+    ranked AS (
+      SELECT a.d, a.ty,
+             CAST(2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM daily a JOIN daily b ON b.d = a.d
+      GROUP BY a.d, a.ty, a.y
+    ),
+    sums AS (
+      SELECT ty, CAST(SUM(r2) AS BIGINT) AS rank_sum_x2,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(ROW_NUMBER() OVER (ORDER BY ty) AS BIGINT) AS j
+      FROM ranked GROUP BY ty
+    ),
+    stat AS (
+      SELECT CAST(CASE WHEN MIN(n_days) = MAX(n_days)
+                       THEN MIN(n_days) END AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(j * rank_sum_x2) AS BIGINT) AS l2
+      FROM sums
+    )
+    SELECT s.ty AS event_type, s.j AS hyp_order, s.rank_sum_x2,
+           st.l2 AS page_l_x2,
+           ROUND({_PAGE_Z}, 6) AS page_z
+    FROM sums s, stat st
+    """,
+)
+def q399_page_trend_test(spark, sf_dir):
+    """PAGE'S TREND TEST on the densified (day x event-type) count
+    table: where q393's Friedman asks "do the k types differ at all
+    in daily rank?", Page's L asks the SHARPER ordered question - do
+    daily ranks increase monotonically along a hypothesized type
+    ordering? L = sum_j j * R_j concentrates its power on that
+    alternative. The hypothesis order here is the fixed alphabetical
+    type order (deterministic; in practice the analyst supplies the
+    domain ordering - the machinery is order-agnostic).
+
+    Exactness: reuses the q393 devices end-to-end - densified
+    complete blocks (:func:`_densify_blocks`), doubled within-day
+    midranks from the k^2 self-join, bigint rank sums - so
+    L2 = 2L = sum j * R2_j is an exact bigint and the normal-
+    approximation z (E[L] = nk(k+1)^2/4, Var[L] = nk^2(k+1)(k^2-1)/
+    144) is one identical expression string, rounded once.
+
+    Scale: identical to q393 - fact collapses to the calendar x k
+    aggregate; the rank stage is k^2 per day on that bounded frame;
+    the j-assignment window touches k rows."""
+    ev = t(spark, sf_dir, "events")
+    daily0 = ev.groupBy(
+        F.floor(
+            (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)
+        ).alias("d"),
+        F.col("event_type").alias("ty"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    daily = transient_persist(_densify_blocks(daily0))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("yb"))
+    ranked = (
+        daily.join(F.broadcast(b), daily.d == b.d2)
+        .groupBy("d", "ty", "y")
+        .agg(
+            (
+                2 * F.sum((F.col("yb") < F.col("y")).cast("int"))
+                + F.sum((F.col("yb") == F.col("y")).cast("int"))
+                + 1
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    sums = ranked.groupBy("ty").agg(
+        F.sum("r2").cast("long").alias("rank_sum_x2"),
+        F.count("*").cast("long").alias("n_days"),
+    ).withColumn(
+        "j", F.row_number().over(Window.orderBy("ty")).cast("long")
+    )
+    stat = sums.agg(
+        F.when(F.min("n_days") == F.max("n_days"), F.min("n_days"))
+        .cast("long")
+        .alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("j") * F.col("rank_sum_x2")).cast("long").alias("l2"),
+    )
+    return sums.crossJoin(F.broadcast(stat)).select(
+        F.col("ty").alias("event_type"),
+        F.col("j").alias("hyp_order"),
+        "rank_sum_x2",
+        F.col("l2").alias("page_l_x2"),
+        F.round(F.expr(_PAGE_Z), 6).alias("page_z"),
     )
