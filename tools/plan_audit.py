@@ -309,6 +309,9 @@ ALLOW = {
     # q393's shape verbatim: within-day k^2 rank self-join + 1-row
     # L/variance frame over the calendar x k bounded aggregate.
     "q399_page_trend_test": {"nested_loop"},
+    # q336's shape verbatim: banded lag self-join of the CALENDAR-
+    # bounded daily aggregate + 1-row moments/portmanteau frames.
+    "q402_ljung_box": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

@@ -4114,3 +4114,316 @@ def q392_runs_test(spark, sf_dir):
             6,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q402: Ljung-Box portmanteau test on the daily event series
+# ---------------------------------------------------------------------------
+
+#: portmanteau depth: the same 1..10 lag band q336 reports.
+_LB_LAGS = 10
+
+#: Q = n(n+2) * sum_k r_k^2/(n-k), assembled from micro-quantized
+#: autocorrelations: per-lag term (rk_micro^2) DIV (n - k) summed as
+#: bigint (order-free), then one identical double expression.
+_LB_Q = (
+    "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)"
+    " * CAST(qsum AS DOUBLE) / 1000000000000.0)"
+)
+
+
+@query(
+    "q402_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+               AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM daily
+    ),
+    pairs AS (
+      SELECT b.day_idx - a.day_idx AS lag_k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.y * b.y) AS BIGINT) AS p,
+             CAST(SUM(a.y + b.y) AS BIGINT) AS tsum
+      FROM daily a JOIN daily b
+        ON b.day_idx - a.day_idx BETWEEN 1 AND {_LB_LAGS}
+      GROUP BY 1
+    ),
+    rk AS (
+      SELECT pairs.lag_k, pairs.n_pairs,
+             ((tot.n * tot.n * pairs.p
+               - tot.n * tot.s * pairs.tsum
+               + pairs.n_pairs * tot.s * tot.s) * 1000000)
+             // (tot.n * tot.n * tot.ss - tot.n * tot.s * tot.s)
+               AS rk_micro,
+             tot.n AS n
+      FROM pairs, tot
+    ),
+    q AS (
+      SELECT CAST(SUM((rk_micro * rk_micro) // (n - lag_k)) AS BIGINT)
+               AS qsum
+      FROM rk
+    )
+    SELECT rk.lag_k, rk.n_pairs, CAST(rk.rk_micro AS BIGINT) AS rk_micro,
+           ROUND({_LB_Q}, 6) AS lb_q,
+           CAST({_LB_LAGS} AS BIGINT) AS dof
+    FROM rk, q
+    """,
+)
+def q402_ljung_box(spark, sf_dir):
+    """LJUNG-BOX PORTMANTEAU test over lags 1..{_LB_LAGS} of the
+    daily event-count series: q336 reports the per-lag ACF values;
+    this collapses them into the single omnibus Q = n(n+2) sum
+    r_k^2/(n-k) that answers "is there ANY serial structure left?" -
+    the standard residual-whiteness check run after q335's seasonal
+    decomposition or q346/q357's smoothing fits, and the
+    drift-monitor null-picker (i.i.d. vs drift-aware) for q260.
+
+    Exactness: per-lag autocorrelations reuse q336's n^2-scaled
+    integer identity and quantize to MICRO-UNIT bigints via one
+    truncating division ((numer * 1e6) DIV denom - both engines
+    truncate toward zero); the portmanteau fold is then
+    (rk_micro^2) DIV (n - k) summed as bigint (order-independent by
+    construction); Q is one identical expression string, rounded
+    once.
+
+    Scale: identical to q336 - the fact collapses to the CALENDAR-
+    bounded daily aggregate, the lag stage is a broadcast non-equi
+    self-join of that ~|days|-row frame (q327 adjudicated-BNLJ
+    class), and everything after is {_LB_LAGS}-row arithmetic."""
+    daily = transient_persist(
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US))
+                / F.lit(US_PER_DAY)
+            ).alias("day_idx")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    a = daily.select(
+        F.col("day_idx").alias("day_a"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day_idx").alias("day_b"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("day_b") - F.col("day_a")).between(1, _LB_LAGS),
+        )
+        .groupBy((F.col("day_b") - F.col("day_a")).alias("lag_k"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb")).cast("long").alias("p"),
+            F.sum(F.col("ya") + F.col("yb")).cast("long").alias("tsum"),
+        )
+    )
+    rk = transient_persist(
+        pairs.crossJoin(F.broadcast(tot)).select(
+            "lag_k",
+            "n_pairs",
+            F.expr(
+                "((n * n * p - n * s * tsum + n_pairs * s * s)"
+                " * 1000000) DIV (n * n * ss - n * s * s)"
+            ).alias("rk_micro"),
+            "n",
+        )
+    )
+    q = rk.groupBy("n").agg(
+        F.sum(F.expr("(rk_micro * rk_micro) DIV (n - lag_k)"))
+        .cast("long")
+        .alias("qsum")
+    )
+    return rk.crossJoin(F.broadcast(q.select("qsum"))).select(
+        "lag_k",
+        "n_pairs",
+        F.col("rk_micro").cast("long").alias("rk_micro"),
+        F.round(F.expr(_LB_Q), 6).alias("lb_q"),
+        F.lit(_LB_LAGS).cast("long").alias("dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q401: banded interval-overlap self-join of user activity sessions
+# ---------------------------------------------------------------------------
+
+#: session timeout; the active interval is [first_event, last_event +
+#: timeout) - the standard "session plus its idle tail" convention,
+#: which also keeps single-event sessions full-width instead of
+#: degenerate points.
+_IVJ_GAP_US = 30 * 60 * 1_000_000
+_IVJ_TOPK = 15
+
+
+@query(
+    "q401_session_overlap_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+    ),
+    lagged AS (
+      SELECT user_id, t,
+             CASE WHEN LAG(t) OVER w IS NULL
+                  OR t - LAG(t) OVER w > {_IVJ_GAP_US} THEN 1
+                  ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagged
+    ),
+    iv AS (
+      SELECT user_id, sid,
+             CAST(MIN(t) AS BIGINT) AS s0,
+             CAST(MAX(t) + {_IVJ_GAP_US} AS BIGINT) AS s1
+      FROM sess GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT user_id, sid, s0, s1, d AS day_idx
+      FROM iv,
+           UNNEST(generate_series((s0 - {EVENTS_EPOCH_US}) // {US_PER_DAY},
+                                  (s1 - {EVENTS_EPOCH_US}) // {US_PER_DAY}))
+             AS u(d)
+    ),
+    b AS (
+      SELECT user_id, sid, s0, s1,
+             (s0 - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx
+      FROM iv
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             LEAST(a.s1, b.s1) - b.s0 AS ov_us
+      FROM a JOIN b USING (day_idx)
+      WHERE a.user_id != b.user_id
+        AND b.s0 < a.s1
+        AND (b.s0 > a.s0 OR (b.s0 = a.s0 AND b.user_id > a.user_id))
+    )
+    SELECT CAST(user_a AS BIGINT) AS user_a,
+           CAST(user_b AS BIGINT) AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov_us) AS BIGINT) AS overlap_us
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY n_overlaps DESC, user_a, user_b
+    LIMIT {_IVJ_TOPK}
+    """,
+)
+def q401_session_overlap_join(spark, sf_dir):
+    """BANDED INTERVAL-OVERLAP SELF-JOIN: which user pairs are active
+    in overlapping sessions, and for how long? Sessions are 30-min-
+    gap sessionized activity intervals [first, last + timeout); the
+    overlap join is the general-purpose interval primitive behind
+    co-presence analytics, contention detection, and ad-attribution
+    windows - the PAIR-producing sibling of q154's peak-concurrency
+    counter and q56's point-in-range join.
+
+    The scale device is the DAY-BAND + LATER-START canonicalization:
+    side A explodes each interval to the day buckets it spans
+    (sequence(start_day, end_day) - fan-out bounded by interval
+    length / 1 day), side B keys by START day only, and the match
+    requires b.s0 in [a.s0, a.s1) with ties broken by user id - so
+    every overlapping pair is found EXACTLY ONCE (the later starter's
+    start day is always inside the earlier session's span), with no
+    all-pairs stage and no double counting. At 100 TB the join is a
+    plain shuffle equi-join on (day) with per-day partitions.
+
+    Exactness: all interval arithmetic is epoch-micro bigint; overlap
+    duration LEAST(a.s1, b.s1) - b.s0 is integer; counts/sums are
+    integer folds; top-{_IVJ_TOPK} orders by (count DESC, user_a,
+    user_b) - fully deterministic."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").alias("t")
+    )
+    wu = Window.partitionBy("user_id").orderBy("t")
+    lagged = ev.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(wu).isNull()
+            | ((F.col("t") - F.lag("t").over(wu)) > _IVJ_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = lagged.select(
+        "user_id",
+        "t",
+        F.sum("brk")
+        .over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("sid"),
+    )
+    iv = transient_persist(
+        sess.groupBy("user_id", "sid").agg(
+            F.min("t").cast("long").alias("s0"),
+            (F.max("t") + F.lit(_IVJ_GAP_US)).cast("long").alias("s1"),
+        )
+    )
+    a = iv.select(
+        F.col("user_id").alias("ua"),
+        F.col("s0").alias("a0"),
+        F.col("s1").alias("a1"),
+        F.explode(
+            F.sequence(
+                F.expr(f"(s0 - {EVENTS_EPOCH_US}) DIV {US_PER_DAY}"),
+                F.expr(f"(s1 - {EVENTS_EPOCH_US}) DIV {US_PER_DAY}"),
+            )
+        ).alias("day_idx"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("ub"),
+        F.col("s0").alias("b0"),
+        F.col("s1").alias("b1"),
+        F.expr(f"(s0 - {EVENTS_EPOCH_US}) DIV {US_PER_DAY}").alias(
+            "day_idx"
+        ),
+    )
+    pairs = (
+        a.join(b, "day_idx")
+        .filter(
+            (F.col("ua") != F.col("ub"))
+            & (F.col("b0") < F.col("a1"))
+            & (
+                (F.col("b0") > F.col("a0"))
+                | ((F.col("b0") == F.col("a0")) & (F.col("ub") > F.col("ua")))
+            )
+        )
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            (F.least("a1", "b1") - F.col("b0")).alias("ov_us"),
+        )
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.sum("ov_us").cast("long").alias("overlap_us"),
+        )
+        .select(
+            F.col("user_a").cast("long").alias("user_a"),
+            F.col("user_b").cast("long").alias("user_b"),
+            "n_overlaps",
+            "overlap_us",
+        )
+        .orderBy(F.desc("n_overlaps"), "user_a", "user_b")
+        .limit(_IVJ_TOPK)
+    )

@@ -2067,3 +2067,115 @@ def q381_association_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q400: lexical-complexity / readability profile per source
+# ---------------------------------------------------------------------------
+
+#: pseudo-sentence length: this synthetic corpus has no sentence
+#: delimiters, so readability's words-per-sentence term uses fixed
+#: 15-word pseudo-sentences - a DETERMINISTIC documented convention
+#: (the syllable terms, which carry most of the signal, are real).
+_RD_SENT_WORDS = 15
+
+#: integer Flesch reading ease in milli units: 206.835 - 1.015*(W/S)
+#: - 84.6*(Y/W), with every coefficient x1000 exactly integer
+#: (206835, 1015 per word-ratio already over S, 84600) and both
+#: divisions truncating identically on the two engines.
+_RD_FLESCH = (
+    f"(206835 - (1015 * w) {{div}} s - (84600 * y) {{div}} w)"
+)
+
+
+@query(
+    "q400_readability_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS y,
+             CAST(len(list_filter({_TOKENS_SQL},
+                  tk -> len(regexp_extract_all(tk, '[aeiouy]+')) >= 3))
+                  AS BIGINT) AS cx
+      FROM documents
+    ),
+    f AS (
+      SELECT source, w, y, cx,
+             (w + {_RD_SENT_WORDS - 1}) // {_RD_SENT_WORDS} AS s
+      FROM d
+    ),
+    scored AS (
+      SELECT source, w, y, cx,
+             {_RD_FLESCH.format(div="//")} AS flesch_milli
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(flesch_milli) // COUNT(*) AS BIGINT)
+             AS avg_flesch_milli,
+           CAST((1000 * SUM(y)) // SUM(w) AS BIGINT)
+             AS syllables_per_word_milli,
+           CAST((1000 * SUM(cx)) // SUM(w) AS BIGINT)
+             AS complex_share_milli
+    FROM scored
+    GROUP BY source
+    """,
+)
+def q400_readability_profile(spark, sf_dir):
+    """READABILITY / lexical-complexity profile per source: integer
+    milli-unit Flesch reading ease (206.835 - 1.015 W/S - 84.6 Y/W
+    with x1000 coefficients and truncating divisions), syllables per
+    word, and the share of complex words (>= 3 vowel groups) - the
+    quality-scoring panel a corpus intake uses to route sources into
+    "simple/web", "standard", and "dense/technical" mixes before
+    tokenizer-fertility (q210) and quality-gate (q84) decisions. The
+    corpus has no sentence delimiters, so words-per-sentence uses
+    fixed {_RD_SENT_WORDS}-word pseudo-sentences - a deterministic,
+    documented convention; the syllable terms carry the signal.
+
+    Exactness: word counts, vowel-group counts (one identical regex
+    '[aeiouy]+' on both engines' RE2-class matchers), and complex-
+    word counts are integers; the Flesch expression is ALL-INTEGER
+    (coefficients x1000, truncating DIV), so per-doc scores and the
+    per-source folds are exact bigints end-to-end - no float enters
+    at any point.
+
+    Scale: one map stage (regex counting is per-row, JVM-side) + one
+    hash aggregate by source. Nothing else."""
+    docs = t_split(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.expr(r"size(split(trim(lower(text)), '\\s+'))")
+        .cast("long")
+        .alias("w"),
+        F.expr(r"size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+        .cast("long")
+        .alias("y"),
+        F.expr(
+            r"size(filter(split(trim(lower(text)), '\\s+'),"
+            r" tk -> size(regexp_extract_all(tk, '[aeiouy]+', 0)) >= 3))"
+        )
+        .cast("long")
+        .alias("cx"),
+    )
+    f = d.withColumn(
+        "s",
+        F.expr(f"(w + {_RD_SENT_WORDS - 1}) DIV {_RD_SENT_WORDS}"),
+    )
+    scored = f.withColumn(
+        "flesch_milli", F.expr(_RD_FLESCH.format(div="DIV"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("SUM(flesch_milli) DIV COUNT(*)")
+        .cast("long")
+        .alias("avg_flesch_milli"),
+        F.expr("(1000 * SUM(y)) DIV SUM(w)")
+        .cast("long")
+        .alias("syllables_per_word_milli"),
+        F.expr("(1000 * SUM(cx)) DIV SUM(w)")
+        .cast("long")
+        .alias("complex_share_milli"),
+    )
