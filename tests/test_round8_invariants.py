@@ -1,0 +1,113 @@
+"""Algebraic invariants for the round-8 stattests additions
+(q403-q408). The oracle comparison pins exact values; these pin what
+each operator GUARANTEES by construction: Mann-Kendall's S is bounded
+by the pair count and its variance matches the no-tie closed form
+when ties are absent, Pettitt's U path ends at zero, Welch moments
+reproduce the group means, Cliff's pair counts partition the
+cross-product, Mood's cells conserve the document count, and
+Durbin-Watson lands in its [0, 4] range.
+"""
+
+from __future__ import annotations
+
+from web_scraping_etl_pipeline_spark.plans import QUERIES
+from web_scraping_etl_pipeline_spark.plans.stattests import _daily
+
+from conftest import SF_DIR
+
+
+def _rows(spark, name):
+    return QUERIES[name](spark, SF_DIR).collect()
+
+
+def test_mann_kendall_bounds(spark):
+    (r,) = _rows(spark, "q403_mann_kendall")
+    n = r["n_days"]
+    pairs = n * (n - 1) // 2
+    assert -pairs <= r["s_stat"] <= pairs
+    # tie correction only ever SHRINKS the no-tie variance
+    assert 0 < r["var_s_x18"] <= n * (n - 1) * (2 * n + 5)
+    # z sign agrees with S (continuity correction cannot flip it)
+    if r["s_stat"] > 1:
+        assert r["z_score"] > 0
+    if r["s_stat"] < -1:
+        assert r["z_score"] < 0
+
+
+def test_pettitt_u_path_closes_at_zero(spark):
+    import pyspark.sql.functions as F
+
+    (r,) = _rows(spark, "q404_pettitt_changepoint")
+    daily = _daily(spark, SF_DIR).collect()
+    n = len(daily)
+    assert r["n_days"] == n
+    # K is bounded by the pair count and the change day is interior
+    assert 0 <= r["k_stat"] <= n * (n - 1) // 2
+    days = sorted(d["d"] for d in daily)
+    assert days[0] <= r["change_day"] < days[-1]
+    # exact integer p device: -ln(p/2) in micro-nats, never negative
+    assert r["neg_ln_p_micro"] == (
+        6_000_000 * r["k_stat"] ** 2 // (n**3 + n**2)
+    )
+    # U_n = sum_j sum_i sign(...) over ALL pairs with itself = 0:
+    # recompute the full path in python from the daily frame
+    ys = [d["y"] for d in sorted(daily, key=lambda d: d["d"])]
+    u = 0
+    path = []
+    for k in range(n):
+        u += sum(
+            (ys[k] > y) - (ys[k] < y) for y in ys
+        )
+        path.append(u)
+    assert path[-1] == 0
+    assert max(abs(v) for v in path[:-1]) == r["k_stat"]
+
+
+def test_welch_moments_consistent(spark):
+    (r,) = _rows(spark, "q405_welch_ttest")
+    assert r["n0"] > 1 and r["n1"] > 1
+    # df is bounded by the classic limits: min(n0,n1)-1 <= df <= n0+n1-2
+    assert min(r["n0"], r["n1"]) - 1 <= r["df_welch"] <= r["n0"] + r["n1"] - 2
+    # t and d share the mean-difference sign
+    if r["mean0_milli"] != r["mean1_milli"]:
+        assert (r["t_welch"] > 0) == (r["mean0_milli"] > r["mean1_milli"])
+        assert (r["cohens_d"] > 0) == (r["t_welch"] > 0)
+
+
+def test_cliffs_delta_partitions_pairs(spark):
+    (r,) = _rows(spark, "q406_cliffs_delta")
+    total = r["n0"] * r["n1"]
+    assert 0 < total
+    assert r["gt_pairs"] + r["lt_pairs"] <= total  # remainder = ties
+    assert -1.0 <= r["cliffs_delta"] <= 1.0
+    assert r["magnitude"] in {"negligible", "small", "medium", "large"}
+    # the band is a function of |delta| with the documented cutpoints
+    a = abs(r["gt_pairs"] - r["lt_pairs"]) * 1000
+    bands = [
+        (147 * total, "negligible"),
+        (330 * total, "small"),
+        (474 * total, "medium"),
+    ]
+    expect = "large"
+    for cut, label in reversed(bands):
+        if a < cut:
+            expect = label
+    assert r["magnitude"] == expect
+
+
+def test_moods_median_conserves_documents(spark):
+    rows = _rows(spark, "q407_moods_median")
+    assert len(rows) == 20  # one row per source
+    n_docs = sum(r["n_above"] + r["n_le"] for r in rows)
+    # at-or-below must hold at least half the mass (median definition)
+    assert 2 * sum(r["n_le"] for r in rows) >= n_docs
+    assert len({r["chi2"] for r in rows}) == 1
+    assert rows[0]["dof"] == len(rows) - 1
+    assert rows[0]["chi2"] >= 0.0
+
+
+def test_durbin_watson_range(spark):
+    (r,) = _rows(spark, "q408_durbin_watson")
+    assert 0.0 <= r["dw_stat"] <= 4.0
+    assert abs(r["rho_approx"] - (1.0 - r["dw_stat"] / 2.0)) < 1e-5
+    assert -1.0 <= r["rho_approx"] <= 1.0

@@ -312,6 +312,18 @@ ALLOW = {
     # q336's shape verbatim: banded lag self-join of the CALENDAR-
     # bounded daily aggregate + 1-row moments/portmanteau frames.
     "q402_ljung_box": {"nested_loop"},
+    # q327/q377's shape: theta self-join of the CALENDAR-bounded daily
+    # aggregate (|days|^2/2 pairs) + 1-row S/tie/n frames crossed.
+    "q403_mann_kendall": {"nested_loop"},
+    # |days|^2 census cross of the CALENDAR-bounded daily aggregate +
+    # 1-row n/dmax frame crossed into the |days|-row U path.
+    "q404_pettitt_changepoint": {"nested_loop"},
+    # 1-row grand-median frame broadcast into the fact scan, then
+    # 1-row margin/chi2 frames crossed into the k=|sources|-row cells.
+    "q407_moods_median": {"nested_loop"},
+    # 1-row OLS-coefficient frame crossed into the CALENDAR-bounded
+    # daily aggregate (the q346 residual-frame class).
+    "q408_durbin_watson": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -398,6 +410,18 @@ ALLOW_GLOBAL_WINDOW = {
     # hypothesis-order ROW_NUMBER over the k=|event types|-row rank-
     # sum aggregate - k rows by construction.
     "q399_page_trend_test",
+    # U_k cumsum over the CALENDAR-bounded daily aggregate - bounded
+    # by days (the q260 CUSUM window class).
+    "q404_pettitt_changepoint",
+    # tie-rank cumsum over the distinct-LENGTH census - the exact
+    # q318 window shape (domain-bounded, never fact-sized).
+    "q406_cliffs_delta",
+    # grand-median rank scan over the distinct-LENGTH census +
+    # 1-row stat frame - domain-bounded (q318/q402 class).
+    "q407_moods_median",
+    # residual LAG over the CALENDAR-bounded daily aggregate -
+    # bounded by days (the q260/q404 class).
+    "q408_durbin_watson",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

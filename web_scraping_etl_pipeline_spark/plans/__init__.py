@@ -16,6 +16,7 @@ from . import datapipe  # noqa: E402,F401
 from . import pipelineq  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import inference  # noqa: E402,F401
+from . import stattests  # noqa: E402,F401
 from ..streaming import events_stream  # noqa: E402,F401
 from ..streaming import docs_stream  # noqa: E402,F401
 from ..multimodal import media  # noqa: E402,F401

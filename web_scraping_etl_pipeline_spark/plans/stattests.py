@@ -1,0 +1,810 @@
+"""Round-8 statistical-test suite — the trend/change-point/effect-size
+tests a corpus-operations team runs on its daily telemetry and its
+quality signals, completing the inference family (q318/q390-q402):
+Mann-Kendall monotone trend, Pettitt change-point, Welch's t,
+Cliff's delta, Mood's median test, Durbin-Watson autocorrelation of
+OLS residuals, lagged cross-correlation, market concentration (HHI),
+and Grubbs' max-deviation outlier.
+
+Exactness discipline (the suite's integer-first rules, see
+plans/registry.py): every cross-engine fold is an exact integer /
+decimal(38,0) sum or a micro-quantized bigint of a per-cell double
+both engines computed identically; scalar double arithmetic (z, t,
+DW ratios) is the IDENTICAL expression string on both engines (IEEE
+754 + correctly-rounded SQRT make it bit-identical); rounding happens
+once, at the end. No libm LN/EXP anywhere in a comparison path — the
+Pettitt p-value is reported in exact -ln form (ADVICE r7: libm is not
+correctly rounded across engines).
+
+Scale discipline: every query collapses the fact table to a
+CALENDAR-bounded daily aggregate or a value census before any pair
+enumeration (the q327/q318 adjudicated classes); windows run on those
+bounded frames only. No operator here touches more than one fact
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import EVENTS_EPOCH_US, US_PER_DAY, t, transient_persist
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# shared daily-series scaffolding (the q377/q392/q402 calendar aggregate)
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = f"""
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+"""
+
+
+def _daily(spark, sf_dir):
+    """(d, y): per-day event counts — the calendar-bounded aggregate
+    every series test in this module runs on."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US))
+                / F.lit(US_PER_DAY)
+            ).alias("d")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q403: Mann-Kendall monotone-trend test on daily volume
+# ---------------------------------------------------------------------------
+
+#: shared z expression: the +/-1 continuity correction and the
+#: tie-corrected variance VarS = v18/18, one identical string both
+#: engines (SQRT is correctly rounded; everything under it is bigint).
+_MK_Z = (
+    "(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+    " / SQRT(CAST(v18 AS DOUBLE) / 18.0)"
+    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+    " / SQRT(CAST(v18 AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END)"
+)
+
+
+@query(
+    "q403_mann_kendall",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    tie AS (
+      SELECT CAST(COALESCE(SUM(ct * (ct - 1) * (2 * ct + 5)), 0)
+                  AS BIGINT) AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ct FROM daily GROUP BY y)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    f AS (
+      SELECT n, s,
+             n * (n - 1) * (2 * n + 5) - tsum AS v18
+      FROM p, tie, nn
+    )
+    SELECT n AS n_days, s AS s_stat, v18 AS var_s_x18,
+           ROUND({_MK_Z}, 6) AS z_score
+    FROM f
+    """,
+)
+def q403_mann_kendall(spark, sf_dir):
+    """MANN-KENDALL monotone-trend test on daily event volume: S =
+    sum over day pairs i<j of sign(y_j - y_i), with the textbook
+    tie-corrected variance and +/-1 continuity correction — the
+    SIGNIFICANCE companion to q377's Theil-Sen slope (Sen estimates
+    HOW steep, Mann-Kendall answers IS there a trend at all), the
+    standard pairing in every monitoring stack because neither
+    assumes normality.
+
+    Exactness: S and the tie term sum(t(t-1)(2t+5)) are exact bigints
+    (signs of bigint differences); VarS*18 = n(n-1)(2n+5) - tie is one
+    bigint; z is ONE identical expression string (correctly-rounded
+    SQRT), rounded 6dp once.
+
+    Scale: the fact collapses to the CALENDAR-bounded daily aggregate
+    before the pair stage; the |days|^2/2 self-join is the
+    q327/q377 adjudicated-BNLJ class (grows with days, never with
+    data volume). One fact scan, one groupBy(day)."""
+    daily = transient_persist(_daily(spark, sf_dir))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (
+        daily.join(F.broadcast(b), F.col("db") > F.col("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("y"), 1)
+                .when(F.col("yb") < F.col("y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    tie = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("long").alias("ct"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("ct") * (F.col("ct") - 1) * (2 * F.col("ct") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    f = (
+        s.crossJoin(F.broadcast(tie))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tsum")
+            ).alias("v18"),
+        )
+    )
+    return f.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.col("v18").alias("var_s_x18"),
+        F.round(F.expr(_MK_Z), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q404: Pettitt rank-based change-point test on daily volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q404_pettitt_changepoint",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    v AS (
+      SELECT a.d,
+             CAST(SUM(CASE WHEN a.y > b.y THEN 1
+                           WHEN a.y < b.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS vk
+      FROM daily a CROSS JOIN daily b GROUP BY a.d
+    ),
+    u AS (
+      SELECT d,
+             CAST(SUM(vk) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS uk
+      FROM v
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(MAX(d) AS BIGINT) AS dmax FROM daily),
+    pick AS (
+      SELECT u.d, ABS(u.uk) AS k
+      FROM u, nn WHERE u.d < nn.dmax
+      ORDER BY ABS(u.uk) DESC, u.d ASC LIMIT 1
+    )
+    SELECT nn.n AS n_days, pick.d AS change_day, pick.k AS k_stat,
+           (6000000 * pick.k * pick.k)
+             // (nn.n * nn.n * nn.n + nn.n * nn.n)
+             AS neg_ln_p_micro
+    FROM pick, nn
+    """,
+)
+def q404_pettitt_changepoint(spark, sf_dir):
+    """PETTITT rank-based change-point test: U_k = sum_{i<=k, j>k}
+    sign(y_i - y_j); the split day maximizing |U_k| is the most
+    likely mean-shift point, with approximate significance p ~
+    2*exp(-6K^2/(n^3+n^2)) — the nonparametric sibling of q260's
+    CUSUM (which assumes the pre/post means matter; Pettitt only
+    uses ranks, so a single monster day can't fake a regime change).
+
+    The p-value is reported as -ln(p/2) in EXACT integer micro-nats
+    (6e6*K^2 DIV (n^3+n^2)) rather than through libm EXP, which is
+    not correctly rounded and therefore not cross-engine
+    bit-identical (ADVICE r7 on the LN family) — the monitoring
+    consumer thresholds on the exact integer instead.
+
+    Exactness: U_k via the recurrence U_k - U_{k-1} = sum_j
+    sign(y_k - y_j) — one |days|^2 census join and one cumulative
+    window over the bounded daily frame; everything bigint; argmax
+    tie-breaks to the earliest day in both engines.
+
+    Scale: same q327-class bounded pair stage as q403; the window and
+    argmax run on the |days|-row frame."""
+    daily = transient_persist(_daily(spark, sf_dir))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    v = (
+        daily.crossJoin(F.broadcast(b))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("y") > F.col("yb"), 1)
+                .when(F.col("y") < F.col("yb"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("vk")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = v.select("d", F.sum("vk").over(w).cast("long").alias("uk"))
+    nn = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("d").cast("long").alias("dmax"),
+    )
+    pick = (
+        u.crossJoin(F.broadcast(nn))
+        .filter(F.col("d") < F.col("dmax"))
+        .select("d", F.abs(F.col("uk")).alias("k"), "n")
+        .orderBy(F.col("k").desc(), F.col("d").asc())
+        .limit(1)
+    )
+    return pick.select(
+        F.col("n").alias("n_days"),
+        F.col("d").alias("change_day"),
+        F.col("k").alias("k_stat"),
+        F.expr(
+            "(6000000 * k * k) DIV (n * n * n + n * n)"
+        ).alias("neg_ln_p_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q405: Welch's t-test + Cohen's d between two crawl sources
+# ---------------------------------------------------------------------------
+
+_WT_A, _WT_B = "src0", "src1"
+
+#: sample variances from integer moments, then Welch t, the
+#: Welch-Satterthwaite df, and pooled-sd Cohen's d — one identical
+#: expression family on both engines (pure double ratio chains over
+#: bigints; SQRT correctly rounded).
+_WT_V0 = (
+    "((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)"
+    " / (CAST(n0 AS DOUBLE) - 1.0))"
+)
+_WT_V1 = (
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+    " / (CAST(n1 AS DOUBLE) - 1.0))"
+)
+_WT_T = (
+    f"((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)"
+    f" / SQRT({_WT_V0} / n0 + {_WT_V1} / n1))"
+)
+_WT_DF = (
+    f"(({_WT_V0} / n0 + {_WT_V1} / n1) * ({_WT_V0} / n0 + {_WT_V1} / n1)"
+    f" / (({_WT_V0} / n0) * ({_WT_V0} / n0) / (CAST(n0 AS DOUBLE) - 1.0)"
+    f" + ({_WT_V1} / n1) * ({_WT_V1} / n1) / (CAST(n1 AS DOUBLE) - 1.0)))"
+)
+_WT_D = (
+    f"((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)"
+    f" / SQRT(((CAST(n0 AS DOUBLE) - 1.0) * {_WT_V0}"
+    f" + (CAST(n1 AS DOUBLE) - 1.0) * {_WT_V1})"
+    f" / (CAST(n0 AS DOUBLE) + n1 - 2.0)))"
+)
+
+
+@query(
+    "q405_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        CAST(SUM(CASE WHEN source = '{_WT_A}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN source = '{_WT_A}' THEN n_chars ELSE 0 END)
+             AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN source = '{_WT_A}'
+                 THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q0,
+        CAST(SUM(CASE WHEN source = '{_WT_B}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN source = '{_WT_B}' THEN n_chars ELSE 0 END)
+             AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN source = '{_WT_B}'
+                 THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q1
+      FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+    )
+    SELECT n0, n1,
+           (1000 * s0) // n0 AS mean0_milli,
+           (1000 * s1) // n1 AS mean1_milli,
+           ROUND({_WT_T}, 6) AS t_welch,
+           ROUND({_WT_DF}, 4) AS df_welch,
+           ROUND({_WT_D}, 6) AS cohens_d
+    FROM m
+    """,
+)
+def q405_welch_ttest(spark, sf_dir):
+    f"""WELCH'S T-TEST between '{_WT_A}' and '{_WT_B}' document
+    lengths — the unequal-variance two-sample test (the parametric
+    partner of q318's Mann-Whitney: MW asks "same distribution?",
+    Welch asks "same MEAN?" without the classic-t's equal-variance
+    trap), plus the Welch-Satterthwaite effective df and pooled-sd
+    Cohen's d so the readout carries an effect SIZE, not just a
+    score.
+
+    Exactness: the six moments (n, sum, sum-of-squares per group) are
+    exact bigints from one conditional-aggregate scan; t, df, and d
+    are ONE identical expression family over them (IEEE doubles +
+    correctly-rounded SQRT), each rounded once.
+
+    Scale: single scan, single 6-cell partial-aggregated reduce — no
+    join, no shuffle beyond the 1-row aggregate."""
+    m = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .agg(
+            F.sum(
+                F.when(F.col("source") == _WT_A, 1).otherwise(0)
+            ).cast("long").alias("n0"),
+            F.sum(
+                F.when(F.col("source") == _WT_A, F.col("n_chars"))
+                .otherwise(0)
+            ).cast("long").alias("s0"),
+            F.sum(
+                F.when(
+                    F.col("source") == _WT_A,
+                    F.col("n_chars") * F.col("n_chars"),
+                ).otherwise(0)
+            ).cast("long").alias("q0"),
+            F.sum(
+                F.when(F.col("source") == _WT_B, 1).otherwise(0)
+            ).cast("long").alias("n1"),
+            F.sum(
+                F.when(F.col("source") == _WT_B, F.col("n_chars"))
+                .otherwise(0)
+            ).cast("long").alias("s1"),
+            F.sum(
+                F.when(
+                    F.col("source") == _WT_B,
+                    F.col("n_chars") * F.col("n_chars"),
+                ).otherwise(0)
+            ).cast("long").alias("q1"),
+        )
+    )
+    return m.select(
+        "n0",
+        "n1",
+        F.expr("(1000 * s0) DIV n0").alias("mean0_milli"),
+        F.expr("(1000 * s1) DIV n1").alias("mean1_milli"),
+        F.round(F.expr(_WT_T), 6).alias("t_welch"),
+        F.round(F.expr(_WT_DF), 4).alias("df_welch"),
+        F.round(F.expr(_WT_D), 6).alias("cohens_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q406: Cliff's delta ordinal effect size between the same two sources
+# ---------------------------------------------------------------------------
+
+#: Romano et al. magnitude bands on |delta|, decided by exact integer
+#: cross-multiplication (1000*|gt-lt| vs band*n0*n1) — no float
+#: comparison anywhere near the label boundary.
+_CD_MAG = (
+    "(CASE WHEN 1000 * ABS(gt - lt) < 147 * n0 * n1 THEN 'negligible'"
+    " WHEN 1000 * ABS(gt - lt) < 330 * n0 * n1 THEN 'small'"
+    " WHEN 1000 * ABS(gt - lt) < 474 * n0 * n1 THEN 'medium'"
+    " ELSE 'large' END)"
+)
+
+
+@query(
+    "q406_cliffs_delta",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(CASE WHEN source = '{_WT_A}' THEN 1 ELSE 0 END
+                  AS BIGINT) AS g0,
+             CAST(CASE WHEN source = '{_WT_B}' THEN 1 ELSE 0 END
+                  AS BIGINT) AS g1
+      FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+    ),
+    pv AS (
+      SELECT v, CAST(SUM(g0) AS BIGINT) AS c0,
+             CAST(SUM(g1) AS BIGINT) AS c1
+      FROM x GROUP BY v
+    ),
+    rk AS (
+      SELECT c0, c1,
+             CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - c1 AS BIGINT) AS below1,
+             CAST((SELECT SUM(c1) FROM pv)
+               - SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS above1
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST((SELECT SUM(c0) FROM pv) AS BIGINT) AS n0,
+             CAST((SELECT SUM(c1) FROM pv) AS BIGINT) AS n1,
+             CAST(SUM(c0 * below1) AS BIGINT) AS gt,
+             CAST(SUM(c0 * above1) AS BIGINT) AS lt
+      FROM rk
+    )
+    SELECT n0, n1, gt AS gt_pairs, lt AS lt_pairs,
+           ROUND((CAST(gt AS DOUBLE) - lt)
+                 / (CAST(n0 AS DOUBLE) * n1), 6) AS cliffs_delta,
+           {_CD_MAG} AS magnitude
+    FROM s
+    """,
+)
+def q406_cliffs_delta(spark, sf_dir):
+    f"""CLIFF'S DELTA between '{_WT_A}' and '{_WT_B}' document
+    lengths: P(X0 > X1) - P(X0 < X1) — the ordinal effect size that
+    q318's Mann-Whitney z deliberately doesn't report (a z-score
+    grows with n; delta answers "how OFTEN is a source-0 doc longer",
+    which is what a sampling-policy decision actually needs), with
+    the Romano magnitude band decided by exact integer
+    cross-multiplication.
+
+    Exactness: the value census (per-length counts per group) makes
+    gt = sum c0(v)*#{{v1 < v}} and lt exact bigints via ONE cumulative
+    window over the domain-bounded census; delta is one double ratio
+    rounded 6dp; the band label compares integers only.
+
+    Scale: groupBy(value) hash census (map-side combined), one
+    window over the ~|distinct lengths| census rows (domain-bounded,
+    the q318 adjudicated class), 1-row reduce."""
+    x = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("source") == _WT_A, 1).otherwise(0).alias("g0"),
+            F.when(F.col("source") == _WT_B, 1).otherwise(0).alias("g1"),
+        )
+    )
+    pv = x.groupBy("v").agg(
+        F.sum("g0").cast("long").alias("c0"),
+        F.sum("g1").cast("long").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy()
+    rk = pv.select(
+        "c0",
+        "c1",
+        (F.sum("c1").over(w) - F.col("c1")).cast("long").alias("below1"),
+        (F.sum("c1").over(wn) - F.sum("c1").over(w))
+        .cast("long")
+        .alias("above1"),
+        F.sum("c0").over(wn).cast("long").alias("n0"),
+        F.sum("c1").over(wn).cast("long").alias("n1"),
+    )
+    s = rk.agg(
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+        F.sum(F.col("c0") * F.col("below1")).cast("long").alias("gt"),
+        F.sum(F.col("c0") * F.col("above1")).cast("long").alias("lt"),
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.col("gt").alias("gt_pairs"),
+        F.col("lt").alias("lt_pairs"),
+        F.round(
+            (F.col("gt").cast("double") - F.col("lt"))
+            / (F.col("n0").cast("double") * F.col("n1")),
+            6,
+        ).alias("cliffs_delta"),
+        F.expr(_CD_MAG).alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q407: Mood's median test across ALL sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q407_moods_median",
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM documents GROUP BY 1
+    ),
+    med AS (
+      SELECT v AS m FROM (
+        SELECT v, SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS cum,
+          (SELECT SUM(ct) FROM pv) AS n
+        FROM pv
+      ) WHERE cum >= (n + 1) // 2
+      ORDER BY v LIMIT 1
+    ),
+    cell AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN n_chars > med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_above,
+             CAST(SUM(CASE WHEN n_chars <= med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_le
+      FROM documents, med GROUP BY source
+    ),
+    marg AS (
+      SELECT CAST(SUM(n_above) AS BIGINT) AS ca,
+             CAST(SUM(n_le) AS BIGINT) AS cl,
+             CAST(SUM(n_above + n_le) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cell
+    ),
+    contrib AS (
+      SELECT CAST(ROUND(
+               (n_above - CAST(n_above + n_le AS DOUBLE) * ca / n)
+               * (n_above - CAST(n_above + n_le AS DOUBLE) * ca / n)
+               / (CAST(n_above + n_le AS DOUBLE) * ca / n) * 1000000)
+               AS BIGINT)
+           + CAST(ROUND(
+               (n_le - CAST(n_above + n_le AS DOUBLE) * cl / n)
+               * (n_le - CAST(n_above + n_le AS DOUBLE) * cl / n)
+               / (CAST(n_above + n_le AS DOUBLE) * cl / n) * 1000000)
+               AS BIGINT) AS xm
+      FROM cell, marg
+    ),
+    stat AS (
+      SELECT marg.k - 1 AS dof,
+             ROUND(SUM(contrib.xm) / 1000000.0, 4) AS chi2
+      FROM contrib, marg GROUP BY marg.k
+    )
+    SELECT cell.source, med.m AS grand_median,
+           cell.n_above, cell.n_le, stat.dof, stat.chi2
+    FROM cell, med, stat
+    """,
+)
+def q407_moods_median(spark, sf_dir):
+    """MOOD'S MEDIAN TEST across ALL k crawl sources: split every
+    document at the GRAND median length, then chi-square the k x 2
+    above/at-or-below contingency — the blunt-but-assumption-free
+    k-sample location screen (Kruskal-Wallis q394 is more powerful
+    but rank-sensitive to tails; Mood's only asks "which side of the
+    median", so heavy-tailed sources can't dominate). Ties sit in
+    the at-or-below row on both engines by the same rule.
+
+    Exactness: the grand median is an exact order statistic over the
+    value census (rank (N+1) DIV 2); cells and marginals are exact
+    bigints; each cell's (O-E)^2/E is the identical double both
+    engines compute, micro-quantized to bigint before the fold
+    (the q286 device), so the sum is order-independent by
+    construction.
+
+    Scale: one census groupBy(value), one groupBy(source) over the
+    fact scan, then k-row algebra; the census window is
+    domain-bounded (q318 adjudicated class)."""
+    docs = t(spark, sf_dir, "documents")
+    pv = docs.groupBy(F.col("n_chars").cast("long").alias("v")).agg(
+        F.count("*").cast("long").alias("ct")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy()
+    med = (
+        pv.select(
+            "v",
+            F.sum("ct").over(w).alias("cum"),
+            F.sum("ct").over(wn).alias("n"),
+        )
+        .filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .orderBy("v")
+        .limit(1)
+        .select(F.col("v").alias("m"))
+    )
+    cell = transient_persist(
+        docs.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("n_chars") > F.col("m")).cast("int"))
+            .cast("long")
+            .alias("n_above"),
+            F.sum((F.col("n_chars") <= F.col("m")).cast("int"))
+            .cast("long")
+            .alias("n_le"),
+            F.first("m").alias("m"),
+        )
+    )
+    marg = cell.agg(
+        F.sum("n_above").cast("long").alias("ca"),
+        F.sum("n_le").cast("long").alias("cl"),
+        F.sum(F.col("n_above") + F.col("n_le")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    contrib = cell.crossJoin(F.broadcast(marg)).select(
+        (
+            F.round(
+                (
+                    F.col("n_above")
+                    - (F.col("n_above") + F.col("n_le")).cast("double")
+                    * F.col("ca")
+                    / F.col("n")
+                )
+                * (
+                    F.col("n_above")
+                    - (F.col("n_above") + F.col("n_le")).cast("double")
+                    * F.col("ca")
+                    / F.col("n")
+                )
+                / (
+                    (F.col("n_above") + F.col("n_le")).cast("double")
+                    * F.col("ca")
+                    / F.col("n")
+                )
+                * 1_000_000
+            ).cast("long")
+            + F.round(
+                (
+                    F.col("n_le")
+                    - (F.col("n_above") + F.col("n_le")).cast("double")
+                    * F.col("cl")
+                    / F.col("n")
+                )
+                * (
+                    F.col("n_le")
+                    - (F.col("n_above") + F.col("n_le")).cast("double")
+                    * F.col("cl")
+                    / F.col("n")
+                )
+                / (
+                    (F.col("n_above") + F.col("n_le")).cast("double")
+                    * F.col("cl")
+                    / F.col("n")
+                )
+                * 1_000_000
+            ).cast("long")
+        ).alias("xm")
+    )
+    stat = (
+        contrib.agg(F.sum("xm").alias("xm"))
+        .crossJoin(F.broadcast(marg.select("k")))
+        .select(
+            (F.col("k") - 1).alias("dof"),
+            F.round(F.col("xm") / 1_000_000.0, 4).alias("chi2"),
+        )
+    )
+    return cell.crossJoin(F.broadcast(stat)).select(
+        "source",
+        F.col("m").alias("grand_median"),
+        "n_above",
+        "n_le",
+        "dof",
+        "chi2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q408: Durbin-Watson statistic on the daily OLS residuals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q408_durbin_watson",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS st,
+             CAST(SUM(d * d) AS BIGINT) AS st2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(d * y) AS BIGINT) AS sty
+      FROM daily
+    ),
+    c AS (
+      SELECT n, n * sty - st * sy AS a, n * st2 - st * st AS dd,
+             (n * st2 - st * st) * sy - (n * sty - st * sy) * st AS b0
+      FROM m
+    ),
+    e AS (
+      SELECT daily.d,
+             CAST(c.n * c.dd * daily.y - c.b0 - c.n * c.a * daily.d
+                  AS DECIMAL(38, 0)) AS en
+      FROM daily, c
+    ),
+    l AS (
+      SELECT en, LAG(en) OVER (ORDER BY d) AS ep FROM e
+    ),
+    f AS (
+      SELECT CAST(SUM(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38, 0))
+                  ELSE (en - ep) * (en - ep) END) AS DECIMAL(38, 0))
+               AS num,
+             CAST(SUM(en * en) AS DECIMAL(38, 0)) AS den
+      FROM l
+    )
+    SELECT c.n AS n_days,
+           ROUND(CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE), 6)
+             AS dw_stat,
+           ROUND(1.0 - CAST(f.num AS DOUBLE)
+                 / CAST(f.den AS DOUBLE) / 2.0, 6) AS rho_approx
+    FROM f, c
+    """,
+)
+def q408_durbin_watson(spark, sf_dir):
+    """DURBIN-WATSON autocorrelation test on the residuals of the
+    daily-volume OLS trend: DW = sum (e_t - e_{t-1})^2 / sum e_t^2 —
+    "after removing the linear trend, are adjacent days still
+    correlated?" The regression-diagnostic sibling of q336's raw ACF
+    (ACF on the SERIES confounds trend with persistence; DW asks the
+    question on DETRENDED residuals, which is what decides whether
+    q346/q357's forecast intervals are honest). rho ~ 1 - DW/2 is the
+    implied AR(1) coefficient.
+
+    Exactness: residuals are scaled by the integer denominator n*D
+    (D = n*St2 - St^2), making e~_t = n*D*y_t - B0 - n*A*t an EXACT
+    integer; squares exceed bigint so both engines fold them in
+    DECIMAL(38,0) (exact, order-free); DW is one double division
+    rounded 6dp.
+
+    Scale: the fact collapses to the calendar-bounded daily frame;
+    the lag window runs on those |days| rows (adjudicated class);
+    DECIMAL(38,0) headroom holds to ~1e8 events/day (1e31 of 1e38
+    used at that volume)."""
+    daily = transient_persist(_daily(spark, sf_dir))
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("st"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("st2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sty"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias("a"),
+        (F.col("n") * F.col("st2") - F.col("st") * F.col("st")).alias(
+            "dd"
+        ),
+        (
+            (F.col("n") * F.col("st2") - F.col("st") * F.col("st"))
+            * F.col("sy")
+            - (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            * F.col("st")
+        ).alias("b0"),
+    )
+    e = daily.crossJoin(F.broadcast(c)).select(
+        "d",
+        "n",
+        (
+            F.col("n") * F.col("dd") * F.col("y")
+            - F.col("b0")
+            - F.col("n") * F.col("a") * F.col("d")
+        )
+        .cast("decimal(38,0)")
+        .alias("en"),
+    )
+    wl = Window.orderBy("d")
+    le = e.select(
+        "n", "en", F.lag("en").over(wl).alias("ep")
+    )
+    f = le.agg(
+        F.first("n").alias("n"),
+        F.sum(
+            F.when(
+                F.col("ep").isNull(),
+                F.lit(0).cast("decimal(38,0)"),
+            ).otherwise(
+                (F.col("en") - F.col("ep")) * (F.col("en") - F.col("ep"))
+            )
+        ).alias("num"),
+        F.sum(F.col("en") * F.col("en")).alias("den"),
+    )
+    return f.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("dw_stat"),
+        F.round(
+            1.0
+            - F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / 2.0,
+            6,
+        ).alias("rho_approx"),
+    )
