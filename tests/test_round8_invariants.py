@@ -111,3 +111,49 @@ def test_durbin_watson_range(spark):
     assert 0.0 <= r["dw_stat"] <= 4.0
     assert abs(r["rho_approx"] - (1.0 - r["dw_stat"] / 2.0)) < 1e-5
     assert -1.0 <= r["rho_approx"] <= 1.0
+
+
+def test_ccf_lag0_matches_pearson_and_bounds(spark):
+    rows = sorted(_rows(spark, "q409_ccf_volume_reach"),
+                  key=lambda r: r["lag_d"])
+    assert [r["lag_d"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    n = rows[0]["n_pairs"]
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["ccf"] <= 1.0 + 1e-9
+        # lag L leaves exactly n - L matched pairs
+        assert r["n_pairs"] == n - r["lag_d"]
+    # lag-0 CCF of a series with itself-like positive pairing: the
+    # volume/reach pair is strongly positively coupled by construction
+    assert rows[0]["ccf"] > 0.0
+
+
+def test_hhi_bounds_and_share_consistency(spark):
+    rows = _rows(spark, "q410_hhi_concentration")
+    assert rows
+    for r in rows:
+        # 1/n <= HHI <= 1 for n positive shares
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0
+        # top share bounds: at least 1/n, at most sqrt(HHI)
+        assert r["top_share_milli"] >= 1000 // r["n_suppliers"] - 1
+        assert (r["top_share_milli"] / 1000.0) ** 2 <= r["hhi"] + 1e-3
+        assert r["total_cents"] > 0
+
+
+def test_grubbs_peak_is_argmax(spark):
+    (r,) = _rows(spark, "q411_grubbs_outlier")
+    daily = _daily(spark, SF_DIR).collect()
+    sy = sum(d["y"] for d in daily)
+    n = len(daily)
+    assert r["n_days"] == n
+    best = max(abs(n * d["y"] - sy) for d in daily)
+    assert abs(n * r["peak_count"] - sy) == best
+    assert r["g_stat"] >= 0.0
+    # G is bounded by (n-1)/sqrt(n) for any sample
+    assert r["g_stat"] <= (n - 1) / (n**0.5) + 1e-9
+
+
+def test_cmh_terms_finite_and_positive_var(spark):
+    (r,) = _rows(spark, "q412_cmh_gate_association")
+    assert r["n_strata"] == 20
+    assert r["chi2_cmh"] >= 0.0
+    assert r["or_mh"] > 0.0

@@ -324,6 +324,13 @@ ALLOW = {
     # 1-row OLS-coefficient frame crossed into the CALENDAR-bounded
     # daily aggregate (the q346 residual-frame class).
     "q408_durbin_watson": {"nested_loop"},
+    # 6-row lag literal + 1-row moment frame crossed into the
+    # CALENDAR-bounded daily aggregate; the banded lag join itself is
+    # the q336 adjudicated class.
+    "q409_ccf_volume_reach": {"nested_loop"},
+    # 1-row moment frame crossed into the CALENDAR-bounded daily
+    # aggregate before the 1-row argmax TakeOrdered.
+    "q411_grubbs_outlier": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED

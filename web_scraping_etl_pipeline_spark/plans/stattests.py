@@ -808,3 +808,494 @@ def q408_durbin_watson(spark, sf_dir):
             6,
         ).alias("rho_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q409: lagged cross-correlation between daily volume and daily reach
+# ---------------------------------------------------------------------------
+
+#: CCF depth: lags 0..5 (a business week of lead/lag structure).
+_CCF_MAXLAG = 5
+
+#: sample CCF r_L = sum_matched (y_t - ybar)(u_{t+L} - ubar) /
+#: sqrt(sum(y - ybar)^2 * sum(u - ubar)^2), assembled from n-cleared
+#: integers: cl = sum (n*y - Sy)(n*u' - Su) over matched pairs
+#: (decimal-folded), vy = n*Qy - Sy^2, vu = n*Qu - Su^2 — one
+#: identical expression string both engines.
+_CCF_R = (
+    "(CAST(cl AS DOUBLE) / (CAST(n AS DOUBLE)"
+    " * SQRT(CAST(vy AS DOUBLE) * CAST(vu AS DOUBLE))))"
+)
+
+
+@query(
+    "q409_ccf_volume_reach",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(y * y) AS BIGINT) AS qy,
+             CAST(SUM(u * u) AS BIGINT) AS qu
+      FROM daily
+    ),
+    pairs AS (
+      SELECT r.lag_d,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST((m.n * a.y - m.sy) AS DECIMAL(38, 0))
+                      * (m.n * b.u - m.su)) AS DECIMAL(38, 0)) AS cl
+      FROM range(0, {_CCF_MAXLAG + 1}) r(lag_d)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + r.lag_d
+      CROSS JOIN m
+      GROUP BY r.lag_d
+    )
+    SELECT pairs.lag_d, pairs.n_pairs,
+           ROUND({_CCF_R.replace('cl', 'pairs.cl')
+                        .replace(' n ', ' m.n ')
+                        .replace('vy', '(m.n * m.qy - m.sy * m.sy)')
+                        .replace('vu', '(m.n * m.qu - m.su * m.su)')},
+                 6) AS ccf
+    FROM pairs, m
+    ORDER BY pairs.lag_d
+    """,
+)
+def q409_ccf_volume_reach(spark, sf_dir):
+    """LAGGED CROSS-CORRELATION between daily event VOLUME and daily
+    unique-user REACH at lags 0..{_CCF_MAXLAG}: does a volume spike
+    lead a reach spike (new users arriving) or lag it (existing users
+    deepening)? The lead/lag structure q307's same-day correlation
+    matrix cannot see, and the readout that decides which series is
+    the leading indicator for capacity planning.
+
+    Exactness: per-day (count, distinct users) are exact bigints; the
+    n-cleared centered products (n*y - Sy)(n*u' - Su) fold in
+    DECIMAL(38,0) (exact, order-free; bigint would overflow past
+    ~3e9 events/day); vy/vu are bigints; r_L is ONE identical
+    expression per lag, rounded 6dp.
+
+    Scale: the fact collapses to the CALENDAR-bounded daily frame;
+    the lag join is the q336-class banded self-join of that bounded
+    aggregate (6 x |days| pairs), never fact-sized."""
+    daily = transient_persist(
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US))
+                / F.lit(US_PER_DAY)
+            ).alias("d")
+        )
+        .agg(
+            F.count("*").cast("long").alias("y"),
+            F.countDistinct("user_id").cast("long").alias("u"),
+        )
+    )
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("qy"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("qu"),
+    )
+    lags = spark.range(0, _CCF_MAXLAG + 1).select(
+        F.col("id").cast("long").alias("lag_d")
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("u").alias("ub"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("db") == F.col("d") + F.col("lag_d"),
+        )
+        .crossJoin(F.broadcast(m))
+        .groupBy("lag_d")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("y") - F.col("sy"))
+                .cast("decimal(38,0)")
+                * (F.col("n") * F.col("ub") - F.col("su"))
+            )
+            .cast("decimal(38,0)")
+            .alias("cl"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(m))
+        .select(
+            "lag_d",
+            "n_pairs",
+            F.round(
+                F.col("cl").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.sqrt(
+                        (
+                            F.col("n") * F.col("qy")
+                            - F.col("sy") * F.col("sy")
+                        ).cast("double")
+                        * (
+                            F.col("n") * F.col("qu")
+                            - F.col("su") * F.col("su")
+                        ).cast("double")
+                    )
+                ),
+                6,
+            ).alias("ccf"),
+        )
+        .orderBy("lag_d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q410: Herfindahl-Hirschman supplier concentration per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q410_hhi_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT s.s_nationkey,
+             l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(cents AS DECIMAL(38, 0)) * cents)
+                  AS DECIMAL(38, 0)) AS sq,
+             CAST(MAX(cents) AS BIGINT) AS top_cents
+      FROM r GROUP BY 1
+    )
+    SELECT n.n_name AS nation, agg.n_suppliers,
+           agg.total_cents,
+           ROUND(CAST(agg.sq AS DOUBLE)
+                 / (CAST(agg.total_cents AS DOUBLE)
+                    * agg.total_cents), 6) AS hhi,
+           (1000 * agg.top_cents) // agg.total_cents AS top_share_milli
+    FROM agg JOIN nation n ON agg.s_nationkey = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def q410_hhi_concentration(spark, sf_dir):
+    """HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration
+    within each nation: HHI = sum of squared revenue shares — the
+    market-concentration scan a supply-chain (or crawl-source
+    diversity) review runs; HHI > 0.25 is the classic
+    "highly concentrated" line. Reports supplier count, total cents,
+    HHI, and the top supplier's milli-share per nation.
+
+    Exactness: revenue quantizes per ROW to cents (the q102/q152
+    device — ROUND(x*100) of the identical double both engines
+    computed), so every sum is bigint; the squared-cents fold runs in
+    DECIMAL(38,0) (cents^2 passes bigint range at ~ sf10); HHI is one
+    double ratio rounded 6dp; top share is integer milli.
+
+    Scale: lineitem aggregates by (nation, supplier) in one
+    map-side-combined pass (the supplier dimension join is
+    stats-broadcast, not hinted); the HHI fold is |nations| x
+    |suppliers-per-nation| rows, dimension-bounded."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    r = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    agg = r.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+        F.max("cents").cast("long").alias("top_cents"),
+    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        agg.join(nat, agg.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "total_cents",
+            F.round(
+                F.col("sq").cast("double")
+                / (
+                    F.col("total_cents").cast("double")
+                    * F.col("total_cents")
+                ),
+                6,
+            ).alias("hhi"),
+            F.expr("(1000 * top_cents) DIV total_cents").alias(
+                "top_share_milli"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q411: Grubbs' max-deviation outlier test on daily volume
+# ---------------------------------------------------------------------------
+
+#: G = max|y - ybar| / s from n-cleared integers: m = max|n*y - Sy|,
+#: vy = n*Qy - Sy^2, s^2 = vy / (n(n-1)) — identical string both
+#: engines (correctly-rounded SQRT over bigints).
+_GRUBBS_G = (
+    "((CAST(m AS DOUBLE) / n) / SQRT(CAST(vy AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))"
+)
+
+
+@query(
+    "q411_grubbs_outlier",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS qy
+      FROM daily
+    ),
+    dev AS (
+      SELECT daily.d, daily.y,
+             ABS(mo.n * daily.y - mo.sy) AS a
+      FROM daily, mo
+    ),
+    pick AS (
+      SELECT d, y, a FROM dev ORDER BY a DESC, d ASC LIMIT 1
+    )
+    SELECT mo.n AS n_days, pick.d AS peak_day, pick.y AS peak_count,
+           ROUND({_GRUBBS_G.replace(' m ', ' pick.a ')
+                           .replace('(m ', '(pick.a ')
+                           .replace(' n)', ' mo.n)')
+                           .replace(' n ', ' mo.n ')
+                           .replace('vy', '(mo.n * mo.qy - mo.sy * mo.sy)')},
+                 6) AS g_stat
+    FROM pick, mo
+    """,
+)
+def q411_grubbs_outlier(spark, sf_dir):
+    """GRUBBS' TEST statistic for the single most deviant day:
+    G = max|y - ybar| / s — "is the worst day a statistical outlier
+    or just the tail of normal variation?", the one-outlier
+    formalization of q96's z-score scan (q96 lists every |z| > 3 row;
+    Grubbs names THE extreme day and its studentized deviation, the
+    input to an n-aware critical-value lookup).
+
+    Exactness: the argmax runs on |n*y - Sy| (exact bigint,
+    tie-broken to the earliest day identically in both engines); G is
+    one identical expression over bigints (correctly-rounded SQRT),
+    rounded 6dp.
+
+    Scale: fact collapses to the calendar-bounded daily frame; the
+    argmax is a 1-row TakeOrdered over it."""
+    daily = transient_persist(_daily(spark, sf_dir))
+    mo = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("qy"),
+    )
+    dev = daily.crossJoin(F.broadcast(mo)).select(
+        "d",
+        "y",
+        "n",
+        "sy",
+        "qy",
+        F.abs(F.col("n") * F.col("y") - F.col("sy")).alias("a"),
+    )
+    pick = dev.orderBy(F.col("a").desc(), F.col("d").asc()).limit(1)
+    return pick.select(
+        F.col("n").alias("n_days"),
+        F.col("d").alias("peak_day"),
+        F.col("y").alias("peak_count"),
+        F.round(
+            (F.col("a").cast("double") / F.col("n"))
+            / F.sqrt(
+                (F.col("n") * F.col("qy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n").cast("double") - 1.0)
+                )
+            ),
+            6,
+        ).alias("g_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q412: Cochran-Mantel-Haenszel test of gate association across sources
+# ---------------------------------------------------------------------------
+
+#: continuity-corrected CMH chi2 and the Mantel-Haenszel pooled odds
+#: ratio, from micro-quantized per-stratum terms (exact bigint sums).
+_CMH_CHI2 = (
+    "((ABS(CAST(dev_micro AS DOUBLE) / 1000000.0) - 0.5)"
+    " * (ABS(CAST(dev_micro AS DOUBLE) / 1000000.0) - 0.5)"
+    " / (CAST(var_micro AS DOUBLE) / 1000000.0))"
+)
+_CMH_OR = (
+    "(CAST(ad_micro AS DOUBLE) / CAST(bc_micro AS DOUBLE))"
+)
+
+
+@query(
+    "q412_cmh_gate_association",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             CAST(len({{tok}}) AS BIGINT) AS nt,
+             CAST(len(list_distinct({{tok}})) AS BIGINT) AS nd
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CASE WHEN nt BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS ga,
+             CASE WHEN 5 * nd >= 2 * nt THEN 1 ELSE 0 END AS gb
+      FROM f
+    ),
+    cell AS (
+      SELECT source,
+             CAST(SUM(ga * gb) AS BIGINT) AS a,
+             CAST(SUM(ga * (1 - gb)) AS BIGINT) AS b,
+             CAST(SUM((1 - ga) * gb) AS BIGINT) AS c,
+             CAST(SUM((1 - ga) * (1 - gb)) AS BIGINT) AS d
+      FROM g GROUP BY source
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND((a - CAST(a + b AS DOUBLE) * (a + c)
+                    / (a + b + c + d)) * 1000000) AS BIGINT) AS dev_m,
+        CAST(ROUND(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                   / (CAST(a + b + c + d AS DOUBLE)
+                      * (a + b + c + d) * (a + b + c + d - 1))
+                   * 1000000) AS BIGINT) AS var_m,
+        CAST(ROUND(CAST(a AS DOUBLE) * d / (a + b + c + d) * 1000000)
+             AS BIGINT) AS ad_m,
+        CAST(ROUND(CAST(b AS DOUBLE) * c / (a + b + c + d) * 1000000)
+             AS BIGINT) AS bc_m
+      FROM cell
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(dev_m) AS BIGINT) AS dev_micro,
+             CAST(SUM(var_m) AS BIGINT) AS var_micro,
+             CAST(SUM(ad_m) AS BIGINT) AS ad_micro,
+             CAST(SUM(bc_m) AS BIGINT) AS bc_micro
+      FROM terms
+    )
+    SELECT n_strata,
+           ROUND({_CMH_CHI2}, 4) AS chi2_cmh,
+           ROUND({_CMH_OR}, 6) AS or_mh
+    FROM s
+    """.replace("{tok}", "string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def q412_cmh_gate_association(spark, sf_dir):
+    """COCHRAN-MANTEL-HAENSZEL test: are the LENGTH gate and the
+    REPETITION gate (q390's ga/gb) associated AFTER controlling for
+    source? Each source is a stratum with its own 2x2 gate table; CMH
+    pools the per-stratum deviations (a - E[a]) and variances, so a
+    confounded marginal association (long docs cluster in repetitive
+    sources) can't fake a within-source one — the categorical
+    Simpson's-paradox guard, sibling of q355's slope version. Also
+    reports the Mantel-Haenszel pooled odds ratio.
+
+    Exactness: per-stratum cells are exact bigints; each stratum's
+    E, V, ad/N, bc/N are the identical doubles both engines compute,
+    micro-quantized to bigint BEFORE the cross-strata fold (the q286
+    device), so sums are order-independent by construction; the
+    continuity-corrected chi2 and OR are one shared expression each.
+
+    Scale: one token-projection scan, one groupBy(source) — k
+    strata rows of algebra after the aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.expr("size(split(trim(lower(text)), '\\\\s+'))")
+        .cast("long")
+        .alias("nt"),
+        F.expr("size(array_distinct(split(trim(lower(text)), '\\\\s+')))")
+        .cast("long")
+        .alias("nd"),
+    )
+    g = f.select(
+        "source",
+        F.col("nt").between(20, 80).cast("int").alias("ga"),
+        (5 * F.col("nd") >= 2 * F.col("nt")).cast("int").alias("gb"),
+    )
+    cell = g.groupBy("source").agg(
+        F.sum(F.col("ga") * F.col("gb")).cast("long").alias("a"),
+        F.sum(F.col("ga") * (1 - F.col("gb"))).cast("long").alias("b"),
+        F.sum((1 - F.col("ga")) * F.col("gb")).cast("long").alias("c"),
+        F.sum((1 - F.col("ga")) * (1 - F.col("gb")))
+        .cast("long")
+        .alias("d"),
+    )
+    nn = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    )
+    terms = cell.select(
+        F.round(
+            (
+                F.col("a")
+                - (F.col("a") + F.col("b")).cast("double")
+                * (F.col("a") + F.col("c"))
+                / nn
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("dev_m"),
+        F.round(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nn.cast("double") * nn * (nn - 1))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("var_m"),
+        F.round(
+            F.col("a").cast("double") * F.col("d") / nn * 1_000_000
+        )
+        .cast("long")
+        .alias("ad_m"),
+        F.round(
+            F.col("b").cast("double") * F.col("c") / nn * 1_000_000
+        )
+        .cast("long")
+        .alias("bc_m"),
+    )
+    s = terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("dev_m").cast("long").alias("dev_micro"),
+        F.sum("var_m").cast("long").alias("var_micro"),
+        F.sum("ad_m").cast("long").alias("ad_micro"),
+        F.sum("bc_m").cast("long").alias("bc_micro"),
+    )
+    return s.select(
+        "n_strata",
+        F.round(F.expr(_CMH_CHI2), 4).alias("chi2_cmh"),
+        F.round(F.expr(_CMH_OR), 6).alias("or_mh"),
+    )
