@@ -157,3 +157,49 @@ def test_cmh_terms_finite_and_positive_var(spark):
     assert r["n_strata"] == 20
     assert r["chi2_cmh"] >= 0.0
     assert r["or_mh"] > 0.0
+
+
+def test_logrank_aa_calibration(spark):
+    (r,) = _rows(spark, "q413_logrank_conversion")
+    # parity split covers every user exactly once
+    assert r["n_odd"] > 0 and r["n_even"] > 0
+    assert 0 <= r["conversions_odd"] <= r["n_odd"]
+    assert r["chi2_logrank"] >= 0.0
+    # A/A: the true effect is zero; a calibrated instrument should
+    # not scream (chi2 ~ chi2_1; 20 would be p ~ 1e-5 territory)
+    assert r["chi2_logrank"] < 20.0
+
+
+def test_jsd_bounds(spark):
+    import math
+
+    (r,) = _rows(spark, "q414_jsd_token_mix")
+    assert r["n_tokens_a"] > 0 and r["n_tokens_b"] > 0
+    assert r["vocab"] > 0
+    # JSD in nats lives in [0, ln 2]; the micro-floor device can
+    # undershoot by at most vocab/1e6 per KL term
+    assert -2e-3 <= r["jsd_nats"] <= math.log(2.0) + 1e-9
+
+
+def test_neyman_allocation_reconciles(spark):
+    rows = _rows(spark, "q415_neyman_allocation")
+    assert len(rows) == 5  # one stratum per language
+    assert sum(r["alloc"] for r in rows) == 10_000
+    for r in rows:
+        assert r["alloc"] >= 0
+        assert r["weight_micro"] > 0
+        # sd_milli is w_micro / (n * 1000) by construction
+        assert r["sd_milli"] == r["weight_micro"] // (r["n_docs"] * 1000)
+    # Neyman beats proportional exactly where spread is larger:
+    # the stratum with the max weight share gets the max allocation
+    top = max(rows, key=lambda r: r["weight_micro"])
+    assert top["alloc"] == max(r["alloc"] for r in rows)
+
+
+def test_neardup_transitivity_counts(spark):
+    (r,) = _rows(spark, "q416_neardup_transitivity")
+    assert r["n_edges"] > 0
+    assert r["n_closed"] <= r["n_wedges"]
+    if r["n_wedges"]:
+        assert r["closure_milli"] == 1000 * r["n_closed"] // r["n_wedges"]
+        assert 0 <= r["closure_milli"] <= 1000

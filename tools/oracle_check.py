@@ -175,6 +175,9 @@ FLOAT_LINT_ALLOW = {
     # micro-floor lattice (pred bins) + micro-floored LN of exact
     # integer ratios over the bounded contingency cells (q375 class)
     "q389_cluster_agreement",
+    # micro-floored LN of midpoint-mixture ratios of exact integers
+    # (q375/q337 class, pinned by tests/test_ln_bit_identity.py)
+    "q414_jsd_token_mix",
 }
 
 
@@ -223,6 +226,10 @@ ORDER_FOLD_ALLOW = {
     "q376_label_modularity": "DOT",
     "q382_lof_outliers": "DOT-adjacent: k=5-term reachability ratio fold, ROUND(1e-6)",
     # CAT class (bounded-cardinality LN/ratio folds):
+    # (q414's SUM branches are bigint PRODUCTS ca * CAST(FLOOR(...)
+    # AS BIGINT) - an exact-integer fold the branch regex cannot see;
+    # order-independent by construction, not by rounding slack)
+    "q414_jsd_token_mix": "CAT: bigint-weighted floored-LN fold (SUM over exact bigints)",
     "q108_user_entropy": "CAT: per-user event-type entropy, <=|types| terms",
     "q177_pagerank": "CAT: per-node in-degree-bounded rank fold, ROUND(1e-6)",
     "q229_source_length_kl": "CAT: |buckets|-term KL fold, ROUND(1e-6)",

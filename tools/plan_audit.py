@@ -331,6 +331,15 @@ ALLOW = {
     # 1-row moment frame crossed into the CALENDAR-bounded daily
     # aggregate before the 1-row argmax TakeOrdered.
     "q411_grubbs_outlier": {"nested_loop"},
+    # 1-row group-totals frame crossed into the |durations|-row
+    # at-risk path and the 1-row O/E/V reduce (q258 class).
+    "q413_logrank_conversion": {"nested_loop"},
+    # 1-row token-totals frame crossed into the vocabulary-bounded
+    # census before the 2-cell KL reduce.
+    "q414_jsd_token_mix": {"nested_loop"},
+    # 1-row weight-total/leftover frames crossed into the k=|langs|
+    # stratum frame (largest-remainder top-up, q102 class).
+    "q415_neyman_allocation": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -429,6 +438,12 @@ ALLOW_GLOBAL_WINDOW = {
     # residual LAG over the CALENDAR-bounded daily aggregate -
     # bounded by days (the q260/q404 class).
     "q408_durbin_watson",
+    # at-risk prefix sums over the |distinct durations|-row lifetime
+    # aggregate - calendar-bounded (the q258 KM window class).
+    "q413_logrank_conversion",
+    # remainder ROW_NUMBER over the k=|langs|-row stratum frame -
+    # k rows by construction (the q220 apportionment class).
+    "q415_neyman_allocation",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -1299,3 +1299,598 @@ def q412_cmh_gate_association(spark, sf_dir):
         F.round(F.expr(_CMH_CHI2), 4).alias("chi2_cmh"),
         F.round(F.expr(_CMH_OR), 6).alias("or_mh"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q413: A/A-calibrated log-rank test on time-to-first-purchase
+# ---------------------------------------------------------------------------
+
+#: chi2 = (O1 - E1)^2 / V from the exact event count and the
+#: micro-quantized expectation/variance sums — one identical string.
+_LR_CHI2 = (
+    "((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0)"
+    " * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0)"
+    " / (CAST(v_micro AS DOUBLE) / 1000000.0))"
+)
+
+
+@query(
+    "q413_logrank_conversion",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS g,
+             MIN((epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY})
+               AS first_day,
+             MAX((epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY})
+               AS last_day,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+               (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+               END) AS purch_day
+      FROM events GROUP BY 1
+    ),
+    obs AS (
+      SELECT COALESCE(purch_day, last_day) - first_day AS t,
+             CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             g
+      FROM u
+    ),
+    per_t AS (
+      SELECT t,
+             CAST(SUM(g * ev) AS BIGINT) AS d1,
+             CAST(SUM((1 - g) * ev) AS BIGINT) AS d0,
+             CAST(SUM(g * (1 - ev)) AS BIGINT) AS c1,
+             CAST(SUM((1 - g) * (1 - ev)) AS BIGINT) AS c0
+      FROM obs GROUP BY t
+    ),
+    tot AS (
+      SELECT CAST(SUM(d1 + c1) AS BIGINT) AS n1,
+             CAST(SUM(d0 + c0) AS BIGINT) AS n0
+      FROM per_t
+    ),
+    risk AS (
+      SELECT t, d1, d0,
+             tot.n1 - COALESCE(SUM(d1 + c1) OVER (ORDER BY t ROWS
+               BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r1,
+             tot.n1 + tot.n0 - COALESCE(SUM(d1 + d0 + c1 + c0) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                1 PRECEDING), 0) AS r
+      FROM per_t, tot
+    ),
+    terms AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(CASE WHEN r > 0 AND d1 + d0 > 0 THEN
+               CAST(ROUND(CAST(d1 + d0 AS DOUBLE) * r1 / r * 1000000)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS e1_micro,
+             CAST(SUM(CASE WHEN r > 1 AND d1 + d0 > 0 THEN
+               CAST(ROUND(CAST(d1 + d0 AS DOUBLE) * (CAST(r1 AS DOUBLE)
+                    / r) * (1.0 - CAST(r1 AS DOUBLE) / r)
+                    * (r - d1 - d0) / (r - 1) * 1000000)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS v_micro
+      FROM risk
+    )
+    SELECT tot.n1 AS n_odd, tot.n0 AS n_even,
+           terms.o1 AS conversions_odd,
+           ROUND({_LR_CHI2}, 4) AS chi2_logrank
+    FROM terms, tot
+    """,
+)
+def q413_logrank_conversion(spark, sf_dir):
+    """LOG-RANK TEST on time-to-first-purchase between the two halves
+    of a deterministic parity A/A split — the survival-curve
+    significance test q258's Kaplan-Meier was missing, run first as
+    an A/A CALIBRATION (the split is user_id % 2, so the true effect
+    is zero and the chi2 should be unremarkable; an instrument that
+    flags its own A/A is broken — the q364 permutation-test
+    discipline, survival edition). Users with no purchase are
+    CENSORED at their last observed day: they leave the risk set
+    without counting as conversions, which is exactly what a naive
+    mean-time-to-convert gets wrong.
+
+    Exactness: per-duration cells, prefix-window at-risk counts, and
+    O1 are exact bigints; each duration's E and V terms are the
+    identical doubles both engines compute, micro-quantized BEFORE
+    the fold (q286 device); chi2 is one shared string rounded 4dp.
+
+    Scale: one per-user aggregate over the fact; everything after
+    lives on the |distinct durations|-row frame (calendar-bounded;
+    the q258 adjudicated window class)."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            f"MIN((ts_us - {EVENTS_EPOCH_US})) DIV {US_PER_DAY}"
+        ).alias("first_day"),
+        F.expr(
+            f"MAX((ts_us - {EVENTS_EPOCH_US})) DIV {US_PER_DAY}"
+        ).alias("last_day"),
+        F.expr(
+            f"MIN(CASE WHEN event_type = 'purchase' THEN"
+            f" (ts_us - {EVENTS_EPOCH_US}) DIV {US_PER_DAY} END)"
+        ).alias("purch_day"),
+    ).withColumn("g", (F.col("user_id") % 2).cast("long"))
+    obs = u.select(
+        (
+            F.coalesce(F.col("purch_day"), F.col("last_day"))
+            - F.col("first_day")
+        ).alias("t"),
+        F.col("purch_day").isNotNull().cast("int").alias("ev"),
+        "g",
+    )
+    per_t = obs.groupBy("t").agg(
+        F.sum(F.col("g") * F.col("ev")).cast("long").alias("d1"),
+        F.sum((1 - F.col("g")) * F.col("ev")).cast("long").alias("d0"),
+        F.sum(F.col("g") * (1 - F.col("ev"))).cast("long").alias("c1"),
+        F.sum((1 - F.col("g")) * (1 - F.col("ev")))
+        .cast("long")
+        .alias("c0"),
+    )
+    tot = per_t.agg(
+        F.sum(F.col("d1") + F.col("c1")).cast("long").alias("n1"),
+        F.sum(F.col("d0") + F.col("c0")).cast("long").alias("n0"),
+    )
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d0",
+        (
+            F.col("n1")
+            - F.coalesce(
+                F.sum(F.col("d1") + F.col("c1")).over(wp), F.lit(0)
+            )
+        ).alias("r1"),
+        (
+            F.col("n1")
+            + F.col("n0")
+            - F.coalesce(
+                F.sum(
+                    F.col("d1") + F.col("d0") + F.col("c1") + F.col("c0")
+                ).over(wp),
+                F.lit(0),
+            )
+        ).alias("r"),
+    )
+    dt = F.col("d1") + F.col("d0")
+    terms = risk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(
+            F.when(
+                (F.col("r") > 0) & (dt > 0),
+                F.round(
+                    dt.cast("double")
+                    * F.col("r1")
+                    / F.col("r")
+                    * 1_000_000
+                ).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("e1_micro"),
+        F.sum(
+            F.when(
+                (F.col("r") > 1) & (dt > 0),
+                F.round(
+                    dt.cast("double")
+                    * (F.col("r1").cast("double") / F.col("r"))
+                    * (1.0 - F.col("r1").cast("double") / F.col("r"))
+                    * (F.col("r") - dt)
+                    / (F.col("r") - 1)
+                    * 1_000_000
+                ).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_micro"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").alias("n_odd"),
+        F.col("n0").alias("n_even"),
+        F.col("o1").alias("conversions_odd"),
+        F.round(F.expr(_LR_CHI2), 4).alias("chi2_logrank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q414: Jensen-Shannon divergence between two sources' token mixes
+# ---------------------------------------------------------------------------
+
+#: JSD in nats from the two micro-floored KL sums; the bits version
+#: divides by the ln(2) literal — identical constants both engines.
+_JSD = (
+    "((CAST(sa AS DOUBLE) / na + CAST(sb AS DOUBLE) / nb)"
+    " / 2000000.0)"
+)
+
+
+@query(
+    "q414_jsd_token_mix",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, u.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(tok)
+      WHERE source IN ('{_WT_A}', '{_WT_B}')
+    ),
+    c AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN source = '{_WT_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN source = '{_WT_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM tk GROUP BY tok
+    ),
+    n AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM c
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN ca > 0 THEN ca *
+          CAST(FLOOR(LN(2.0 * ca * n.nb
+                        / (CAST(ca AS DOUBLE) * n.nb + cb * n.na))
+                     * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN cb > 0 THEN cb *
+          CAST(FLOOR(LN(2.0 * cb * n.na
+                        / (CAST(cb AS DOUBLE) * n.na + ca * n.nb))
+                     * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb
+      FROM c, n
+    )
+    SELECT n.na AS n_tokens_a, n.nb AS n_tokens_b, n.vocab,
+           ROUND({_JSD.replace('na', 'n.na').replace('nb', 'n.nb')
+                      .replace('sa', 's.sa').replace('sb', 's.sb')},
+                 6) AS jsd_nats
+    FROM s, n
+    """,
+)
+def q414_jsd_token_mix(spark, sf_dir):
+    f"""JENSEN-SHANNON DIVERGENCE between the unigram token
+    distributions of '{_WT_A}' and '{_WT_B}': JSD = (KL(P||M) +
+    KL(Q||M))/2 with M the midpoint mixture — the SYMMETRIC, always-
+    finite distributional distance the drift family was missing
+    (q229's KL needs smoothing hacks when a token is one-sided; JSD's
+    midpoint makes every term finite by construction), and the
+    standard corpus-pair distance in data-mixture work. 0 = identical
+    mixes, ln(2) = disjoint vocabularies.
+
+    Exactness: per-token counts and totals are exact bigints; each
+    present token contributes c * FLOOR(LN(2*c*N'/(c*N' + c'*N))*1e6)
+    — LN of a ratio of exact integers, the q375/q337 adjudicated
+    floored-LN class whose libm bit-identity is pinned by
+    tests/test_ln_bit_identity.py; the two KL sums are bigint folds,
+    and the final JSD is one shared expression rounded 6dp.
+
+    Scale: one token explode (map-side), one groupBy(token) census,
+    one 2-cell reduce — vocabulary-bounded algebra after the census,
+    no joins beyond the 1-row totals frame."""
+    tk = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+    )
+    c = tk.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == _WT_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == _WT_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    n = c.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    s = c.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.when(
+                F.col("ca") > 0,
+                F.col("ca")
+                * F.floor(
+                    F.log(
+                        2.0
+                        * F.col("ca")
+                        * F.col("nb")
+                        / (
+                            F.col("ca").cast("double") * F.col("nb")
+                            + F.col("cb") * F.col("na")
+                        )
+                    )
+                    * 1_000_000
+                ).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sa"),
+        F.sum(
+            F.when(
+                F.col("cb") > 0,
+                F.col("cb")
+                * F.floor(
+                    F.log(
+                        2.0
+                        * F.col("cb")
+                        * F.col("na")
+                        / (
+                            F.col("cb").cast("double") * F.col("na")
+                            + F.col("ca") * F.col("nb")
+                        )
+                    )
+                    * 1_000_000
+                ).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sb"),
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        "vocab",
+        F.round(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                + F.col("sb").cast("double") / F.col("nb")
+            )
+            / 2_000_000.0,
+            6,
+        ).alias("jsd_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q415: Neyman-optimal stratified sample allocation by language
+# ---------------------------------------------------------------------------
+
+#: total sample slots to allocate across the language strata.
+_NEY_TOTAL = 10_000
+
+#: per-stratum Neyman weight w_h = n_h * S_h (S_h = sample stddev of
+#: doc length) — the identical double both engines compute from the
+#: three bigint moments, micro-quantized before any cross-stratum
+#: arithmetic.
+_NEY_W = (
+    "(CAST(n AS DOUBLE) * SQRT((CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * s / n) / (CAST(n AS DOUBLE) - 1.0)))"
+)
+
+
+@query(
+    "q415_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n,
+             CAST(ROUND({_NEY_W} * 1000000) AS BIGINT) AS w_micro
+      FROM m
+    ),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt,
+                   CAST(SUM(n) AS BIGINT) AS n_docs FROM w),
+    base AS (
+      SELECT w.lang, w.n, w.w_micro,
+             ({_NEY_TOTAL} * w.w_micro) // tot.wt AS fl,
+             ({_NEY_TOTAL} * w.w_micro) % tot.wt AS rem
+      FROM w, tot
+    ),
+    lv AS (
+      SELECT {_NEY_TOTAL} - CAST(SUM(fl) AS BIGINT) AS leftover
+      FROM base
+    ),
+    rk AS (
+      SELECT lang, n, w_micro, fl,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rn
+      FROM base
+    )
+    SELECT rk.lang, rk.n AS n_docs, rk.w_micro AS weight_micro,
+           rk.w_micro // (rk.n * 1000) AS sd_milli,
+           CAST(rk.fl + CASE WHEN rk.rn <= lv.leftover THEN 1 ELSE 0
+                END AS BIGINT) AS alloc
+    FROM rk, lv
+    ORDER BY lang
+    """,
+)
+def q415_neyman_allocation(spark, sf_dir):
+    """NEYMAN-OPTIMAL ALLOCATION of a {_NEY_TOTAL}-doc evaluation
+    sample across the language strata: n_h proportional to n_h * S_h,
+    so variable strata get proportionally MORE slots than uniform
+    ones — the variance-minimizing refinement of q82's proportional
+    stratified sample (proportional allocation is optimal only when
+    every stratum has the same spread; Neyman is the textbook fix),
+    closed by largest-remainder rounding so the allocations sum to
+    EXACTLY the budget (the q102 cent-reconciliation device).
+
+    Exactness: per-stratum moments are exact bigints; w_h = n_h*S_h
+    is the identical double both engines compute (correctly-rounded
+    SQRT), micro-quantized to bigint BEFORE any cross-stratum use;
+    floor shares, remainders, the remainder rank (tie-broken by
+    lang), and the final +1 top-up are pure integers.
+
+    Scale: one scan, one groupBy(lang); everything after is k-row
+    algebra (the bounded-aggregate window class)."""
+    m = t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("long")
+        .alias("q"),
+    )
+    w = m.select(
+        "lang",
+        "n",
+        F.round(F.expr(_NEY_W) * 1_000_000).cast("long").alias(
+            "w_micro"
+        ),
+    )
+    tot = w.agg(
+        F.sum("w_micro").cast("long").alias("wt"),
+        F.sum("n").cast("long").alias("n_docs_total"),
+    )
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "w_micro",
+        F.expr(f"({_NEY_TOTAL} * w_micro) DIV wt").alias("fl"),
+        F.expr(f"({_NEY_TOTAL} * w_micro) % wt").alias("rem"),
+    )
+    lv = base.agg(
+        (F.lit(_NEY_TOTAL) - F.sum("fl")).cast("long").alias("leftover")
+    )
+    rk = base.select(
+        "lang",
+        "n",
+        "w_micro",
+        "fl",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("lang").asc()))
+        .alias("rn"),
+    )
+    return (
+        rk.crossJoin(F.broadcast(lv))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.col("w_micro").alias("weight_micro"),
+            F.expr("w_micro DIV (n * 1000)").alias("sd_milli"),
+            (
+                F.col("fl")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q416: transitivity audit of the verified near-duplicate relation
+# ---------------------------------------------------------------------------
+
+#: verified-Jaccard edge threshold (on q46's 4dp-rounded similarity).
+_TR_THRESHOLD = 0.5
+
+
+def _tr_edges(spark, sf_dir):
+    """Canonical (lo, hi) near-dup edges: q46's LSH-verified pairs at
+    jaccard >= {_TR_THRESHOLD}, deduplicated."""
+    from .dedup import q46_lsh_verified_jaccard
+
+    v = q46_lsh_verified_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= _TR_THRESHOLD
+    )
+    return (
+        v.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q416_neardup_transitivity",
+    oracle=None,  # assembled below from the q46 oracle CTEs
+)
+def q416_neardup_transitivity(spark, sf_dir):
+    """TRANSITIVITY AUDIT of the verified near-duplicate relation:
+    of all wedges (x-y, y-z both edges at jaccard >=
+    {_TR_THRESHOLD}), what fraction closes (x-z also an edge)? The
+    go/no-go check before q78's connected-components COLLAPSE step:
+    closure ~1 means clusters are cliques and keeping one canonical
+    doc per component loses nothing; low closure means components
+    chain together dissimilar documents and a component-wide collapse
+    over-deletes (the classic MinHash-dedup failure mode at scale).
+
+    Exactness: edges are q46's verified pairs (4dp-rounded jaccard
+    identical in both engines) thresholded and canonicalized
+    (lo < hi); wedge enumeration is an equi-join of the adjacency
+    list with itself on the shared endpoint; closure is a join back
+    to the edge set. All counts exact; the rate is integer milli.
+
+    Scale: every join is keyed on doc ids of the EDGE LIST, whose
+    size LSH banding already bounds (q43's capped buckets) - pair
+    work is |edges|-bounded, never corpus-quadratic; the wedge
+    fan-out is sum of deg^2 over near-dup clusters, bounded by the
+    verified-cluster sizes the collapse would touch anyway."""
+    e = transient_persist(_tr_edges(spark, sf_dir))
+    adj = e.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    ).union(e.select(F.col("hi").alias("x"), F.col("lo").alias("y")))
+    a1 = adj.select(F.col("y").alias("mid"), F.col("x").alias("x1"))
+    a2 = adj.select(F.col("y").alias("mid2"), F.col("x").alias("x2"))
+    wedges = a1.join(
+        a2, (F.col("mid") == F.col("mid2")) & (F.col("x1") < F.col("x2"))
+    ).select("x1", "x2")
+    closed = wedges.join(
+        e,
+        (F.col("x1") == F.col("lo")) & (F.col("x2") == F.col("hi")),
+        "left_semi",
+    )
+    ne = e.count()
+    nw = wedges.count()
+    nc = closed.count()
+    return spark.createDataFrame(
+        [(ne, nw, nc, (1000 * nc) // nw if nw else None)],
+        "n_edges long, n_wedges long, n_closed long, closure_milli long",
+    )
+
+
+from .dedup import _LSH_CANDS_SQL, _SHINGLES_SQL  # noqa: E402
+
+ORACLE_Q416 = _LSH_CANDS_SQL + f""",
+    sh2 AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sset FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cands UNION SELECT doc_b FROM cands)
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(
+               CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sset, b.sset))), 4
+             ) AS jaccard
+      FROM cands c
+      JOIN sh2 a ON c.doc_a = a.doc_id
+      JOIN sh2 b ON c.doc_b = b.doc_id
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS lo,
+             GREATEST(doc_a, doc_b) AS hi
+      FROM verified WHERE jaccard >= {_TR_THRESHOLD}
+    ),
+    adj AS (
+      SELECT lo AS x, hi AS y FROM e
+      UNION ALL SELECT hi AS x, lo AS y FROM e
+    ),
+    wedge AS (
+      SELECT a1.x AS x1, a2.x AS x2
+      FROM adj a1 JOIN adj a2 ON a1.y = a2.y AND a1.x < a2.x
+    ),
+    cnt AS (
+      SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+             CAST(COUNT(*) AS BIGINT) AS n_wedges,
+             CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM e WHERE e.lo = wedge.x1 AND e.hi = wedge.x2
+             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+      FROM wedge
+    )
+    SELECT n_edges, n_wedges, n_closed,
+           CASE WHEN n_wedges > 0 THEN (1000 * n_closed) // n_wedges
+                END AS closure_milli
+    FROM cnt
+    """
+
+from .registry import ORACLE as _ORACLE_REG  # noqa: E402
+
+_ORACLE_REG["q416_neardup_transitivity"] = ORACLE_Q416
