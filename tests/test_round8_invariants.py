@@ -203,3 +203,60 @@ def test_neardup_transitivity_counts(spark):
     if r["n_wedges"]:
         assert r["closure_milli"] == 1000 * r["n_closed"] // r["n_wedges"]
         assert 0 <= r["closure_milli"] <= 1000
+
+
+def test_seasonal_mk_bounds(spark):
+    (r,) = _rows(spark, "q417_seasonal_mann_kendall")
+    assert r["n_seasons"] == 7
+    # within-weekday pairs only: |S| bounded by sum of per-season
+    # pair counts, which is at most C(n,2) of the full series
+    assert r["var_s_x18"] > 0
+    assert abs(r["z_score"]) < 10
+
+
+def test_turning_points_bounds(spark):
+    (r,) = _rows(spark, "q418_turning_point_test")
+    n = r["n_days"]
+    assert 0 <= r["n_turning_points"] <= n - 2
+    assert abs(r["expected_tp"] - 2.0 * (n - 2) / 3.0) < 1e-6
+
+
+def test_bartels_rvn_range(spark):
+    (r,) = _rows(spark, "q419_bartels_rvn")
+    # RVN lives in (0, 4); 2 = independence
+    assert 0.0 < r["rvn"] < 4.0
+    assert r["num_x4"] > 0 and r["den_x4n2"] > 0
+
+
+def test_wilcoxon_rank_sum_identity(spark):
+    (r,) = _rows(spark, "q420_wilcoxon_signed_rank")
+    n = r["n_pairs"]
+    assert n > 0
+    # W+ x2 is between 0 and 2 * n(n+1)/2 = n(n+1)
+    assert 0 <= r["w_plus_x2"] <= n * (n + 1)
+
+
+def test_capture_recapture_consistency(spark):
+    (r,) = _rows(spark, "q421_dedup_capture_recapture")
+    assert r["r_both"] <= min(r["m_lsh"], r["m_simhash"])
+    # Chapman estimate is at least the union count minus rounding
+    union = r["m_lsh"] + r["m_simhash"] - r["r_both"]
+    assert r["chapman_milli"] >= 1000 * union - 1000 - 1
+    if r["union_coverage_milli"] is not None:
+        assert 0 < r["union_coverage_milli"] <= 1001
+
+
+def test_within_vs_marginal_correlation(spark):
+    (r,) = _rows(spark, "q422_within_source_correlation")
+    assert r["m_per_source"] is not None  # balanced design held
+    assert -1.0 <= r["r_marginal"] <= 1.0
+    assert -1.0 <= r["r_within"] <= 1.0
+
+
+def test_icc_range_and_anova_identity(spark):
+    (r,) = _rows(spark, "q423_icc_score_by_source")
+    assert r["m_per_source"] is not None  # balanced design held
+    m = r["m_per_source"]
+    # ICC(1) lives in [-1/(m-1), 1]
+    assert -1.0 / (m - 1) - 1e-9 <= r["icc1"] <= 1.0
+    assert r["ms_within"] > 0

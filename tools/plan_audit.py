@@ -340,6 +340,15 @@ ALLOW = {
     # 1-row weight-total/leftover frames crossed into the k=|langs|
     # stratum frame (largest-remainder top-up, q102 class).
     "q415_neyman_allocation": {"nested_loop"},
+    # weekday-banded theta self-join of the CALENDAR-bounded daily
+    # aggregate + 1-row S/tie/variance frames (q403 class).
+    "q417_seasonal_mann_kendall": {"nested_loop"},
+    # 1-row moment frames crossed into the CALENDAR-bounded daily /
+    # census frames (q403/q318 class).
+    "q419_bartels_rvn": {"nested_loop"},
+    # 1-row total-moment frame crossed into the 1-row stratum-sum
+    # frame - two scalar frames.
+    "q423_icc_score_by_source": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -444,6 +453,14 @@ ALLOW_GLOBAL_WINDOW = {
     # remainder ROW_NUMBER over the k=|langs|-row stratum frame -
     # k rows by construction (the q220 apportionment class).
     "q415_neyman_allocation",
+    # LAG/LEAD over the CALENDAR-bounded daily aggregate - bounded by
+    # days (the q260/q408 class).
+    "q418_turning_point_test",
+    # rank census cumsum + day-order LEAD over calendar-bounded
+    # frames (q318 + q260 classes).
+    "q419_bartels_rvn",
+    # |distinct-diff|-census cumsum - domain-bounded (q318 class).
+    "q420_wilcoxon_signed_rank",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -1894,3 +1894,778 @@ ORACLE_Q416 = _LSH_CANDS_SQL + f""",
 from .registry import ORACLE as _ORACLE_REG  # noqa: E402
 
 _ORACLE_REG["q416_neardup_transitivity"] = ORACLE_Q416
+
+
+# ---------------------------------------------------------------------------
+# q417: seasonal (weekday-stratified) Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q417_seasonal_mann_kendall",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    wd AS (SELECT d, d % 7 AS s, y FROM daily),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM wd a JOIN wd b ON b.s = a.s AND b.d > a.d
+    ),
+    grp AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM wd GROUP BY s
+    ),
+    tie AS (
+      SELECT CAST(COALESCE(SUM(ct * (ct - 1) * (2 * ct + 5)), 0)
+                  AS BIGINT) AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ct FROM wd
+            GROUP BY s, y)
+    ),
+    v AS (
+      SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS vraw,
+             CAST(COUNT(*) AS BIGINT) AS n_seasons
+      FROM grp
+    ),
+    f AS (
+      SELECT p.s_stat AS s, v.vraw - tie.tsum AS v18, v.n_seasons
+      FROM p, tie, v
+    )
+    SELECT n_seasons, s AS s_stat, v18 AS var_s_x18,
+           ROUND({_MK_Z}, 6) AS z_score
+    FROM f
+    """,
+)
+def q417_seasonal_mann_kendall(spark, sf_dir):
+    """SEASONAL MANN-KENDALL trend test: q403's S statistic computed
+    WITHIN each weekday stratum and pooled — the variant that q128's
+    weekday seasonality demands, because plain MK reads a strong
+    weekly cycle as noise (or worse, as trend when the window length
+    isn't a multiple of 7). Only same-weekday day pairs are compared,
+    so the weekly cycle cancels out of the statistic entirely; the
+    pooled variance is the sum of per-stratum tie-corrected
+    variances (Hirsch-Slack, independent-seasons form).
+
+    Exactness: same devices as q403 — bigint S over the
+    weekday-banded pair set, per-(weekday, value) tie census,
+    pooled v18 bigint, one shared z string (continuity-corrected),
+    rounded 6dp.
+
+    Scale: pair enumeration is the q403 calendar-bounded class
+    restricted further by the weekday equi-key (|days|^2/14 pairs);
+    one fact scan, one groupBy(day)."""
+    daily = transient_persist(
+        _daily(spark, sf_dir).select(
+            "d", (F.col("d") % 7).alias("s"), "y"
+        )
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("s").alias("sb"),
+        F.col("y").alias("yb"),
+    )
+    p = (
+        daily.join(
+            F.broadcast(b),
+            (F.col("sb") == F.col("s")) & (F.col("db") > F.col("d")),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("y"), 1)
+                .when(F.col("yb") < F.col("y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    grp = daily.groupBy("s").agg(F.count("*").cast("long").alias("n"))
+    tie = (
+        daily.groupBy("s", "y")
+        .agg(F.count("*").cast("long").alias("ct"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("ct") * (F.col("ct") - 1) * (2 * F.col("ct") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    v = grp.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("long")
+        .alias("vraw"),
+        F.count("*").cast("long").alias("n_seasons"),
+    )
+    f = (
+        p.crossJoin(F.broadcast(tie))
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("s_stat").alias("s"),
+            (F.col("vraw") - F.col("tsum")).alias("v18"),
+            "n_seasons",
+        )
+    )
+    return f.select(
+        "n_seasons",
+        F.col("s").alias("s_stat"),
+        F.col("v18").alias("var_s_x18"),
+        F.round(F.expr(_MK_Z), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q418: turning-point randomness test on the daily series
+# ---------------------------------------------------------------------------
+
+#: z = (T - mu) / sigma with mu = 2(n-2)/3, sigma^2 = (16n - 29)/90 —
+#: one identical string over the exact turning-point count.
+_TP_Z = (
+    "((CAST(tp AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
+    " / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0))"
+)
+
+
+@query(
+    "q418_turning_point_test",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    lagd AS (
+      SELECT y,
+             LAG(y) OVER (ORDER BY d) AS yp,
+             LEAD(y) OVER (ORDER BY d) AS yn
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                   AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lagd
+    )
+    SELECT n AS n_days, tp AS n_turning_points,
+           ROUND(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6)
+             AS expected_tp,
+           ROUND({_TP_Z}, 6) AS z_score
+    FROM s
+    """,
+)
+def q418_turning_point_test(spark, sf_dir):
+    """TURNING-POINT TEST on daily volume: count days that are a
+    strict local max or min of their +/-1-day neighborhood and
+    compare to the 2(n-2)/3 expectation under randomness — the
+    oscillation-sensitive randomness screen that complements q392's
+    runs test (runs sees level-stickiness; turning points see
+    alternation: too FEW turning points means momentum/trend, too
+    MANY means a sawtooth like over-correction or a batching
+    artifact).
+
+    Exactness: the turning-point count is an exact integer from one
+    LAG/LEAD window over the calendar-bounded daily frame (plateau
+    days — equal to a neighbor — are not turning points, identically
+    in both engines); z is one shared string, rounded 6dp.
+
+    Scale: fact collapses to the daily aggregate; one window over
+    |days| rows (adjudicated class); 1-row reduce."""
+    daily = _daily(spark, sf_dir)
+    wd = Window.orderBy("d")
+    lagd = daily.select(
+        "y",
+        F.lag("y").over(wd).alias("yp"),
+        F.lead("y").over(wd).alias("yn"),
+    )
+    s = lagd.agg(
+        F.sum(
+            F.when(
+                F.col("yp").isNotNull()
+                & F.col("yn").isNotNull()
+                & (
+                    ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+                    | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("n_turning_points"),
+        F.round(
+            2.0 * (F.col("n").cast("double") - 2.0) / 3.0, 6
+        ).alias("expected_tp"),
+        F.round(F.expr(_TP_Z), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q419: Bartels rank von Neumann ratio (rank-based serial correlation)
+# ---------------------------------------------------------------------------
+
+#: RVN = sum (R_t - R_{t+1})^2 / (sum (R_t - Rbar)^2 / n) with
+#: doubled midranks: numerator and the n-cleared denominator are
+#: exact bigints (the x4 scale cancels in the ratio); the final
+#: expression is written operation-for-operation identically on both
+#: engines.
+
+
+@query(
+    "q419_bartels_rvn",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pv AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS ct FROM daily GROUP BY y
+    ),
+    rk AS (
+      SELECT y,
+             SUM(ct) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - ct AS below, ct
+      FROM pv
+    ),
+    r2 AS (
+      SELECT daily.d,
+             CAST(2 * rk.below + rk.ct + 1 AS BIGINT) AS r2
+      FROM daily JOIN rk USING (y)
+    ),
+    l AS (
+      SELECT r2, LEAD(r2) OVER (ORDER BY d) AS rn2 FROM r2
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2) AS BIGINT) AS sr2
+      FROM r2
+    ),
+    nm AS (
+      SELECT CAST(SUM(CASE WHEN rn2 IS NULL THEN 0
+                  ELSE (r2 - rn2) * (r2 - rn2) END)
+                  AS BIGINT) AS num
+      FROM l
+    ),
+    dn AS (
+      SELECT CAST(SUM((m.n * r2.r2 - m.sr2)
+                      * (m.n * r2.r2 - m.sr2)) AS BIGINT) AS den
+      FROM r2, m
+    )
+    SELECT m.n AS n_days, nm.num AS num_x4, dn.den AS den_x4n2,
+           ROUND(CAST(nm.num AS DOUBLE)
+                 / (CAST(dn.den AS DOUBLE) / m.n)
+                 * CAST(m.n AS DOUBLE), 6) AS rvn
+    FROM nm, dn, m
+    """,
+)
+def q419_bartels_rvn(spark, sf_dir):
+    """BARTELS' RANK VON NEUMANN RATIO on daily volume: the
+    rank-based serial-correlation test — q408's Durbin-Watson asks
+    the question on OLS residual VALUES (outlier-sensitive), Bartels
+    asks it on RANKS, so one monster day can't fake persistence. RVN
+    near 2 = serially independent; << 2 = positive persistence;
+    >> 2 = alternation. Ties take midranks.
+
+    Exactness: doubled midranks (2R integers) via the q318 value
+    census; the successive-difference numerator and the n-cleared
+    centered denominator are exact bigints (the x4 scale cancels in
+    the ratio after multiplying back by n); RVN is one shared
+    expression rounded 6dp.
+
+    Scale: census groupBy(value) + two windows over the
+    calendar-bounded daily frame (adjudicated class); 1-row reduce."""
+    daily = _daily(spark, sf_dir)
+    pv = daily.groupBy("y").agg(F.count("*").cast("long").alias("ct"))
+    w = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = pv.select(
+        "y", (F.sum("ct").over(w) - F.col("ct")).alias("below"), "ct"
+    )
+    r2 = daily.join(rk, "y").select(
+        "d",
+        (2 * F.col("below") + F.col("ct") + 1).cast("long").alias("r2"),
+    )
+    r2 = transient_persist(r2)
+    wd = Window.orderBy("d")
+    led = r2.select(
+        "r2", F.lead("r2").over(wd).alias("rn2")
+    )
+    m = r2.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2").cast("long").alias("sr2"),
+    )
+    num = led.agg(
+        F.sum(
+            F.when(F.col("rn2").isNull(), 0).otherwise(
+                (F.col("r2") - F.col("rn2")) * (F.col("r2") - F.col("rn2"))
+            )
+        )
+        .cast("long")
+        .alias("num")
+    )
+    den = (
+        r2.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("r2") - F.col("sr2"))
+                * (F.col("n") * F.col("r2") - F.col("sr2"))
+            )
+            .cast("long")
+            .alias("den")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("num").alias("num_x4"),
+            F.col("den").alias("den_x4n2"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("den").cast("double") / F.col("n"))
+                * F.col("n").cast("double"),
+                6,
+            ).alias("rvn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q420: Wilcoxon signed-rank test, week-over-week daily volume
+# ---------------------------------------------------------------------------
+
+#: z from doubled quantities: W2 = 2*W+, E[W2] = n(n+1)/2,
+#: Var[W2]*12 = 2n(n+1)(2n+1) - tie term — one identical string.
+_WSR_Z = (
+    "((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)"
+    " / SQRT(CAST(v12 AS DOUBLE) / 12.0))"
+)
+
+
+@query(
+    "q420_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d7 AS (
+      SELECT a.d, a.y - b.y AS diff
+      FROM daily a JOIN daily b ON a.d = b.d + 7
+    ),
+    nz AS (SELECT ABS(diff) AS av, CASE WHEN diff > 0 THEN 1 ELSE 0
+             END AS pos FROM d7 WHERE diff <> 0),
+    pv AS (
+      SELECT av, CAST(COUNT(*) AS BIGINT) AS ct,
+             CAST(SUM(pos) AS BIGINT) AS cp
+      FROM nz GROUP BY av
+    ),
+    rk AS (
+      SELECT av, ct, cp,
+             SUM(ct) OVER (ORDER BY av ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - ct AS below
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n,
+             CAST(SUM(cp * (2 * below + ct + 1)) AS BIGINT) AS w2,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tt
+      FROM rk
+    ),
+    f AS (
+      SELECT n, w2,
+             2 * n * (n + 1) * (2 * n + 1) - tt AS v12
+      FROM s
+    )
+    SELECT n AS n_pairs, w2 AS w_plus_x2,
+           ROUND({_WSR_Z}, 6) AS z_score
+    FROM f
+    """,
+)
+def q420_wilcoxon_signed_rank(spark, sf_dir):
+    """WILCOXON SIGNED-RANK test of week-over-week daily volume:
+    pair every day with the same weekday one week earlier, rank the
+    nonzero |differences| (midranks for ties), and test whether
+    positive shifts out-rank negative ones — the PAIRED
+    nonparametric location test the family was missing (q318's
+    Mann-Whitney compares two independent samples; here each pair
+    shares a weekday, so the weekly cycle is differenced out by
+    construction — the paired sibling of q417's seasonal MK).
+    Zero differences drop, per the textbook procedure.
+
+    Exactness: week-lag differences are exact bigints from the
+    calendar-bounded pair join; doubled midranks via the q318 value
+    census make W+ x2 an exact bigint; the tie-corrected variance x12
+    is one bigint; z is one shared string rounded 6dp (no continuity
+    correction — documented, both engines identical).
+
+    Scale: the pair join and census windows all live on
+    calendar-bounded frames (q327/q318 adjudicated classes); one
+    fact scan."""
+    daily = transient_persist(_daily(spark, sf_dir))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    d7 = daily.join(
+        F.broadcast(b), F.col("d") == F.col("db") + 7
+    ).select((F.col("y") - F.col("yb")).alias("diff"))
+    nz = d7.filter(F.col("diff") != 0).select(
+        F.abs(F.col("diff")).alias("av"),
+        F.when(F.col("diff") > 0, 1).otherwise(0).alias("pos"),
+    )
+    pv = nz.groupBy("av").agg(
+        F.count("*").cast("long").alias("ct"),
+        F.sum("pos").cast("long").alias("cp"),
+    )
+    w = Window.orderBy("av").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = pv.select(
+        "ct", "cp", (F.sum("ct").over(w) - F.col("ct")).alias("below")
+    )
+    s = rk.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum(F.col("cp") * (2 * F.col("below") + F.col("ct") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tt"),
+    )
+    f = s.select(
+        "n",
+        "w2",
+        (
+            2 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+            - F.col("tt")
+        ).alias("v12"),
+    )
+    return f.select(
+        F.col("n").alias("n_pairs"),
+        F.col("w2").alias("w_plus_x2"),
+        F.round(F.expr(_WSR_Z), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q421: Chapman capture-recapture estimate of the near-dup population
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q421_dedup_capture_recapture",
+    oracle=None,  # assembled below (shares q46/q85 CTE chains)
+)
+def q421_dedup_capture_recapture(spark, sf_dir):
+    """CAPTURE-RECAPTURE estimate of the TRUE near-duplicate pair
+    population from two independent detectors: MinHash-LSH-verified
+    pairs (jaccard >= {_TR_THRESHOLD}) as the first capture, SimHash
+    hamming pairs (q85) as the second; Chapman's bias-corrected
+    estimator N^ = (M+1)(C+1)/(R+1) - 1 turns their overlap into an
+    estimate of how many near-dup pairs BOTH sketches missed — the
+    question q266's agreement F1 cannot answer (agreement says how
+    similar the detectors are, not how complete). Standard ecology
+    estimator, standard dedup-audit trick.
+
+    Exactness: capture counts and the overlap are exact bigints on
+    both engines (both pair lists are deterministic oracle-checked
+    operators); the estimator and its milli forms are integer DIV
+    arithmetic.
+
+    Scale: both pair lists are the session-persisted LSH outputs
+    (bucket-capped, candidates-only); the overlap is one equi-join
+    on the pair key. Nothing here touches the corpus again."""
+    from .dedup import q85_simhash_hamming_pairs
+
+    a = transient_persist(_tr_edges(spark, sf_dir))
+    bb = q85_simhash_hamming_pairs(spark, sf_dir).select(
+        F.least("doc_a", "doc_b").alias("lo"),
+        F.greatest("doc_a", "doc_b").alias("hi"),
+    ).distinct()
+    ma = a.count()
+    mb = bb.count()
+    r = a.join(bb, ["lo", "hi"], "left_semi").count()
+    chap_milli = (1000 * (ma + 1) * (mb + 1)) // (r + 1) - 1000
+    # coverage of the union detector vs the Chapman estimate
+    union_pairs = ma + mb - r
+    cov_milli = (
+        (1_000_000 * union_pairs) // chap_milli if chap_milli else None
+    )
+    return spark.createDataFrame(
+        [(ma, mb, r, chap_milli, cov_milli)],
+        "m_lsh long, m_simhash long, r_both long,"
+        " chapman_milli long, union_coverage_milli long",
+    )
+
+
+ORACLE_Q421 = _LSH_CANDS_SQL + f""",
+    sh2 AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sset FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cands UNION SELECT doc_b FROM cands)
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(
+               CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sset, b.sset))), 4
+             ) AS jaccard
+      FROM cands c
+      JOIN sh2 a ON c.doc_a = a.doc_id
+      JOIN sh2 b ON c.doc_b = b.doc_id
+    ),
+    ea AS (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS lo,
+             GREATEST(doc_a, doc_b) AS hi
+      FROM verified WHERE jaccard >= {_TR_THRESHOLD}
+    ),
+    __SIMHASH__,
+    sbands AS (
+      SELECT doc_id, simhash, j AS bi,
+             (simhash // CAST(pow(2, 8 * j) AS BIGINT)) % 256 AS bv
+      FROM sim, (SELECT unnest(range(0, __BANDS__)) AS j)
+    ),
+    spairs AS (
+      SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi,
+             a.simhash AS sa, b.simhash AS sb
+      FROM sbands a JOIN sbands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    eb AS (
+      SELECT DISTINCT lo, hi FROM spairs
+      WHERE bit_count(xor(sa, sb)) <= __HAMT__
+    ),
+    cnt AS (
+      SELECT CAST((SELECT COUNT(*) FROM ea) AS BIGINT) AS ma,
+             CAST((SELECT COUNT(*) FROM eb) AS BIGINT) AS mb,
+             CAST((SELECT COUNT(*) FROM ea
+                   WHERE EXISTS (SELECT 1 FROM eb
+                     WHERE eb.lo = ea.lo AND eb.hi = ea.hi))
+                  AS BIGINT) AS r
+    )
+    SELECT ma AS m_lsh, mb AS m_simhash, r AS r_both,
+           (1000 * (ma + 1) * (mb + 1)) // (r + 1) - 1000
+             AS chapman_milli,
+           CASE WHEN (1000 * (ma + 1) * (mb + 1)) // (r + 1) - 1000 > 0
+                THEN (1000000 * (ma + mb - r))
+                     // ((1000 * (ma + 1) * (mb + 1)) // (r + 1) - 1000)
+                END AS union_coverage_milli
+    FROM cnt
+    """
+
+from .dedup import _SIMHASH_BANDS, _SIMHASH_CTES_SQL, _HAM_T  # noqa: E402
+
+ORACLE_Q421 = (
+    ORACLE_Q421.replace("__SIMHASH__", _SIMHASH_CTES_SQL)
+    .replace("__BANDS__", str(_SIMHASH_BANDS))
+    .replace("__HAMT__", str(_HAM_T))
+)
+_ORACLE_REG["q421_dedup_capture_recapture"] = ORACLE_Q421
+
+
+# ---------------------------------------------------------------------------
+# q422: within-source (partial) correlation of length vs quality
+# ---------------------------------------------------------------------------
+
+from .textops import _SCORE_SPARK_SQL, _SCORE_SQL  # noqa: E402
+
+#: marginal and pooled-within correlation from exact bigint moments —
+#: identical expression strings both engines; the balanced-design
+#: guard (min group size = max) NULLs every output LOUDLY if the
+#: per-source doc counts ever diverge (the q393 discipline).
+_PC_RW = (
+    "(CAST(sxyw AS DOUBLE)"
+    " / SQRT(CAST(sxxw AS DOUBLE) * CAST(syyw AS DOUBLE)))"
+)
+_PC_RM = (
+    "((CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / SQRT((CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"
+)
+
+
+@query(
+    "q422_within_source_correlation",
+    oracle=f"""
+    WITH x AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS xv,
+             CAST({_SCORE_SQL} AS BIGINT) AS yv
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(xv) AS BIGINT) AS sxg,
+             CAST(SUM(yv) AS BIGINT) AS syg,
+             CAST(SUM(xv * yv) AS BIGINT) AS sxyg,
+             CAST(SUM(xv * xv) AS BIGINT) AS sxxg,
+             CAST(SUM(yv * yv) AS BIGINT) AS syyg
+      FROM x GROUP BY source
+    ),
+    w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CASE WHEN MIN(m) = MAX(m) THEN MIN(m) END AS m,
+             CAST(SUM(m * sxyg - sxg * syg) AS BIGINT) AS sxyw,
+             CAST(SUM(m * sxxg - sxg * sxg) AS BIGINT) AS sxxw,
+             CAST(SUM(m * syyg - syg * syg) AS BIGINT) AS syyw,
+             CAST(SUM(sxg) AS BIGINT) AS sx,
+             CAST(SUM(syg) AS BIGINT) AS sy,
+             CAST(SUM(sxyg) AS BIGINT) AS sxy,
+             CAST(SUM(sxxg) AS BIGINT) AS sxx,
+             CAST(SUM(syyg) AS BIGINT) AS syy,
+             CAST(SUM(m) AS BIGINT) AS nn
+      FROM g
+    )
+    SELECT k AS k_sources, m AS m_per_source,
+           ROUND({_PC_RM}, 6) AS r_marginal,
+           ROUND({_PC_RW}, 6) AS r_within
+    FROM w
+    """,
+)
+def q422_within_source_correlation(spark, sf_dir):
+    """WITHIN-SOURCE (source-partialled) correlation between document
+    length and the milli-unit quality score, next to the MARGINAL
+    correlation — "does length predict quality, or do long-doc
+    SOURCES just have high-score sources?" The continuous
+    Simpson's-paradox guard completing the family (q355 audits
+    slopes, q412 audits categorical gates; this is the correlation
+    version every feature-selection pass should run before shipping
+    length as a quality feature). A large marginal-vs-within gap
+    localizes the confound to the source mixture.
+
+    Exactness: per-source moments are exact bigints; the balanced
+    design makes every within-group centered sum m*Sxy_g - Sx_g*Sy_g
+    an exact bigint with a COMMON scale that cancels in the ratio
+    (guarded: m reports NULL if group sizes ever diverge — the q393
+    min=max discipline); both correlations are shared expression
+    strings rounded 6dp.
+
+    Scale: one scan, one groupBy(source), k-row algebra."""
+    x = t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("xv"),
+        F.expr(_SCORE_SPARK_SQL).cast("long").alias("yv"),
+    )
+    g = x.groupBy("source").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("xv").cast("long").alias("sxg"),
+        F.sum("yv").cast("long").alias("syg"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxyg"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxxg"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syyg"),
+    )
+    w = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.when(F.min("m") == F.max("m"), F.min("m")).alias("m"),
+        F.sum(F.col("m") * F.col("sxyg") - F.col("sxg") * F.col("syg"))
+        .cast("long")
+        .alias("sxyw"),
+        F.sum(F.col("m") * F.col("sxxg") - F.col("sxg") * F.col("sxg"))
+        .cast("long")
+        .alias("sxxw"),
+        F.sum(F.col("m") * F.col("syyg") - F.col("syg") * F.col("syg"))
+        .cast("long")
+        .alias("syyw"),
+        F.sum("sxg").cast("long").alias("sx"),
+        F.sum("syg").cast("long").alias("sy"),
+        F.sum("sxyg").cast("long").alias("sxy"),
+        F.sum("sxxg").cast("long").alias("sxx"),
+        F.sum("syyg").cast("long").alias("syy"),
+        F.sum("m").cast("long").alias("nn"),
+    )
+    return w.select(
+        F.col("k").alias("k_sources"),
+        F.col("m").alias("m_per_source"),
+        F.round(F.expr(_PC_RM), 6).alias("r_marginal"),
+        F.round(F.expr(_PC_RW), 6).alias("r_within"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q423: intraclass correlation ICC(1) of quality score within sources
+# ---------------------------------------------------------------------------
+
+#: balanced one-way ICC(1) from exact integer sums A = sum_g S_g^2,
+#: T = sum y, Q = sum y^2: MSB = (A/m - T^2/(km))/(k-1),
+#: MSW = (Q - A/m)/(k(m-1)), ICC = (MSB-MSW)/(MSB+(m-1)MSW).
+_ICC_MSB = (
+    "((CAST(a AS DOUBLE) / m - CAST(tt AS DOUBLE) * tt / (k * m))"
+    " / (CAST(k AS DOUBLE) - 1.0))"
+)
+_ICC_MSW = (
+    "((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / m)"
+    " / (CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)))"
+)
+_ICC_1 = (
+    f"(({_ICC_MSB} - {_ICC_MSW})"
+    f" / ({_ICC_MSB} + (CAST(m AS DOUBLE) - 1.0) * {_ICC_MSW}))"
+)
+
+
+@query(
+    "q423_icc_score_by_source",
+    oracle=f"""
+    WITH x AS (
+      SELECT source, CAST({_SCORE_SQL} AS BIGINT) AS yv
+      FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(yv) AS BIGINT) AS sg
+      FROM x GROUP BY source
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CASE WHEN MIN(m) = MAX(m) THEN MIN(m) END AS m,
+             CAST(SUM(sg * sg) AS BIGINT) AS a
+      FROM g
+    ),
+    q2 AS (
+      SELECT CAST(SUM(yv) AS BIGINT) AS tt,
+             CAST(SUM(yv * yv) AS BIGINT) AS q
+      FROM x
+    ),
+    f AS (SELECT st.k, st.m, st.a, q2.tt, q2.q FROM st, q2)
+    SELECT k AS k_sources, m AS m_per_source,
+           ROUND({_ICC_MSB}, 6) AS ms_between,
+           ROUND({_ICC_MSW}, 6) AS ms_within,
+           ROUND({_ICC_1}, 6) AS icc1
+    FROM f
+    """,
+)
+def q423_icc_score_by_source(spark, sf_dir):
+    """INTRACLASS CORRELATION ICC(1) of the quality score within
+    sources: what fraction of score variance is BETWEEN-source
+    (crawler identity) rather than document-level? The design-effect
+    number behind every sampling decision on this corpus: ICC near 0
+    means source is irrelevant and q82's simple stratification
+    suffices; high ICC means per-source quotas and q415's Neyman
+    weights actually matter (effective sample size shrinks by
+    1 + (m-1)*ICC). The variance-decomposition sibling of q395's
+    ANOVA (same sums, different normalization, different question:
+    effect EXISTENCE there, variance SHARE here).
+
+    Exactness: A = sum of squared per-source score sums, T, and Q are
+    exact bigints; the balanced-design guard NULLs the output if
+    group sizes diverge (q393 discipline); MSB/MSW/ICC are shared
+    expression strings rounded 6dp.
+
+    Scale: one scan, one groupBy(source), 1-row algebra."""
+    x = t(spark, sf_dir, "documents").select(
+        "source", F.expr(_SCORE_SPARK_SQL).cast("long").alias("yv")
+    )
+    g = x.groupBy("source").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("yv").cast("long").alias("sg"),
+    )
+    s = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.when(F.min("m") == F.max("m"), F.min("m")).alias("m"),
+        F.sum(F.col("sg") * F.col("sg")).cast("long").alias("a"),
+    )
+    q2 = x.agg(
+        F.sum("yv").cast("long").alias("tt"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("q"),
+    )
+    f = s.crossJoin(F.broadcast(q2))
+    return f.select(
+        F.col("k").alias("k_sources"),
+        F.col("m").alias("m_per_source"),
+        F.round(F.expr(_ICC_MSB), 6).alias("ms_between"),
+        F.round(F.expr(_ICC_MSW), 6).alias("ms_within"),
+        F.round(F.expr(_ICC_1), 6).alias("icc1"),
+    )
