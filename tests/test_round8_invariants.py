@@ -260,3 +260,38 @@ def test_icc_range_and_anova_identity(spark):
     # ICC(1) lives in [-1/(m-1), 1]
     assert -1.0 / (m - 1) - 1e-9 <= r["icc1"] <= 1.0
     assert r["ms_within"] > 0
+
+
+def test_lexical_spectrum_identities(spark):
+    rows = _rows(spark, "q424_lexical_spectrum")
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 < r["vocab"] <= r["n_tokens"]
+        assert 0 <= r["hapax_milli"] <= 1000
+        assert 0 <= r["sichel_milli"] <= 1000
+        assert r["hapax_milli"] + r["sichel_milli"] <= 1000
+        # K >= 0, and K = 0 iff every type occurs exactly once
+        assert r["yule_k"] >= 0.0
+        if r["hapax_milli"] == 1000 and r["vocab"] == r["n_tokens"]:
+            assert r["yule_k"] == 0.0
+
+
+def test_lepage_is_sum_of_squares(spark):
+    (r,) = _rows(spark, "q425_ansari_bradley_lepage")
+    assert r["n0"] > 0 and r["n1"] > 0
+    expect = r["z_location"] ** 2 + r["z_dispersion"] ** 2
+    # lepage is rounded at 4dp from the unrounded z's; allow the
+    # rounding interaction
+    assert abs(r["lepage"] - expect) < 1e-2
+    assert r["lepage"] >= 0.0
+
+
+def test_cooks_distance_ordering_and_bounds(spark):
+    rows = _rows(spark, "q426_cooks_distance_days")
+    assert len(rows) == 3
+    ds = [r["cook_d"] for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    for r in rows:
+        assert r["cook_d"] >= 0.0
+        # leverage of a simple regression lives in [1/n, 1]
+        assert 0.0 < r["leverage"] <= 1.0

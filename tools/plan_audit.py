@@ -349,6 +349,12 @@ ALLOW = {
     # 1-row total-moment frame crossed into the 1-row stratum-sum
     # frame - two scalar frames.
     "q423_icc_score_by_source": {"nested_loop"},
+    # 1-row N/tie frame crossed into the distinct-LENGTH census
+    # (q318 class) + 1-row moment reduce.
+    "q425_ansari_bradley_lepage": {"nested_loop"},
+    # 1-row OLS-coefficient and den frames crossed into the
+    # CALENDAR-bounded daily aggregate (q408 class).
+    "q426_cooks_distance_days": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -461,6 +467,9 @@ ALLOW_GLOBAL_WINDOW = {
     "q419_bartels_rvn",
     # |distinct-diff|-census cumsum - domain-bounded (q318 class).
     "q420_wilcoxon_signed_rank",
+    # AB score cumsum over the distinct-LENGTH census - domain-
+    # bounded (q318 class).
+    "q425_ansari_bradley_lepage",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

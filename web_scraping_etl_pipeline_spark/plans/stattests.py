@@ -2669,3 +2669,443 @@ def q423_icc_score_by_source(spark, sf_dir):
         F.round(F.expr(_ICC_MSW), 6).alias("ms_within"),
         F.round(F.expr(_ICC_1), 6).alias("icc1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q424: lexical frequency spectrum per source (Yule's K, Sichel, hapax)
+# ---------------------------------------------------------------------------
+
+#: Yule's characteristic K = 1e4 * (sum m^2 V(m) - N) / N^2 — the
+#: repeat-rate constant; one identical string over exact bigints.
+_YULE_K = (
+    "(10000.0 * (CAST(sm2 AS DOUBLE) - nt)"
+    " / (CAST(nt AS DOUBLE) * nt))"
+)
+
+
+@query(
+    "q424_lexical_spectrum",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, u.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(tok)
+    ),
+    freq AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS m
+      FROM tk GROUP BY source, tok
+    ),
+    spec AS (
+      SELECT source,
+             CAST(SUM(m) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1,
+             CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v2,
+             CAST(SUM(m * m) AS BIGINT) AS sm2
+      FROM freq GROUP BY source
+    )
+    SELECT source, nt AS n_tokens, v AS vocab,
+           (1000 * v1) // v AS hapax_milli,
+           (1000 * v2) // v AS sichel_milli,
+           ROUND({_YULE_K}, 4) AS yule_k
+    FROM spec ORDER BY source
+    """,
+)
+def q424_lexical_spectrum(spark, sf_dir):
+    """LEXICAL FREQUENCY SPECTRUM per source: vocabulary size, hapax
+    legomena share V(1)/V, Sichel's dis-legomena proportion V(2)/V,
+    and Yule's characteristic K (the length-invariant repeat-rate) —
+    the classical lexicostatistics panel a corpus intake runs beside
+    q280's Zipf audit: a source whose K is far above its peers is
+    template-generated (few types doing all the work); a hapax share
+    collapsing round-over-round means the crawler started re-fetching
+    the same pages.
+
+    Exactness: the frequency spectrum (per-source type counts by
+    occurrence class) is exact bigints from one token census; hapax
+    and Sichel shares are integer milli; K is one shared expression
+    over bigints, rounded 4dp.
+
+    Scale: one explode + two hash aggregates (token census then
+    spectrum), both map-side combinable; |sources| rows out."""
+    tk = t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    freq = tk.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    spec = freq.groupBy("source").agg(
+        F.sum("m").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("m") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sm2"),
+    )
+    return spec.select(
+        "source",
+        F.col("nt").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.expr("(1000 * v1) DIV v").alias("hapax_milli"),
+        F.expr("(1000 * v2) DIV v").alias("sichel_milli"),
+        F.round(F.expr(_YULE_K), 4).alias("yule_k"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q425: Ansari-Bradley dispersion test + Lepage location-scale statistic
+# ---------------------------------------------------------------------------
+
+#: Mann-Whitney z from doubled quantities (q318's tie-corrected form):
+#: VarU2 = n0*n1*((N^3 - N) - tie)/(3N(N-1)).
+_AB_ZMW = (
+    "((CAST(u2 AS DOUBLE) - CAST(n0 AS DOUBLE) * n1)"
+    " / SQRT(CAST(n0 AS DOUBLE) * n1"
+    " * ((CAST(nn AS DOUBLE) * nn * nn - nn) - tt)"
+    " / (3.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))"
+)
+#: Ansari-Bradley z by simple-random-sampling moments of the
+#: tie-averaged scores: E[T0] = n0*ST/N, Var = n0*n1*(N*Ssq - ST^2)
+#: / (N^2 (N-1)) with T0/Ssq carried as micro-quantized bigints.
+_AB_ZAB = (
+    "((CAST(t0m AS DOUBLE) / 1000000.0"
+    " - CAST(n0 AS DOUBLE) * st / nn)"
+    " / SQRT(CAST(n0 AS DOUBLE) * n1"
+    " * (CAST(nn AS DOUBLE) * (CAST(sqm AS DOUBLE) / 1000000.0)"
+    " - CAST(st AS DOUBLE) * st)"
+    " / (CAST(nn AS DOUBLE) * nn * (CAST(nn AS DOUBLE) - 1.0))))"
+)
+_AB_LEPAGE = f"(({_AB_ZMW}) * ({_AB_ZMW}) + ({_AB_ZAB}) * ({_AB_ZAB}))"
+
+
+@query(
+    "q425_ansari_bradley_lepage",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(CASE WHEN source = '{_WT_A}' THEN 1 ELSE 0 END
+                  AS BIGINT) AS g0,
+             CAST(CASE WHEN source = '{_WT_B}' THEN 1 ELSE 0 END
+                  AS BIGINT) AS g1
+      FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+    ),
+    pv AS (
+      SELECT v, CAST(SUM(g0) AS BIGINT) AS c0,
+             CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM x GROUP BY v
+    ),
+    nn0 AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(ct) AS BIGINT) AS nn,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tt
+      FROM pv
+    ),
+    rk AS (
+      SELECT c0, c1, ct,
+             SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - ct AS below
+      FROM pv
+    ),
+    sc AS (
+      SELECT c0, c1, ct, below,
+             below + 1 AS a, below + ct AS b,
+             (nn0.nn + 1) // 2 AS m, nn0.nn AS nn
+      FROM rk, nn0
+    ),
+    sv AS (
+      SELECT c0, ct,
+             CASE WHEN LEAST(b, m) >= a THEN
+               (LEAST(b, m) * (LEAST(b, m) + 1) - (a - 1) * a) // 2
+               ELSE 0 END
+             + CASE WHEN b >= GREATEST(a, m + 1) THEN
+               (nn + 1) * (b - GREATEST(a, m + 1) + 1)
+               - (b * (b + 1) - (GREATEST(a, m + 1) - 1)
+                  * GREATEST(a, m + 1)) // 2
+               ELSE 0 END AS s,
+             2 * below + ct + 1 AS r2u
+      FROM sc
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(c0 * r2u) AS BIGINT)
+          - (SELECT n0 * (n0 + 1) FROM nn0) AS u2,
+        CAST(SUM(s) AS BIGINT) AS st,
+        CAST(SUM(CAST(ROUND(1000000.0 * c0 * s / ct) AS BIGINT))
+             AS BIGINT) AS t0m,
+        CAST(SUM(CAST(ROUND(1000000.0 * s * s / ct) AS BIGINT))
+             AS BIGINT) AS sqm
+      FROM sv
+    ),
+    f AS (
+      SELECT agg.u2, agg.st, agg.t0m, agg.sqm,
+             nn0.n0, nn0.n1, nn0.nn, nn0.tt
+      FROM agg, nn0
+    )
+    SELECT n0, n1,
+           ROUND({_AB_ZMW}, 6) AS z_location,
+           ROUND({_AB_ZAB}, 6) AS z_dispersion,
+           ROUND({_AB_LEPAGE}, 4) AS lepage
+    FROM f
+    """,
+)
+def q425_ansari_bradley_lepage(spark, sf_dir):
+    f"""ANSARI-BRADLEY dispersion test + LEPAGE joint statistic
+    between '{_WT_A}' and '{_WT_B}' document lengths: AB scores rank
+    from BOTH ends inward (min(rank, N+1-rank), tie-averaged), so its
+    z detects a SPREAD difference; combined with q318's location z,
+    Lepage L = z_loc^2 + z_disp^2 is the omnibus "same location AND
+    same scale?" readout (~chi2, 2 df) — the two-sample counterpart
+    of running q405's Welch next to q396's Brown-Forsythe, but fully
+    rank-based. A crawler whose lengths have the right median and
+    twice the spread passes MW and fails here.
+
+    Exactness: AB block score sums are CLOSED-FORM integer series
+    over the value census (positions a..b split at the midpoint);
+    tie-averaged group totals and score second moments carry as
+    micro-quantized bigints (q286 device); both z's and Lepage are
+    shared expression strings over them, rounded once.
+
+    Scale: one census groupBy(value), one domain-bounded cumulative
+    window (q318 class), 1-row reduce."""
+    x = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("source") == _WT_A, 1).otherwise(0).alias("g0"),
+            F.when(F.col("source") == _WT_B, 1).otherwise(0).alias("g1"),
+        )
+    )
+    pv = x.groupBy("v").agg(
+        F.sum("g0").cast("long").alias("c0"),
+        F.sum("g1").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    nn0 = pv.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("ct").cast("long").alias("nn"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tt"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = pv.select(
+        "c0",
+        "c1",
+        "ct",
+        (F.sum("ct").over(w) - F.col("ct")).alias("below"),
+    )
+    sc = rk.crossJoin(F.broadcast(nn0)).select(
+        "c0",
+        "ct",
+        "below",
+        (F.col("below") + 1).alias("a"),
+        (F.col("below") + F.col("ct")).alias("b"),
+        F.expr("(nn + 1) DIV 2").alias("m"),
+        "nn",
+    )
+    sv = sc.select(
+        "c0",
+        "ct",
+        (
+            F.when(
+                F.least("b", "m") >= F.col("a"),
+                F.expr(
+                    "(LEAST(b, m) * (LEAST(b, m) + 1) - (a - 1) * a)"
+                    " DIV 2"
+                ),
+            ).otherwise(0)
+            + F.when(
+                F.col("b") >= F.greatest(F.col("a"), F.col("m") + 1),
+                F.expr(
+                    "(nn + 1) * (b - GREATEST(a, m + 1) + 1)"
+                    " - (b * (b + 1) - (GREATEST(a, m + 1) - 1)"
+                    " * GREATEST(a, m + 1)) DIV 2"
+                ),
+            ).otherwise(0)
+        ).alias("s"),
+        (2 * F.col("below") + F.col("ct") + 1).alias("r2u"),
+    )
+    agg = sv.agg(
+        F.sum(F.col("c0") * F.col("r2u")).cast("long").alias("r2sum"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum(
+            F.round(
+                1_000_000.0 * F.col("c0") * F.col("s") / F.col("ct")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("t0m"),
+        F.sum(
+            F.round(
+                1_000_000.0 * F.col("s") * F.col("s") / F.col("ct")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sqm"),
+    )
+    f = agg.crossJoin(F.broadcast(nn0)).select(
+        (F.col("r2sum") - F.col("n0") * (F.col("n0") + 1)).alias("u2"),
+        "st",
+        "t0m",
+        "sqm",
+        "n0",
+        "n1",
+        "nn",
+        "tt",
+    )
+    return f.select(
+        "n0",
+        "n1",
+        F.round(F.expr(_AB_ZMW), 6).alias("z_location"),
+        F.round(F.expr(_AB_ZAB), 6).alias("z_dispersion"),
+        F.round(F.expr(_AB_LEPAGE), 4).alias("lepage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q426: Cook's distance — most influential days of the daily OLS trend
+# ---------------------------------------------------------------------------
+
+#: leverage h_t = 1/n + (n*d - st)^2 / (n * D) and Cook's distance
+#: D_t = En^2 * h * (n-2) / (2 * den * (1-h)^2), where En = n*D*e_t
+#: and den = sum En^2 — every input an exact integer/decimal, the
+#: whole chain one identical expression family.
+_CK_H = (
+    "(1.0 / n + (CAST(n AS DOUBLE) * d - st)"
+    " * (CAST(n AS DOUBLE) * d - st) / (CAST(n AS DOUBLE) * dd))"
+)
+_CK_D = (
+    f"(CAST(en AS DOUBLE) * CAST(en AS DOUBLE) * {_CK_H}"
+    f" * (CAST(n AS DOUBLE) - 2.0)"
+    f" / (2.0 * CAST(den AS DOUBLE)"
+    f" * (1.0 - {_CK_H}) * (1.0 - {_CK_H})))"
+)
+
+
+@query(
+    "q426_cooks_distance_days",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS st,
+             CAST(SUM(d * d) AS BIGINT) AS st2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(d * y) AS BIGINT) AS sty
+      FROM daily
+    ),
+    c AS (
+      SELECT n, st, n * sty - st * sy AS a, n * st2 - st * st AS dd,
+             (n * st2 - st * st) * sy - (n * sty - st * sy) * st AS b0
+      FROM m
+    ),
+    e AS (
+      SELECT daily.d, daily.y, c.n, c.st, c.dd,
+             CAST(c.n * c.dd * daily.y - c.b0 - c.n * c.a * daily.d
+                  AS DECIMAL(38, 0)) AS en
+      FROM daily, c
+    ),
+    dn AS (
+      SELECT CAST(SUM(en * en) AS DECIMAL(38, 0)) AS den FROM e
+    )
+    SELECT e.d AS day_idx, e.y AS day_count,
+           ROUND({_CK_H.replace(' n ', ' e.n ').replace('/ n', '/ e.n')
+                       .replace('(n ', '(e.n ')
+                       .replace(' d ', ' e.d ')
+                       .replace('- st', '- e.st')
+                       .replace('* dd', '* e.dd')}, 6) AS leverage,
+           ROUND({_CK_D.replace(' n ', ' e.n ').replace('/ n', '/ e.n')
+                       .replace('(n ', '(e.n ')
+                       .replace(' d ', ' e.d ')
+                       .replace('- st', '- e.st')
+                       .replace('* dd', '* e.dd')
+                       .replace('(en', '(e.en')
+                       .replace(' den', ' dn.den')}, 6) AS cook_d
+    FROM e, dn
+    ORDER BY cook_d DESC, day_idx ASC LIMIT 3
+    """,
+)
+def q426_cooks_distance_days(spark, sf_dir):
+    """COOK'S DISTANCE influence diagnostics on the daily OLS trend:
+    which THREE days, if dropped, would move the fitted volume trend
+    the most? Combines leverage (calendar position — endpoints of the
+    window pull hardest) with residual size into the standard
+    delete-one influence measure — the diagnostic that tells a
+    capacity planner whether q377/q403's trend call hangs on one
+    anomalous day (and names it; q411's Grubbs names the biggest
+    RESIDUAL, which at low leverage may be harmless).
+
+    Exactness: residuals are the q408 denominator-cleared integers
+    (En = n*D*e_t, DECIMAL(38,0) squares); leverage and Cook's D are
+    one identical expression family over exact integers; the top-3 is
+    deterministic (tie-break by day).
+
+    Scale: fact collapses to the calendar-bounded daily frame; the
+    influence sweep is |days| rows of arithmetic + one TakeOrdered."""
+    daily = transient_persist(_daily(spark, sf_dir))
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("st"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("st2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sty"),
+    )
+    c = m.select(
+        "n",
+        "st",
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias("a"),
+        (F.col("n") * F.col("st2") - F.col("st") * F.col("st")).alias(
+            "dd"
+        ),
+        (
+            (F.col("n") * F.col("st2") - F.col("st") * F.col("st"))
+            * F.col("sy")
+            - (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            * F.col("st")
+        ).alias("b0"),
+    )
+    e = daily.crossJoin(F.broadcast(c)).select(
+        "d",
+        "y",
+        "n",
+        "st",
+        "dd",
+        (
+            F.col("n") * F.col("dd") * F.col("y")
+            - F.col("b0")
+            - F.col("n") * F.col("a") * F.col("d")
+        )
+        .cast("decimal(38,0)")
+        .alias("en"),
+    )
+    dn = e.agg(
+        F.sum(F.col("en") * F.col("en"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
+    return (
+        e.crossJoin(F.broadcast(dn))
+        .select(
+            F.col("d").alias("day_idx"),
+            F.col("y").alias("day_count"),
+            F.round(F.expr(_CK_H), 6).alias("leverage"),
+            F.round(F.expr(_CK_D), 6).alias("cook_d"),
+        )
+        .orderBy(F.col("cook_d").desc(), F.col("day_idx").asc())
+        .limit(3)
+    )
