@@ -295,3 +295,30 @@ def test_cooks_distance_ordering_and_bounds(spark):
         assert r["cook_d"] >= 0.0
         # leverage of a simple regression lives in [1/n, 1]
         assert 0.0 < r["leverage"] <= 1.0
+
+
+def test_matryoshka_recall_monotone_tendency(spark):
+    rows = sorted(_rows(spark, "q427_matryoshka_prefix_recall"),
+                  key=lambda r: r["prefix_dim"])
+    assert [r["prefix_dim"] for r in rows] == [8, 16, 32]
+    for r in rows:
+        assert 0 <= r["overlap_at_k"] <= 10
+        assert r["recall_milli"] == 1000 * r["overlap_at_k"] // 10
+
+
+def test_rich_club_monotone_shrinkage(spark):
+    rows = sorted(_rows(spark, "q428_rich_club_density"),
+                  key=lambda r: r["degree_floor"])
+    assert [r["degree_floor"] for r in rows] == [1, 2, 3]
+    # raising the floor can only shrink the club and its edge set
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_rich_users"] <= a["n_rich_users"]
+        assert b["n_rich_items"] <= a["n_rich_items"]
+        assert b["n_rich_edges"] <= a["n_rich_edges"]
+    for r in rows:
+        if r["density_milli"] is not None:
+            assert 0 <= r["density_milli"] <= 1000
+            assert (
+                r["n_rich_edges"]
+                <= r["n_rich_users"] * r["n_rich_items"]
+            )

@@ -3109,3 +3109,207 @@ def q426_cooks_distance_days(spark, sf_dir):
         .orderBy(F.col("cook_d").desc(), F.col("day_idx").asc())
         .limit(3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q427: Matryoshka prefix-dimension recall of brute-force top-k
+# ---------------------------------------------------------------------------
+
+from .vectors import DIM, QUERY_VEC_ID, TOP_K, _dot, _qlit_sql, _query_vec  # noqa: E402
+
+#: prefix dimensionalities swept (Matryoshka-style truncation).
+_MRL_DIMS = (8, 16, 32)
+
+
+@query(
+    "q427_matryoshka_prefix_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    full_top AS (
+      SELECT e.vec_id
+      FROM embeddings e, q, LATERAL (
+        SELECT SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                   * CAST(q.qe[r.i] AS DOUBLE)) AS dp
+        FROM range(1, {DIM} + 1) r(i)
+      )
+      ORDER BY ROUND(dp, 6) DESC, e.vec_id LIMIT {TOP_K}
+    ),
+    """ + ",\n    ".join(
+        f"""pt{p} AS (
+      SELECT e.vec_id
+      FROM embeddings e, q, LATERAL (
+        SELECT SUM(CAST(e.embedding[r.i] AS DOUBLE)
+                   * CAST(q.qe[r.i] AS DOUBLE)) AS dp
+        FROM range(1, {p} + 1) r(i)
+      )
+      ORDER BY ROUND(dp, 6) DESC, e.vec_id LIMIT {TOP_K}
+    )"""
+        for p in _MRL_DIMS
+    ) + """
+    """ + "UNION ALL".join(
+        f"""
+    SELECT CAST({p} AS BIGINT) AS prefix_dim,
+           CAST((SELECT COUNT(*) FROM pt{p}
+                 WHERE vec_id IN (SELECT vec_id FROM full_top))
+                AS BIGINT) AS overlap_at_k,
+           (1000 * (SELECT COUNT(*) FROM pt{p}
+                    WHERE vec_id IN (SELECT vec_id FROM full_top)))
+             // {TOP_K} AS recall_milli
+    """
+        for p in _MRL_DIMS
+    ),
+)
+def q427_matryoshka_prefix_recall(spark, sf_dir):
+    f"""MATRYOSHKA TRUNCATION SWEEP: recall@{TOP_K} of brute-force
+    search using only the FIRST 8/16/32 of {DIM} embedding dimensions
+    against the full-dimension top-{TOP_K} — the measurement behind
+    every "store the prefix, rerank with the tail" serving design
+    (MRL embeddings, and the dimension-side sibling of q156's
+    scalar-quantization rerank: q156 cuts PRECISION per dim, this
+    cuts the NUMBER of dims; q334 bounds pairwise distortion, this
+    measures end-task recall). Low prefix recall says these
+    embeddings were not trained matryoshka-style and the cheap
+    prefix index would silently miss.
+
+    Exactness: every candidate list orders by ROUND(dot, 6) with
+    vec_id tie-break (the q50 determinism device); overlap counts
+    are exact integers; recall is integer milli.
+
+    Scale: one scan per prefix (a real deployment scans once and
+    slices), each a codegen dot + TakeOrdered — no shuffle beyond
+    the top-k reduce; the overlap join is {TOP_K}x{TOP_K}."""
+    qv = _query_vec(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    full_top = (
+        emb.select(
+            "vec_id",
+            F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("dp"),
+        )
+        .orderBy(F.desc("dp"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    outs = []
+    for p in _MRL_DIMS:
+        pt = (
+            emb.select(
+                "vec_id",
+                F.round(
+                    _dot("embedding", _qlit_sql(qv), dim=p), 6
+                ).alias("dp"),
+            )
+            .orderBy(F.desc("dp"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+        outs.append(
+            pt.join(full_top, "vec_id", "left_semi").agg(
+                F.lit(p).cast("long").alias("prefix_dim"),
+                F.count("*").cast("long").alias("overlap_at_k"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "prefix_dim",
+        "overlap_at_k",
+        F.expr(f"(1000 * overlap_at_k) DIV {TOP_K}").alias(
+            "recall_milli"
+        ),
+    ).orderBy("prefix_dim")
+
+
+# ---------------------------------------------------------------------------
+# q428: bipartite rich-club density of the user-item click graph
+# ---------------------------------------------------------------------------
+
+#: degree thresholds swept: a node is "rich" if its degree EXCEEDS k.
+_RC_KS = (1, 2, 3)
+
+
+@query(
+    "q428_rich_club_density",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(props ->> 'k' AS BIGINT) AS it
+      FROM events WHERE event_type = 'click'
+    ),
+    du AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY u),
+    di AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY it),
+    ks AS (SELECT unnest(ARRAY{list(_RC_KS)}) AS k),
+    rich AS (
+      SELECT ks.k,
+             (SELECT COUNT(*) FROM du WHERE du.dg > ks.k) AS n_users,
+             (SELECT COUNT(*) FROM di WHERE di.dg > ks.k) AS n_items,
+             (SELECT COUNT(*) FROM e
+              JOIN du ON e.u = du.u JOIN di ON e.it = di.it
+              WHERE du.dg > ks.k AND di.dg > ks.k) AS n_edges
+      FROM ks
+    )
+    SELECT k AS degree_floor,
+           CAST(n_users AS BIGINT) AS n_rich_users,
+           CAST(n_items AS BIGINT) AS n_rich_items,
+           CAST(n_edges AS BIGINT) AS n_rich_edges,
+           CASE WHEN n_users * n_items > 0
+                THEN (1000 * n_edges) // (n_users * n_items)
+                END AS density_milli
+    FROM rich ORDER BY k
+    """,
+)
+def q428_rich_club_density(spark, sf_dir):
+    """BIPARTITE RICH-CLUB DENSITY of the user-item click graph: for
+    degree floors k = {_RC_KS}, take the users and items whose degree
+    EXCEEDS k and measure how densely they interconnect (realized
+    rich-rich edges over possible rich-user x rich-item pairs) — the
+    threshold-sweep refinement of q383's one-number assortativity: a
+    density that RISES with k is a rich-club core (hubs click hubs,
+    so hub-capping reshapes the graph), flat-or-falling means heavy
+    users spread over niche items and degree-targeted interventions
+    won't concentrate. Same edge list, same item-id namespace as
+    q177/q379/q383.
+
+    Exactness: degrees, rich-node counts, and rich-edge counts are
+    exact integers (edge list is DISTINCT pairs); density is integer
+    milli with a NULL guard on an empty club.
+
+    Scale: degrees are one groupBy each side of the edge list; the
+    rich-edge count joins the edge list to the two degree tables on
+    its own keys (edge-linear, the q383 shape); the k sweep reuses
+    the persisted degree frames."""
+    ev = t(spark, sf_dir, "events")
+    e = transient_persist(
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("it"),
+        )
+        .distinct()
+    )
+    du = transient_persist(
+        e.groupBy("u").agg(F.count("*").cast("long").alias("dgu"))
+    )
+    di = transient_persist(
+        e.groupBy("it").agg(F.count("*").cast("long").alias("dgi"))
+    )
+    ej = (
+        e.join(du, "u").join(di, "it").select("dgu", "dgi")
+    )
+    outs = []
+    for k in _RC_KS:
+        nu = du.filter(F.col("dgu") > k).count()
+        ni = di.filter(F.col("dgi") > k).count()
+        ne = ej.filter(
+            (F.col("dgu") > k) & (F.col("dgi") > k)
+        ).count()
+        outs.append((k, nu, ni, ne,
+                     (1000 * ne) // (nu * ni) if nu * ni else None))
+    return spark.createDataFrame(
+        outs,
+        "degree_floor long, n_rich_users long, n_rich_items long,"
+        " n_rich_edges long, density_milli long",
+    )
