@@ -322,3 +322,42 @@ def test_rich_club_monotone_shrinkage(spark):
                 r["n_rich_edges"]
                 <= r["n_rich_users"] * r["n_rich_items"]
             )
+
+
+def test_page_hinkley_nonnegative_and_normalized(spark):
+    (r,) = _rows(spark, "q429_page_hinkley")
+    # the excess over the running min is nonnegative by construction
+    assert r["ph_stat_micro"] >= 0
+    assert r["ph_over_mean_milli"] >= 0
+    daily = _daily(spark, SF_DIR).collect()
+    days = sorted(d["d"] for d in daily)
+    assert days[0] <= r["peak_day"] <= days[-1]
+
+
+def test_james_stein_contracts_toward_grand_mean(spark):
+    rows = _rows(spark, "q430_james_stein_shrinkage")
+    assert len(rows) == 20
+    b = rows[0]["b_plus"]
+    assert len({r["b_plus"] for r in rows}) == 1
+    assert 0.0 <= b <= 1.0
+    raws = [r["raw_mean_milli"] for r in rows]
+    grand = sum(raws) / len(raws)
+    for r in rows:
+        # shrunk mean lies between the raw mean and the grand mean
+        lo, hi = sorted((r["raw_mean_milli"], grand))
+        assert lo - 1.5 <= r["shrunk_mean_milli"] <= hi + 1.5
+    # shrinkage reduces spread
+    shr = [r["shrunk_mean_milli"] for r in rows]
+    assert max(shr) - min(shr) <= max(raws) - min(raws)
+
+
+def test_sprt_decision_consistency(spark):
+    (r,) = _rows(spark, "q431_sprt_error_monitor")
+    assert r["decision"] in {"accept_h1", "accept_h0", "continue"}
+    if r["decision"] == "continue":
+        assert r["decision_day"] is None
+        assert abs(r["llr_max_micro"]) < 2_944_439 or (
+            r["llr_max_micro"] < 2_944_439
+        )
+    else:
+        assert r["decision_day"] is not None

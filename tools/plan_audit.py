@@ -355,6 +355,13 @@ ALLOW = {
     # 1-row OLS-coefficient and den frames crossed into the
     # CALENDAR-bounded daily aggregate (q408 class).
     "q426_cooks_distance_days": {"nested_loop"},
+    # 1-row n/mean frame crossed into the 1-row PH argmax.
+    "q429_page_hinkley": {"nested_loop"},
+    # 1-row k/m/A/T/Q moment frame crossed into the k=|sources|-row
+    # group frame (q423 class).
+    "q430_james_stein_shrinkage": {"nested_loop"},
+    # 1-row crossing/final frames crossed into the 1-row path reduce.
+    "q431_sprt_error_monitor": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -470,6 +477,12 @@ ALLOW_GLOBAL_WINDOW = {
     # AB score cumsum over the distinct-LENGTH census - domain-
     # bounded (q318 class).
     "q425_ansari_bradley_lepage",
+    # PH path cumsum/cummin over the CALENDAR-bounded daily frame
+    # (q260/q404 class).
+    "q429_page_hinkley",
+    # LLR path cumsum over the CALENDAR-bounded daily frame
+    # (q260/q404 class).
+    "q431_sprt_error_monitor",
 }
 for _name in ALLOW_GLOBAL_WINDOW:
     ALLOW.setdefault(_name, set()).add("global_window")

@@ -3313,3 +3313,371 @@ def q428_rich_club_density(spark, sf_dir):
         "degree_floor long, n_rich_users long, n_rich_items long,"
         " n_rich_edges long, density_milli long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q429: Page-Hinkley drift trace on daily volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q429_page_hinkley",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    seq AS (
+      SELECT d, y,
+             SUM(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (ORDER BY d) AS s
+      FROM daily
+    ),
+    term AS (
+      SELECT d,
+             CAST(ROUND((y - CAST(cum AS DOUBLE) / s) * 1000000)
+                  AS BIGINT) AS tm
+      FROM seq
+    ),
+    ph AS (
+      SELECT d,
+             SUM(tm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS pht
+      FROM term
+    ),
+    exc AS (
+      SELECT d,
+             pht - MIN(pht) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS ex
+      FROM ph
+    ),
+    pick AS (
+      SELECT d, ex FROM exc ORDER BY ex DESC, d ASC LIMIT 1
+    ),
+    nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM daily
+    )
+    SELECT nn.n AS n_days, pick.d AS peak_day,
+           CAST(pick.ex AS BIGINT) AS ph_stat_micro,
+           (pick.ex * nn.n) // (1000 * nn.sy) AS ph_over_mean_milli
+    FROM pick, nn
+    """,
+)
+def q429_page_hinkley(spark, sf_dir):
+    """PAGE-HINKLEY drift trace on daily volume: the sequential
+    upward-shift detector every streaming-quality monitor ships —
+    accumulate deviations from the RUNNING mean, track the running
+    minimum, and the max excess PH_t - min PH is the alarm statistic
+    (large = the recent level sits above everything the past
+    justified). The online sibling of q260's retrospective CUSUM and
+    q404's Pettitt: those pick the best split in hindsight; PH is the
+    quantity you'd actually threshold in-flight, evaluated here over
+    the same calendar frame. Reported raw (micro) and normalized by
+    the mean daily volume so the alarm threshold is scale-free.
+
+    Exactness: running sums/counts are exact bigints; each day's
+    deviation from the running mean is the identical double both
+    engines compute, micro-quantized BEFORE the path cumsum (q286
+    device); the argmax tie-breaks to the earliest day.
+
+    Scale: everything after the daily aggregate is three windows
+    over the |days|-row frame (adjudicated class)."""
+    daily = transient_persist(_daily(spark, sf_dir))
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = daily.select(
+        "d",
+        "y",
+        F.sum("y").over(wcum).alias("cum"),
+        F.row_number().over(Window.orderBy("d")).alias("s"),
+    )
+    term = seq.select(
+        "d",
+        F.round(
+            (F.col("y") - F.col("cum").cast("double") / F.col("s"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("tm"),
+    )
+    ph = term.select("d", F.sum("tm").over(wcum).alias("pht"))
+    exc = ph.select(
+        "d", (F.col("pht") - F.min("pht").over(wcum)).alias("ex")
+    )
+    pick = exc.orderBy(F.col("ex").desc(), F.col("d").asc()).limit(1)
+    nn = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return pick.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_days"),
+        F.col("d").alias("peak_day"),
+        F.col("ex").cast("long").alias("ph_stat_micro"),
+        F.expr("(ex * n) DIV (1000 * sy)").alias("ph_over_mean_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q430: James-Stein (positive-part) shrinkage of per-source mean scores
+# ---------------------------------------------------------------------------
+
+#: B = 1 - (k-3) * (MSW/m) / sum((ybar_g - ybar)^2), assembled from
+#: the q423 integer sums: sum sq dev of group means =
+#: (k*A - T^2) / (k*m^2); MSW = (Q - A/m) / (k(m-1)).
+_JS_B = (
+    "(1.0 - (CAST(k AS DOUBLE) - 3.0)"
+    " * ((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / m)"
+    " / (CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) / m)"
+    " / ((CAST(k AS DOUBLE) * a - CAST(tt AS DOUBLE) * tt / k)"
+    " / (CAST(k AS DOUBLE) * m * m)))"
+)
+_JS_BPLUS = f"(CASE WHEN {_JS_B} > 0.0 THEN {_JS_B} ELSE 0.0 END)"
+
+
+@query(
+    "q430_james_stein_shrinkage",
+    oracle=f"""
+    WITH x AS (
+      SELECT source, CAST({_SCORE_SQL} AS BIGINT) AS yv
+      FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS mg,
+             CAST(SUM(yv) AS BIGINT) AS sg
+      FROM x GROUP BY source
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CASE WHEN MIN(mg) = MAX(mg) THEN MIN(mg) END AS m,
+             CAST(SUM(sg * sg) AS BIGINT) AS a,
+             CAST(SUM(sg) AS BIGINT) AS tt
+      FROM g
+    ),
+    q2 AS (SELECT CAST(SUM(yv * yv) AS BIGINT) AS q FROM x),
+    f AS (SELECT st.k, st.m, st.a, st.tt, q2.q FROM st, q2)
+    SELECT g.source,
+           (1000 * g.sg) // f.m AS raw_mean_milli,
+           ROUND({_JS_BPLUS}, 6) AS b_plus,
+           CAST(ROUND(1000.0 * (CAST(f.tt AS DOUBLE) / (f.k * f.m)
+                + {_JS_BPLUS} * (CAST(g.sg AS DOUBLE) / f.m
+                  - CAST(f.tt AS DOUBLE) / (f.k * f.m))))
+                AS BIGINT) AS shrunk_mean_milli
+    FROM g, f
+    ORDER BY g.source
+    """,
+)
+def q430_james_stein_shrinkage(spark, sf_dir):
+    """JAMES-STEIN (positive-part) SHRINKAGE of the per-source mean
+    quality scores toward the grand mean — the estimator that
+    DOMINATES the raw per-source means whenever k >= 4: sources are
+    small samples, so their raw means overdisperse, and ranking
+    crawlers by them flags the unlucky rather than the bad. The
+    shrinkage factor B = 1 - (k-3)(MSW/m)/sum((ybar_g - ybar)^2)
+    spends exactly the q423 ICC information: high between-source
+    variance => B near 1 (trust the raw means), noise-dominated =>
+    B near 0 (pool everything).
+
+    Exactness: the same exact bigint sums as q423 (A, T, Q, balanced
+    m with the min=max NULL guard); B and the shrunk means are one
+    shared expression family; raw means are integer milli, shrunk
+    means are ROUND(identical double) milli.
+
+    Scale: one scan, one groupBy(source), k-row broadcast algebra."""
+    x = t(spark, sf_dir, "documents").select(
+        "source", F.expr(_SCORE_SPARK_SQL).cast("long").alias("yv")
+    )
+    g = x.groupBy("source").agg(
+        F.count("*").cast("long").alias("m_g"),
+        F.sum("yv").cast("long").alias("sg"),
+    )
+    st = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.when(F.min("m_g") == F.max("m_g"), F.min("m_g")).alias("m"),
+        F.sum(F.col("sg") * F.col("sg")).cast("long").alias("a"),
+        F.sum("sg").cast("long").alias("tt"),
+    )
+    q2 = x.agg(
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("q")
+    )
+    f = st.crossJoin(F.broadcast(q2))
+    return (
+        g.crossJoin(F.broadcast(f))
+        .select(
+            "source",
+            F.expr("(1000 * sg) DIV m").alias("raw_mean_milli"),
+            F.round(F.expr(_JS_BPLUS), 6).alias("b_plus"),
+            F.round(
+                1000.0
+                * (
+                    F.col("tt").cast("double") / (F.col("k") * F.col("m"))
+                    + F.expr(_JS_BPLUS)
+                    * (
+                        F.col("sg").cast("double") / F.col("m")
+                        - F.col("tt").cast("double")
+                        / (F.col("k") * F.col("m"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("shrunk_mean_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q431: SPRT sequential monitor of the daily error rate
+# ---------------------------------------------------------------------------
+
+#: H0: error share p0 = 0.2 vs H1: p1 = 0.25; the per-observation
+#: log-likelihood ratios are LITERAL doubles (ln(p1/p0), ln(q1/q0))
+#: written to full precision in BOTH engines — no libm call on data.
+_SPRT_L1 = "0.22314355131420976"  # ln(0.25 / 0.20)
+_SPRT_L2 = "-0.06453852113757118"  # ln(0.75 / 0.80)
+#: Wald boundaries for alpha = beta = 0.05: +/- ln(0.95/0.05).
+_SPRT_A_MICRO = 2_944_439  # round(ln(19) * 1e6)
+
+
+@query(
+    "q431_sprt_error_monitor",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                  END) AS BIGINT) AS e
+      FROM events GROUP BY 1
+    ),
+    term AS (
+      SELECT d,
+             CAST(ROUND((e * {_SPRT_L1} + (n - e) * {_SPRT_L2})
+                        * 1000000) AS BIGINT) AS tm
+      FROM daily
+    ),
+    llr AS (
+      SELECT d,
+             SUM(tm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS c
+      FROM term
+    ),
+    cross_d AS (
+      SELECT MIN(CASE WHEN c >= {_SPRT_A_MICRO} THEN d END) AS d_hi,
+             MIN(CASE WHEN c <= -{_SPRT_A_MICRO} THEN d END) AS d_lo
+      FROM llr
+    ),
+    fin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(c) AS BIGINT) AS llr_max_micro,
+             (SELECT CAST(c AS BIGINT) FROM llr
+              ORDER BY d DESC LIMIT 1) AS llr_final_micro
+      FROM llr
+    )
+    SELECT fin.n_days, fin.llr_final_micro, fin.llr_max_micro,
+           CASE
+             WHEN cross_d.d_hi IS NOT NULL
+                  AND (cross_d.d_lo IS NULL
+                       OR cross_d.d_hi <= cross_d.d_lo)
+               THEN 'accept_h1'
+             WHEN cross_d.d_lo IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision,
+           CASE
+             WHEN cross_d.d_hi IS NOT NULL
+                  AND (cross_d.d_lo IS NULL
+                       OR cross_d.d_hi <= cross_d.d_lo)
+               THEN cross_d.d_hi
+             WHEN cross_d.d_lo IS NOT NULL THEN cross_d.d_lo
+             END AS decision_day
+    FROM fin, cross_d
+    """,
+)
+def q431_sprt_error_monitor(spark, sf_dir):
+    """WALD'S SPRT monitoring the daily error-event share: H0 p=0.20
+    vs H1 p=0.25 at alpha = beta = 0.05, fed one day at a time in
+    calendar order — the SEQUENTIAL test that stops as soon as the
+    evidence crosses a Wald boundary instead of fixing n in advance
+    (the q372 Wilson interval is the batch answer; this is what an
+    alerting pipeline actually runs). Reports the decision, the
+    boundary-crossing day, and the final/max LLR path values.
+
+    Exactness: per-day error/total counts are exact bigints; the
+    log-likelihood-ratio increments use LITERAL full-precision
+    doubles (no libm call on data — the constants are spelled
+    identically on both engines), micro-quantized per day before the
+    path cumsum; crossing detection is integer comparison with
+    first-crossing-wins tie handling spelled identically.
+
+    Scale: one fact scan to the daily aggregate; one window over
+    |days| rows (adjudicated class); 1-row reduce."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.floor(
+                (F.col("ts_us") - F.lit(EVENTS_EPOCH_US))
+                / F.lit(US_PER_DAY)
+            ).alias("d")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    term = daily.select(
+        "d",
+        F.round(
+            (
+                F.col("e") * F.expr(_SPRT_L1)
+                + (F.col("n") - F.col("e")) * F.expr(_SPRT_L2)
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("tm"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    llr = transient_persist(
+        term.select("d", F.sum("tm").over(wcum).alias("c"))
+    )
+    cross = llr.agg(
+        F.min(
+            F.when(F.col("c") >= _SPRT_A_MICRO, F.col("d"))
+        ).alias("d_hi"),
+        F.min(
+            F.when(F.col("c") <= -_SPRT_A_MICRO, F.col("d"))
+        ).alias("d_lo"),
+    )
+    last = (
+        llr.orderBy(F.col("d").desc())
+        .limit(1)
+        .select(F.col("c").cast("long").alias("llr_final_micro"))
+    )
+    fin = llr.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("c").cast("long").alias("llr_max_micro"),
+    )
+    return (
+        fin.crossJoin(F.broadcast(last))
+        .crossJoin(F.broadcast(cross))
+        .select(
+            "n_days",
+            "llr_final_micro",
+            "llr_max_micro",
+            F.expr(
+                "CASE WHEN d_hi IS NOT NULL AND (d_lo IS NULL OR"
+                " d_hi <= d_lo) THEN 'accept_h1'"
+                " WHEN d_lo IS NOT NULL THEN 'accept_h0'"
+                " ELSE 'continue' END"
+            ).alias("decision"),
+            F.expr(
+                "CASE WHEN d_hi IS NOT NULL AND (d_lo IS NULL OR"
+                " d_hi <= d_lo) THEN d_hi"
+                " WHEN d_lo IS NOT NULL THEN d_lo END"
+            ).cast("long").alias("decision_day"),
+        )
+    )
