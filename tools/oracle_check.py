@@ -223,6 +223,7 @@ ORDER_FOLD_ALLOW = {
     "q299_hard_negative_mining": "DOT",
     "q303_power_iteration_pca": "DOT (64 per-dim folds per sweep)",
     "q340_knn_label_smoothing": "DOT",
+    "q427_matryoshka_prefix_recall": "DOT",
     "q376_label_modularity": "DOT",
     "q382_lof_outliers": "DOT-adjacent: k=5-term reachability ratio fold, ROUND(1e-6)",
     # CAT class (bounded-cardinality LN/ratio folds):

@@ -3359,7 +3359,8 @@ def q428_rich_club_density(spark, sf_dir):
     )
     SELECT nn.n AS n_days, pick.d AS peak_day,
            CAST(pick.ex AS BIGINT) AS ph_stat_micro,
-           (pick.ex * nn.n) // (1000 * nn.sy) AS ph_over_mean_milli
+           CAST((pick.ex * nn.n) // (1000 * nn.sy) AS BIGINT)
+             AS ph_over_mean_milli
     FROM pick, nn
     """,
 )
