@@ -361,3 +361,59 @@ def test_sprt_decision_consistency(spark):
         )
     else:
         assert r["decision_day"] is not None
+
+
+def test_kendalls_w_range(spark):
+    (r,) = _rows(spark, "q432_kendalls_w_weekday")
+    # k = distinct user_id % 20 cohorts present (15 at sf0.001's
+    # 15-user population, 20 from sf0.01 up); weekdays always 7
+    assert 2 <= r["k_judges"] <= 20 and r["n_weekdays"] == 7
+    assert 0.0 <= r["w"] <= 1.0
+    # chi2_equiv = k(n-1)W by construction
+    assert abs(r["chi2_equiv"] - r["k_judges"] * 6 * r["w"]) < 1e-2
+
+
+def test_cronbach_alpha_bounds(spark):
+    (r,) = _rows(spark, "q433_cronbach_alpha_gates")
+    # alpha <= 1 always; can be negative for inconsistent items
+    assert r["cronbach_alpha"] <= 1.0
+    assert 0 < r["pass_len"] < r["n"]
+    assert 0 < r["pass_rep"] < r["n"]
+
+
+def test_gamma_somers_ordering(spark):
+    (r,) = _rows(spark, "q434_gamma_somers_d")
+    assert -1.0 <= r["gamma"] <= 1.0
+    assert -1.0 <= r["somers_d_yx"] <= 1.0
+    # |D| <= |gamma| because D adds y-ties to the denominator
+    assert abs(r["somers_d_yx"]) <= abs(r["gamma"]) + 1e-9
+    assert r["concordant"] >= 0 and r["discordant"] >= 0
+
+
+def test_theils_u_range(spark):
+    (r,) = _rows(spark, "q435_theils_u_lang_source")
+    # U in [0, 1]; micro-floor slack can push epsilon outside
+    assert -1e-3 <= r["theils_u"] <= 1.0 + 1e-3
+    assert r["h_lang_micro_n"] > 0
+    # conditioning cannot create entropy
+    assert (
+        r["h_lang_given_source_micro_n"]
+        <= r["h_lang_micro_n"] + r["n_docs"]
+    )
+
+
+def test_tukey_pairs_deterministic_top(spark):
+    rows = _rows(spark, "q436_tukey_pairwise_gaps")
+    assert len(rows) == 10
+    qs = [r["q_stat"] for r in rows]
+    assert qs == sorted(qs, reverse=True)
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["q_stat"] >= 0.0
+
+
+def test_chow_f_nonnegative(spark):
+    (r,) = _rows(spark, "q437_chow_break_test")
+    assert r["n_before"] + r["n_after"] == r["n_days"]
+    # splitting can only reduce total SSE, so F >= 0
+    assert r["chow_f"] >= -1e-9

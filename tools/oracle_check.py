@@ -178,6 +178,9 @@ FLOAT_LINT_ALLOW = {
     # micro-floored LN of midpoint-mixture ratios of exact integers
     # (q375/q337 class, pinned by tests/test_ln_bit_identity.py)
     "q414_jsd_token_mix",
+    # micro-floored LN of exact-integer marginal/conditional ratios
+    # over the bounded contingency cells (q375 class)
+    "q435_theils_u_lang_source",
 }
 
 
@@ -231,6 +234,7 @@ ORDER_FOLD_ALLOW = {
     # AS BIGINT) - an exact-integer fold the branch regex cannot see;
     # order-independent by construction, not by rounding slack)
     "q414_jsd_token_mix": "CAT: bigint-weighted floored-LN fold (SUM over exact bigints)",
+    "q435_theils_u_lang_source": "CAT: bigint-weighted floored-LN entropy fold (SUM over exact bigints)",
     "q108_user_entropy": "CAT: per-user event-type entropy, <=|types| terms",
     "q177_pagerank": "CAT: per-node in-degree-bounded rank fold, ROUND(1e-6)",
     "q229_source_length_kl": "CAT: |buckets|-term KL fold, ROUND(1e-6)",

@@ -362,6 +362,21 @@ ALLOW = {
     "q430_james_stein_shrinkage": {"nested_loop"},
     # 1-row crossing/final frames crossed into the 1-row path reduce.
     "q431_sprt_error_monitor": {"nested_loop"},
+    # 1-row k/n and deviation/tie frames crossed over the 140-row
+    # (judge, weekday) closed-domain aggregate (q393 class).
+    "q432_kendalls_w_weekday": {"nested_loop"},
+    # bucket-grid self-join: |length buckets| x |score buckets|
+    # contingency census crossed with itself (q286 class).
+    "q434_gamma_somers_d": {"nested_loop"},
+    # 1-row total frame crossed into the |langs| x |sources| census
+    # and its marginals (q286 class).
+    "q435_theils_u_lang_source": {"nested_loop"},
+    # k^2/2 self-join of the |sources|-row aggregate + 1-row
+    # MSW-moment frames (q330 class).
+    "q436_tukey_pairwise_gaps": {"nested_loop"},
+    # three 1-row per-segment OLS frames crossed into the
+    # CALENDAR-bounded daily aggregate (q408 class).
+    "q437_chow_break_test": {"nested_loop"},
 }
 
 #: adjudicated global_window exceptions: the window input is a BOUNDED
@@ -518,6 +533,9 @@ ALLOW_UNBOUNDED_BROADCAST = {
     # distinct over the token-count VALUE DOMAIN (~20-80 values) -
     # bounded by the length distribution's support, not the corpus.
     "q295_wasserstein_length_drift",
+    # (judge = user_id % 20, weekday) aggregate: the grouping keys
+    # are CLOSED domains (20 x 7 = 140 rows at any SF).
+    "q432_kendalls_w_weekday",
 }
 for _name in ALLOW_UNBOUNDED_BROADCAST:
     ALLOW.setdefault(_name, set()).add("unbounded_broadcast")

@@ -3682,3 +3682,751 @@ def q431_sprt_error_monitor(spark, sf_dir):
             ).cast("long").alias("decision_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q432: Kendall's W — do the sources agree on the weekday profile?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q432_kendalls_w_weekday",
+    oracle=f"""
+    WITH cw AS (
+      SELECT CAST(user_id % 20 AS BIGINT) AS judge,
+             (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} % 7
+               AS wd,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT a.judge, a.wd,
+             CAST(2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM cw a JOIN cw b ON a.judge = b.judge
+      GROUP BY a.judge, a.wd
+    ),
+    ties AS (
+      SELECT CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tt
+      FROM (SELECT judge, y, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM cw GROUP BY judge, y)
+    ),
+    col AS (
+      SELECT wd, CAST(SUM(r2) AS BIGINT) AS r2j FROM rk GROUP BY wd
+    ),
+    km AS (
+      SELECT CAST(COUNT(DISTINCT judge) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT wd) AS BIGINT) AS n
+      FROM cw
+    ),
+    dev AS (
+      SELECT CAST(SUM((col.r2j - km.k * (km.n + 1))
+                      * (col.r2j - km.k * (km.n + 1))) AS BIGINT)
+               AS d4
+      FROM col, km
+    )
+    SELECT km.k AS k_judges, km.n AS n_weekdays,
+           ROUND(3.0 * dev.d4
+                 / (CAST(km.k AS DOUBLE) * km.k
+                    * (CAST(km.n AS DOUBLE) * km.n * km.n - km.n)
+                    - CAST(km.k AS DOUBLE) * ties.tt), 6) AS w,
+           ROUND(CAST(km.k AS DOUBLE) * (km.n - 1) * 3.0 * dev.d4
+                 / (CAST(km.k AS DOUBLE) * km.k
+                    * (CAST(km.n AS DOUBLE) * km.n * km.n - km.n)
+                    - CAST(km.k AS DOUBLE) * ties.tt), 4)
+             AS chi2_equiv
+    FROM km, dev, ties
+    """,
+)
+def q432_kendalls_w_weekday(spark, sf_dir):
+    """KENDALL'S W coefficient of concordance: do the 20 user cohorts
+    (user_id % 20 as independent "judges") RANK the seven weekdays
+    the same way by activity? W = 1 means every cohort has the same
+    weekday profile shape (q128's seasonality is population-wide);
+    W ~ 0 means the weekly cycle is an aggregation artifact of
+    heterogeneous cohorts — the multi-judge generalization of q327's
+    two-series Kendall tau, with the tie-corrected denominator, and
+    the effect-size companion of q393's Friedman (chi2_equiv =
+    k(n-1)W is the same statistic).
+
+    Exactness: within-judge doubled midranks via the q393 k^2
+    self-join on the (judge, weekday) aggregate; column rank sums,
+    the squared-deviation sum (x4 scale cancels), and the tie term
+    are exact bigints; W is one shared expression rounded 6dp.
+
+    Scale: one fact scan to the 140-row (judge, weekday) aggregate;
+    everything after is bounded algebra (q393 adjudicated class)."""
+    cw = transient_persist(
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 20).cast("long").alias("judge"),
+            (
+                F.floor(
+                    (F.col("ts_us") - F.lit(EVENTS_EPOCH_US))
+                    / F.lit(US_PER_DAY)
+                )
+                % 7
+            ).alias("wd"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    b = cw.select(
+        F.col("judge").alias("jb"), F.col("y").alias("yb")
+    )
+    rk = (
+        cw.join(F.broadcast(b), F.col("jb") == F.col("judge"))
+        .groupBy("judge", "wd")
+        .agg(
+            (
+                2 * F.sum((F.col("yb") < F.col("y")).cast("int"))
+                + F.sum((F.col("yb") == F.col("y")).cast("int"))
+                + 1
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    ties = (
+        cw.groupBy("judge", "y")
+        .agg(F.count("*").cast("long").alias("tc"))
+        .agg(
+            F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    col = rk.groupBy("wd").agg(F.sum("r2").cast("long").alias("r2j"))
+    km = cw.agg(
+        F.countDistinct("judge").cast("long").alias("k"),
+        F.countDistinct("wd").cast("long").alias("n"),
+    )
+    dev = col.crossJoin(F.broadcast(km)).agg(
+        F.sum(
+            (F.col("r2j") - F.col("k") * (F.col("n") + 1))
+            * (F.col("r2j") - F.col("k") * (F.col("n") + 1))
+        )
+        .cast("long")
+        .alias("d4")
+    )
+    denom = (
+        F.col("k").cast("double")
+        * F.col("k")
+        * (
+            F.col("n").cast("double") * F.col("n") * F.col("n")
+            - F.col("n")
+        )
+        - F.col("k").cast("double") * F.col("tt")
+    )
+    return (
+        km.crossJoin(F.broadcast(dev))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").alias("k_judges"),
+            F.col("n").alias("n_weekdays"),
+            F.round(3.0 * F.col("d4") / denom, 6).alias("w"),
+            F.round(
+                F.col("k").cast("double")
+                * (F.col("n") - 1)
+                * 3.0
+                * F.col("d4")
+                / denom,
+                4,
+            ).alias("chi2_equiv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q433: Cronbach's alpha of the three cleaning gates
+# ---------------------------------------------------------------------------
+
+#: alpha = k/(k-1) * (1 - sum item variances / total variance), all
+#: n^2-cleared: binary item variance * n^2 = n*G - G^2; total
+#: variance * n^2 = n*SL2 - SL^2 — one identical string.
+_CRON_A = (
+    "(1.5 * (1.0 - (CAST(n AS DOUBLE) * (g1 + g2 + g3)"
+    " - (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2"
+    " + CAST(g3 AS DOUBLE) * g3))"
+    " / (CAST(n AS DOUBLE) * sl2 - CAST(sl AS DOUBLE) * sl)))"
+)
+
+
+@query(
+    "q433_cronbach_alpha_gates",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(len({{tok}}) AS BIGINT) AS nt,
+             CAST(len(list_distinct({{tok}})) AS BIGINT) AS nd,
+             CAST(len(list_filter({{tok}},
+                   t -> t IN ('the','a','of','and','to','in','is','it',
+                              'for','on'))) AS BIGINT) AS ns
+      FROM documents
+    ),
+    g AS (
+      SELECT CASE WHEN nt BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS ga,
+             CASE WHEN 5 * nd >= 2 * nt THEN 1 ELSE 0 END AS gb,
+             CASE WHEN 50 * ns >= nt THEN 1 ELSE 0 END AS gc
+      FROM f
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ga) AS BIGINT) AS g1,
+             CAST(SUM(gb) AS BIGINT) AS g2,
+             CAST(SUM(gc) AS BIGINT) AS g3,
+             CAST(SUM(ga + gb + gc) AS BIGINT) AS sl,
+             CAST(SUM((ga + gb + gc) * (ga + gb + gc)) AS BIGINT)
+               AS sl2
+      FROM g
+    )
+    SELECT n, g1 AS pass_len, g2 AS pass_rep, g3 AS pass_stop,
+           ROUND({_CRON_A}, 6) AS cronbach_alpha
+    FROM agg
+    """.replace("{tok}", "string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def q433_cronbach_alpha_gates(spark, sf_dir):
+    """CRONBACH'S ALPHA of the three cleaning gates treated as a
+    3-item quality scale: do the gates measure ONE underlying
+    "document quality" construct (alpha high — a composite pass-count
+    score is meaningful) or three unrelated things (alpha ~ 0 or
+    negative — combining them into one score averages apples and
+    oranges)? The internal-consistency companion of q390's Cochran Q
+    (Q asks if pass RATES differ; alpha asks if the gates
+    co-vary) and q398's Fleiss kappa (chance-corrected agreement vs
+    variance-ratio consistency — the two standard, different
+    answers).
+
+    Exactness: the same six exact bigint gate sums as q390 (binary
+    items make item variances n*G - G^2 exactly); alpha is one
+    shared expression rounded 6dp.
+
+    Scale: one token-projection scan, one 6-cell aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr("size(split(trim(lower(text)), '\\\\s+'))")
+        .cast("long")
+        .alias("nt"),
+        F.expr("size(array_distinct(split(trim(lower(text)), '\\\\s+')))")
+        .cast("long")
+        .alias("nd"),
+        F.expr(
+            "size(filter(split(trim(lower(text)), '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is','it',"
+            "'for','on')))"
+        )
+        .cast("long")
+        .alias("ns"),
+    )
+    g = f.select(
+        F.col("nt").between(20, 80).cast("int").alias("ga"),
+        (5 * F.col("nd") >= 2 * F.col("nt")).cast("int").alias("gb"),
+        (50 * F.col("ns") >= F.col("nt")).cast("int").alias("gc"),
+    )
+    agg = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ga").cast("long").alias("g1"),
+        F.sum("gb").cast("long").alias("g2"),
+        F.sum("gc").cast("long").alias("g3"),
+        F.sum(F.col("ga") + F.col("gb") + F.col("gc"))
+        .cast("long")
+        .alias("sl"),
+        F.sum(
+            (F.col("ga") + F.col("gb") + F.col("gc"))
+            * (F.col("ga") + F.col("gb") + F.col("gc"))
+        )
+        .cast("long")
+        .alias("sl2"),
+    )
+    return agg.select(
+        "n",
+        F.col("g1").alias("pass_len"),
+        F.col("g2").alias("pass_rep"),
+        F.col("g3").alias("pass_stop"),
+        F.round(F.expr(_CRON_A), 6).alias("cronbach_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q434: Goodman-Kruskal gamma + Somers' D, length bucket vs score bucket
+# ---------------------------------------------------------------------------
+
+#: fixed-width ordinal buckets: deterministic, no data-driven
+#: quantiles to desync the engines.
+_GK_LEN_W = 100  # n_chars DIV 100
+_GK_SCORE_W = 250  # milli-score DIV 250 (0..4)
+
+
+@query(
+    "q434_gamma_somers_d",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(n_chars // {_GK_LEN_W} AS BIGINT) AS xb,
+             CAST({_SCORE_SQL} // {_GK_SCORE_W} AS BIGINT) AS yb
+      FROM documents
+    ),
+    cells AS (
+      SELECT xb, yb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM x GROUP BY xb, yb
+    ),
+    pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN b.xb > a.xb AND b.yb > a.yb
+                 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN b.xb > a.xb AND b.yb < a.yb
+                 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc,
+        CAST(SUM(CASE WHEN b.xb > a.xb AND b.yb = a.yb
+                 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS ty
+      FROM cells a CROSS JOIN cells b
+    )
+    SELECT conc AS concordant, disc AS discordant, ty AS tied_y_only,
+           ROUND((CAST(conc AS DOUBLE) - disc)
+                 / (CAST(conc AS DOUBLE) + disc), 6) AS gamma,
+           ROUND((CAST(conc AS DOUBLE) - disc)
+                 / (CAST(conc AS DOUBLE) + disc + ty), 6)
+             AS somers_d_yx
+    FROM pairs
+    """,
+)
+def q434_gamma_somers_d(spark, sf_dir):
+    """GOODMAN-KRUSKAL GAMMA and SOMERS' D between the ordinal
+    length bucket (n_chars DIV {_GK_LEN_W}) and the ordinal quality
+    bucket (milli-score DIV {_GK_SCORE_W}): the tie-aware ordinal
+    association pair — gamma ignores ties entirely (association
+    among the pairs that actually order), Somers' D_yx charges the
+    y-ties against the predictor, which is what a "does length
+    PREDICT quality band" claim must pay. The ordinal bridge between
+    q326's Spearman (full ranks) and q286's chi2 (order-blind
+    categories); the marginal companion of q422's within-source
+    screen.
+
+    Exactness: the bucket grid is a bounded contingency census;
+    concordant/discordant/tied pair counts are exact bigint products
+    over the |cells|^2 grid join (cells, not rows — corpus-size-
+    independent); gamma and D are shared expressions rounded 6dp.
+
+    Scale: one scan to the bucket census; the grid self-join is
+    aggregate-bounded (q286 class)."""
+    x = t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / _GK_LEN_W).cast("long").alias("xb"),
+        F.expr(f"({_SCORE_SPARK_SQL}) DIV {_GK_SCORE_W}")
+        .cast("long")
+        .alias("yb"),
+    )
+    cells = x.groupBy("xb", "yb").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    b = cells.select(
+        F.col("xb").alias("xb2"),
+        F.col("yb").alias("yb2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = cells.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("xb2") > F.col("xb")) & (F.col("yb2") > F.col("yb")),
+                F.col("c") * F.col("c2"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("xb2") > F.col("xb")) & (F.col("yb2") < F.col("yb")),
+                F.col("c") * F.col("c2"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+        F.sum(
+            F.when(
+                (F.col("xb2") > F.col("xb")) & (F.col("yb2") == F.col("yb")),
+                F.col("c") * F.col("c2"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ty"),
+    )
+    return pairs.select(
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("ty").alias("tied_y_only"),
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc"))
+            / (F.col("conc").cast("double") + F.col("disc")),
+            6,
+        ).alias("gamma"),
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc"))
+            / (
+                F.col("conc").cast("double")
+                + F.col("disc")
+                + F.col("ty")
+            ),
+            6,
+        ).alias("somers_d_yx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q435: Theil's uncertainty coefficient U(lang | source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q435_theils_u_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    lm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl
+           FROM cells GROUP BY lang),
+    hl AS (
+      SELECT CAST(SUM(cl * CAST(FLOOR(LN(CAST(nn.n AS DOUBLE) / cl)
+                  * 1000000) AS BIGINT)) AS BIGINT) AS hx
+      FROM lm, nn
+    ),
+    sm AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs
+           FROM cells GROUP BY source),
+    hcond AS (
+      SELECT CAST(SUM(cells.c * CAST(FLOOR(LN(CAST(sm.cs AS DOUBLE)
+                  / cells.c) * 1000000) AS BIGINT)) AS BIGINT) AS hxy
+      FROM cells JOIN sm USING (source)
+    )
+    SELECT nn.n AS n_docs,
+           CAST(hl.hx AS BIGINT) AS h_lang_micro_n,
+           CAST(hcond.hxy AS BIGINT) AS h_lang_given_source_micro_n,
+           ROUND((CAST(hl.hx AS DOUBLE) - hcond.hxy)
+                 / CAST(hl.hx AS DOUBLE), 6) AS theils_u
+    FROM hl, hcond, nn
+    """,
+)
+def q435_theils_u_lang_source(spark, sf_dir):
+    """THEIL'S UNCERTAINTY COEFFICIENT U(lang | source): what
+    fraction of language entropy does knowing the source remove? The
+    DIRECTIONAL categorical association the symmetric pair (q286
+    chi2/Cramer's V) cannot express — U(lang|source) near 1 says
+    sources are language-pure (route per-language pipelines by
+    source and skip langid), while U(source|lang) stays low when
+    each language spans many sources. Entropy sibling of q116's
+    drift readout.
+
+    Exactness: marginal and conditional entropy sums carry as
+    c * FLOOR(LN(total/c) * 1e6) bigints — LN of exact-integer
+    ratios over the bounded contingency cells, the q375/q414
+    adjudicated floored-LN class (pinned by
+    tests/test_ln_bit_identity.py); U is one shared double ratio
+    rounded 6dp.
+
+    Scale: one scan to the |langs| x |sources| census; cell-bounded
+    algebra after."""
+    cells = transient_persist(
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nn = cells.agg(F.sum("c").cast("long").alias("n"))
+    lm = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    hl = lm.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.col("cl")
+            * F.floor(
+                F.log(F.col("n").cast("double") / F.col("cl"))
+                * 1_000_000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hx")
+    )
+    sm = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("cs")
+    )
+    hcond = (
+        cells.join(sm, "source")
+        .agg(
+            F.sum(
+                F.col("c")
+                * F.floor(
+                    F.log(F.col("cs").cast("double") / F.col("c"))
+                    * 1_000_000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("hxy")
+        )
+    )
+    return (
+        hl.crossJoin(F.broadcast(hcond))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("hx").alias("h_lang_micro_n"),
+            F.col("hxy").alias("h_lang_given_source_micro_n"),
+            F.round(
+                (F.col("hx").cast("double") - F.col("hxy"))
+                / F.col("hx").cast("double"),
+                6,
+            ).alias("theils_u"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q436: post-hoc pairwise studentized mean gaps (Tukey-HSD statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q436_tukey_pairwise_gaps",
+    oracle=f"""
+    WITH x AS (
+      SELECT source, CAST({_SCORE_SQL} AS BIGINT) AS yv
+      FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS mg,
+             CAST(SUM(yv) AS BIGINT) AS sg
+      FROM x GROUP BY source
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CASE WHEN MIN(mg) = MAX(mg) THEN MIN(mg) END AS m,
+             CAST(SUM(sg * sg) AS BIGINT) AS a
+      FROM g
+    ),
+    q2 AS (SELECT CAST(SUM(yv * yv) AS BIGINT) AS q FROM x),
+    pr AS (
+      SELECT ga.source AS src_a, gb.source AS src_b,
+             ga.sg AS sa, gb.sg AS sb, st.k, st.m, st.a, q2.q
+      FROM g ga JOIN g gb ON ga.source < gb.source, st, q2
+    )
+    SELECT src_a, src_b,
+           (1000 * (sa - sb)) // m AS mean_diff_milli,
+           ROUND(ABS(CAST(sa AS DOUBLE) - sb) / m
+                 / SQRT(((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / m)
+                         / (CAST(k AS DOUBLE)
+                            * (CAST(m AS DOUBLE) - 1.0))) / m), 6)
+             AS q_stat
+    FROM pr
+    ORDER BY q_stat DESC, src_a ASC, src_b ASC
+    LIMIT 10
+    """,
+)
+def q436_tukey_pairwise_gaps(spark, sf_dir):
+    """POST-HOC PAIRWISE GAPS after q395's ANOVA: for every source
+    pair, the Tukey-HSD studentized-range statistic |ybar_i - ybar_j|
+    / sqrt(MSW/m) — ANOVA says "SOME source differs"; this names
+    WHICH pairs, on the scale the studentized-range critical values
+    expect. Top-10 most separated pairs, deterministic tie-break —
+    the action list a crawler-quality review actually works through.
+
+    Exactness: per-source sums and the pooled MSW inputs (A, Q, k,
+    balanced m with the min=max NULL guard) are exact bigints; mean
+    gaps are integer milli; the q statistic is one shared expression
+    rounded 6dp; ordering ties break on source names.
+
+    Scale: the pair frame is the k^2/2 self-join of the |sources|-row
+    aggregate (q97/q330 bounded class); one scan total."""
+    x = t(spark, sf_dir, "documents").select(
+        "source", F.expr(_SCORE_SPARK_SQL).cast("long").alias("yv")
+    )
+    g = transient_persist(
+        x.groupBy("source").agg(
+            F.count("*").cast("long").alias("mg"),
+            F.sum("yv").cast("long").alias("sg"),
+        )
+    )
+    st = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.when(F.min("mg") == F.max("mg"), F.min("mg")).alias("m"),
+        F.sum(F.col("sg") * F.col("sg")).cast("long").alias("a"),
+    )
+    q2 = x.agg(F.sum(F.col("yv") * F.col("yv")).cast("long").alias("q"))
+    gb = g.select(
+        F.col("source").alias("src_b"), F.col("sg").alias("sb")
+    )
+    pr = (
+        g.select(F.col("source").alias("src_a"), F.col("sg").alias("sa"))
+        .join(F.broadcast(gb), F.col("src_a") < F.col("src_b"))
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(q2))
+    )
+    msw_per_mean = (
+        (F.col("q").cast("double") - F.col("a").cast("double") / F.col("m"))
+        / (F.col("k").cast("double") * (F.col("m").cast("double") - 1.0))
+    ) / F.col("m")
+    return (
+        pr.select(
+            "src_a",
+            "src_b",
+            F.expr("(1000 * (sa - sb)) DIV m").alias("mean_diff_milli"),
+            F.round(
+                F.abs(F.col("sa").cast("double") - F.col("sb"))
+                / F.col("m")
+                / F.sqrt(msw_per_mean),
+                6,
+            ).alias("q_stat"),
+        )
+        .orderBy(
+            F.col("q_stat").desc(), F.col("src_a").asc(),
+            F.col("src_b").asc(),
+        )
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q437: Chow structural-break test at the window midpoint
+# ---------------------------------------------------------------------------
+
+#: break day: first day of the second half of the 30-day window.
+_CHOW_BREAK = 15
+
+#: per-segment SSE from the q408 device: SSE = den / (n*D)^2 with
+#: den = sum (n*D*e_t)^2 folded in DECIMAL(38,0); the F statistic is
+#: one identical expression over the three segment frames.
+_CHOW_SSE = "(CAST({d} AS DOUBLE) / ((CAST({n} AS DOUBLE) * {dd}) * (CAST({n} AS DOUBLE) * {dd})))"
+_CHOW_F = (
+    "((("
+    + _CHOW_SSE.format(d="den_p", n="n_p", dd="dd_p")
+    + " - "
+    + _CHOW_SSE.format(d="den_1", n="n_1", dd="dd_1")
+    + " - "
+    + _CHOW_SSE.format(d="den_2", n="n_2", dd="dd_2")
+    + ") / 2.0) / (("
+    + _CHOW_SSE.format(d="den_1", n="n_1", dd="dd_1")
+    + " + "
+    + _CHOW_SSE.format(d="den_2", n="n_2", dd="dd_2")
+    + ") / (CAST(n_p AS DOUBLE) - 4.0)))"
+)
+
+#: one segment's OLS-SSE CTE block (DuckDB side), parameterized by a
+#: day predicate; the Spark side builds the same frames with the
+#: q408 helpers.
+_CHOW_SEG_SQL = """
+    m{tag} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS st,
+             CAST(SUM(d * d) AS BIGINT) AS st2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(d * y) AS BIGINT) AS sty
+      FROM daily WHERE {pred}
+    ),
+    c{tag} AS (
+      SELECT n, n * sty - st * sy AS a, n * st2 - st * st AS dd,
+             (n * st2 - st * st) * sy - (n * sty - st * sy) * st AS b0
+      FROM m{tag}
+    ),
+    e{tag} AS (
+      SELECT CAST(c{tag}.n * c{tag}.dd * daily.y - c{tag}.b0
+                  - c{tag}.n * c{tag}.a * daily.d
+             AS DECIMAL(38, 0)) AS en
+      FROM daily, c{tag} WHERE {pred}
+    ),
+    f{tag} AS (
+      SELECT CAST(SUM(en * en) AS DECIMAL(38, 0)) AS den FROM e{tag}
+    )"""
+
+
+@query(
+    "q437_chow_break_test",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    {_CHOW_SEG_SQL.format(tag="p", pred="TRUE")},
+    {_CHOW_SEG_SQL.format(tag="1", pred=f"d < {_CHOW_BREAK}")},
+    {_CHOW_SEG_SQL.format(tag="2", pred=f"d >= {_CHOW_BREAK}")},
+    z AS (
+      SELECT mp.n AS n_p, cp.dd AS dd_p, fp.den AS den_p,
+             m1.n AS n_1, c1.dd AS dd_1, f1.den AS den_1,
+             m2.n AS n_2, c2.dd AS dd_2, f2.den AS den_2
+      FROM mp, cp, fp, m1, c1, f1, m2, c2, f2
+    )
+    SELECT n_p AS n_days, n_1 AS n_before, n_2 AS n_after,
+           ROUND({_CHOW_F}, 6) AS chow_f
+    FROM z
+    """,
+)
+def q437_chow_break_test(spark, sf_dir):
+    """CHOW STRUCTURAL-BREAK TEST of the daily volume trend at the
+    window midpoint (day {_CHOW_BREAK}): does fitting SEPARATE OLS
+    lines to the two halves beat one pooled line by more than chance
+    (F with 2 and n-4 df)? The model-comparison complement of q404's
+    Pettitt (Pettitt finds WHERE a level shift most likely sits;
+    Chow asks whether a SPECIFIED break — a deploy date, a crawler
+    config change — actually changed the trend LINE, slope included).
+
+    Exactness: each segment's SSE uses the q408 device — residuals
+    cleared to integers by the segment's own n*D, squares folded in
+    DECIMAL(38,0) — and the F statistic rescales each SSE by its own
+    (n*D)^2 inside ONE shared expression; nothing crosses engines
+    except exact integers/decimals and that single expression.
+
+    Scale: three passes over the |days|-row calendar aggregate
+    (persisted once); 1-row algebra."""
+    daily = transient_persist(_daily(spark, sf_dir))
+
+    def seg(pred):
+        dd = daily.filter(pred) if pred is not None else daily
+        m = dd.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("d").cast("long").alias("st"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("st2"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("d") * F.col("y")).cast("long").alias("sty"),
+        )
+        c = m.select(
+            "n",
+            "st",
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            .alias("a"),
+            (F.col("n") * F.col("st2") - F.col("st") * F.col("st"))
+            .alias("dd"),
+            (
+                (F.col("n") * F.col("st2") - F.col("st") * F.col("st"))
+                * F.col("sy")
+                - (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+                * F.col("st")
+            ).alias("b0"),
+        )
+        e = dd.crossJoin(F.broadcast(c)).select(
+            F.col("n"),
+            F.col("dd").alias("ddv"),
+            (
+                F.col("n") * F.col("dd") * F.col("y")
+                - F.col("b0")
+                - F.col("n") * F.col("a") * F.col("d")
+            )
+            .cast("decimal(38,0)")
+            .alias("en"),
+        )
+        return e.agg(
+            F.first("n").alias("n"),
+            F.first("ddv").alias("dd"),
+            F.sum(F.col("en") * F.col("en"))
+            .cast("decimal(38,0)")
+            .alias("den"),
+        )
+
+    fp = seg(None).select(
+        F.col("n").alias("n_p"),
+        F.col("dd").alias("dd_p"),
+        F.col("den").alias("den_p"),
+    )
+    f1 = seg(F.col("d") < _CHOW_BREAK).select(
+        F.col("n").alias("n_1"),
+        F.col("dd").alias("dd_1"),
+        F.col("den").alias("den_1"),
+    )
+    f2 = seg(F.col("d") >= _CHOW_BREAK).select(
+        F.col("n").alias("n_2"),
+        F.col("dd").alias("dd_2"),
+        F.col("den").alias("den_2"),
+    )
+    z = fp.crossJoin(F.broadcast(f1)).crossJoin(F.broadcast(f2))
+    return z.select(
+        F.col("n_p").alias("n_days"),
+        F.col("n_1").alias("n_before"),
+        F.col("n_2").alias("n_after"),
+        F.round(F.expr(_CHOW_F), 6).alias("chow_f"),
+    )
