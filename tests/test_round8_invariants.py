@@ -417,3 +417,27 @@ def test_chow_f_nonnegative(spark):
     assert r["n_before"] + r["n_after"] == r["n_days"]
     # splitting can only reduce total SSE, so F >= 0
     assert r["chow_f"] >= -1e-9
+
+
+def test_cochran_armitage_bounds(spark):
+    (r,) = _rows(spark, "q438_cochran_armitage_trend")
+    assert r["n_buckets"] >= 2
+    assert 0 < r["n_pass"] < r["n_docs"]
+    # z is finite and scale-free
+    assert abs(r["z_trend"]) < 50
+
+
+def test_brunner_munzel_cross_checks_cliffs_delta(spark):
+    (bm,) = _rows(spark, "q439_brunner_munzel")
+    (cd,) = _rows(spark, "q406_cliffs_delta")
+    # p_hat = P(X0 < X1) + P(=)/2; q406 counts gt = #(v0 > v1) and
+    # lt = #(v0 < v1) over the same two sources, so
+    # p_hat == (lt + ties/2) / (n0*n1) exactly (up to output rounding)
+    total = cd["n0"] * cd["n1"]
+    ties = total - cd["gt_pairs"] - cd["lt_pairs"]
+    expect = (cd["lt_pairs"] + ties / 2.0) / total
+    assert abs(bm["p_hat"] - expect) < 1e-5
+    assert 0.0 <= bm["p_hat"] <= 1.0
+    # W shares p_hat's direction (p_hat > 1/2 <=> group 1 larger)
+    if abs(bm["p_hat"] - 0.5) > 1e-4:
+        assert (bm["w_bm"] > 0) == (bm["p_hat"] > 0.5)

@@ -495,6 +495,9 @@ ALLOW_GLOBAL_WINDOW = {
     # PH path cumsum/cummin over the CALENDAR-bounded daily frame
     # (q260/q404 class).
     "q429_page_hinkley",
+    # combined/within-group midrank cumsums over the distinct-LENGTH
+    # census - domain-bounded (q318 class).
+    "q439_brunner_munzel",
     # LLR path cumsum over the CALENDAR-bounded daily frame
     # (q260/q404 class).
     "q431_sprt_error_monitor",

@@ -4430,3 +4430,279 @@ def q437_chow_break_test(spark, sf_dir):
         F.col("n_2").alias("n_after"),
         F.round(F.expr(_CHOW_F), 6).alias("chow_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q438: Cochran-Armitage trend test — gate pass rate vs length bucket
+# ---------------------------------------------------------------------------
+
+#: CA trend z: T = sum w_i (p_i1 * n_i0 - p_i0 * n_i1)-style linear
+#: contrast; the standard form: T = sum s_i (r_i - n_i * R / N),
+#: Var = (R/N)(1-R/N) * (sum n_i s_i^2 - (sum n_i s_i)^2 / N), with
+#: s_i the ordinal bucket score — all from exact bigints, N^2-cleared
+#: inside one shared expression.
+_CA_Z = (
+    "((CAST(t1 AS DOUBLE) - CAST(t2 AS DOUBLE) / nn)"
+    " / SQRT(CAST(r AS DOUBLE) * (nn - r) / nn / nn"
+    " * (CAST(w2 AS DOUBLE) - CAST(w1 AS DOUBLE) * w1 / nn)))"
+)
+
+
+@query(
+    "q438_cochran_armitage_trend",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(n_chars // {_GK_LEN_W} AS BIGINT) AS s,
+             CAST(CASE WHEN len(string_split_regex(trim(lower(text)),
+                  '\\s+')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+                  AS BIGINT) AS y
+      FROM documents
+    ),
+    g AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS r
+      FROM x GROUP BY s
+    ),
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(r) AS BIGINT) AS r,
+             CAST(SUM(s * r) AS BIGINT) AS t1,
+             CAST(SUM(s * n) AS BIGINT) AS w1,
+             CAST(SUM(s * s * n) AS BIGINT) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    f AS (
+      SELECT nn, r, t1, w1, w2, k,
+             r * w1 AS t2x, t1 * nn AS t1x
+      FROM m
+    )
+    SELECT k AS n_buckets, nn AS n_docs, r AS n_pass,
+           ROUND((CAST(t1x AS DOUBLE) - t2x)
+                 / nn
+                 / SQRT(CAST(r AS DOUBLE) * (nn - r) / nn / nn
+                        * (CAST(w2 AS DOUBLE)
+                           - CAST(w1 AS DOUBLE) * w1 / nn)), 6)
+             AS z_trend
+    FROM f
+    """,
+)
+def q438_cochran_armitage_trend(spark, sf_dir):
+    """COCHRAN-ARMITAGE TREND TEST: does the LENGTH gate's pass rate
+    trend MONOTONICALLY across ordered character-length buckets
+    (n_chars DIV {_GK_LEN_W} as the ordinal dose)? The binary-outcome
+    counterpart of q399's Page test, and strictly sharper than
+    feeding the same table to q286-style chi2 — chi2 spends its power
+    on ANY deviation, CA concentrates it on the ordered alternative a
+    "longer docs pass less" hypothesis actually makes.
+
+    Exactness: per-bucket (n_i, r_i) and the score moments (sum s*r,
+    sum s*n, sum s^2*n) are exact bigints; the z statistic clears
+    denominators inside one shared expression (T*N - R*W1 over the
+    N-scaled variance), rounded 6dp.
+
+    Scale: one scan, one groupBy(bucket) — the contingency census is
+    bounded by the length domain, never corpus-sized."""
+    x = t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / _GK_LEN_W).cast("long").alias("s"),
+        F.expr(
+            "CASE WHEN size(split(trim(lower(text)), '\\\\s+'))"
+            " BETWEEN 20 AND 80 THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    g = x.groupBy("s").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r"),
+    )
+    m = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("r"),
+        F.sum(F.col("s") * F.col("r")).cast("long").alias("t1"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("w1"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("long")
+        .alias("w2"),
+        F.count("*").cast("long").alias("k"),
+    )
+    f = m.select(
+        "nn",
+        "r",
+        "t1",
+        "w1",
+        "w2",
+        "k",
+        (F.col("r") * F.col("w1")).alias("t2x"),
+        (F.col("t1") * F.col("nn")).alias("t1x"),
+    )
+    return f.select(
+        F.col("k").alias("n_buckets"),
+        F.col("nn").alias("n_docs"),
+        F.col("r").alias("n_pass"),
+        F.round(
+            (F.col("t1x").cast("double") - F.col("t2x"))
+            / F.col("nn")
+            / F.sqrt(
+                F.col("r").cast("double")
+                * (F.col("nn") - F.col("r"))
+                / F.col("nn")
+                / F.col("nn")
+                * (
+                    F.col("w2").cast("double")
+                    - F.col("w1").cast("double") * F.col("w1") / F.col("nn")
+                )
+            ),
+            6,
+        ).alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q439: Brunner-Munzel test (heteroscedastic rank-based two-sample)
+# ---------------------------------------------------------------------------
+
+#: scipy-form statistic from doubled midranks: with T_g = sum of
+#: combined doubled midranks in group g, the mean-rank difference is
+#: (T_1/n1 - T_0/n0)/2; S_g^2 * 4 * n_g * (n_g - 1) = n_g * sum c*D2^2
+#: - (sum c*D2)^2 with D2 = combined - within doubled midranks;
+#: W = n0*n1*(Rbar1 - Rbar0) / (N * sqrt(n0*S0^2 + n1*S1^2)).
+_BM_W = (
+    "((CAST(n0 AS DOUBLE) * n1"
+    " * (CAST(t1 AS DOUBLE) / n1 - CAST(t0 AS DOUBLE) / n0) / 2.0)"
+    " / ((CAST(n0 AS DOUBLE) + n1)"
+    " * SQRT(CAST(n0 AS DOUBLE)"
+    " * ((CAST(n0 AS DOUBLE) * q0 - CAST(l0 AS DOUBLE) * l0)"
+    " / (4.0 * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)))"
+    " + CAST(n1 AS DOUBLE)"
+    " * ((CAST(n1 AS DOUBLE) * q1 - CAST(l1 AS DOUBLE) * l1)"
+    " / (4.0 * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))))))"
+)
+_BM_PHAT = (
+    "((CAST(t1 AS DOUBLE) / n1 / 2.0"
+    " - (CAST(n1 AS DOUBLE) + 1.0) / 2.0) / CAST(n0 AS DOUBLE))"
+)
+
+
+@query(
+    "q439_brunner_munzel",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(CASE WHEN source = '{_WT_A}' THEN 0 ELSE 1 END
+                  AS BIGINT) AS g
+      FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+    ),
+    pv AS (
+      SELECT v,
+             CAST(SUM(1 - g) AS BIGINT) AS c0,
+             CAST(SUM(g) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM x GROUP BY v
+    ),
+    rk AS (
+      SELECT v, c0, c1, ct,
+             2 * (SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - ct) + ct + 1 AS r2,
+             2 * (SUM(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - c0) + c0 + 1 AS r2w0,
+             2 * (SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - c1) + c1 + 1 AS r2w1
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c0 * r2) AS BIGINT) AS t0,
+             CAST(SUM(c1 * r2) AS BIGINT) AS t1,
+             CAST(SUM(c0 * (r2 - r2w0)) AS BIGINT) AS l0,
+             CAST(SUM(c1 * (r2 - r2w1)) AS BIGINT) AS l1,
+             CAST(SUM(c0 * (r2 - r2w0) * (r2 - r2w0)) AS BIGINT)
+               AS q0,
+             CAST(SUM(c1 * (r2 - r2w1) * (r2 - r2w1)) AS BIGINT)
+               AS q1
+      FROM rk
+    )
+    SELECT n0, n1,
+           ROUND({_BM_PHAT}, 6) AS p_hat,
+           ROUND({_BM_W}, 6) AS w_bm
+    FROM s
+    """,
+)
+def q439_brunner_munzel(spark, sf_dir):
+    f"""BRUNNER-MUNZEL TEST between '{_WT_A}' and '{_WT_B}' document
+    lengths: the modern replacement for Mann-Whitney when the two
+    sources may differ in SHAPE as well as location — q318's MW
+    variance assumes exchangeability under H0, which q425's Lepage
+    can reject; BM estimates each group's rank variance separately,
+    so its H0 is exactly "P(X0 < X1) + P(=)/2 = 1/2" with no
+    equal-shape assumption. Reports the relative-effect estimate
+    p_hat and the studentized W (t-distributed, Satterthwaite df).
+
+    Exactness: combined AND within-group doubled midranks come from
+    the same value census (three cumulative windows, domain-bounded);
+    the placement differences D = R - R_within are exact integers per
+    census cell, so each group's rank variance clears to n_g * sum
+    c*D^2 - (sum c*D)^2 bigints; p_hat and W are shared expression
+    strings rounded 6dp.
+
+    Scale: one census groupBy(value), domain-bounded windows (q318
+    adjudicated class), 1-row reduce."""
+    x = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("source") == _WT_A, 0).otherwise(1).alias("g"),
+        )
+    )
+    pv = x.groupBy("v").agg(
+        F.sum(1 - F.col("g")).cast("long").alias("c0"),
+        F.sum("g").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = pv.select(
+        "c0",
+        "c1",
+        (2 * (F.sum("ct").over(w) - F.col("ct")) + F.col("ct") + 1)
+        .alias("r2"),
+        (2 * (F.sum("c0").over(w) - F.col("c0")) + F.col("c0") + 1)
+        .alias("r2w0"),
+        (2 * (F.sum("c1").over(w) - F.col("c1")) + F.col("c1") + 1)
+        .alias("r2w1"),
+    )
+    s = rk.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c0") * F.col("r2")).cast("long").alias("t0"),
+        F.sum(F.col("c1") * F.col("r2")).cast("long").alias("t1"),
+        F.sum(F.col("c0") * (F.col("r2") - F.col("r2w0")))
+        .cast("long")
+        .alias("l0"),
+        F.sum(F.col("c1") * (F.col("r2") - F.col("r2w1")))
+        .cast("long")
+        .alias("l1"),
+        F.sum(
+            F.col("c0")
+            * (F.col("r2") - F.col("r2w0"))
+            * (F.col("r2") - F.col("r2w0"))
+        )
+        .cast("long")
+        .alias("q0"),
+        F.sum(
+            F.col("c1")
+            * (F.col("r2") - F.col("r2w1"))
+            * (F.col("r2") - F.col("r2w1"))
+        )
+        .cast("long")
+        .alias("q1"),
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.round(F.expr(_BM_PHAT), 6).alias("p_hat"),
+        F.round(F.expr(_BM_W), 6).alias("w_bm"),
+    )
