@@ -450,6 +450,52 @@ def probe_banded_edit_verify(spark, sf_dir, k):
     return verified.filter(F.col("d") <= 50).count()
 
 
+def probe_wedge_closure(spark, sf_dir, k):
+    """q416/q421's transitivity shape: canonical edge list -> 
+    adjacency self-join on the shared endpoint (wedge enumeration)
+    -> semi-join back to the edge set (closure test). Edges here are
+    the distinct click-graph pairs, replicated STRUCTURE-PRESERVING
+    (k disjoint shifted copies), so wedge output grows exactly
+    linearly and a linear time curve certifies the shape: every join
+    is an equi-join keyed on edge endpoints, never corpus-quadratic.
+    """
+    ev = t(spark, sf_dir, "events")
+    e0 = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("long")
+                + 1_000_000
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    e = replicate(e0, "u", k).withColumn(
+        "v", F.col("v") + (F.col("u") / ID_STRIDE).cast("long") * ID_STRIDE
+    )
+    lo = F.least("u", "v")
+    hi = F.greatest("u", "v")
+    ec = e.select(lo.alias("lo"), hi.alias("hi")).distinct()
+    adj = ec.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    ).union(ec.select(F.col("hi").alias("x"), F.col("lo").alias("y")))
+    a1 = adj.select(F.col("y").alias("mid"), F.col("x").alias("x1"))
+    a2 = adj.select(F.col("y").alias("mid2"), F.col("x").alias("x2"))
+    wedges = a1.join(
+        a2, (F.col("mid") == F.col("mid2")) & (F.col("x1") < F.col("x2"))
+    ).select("x1", "x2")
+    # the click graph is bipartite, so closures are structurally 0;
+    # an OUTER join performs the same closure-probe work while the
+    # count records the wedge fan-out (the quantity that must scale).
+    closed = wedges.join(
+        ec,
+        (F.col("x1") == F.col("lo")) & (F.col("x2") == F.col("hi")),
+        "left_outer",
+    )
+    return closed.count()
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
@@ -463,6 +509,7 @@ PROBES = {
     "cluster_moments": probe_cluster_moments,
     "lsh_bucket_knn": probe_lsh_bucket_knn,
     "banded_edit_verify": probe_banded_edit_verify,
+    "wedge_closure": probe_wedge_closure,
 }
 
 
