@@ -326,7 +326,7 @@ _WT_D = (
     """,
 )
 def q405_welch_ttest(spark, sf_dir):
-    f"""WELCH'S T-TEST between '{_WT_A}' and '{_WT_B}' document
+    """WELCH'S T-TEST between 'src0' and 'src1' document
     lengths — the unequal-variance two-sample test (the parametric
     partner of q318's Mann-Whitney: MW asks "same distribution?",
     Welch asks "same MEAN?" without the classic-t's equal-variance
@@ -439,7 +439,7 @@ _CD_MAG = (
     """,
 )
 def q406_cliffs_delta(spark, sf_dir):
-    f"""CLIFF'S DELTA between '{_WT_A}' and '{_WT_B}' document
+    """CLIFF'S DELTA between 'src0' and 'src1' document
     lengths: P(X0 > X1) - P(X0 < X1) — the ordinal effect size that
     q318's Mann-Whitney z deliberately doesn't report (a z-score
     grows with n; delta answers "how OFTEN is a source-0 doc longer",
@@ -1545,8 +1545,8 @@ _JSD = (
     """,
 )
 def q414_jsd_token_mix(spark, sf_dir):
-    f"""JENSEN-SHANNON DIVERGENCE between the unigram token
-    distributions of '{_WT_A}' and '{_WT_B}': JSD = (KL(P||M) +
+    """JENSEN-SHANNON DIVERGENCE between the unigram token
+    distributions of 'src0' and 'src1': JSD = (KL(P||M) +
     KL(Q||M))/2 with M the midpoint mixture — the SYMMETRIC, always-
     finite distributional distance the drift family was missing
     (q229's KL needs smoothing hacks when a token is one-sided; JSD's
@@ -2860,8 +2860,8 @@ _AB_LEPAGE = f"(({_AB_ZMW}) * ({_AB_ZMW}) + ({_AB_ZAB}) * ({_AB_ZAB}))"
     """,
 )
 def q425_ansari_bradley_lepage(spark, sf_dir):
-    f"""ANSARI-BRADLEY dispersion test + LEPAGE joint statistic
-    between '{_WT_A}' and '{_WT_B}' document lengths: AB scores rank
+    """ANSARI-BRADLEY dispersion test + LEPAGE joint statistic
+    between 'src0' and 'src1' document lengths: AB scores rank
     from BOTH ends inward (min(rank, N+1-rank), tie-averaged), so its
     z detects a SPREAD difference; combined with q318's location z,
     Lepage L = z_loc^2 + z_disp^2 is the omnibus "same location AND
@@ -3163,9 +3163,9 @@ _MRL_DIMS = (8, 16, 32)
     ),
 )
 def q427_matryoshka_prefix_recall(spark, sf_dir):
-    f"""MATRYOSHKA TRUNCATION SWEEP: recall@{TOP_K} of brute-force
-    search using only the FIRST 8/16/32 of {DIM} embedding dimensions
-    against the full-dimension top-{TOP_K} — the measurement behind
+    """MATRYOSHKA TRUNCATION SWEEP: recall@10 of brute-force
+    search using only the FIRST 8/16/32 of 64 embedding dimensions
+    against the full-dimension top-10 — the measurement behind
     every "store the prefix, rerank with the tail" serving design
     (MRL embeddings, and the dimension-side sibling of q156's
     scalar-quantization rerank: q156 cuts PRECISION per dim, this
@@ -4630,7 +4630,7 @@ _BM_PHAT = (
     """,
 )
 def q439_brunner_munzel(spark, sf_dir):
-    f"""BRUNNER-MUNZEL TEST between '{_WT_A}' and '{_WT_B}' document
+    """BRUNNER-MUNZEL TEST between 'src0' and 'src1' document
     lengths: the modern replacement for Mann-Whitney when the two
     sources may differ in SHAPE as well as location — q318's MW
     variance assumes exchangeability under H0, which q425's Lepage
