@@ -146,6 +146,19 @@ def _last_round_failures(artifact: str | None = None) -> list[str]:
     return sorted(bad)
 
 
+#: VERDICT r7 item 1's explicit Done-criterion: ">= 34 of the round-7
+#: queries (q300-q393) green in r08's driver artifact". The
+#: newest-registered-first tie-break implemented that mandate when it
+#: was written (q300-q393 WERE the newest never-checked), but round 8
+#: added 45 further queries that would now consume every free slot
+#: and starve the mandated cohort for another round. This id-range
+#: fast-track pins the cohort right after the parity core + retries;
+#: it is SELF-DEACTIVATING — once a cohort member appears in any
+#: driver artifact it leaves the never-checked set this range draws
+#: from, so the general LRU/newest-first policy resumes by itself.
+FAST_TRACK_RANGE = (300, 393)
+
+
 def _gate_order(names: list[str]) -> list[str]:
     pinned = [n for n in PINNED_CORE if n in names]
     retry = [
@@ -162,11 +175,24 @@ def _gate_order(names: list[str]) -> list[str]:
         m = re.match(r"q(\d+)", n)
         return int(m.group(1)) if m else 0
 
+    lo, hi = FAST_TRACK_RANGE
+    cohort = sorted(
+        (
+            n for n in names
+            if n not in PINNED_CORE and n not in retry
+            and n not in checked and lo <= qid(n) <= hi
+        ),
+        key=qid,
+    )
     rest = sorted(
-        (n for n in names if n not in PINNED_CORE and n not in retry),
+        (
+            n for n in names
+            if n not in PINNED_CORE and n not in retry
+            and n not in cohort
+        ),
         key=lambda n: (checked.get(n, -1), -qid(n), n),
     )
-    return pinned + retry + rest
+    return pinned + retry + cohort + rest
 
 
 def _ordered(names_to_vals: dict) -> dict:

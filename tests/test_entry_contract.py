@@ -102,10 +102,13 @@ def test_never_checked_queries_lead_the_tail(monkeypatch):
 
 
 def test_never_checked_ties_break_newest_first(monkeypatch):
-    # VERDICT r7 item 1: among equally-stale (e.g. never-checked)
-    # queries, the NEWEST addition (highest numeric qid) drains first,
-    # so a freshly-landed operator reaches the driver gate the next
-    # round instead of queueing behind older never-checked names.
+    # VERDICT r7 item 1 has two halves: (a) the q300-q393 cohort the
+    # verdict's Done-criterion names is FAST-TRACKED (ascending id)
+    # right after the parity core while any of it remains
+    # never-checked; (b) among all OTHER equally-stale queries the
+    # NEWEST addition (highest numeric qid) drains first, so a
+    # freshly-landed operator reaches the driver gate the next round
+    # instead of queueing behind older never-checked names.
     names = list(entry_mod.QUERIES)
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
     monkeypatch.setattr(entry_mod, "_last_checked_round", dict)
@@ -113,11 +116,43 @@ def test_never_checked_ties_break_newest_first(monkeypatch):
     pinned = [n for n in entry_mod.PINNED_CORE if n in names]
     import re
 
+    lo, hi = entry_mod.FAST_TRACK_RANGE
     tail_ids = [
         int(re.match(r"q(\d+)", n).group(1))
         for n in order[len(pinned):]
     ]
-    assert tail_ids == sorted(tail_ids, reverse=True)
+    cohort = [i for i in tail_ids if lo <= i <= hi]
+    rest = [i for i in tail_ids if not (lo <= i <= hi)]
+    # cohort first, in ascending registration order...
+    assert tail_ids[: len(cohort)] == cohort == sorted(cohort)
+    # ...then everything else newest-first
+    assert tail_ids[len(cohort):] == rest
+    assert rest == sorted(rest, reverse=True)
+
+
+def test_fast_track_self_deactivates(monkeypatch):
+    # once every cohort member has a driver row, the fast-track list
+    # is empty and the general policy resumes by itself.
+    import re
+
+    names = list(entry_mod.QUERIES)
+    lo, hi = entry_mod.FAST_TRACK_RANGE
+
+    def qid(n):
+        return int(re.match(r"q(\d+)", n).group(1))
+
+    checked = {n: 8 for n in names if lo <= qid(n) <= hi}
+    monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(
+        entry_mod, "_last_checked_round", lambda: dict(checked)
+    )
+    order = entry_mod._gate_order(names)
+    pinned = [n for n in entry_mod.PINNED_CORE if n in names]
+    head = order[len(pinned): len(pinned) + 10]
+    # with the cohort checked, never-checked newest-first leads again
+    assert all(qid(n) > hi or qid(n) < lo for n in head)
+    hids = [qid(n) for n in head]
+    assert hids == sorted(hids, reverse=True)
 
 
 def test_schedule_advances_between_rounds(monkeypatch):
