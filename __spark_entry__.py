@@ -147,16 +147,38 @@ def _last_round_failures(artifact: str | None = None) -> list[str]:
 
 
 #: VERDICT r7 item 1's explicit Done-criterion: ">= 34 of the round-7
-#: queries (q300-q393) green in r08's driver artifact". The
-#: newest-registered-first tie-break implemented that mandate when it
-#: was written (q300-q393 WERE the newest never-checked), but round 8
-#: added 45 further queries that would now consume every free slot
-#: and starve the mandated cohort for another round. This id-range
-#: fast-track pins the cohort right after the parity core + retries;
-#: it is SELF-DEACTIVATING — once a cohort member appears in any
-#: driver artifact it leaves the never-checked set this range draws
-#: from, so the general LRU/newest-first policy resumes by itself.
-FAST_TRACK_RANGE = (300, 393)
+#: queries (q300-q393) green in r08's driver artifact"; VERDICT r8
+#: item 1 extends the same mandate through the round-8 additions
+#: ("extend the fast-track window to cover q394-q439 once q337-q393
+#: drain"). Because the cohort drains LOWEST id first, widening the
+#: range now changes nothing until q337-q393 are exhausted, at which
+#: point q394-q439 continue automatically. This id-range fast-track
+#: pins the cohort right after the parity core + retries; it is
+#: SELF-DEACTIVATING — once a cohort member appears in any driver
+#: artifact it leaves the never-checked set this range draws from, so
+#: the general LRU/newest-first policy resumes by itself.
+FAST_TRACK_RANGE = (300, 439)
+
+#: VERDICT r8 item 1's Done-criterion needs ">= 34 cohort members
+#: green" in the next driver artifact; ADVICE r8 flagged that retries
+#: placed ahead of the cohort could silently eat those slots. While
+#: the fast-track is active, retries + refresh entries ahead of the
+#: cohort are capped at GATE_SLOTS - len(PINNED_CORE) - 34 (= 2
+#: today); the excess still runs, but AFTER the cohort (i.e. it waits
+#: one extra round instead of starving the mandated drain).
+MIN_COHORT_SLOTS = 34
+
+#: VERDICT r8 item 7: q262 (chained stateful rewrite) and q265
+#: (timer-based sessions) were rewritten in round 7 but their driver
+#: rows predate the rewrite (r03-r06). They get a one-shot refresh
+#: slot ahead of the cohort; SELF-DEACTIVATING — once a post-rewrite
+#: driver row exists (round > REFRESH_BEFORE_ROUND) the entry no
+#: longer qualifies.
+REFRESH_QUEUE = [
+    "q262_stream_join_then_window",
+    "q265_stateful_timeout_sessions",
+]
+REFRESH_BEFORE_ROUND = 7  # rows at or before this round are pre-rewrite
 
 
 def _gate_order(names: list[str]) -> list[str]:
@@ -168,6 +190,11 @@ def _gate_order(names: list[str]) -> list[str]:
     import re  # noqa: PLC0415
 
     checked = _last_checked_round()
+    refresh = [
+        n for n in REFRESH_QUEUE
+        if n in names and n not in PINNED_CORE and n not in retry
+        and checked.get(n, 0) <= REFRESH_BEFORE_ROUND
+    ]
 
     # Addition order = the numeric query id (q394 was added after
     # q393, always); -id means newest-added first on ties.
@@ -180,19 +207,29 @@ def _gate_order(names: list[str]) -> list[str]:
         (
             n for n in names
             if n not in PINNED_CORE and n not in retry
+            and n not in refresh
             and n not in checked and lo <= qid(n) <= hi
         ),
         key=qid,
     )
+    # Cap pre-cohort consumption (retries first, refresh second) so at
+    # least MIN_COHORT_SLOTS cohort entries stay inside the 50-slot
+    # gate; overflow runs right after the cohort instead of displacing
+    # it. The cap only bites while the fast-track has >= that many
+    # members left to drain.
+    budget = max(0, GATE_SLOTS - len(pinned) - MIN_COHORT_SLOTS)
+    pre = (retry + refresh)[:budget] if len(cohort) >= MIN_COHORT_SLOTS \
+        else retry + refresh
+    overflow = [n for n in retry + refresh if n not in pre]
     rest = sorted(
         (
             n for n in names
             if n not in PINNED_CORE and n not in retry
-            and n not in cohort
+            and n not in refresh and n not in cohort
         ),
         key=lambda n: (checked.get(n, -1), -qid(n), n),
     )
-    return pinned + retry + cohort + rest
+    return pinned + pre + cohort + overflow + rest
 
 
 def _ordered(names_to_vals: dict) -> dict:

@@ -65,8 +65,9 @@ def test_schedule_covers_every_query_within_bounded_period(monkeypatch):
     free = max(entry_mod.GATE_SLOTS - len(pinned), 1)
     period = -(-len(rest) // free)  # ceil
 
-    # neutralize the failure fast-track for the pure-schedule math
+    # neutralize the failure fast-track + refresh for pure-schedule math
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
     checked: dict[str, int] = {}
     monkeypatch.setattr(
         entry_mod, "_last_checked_round", lambda: dict(checked)
@@ -88,6 +89,7 @@ def test_never_checked_queries_lead_the_tail(monkeypatch):
     # already checked, regardless of name order.
     names = list(entry_mod.QUERIES)
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
     tail = [n for n in sorted(names) if n not in entry_mod.PINNED_CORE]
     # mark everything checked except one late-alphabet victim
     victim = tail[-1]
@@ -111,6 +113,7 @@ def test_never_checked_ties_break_newest_first(monkeypatch):
     # instead of queueing behind older never-checked names.
     names = list(entry_mod.QUERIES)
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
     monkeypatch.setattr(entry_mod, "_last_checked_round", dict)
     order = entry_mod._gate_order(names)
     pinned = [n for n in entry_mod.PINNED_CORE if n in names]
@@ -143,6 +146,7 @@ def test_fast_track_self_deactivates(monkeypatch):
 
     checked = {n: 8 for n in names if lo <= qid(n) <= hi}
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
     monkeypatch.setattr(
         entry_mod, "_last_checked_round", lambda: dict(checked)
     )
@@ -214,3 +218,69 @@ def test_failure_parser_reads_r04_artifact():
     )
     fails = entry_mod._last_round_failures(art)
     assert fails == ["q230_token_budget_fill"]
+
+
+def test_refresh_entries_slot_after_pinned_when_stale(monkeypatch):
+    # VERDICT r8 item 7: q262/q265 were rewritten in round 7 but their
+    # driver rows predate the rewrite - while that holds they consume
+    # the (capped) pre-cohort budget right after the pinned core.
+    names = list(entry_mod.QUERIES)
+    monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(
+        entry_mod,
+        "_last_checked_round",
+        lambda: {n: 6 for n in entry_mod.REFRESH_QUEUE},
+    )
+    order = entry_mod._gate_order(names)
+    pinned = [n for n in entry_mod.PINNED_CORE if n in names]
+    np = len(pinned)
+    assert order[np: np + len(entry_mod.REFRESH_QUEUE)] == (
+        entry_mod.REFRESH_QUEUE
+    )
+
+
+def test_refresh_self_deactivates_after_post_rewrite_row(monkeypatch):
+    # once a driver row NEWER than the rewrite exists the refresh entry
+    # leaves the pre-cohort slot for good.
+    names = list(entry_mod.QUERIES)
+    monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
+    monkeypatch.setattr(
+        entry_mod,
+        "_last_checked_round",
+        lambda: {
+            n: entry_mod.REFRESH_BEFORE_ROUND + 2
+            for n in entry_mod.REFRESH_QUEUE
+        },
+    )
+    order = entry_mod._gate_order(names)
+    pinned = [n for n in entry_mod.PINNED_CORE if n in names]
+    head = order[len(pinned): len(pinned) + len(entry_mod.REFRESH_QUEUE)]
+    assert not set(head) & set(entry_mod.REFRESH_QUEUE)
+
+
+def test_cohort_keeps_min_slots_under_retry_pressure(monkeypatch):
+    # ADVICE r8: many retries must not starve the fast-track cohort
+    # below MIN_COHORT_SLOTS; the overflow runs AFTER the cohort.
+    import re
+
+    names = list(entry_mod.QUERIES)
+    lo, hi = entry_mod.FAST_TRACK_RANGE
+
+    def qid(n):
+        m = re.match(r"q(\d+)", n)
+        return int(m.group(1)) if m else 0
+
+    fake_retries = [
+        n for n in sorted(names)
+        if n not in entry_mod.PINNED_CORE and qid(n) < lo
+    ][:6]
+    monkeypatch.setattr(
+        entry_mod, "_last_round_failures", lambda: list(fake_retries)
+    )
+    monkeypatch.setattr(entry_mod, "_last_checked_round", dict)
+    window = entry_mod._gate_order(names)[: entry_mod.GATE_SLOTS]
+    in_cohort = [n for n in window if lo <= qid(n) <= hi]
+    assert len(in_cohort) >= entry_mod.MIN_COHORT_SLOTS
+    # every retry still appears in the full order (never dropped)
+    order = entry_mod._gate_order(names)
+    assert all(r in order for r in fake_retries)
