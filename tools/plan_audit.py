@@ -176,6 +176,9 @@ ALLOW = {
     # aggregate (r9 rewrite: one lazy plan instead of three driver
     # count() actions).
     "q416_neardup_transitivity": {"nested_loop"},
+    # 1-row edge-stats frame crossed with the 1-row corpus-counts
+    # frame (scalar merge).
+    "q440_neardup_split_leakage": {"nested_loop"},
     # three 1-row frames (totals, loo-mean, centered SS) crossed into
     # the |sources|-row sufficient-statistics frame.
     "q330_jackknife_group_mean": {"nested_loop"},

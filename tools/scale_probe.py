@@ -163,14 +163,37 @@ def probe_window_rank(spark, sf_dir, k):
 
 
 def probe_hash_join_agg(spark, sf_dir, k):
-    orders = replicate(t(spark, sf_dir, "orders"), "o_orderkey", k)
-    li = replicate(t(spark, sf_dir, "lineitem"), "l_orderkey", k)
-    out = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy("o_orderpriority")
-        .agg(F.sum("l_extendedprice").alias("rev"))
+    """Fact-fact equi-join + aggregate, measured at Spark's DEFAULT
+    10 MB broadcast threshold rather than the session's 64 MB.
+
+    Why (r8 VERDICT item 6, diagnosed r9): at k=16 the replicated
+    orders side estimates ~43 MB - still under the session's 64 MB
+    local threshold - so the planner kept BROADCASTING a 2.4M-row
+    build side, and the single-threaded driver collect+hashtable
+    build dominated the probe (x9.62 time at x16; forcing SMJ gives
+    x~3.5). Neither shuffle spill nor superlinearity: a threshold
+    boundary artifact of mid-range replication. On a real fact-fact
+    join at 100 TB the build side exceeds ANY threshold and plans
+    SMJ, which is the path this probe exists to characterize, so the
+    probe pins the representative strategy explicitly. (Real
+    fact-fact queries in the suite either bucket-join - q271/q272 -
+    or shuffle; only bounded frames are broadcast, enforced by the
+    plan audit's unbounded-broadcast detector.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
     )
-    return out.count()
+    try:
+        orders = replicate(t(spark, sf_dir, "orders"), "o_orderkey", k)
+        li = replicate(t(spark, sf_dir, "lineitem"), "l_orderkey", k)
+        out = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        return out.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def probe_ngram_lm_join(spark, sf_dir, k):

@@ -2924,3 +2924,205 @@ def q350_blocking_quality(spark, sf_dir):
             ).alias("pairs_completeness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q440: near-dup leakage across the train/val split
+# ---------------------------------------------------------------------------
+
+#: verified-edge threshold — matches stattests._TR_THRESHOLD (0.5) so
+#: q416/q421/q440 all reason about the SAME canonical edge relation.
+_LEAK_THRESHOLD = 0.5
+
+
+@query(
+    "q440_neardup_split_leakage",
+    oracle=None,  # assembled below from the shared q46 CTE chain
+)
+def q440_neardup_split_leakage(spark, sf_dir):
+    """TRAIN/VAL SPLIT LEAKAGE through near-duplicates: of the
+    verified near-dup pairs (q46's LSH-verified edges at jaccard >=
+    0.5), how many CROSS the deterministic doc_id%10==9 holdout
+    split? A near-dup pair straddling the split means the val set
+    contains a paraphrase of a training document — eval scores read
+    as generalization but measure memorization (the de-dup-BEFORE-
+    split rule every pretraining pipeline enforces; q87's n-gram
+    contamination is the phrase-level sibling, this is the
+    document-level one). The expected cross rate under a random
+    split, 2*v*(n-v)/(n*(n-1)), is reported alongside: leakage at
+    the random-split level is geometry, ABOVE it means duplicates
+    cluster across the boundary.
+
+    Exactness: pair and cross counts are exact bigints over the
+    deterministic edge list; both milli rates are integer DIV; the
+    expected rate is exact integer arithmetic (values far below
+    bigint at any SF).
+
+    Scale: the edge list is LSH-bounded and localCheckpointed
+    (stattests._tr_edges); the split test is one map expression +
+    1-row aggregate. Corpus counts are one scan. Nothing pairwise
+    touches the corpus."""
+    # lazy import: stattests imports THIS module at load time, so the
+    # edge helper must resolve at call time (no module-level cycle).
+    from .stattests import _tr_edges
+
+    e = _tr_edges(spark, sf_dir)
+    cross = (
+        ((F.col("lo") % 10) == 9) != ((F.col("hi") % 10) == 9)
+    ).cast("int")
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(cross), F.lit(0)).cast("long").alias("n_cross"),
+    )
+    d = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("doc_id") % 10) == 9).cast("int"))
+        .cast("long")
+        .alias("n_val"),
+    )
+    return stats.crossJoin(F.broadcast(d)).select(
+        "n_pairs",
+        "n_cross",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.expr("(1000 * n_cross) DIV n_pairs"),
+        ).alias("leak_milli"),
+        "n_docs",
+        "n_val",
+        F.expr(
+            "(1000 * 2 * n_val * (n_docs - n_val))"
+            " DIV (n_docs * (n_docs - 1))"
+        ).alias("expected_milli"),
+    )
+
+
+ORACLE_Q440 = _LSH_CANDS_SQL + f""",
+    sh2 AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sset FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cands UNION SELECT doc_b FROM cands)
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(
+               CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sset, b.sset))), 4
+             ) AS jaccard
+      FROM cands c
+      JOIN sh2 a ON c.doc_a = a.doc_id
+      JOIN sh2 b ON c.doc_b = b.doc_id
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS lo,
+             GREATEST(doc_a, doc_b) AS hi
+      FROM verified WHERE jaccard >= {_LEAK_THRESHOLD}
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN (lo % 10 = 9) <> (hi % 10 = 9)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_cross
+      FROM e
+    ),
+    dc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_val
+      FROM documents
+    )
+    SELECT n_pairs, n_cross,
+           CASE WHEN n_pairs > 0 THEN (1000 * n_cross) // n_pairs
+                END AS leak_milli,
+           n_docs, n_val,
+           (1000 * 2 * n_val * (n_docs - n_val))
+             // (n_docs * (n_docs - 1)) AS expected_milli
+    FROM st, dc
+    """
+
+from .registry import ORACLE as _ORACLE_REG  # noqa: E402
+
+_ORACLE_REG["q440_neardup_split_leakage"] = ORACLE_Q440
+
+
+# ---------------------------------------------------------------------------
+# q441: per-source token budget before/after exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q441_dedup_token_budget",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id, md5(text) AS h,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    keep AS (
+      SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      FROM base GROUP BY h
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(b.ntok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN b.ntok
+                    ELSE 0 END) AS BIGINT) AS tokens_kept,
+           (1000 * (SUM(b.ntok) - SUM(CASE WHEN b.doc_id = k.keep_id
+                                      THEN b.ntok ELSE 0 END)))
+             // SUM(b.ntok) AS savings_milli
+    FROM base b JOIN keep k USING (h)
+    GROUP BY b.source
+    """,
+)
+def q441_dedup_token_budget(spark, sf_dir):
+    """PER-SOURCE TOKEN BUDGET after exact dedup: every 100 TB
+    training plan starts with "how many tokens do we actually have
+    once identical payloads collapse?" — q40 lists the dedup GROUPS;
+    this turns them into the planning readout (tokens before/after,
+    keep = min doc_id per content digest, savings attributed to the
+    source of the DROPPED copy, integer-milli savings rate). Feeds
+    q207/q298's mixture planners with deduplicated supply instead of
+    raw counts.
+
+    Exactness: token counts and keeper flags are exact bigints; the
+    savings rate is integer DIV — no float anywhere.
+
+    Scale: one scan to (digest, tokens), one hash aggregate on the
+    digest, one equi-join back on the digest key (both sides
+    digest-partitioned — co-located on a cluster), one groupBy
+    (source). All shuffles carry digest + two longs per doc."""
+    base = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.expr("size(split(trim(lower(text)), '\\\\s+'))")
+        .cast("long")
+        .alias("ntok"),
+    )
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    kept = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    return (
+        base.join(keep, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum("ntok").cast("long").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), F.col("ntok"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "tokens_total",
+            "tokens_kept",
+            F.expr(
+                "(1000 * (tokens_total - tokens_kept)) DIV tokens_total"
+            ).alias("savings_milli"),
+        )
+    )

@@ -3725,12 +3725,19 @@ def q431_sprt_error_monitor(spark, sf_dir):
 @query(
     "q432_kendalls_w_weekday",
     oracle=f"""
-    WITH cw AS (
+    WITH cw0 AS (
       SELECT CAST(user_id % 20 AS BIGINT) AS judge,
              (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} % 7
                AS wd,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
+    ),
+    cw AS (
+      SELECT g.judge, g.wd, COALESCE(c.y, 0) AS y
+      FROM (SELECT j.judge, w.wd
+            FROM (SELECT DISTINCT judge FROM cw0) j,
+                 (SELECT DISTINCT wd FROM cw0) w) g
+      LEFT JOIN cw0 c ON g.judge = c.judge AND g.wd = c.wd
     ),
     rk AS (
       SELECT a.judge, a.wd,
@@ -3789,8 +3796,16 @@ def q432_kendalls_w_weekday(spark, sf_dir):
     are exact bigints; W is one shared expression rounded 6dp.
 
     Scale: one fact scan to the 140-row (judge, weekday) aggregate;
-    everything after is bounded algebra (q393 adjudicated class)."""
-    cw = transient_persist(
+    everything after is bounded algebra (q393 adjudicated class).
+
+    Sparse-design guard (ADVICE r8): a (judge, weekday) cell with no
+    events is a ZERO-ACTIVITY observation, not missing data — before
+    ranking, the observed judges x weekdays grid is densified with
+    y = 0, so every judge ranks the same n weekdays and the global
+    k/n match the per-judge rank sums. Without this, a sparse SF
+    silently mixes judges with different n and W is statistically
+    wrong."""
+    cw0 = (
         t(spark, sf_dir, "events")
         .groupBy(
             (F.col("user_id") % 20).cast("long").alias("judge"),
@@ -3803,6 +3818,18 @@ def q432_kendalls_w_weekday(spark, sf_dir):
             ).alias("wd"),
         )
         .agg(F.count("*").cast("long").alias("y"))
+    )
+    grid = (
+        cw0.select("judge")
+        .distinct()
+        .crossJoin(F.broadcast(cw0.select("wd").distinct()))
+    )
+    cw = transient_persist(
+        grid.join(cw0, ["judge", "wd"], "left").select(
+            "judge",
+            "wd",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
     )
     b = cw.select(
         F.col("judge").alias("jb"), F.col("y").alias("yb")
