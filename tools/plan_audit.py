@@ -179,6 +179,10 @@ ALLOW = {
     # 1-row edge-stats frame crossed with the 1-row corpus-counts
     # frame (scalar merge).
     "q440_neardup_split_leakage": {"nested_loop"},
+    # three 1-row capture-count frames crossed into the Chapman
+    # arithmetic (r9 rewrite: one lazy plan instead of three driver
+    # count() actions).
+    "q421_dedup_capture_recapture": {"nested_loop"},
     # three 1-row frames (totals, loo-mean, centered SS) crossed into
     # the |sources|-row sufficient-statistics frame.
     "q330_jackknife_group_mean": {"nested_loop"},

@@ -2405,24 +2405,48 @@ def q421_dedup_capture_recapture(spark, sf_dir):
     on the pair key. Nothing here touches the corpus again."""
     from .dedup import q85_simhash_hamming_pairs
 
-    a = transient_persist(_tr_edges(spark, sf_dir))
-    bb = q85_simhash_hamming_pairs(spark, sf_dir).select(
-        F.least("doc_a", "doc_b").alias("lo"),
-        F.greatest("doc_a", "doc_b").alias("hi"),
-    ).distinct()
-    ma = a.count()
-    mb = bb.count()
-    r = a.join(bb, ["lo", "hi"], "left_semi").count()
-    chap_milli = (1000 * (ma + 1) * (mb + 1)) // (r + 1) - 1000
-    # coverage of the union detector vs the Chapman estimate
-    union_pairs = ma + mb - r
-    cov_milli = (
-        (1_000_000 * union_pairs) // chap_milli if chap_milli else None
+    a = _tr_edges(spark, sf_dir)  # localCheckpointed: lineage-free
+    bb = transient_persist(
+        q85_simhash_hamming_pairs(spark, sf_dir)
+        .select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .distinct()
     )
-    return spark.createDataFrame(
-        [(ma, mb, r, chap_milli, cov_milli)],
-        "m_lsh long, m_simhash long, r_both long,"
-        " chapman_milli long, union_coverage_milli long",
+    # One lazy plan instead of three driver count() actions (the q416
+    # r9 lesson: per-action plan processing dominated these bounded
+    # scalar queries); the three 1-row aggregates broadcast-cross into
+    # the Chapman arithmetic as integer exprs (DIV = trunc, matching
+    # the Python // both counts being nonnegative).
+    ca = a.agg(F.count(F.lit(1)).alias("m_lsh"))
+    cb = bb.agg(F.count(F.lit(1)).alias("m_simhash"))
+    cr = (
+        a.join(bb, ["lo", "hi"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("r_both"))
+    )
+    return (
+        ca.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(cr))
+        .select(
+            "m_lsh",
+            "m_simhash",
+            "r_both",
+            F.expr(
+                "(1000 * (m_lsh + 1) * (m_simhash + 1)) DIV (r_both + 1)"
+                " - 1000"
+            ).alias("chapman_milli"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("chapman_milli") != 0,
+                F.expr(
+                    "(1000000 * (m_lsh + m_simhash - r_both))"
+                    " DIV chapman_milli"
+                ),
+            ).alias("union_coverage_milli"),
+        )
     )
 
 
