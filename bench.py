@@ -135,17 +135,17 @@ def main() -> int:
     # (release_transients() clears only per-query transients; the
     # shared_stage cache it leaves alone is exactly what must stay
     # warm.)
-    if "q46_lsh_verified_jaccard" in QUERIES:
+    for fixture in ("q46_lsh_verified_jaccard", "q85_simhash_hamming_pairs"):
+        # q46 materializes the minhash/LSH/verified-pairs chain; q85
+        # the simhash sketch + banded-pairs tables (q421 sorts before
+        # q42-q85 and would otherwise absorb them).
+        if fixture not in QUERIES:
+            continue
         try:
-            run_one(
-                "q46_lsh_verified_jaccard",
-                QUERIES["q46_lsh_verified_jaccard"],
-                spark,
-                sf_dir,
-            )
-            log("warmup shared LSH/shingle fixtures done (unrecorded)")
+            run_one(fixture, QUERIES[fixture], spark, sf_dir)
+            log(f"warmup shared fixture {fixture} done (unrecorded)")
         except Exception as exc:  # noqa: BLE001 - warmup must never abort
-            log(f"WARN shared-fixture warmup: {exc}")
+            log(f"WARN shared-fixture warmup {fixture}: {exc}")
         finally:
             release_transients()
 

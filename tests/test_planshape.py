@@ -52,11 +52,17 @@ ALLOWED_DRIFT: dict[str, str] = {
     # form returned an eagerly-collected LocalTableScan.
     "q416_neardup_transitivity":
         "r9: single lazy plan replaces 3 eager counts (8.3s -> 1.6s)",
-    # r9: q421's edge list inherits _tr_edges' localCheckpoint (its
-    # audited shape stays a LocalTableScan; listed in case counter
-    # noise from the checkpoint shows up).
+    # r9: q421 rewritten from three driver count() actions to one
+    # lazy plan (broadcast scalar merge), so its audited shape goes
+    # from the eager LocalTableScan (all zeros) to real operators.
     "q421_dedup_capture_recapture":
-        "r9: _tr_edges lineage cut via localCheckpoint",
+        "r9: single lazy plan replaces 3 eager counts (6.6s -> 1.7s)",
+    # r9: q432's sparse-design guard (ADVICE r8) densifies the
+    # observed judges x weekdays grid with y=0 before ranking - the
+    # distinct-judges x distinct-weekdays build and the left join
+    # back add bounded (<= 140-row) joins/exchanges.
+    "q432_kendalls_w_weekday":
+        "r9: judge x weekday grid densified with y=0 (sparse guard)",
 }
 
 
