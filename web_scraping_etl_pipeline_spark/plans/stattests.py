@@ -3483,11 +3483,20 @@ def q429_page_hinkley(spark, sf_dir):
 #: B = 1 - (k-3) * (MSW/m) / sum((ybar_g - ybar)^2), assembled from
 #: the q423 integer sums: sum sq dev of group means =
 #: (k*A - T^2) / (k*m^2); MSW = (Q - A/m) / (k(m-1)).
+#: B = 1 - (k-3)(MSW/m) / sum_g (ybar_g - grand)^2. The deviation sum
+#: clears to (k*a - tt^2)/(k*m^2): sum ybar_g^2 - k*grand^2 with
+#: grand = tt/(km). (r9 bug fix, caught by the brute-force reference
+#: test: the original string divided tt^2 by k, i.e. subtracted
+#: grand^2 instead of k*grand^2, inflating the denominator ~k-fold
+#: and reporting B ~ 1 (no shrinkage) on noise-dominated data where
+#: its own sibling q423 measures ICC ~ 0. Both engines shared the
+#: string, so the oracle twin agreed with the wrong math - exactly
+#: the q393-Friedman bug class VERDICT r8 item 2 flagged.)
 _JS_B = (
     "(1.0 - (CAST(k AS DOUBLE) - 3.0)"
     " * ((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / m)"
     " / (CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) / m)"
-    " / ((CAST(k AS DOUBLE) * a - CAST(tt AS DOUBLE) * tt / k)"
+    " / ((CAST(k AS DOUBLE) * a - CAST(tt AS DOUBLE) * tt)"
     " / (CAST(k AS DOUBLE) * m * m)))"
 )
 _JS_BPLUS = f"(CASE WHEN {_JS_B} > 0.0 THEN {_JS_B} ELSE 0.0 END)"
