@@ -3067,9 +3067,9 @@ _ORACLE_REG["q440_neardup_split_leakage"] = ORACLE_Q440
            CAST(SUM(b.ntok) AS BIGINT) AS tokens_total,
            CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN b.ntok
                     ELSE 0 END) AS BIGINT) AS tokens_kept,
-           (1000 * (SUM(b.ntok) - SUM(CASE WHEN b.doc_id = k.keep_id
-                                      THEN b.ntok ELSE 0 END)))
-             // SUM(b.ntok) AS savings_milli
+           CAST((1000 * (SUM(b.ntok) - SUM(CASE WHEN b.doc_id = k.keep_id
+                                           THEN b.ntok ELSE 0 END)))
+                // SUM(b.ntok) AS BIGINT) AS savings_milli
     FROM base b JOIN keep k USING (h)
     GROUP BY b.source
     """,
