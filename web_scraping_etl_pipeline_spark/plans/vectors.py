@@ -1123,6 +1123,14 @@ def q306_kmeans_lloyd(spark, sf_dir):
                 "cluster",
                 F.array(*[f"c{d}" for d in range(1, DIM + 1)]).alias("c"),
             )
+            # Lineage cut on the k-ROW centroid frame (the q416/q177
+            # lesson): lazily-chained rounds made round r's ANALYSIS
+            # re-walk a plan containing every earlier round - measured
+            # ~6 s of driver-side construction at 3 rounds before any
+            # executor ran. Checkpointing 4 rows per round costs three
+            # tiny jobs and keeps each round's plan flat; the values
+            # (and the oracle) are unchanged.
+            .localCheckpoint(eager=True)
         )
     sizes = assigned.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_members")
@@ -1596,6 +1604,13 @@ def q349_pq_codebooks(spark, sf_dir):
                         *[f"c{d}" for d in range(1, _PQ_SUBD + 1)]
                     ).alias("c"),
                 )
+                # NO per-round localCheckpoint here, deliberately: the
+                # q306 lineage cut was measured on THIS loop too and
+                # made it SLOWER (5.3 s -> 6.6 s warm) - eager
+                # checkpoints serialize the _PQ_M subspace branches
+                # that the single lazy plan lets Spark schedule in
+                # parallel. The q306 fix pays only on single-chain
+                # loops.
             )
         sizes = assigned.groupBy("code").agg(
             F.count("*").cast("long").alias("n_members")
