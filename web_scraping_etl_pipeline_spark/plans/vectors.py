@@ -1860,7 +1860,11 @@ def q360_dbscan_grid(spark, sf_dir):
                     F.coalesce(F.col("plabel"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: the convergence agg below is the round's
+            # materializing action, so checkpoint + convergence check
+            # share ONE job instead of two (r9: halved the loop's
+            # per-round driver actions; lineage is still cut).
+            .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
