@@ -738,7 +738,10 @@ def _build_dedup_clusters(spark, sf_dir):
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: the convergence agg is the materializing
+            # action (one job per round instead of two - the q360 r9
+            # device); lineage is still cut.
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
