@@ -1,6 +1,7 @@
 """Twelfth batch of independent brute-force references: q297
 (Fellegi-Sunter), q324 (LSH S-curve sweep), q342 (order-independent
-digest). Independent-math coverage: 98 operators."""
+digest), q348 (epoch allocation), q333 (negative-sampling table).
+Independent-math coverage: 100 operators."""
 
 from __future__ import annotations
 
@@ -177,3 +178,77 @@ def test_q342_digest_matches_direct_fold(spark):
         assert row["n_rows"] == nr
         assert row["digest1"] == d1 % mod
         assert row["digest2"] == d2 % mod
+
+
+# ---------------------------------------------------------------------------
+# q348 data-constrained epoch allocation
+# ---------------------------------------------------------------------------
+
+
+def test_q348_epoch_allocation_matches_direct_greedy(spark):
+    rows = {r["source"]: r for r in _q(spark, "q348_epoch_allocation").collect()}
+    docs = _pdf("documents", "source, text")
+    toks: dict[str, int] = {}
+    for g, text in zip(docs["source"], docs["text"]):
+        toks[g] = toks.get(g, 0) + len(re.split(r"\s+", text.strip().lower()))
+    budget = 2 * sum(toks.values())
+    cand = sorted(
+        (
+            (epoch, -t, g, t, _tdiv(t * 1000, 1 << (epoch - 1)))
+            for g, t in toks.items()
+            for epoch in range(1, 5)
+        )
+    )
+    cum = 0
+    acc: dict[str, list[int]] = {g: [0, 0, 0, 0] for g in toks}
+    # [epochs_full, partial_tokens, repeat_tokens, effective_value_m]
+    for epoch, _, g, t, value_m in cand:
+        cum += t
+        if cum <= budget:
+            got = t
+        elif cum - t < budget:
+            got = budget - (cum - t)
+        else:
+            got = 0
+        a = acc[g]
+        if got == t:
+            a[0] += 1
+        elif got > 0:
+            a[1] += got
+        a[2] += got
+        a[3] += _tdiv(got * value_m, t)
+    for g, (full, part, rep, val) in acc.items():
+        row = rows[g]
+        assert row["tokens"] == toks[g]
+        assert row["epochs_full"] == full
+        assert row["partial_tokens"] == part
+        assert row["repeat_tokens"] == rep
+        assert row["effective_value_m"] == val
+
+
+# ---------------------------------------------------------------------------
+# q333 unigram^0.75 negative-sampling table
+# ---------------------------------------------------------------------------
+
+
+def test_q333_negative_sampling_matches_direct_table(spark):
+    rows = {r["rank"]: r for r in _q(spark, "q333_negative_sampling_table").collect()}
+    docs = _pdf("documents", "text")
+    cnt: dict[str, int] = {}
+    for text in docs["text"]:
+        for tk in re.split(r"\s+", text.strip().lower()):
+            cnt[tk] = cnt.get(tk, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:256]
+    w = [
+        (term, f, math.floor(math.sqrt(f) * math.sqrt(math.sqrt(f)) * 1e6))
+        for term, f in top
+    ]
+    z = sum(x for _, _, x in w)
+    cum = 0
+    for rank, (term, f, wu) in enumerate(w, start=1):
+        cum += wu
+        row = rows[rank]
+        assert row["term"] == term
+        assert row["freq"] == f
+        assert row["prob"] == pytest.approx(wu / z, abs=1e-6)
+        assert row["cum_prob"] == pytest.approx(cum / z, abs=1e-6)
