@@ -190,14 +190,24 @@ def main() -> int:
     med0 = _median(timings)
     reruns: dict[str, list[float]] = {}
     if prev_norm and med0:
-        suspects = sorted(
+        all_suspects = sorted(
             (
                 n for n, v in timings.items()
                 if v >= 0 and prev_norm.get(n, 0) > 0
                 and (v / med0) / prev_norm[n] > RERUN_RATIO
             ),
             key=lambda n: -(timings[n] / med0) / prev_norm[n],
-        )[:MAX_RERUNS]
+        )
+        suspects = all_suspects[:MAX_RERUNS]
+        if len(all_suspects) > MAX_RERUNS:
+            # ADVICE r9: a real regression coinciding with a burst of
+            # >MAX_RERUNS suspects would otherwise be silently
+            # un-retimed; make the truncation visible in the log.
+            log(
+                f"WARN rerun list truncated: {len(all_suspects)} "
+                f"suspects > MAX_RERUNS={MAX_RERUNS}; "
+                f"un-retimed: {all_suspects[MAX_RERUNS:]}"
+            )
         for n in suspects:
             try:
                 again = round(run_one(n, QUERIES[n], spark, sf_dir), 3)

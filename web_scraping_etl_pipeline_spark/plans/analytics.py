@@ -3218,13 +3218,13 @@ def q346_ses_forecast(spark, sf_dir):
     series with one-step-ahead forecast error - the level-tracking
     baseline behind every ops dashboard's "expected volume" line and
     the anomaly denominator q254/q260 compare against. SES's
-    recursion s_t = y_t/2 + s_{{t-1}}/2 unrolls to the closed form
-    s_t = sum_k y_{{t-k}}/2^(k+1) + y_0/2^(t-t0), so no sequential
+    recursion s_t = y_t/2 + s_{t-1}/2 unrolls to the closed form
+    s_t = sum_k y_{t-k}/2^(k+1) + y_0/2^(t-t0), so no sequential
     scan is needed: the whole fit is one bounded self-join.
 
     Exactness - the DYADIC trick: alpha = 1/2 makes every term
     ``(y * 1e6) >> (k+1)`` an exact integer floor; the sum is bigint
-    (order-independent), and the {_SES_MAXLAG}-lag truncation drops
+    (order-independent), and the 40-lag truncation drops
     only terms that integer-shift to zero at micro resolution anyway.
     Unlike float SES, two engines (or two partitionings) can NEVER
     disagree - the q341 pure-bigint discipline applied to a time
@@ -3233,7 +3233,7 @@ def q346_ses_forecast(spark, sf_dir):
     Scale: the daily frame is CALENDAR-bounded (one row per day); the
     lag self-join is a banded non-equi join on that bounded aggregate
     (the q327/q336 adjudicated-BNLJ discipline) with fan-in capped at
-    {_SES_MAXLAG}; MAE is a 1-row fold. The fact-sized work is one
+    40; MAE is a 1-row fold. The fact-sized work is one
     groupBy(day)."""
     daily = transient_persist(
         t(spark, sf_dir, "events")
@@ -3375,7 +3375,7 @@ def q351_zone_map_pruning(spark, sf_dir):
     (parquet row-group stats, Delta/Iceberg file skipping, the q117
     z-order key): a chunk whose ``max_ship < cutoff`` is provably
     predicate-free and never leaves the metadata layer. Chunks are
-    {_ZONE_ORDERKEYS}-orderkey ranges - the ingest-ordered layout - so
+    512-orderkey ranges - the ingest-ordered layout - so
     the audit also REVEALS the date-vs-orderkey correlation: high
     prune fractions mean time-correlated keys, low ones mean a
     z-order/sort would pay for itself.
@@ -3387,7 +3387,7 @@ def q351_zone_map_pruning(spark, sf_dir):
     combine emitting (cnt, max_ship) per chunk - exactly the metadata
     a real table format already maintains, i.e. at 100 TB this query
     reads statistics, not data. The cutoff grid is a
-    {len(_ZONE_CUTOFFS)}-literal constant frame broadcast against the
+    14-literal constant frame broadcast against the
     chunk aggregate; the final rollup groups by cutoff over
     |chunks| x |cuts| bounded rows."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
@@ -3706,7 +3706,7 @@ _CHURN_K = 5
     """,
 )
 def q378_topk_churn(spark, sf_dir):
-    """DAY-OVER-DAY TOP-{_CHURN_K} CHURN of the hottest item ids (the
+    """DAY-OVER-DAY TOP-5 CHURN of the hottest item ids (the
     ``props.k`` payload): for each day, how much of yesterday's
     trending set survives - n_common and the Jaccard
     c / (2k - c). The stability audit behind any "trending" feature
@@ -3817,7 +3817,7 @@ _HW_P = 7
     """,
 )
 def q380_holt_winters(spark, sf_dir):
-    """ADDITIVE HOLT-WINTERS (level + trend + period-{_HW_P}
+    """ADDITIVE HOLT-WINTERS (level + trend + period-7
     seasonality, alpha = beta = gamma = 1/2) of the daily event
     series - the third member of the exponential-smoothing family
     (SES q346, Holt q357) and the one that fits real ops traffic:
@@ -3825,7 +3825,7 @@ def q380_holt_winters(spark, sf_dir):
     adaptively, and |y - (l + b + s)| is the deseasonalized anomaly
     residual. Warm-up: level = mean of the first week (floor micro),
     trend = 0, seasonals = first-week deviations; smoothing starts at
-    step {_HW_P} + 1.
+    step 7 + 1.
 
         l_t = (y_t - s_(t-p))/2 + (l_(t-1) + b_(t-1))/2
         b_t = (l_t - l_(t-1))/2 + b_(t-1)/2
@@ -3833,12 +3833,12 @@ def q380_holt_winters(spark, sf_dir):
 
     Exactness: the recursion runs literally in integer micro-units
     with the engines' shared truncating division (the q357
-    discipline); the seasonal state is a rolling {_HW_P}-slot integer
+    discipline); the seasonal state is a rolling 7-slot integer
     vector, carried as a LIST in the recursive-CTE oracle and as a
     Python deque in the driver loop. Engines cannot disagree.
 
     Scale: the fact-sized work is ONE groupBy(day); the recursion
-    runs on the CALENDAR-bounded daily aggregate ({_HW_P}+2 bigints
+    runs on the CALENDAR-bounded daily aggregate (7+2 bigints
     of state - the q177/q357 bounded-driver class) and ships back as
     a literal frame."""
     daily = (
@@ -3918,8 +3918,8 @@ _HAAR_LEVELS = 5
 )
 def q384_haar_energy(spark, sf_dir):
     """UNNORMALIZED HAAR WAVELET energy decomposition of the daily
-    event series (levels 1..{_HAAR_LEVELS} over the dyadic
-    {_HAAR_SPAN}-day span): the level-l detail coefficient of each
+    event series (levels 1..5 over the dyadic
+    32-day span): the level-l detail coefficient of each
     2^l-day block is (first-half sum) - (second-half sum), so
     per-level ENERGY localizes variation by time scale - level 1
     energy = day-to-day jitter, level 3 = intra-week shifts
@@ -3935,8 +3935,8 @@ def q384_haar_energy(spark, sf_dir):
 
     Scale: one groupBy(day) collapses the fact; the coefficient
     relation is the calendar-bounded daily aggregate crossed with a
-    {_HAAR_LEVELS}-row level grid (bounded-frame class) and
-    re-grouped - {_HAAR_SPAN} x {_HAAR_LEVELS} rows, constant at any
+    5-row level grid (bounded-frame class) and
+    re-grouped - 32 x 5 rows, constant at any
     corpus size."""
     daily = (
         t(spark, sf_dir, "events")
@@ -4178,7 +4178,7 @@ _LB_Q = (
     """,
 )
 def q402_ljung_box(spark, sf_dir):
-    """LJUNG-BOX PORTMANTEAU test over lags 1..{_LB_LAGS} of the
+    """LJUNG-BOX PORTMANTEAU test over lags 1..10 of the
     daily event-count series: q336 reports the per-lag ACF values;
     this collapses them into the single omnibus Q = n(n+2) sum
     r_k^2/(n-k) that answers "is there ANY serial structure left?" -
@@ -4197,7 +4197,7 @@ def q402_ljung_box(spark, sf_dir):
     Scale: identical to q336 - the fact collapses to the CALENDAR-
     bounded daily aggregate, the lag stage is a broadcast non-equi
     self-join of that ~|days|-row frame (q327 adjudicated-BNLJ
-    class), and everything after is {_LB_LAGS}-row arithmetic."""
+    class), and everything after is 10-row arithmetic."""
     daily = transient_persist(
         t(spark, sf_dir, "events")
         .groupBy(
@@ -4345,7 +4345,7 @@ def q401_session_overlap_join(spark, sf_dir):
 
     Exactness: all interval arithmetic is epoch-micro bigint; overlap
     duration LEAST(a.s1, b.s1) - b.s0 is integer; counts/sums are
-    integer folds; top-{_IVJ_TOPK} orders by (count DESC, user_a,
+    integer folds; top-15 orders by (count DESC, user_a,
     user_b) - fully deterministic."""
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.col("ts_us").alias("t")

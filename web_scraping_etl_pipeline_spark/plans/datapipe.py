@@ -592,7 +592,7 @@ _GATE_PCT = 0.75
 )
 def q214_quality_percentile_gate(spark, sf_dir):
     """Corpus-relative quality gate: documents must beat the corpus's
-    exact {_GATE_PCT:.0%} quality percentile (quality = distinct-token
+    exact 75% quality percentile (quality = distinct-token
     ratio, integerized to milli-units so the percentile is engine-exact),
     reported as per-source survival rates - the "keep the best quartile,
     see which domains die" audit run before committing a filter
@@ -879,7 +879,7 @@ def q219_incremental_lsh_dedup(spark, sf_dir):
     = 0, ~10%) is probed against the standing LSH index of the already
     -admitted corpus (the other 90%) - new documents band-join ONLY
     against the index, candidate hits are verified by MinHash signature
-    agreement (>= {_INC_AGREE_T:.0%}), and each new document reports
+    agreement (>= 50%), and each new document reports
     whether it duplicates an indexed one and which. This is the shape a
     production corpus actually runs daily: the index is a materialized
     table maintained across batches, and admission cost scales with the
@@ -1103,11 +1103,11 @@ _PREFIX_MIN_DOCS = 2
 )
 def q222_boilerplate_prefixes(spark, sf_dir):
     """Shared-prefix boilerplate audit: documents from the same source
-    opening with an identical {_PREFIX_N}-token prefix (hashed) are
+    opening with an identical 2-token prefix (hashed) are
     template suspects - scraped navigation headers, legal banners, and
     feed intros all present exactly this signature, and C4-style
     cleaning strips them before tokenization. Flags every document in a
-    prefix group of >= {_PREFIX_MIN_DOCS}.
+    prefix group of >= 2.
 
     Scale: prefix hashing is a pure map stage (a 2-token slice, never
     the whole text), the group census is a (source, prefix)-keyed
@@ -1180,15 +1180,15 @@ def q226_dsir_importance(spark, sf_dir):
     """DSIR-style importance weighting (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
     every document by the average hashed-unigram log-likelihood ratio
-    between a TARGET distribution (here the '{_DSIR_TARGET_LANG}'
+    between a TARGET distribution (here the 'en'
     subset standing in for the quality reference) and the RAW corpus,
-    with add-one smoothing over {_DSIR_B} hash buckets. High scores
+    with add-one smoothing over 1024 hash buckets. High scores
     mean "this raw document looks like the target domain" - the
     resampling weight modern corpus curation actually uses upstream of
     every quality filter.
 
     Scale: one token explode (bucket ids only cross the shuffle), a
-    {_DSIR_B}-row feature-count aggregate with map-side partials whose
+    1024-row feature-count aggregate with map-side partials whose
     corpus totals are windows over that BOUNDED frame, broadcast back
     onto the token stream, one doc aggregate. Linear, two shuffles,
     no text movement."""
@@ -1253,7 +1253,7 @@ _BPE_TOP = 20
 )
 def q227_bpe_merge_step(spark, sf_dir):
     """ONE BPE merge step over the corpus: count every adjacent token
-    pair and return the top {_BPE_TOP} merge candidates - the inner
+    pair and return the top 20 merge candidates - the inner
     loop of byte-pair-encoding tokenizer training, which at corpus
     scale is exactly this distributed job run per merge round. (Real
     BPE re-tokenizes between rounds; each round is this same
@@ -1262,7 +1262,7 @@ def q227_bpe_merge_step(spark, sf_dir):
     Scale: pair extraction is two shifted slices zipped in codegen (the
     q42 shingle trick at width 2), the census is a vocabulary^2-bounded
     aggregate with map-side partials - Zipf makes the head tiny - and
-    the top-{_BPE_TOP} is TakeOrderedAndProject with a total
+    the top-20 is TakeOrderedAndProject with a total
     tie-break."""
     docs = t_split(spark, sf_dir, "documents")
     toks = _tokens()
@@ -1383,14 +1383,14 @@ _KL_MAX_BUCKET = 9
 )
 def q229_source_length_kl(spark, sf_dir):
     """Per-source length-distribution DIVERGENCE: KL(source || corpus)
-    over {_KL_MAX_BUCKET + 1} document-length buckets - the corpus
+    over 10 document-length buckets - the corpus
     monitoring dial that catches a source whose scrape broke (suddenly
     all stubs) or that spams one template length, before those skews
     reach the training mix. KL needs no reference labels: the corpus
     itself is the baseline.
 
     Scale: ONE (source x bucket)-keyed aggregate (bounded by
-    |sources| x {_KL_MAX_BUCKET + 1}) holds everything; the three
+    |sources| x 10) holds everything; the three
     marginals are windows over that bounded frame and the final rollup
     is per-source. The fact table is scanned once, shuffled once on
     the composite key."""
@@ -1451,7 +1451,7 @@ def q230_token_budget_fill(spark, sf_dir):
     """Greedy TOKEN-BUDGET fill: rank the corpus by quality priority
     (distinct-token ratio, integerized to milli-units for an
     engine-exact order) and admit documents in rank order until the
-    running token total would exceed {_FILL_BUDGET} - the "give me the
+    running token total would exceed 15000 - the "give me the
     best N-token training slice" operator that turns every upstream
     score (q84/q214/q226) into an actual corpus cut.
 
@@ -1591,7 +1591,7 @@ _K_LEN_BUCKET = 200
 def q236_k_anonymity(spark, sf_dir):
     """K-ANONYMITY audit: treat (source, lang, length-bucket) as the
     quasi-identifier tuple and flag every document whose combination
-    is shared by fewer than k={_K_ANON} documents - the rows a
+    is shared by fewer than k=5 documents - the rows a
     re-identification attack could single out, and the suppression /
     generalization work-list a privacy review acts on before release.
     Complements q81 (direct-identifier redaction) and q234 (erasure):
@@ -1832,7 +1832,7 @@ def q244_psi_drift(spark, sf_dir):
     corpus) and KS (q200, two-sample exact).
 
     Scale: one (source, bucket, half) aggregate, a generated
-    {_PSI_BUCKETS}-bucket spine per source (bounded explode) to
+    10-bucket spine per source (bounded explode) to
     zero-fill missing cells, per-source totals as a second tiny
     aggregate - the fact is scanned once."""
     docs = t(spark, sf_dir, "documents")
@@ -1949,10 +1949,10 @@ def _ring_sql(n_shards: int) -> str:
 )
 def q252_consistent_hash_shards(spark, sf_dir):
     """CONSISTENT-HASH shard assignment and its resharding stability:
-    documents placed on a {_CH_VNODES}-vnode hash ring with
-    {_CH_BEFORE} shards and again with {_CH_AFTER}, reporting the
+    documents placed on a 16-vnode hash ring with
+    4 shards and again with 5, reporting the
     (before, after) transition matrix - the property that makes
-    consistent hashing the resharding strategy (only ~1/{_CH_AFTER}
+    consistent hashing the resharding strategy (only ~1/5
     of keys move when a shard joins, vs ~all keys under plain modulo;
     compare q79's mod-hash split, which is the right tool only when
     the shard count never changes).
@@ -2251,9 +2251,9 @@ _EXPAND_HOPS = 2
 )
 def q263_seed_expansion(spark, sf_dir):
     """SEED EXPANSION over the near-dup graph: starting from a seed
-    set (doc_id < {_SEED_MAX_ID}, standing in for "this document was
+    set (doc_id < 10, standing in for "this document was
     found in an eval set / takedown request"), walk the q43 candidate
-    graph {_EXPAND_HOPS} hops and return every reached document with
+    graph 2 hops and return every reached document with
     its minimum hop distance - the incident-response query ("find all
     copies and near-copies of THESE") that a full q78 connected-
     components run over-answers at far higher cost.
@@ -2519,7 +2519,7 @@ def q267_distinctive_terms(spark, sf_dir):
     principled "what vocabulary sets this domain apart" report that
     raw TF-IDF (q77) distorts for rare terms: the Dirichlet prior
     shrinks low-count estimates and the variance term turns the
-    log-odds delta into a comparable z. Top {_LO_TOP} per source,
+    log-odds delta into a comparable z. Top 5 per source,
     z rounded before ranking so both engines pick identical terms.
 
     Scale: two token aggregates (per-(source, term) and per-term,
@@ -2678,7 +2678,7 @@ _COVER_K = 3
     """,
 )
 def q269_greedy_coverage(spark, sf_dir):
-    """GREEDY set-cover selection: pick {_COVER_K} documents that
+    """GREEDY set-cover selection: pick 3 documents that
     maximize cumulative distinct-shingle coverage, each pick the
     argmax of MARGINAL gain given everything already chosen (ties to
     the smaller doc_id) - the classic (1 - 1/e)-approximate
@@ -2694,7 +2694,7 @@ def q269_greedy_coverage(spark, sf_dir):
     query plan: a plan literal (F.array of lits) would re-compile and
     re-ship a growing expression tree every round, while the
     broadcast relation keeps plan size constant for any k. The oracle
-    unrolls the same greedy chain as {_COVER_K} chained CTEs - no
+    unrolls the same greedy chain as 3 chained CTEs - no
     iteration is hidden from verification."""
     from .dedup import _shingles
 
@@ -2770,7 +2770,7 @@ def q296_l_diversity(spark, sf_dir):
     """L-DIVERSITY audit (Machanavajjhala et al. 2007): for every
     quasi-identifier group (q236's source x lang x length-bucket),
     count DISTINCT sensitive values (quality-score deciles) and flag
-    groups below l={_L_DIVERSE} - the attack k-anonymity misses: a
+    groups below l=3 - the attack k-anonymity misses: a
     group can be comfortably large yet leak the sensitive attribute
     outright when every member shares one value (homogeneity attack).
     Together q236/q296 are the release-gate pair run before
@@ -2955,7 +2955,7 @@ def _bpe_train(spark, sf_dir) -> list[tuple[int, str, int]]:
 
 @query("q300_bpe_train_loop", oracle=_bpe_oracle(_BPE_ROUNDS))
 def q300_bpe_train_loop(spark, sf_dir):
-    """FULL BPE tokenizer training over the corpus: {_BPE_ROUNDS}
+    """FULL BPE tokenizer training over the corpus: 10
     merge rounds, each round counting every adjacent symbol pair
     (weighted by word frequency), merging the argmax pair corpus-wide,
     and re-tokenizing - the loop that turns q227's single merge STEP
@@ -3133,9 +3133,9 @@ _CMS_ROWS_SQL = "[" + ", ".join(str(j) for j in range(_CMS_D)) + "]"
     """,
 )
 def q302_count_min_sketch(spark, sf_dir):
-    """COUNT-MIN SKETCH frequency estimation: build a {_CMS_D} x
-    {_CMS_W} CMS over corpus term occurrences, then point-query the
-    top {_CMS_TOPK} head terms and report estimate vs exact - the
+    """COUNT-MIN SKETCH frequency estimation: build a 4 x
+    64 CMS over corpus term occurrences, then point-query the
+    top 15 head terms and report estimate vs exact - the
     mergeable fixed-size sketch every streaming frequency monitor
     ships (Cormode & Muthukrishnan 2005), complementing q151's
     Misra-Gries (candidate SET) with per-key COUNT estimates whose
@@ -3143,13 +3143,13 @@ def q302_count_min_sketch(spark, sf_dir):
 
     Scale: the sketch is built from the term CENSUS, not the raw
     occurrence stream - one corpus explode+groupBy (the same partial-
-    aggregated shuffle every term query here pays), then the {_CMS_D}
-    hash rows explode only |vocab| rows and collapse to {_CMS_D} x
-    {_CMS_W} = {_CMS_D * _CMS_W} cells. On a cluster the cells frame
+    aggregated shuffle every term query here pays), then the 4
+    hash rows explode only |vocab| rows and collapse to 4 x
+    64 = 256 cells. On a cluster the cells frame
     IS the sketch: constant-size, mergeable across shards by cell-wise
     sum (the groupBy does exactly that merge). Point queries join two
-    aggregate-derived bounded frames ({_CMS_TOPK} x {_CMS_D} probes
-    against {_CMS_D * _CMS_W} cells) - AQE broadcasts. Hashes are the
+    aggregate-derived bounded frames (15 x 4 probes
+    against 256 cells) - AQE broadcasts. Hashes are the
     suite's cross-engine md5-60bit; all counts integer-exact.
     """
     docs = t_split(spark, sf_dir, "documents")
@@ -3234,7 +3234,7 @@ def q313_dp_histogram(spark, sf_dir):
     """Differentially-private RELEASE histogram: per-source document
     counts plus Laplace(1/epsilon) noise via inverse-CDF transform -
     the release mechanism behind every DP data datasheet
-    (sensitivity 1, epsilon {_DP_EPS}), completing the governance
+    (sensitivity 1, epsilon 1.0), completing the governance
     family (k-anonymity q236, l-diversity q296, erasure q234) with the
     publishable-counts side. DETERMINISM CAVEAT (by design, for the
     oracle): the uniform draw is the md5-60bit hash of the group key,
@@ -3315,7 +3315,7 @@ _BK_K = 256
 )
 def q323_bottomk_sample_quantiles(spark, sf_dir):
     """MERGEABLE BOTTOM-K SAMPLE SKETCH for approximate quantiles:
-    keep the {_BK_K} rows with the smallest fixed content hash - a
+    keep the 256 rows with the smallest fixed content hash - a
     uniform sample that MERGES associatively (min-k of a union = min-k
     of per-shard min-ks), the property reservoir sampling lacks and
     the reason bottom-k/KMV sketches back distributed quantile and
@@ -3331,9 +3331,9 @@ def q323_bottomk_sample_quantiles(spark, sf_dir):
     percentile_disc - every output column is a BIGINT, nothing
     floats.
 
-    Scale: the sample is TakeOrderedAndProject ({_BK_K} rows per
-    partition -> {_BK_K} global, constant memory); the rank window
-    runs on the {_BK_K}-row bounded frame (adjudicated); exact
+    Scale: the sample is TakeOrderedAndProject (256 rows per
+    partition -> 256 global, constant memory); the rank window
+    runs on the 256-row bounded frame (adjudicated); exact
     quartiles are per-group sorts the 100 TB deployment would swap
     for approx_percentile with the same API shape (q149's note)."""
     s = t(spark, sf_dir, "documents").select(
@@ -3475,7 +3475,7 @@ def q332_t_closeness(spark, sf_dir):
     nearly all in the top decile still tells an attacker which
     members are high-quality. Distance is the ordered-attribute
     Earth Mover's Distance: EMD = sum_k |cumsum_k(p - q)| / (m-1)
-    over the score-decile buckets; groups past t={_T_CLOSE_MILLI}
+    over the score-decile buckets; groups past t=200
     milli-units are flagged.
 
     Exactness: the cumulative difference is kept INTEGRAL by scaling
@@ -3701,7 +3701,7 @@ def q348_epoch_allocation(spark, sf_dir):
     "Scaling Data-Constrained Language Models"): given a token budget
     of 2x the deduplicated corpus, decide how many REPEAT EPOCHS each
     source gets when the value of epoch e decays dyadically
-    (value ~ 2^-(e-1), zero past {_EP_MAX}) - the budgeting step
+    (value ~ 2^-(e-1), zero past 4) - the budgeting step
     between q293's effective-yield audit and q230's fill plan, for
     the regime where there is NOT enough unique data and repetition
     is the knob.
@@ -3719,7 +3719,7 @@ def q348_epoch_allocation(spark, sf_dir):
     order-independent by construction.
 
     Scale: one token-count aggregate per source (map-side combined)
-    is the only corpus-sized stage; the grid is |sources| x {_EP_MAX}
+    is the only corpus-sized stage; the grid is |sources| x 4
     rows and its window is an adjudicated bounded-aggregate sweep."""
     st = (
         t(spark, sf_dir, "documents")
@@ -3829,7 +3829,7 @@ _CSK_ROWS_SQL = "[" + ", ".join(str(j) for j in range(_CSK_D)) + "]"
 )
 def q371_count_sketch(spark, sf_dir):
     """COUNT-SKETCH frequency estimation (Charikar-Chen-Farach-Colton
-    2002): a {_CSK_D} x {_CSK_W} SIGNED sketch whose per-row estimate
+    2002): a 3 x 64 SIGNED sketch whose per-row estimate
     is sign(t,j) * cell(j, b(t,j)) and whose point estimate is the
     MEDIAN across rows - the two-sided-error companion to q302's
     Count-Min (whose collisions only ever INFLATE): random signs make
@@ -3839,14 +3839,14 @@ def q371_count_sketch(spark, sf_dir):
 
     Exactness: both hash families are the cross-engine md5-60bit
     device; cells are bigint signed sums (order-free); the median of
-    {_CSK_D} integers is an array-sort pick. err is two-sided by
+    3 integers is an array-sort pick. err is two-sided by
     design - pinned (vs CMS's one-sided) in pytest.
 
     Scale: the sketch builds from the term CENSUS (one corpus
-    explode+groupBy), expands |vocab| x {_CSK_D} rows, and collapses
-    to {_CSK_D * _CSK_W} mergeable cells - shard sketches merge by
+    explode+groupBy), expands |vocab| x 3 rows, and collapses
+    to 192 mergeable cells - shard sketches merge by
     cell-wise sum exactly like q302/q256. Point queries join the
-    top-{_CSK_TOPK} frame against the cells by (row, bucket)."""
+    top-15 frame against the cells by (row, bucket)."""
     docs = t(spark, sf_dir, "documents")
     census = (
         docs.select(F.explode(_tokens()).alias("term"))

@@ -1785,9 +1785,9 @@ _SUF_MIN = 6
 def q294_suffix_lcp_spans(spark, sf_dir):
     """SORTED-SUFFIX duplicate-span mining (the suffix-array pass of
     Lee et al. 2022, "Deduplicating Training Data Makes Language
-    Models Better"): every token-boundary suffix (capped at {_SUF_T}
+    Models Better"): every token-boundary suffix (capped at 12
     tokens) is globally sorted; adjacent suffixes from DIFFERENT
-    documents with a token-LCP >= {_SUF_MIN} expose maximal
+    documents with a token-LCP >= 6 expose maximal
     VARIABLE-LENGTH shared spans - the copies q205's fixed-width
     window hashing can only see at its one width, found here at any
     length up to the horizon. Adjacency in suffix order is the
@@ -1798,7 +1798,7 @@ def q294_suffix_lcp_spans(spark, sf_dir):
     sort is :func:`plans.common.global_lead` - range-partitioned with
     map-only in-partition lookahead and broadcast fringe patching,
     never a single-partition window; the LCP is a per-row expression
-    over two {_SUF_T}-token arrays (Spark's zip_with and DuckDB's
+    over two 12-token arrays (Spark's zip_with and DuckDB's
     list_zip both null-pad the shorter side, so the first-mismatch
     semantics agree engine-for-engine)."""
     base = t_split(spark, sf_dir, "documents").select(
@@ -1913,7 +1913,7 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
     are scored with per-field log-likelihood weights ln(m/u) on
     agreement and ln((1-m)/(1-u)) on disagreement, where each field's
     u-probability (random agreement rate) is estimated FROM THE DATA
-    as sum(freq^2)/n^2 and m is the {_FS_M} prior. Output is the
+    as sum(freq^2)/n^2 and m is the 0.9 prior. Output is the
     match-weight histogram (integer-rounded buckets) with average
     fields-agreed per bucket - the bimodal picture linkage reviewers
     threshold on. Complements q106 (distance-based fuzzy match) and
@@ -2075,9 +2075,9 @@ def q298_corpus_plan(spark, sf_dir):
     """THE CORPUS PLAN: one table per source folding the whole intake
     pipeline - C4/Gopher quality gate (q84's rules), exact dedup
     (min-id digest keeper), LSH near-dup drop (q43's pair table),
-    then temperature-{_PLAN_TEMP} mixture weights over the CLEAN token
+    then temperature-2.0 mixture weights over the CLEAN token
     counts and the planned token allocation under a budget of
-    {_PLAN_BUDGET_FRAC:.0%} of the post-cleaning corpus - the one
+    50% of the post-cleaning corpus - the one
     artifact a training-data lead actually signs off on, and the
     composition proof that the suite's gate/dedup/mixture primitives
     agree end to end (each stage is separately oracle-checked by
@@ -2228,7 +2228,7 @@ def q315_bradley_terry_sources(spark, sf_dir):
     """BRADLEY-TERRY strength fit over sources from pairwise quality
     duels: every LSH near-duplicate candidate pair whose two documents
     come from different sources and differ in quality score is a
-    "duel" the higher-score source wins; {_BT_ITERS} rounds of the MM
+    "duel" the higher-score source wins; 4 rounds of the MM
     algorithm (Hunter 2004) turn the win matrix into maximum-likelihood
     source strengths - the preference-modeling fit behind reward-model
     data curation and pairwise eval leaderboards, grounded here in the
@@ -2241,7 +2241,7 @@ def q315_bradley_terry_sources(spark, sf_dir):
     collapsed to a |sources|^2-bounded win matrix. The ITERATION runs
     on that bounded matrix (collected once; 20 sources = 400 cells),
     driver state O(sources) - the q269 bounded-argmax discipline. Both
-    engines round the normalized strengths to {_BT_DP}dp each round,
+    engines round the normalized strengths to 10dp each round,
     so the fixed-point iterates stay bit-identical cross-engine
     despite summation-order differences."""
     from .textops import _int_score
@@ -2377,7 +2377,7 @@ _CDC_MOD = 16
 def q322_content_defined_chunks(spark, sf_dir):
     """CONTENT-DEFINED CHUNKING dedup at token granularity: a chunk
     boundary opens wherever a token's content hash falls in a fixed
-    1/{_CDC_MOD} residue class (expected chunk ~{_CDC_MOD} tokens),
+    1/16 residue class (expected chunk ~16 tokens),
     then chunks dedup by content across the corpus - the
     rsync/LBFS/FastCDC technique that keeps chunk boundaries STABLE
     under insertions and deletions, where fixed-size blocks shift and
@@ -2565,7 +2565,7 @@ def q324_lsh_parameter_sweep(spark, sf_dir):
     MinHash signature, the S-curve collision probability
     ``1 - (1 - s^r)^b`` evaluated against the OBSERVED pair-similarity
     distribution (q44's deterministic 1-in-5 same-source sample),
-    split at the dedup threshold s >= {_SWEEP_THRESH}: expected
+    split at the dedup threshold s >= 0.5: expected
     true-pair catches vs expected below-threshold candidate load.
     This is the tuning readout run BEFORE committing an LSH config to
     a 100 TB pass - more rows per band = sharper curve = fewer false
@@ -2992,9 +2992,15 @@ def q440_neardup_split_leakage(spark, sf_dir):
         ).alias("leak_milli"),
         "n_docs",
         "n_val",
-        F.expr(
-            "(1000 * 2 * n_val * (n_docs - n_val))"
-            " DIV (n_docs * (n_docs - 1))"
+        # n_docs > 1 guard mirrors leak_milli's n_pairs > 0 (ADVICE
+        # r9): on a <=1-document input Spark's DIV would yield NULL
+        # while DuckDB's // raises, so the twins must share the guard.
+        F.when(
+            F.col("n_docs") > 1,
+            F.expr(
+                "(1000 * 2 * n_val * (n_docs - n_val))"
+                " DIV (n_docs * (n_docs - 1))"
+            ),
         ).alias("expected_milli"),
     )
 
@@ -3036,8 +3042,8 @@ ORACLE_Q440 = _LSH_CANDS_SQL + f""",
            CASE WHEN n_pairs > 0 THEN (1000 * n_cross) // n_pairs
                 END AS leak_milli,
            n_docs, n_val,
-           (1000 * 2 * n_val * (n_docs - n_val))
-             // (n_docs * (n_docs - 1)) AS expected_milli
+           CASE WHEN n_docs > 1 THEN (1000 * 2 * n_val * (n_docs - n_val))
+             // (n_docs * (n_docs - 1)) END AS expected_milli
     FROM st, dc
     """
 

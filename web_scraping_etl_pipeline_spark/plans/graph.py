@@ -425,9 +425,9 @@ def _hits_oracle() -> str:
 @query("q379_hits_hubs_authorities", oracle=_hits_oracle())
 def q379_hits_hubs_authorities(spark, sf_dir):
     """HITS (Kleinberg 1999) on the bipartite user -> item click
-    graph: {_HITS_ROUNDS} mutual-reinforcement rounds (authority =
+    graph: 4 mutual-reinforcement rounds (authority =
     sum of pointing hubs, hub = sum of pointed authorities) with
-    MAX-normalization each half-step, reporting the top-{_HITS_TOPK}
+    MAX-normalization each half-step, reporting the top-10
     of each side - the eigenvector companion to q177's PageRank
     (random-walk centrality) for "which items concentrate strong
     users' attention, and which users' attention is predictive".

@@ -126,7 +126,7 @@ _KN_PROB = (
 )
 def q317_kneser_ney_bigrams(spark, sf_dir):
     """Interpolated KNESER-NEY bigram probabilities (fixed discount
-    D={_KN_D}) for the corpus's top-{_KN_TOPN} bigrams — the smoothing
+    D=0.75) for the corpus's top-30 bigrams — the smoothing
     every production n-gram LM (KenLM-style perplexity filters) uses,
     and the missing sibling of q281's add-one bigram LM and q288's
     Good-Turing mass: the backoff weight is mass *freed by
@@ -242,7 +242,7 @@ _MWU_Z = (
     """,
 )
 def q318_mann_whitney_u(spark, sf_dir):
-    """MANN-WHITNEY U test: do '{_MWU_A}' and '{_MWU_B}' draw their
+    """MANN-WHITNEY U test: do 'src0' and 'src1' draw their
     document lengths from the same distribution? The rank-based
     two-sample test that needs no normality assumption — the robust
     sibling of q200's KS distance and q295's Wasserstein drift, and
@@ -385,7 +385,7 @@ def _lr_oracle() -> str:
 @query("q319_logreg_quality_gd", oracle=_lr_oracle())
 def q319_logreg_quality_gd(spark, sf_dir):
     """Train a LOGISTIC-REGRESSION language classifier IN-ENGINE by
-    full-batch gradient descent ({_LR_STEPS} steps, lr={_LR_RATE}):
+    full-batch gradient descent (5 steps, lr=0.5):
     predict "is English" from (document length, distinct-token ratio).
     This is the train-a-filter-model loop a data pipeline runs to
     replace hand-tuned quality thresholds (fastText-style filters),
@@ -398,12 +398,12 @@ def q319_logreg_quality_gd(spark, sf_dir):
     add/mul/div/abs, no libm exp whose last ulp differs across
     engines — and per-row gradient contributions are FLOORed to
     micro-unit BIGINTs before summation, so aggregation order cannot
-    change the total. The oracle unrolls the identical {_LR_STEPS}
+    change the total. The oracle unrolls the identical 5
     steps as a CTE chain. Final report: weights (6dp), corpus size,
     and integer-exact training accuracy.
 
     Scale: per step one scan + one 1-row aggregate collect; driver
-    state O(features). 100 TB cost = {_LR_STEPS} scans, no shuffle at
+    state O(features). 100 TB cost = 5 scans, no shuffle at
     all (the aggregate is a global reduce of 3 longs)."""
     feat = (
         t(spark, sf_dir, "documents")
@@ -731,7 +731,7 @@ def _decode_oracle() -> str:
 @query("q325_greedy_lm_decode", oracle=_decode_oracle())
 def q325_greedy_lm_decode(spark, sf_dir):
     """GREEDY DECODING from the corpus bigram LM: seed with the
-    most-frequent unigram, then {_DEC_STEPS}-1 times emit the
+    most-frequent unigram, then 12-1 times emit the
     argmax-count continuation of the previous token - the
     deterministic inference pass over the same n-gram statistics
     q317 smooths and q281 scores with, closing the LM lifecycle
@@ -743,7 +743,7 @@ def q325_greedy_lm_decode(spark, sf_dir):
     greedy TRANSITION TABLE - per history, its argmax continuation
     via min_by over a (-cnt, w2) struct (the q306 hash-argmax idiom)
     - is computed ONCE as a vocabulary-bounded aggregate of the
-    bigram census and persisted; each of the {_DEC_STEPS}-1 steps is
+    bigram census and persisted; each of the 12-1 steps is
     then a constant-cost lookup join of the previous 1-row frame
     (broadcast) against that cached table, not a re-aggregation of
     the census (the first cut re-aggregated per step: 5.6s -> this
@@ -1658,9 +1658,9 @@ def q339_adaboost_stumps(spark, sf_dir):
     Exactness — Freund & Schapire's multiplicative update done in
     PURE BIGINT: sample weights live in micro-units; the update
     factor (1-e)/e is the exact integer ratio (tw-err)/err quantized
-    by integer division to ratio_u (clamped at {_ADA_RCAP}) and
+    by integer division to ratio_u (clamped at 10000000) and
     applied as ``w*ratio_u DIV 1e6``; renormalization floor-divides
-    by ``SUM(w) DIV {_ADA_NORM}`` once the mass passes ~1e10, keeping
+    by ``SUM(w) DIV 10000000000`` once the mass passes ~1e10, keeping
     every product < 2^63 at ANY corpus size. Weighted errors are
     bigint sums (order-independent); the argmin stump is picked by a
     total order (err, feat, thr, pol), so round state is bit-exact
@@ -2255,18 +2255,18 @@ def _vit_oracle() -> str:
 @query("q359_viterbi_sessions", oracle=_vit_oracle())
 def q359_viterbi_sessions(spark, sf_dir):
     """VITERBI DECODE of a 2-state HMM (ENGAGED/IDLE) over each user's
-    first {_VIT_MAXLEN} events: the max-sum DP score of the most
+    first 12 events: the max-sum DP score of the most
     likely hidden-state path and its final state - the sequential-
     inference operator behind session-intent labeling, and the
     engine's demonstration that a SEQUENTIAL per-key DP needs no
     Python and no driver loop: the recursion folds INSIDE a row.
 
     Plan shape: events shuffle ONCE on user_id (window row-number cap
-    at {_VIT_MAXLEN}), collect_list + array_sort(struct(pos, et))
+    at 12), collect_list + array_sort(struct(pos, et))
     builds each user's bounded observation array, and the Viterbi
     recursion delta_t(s) = emit(s, x_t) + max_s'(delta(s') +
     trans(s', s)) runs as a single ``aggregate`` higher-order fold
-    over that array - interpreted, but over <= {_VIT_MAXLEN} elements
+    over that array - interpreted, but over <= 12 elements
     per row, vectorization-irrelevant. The oracle unrolls the same DP
     as a recursive CTE; emission/transition scores come from ONE
     Python table (no twin-drift).
@@ -2384,10 +2384,10 @@ def _beam_oracle() -> str:
 
 @query("q361_beam_search_decode", oracle=_beam_oracle())
 def q361_beam_search_decode(spark, sf_dir):
-    """BEAM-SEARCH DECODING (width {_BEAM_W}, {_BEAM_STEPS} levels)
+    """BEAM-SEARCH DECODING (width 2, 8 levels)
     from the corpus bigram LM - the non-greedy generalization of
-    q325: at every level the {_BEAM_W} best partial sequences expand
-    through ALL their continuations and only the top-{_BEAM_W}
+    q325: at every level the 2 best partial sequences expand
+    through ALL their continuations and only the top-2
     (score DESC, sequence ASC) survive, which recovers sequences a
     greedy walk forfeits by committing to the single local argmax.
 
@@ -2401,9 +2401,9 @@ def q361_beam_search_decode(spark, sf_dir):
 
     Scale: the bigram census and its row totals are computed once
     (vocabulary-bounded, persisted); each level is a filter of that
-    cached table on the <= {_BEAM_W} live last-tokens + a
+    cached table on the <= 2 live last-tokens + a
     TakeOrdered(2) - per-level work is branching-factor-bounded, and
-    driver state is {_BEAM_W} (sequence, score) tuples (the
+    driver state is 2 (sequence, score) tuples (the
     q177/q325 bounded-driver-loop class). The oracle unrolls the same
     levels as MATERIALIZED CTEs."""
     docs = t(spark, sf_dir, "documents")
@@ -2647,9 +2647,9 @@ def q364_permutation_test(spark, sf_dir):
     every statistic T_b is a bigint sum of signed integers
     (order-independent); the only float is the final 6dp p-value.
 
-    Scale: per-user totals are one groupBy(user); the {_PERM_B}
-    pseudo-assignments expand via a {_PERM_B}-row constant grid
-    crossed into that aggregate (each user's row is hashed {_PERM_B}
+    Scale: per-user totals are one groupBy(user); the 64
+    pseudo-assignments expand via a 64-row constant grid
+    crossed into that aggregate (each user's row is hashed 64
     times map-side, combining before the B-row shuffle). B scales the
     work linearly and is independent of corpus size."""
     ev = t(spark, sf_dir, "events")
@@ -3075,7 +3075,7 @@ _CV_K = 5
     """,
 )
 def q373_kfold_cv_mae(spark, sf_dir):
-    """{_CV_K}-FOLD CROSS-VALIDATED MAE of the OLS predictor
+    """5-FOLD CROSS-VALIDATED MAE of the OLS predictor
     (n_chars ~ n_tokens), computed the way a 100 TB deployment must:
     the corpus is scanned ONCE into per-fold moment vectors, and each
     fold's TRAINING moments are the algebraic complement
@@ -3090,8 +3090,8 @@ def q373_kfold_cv_mae(spark, sf_dir):
     division; intermediate magnitudes stay under 2^63 by dividing
     before rescaling). Everything is bigint end to end.
 
-    Scale: one groupBy(fold) for moments ({_CV_K} x 5 cells), a
-    broadcast join of the {_CV_K}-row coefficient frame back onto the
+    Scale: one groupBy(fold) for moments (5 x 5 cells), a
+    broadcast join of the 5-row coefficient frame back onto the
     scan, one groupBy(fold) fold. Two passes total, independent of
     k."""
     docs = t(spark, sf_dir, "documents")
@@ -3390,7 +3390,7 @@ _MCC_THR = 500
     """,
 )
 def q391_mcc_gate(spark, sf_dir):
-    """MATTHEWS CORRELATION COEFFICIENT of the milli-{_MCC_THR}
+    """MATTHEWS CORRELATION COEFFICIENT of the milli-500
     quality gate as a near-dup predictor: the single-threshold
     confusion matrix and its chance-corrected correlation - the
     class-imbalance-proof summary (accuracy and F1 both flatter a
@@ -3674,8 +3674,8 @@ def q394_kruskal_wallis(spark, sf_dir):
     Exactness: the q318 doubled-midrank device - per-(source, value)
     counts join the global tie table, so R2_g = sum c * (2*below +
     ct + 1) is exact bigint; the k-term sum of R2_g^2/n_g is carried
-    as (R2^2 * {_KW_M}) DIV n_g bigints (order-independent by
-    construction; truncation <= k/{_KW_M}, orders below the 6dp
+    as (R2^2 * 1000) DIV n_g bigints (order-independent by
+    construction; truncation <= k/1000, orders below the 6dp
     rounding); H is one identical expression string both engines.
 
     Scale: two hash aggregates on the fact (by value, by
@@ -3796,11 +3796,11 @@ def q395_anova_score_by_source(spark, sf_dir):
     a corpus owner reads when deciding whether "source" explains
     quality variance or the mixture is homogeneous.
 
-    Exactness: scores are exact milli bigints ({_SCORE_SQL} - integer
+    Exactness: scores are exact milli bigints (((1000 * len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))) // len(string_split_regex(trim(lower(text)), '\\s+'))) - integer
     DIV, never a float); group moments (n, sum, sum-of-squares) are
     bigint; the between-group sum of S_g^2/n_g is carried as
-    (S^2 * {_AOV_M}) DIV n bigints so SSB_q = bsum - grand and
-    SSW_q = {_AOV_M}*Q - bsum are EXACT INTEGERS on both engines
+    (S^2 * 1000) DIV n bigints so SSB_q = bsum - grand and
+    SSW_q = 1000*Q - bsum are EXACT INTEGERS on both engines
     (order-independent folds); F and eta^2 are one identical
     expression string each, rounded once.
 
@@ -3917,7 +3917,7 @@ def q396_brown_forsythe(spark, sf_dir):
     centers would float-ize every deviation.
 
     Exactness: |v - med| is bigint; the ANOVA-on-z decomposition
-    reuses the q395 (S^2 * {_AOV_M}) DIV n device, so SSB/SSW are
+    reuses the q395 (S^2 * 1000) DIV n device, so SSB/SSW are
     exact integers and W is one identical expression string.
 
     Scale: per-group value-domain aggregate + a PARTITIONED window
@@ -4022,14 +4022,14 @@ _FK_KAPPA = (
 )
 def q398_fleiss_kappa_gates(spark, sf_dir):
     """FLEISS' KAPPA agreement among THREE binary quality raters -
-    the length gate (n_chars >= {_FK_LEN}), the lexical-diversity
-    gate (milli score >= {_FK_SCORE}), and LSH near-dup membership:
+    the length gate (n_chars >= 300), the lexical-diversity
+    gate (milli score >= 460), and LSH near-dup membership:
     the m-rater generalization of q285's pairwise Cohen kappa. Near
     zero means the gates fire on essentially unrelated document sets
     (each adds real filtering signal); high kappa means the pipeline
     pays three gate evaluations for one gate's worth of information.
 
-    Exactness: per-doc positive-rating counts x in {{0..3}}; the
+    Exactness: per-doc positive-rating counts x in {0..3}; the
     agreement numerator A = sum x(x-1) + (3-x)(2-x) and marginal
     B = sum x are EXACT BIGINT folds; P-bar = A/6N, the chance
     agreement Pe = (B^2 + (3N-B)^2)/(9N^2), and kappa are one

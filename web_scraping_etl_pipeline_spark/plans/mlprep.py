@@ -1125,7 +1125,7 @@ _KAPPA_PCT = 0.75
 def q285_gate_agreement_kappa(spark, sf_dir):
     """COHEN'S KAPPA between the suite's two independent quality
     raters: the C4/Gopher rule gate (q84's keep decision) and the
-    corpus-relative percentile gate (q214's score > p{_KAPPA_PCT:.0%}
+    corpus-relative percentile gate (q214's score > p75%
     cutoff) - chance-corrected agreement, the metric annotation/eval
     ops reports where raw percent-agreement misleads (two gates that
     both keep 90% agree 81% by luck alone). Complements q266, which
@@ -1587,7 +1587,7 @@ _LB_BUCKETS = 8
 )
 def q312_length_bucketing(spark, sf_dir):
     """SEQUENCE-LENGTH BUCKETING plan: split documents into
-    {_LB_BUCKETS} equal-count buckets by token length (exact global
+    8 equal-count buckets by token length (exact global
     NTILE) and report each bucket's padding overhead if batches pad to
     the bucket max - the batching-efficiency study run before training
     (the alternative to q86's concat-and-chunk packing: bucketing
@@ -1597,7 +1597,7 @@ def q312_length_bucketing(spark, sf_dir):
     Scale: lengths are a map-stage projection; the global NTILE is
     :func:`plans.common.global_ntile` (range exchange + exact bucket
     arithmetic, no single-partition window - the q104-class fix); the
-    report is a {_LB_BUCKETS}-key aggregate with exact integer
+    report is a 8-key aggregate with exact integer
     arithmetic throughout (one IEEE division per bucket before the
     round)."""
     from .common import global_ntile
@@ -1733,12 +1733,12 @@ _BOOT_W_SQL = "CASE " + " ".join(
 )
 def q314_poisson_bootstrap(spark, sf_dir):
     """POISSON-BOOTSTRAP 95% confidence intervals for each source's
-    mean quality score: {_BOOT_B} replicates where every document's
+    mean quality score: 100 replicates where every document's
     weight in replicate b is an independent-ish Poisson(1) draw - the
     ONLY bootstrap that works at cluster scale, because it needs no
     global resample (each row computes its own weight in the map
     stage; Chamandy et al., Google 2012). The CI is the sorted
-    replicate means at positions {_BOOT_LO}/{_BOOT_HI} of {_BOOT_B}
+    replicate means at positions 3/98 of 100
     with a deterministic tie-break.
 
     Determinism/exactness: the draw is the md5-60bit hash of
@@ -1748,10 +1748,10 @@ def q314_poisson_bootstrap(spark, sf_dir):
     - the whole bootstrap is bit-identical cross-engine before the
     final 6dp round.
 
-    Scale: the replicate explode is the bootstrap's inherent x{_BOOT_B}
+    Scale: the replicate explode is the bootstrap's inherent x100
     cost, generated in-map (sequence + explode, no join); the census
     is one (source, b)-keyed partial aggregate; ranking is a
-    per-source window over {_BOOT_B} rows. Nothing global, nothing
+    per-source window over 100 rows. Nothing global, nothing
     quadratic."""
     s = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1846,7 +1846,7 @@ def q328_weighted_sample(spark, sf_dir):
     """WEIGHTED SAMPLING WITHOUT REPLACEMENT by the one-pass
     exponential-key method (Efraimidis & Spirakis 2006): each
     document draws u ~ U(0,1) from its content hash and keeps key
-    ln(u)/w (the log of u^(1/w)); the {_WS_K} LARGEST keys are
+    ln(u)/w (the log of u^(1/w)); the 64 LARGEST keys are
     exactly a weighted draw without replacement - the distributed
     sampling primitive behind quality-weighted corpus subsampling,
     where plain reservoir sampling cannot honor weights and
@@ -1863,8 +1863,8 @@ def q328_weighted_sample(spark, sf_dir):
     on doc_id makes equal keys deterministic anyway.
 
     Scale: orderBy+limit plans as TakeOrderedAndProject - each
-    partition keeps its local top-{_WS_K}, the driver merges
-    |partitions|*{_WS_K} rows; no shuffle of the corpus, no window.
+    partition keeps its local top-64, the driver merges
+    |partitions|*64 rows; no shuffle of the corpus, no window.
     This is the textbook distributed top-k reduction of A-ES (the
     q323 bottom-k shape with a weight-skewed key)."""
     w = t(spark, sf_dir, "documents").select(
@@ -2101,12 +2101,12 @@ def q331_target_encoding(spark, sf_dir):
     the row's own fold - the out-of-fold discipline that separates a
     usable categorical feature from a leaked one (a category's
     within-fold mean memorizes the fold's labels; downstream models
-    trained on it overfit invisibly). The m={_TE_M} smoothed variant
+    trained on it overfit invisibly). The m=20 smoothed variant
     shrinks sparse folds toward the global prior, the standard
     high-cardinality guard.
 
     Exactness: fold assignment is the deterministic md5 bridge mod
-    {_TE_FOLDS}; leave-fold-out sums are BIGINT subtractions of two
+    5; leave-fold-out sums are BIGINT subtractions of two
     exact integer aggregates (no per-row recomputation, no float
     sums); both divisions are the identical expression string on
     both engines, rounded once. The raw encoding NULLs (identical
@@ -2114,7 +2114,7 @@ def q331_target_encoding(spark, sf_dir):
 
     Scale: two hash aggregates - (source, fold) then its rollup to
     (source) - and one equi-join between them (|sources| x
-    {_TE_FOLDS} rows vs |sources| rows: AQE broadcasts the smaller
+    5 rows vs |sources| rows: AQE broadcasts the smaller
     side unhinted); the global prior is a 1-row frame (adjudicated
     NLJ). The heavy work is ONE map-side-combinable pass over the
     corpus; per-row encoding at apply time is a broadcast-join
@@ -2219,7 +2219,7 @@ _FH_B = 16
 )
 def q344_feature_hash_audit(spark, sf_dir):
     """FEATURE-HASHING (hashing-trick) COLLISION AUDIT: project the
-    vocabulary into a {_FH_B}-bucket signed hashed feature space
+    vocabulary into a 16-bucket signed hashed feature space
     (Weinberger et al. 2009 - the trick behind every fixed-width
     bag-of-words featurizer that cannot afford a vocabulary dict at
     100 TB) and report, per bucket-occupancy class, how many buckets
@@ -2236,7 +2236,7 @@ def q344_feature_hash_audit(spark, sf_dir):
 
     Scale: one token explode -> vocabulary-bounded term-frequency
     aggregate; hashing is a map over the VOCAB frame (never the
-    corpus); the occupancy histogram is a {_FH_B}-row aggregate and
+    corpus); the occupancy histogram is a 16-row aggregate and
     the totals ride a broadcast NLJ (adjudicated)."""
     tf = (
         t(spark, sf_dir, "documents")
@@ -2395,7 +2395,7 @@ def q365_optimal_1d_segmentation(spark, sf_dir):
     """OPTIMAL 1-D k-SEGMENTATION of the document-length distribution
     (the exact-DP counterpart of Ckmeans.1d.dp / optimal equal-
     variance binning): split the sorted n_chars value domain into
-    {_SEG_K} contiguous segments minimizing total within-segment SSE
+    4 contiguous segments minimizing total within-segment SSE
     - the principled version of the ad-hoc length buckets q312/q290
     use, and the discretizer a feature pipeline wants when quantile
     bins straddle modes. Output: per-segment [lo_x, hi_x], mass, and

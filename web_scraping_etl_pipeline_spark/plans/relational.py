@@ -2087,7 +2087,7 @@ _ERASE_MOD = 97
 )
 def q234_erasure_cascade_audit(spark, sf_dir):
     """Right-to-erasure CASCADE audit: given a deletion cohort
-    (customers with c_custkey % {_ERASE_MOD} == 0 standing in for
+    (customers with c_custkey % 97 == 0 standing in for
     filed GDPR requests), count every row that must disappear along
     the foreign-key chain customer -> orders -> lineitem - the
     pre-delete impact report a compliance pipeline signs off on before

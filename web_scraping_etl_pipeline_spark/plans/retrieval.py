@@ -103,16 +103,16 @@ _EVAL_DOTS_SQL = f"""
     """,
 )
 def q221_ann_recall(spark, sf_dir):
-    """ANN index EVALUATION: recall@{_EVAL_K} of the sign-LSH bucket
+    """ANN index EVALUATION: recall@10 of the sign-LSH bucket
     search (q51's index) against exact brute force, over
-    {_EVAL_QUERIES} held-out query vectors - the accept/reject gate
+    10 held-out query vectors - the accept/reject gate
     every approximate index must pass before it replaces exact search
     in a pipeline. Per query: how many ANN candidates were returned and
-    how many of the true top-{_EVAL_K} they recovered.
+    how many of the true top-10 they recovered.
 
     Scale: the query set is broadcast (M rows), so both the exact and
     the bucketed pass are ONE scan of the vector table with a
-    {DIM}-term codegen dot product - no pairwise shuffle. The
+    64-term codegen dot product - no pairwise shuffle. The
     per-query top lists ride a window PARTITIONED by query_id; at
     billion-vector scale with few queries the same plan holds because
     each window partition is a top-k heap over the scan's output, and
@@ -202,14 +202,14 @@ _Z_T = 3.0
 def q224_embedding_outliers(spark, sf_dir):
     """Embedding-space OUTLIER audit: per-dimension corpus mean/std,
     then every vector's per-dimension |z|; vectors with any dimension
-    beyond {_Z_T} sigma are flagged with how many dimensions deviate
+    beyond 3.0 sigma are flagged with how many dimensions deviate
     and the worst z. Catches the broken-encoder batches (NaN-adjacent
     blowups, wrong normalization, truncated inputs) that silently
     poison an ANN index. z is rounded to 4dp BEFORE thresholding so
     both engines take the same branch despite summation-order float
     noise in the stats.
 
-    Scale: the stats side is a {DIM}-row aggregate with map-side
+    Scale: the stats side is a 64-row aggregate with map-side
     partials (explode -> groupBy dim), broadcast back onto a second
     map-only pass over the vectors - no fact-sized shuffle. At 100 TB
     the explode never materializes wide: it is fused into the partial
@@ -307,18 +307,18 @@ _RRF_TERMS_SQL = ", ".join(f"'{w}'" for w in _RRF_TERMS)
 def q225_hybrid_rrf(spark, sf_dir):
     """HYBRID retrieval: lexical term-overlap ranking and vector cosine
     ranking fused by Reciprocal Rank Fusion (score = sum of
-    1/({_RRF_C}+rank) over the rankers that retrieved the doc) - the
+    1/(60+rank) over the rankers that retrieved the doc) - the
     standard BM25+ANN fusion every modern retrieval stack ships,
     here with documents and their embeddings joined by id parity
     (doc_id == vec_id, the q62 multimodal convention).
 
-    Scale: each ranker reduces to TakeOrderedAndProject (top-{_RRF_POOL}
+    Scale: each ranker reduces to TakeOrderedAndProject (top-50
     with a total tie-break) - the scale-safe per-partition-heap + merge
     Spark gives a sorted LIMIT, never a global sort. Ranks are then
-    assigned WITHIN the {_RRF_POOL}-row pools (bounded frames - the
+    assigned WITHIN the 50-row pools (bounded frames - the
     global window there is the adjudicated bounded-aggregate class),
-    the fusion is a full-outer join of two {_RRF_POOL}-row frames, and
-    the final top-{_RRF_K} is another bounded TakeOrdered."""
+    the fusion is a full-outer join of two 50-row frames, and
+    the final top-10 is another bounded TakeOrdered."""
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
     overlap = F.size(
@@ -441,17 +441,17 @@ _NDCG_K = 10
     """,
 )
 def q257_ndcg_eval(spark, sf_dir):
-    """nDCG@{_NDCG_K} of the hybrid RRF retriever (q225) against the
+    """nDCG@10 of the hybrid RRF retriever (q225) against the
     exact-cosine ground truth: each returned document's graded
-    relevance is ({_NDCG_K}+1 - its exact rank, floored at 0), the
+    relevance is (10+1 - its exact rank, floored at 0), the
     run's DCG discounts by log2(position+1), and the ideal DCG is the
     perfect ordering's constant - THE ranking-quality metric retrieval
     evaluation reports, closing the loop q221 opened for recall.
 
     Scale: the run is q225's bounded pools; ground-truth ranks are
-    needed only for the {_NDCG_K} returned docs, computed as
+    needed only for the 10 returned docs, computed as
     count-of-better over one broadcast-join scan (never a global sort
-    of the corpus); the fold to DCG is a {_NDCG_K}-row aggregate."""
+    of the corpus); the fold to DCG is a 10-row aggregate."""
     run = (
         q225_hybrid_rrf(spark, sf_dir)
         .select(
@@ -553,7 +553,7 @@ def q261_source_similarity_map(spark, sf_dir):
 
     Scale: the centroid build is one explode + (source, dim) aggregate
     with map-side partials - the only fact-sized stage; everything
-    after lives on the BOUNDED |sources| x {DIM} centroid frame, whose
+    after lives on the BOUNDED |sources| x 64 centroid frame, whose
     pairwise join is |sources|^2-bounded. At a million sources the
     pairwise stage would switch to the q47 bucket-LSH pattern over
     centroids - same code one level up."""
@@ -657,12 +657,12 @@ _BM25_K = 20
     """,
 )
 def q279_bm25_topk(spark, sf_dir):
-    """OKAPI BM25 top-{_BM25_K} for the suite's fixed lexical query -
+    """OKAPI BM25 top-20 for the suite's fixed lexical query -
     the ranking function every search/RAG lexical leg actually runs
     (q225's overlap pool is the recall-oriented candidate generator;
     BM25 is the scorer that orders it): per-term IDF in the Lucene
     +1 form times a saturating tf normalized by document length
-    against the corpus average (k1={_BM25_K1}, b={_BM25_B}).
+    against the corpus average (k1=1.2, b=0.75).
 
     Scale: term postings are filtered to the query's terms BEFORE the
     tf aggregate, so the only corpus-sized work is the token explode
@@ -797,16 +797,16 @@ def q283_rank_agreement_rbo(spark, sf_dir):
     """RANK-BIASED OVERLAP (Webber et al. 2010) between the suite's two
     rankers for the fixed information need: the lexical overlap pool
     and the cosine pool (q225's two legs), compared as truncated
-    RBO@{_RRF_POOL} with p={_RBO_P} - the top-weighted agreement
+    RBO@50 with p=0.9 - the top-weighted agreement
     measure for indefinite rankings, reported alongside q257's nDCG
     (quality vs ground truth) as the complementary "do the rankers
     even agree" diagnostic that decides whether hybrid fusion is worth
     its cost. Depth weights (1-p)p^(d-1) are driver-computed literals
     fed to BOTH engines, so no cross-engine pow() is in play.
 
-    Scale: both rank lists are bounded {_RRF_POOL}-row
+    Scale: both rank lists are bounded 50-row
     TakeOrderedAndProject pools; the agreement-at-depth profile is a
-    theta-join of a {_RRF_POOL}-row frame against a {_RRF_POOL}-row
+    theta-join of a 50-row frame against a 50-row
     literal depth table and one bounded aggregate - nothing in the
     metric ever revisits the corpus."""
     docs = t(spark, sf_dir, "documents")
@@ -938,18 +938,18 @@ def _mmr_oracle() -> str:
 @query("q284_mmr_rerank", oracle=_mmr_oracle())
 def q284_mmr_rerank(spark, sf_dir):
     """MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998)
-    diversified top-{_MMR_K}: greedily pick the candidate maximizing
+    diversified top-10: greedily pick the candidate maximizing
     0.5*relevance - 0.5*max-similarity-to-already-selected from the
-    cosine top-{_MMR_POOL} pool - the standard diversity re-ranker a
-    RAG retrieval stage runs so the context window isn't {_MMR_K}
+    cosine top-50 pool - the standard diversity re-ranker a
+    RAG retrieval stage runs so the context window isn't 10
     near-copies of the same passage (and the retrieval-side cousin of
     the SemDeDup idea in q209).
 
     Scale: the cluster does the UNBOUNDED work exactly once - the
-    corpus scan into the {_MMR_POOL}-row TakeOrdered pool and the
+    corpus scan into the 50-row TakeOrdered pool and the
     pool x pool similarity matrix - and the inherently-sequential
     greedy loop runs on the DRIVER over those two collected frames
-    ({_MMR_POOL} rels + {_MMR_POOL}^2 sims, bounded by the literal
+    (50 rels + 50^2 sims, bounded by the literal
     pool size), instead of scheduling K near-empty Spark jobs
     (measured: the 10 argmax jobs cost ~10x the actual arithmetic).
     Selection uses EXACT double scores (0.5*rel - 0.5*max_sim over
@@ -1043,7 +1043,7 @@ _HN_NEG = 5
 )
 def q299_hard_negative_mining(spark, sf_dir):
     """HARD-NEGATIVE MINING for contrastive retrieval training: per
-    held-out query, ranks {_HN_POS + 1}..{_HN_POS + _HN_NEG} of the
+    held-out query, ranks 4..8 of the
     exact similarity ordering (self excluded) - the nearest
     NON-positives - with each negative's similarity and its margin to
     the weakest positive. Random negatives are trivially separable and
@@ -1054,7 +1054,7 @@ def q299_hard_negative_mining(spark, sf_dir):
 
     Scale: the query set is a broadcast M-row frame; scoring is one
     codegen map pass over the corpus (M dots per vector); ranking is a
-    window PARTITIONED by query; output is M x {_HN_NEG} rows. Nothing
+    window PARTITIONED by query; output is M x 5 rows. Nothing
     unbounded, nothing single-partition."""
     emb = t(spark, sf_dir, "embeddings")
     qset = emb.filter(F.col("vec_id") < _EVAL_QUERIES).select(
@@ -1245,7 +1245,7 @@ _TFIDF_K = 10
     """,
 )
 def q374_tfidf_cosine_topk(spark, sf_dir):
-    """TF-IDF COSINE top-{_TFIDF_K} for the suite's fixed lexical
+    """TF-IDF COSINE top-10 for the suite's fixed lexical
     query - the classical vector-space baseline next to q279's BM25
     (BM25 saturates tf and normalizes by length; tf-idf cosine
     normalizes by the FULL document vector norm, so verbose documents

@@ -868,7 +868,7 @@ _CCF_R = (
 )
 def q409_ccf_volume_reach(spark, sf_dir):
     """LAGGED CROSS-CORRELATION between daily event VOLUME and daily
-    unique-user REACH at lags 0..{_CCF_MAXLAG}: does a volume spike
+    unique-user REACH at lags 0..5: does a volume spike
     lead a reach spike (new users arriving) or lag it (existing users
     deepening)? The lead/lag structure q307's same-day correlation
     matrix cannot see, and the readout that decides which series is
@@ -1702,7 +1702,7 @@ _NEY_W = (
     """,
 )
 def q415_neyman_allocation(spark, sf_dir):
-    """NEYMAN-OPTIMAL ALLOCATION of a {_NEY_TOTAL}-doc evaluation
+    """NEYMAN-OPTIMAL ALLOCATION of a 10000-doc evaluation
     sample across the language strata: n_h proportional to n_h * S_h,
     so variable strata get proportionally MORE slots than uniform
     ones — the variance-minimizing refinement of q82's proportional
@@ -1794,20 +1794,31 @@ def _tr_edges(spark, sf_dir):
     driver-side plan processing on a 256-row relation (r9 measurement).
     The checkpoint truncates the plan to the materialized blocks; the
     edge list is LSH-bounded, so recompute-on-executor-loss is a
-    non-issue at any scale."""
+    non-issue at any scale.
+
+    Memoized through ``shared_stage`` (ADVICE r9): q416, q421 and
+    q440 all consume this frame, and an unmemoized eager checkpoint
+    would re-materialize the identical edge list three times per
+    session while retaining every copy's blocks for the session
+    lifetime (``release_transients`` cannot unpersist checkpoint
+    blocks). One checkpoint per (applicationId, sf_dir) instead."""
+    from .common import shared_stage
     from .dedup import q46_lsh_verified_jaccard
 
-    v = q46_lsh_verified_jaccard(spark, sf_dir).filter(
-        F.col("jaccard") >= _TR_THRESHOLD
-    )
-    return (
-        v.select(
-            F.least("doc_a", "doc_b").alias("lo"),
-            F.greatest("doc_a", "doc_b").alias("hi"),
+    def build():
+        v = q46_lsh_verified_jaccard(spark, sf_dir).filter(
+            F.col("jaccard") >= _TR_THRESHOLD
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        return (
+            v.select(
+                F.least("doc_a", "doc_b").alias("lo"),
+                F.greatest("doc_a", "doc_b").alias("hi"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return shared_stage(spark, sf_dir, "tr_edges", build)
 
 
 @query(
@@ -1835,7 +1846,10 @@ def q416_neardup_transitivity(spark, sf_dir):
     work is |edges|-bounded, never corpus-quadratic; the wedge
     fan-out is sum of deg^2 over near-dup clusters, bounded by the
     verified-cluster sizes the collapse would touch anyway."""
-    e = transient_persist(_tr_edges(spark, sf_dir))
+    # shared_stage-memoized + checkpointed already; re-registering it
+    # as a transient would let release_transients() unpersist a frame
+    # the session cache still hands out (ADVICE r9).
+    e = _tr_edges(spark, sf_dir)
     adj = e.select(
         F.col("lo").alias("x"), F.col("hi").alias("y")
     ).union(e.select(F.col("hi").alias("x"), F.col("lo").alias("y")))
@@ -2439,8 +2453,12 @@ def q421_dedup_capture_recapture(spark, sf_dir):
         )
         .select(
             "*",
+            # literally the oracle's CASE WHEN chapman_milli > 0
+            # (ADVICE r9): != 0 was equivalent only via the
+            # nonnegativity argument (r_both <= min(m_lsh, m_simhash));
+            # the twins should share the identical predicate.
             F.when(
-                F.col("chapman_milli") != 0,
+                F.col("chapman_milli") > 0,
                 F.expr(
                     "(1000000 * (m_lsh + m_simhash - r_both))"
                     " DIV chapman_milli"
@@ -3237,7 +3255,7 @@ def q427_matryoshka_prefix_recall(spark, sf_dir):
 
     Scale: one scan per prefix (a real deployment scans once and
     slices), each a codegen dot + TakeOrdered — no shuffle beyond
-    the top-k reduce; the overlap join is {TOP_K}x{TOP_K}."""
+    the top-k reduce; the overlap join is 10x10."""
     qv = _query_vec(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
     full_top = (
@@ -3320,7 +3338,7 @@ _RC_KS = (1, 2, 3)
 )
 def q428_rich_club_density(spark, sf_dir):
     """BIPARTITE RICH-CLUB DENSITY of the user-item click graph: for
-    degree floors k = {_RC_KS}, take the users and items whose degree
+    degree floors k = (1, 2, 3), take the users and items whose degree
     EXCEEDS k and measure how densely they interconnect (realized
     rich-rich edges over possible rich-user x rich-item pairs) — the
     threshold-sweep refinement of q383's one-number assortativity: a

@@ -1990,7 +1990,7 @@ def q353_u_shaped_attribution(spark, sf_dir):
     Exactness: credit is INTEGER micro-units; the 20% middle pool
     divides by floor with the remainder handed to the earliest
     middles one micro each (deterministic in both engines), so every
-    path sums to exactly {_MTA_TOTAL} and the channel rollup is a
+    path sums to exactly 10000000 and the channel rollup is a
     bigint sum - no float until the final 6dp share.
 
     Scale: two partitioned windows (user_id, then conv_id - both

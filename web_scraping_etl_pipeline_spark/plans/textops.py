@@ -539,7 +539,7 @@ def q280_zipf_source_audit(spark, sf_dir):
     """PER-SOURCE linguistic health audit: token count, vocabulary
     size, type-token ratio (the Heaps'-law observable - vocab growth
     vs corpus growth), and the Zipf slope/r2 fitted by least squares
-    over ln(freq) ~ ln(rank) on each source's top-{_ZIPF_TOP} terms.
+    over ln(freq) ~ ln(rank) on each source's top-100 terms.
     A source whose slope is far from ~-1 or whose r2 collapses is
     boilerplate, spam, or machine-generated - the corpus-intake
     screen run before a source is admitted to a training mix.
@@ -548,7 +548,7 @@ def q280_zipf_source_audit(spark, sf_dir):
     combinable hash aggregate; ranking is a window partitioned by
     source (shuffles only the vocabulary relation, never documents);
     the regression is Spark's algebraic regr_slope/regr_r2 over
-    {_ZIPF_TOP} rows per source. Every stage partitions by source or
+    100 rows per source. Every stage partitions by source or
     term - nothing global, nothing single-partition."""
     from pyspark.sql import Window
 
@@ -1028,8 +1028,8 @@ _PMI_TOP = 20
 )
 def q305_pmi_collocations(spark, sf_dir):
     """COLLOCATION mining by pointwise mutual information: the top
-    {_PMI_TOP} adjacent word pairs whose co-occurrence beats the
-    independence expectation, gated on >= {_PMI_MIN} support - the
+    20 adjacent word pairs whose co-occurrence beats the
+    independence expectation, gated on >= 5 support - the
     statistic (Church & Hanks 1990) behind multi-word-expression
     vocabularies and phrase-aware tokenizer seeding, and the natural
     companion to q227 (which ranks by RAW count: PMI re-ranks by
@@ -1224,7 +1224,7 @@ _NEG_V = 256
 )
 def q333_negative_sampling_table(spark, sf_dir):
     """NEGATIVE-SAMPLING TABLE construction (Mikolov et al. 2013):
-    the top-{_NEG_V} vocabulary weighted by unigram frequency raised
+    the top-256 vocabulary weighted by unigram frequency raised
     to 3/4 - the exponent that lifts rare words' sampling odds
     without letting stopwords dominate - materialized as a cumulative
     inverse-CDF table: a trainer draws u ~ U(0,1) and binary-searches
@@ -1242,7 +1242,7 @@ def q333_negative_sampling_table(spark, sf_dir):
     strings rounded once.
 
     Scale: token census = one explode + hash aggregate (map-side
-    combined); the table itself is a {_NEG_V}-row limit-derived frame
+    combined); the table itself is a 256-row limit-derived frame
     (TakeOrderedAndProject), and its cumulative window is bounded by
     construction (adjudicated global window)."""
     cnt = (
@@ -1363,8 +1363,8 @@ def _textrank_oracle() -> str:
 def q341_textrank_keywords(spark, sf_dir):
     """TEXTRANK keyword extraction (Mihalcea & Tarau 2004): damped
     PageRank over the word co-occurrence graph (adjacent-token edges,
-    weight = adjacency count), {_TR_ITERS} power-iteration rounds,
-    top-{_TR_TOPN} terms — the unsupervised keyword/keyphrase signal
+    weight = adjacency count), 4 power-iteration rounds,
+    top-20 terms — the unsupervised keyword/keyphrase signal
     corpus datasheets and topic drift monitors use, and the word-graph
     sibling of q177's user-graph PageRank.
 
@@ -1470,7 +1470,7 @@ _DP_TOPN = 30
 )
 def q345_term_dispersion(spark, sf_dir):
     """GRIES' DP (deviation of proportions) dispersion for the
-    top-{_DP_TOPN} corpus terms: how unevenly each term spreads
+    top-30 corpus terms: how unevenly each term spreads
     across sources relative to the sources' token-mass shares
     (Gries 2008) - the corpus-linguistics complement of q267's
     "which terms mark a source": DP ~ 0 means the term follows the
@@ -1488,7 +1488,7 @@ def q345_term_dispersion(spark, sf_dir):
     Scale: one token explode feeds the (source, term) aggregate
     (map-side combined); the top-N term list and the |sources|-row
     marginal are both bounded frames whose cross-product grid is
-    {_DP_TOPN} x |sources| rows; absent cells are materialized by
+    30 x |sources| rows; absent cells are materialized by
     LEFT JOIN so missing-source penalties are counted, not skipped."""
     st = (
         t(spark, sf_dir, "documents")
@@ -1799,12 +1799,12 @@ def q358_apriori_triples(spark, sf_dir):
 
     Exactness: supports are exact bigint document counts (the DISTINCT
     doc-term projection makes multiplicity irrelevant); the threshold
-    is integer (({_AP_SUP_NUM} * n_docs) DIV {_AP_SUP_DEN}); only the
+    is integer ((57 * n_docs) DIV 100); only the
     final support-fraction rounds.
 
-    Scale: the candidate vocabulary is capped at the top-{_AP_VOCAB}
+    Scale: the candidate vocabulary is capped at the top-25
     document-frequency terms (deterministic tie-break), so per-doc
-    fan-out is <= C({_AP_VOCAB},3) by construction and smaller after
+    fan-out is <= C(25,3) by construction and smaller after
     the frequent-pair semi-joins - the candidates-only discipline
     (q43) applied to itemsets. All joins are equi-joins on doc_id with
     the tiny vocab/pair frames broadcast; supports combine map-side.
@@ -1956,18 +1956,18 @@ _AR_CONF_NUM, _AR_CONF_DEN = 87, 100
     """,
 )
 def q381_association_rules(spark, sf_dir):
-    """ASSOCIATION RULES {{A,B}} -> C from the q358 frequent triples:
+    """ASSOCIATION RULES {A,B} -> C from the q358 frequent triples:
     each frequent triple yields its three pair->singleton rotations,
     kept when confidence = sup(ABC)/sup(AB) clears
-    {_AR_CONF_NUM}/{_AR_CONF_DEN} - the rule-generation step that
+    87/100 - the rule-generation step that
     completes a-priori (Agrawal & Srikant 1994 part 2), with LIFT
     (confidence / P(C)) distinguishing "C follows from A,B" from "C
     is simply everywhere" - the lesson of this dense corpus, where
     high-confidence rules hover at lift ~ 1.
 
     Exactness: all supports are exact bigints; the confidence GATE is
-    the integer cross-multiplication {_AR_CONF_DEN}*sup_abc >=
-    {_AR_CONF_NUM}*sup_ant (no float threshold boundary); only the
+    the integer cross-multiplication 100*sup_abc >=
+    87*sup_ant (no float threshold boundary); only the
     two reported ratios round, once, at 6dp.
 
     Scale: supports reuse the q358 shapes (vocab-capped postings,
@@ -2132,7 +2132,7 @@ def q400_readability_profile(spark, sf_dir):
     "simple/web", "standard", and "dense/technical" mixes before
     tokenizer-fertility (q210) and quality-gate (q84) decisions. The
     corpus has no sentence delimiters, so words-per-sentence uses
-    fixed {_RD_SENT_WORDS}-word pseudo-sentences - a deterministic,
+    fixed 15-word pseudo-sentences - a deterministic,
     documented convention; the syllable terms carry the signal.
 
     Exactness: word counts, vowel-group counts (one identical regex

@@ -285,7 +285,7 @@ _PYDS_PARTS = 8
 def q246_python_datasource(spark, sf_dir):
     """Scan through a CUSTOM PYTHON DATA SOURCE (Spark 4's DataSource
     API, `sources/pyds.py`): the source plans its own InputPartitions
-    ({_PYDS_PARTS} parallel tasks), each executor-side ``read()``
+    (8 parallel tasks), each executor-side ``read()``
     yields its slice, and the result flows into ordinary Catalyst
     operators (filter + grouped aggregate) like any table. This is the
     entry surface for wrapping non-file systems (crawl frontiers,
@@ -342,7 +342,7 @@ def q247_python_stream_source(spark, sf_dir):
     ``read(start) -> (iterator, next)`` per micro-batch, with
     ``readBetweenOffsets`` replaying committed spans on recovery (the
     exactly-once recovery contract). One ``availableNow`` drain pulls
-    the full {_PYDS_STREAM_N}-row deterministic sequence into a
+    the full 5000-row deterministic sequence into a
     parquet sink (the oracle states its exact contents); the
     MULTI-RUN offset-resume behavior - repeated drains against one
     checkpoint, each advancing the cursor, no duplicates - is pinned

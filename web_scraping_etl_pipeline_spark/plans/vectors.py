@@ -506,15 +506,15 @@ def q156_quantized_rerank(spark, sf_dir):
     """Two-tier ANN search the way production vector stores run it:
     a COARSE pass scores int8-quantized vectors (the q123 grid,
     dequantized - 1 byte/dim of memory traffic instead of 4), keeps a
-    {RERANK_POOL}-candidate pool, and an EXACT rerank over full-precision
-    embeddings picks the final top-{TOP_K}.
+    50-candidate pool, and an EXACT rerank over full-precision
+    embeddings picks the final top-10.
 
     The scan-heavy stage touches only quantized codes (4x less memory
     bandwidth - at 100 TB the codes fit where the floats do not);
-    full-precision vectors are fetched for just {RERANK_POOL} rows.
+    full-precision vectors are fetched for just 50 rows.
     Candidate selection orders by ROUNDED approx score + vec_id so the
     pool is deterministic in both engines; the exact rerank makes the
-    tier-1 approximation invisible whenever the true top-{TOP_K} survive
+    tier-1 approximation invisible whenever the true top-10 survive
     the pool (the standard recall contract of quantized search)."""
     emb = t(spark, sf_dir, "embeddings")
     stats = (
@@ -813,7 +813,7 @@ def q289_embedding_isotropy(spark, sf_dir):
     one-scan screen run before trusting q50/q209-style cosine
     operators on a new embedding model.
 
-    Scale: one posexplode aggregate for per-dim sums ({DIM} x |labels|
+    Scale: one posexplode aggregate for per-dim sums (64 x |labels|
     rows) and one map-stage self-dot aggregate; the identity removes
     the O(n^2) pair enumeration entirely. The only shuffles carry
     (label, dim) partials."""
@@ -909,7 +909,7 @@ def _pi_oracle(t_rounds: int) -> str:
 @query("q303_power_iteration_pca", oracle=_pi_oracle(_PI_ROUNDS))
 def q303_power_iteration_pca(spark, sf_dir):
     """Dominant PRINCIPAL COMPONENT of the embedding matrix by power
-    iteration: {_PI_ROUNDS} rounds of v <- normalize(X^T (X v)) from
+    iteration: 6 rounds of v <- normalize(X^T (X v)) from
     the exact 1/sqrt(64) start vector, returning the 64 loadings and
     the dominant eigenvalue of X^T X (= ||u|| after the final round).
     The anisotropy axis this finds is what embedding post-processing
@@ -921,7 +921,7 @@ def q303_power_iteration_pca(spark, sf_dir):
     s = <x, v> is an unrolled 64-term codegen expression (v rides in
     as literals, the q269 broadcast-not-plan rule doesn't apply: v is
     64 doubles, constant-size), and u = X^T s is 64 partial-aggregated
-    SUMs, so the full iteration is {_PI_ROUNDS} scans with NO shuffle
+    SUMs, so the full iteration is 6 scans with NO shuffle
     beyond each aggregate's 64-value reduce. Driver state is one
     64-double vector per round (the q177/q269 bounded pattern). At
     1B vectors this is the textbook distributed power method.
@@ -997,9 +997,9 @@ def _km_dist_duck() -> str:
 
 def _km_oracle(t_rounds: int) -> str:
     """Unrolled Lloyd chain (no hidden iteration): ctr0 = the first
-    {_KM_K} vectors; a{{i}} assigns every vector to its nearest
-    ctr{{i-1}} centroid (squared L2, ties to the lower cluster id);
-    ctr{{i}} re-centers as the 7dp-rounded per-dim mean."""
+    4 vectors; a{i} assigns every vector to its nearest
+    ctr{i-1} centroid (squared L2, ties to the lower cluster id);
+    ctr{i} re-centers as the 7dp-rounded per-dim mean."""
     dist = _km_dist_duck()
     avg_list = ", ".join(
         f"ROUND(AVG(CAST(embedding[{d}] AS DOUBLE)), {_KM_DP})"
@@ -1046,9 +1046,9 @@ def _km_oracle(t_rounds: int) -> str:
 
 @query("q306_kmeans_lloyd", oracle=_km_oracle(_KM_T))
 def q306_kmeans_lloyd(spark, sf_dir):
-    """FULL k-means training (Lloyd's algorithm): {_KM_T} rounds of
+    """FULL k-means training (Lloyd's algorithm): 3 rounds of
     assign-to-nearest-centroid + re-center over the embedding table,
-    from the deterministic init (first {_KM_K} vectors), returning the
+    from the deterministic init (first 4 vectors), returning the
     final centroids (per dim) and cluster sizes. q99 ships the
     assignment STEP; this is the training LOOP - the clustering stage
     SemDeDup-style semantic dedup (q209) and IVF index construction
@@ -1056,16 +1056,16 @@ def q306_kmeans_lloyd(spark, sf_dir):
 
     Scale: the whole loop is ONE lazy plan - no driver collects at
     all. Each round is (a) a broadcast nested-loop join of the corpus
-    against the {_KM_K}-row centroid frame (aggregate/limit-derived,
+    against the 4-row centroid frame (aggregate/limit-derived,
     provably bounded - the adjudicated q99/q269 crossJoin shape), with
     the squared-L2 distance unrolled into a fixed-order codegen
     expression, (b) a per-vector window argmin (partitioned by vec_id,
     never global), (c) a groupBy re-center whose per-dim AVGs are the
-    round's only shuffle. {_KM_T} rounds = {_KM_T} scans; at 1B
+    round's only shuffle. 3 rounds = 3 scans; at 1B
     vectors this is the textbook broadcast-Lloyd with k small.
 
     Cross-engine: distances are computed in identical operation order
-    on identical doubles (centroids re-sync to {_KM_DP}dp after every
+    on identical doubles (centroids re-sync to 7dp after every
     AVG), so ASSIGNMENTS match exactly; only the AVG itself carries
     the adjudicated rounding-boundary risk."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1210,10 +1210,10 @@ _JL_SAMPLE = 32
 )
 def q334_jl_projection_distortion(spark, sf_dir):
     """JOHNSON-LINDENSTRAUSS random-projection distortion audit:
-    project the {DIM}-dim embeddings to {_JL_K} dims with a
+    project the 64-dim embeddings to 16 dims with a
     deterministic +-1 sign matrix (Achlioptas 2003's database-friendly
     construction - signs from the md5 bridge, no Gaussian needed) and
-    measure, over all pairs of a {_JL_SAMPLE}-vector probe sample,
+    measure, over all pairs of a 32-vector probe sample,
     the ratio ||y_a-y_b||^2/k over ||x_a-x_b||^2 that the JL lemma
     promises concentrates near 1. This is the go/no-go audit run
     before swapping full embeddings for cheap projections in dedup /
@@ -1230,12 +1230,12 @@ def q334_jl_projection_distortion(spark, sf_dir):
     the end, identical expression string, rounded once; the JL band
     flag compares the ROUNDED ratio.
 
-    Scale: the sign matrix is a {DIM}x{_JL_K} constant grid
+    Scale: the sign matrix is a 64x16 constant grid
     (Range-derived, broadcastable by construction); the projection
     y = R'q is ONE equi-join on dim + hash aggregate - at corpus
     scale this is the map-side pattern that projects billions of
     vectors without a shuffle of the embedding table (the grid
-    broadcasts). Pair distances run on the {_JL_SAMPLE}-vector
+    broadcasts). Pair distances run on the 32-vector
     probe frame only (~500 pairs, adjudicated bounded self-joins) -
     the full-corpus consumer of the projections is ANN, not this
     audit."""
@@ -1525,25 +1525,25 @@ def _pq_oracle() -> str:
 @query("q349_pq_codebooks", oracle=_pq_oracle())
 def q349_pq_codebooks(spark, sf_dir):
     """PRODUCT-QUANTIZATION codebook training (Jegou et al. 2011):
-    split the {DIM}-dim embedding into {_PQ_M} subspaces of
-    {_PQ_SUBD} dims and run an independent {_PQ_K}-centroid Lloyd
-    loop ({_PQ_T} rounds, deterministic first-{_PQ_K} init) in each -
+    split the 64-dim embedding into 4 subspaces of
+    16 dims and run an independent 4-centroid Lloyd
+    loop (2 rounds, deterministic first-4 init) in each -
     the quantizer that turns q54's IVF into IVF-PQ: a vector becomes
-    {_PQ_M} one-byte codes, distances become table lookups, and a
+    4 one-byte codes, distances become table lookups, and a
     100 TB embedding store shrinks ~256x. Returns every subspace's
     codebook (per-dim centroids) with cluster occupancy.
 
     Cross-engine discipline inherited from q306: distances are
-    fixed-operation-order doubles against {_KM_DP}dp-re-synced
+    fixed-operation-order doubles against 7dp-re-synced
     centroids, argmin ties break to the lower code id (min_by struct
     == ROW_NUMBER tie-break), so assignments match exactly and only
     the AVG re-center carries the adjudicated rounding-boundary risk.
 
-    Scale: the {_PQ_M} sub-loops share the SAME scans (one lazy plan;
+    Scale: the 4 sub-loops share the SAME scans (one lazy plan;
     Spark schedules the subspace branches independently); each round
-    is a broadcast NLJ against a {_PQ_K}-row aggregate-derived frame
+    is a broadcast NLJ against a 4-row aggregate-derived frame
     (adjudicated) + min_by hash argmin + groupBy re-center. No driver
-    state, no collects; codebook size is {_PQ_M}x{_PQ_K}x{_PQ_SUBD}
+    state, no collects; codebook size is 4x4x16
     by construction."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     outs = []
@@ -1730,7 +1730,7 @@ _DBSCAN_MINPTS = 5
 def q360_dbscan_grid(spark, sf_dir):
     """GRID-ACCELERATED DBSCAN (Ester et al. 1996) over the (dim0,
     dim1) projection of the embeddings: density clustering with
-    eps = {_DBSCAN_EPS} micro-units and minPts = {_DBSCAN_MINPTS} -
+    eps = 25000 micro-units and minPts = 5 -
     the density-based companion to q306's k-means (finds non-convex
     clusters, labels sparse points NOISE instead of forcing them into
     a centroid). Output: per-cluster core/border counts plus a
@@ -1981,7 +1981,7 @@ def _kcenter_oracle() -> str:
 def q362_kcenter_coreset(spark, sf_dir):
     """K-CENTER GREEDY CORESET (farthest-first traversal, Gonzalez
     1985 - the 2-approximation behind coreset data pruning a la
-    Sener & Savarese): pick {_KC_K} embedding rows such that every
+    Sener & Savarese): pick 8 embedding rows such that every
     point is close to some pick, by repeatedly taking the point
     FARTHEST from the current centers. Output: each center with the
     max-min squared distance at its selection - the COVERAGE RADIUS
@@ -1998,7 +1998,7 @@ def q362_kcenter_coreset(spark, sf_dir):
     |centers| x |points| distances per step; instead ONE per-point
     running min-distance column is maintained (persisted, updated by
     a map against the broadcast 1-row new-center frame), so each of
-    the {_KC_K} steps is one vectorized map + one TakeOrdered(1) -
+    the 8 steps is one vectorized map + one TakeOrdered(1) -
     total work O(k * N) distances, driver state O(1). This is the
     textbook distributed k-center; the oracle unrolls the same steps
     as MATERIALIZED CTEs."""
@@ -2216,20 +2216,20 @@ _LOF_TOPK = 10
     """,
 )
 def q382_lof_outliers(spark, sf_dir):
-    """LOCAL OUTLIER FACTOR (Breunig et al. 2000, k = {_LOF_K}) over
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000, k = 3) over
     the embedding micro-lattice: density-RELATIVE outlier scoring -
     a point is anomalous if its neighborhood is sparse compared to
     its neighbors' neighborhoods, which catches the boundary cases
     q224's global z-score and q360's fixed-eps noise label both
     miss (a point can be globally ordinary but locally stranded).
-    Top-{_LOF_TOPK} by LOF, ties on vec_id. Uses the algebraic
+    Top-10 by LOF, ties on vec_id. Uses the algebraic
     rearrangement LOF(p) = sreach(p)/k^2 * sum_o 1/sreach(o), which
     needs only per-node reachability SUMS, never materialized lrd
     ratios.
 
     Exactness: squared distances, k-distances, and reachability sums
     are pure bigint on the q360/q362 micro lattice; the single float
-    stage is the {_LOF_K}-term sum of reciprocals + one multiply,
+    stage is the 3-term sum of reciprocals + one multiply,
     rounded at 6dp (the q286 adjudicated class - a 1-ulp tie would
     need two LOF values within 1e-6 AND straddling the top-10 cut).
 
@@ -2237,7 +2237,7 @@ def q382_lof_outliers(spark, sf_dir):
     (the q158/q51 device - never all-pairs; kNN is "k nearest within
     bucket", the standard LSH-LOF approximation, identical on both
     engines because the bucket function is). Downstream kNN / kdist /
-    reachability algebra is per-node bounded ({_LOF_K} reach terms)."""
+    reachability algebra is per-node bounded (3 reach terms)."""
     emb = t(spark, sf_dir, "embeddings")
     qi_spark = (
         "transform(embedding,"
