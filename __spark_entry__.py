@@ -168,17 +168,44 @@ FAST_TRACK_RANGE = (300, 439)
 #: one extra round instead of starving the mandated drain).
 MIN_COHORT_SLOTS = 34
 
-#: VERDICT r8 item 7: q262 (chained stateful rewrite) and q265
-#: (timer-based sessions) were rewritten in round 7 but their driver
-#: rows predate the rewrite (r03-r06). They get a one-shot refresh
-#: slot ahead of the cohort; SELF-DEACTIVATING — once a post-rewrite
-#: driver row exists (round > REFRESH_BEFORE_ROUND) the entry no
-#: longer qualifies.
-REFRESH_QUEUE = [
-    "q262_stream_join_then_window",
-    "q265_stateful_timeout_sessions",
-]
-REFRESH_BEFORE_ROUND = 7  # rows at or before this round are pre-rewrite
+#: VERDICT r8 item 7 introduced the refresh mechanism for q262/q265
+#: (rewritten in round 7, driver rows r03-r06); both were refreshed
+#: green in r09. VERDICT r9 item 6 generalizes it: a round-10 audit
+#: diffed every query's NORMALIZED function body (docstrings
+#: stripped) between the commit of its last driver-checked round and
+#: HEAD; the 22 entries below changed after their last driver row.
+#: value = the last round whose driver row PREDATES the rewrite; an
+#: entry qualifies for a refresh slot while its last-checked round is
+#: <= that cutoff and SELF-DEACTIVATES once a post-rewrite row lands.
+#: While the q371-q439 fast-track cohort still holds >= 34 members,
+#: at most (GATE_SLOTS - core - 34) refresh entries run ahead of the
+#: cohort per round; the rest drain automatically as the cohort
+#: empties.
+REFRESH_QUEUE: dict[str, int] = {
+    # stream-stream rewrites + long-stale dedup/vector family
+    "q44_ngram_jaccard_sample": 1,
+    "q52_vector_norms": 1,
+    "q141_bloom_semi_join": 2,
+    "q146_market_share": 2,
+    "q150_decimal_revenue": 2,
+    "q45_simhash": 3,
+    "q46_lsh_verified_jaccard": 3,
+    "q47_embedding_neardup": 3,
+    "q82_stratified_sample": 3,
+    "q85_simhash_hamming_pairs": 3,
+    "q87_contamination_check": 3,
+    "q99_kmeans_assign": 3,
+    "q214_quality_percentile_gate": 4,
+    "q219_incremental_lsh_dedup": 4,
+    "q223_stream_stream_left_outer": 4,
+    "q231_quality_dup_calibration": 4,
+    "q232_stream_stream_full_outer": 4,
+    "q234_erasure_cascade_audit": 4,
+    "q252_consistent_hash_shards": 5,
+    "q267_distinctive_terms": 5,
+    "q121_neardup_rate_by_source": 6,
+    "q306_kmeans_lloyd": 8,
+}
 
 
 def _gate_order(names: list[str]) -> list[str]:
@@ -191,9 +218,11 @@ def _gate_order(names: list[str]) -> list[str]:
 
     checked = _last_checked_round()
     refresh = [
-        n for n in REFRESH_QUEUE
+        n for n, cutoff in sorted(
+            REFRESH_QUEUE.items(), key=lambda kv: (kv[1], kv[0])
+        )
         if n in names and n not in PINNED_CORE and n not in retry
-        and checked.get(n, 0) <= REFRESH_BEFORE_ROUND
+        and checked.get(n, 0) <= cutoff
     ]
 
     # Addition order = the numeric query id (q394 was added after

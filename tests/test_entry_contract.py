@@ -67,7 +67,7 @@ def test_schedule_covers_every_query_within_bounded_period(monkeypatch):
 
     # neutralize the failure fast-track + refresh for pure-schedule math
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
-    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", {})
     checked: dict[str, int] = {}
     monkeypatch.setattr(
         entry_mod, "_last_checked_round", lambda: dict(checked)
@@ -89,7 +89,7 @@ def test_never_checked_queries_lead_the_tail(monkeypatch):
     # already checked, regardless of name order.
     names = list(entry_mod.QUERIES)
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
-    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", {})
     tail = [n for n in sorted(names) if n not in entry_mod.PINNED_CORE]
     # mark everything checked except one late-alphabet victim
     victim = tail[-1]
@@ -113,7 +113,7 @@ def test_never_checked_ties_break_newest_first(monkeypatch):
     # instead of queueing behind older never-checked names.
     names = list(entry_mod.QUERIES)
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
-    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", {})
     monkeypatch.setattr(entry_mod, "_last_checked_round", dict)
     order = entry_mod._gate_order(names)
     pinned = [n for n in entry_mod.PINNED_CORE if n in names]
@@ -146,7 +146,7 @@ def test_fast_track_self_deactivates(monkeypatch):
 
     checked = {n: 8 for n in names if lo <= qid(n) <= hi}
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
-    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", [])
+    monkeypatch.setattr(entry_mod, "REFRESH_QUEUE", {})
     monkeypatch.setattr(
         entry_mod, "_last_checked_round", lambda: dict(checked)
     )
@@ -221,22 +221,54 @@ def test_failure_parser_reads_r04_artifact():
 
 
 def test_refresh_entries_slot_after_pinned_when_stale(monkeypatch):
-    # VERDICT r8 item 7: q262/q265 were rewritten in round 7 but their
-    # driver rows predate the rewrite - while that holds they consume
-    # the (capped) pre-cohort budget right after the pinned core.
+    # VERDICT r9 item 6: entries whose driver row is at or before
+    # their per-entry rewrite cutoff consume the (capped) pre-cohort
+    # budget right after the pinned core, oldest-cutoff first; the
+    # overflow queues directly behind the cohort instead of starving
+    # the >= MIN_COHORT_SLOTS mandate.
     names = list(entry_mod.QUERIES)
     monkeypatch.setattr(entry_mod, "_last_round_failures", lambda: [])
     monkeypatch.setattr(
         entry_mod,
         "_last_checked_round",
-        lambda: {n: 6 for n in entry_mod.REFRESH_QUEUE},
+        lambda: {
+            n: cutoff for n, cutoff in entry_mod.REFRESH_QUEUE.items()
+        },
     )
     order = entry_mod._gate_order(names)
     pinned = [n for n in entry_mod.PINNED_CORE if n in names]
     np = len(pinned)
-    assert order[np: np + len(entry_mod.REFRESH_QUEUE)] == (
-        entry_mod.REFRESH_QUEUE
+    expected = [
+        n for n, _ in sorted(
+            entry_mod.REFRESH_QUEUE.items(), key=lambda kv: (kv[1], kv[0])
+        )
+        if n in names
+    ]
+    budget = max(
+        0,
+        entry_mod.GATE_SLOTS - np - entry_mod.MIN_COHORT_SLOTS,
     )
+    # pre-cohort slice holds the first `budget` entries...
+    assert order[np: np + budget] == expected[:budget]
+    # ...and every remaining entry still appears before the general
+    # LRU tail (i.e. directly after the never-checked cohort).
+    import re
+
+    lo, hi = entry_mod.FAST_TRACK_RANGE
+    checked = entry_mod._last_checked_round()
+
+    def qid(n):
+        m = re.match(r"q(\d+)", n)
+        return int(m.group(1)) if m else 0
+
+    cohort_len = len([
+        n for n in names
+        if n not in entry_mod.PINNED_CORE and n not in expected
+        and n not in checked and lo <= qid(n) <= hi
+    ])
+    overflow = expected[budget:]
+    start = np + budget + cohort_len
+    assert order[start: start + len(overflow)] == overflow
 
 
 def test_refresh_self_deactivates_after_post_rewrite_row(monkeypatch):
@@ -248,8 +280,8 @@ def test_refresh_self_deactivates_after_post_rewrite_row(monkeypatch):
         entry_mod,
         "_last_checked_round",
         lambda: {
-            n: entry_mod.REFRESH_BEFORE_ROUND + 2
-            for n in entry_mod.REFRESH_QUEUE
+            n: cutoff + 1
+            for n, cutoff in entry_mod.REFRESH_QUEUE.items()
         },
     )
     order = entry_mod._gate_order(names)

@@ -295,3 +295,43 @@ def test_fact_keyed_aggregate_broadcast_flags(spark):
 
     per_source = docs.groupBy("source").count()
     assert hint_boundedness(docs.join(F.broadcast(per_source), "source")) == []
+
+
+def test_no_unadjudicated_driver_collects():
+    """VERDICT r9 item 4: every driver-materializing call site
+    (.collect/.first/.head/.toPandas/.toLocalIterator) in the engine
+    package must carry an adjudicated boundedness rationale in
+    BOUNDED_COLLECT_ALLOW - each is a latent 100 TB OOM the moment its
+    input stops being an aggregate over a bounded key domain."""
+    from tools.plan_audit import lint_driver_collects
+
+    hits = lint_driver_collects()
+    assert hits == {}, (
+        "driver collect whose input boundedness is not adjudicated - "
+        f"add a rationale to BOUNDED_COLLECT_ALLOW: {hits}"
+    )
+
+
+def test_collect_allowlist_hygiene():
+    from tools.plan_audit import stale_collect_allowlist
+
+    stale = stale_collect_allowlist()
+    assert stale == set(), f"allowlisted collect sites no longer exist: {stale}"
+
+
+def test_collect_lint_is_not_vacuous(tmp_path):
+    """The detector must fire on a fresh, unadjudicated site and must
+    attribute it to the right enclosing function."""
+    from tools.plan_audit import lint_driver_collects
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "def sneaky(df):\n"
+        "    return df.groupBy('k').count().collect()\n"
+        "\n"
+        "def fine(df):\n"
+        "    return df.select('k')\n"
+    )
+    hits = lint_driver_collects(pkg_root=str(tmp_path))
+    assert list(hits) == ["probe.py:sneaky"]
+    assert ".collect()" in hits["probe.py:sneaky"]

@@ -725,6 +725,192 @@ def partition_funnels(df) -> list[str]:
     return bad
 
 
+# ---------------------------------------------------------------------------
+# Bounded-collect lint (VERDICT r9 item 4)
+# ---------------------------------------------------------------------------
+#
+# Driver-side materialization (.collect/.first/.head/.toPandas/
+# .toLocalIterator) is the one operation the physical-plan audit cannot
+# see: it is driver code, not a plan node. Each site is fine exactly as
+# long as its input is an aggregate over a PROVABLY BOUNDED key domain
+# (calendar days, k clusters, n partitions, a 1-row scalar fold) - and
+# a latent 100 TB OOM the moment that stops being true. This lint
+# AST-scans the engine package for such call sites and requires every
+# one to carry an adjudicated rationale below; a new, unadjudicated
+# site fails tests/test_plan_audit.py until a human writes down WHY its
+# input is bounded.
+
+DRIVER_MATERIALIZE_CALLS = {
+    "collect",
+    "first",
+    "head",
+    "toPandas",
+    "toLocalIterator",
+}
+
+#: site key = "<path relative to the package>:<enclosing function>".
+#: Rationale must name the bound.
+BOUNDED_COLLECT_ALLOW: dict[str, str] = {
+    "pipeline.py:run_batch":
+        "1-row count+max batch gate (F6/A2): scalar fold of the batch",
+    "pipeline.py:run_batch_bucketed":
+        "same 1-row batch-gate scalar as run_batch",
+    "plans/analytics.py:q75_unpivot_roundtrip":
+        "distinct event_type list: bounded by the 5-value type domain",
+    "plans/analytics.py:q109_median_abs_deviation":
+        "per-type medians: <= |event types| rows",
+    "plans/analytics.py:q357_holt_trend_forecast":
+        "calendar-bounded daily aggregate: <= |days| rows at any volume",
+    "plans/analytics.py:q377_theil_sen_trend":
+        "daily series for pair-slope enumeration: <= |days| rows",
+    "plans/analytics.py:q380_holt_winters":
+        "calendar-bounded daily aggregate: <= |days| rows at any volume",
+    "plans/common.py:global_rn":
+        "per-partition row counts: <= npartitions rows (two-pass order)",
+    "plans/common.py:global_cumsum":
+        "per-partition partial sums: <= npartitions rows",
+    "plans/common.py:global_lead":
+        "per-partition boundary rows: <= npartitions rows",
+    "plans/datapipe.py:_bpe_train":
+        "1-row argmax per BPE merge round (bounded round count)",
+    "plans/datapipe.py:q213_dup_ngram_char_fraction":
+        "1-row corpus scalar fold",
+    "plans/datapipe.py:q269_greedy_coverage":
+        "1-row argmax per greedy step, K steps",
+    "plans/datapipe.py:q371_count_sketch":
+        "sketch readout: d x w = bounded cells + 1-row truth scalar",
+    "plans/dedup.py:_build_dedup_clusters":
+        "1-row convergence probe (sum of labels) per pointer-jump round",
+    "plans/dedup.py:q315_bradley_terry_sources":
+        "per-source strength vector: <= |sources| rows per MM round",
+    "plans/graph.py:q197_subtree_rollup":
+        "1-row max-node-key scalar to size the bounded loop",
+    "plans/inference.py:q319_logreg_quality_gd":
+        "gradient/loss readout: d+1 scalars per GD step (d = 2)",
+    "plans/inference.py:q325_greedy_lm_decode":
+        "1-row argmax per decode step on the vocab-bounded bigram table",
+    "plans/inference.py:q339_adaboost_stumps":
+        "1-row stump argmin + 1-row weight-mass scalar per round",
+    "plans/inference.py:q361_beam_search_decode":
+        "beam state: <= beam-width rows per level",
+    "plans/inference.py:q373_kfold_cv_mae":
+        "k x 5 fold-moment cells (k = 5)",
+    "plans/pipelineq.py:q271_pipeline_silver":
+        "scratch-dir end-to-end probe; batch is the probe's fixture",
+    "plans/pipelineq.py:q272_pipeline_silver_bucketed":
+        "scratch-dir end-to-end probe; batch is the probe's fixture",
+    "plans/pipelineq.py:q278_remaining_time_refresh":
+        "scratch-dir end-to-end probe; partition rewrite fixture",
+    "plans/relational.py:q141_bloom_semi_join":
+        "bloom bitmap words: <= M_BITS/64 rows by construction",
+    "plans/retrieval.py:q284_mmr_rerank":
+        "MMR pool state: <= pool-size rows per greedy pick",
+    "plans/stattests.py:q406_cliffs_delta":
+        "1-row scalar folds (dominance counts)",
+    "plans/stattests.py:q407_moods_median":
+        "1-row scalar folds (grand median + 2x2 table)",
+    "plans/stattests.py:q408_durbin_watson":
+        "1-row DECIMAL(38,0) scalar folds",
+    "plans/stattests.py:seg":
+        "q365 DP: 1-row per-segment scalar aggregates, k segments",
+    "plans/udx.py:q273_python_datasource_write":
+        "Python-sink probe re-reads its own scratch manifest (fixture)",
+    "plans/vectors.py:_query_vec":
+        "single query vector by primary key (1 row)",
+    "plans/vectors.py:q303_power_iteration_pca":
+        "d-vector power-iteration state (d = 64) per round",
+    "plans/vectors.py:q360_dbscan_grid":
+        "1-row convergence probe per pointer-jump round",
+    "plans/vectors.py:q362_kcenter_coreset":
+        "1-row argmax (farthest point) per k-center step",
+    "plans/vectors.py:q54_ivf_topk":
+        "IVF probe list: <= NPROBE centroid ids",
+    "sources/ingest.py:collect_stats":
+        "1-row min/max/count profile fold (schema-bounded columns)",
+    "sources/layout.py:file_minmax_stats":
+        "1-row min/max fold per file (bounded file list)",
+}
+
+
+def lint_driver_collects(pkg_root: str | None = None) -> dict[str, str]:
+    """AST-scan the engine package for driver-materializing calls and
+    return {site: detail} for every site NOT adjudicated in
+    :data:`BOUNDED_COLLECT_ALLOW` (empty dict = clean)."""
+    import ast  # noqa: PLC0415
+    import glob as _glob  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    if pkg_root is None:
+        pkg_root = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "web_scraping_etl_pipeline_spark",
+        )
+    hits: dict[str, str] = {}
+    for path in sorted(
+        _glob.glob(_os.path.join(pkg_root, "**", "*.py"), recursive=True)
+    ):
+        rel = _os.path.relpath(path, pkg_root)
+        with open(path) as fh:
+            tree = ast.parse(fh.read())
+        spans = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in DRIVER_MATERIALIZE_CALLS
+            ):
+                continue
+            enc, enc_lo = "<module>", -1
+            for lo, hi, name in spans:
+                if lo <= node.lineno <= hi and lo > enc_lo:
+                    enc, enc_lo = name, lo
+            key = f"{rel}:{enc}"
+            if key not in BOUNDED_COLLECT_ALLOW:
+                hits[key] = f"{rel}:{node.lineno} .{node.func.attr}()"
+    return hits
+
+
+def stale_collect_allowlist(pkg_root: str | None = None) -> set[str]:
+    """Allowlist entries whose site no longer exists (hygiene)."""
+    import ast  # noqa: PLC0415
+    import glob as _glob  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    if pkg_root is None:
+        pkg_root = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "web_scraping_etl_pipeline_spark",
+        )
+    live: set[str] = set()
+    for path in sorted(
+        _glob.glob(_os.path.join(pkg_root, "**", "*.py"), recursive=True)
+    ):
+        rel = _os.path.relpath(path, pkg_root)
+        with open(path) as fh:
+            tree = ast.parse(fh.read())
+        spans = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in DRIVER_MATERIALIZE_CALLS
+            ):
+                enc, enc_lo = "<module>", -1
+                for lo, hi, name in spans:
+                    if lo <= node.lineno <= hi and lo > enc_lo:
+                        enc, enc_lo = name, lo
+                live.add(f"{rel}:{enc}")
+    return set(BOUNDED_COLLECT_ALLOW) - live
+
+
 def audit(plan: str) -> dict:
     return {
         "xchg": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
@@ -760,6 +946,15 @@ def main() -> int:
     if not include_all:
         names = [n for n in names if n not in STREAMING]
 
+    # source-level lint first (no Spark needed): unadjudicated driver
+    # materialization sites fail the audit like any plan flag.
+    collect_hits = lint_driver_collects()
+    for key, detail in sorted(collect_hits.items()):
+        print(f"FLAG unadjudicated driver collect: {key} ({detail})")
+    stale = stale_collect_allowlist()
+    for key in sorted(stale):
+        print(f"WARN stale BOUNDED_COLLECT_ALLOW entry: {key}")
+
     spark = get_spark(app_name="plan-audit")
     bad = 0
     shapes: dict[str, dict] = {}
@@ -794,7 +989,10 @@ def main() -> int:
             f"xchg={a['xchg']} bcast={a['bcast']} smj={a['smj']} "
             f"bhj={a['bhj']} wsc={a['wsc']} arrow={a['arrow']}{flag_note}"
         )
+    bad += len(collect_hits)
     print(f"\n{len(names) - bad}/{len(names)} clean")
+    if collect_hits:
+        print(f"{len(collect_hits)} unadjudicated driver-collect sites")
     if json_out:
         import json  # noqa: PLC0415
         import os  # noqa: PLC0415

@@ -519,6 +519,145 @@ def probe_wedge_closure(spark, sf_dir, k):
     return closed.count()
 
 
+def probe_adaboost_rounds(spark, sf_dir, k):
+    """q339 AdaBoost's shape: per round, a weighted corpus scan into a
+    (feature, threshold) hash aggregate whose size is the VALUE domain
+    (~bounded), a cumulative window over that bounded frame, a 1-row
+    argmin collect, and a map-only integer reweight. Replication grows
+    the corpus k-fold while the stump-candidate frame stays bounded,
+    so the expected curve is linear in the scan with flat per-round
+    overhead (q339's 100 TB claim)."""
+    from pyspark.sql import Window
+
+    docs = replicate(
+        t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+        k,
+    )
+    d = docs.select(
+        "doc_id",
+        F.expr("CAST(n_chars AS LONG) DIV 64").alias("f1"),
+        F.when(F.col("n_chars") % 2 == 0, 1).otherwise(-1).alias("y"),
+        F.lit(1_000_000).cast("long").alias("w"),
+    )
+    d = d.localCheckpoint()
+    rows = 0
+    for _ in range(3):
+        bk = d.groupBy("f1").agg(
+            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("wpos"),
+            F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("wneg"),
+        )
+        wcum = Window.orderBy("f1").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = bk.select(
+            "f1",
+            F.sum("wneg").over(wcum).alias("cneg"),
+            F.sum("wpos").over(wcum).alias("cpos"),
+        )
+        best = cum.orderBy(
+            (F.col("cneg") - F.col("cpos")).asc(), F.col("f1")
+        ).limit(1).collect()[0]
+        thr = int(best["f1"])
+        rows += 1
+        pred = F.when(F.col("f1") <= thr, 1).otherwise(-1)
+        d = d.select(
+            "doc_id",
+            "f1",
+            "y",
+            F.when(pred != F.col("y"), F.expr("(w * 1500000) DIV 1000000"))
+            .otherwise(F.col("w"))
+            .alias("w"),
+        ).localCheckpoint()
+    return d.count()
+
+
+def probe_pq_codebooks(spark, sf_dir, k):
+    """q349 product quantization's shape: 4 independent 16-dim
+    subspace Lloyd loops (2 rounds each), every round a broadcast NLJ
+    of the corpus against a 4-row centroid frame + min_by hash argmin
+    + groupBy re-center, all composed in ONE lazy plan (no per-round
+    checkpoint - the adjudicated q349 design note). Replication grows
+    the corpus; centroid frames stay 4 rows, so the expected curve is
+    linear in the scan."""
+    emb = replicate(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+        k,
+    )
+    pq_m, sub_d, pq_k, pq_t = 4, 16, 4, 2
+    outs = []
+    for m in range(pq_m):
+        base = m * sub_d
+        ctr = (
+            emb.orderBy("vec_id")
+            .limit(pq_k)
+            .select(
+                F.col("vec_id").cast("long").alias("code"),
+                F.transform(
+                    F.slice("embedding", base + 1, sub_d),
+                    lambda v: v.cast("double"),
+                ).alias("c"),
+            )
+        )
+        dist = F.expr(
+            " + ".join(
+                f"((CAST(element_at(embedding, {base + j}) AS DOUBLE)"
+                f" - element_at(c, {j}))"
+                f" * (CAST(element_at(embedding, {base + j}) AS DOUBLE)"
+                f" - element_at(c, {j})))"
+                for j in range(1, sub_d + 1)
+            )
+        )
+        assigned = None
+        for _ in range(pq_t):
+            assigned = (
+                emb.crossJoin(F.broadcast(ctr))
+                .withColumn("dist", dist)
+                .groupBy("vec_id")
+                .agg(
+                    F.min_by(
+                        F.col("code"), F.struct("dist", "code")
+                    ).alias("code"),
+                    F.any_value("embedding").alias("embedding"),
+                )
+            )
+            ctr = (
+                assigned.groupBy("code")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(
+                                F.expr(
+                                    f"CAST(element_at(embedding,"
+                                    f" {base + j}) AS DOUBLE)"
+                                )
+                            ),
+                            7,
+                        ).alias(f"c{j}")
+                        for j in range(1, sub_d + 1)
+                    ]
+                )
+                .select(
+                    "code",
+                    F.array(*[f"c{j}" for j in range(1, sub_d + 1)]).alias(
+                        "c"
+                    ),
+                )
+            )
+        outs.append(
+            assigned.groupBy("code").agg(F.count("*").alias("n_members"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.count()
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
@@ -533,6 +672,8 @@ PROBES = {
     "lsh_bucket_knn": probe_lsh_bucket_knn,
     "banded_edit_verify": probe_banded_edit_verify,
     "wedge_closure": probe_wedge_closure,
+    "adaboost_rounds": probe_adaboost_rounds,
+    "pq_codebooks": probe_pq_codebooks,
 }
 
 
