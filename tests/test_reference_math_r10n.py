@@ -1,0 +1,483 @@
+"""Independent brute-force references, round 10 batch N: the
+remaining iterative / driver-loop ML operators - the exact class
+VERDICT r9 prioritized ("hand-derived recursions first").
+
+q325 greedy bigram decode, q339 AdaBoost integer boosting loop, q340
+kNN label smoothing, q343 BLEU-2 pair verify, q347 vocabulary growth
+curve, q349 PQ codebook training (per-subspace Lloyd), q360 grid
+DBSCAN (union-find reference), q361 beam-search decode. Pure-Python
+recomputation from raw parquet at sf0.001, as in batches A-M.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.test_reference_math_r10f import _python_lsh_pairs
+
+
+def _pdf(table: str, cols: str = "*"):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT {cols} FROM read_parquet('{SF_DIR}/{table}.parquet')"
+    ).df()
+
+
+def _q(spark, name):
+    from __spark_entry__ import queries
+
+    return queries()[name](spark, SF_DIR)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _toks(text: str) -> list[str]:
+    return re.split(r"\s+", str(text).strip().lower())
+
+
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _bigram_counts():
+    docs = _pdf("documents", "text")
+    bg: dict[tuple[str, str], int] = {}
+    uni: dict[str, int] = {}
+    for text in docs["text"]:
+        tk = _toks(text)
+        for t in tk:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    return bg, uni
+
+
+def _vecs():
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding"
+        f" FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).df()
+    return {
+        int(v): [float(x) for x in e]
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+
+
+def _dot(a, b):
+    dp = 0.0
+    for x, y in zip(a, b):
+        dp += x * y
+    return dp
+
+
+# ---------------------------------------------------------------------------
+# q325 greedy bigram decode
+# ---------------------------------------------------------------------------
+
+
+def test_q325_greedy_decode_matches_argmax_walk(spark):
+    got = [
+        (int(r["step"]), r["tok"], int(r["cnt"]))
+        for r in _q(spark, "q325_greedy_lm_decode")
+        .orderBy("step")
+        .collect()
+    ]
+    bg, uni = _bigram_counts()
+    seed = min(uni, key=lambda w: (-uni[w], w))
+    ref = [(1, seed, uni[seed])]
+    prev = seed
+    trans: dict[str, tuple[str, int]] = {}
+    for (a, b), c in bg.items():
+        cur = trans.get(a)
+        if cur is None or (-c, b) < (-cur[1], cur[0]):
+            trans[a] = (b, c)
+    for step in range(2, 13):
+        if prev not in trans:
+            break
+        tok, c = trans[prev]
+        ref.append((step, tok, c))
+        prev = tok
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# q339 AdaBoost integer boosting loop
+# ---------------------------------------------------------------------------
+
+
+def test_q339_adaboost_matches_integer_loop(spark):
+    out = _q(spark, "q339_adaboost_stumps").orderBy("round").collect()
+    docs = _pdf("documents", "n_chars, lang, text")
+    recs = []
+    for nc, lang, text in zip(docs["n_chars"], docs["lang"], docs["text"]):
+        tk = _toks(text)
+        score = (1000 * len(set(tk))) // len(tk)
+        recs.append([
+            int(nc) // 64,            # f1
+            score // 100,             # f2
+            1 if lang == "en" else -1,
+            1_000_000,                # w
+        ])
+    stumps = []
+    for _ in range(3):
+        tw = sum(r[3] for r in recs)
+        tpos = sum(r[3] for r in recs if r[2] == 1)
+        cand = []
+        for feat in (1, 2):
+            idx = feat - 1
+            bk: dict[int, list[int]] = {}
+            for r in recs:
+                cell = bk.setdefault(r[idx], [0, 0])
+                if r[2] == 1:
+                    cell[0] += r[3]
+                else:
+                    cell[1] += r[3]
+            cneg = cpos = 0
+            for thr in sorted(bk):
+                cpos += bk[thr][0]
+                cneg += bk[thr][1]
+                err_pos = cneg + (tpos - cpos)
+                cand.append((err_pos, feat, thr, 1))
+                cand.append((tw - err_pos, feat, thr, -1))
+        err, feat, thr, pol = min(cand)
+        ratio_u = min(((tw - err) * 1_000_000) // max(err, 1), 10_000_000)
+        alpha_u = math.floor(
+            math.log((tw - err) / max(err, 1)) * 500_000
+        )
+        stumps.append((feat, thr, pol, err, tw, ratio_u, alpha_u))
+        for r in recs:
+            pred = pol * (1 if r[feat - 1] <= thr else -1)
+            if pred != r[2]:
+                r[3] = (r[3] * ratio_u) // 1_000_000
+        scale = max(sum(r[3] for r in recs) // 10_000_000_000, 1)
+        for r in recs:
+            r[3] = r[3] // scale
+    wrong = 0
+    for r in recs:
+        vote = sum(
+            a * (p * (1 if r[f - 1] <= t else -1))
+            for f, t, p, _, _, _, a in stumps
+        )
+        if (1 if vote > 0 else -1) != r[2]:
+            wrong += 1
+    assert len(out) == 3
+    for row, (rnd, s) in zip(out, enumerate(stumps, start=1)):
+        assert row["round"] == rnd
+        assert (row["feat"], row["thr"], row["pol"]) == (s[0], s[1], s[2])
+        assert (row["err_w"], row["tot_w"]) == (s[3], s[4])
+        assert (row["ratio_u"], row["alpha_u"]) == (s[5], s[6])
+        assert row["ensemble_wrong"] == wrong
+        assert row["n_docs"] == len(recs)
+
+
+# ---------------------------------------------------------------------------
+# q340 kNN label smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_q340_label_smoothing_matches_neighborhood_vote(spark):
+    rows = {
+        int(r["label"]): r
+        for r in _q(spark, "q340_knn_label_smoothing").collect()
+    }
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, label, embedding"
+        f" FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).df()
+    vecs, labels = {}, {}
+    for v, lb, e in zip(emb["vec_id"], emb["label"], emb["embedding"]):
+        vecs[int(v)] = [float(x) for x in e]
+        labels[int(v)] = int(lb)
+    buckets: dict[int, list[int]] = {}
+    for v, x in vecs.items():
+        b = sum(
+            (1 << i) for i, d in enumerate((1, 17, 33, 49)) if x[d - 1] > 0.0
+        )
+        buckets.setdefault(b, []).append(v)
+    voted: dict[int, int] = {}
+    for ids in buckets.values():
+        for src in ids:
+            nbrs = sorted(
+                (
+                    (-round(_dot(vecs[src], vecs[d]), 6), d)
+                    for d in ids
+                    if d != src
+                ),
+            )[:3]
+            if not nbrs:
+                continue
+            cnt: dict[int, int] = {}
+            for _, d in nbrs:
+                cnt[labels[d]] = cnt.get(labels[d], 0) + 1
+            voted[src] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+    agg: dict[int, list[int]] = {}
+    for v, lb in labels.items():
+        cell = agg.setdefault(lb, [0, 0, 0])
+        cell[0] += 1
+        if v not in voted:
+            cell[1] += 1
+        elif voted[v] != lb:
+            cell[2] += 1
+    assert set(rows) == set(agg)
+    for lb, (n, iso, flip) in agg.items():
+        row = rows[lb]
+        assert row["n_vecs"] == n
+        assert row["n_isolated"] == iso
+        assert row["n_flipped"] == flip
+        assert row["flip_milli"] == _tdiv(1000 * flip, n)
+
+
+# ---------------------------------------------------------------------------
+# q343 BLEU-2 pair verify
+# ---------------------------------------------------------------------------
+
+
+def test_q343_bleu_matches_clipped_precision(spark):
+    pairs, _ = _python_lsh_pairs()
+    rows = {
+        (int(r["doc_a"]), int(r["doc_b"])): r
+        for r in _q(spark, "q343_bleu_pair_verify").collect()
+    }
+    docs = _pdf("documents", "doc_id, text")
+    toks = {int(d): _toks(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    assert set(rows) == pairs
+    for a, b in pairs:
+        ta, tb = toks[a], toks[b]
+
+        def census(tk, n):
+            c: dict[tuple, int] = {}
+            for i in range(len(tk) - n + 1):
+                g = tuple(tk[i: i + n])
+                c[g] = c.get(g, 0) + 1
+            return c
+
+        u_a, u_b = census(ta, 1), census(tb, 1)
+        b_a, b_b = census(ta, 2), census(tb, 2)
+        m1 = sum(min(c, u_a.get(g, 0)) for g, c in u_b.items())
+        m2 = sum(min(c, b_a.get(g, 0)) for g, c in b_b.items())
+        hyp_len, ref_len = len(tb), len(ta)
+        h2 = max(len(tb) - 1, 0)
+        row = rows[(a, b)]
+        assert row["m1"] == m1
+        assert row["m2"] == m2
+        assert (row["ref_len"], row["hyp_len"], row["h2"]) == (
+            ref_len, hyp_len, h2,
+        )
+        if m1 == 0 or m2 == 0:
+            assert row["bleu2"] == 0.0
+        else:
+            bp = 1.0 if hyp_len >= ref_len else math.exp(
+                1.0 - ref_len / hyp_len
+            )
+            bleu = bp * math.sqrt((m1 / hyp_len) * (m2 / h2))
+            assert row["bleu2"] == pytest.approx(bleu, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# q347 vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+def test_q347_vocab_growth_matches_min_bucket_identity(spark):
+    rows = {
+        int(r["pct"]): r
+        for r in _q(spark, "q347_vocab_growth_curve").collect()
+    }
+    docs = _pdf("documents", "doc_id, text")
+    bt: dict[int, int] = {}
+    first_bucket: dict[str, int] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        b = _h60(str(int(did))) % 10
+        for tok in _toks(text):
+            bt[b] = bt.get(b, 0) + 1
+            if tok not in first_bucket or b < first_bucket[tok]:
+                first_bucket[tok] = b
+    new_terms: dict[int, int] = {}
+    for tok, b in first_bucket.items():
+        new_terms[b] = new_terms.get(b, 0) + 1
+    toks_cum = vocab_cum = 0
+    for b in sorted(bt):
+        toks_cum += bt[b]
+        vocab_cum += new_terms.get(b, 0)
+        row = rows[(b + 1) * 10]
+        assert row["new_tokens"] == bt[b]
+        assert row["new_terms"] == new_terms.get(b, 0)
+        assert row["tokens_cum"] == toks_cum
+        assert row["vocab_cum"] == vocab_cum
+        assert row["heaps_rate_ppm"] == _tdiv(
+            1_000_000 * new_terms.get(b, 0), bt[b]
+        )
+
+
+# ---------------------------------------------------------------------------
+# q349 PQ codebook training (per-subspace Lloyd)
+# ---------------------------------------------------------------------------
+
+
+def test_q349_pq_matches_per_subspace_lloyd(spark):
+    out = _q(spark, "q349_pq_codebooks").collect()
+    vecs = _vecs()
+    got = {
+        (int(r["subspace"]), int(r["code"]), int(r["dim"])): r for r in out
+    }
+    for m in range(4):
+        base = m * 16
+        sub = {v: x[base: base + 16] for v, x in vecs.items()}
+        ctr = {c: sub[c][:] for c in range(4)}
+        assign = {}
+        for _ in range(2):
+            assign = {}
+            for v, x in sub.items():
+                best = None
+                for c in sorted(ctr):
+                    d = 0.0
+                    for p, q in zip(x, ctr[c]):
+                        d += (p - q) * (p - q)
+                    if best is None or (d, c) < best:
+                        best = (d, c)
+                assign[v] = best[1]
+            ctr = {
+                c: [
+                    round(
+                        sum(sub[v][i] for v in assign if assign[v] == c)
+                        / sum(1 for v in assign if assign[v] == c),
+                        7,
+                    )
+                    for i in range(16)
+                ]
+                for c in sorted(ctr)
+            }
+        sizes: dict[int, int] = {}
+        for c in assign.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        for c in range(4):
+            for d in range(1, 17):
+                row = got[(m, c, d)]
+                assert row["n_members"] == sizes[c]
+                assert row["centroid"] == pytest.approx(
+                    ctr[c][d - 1], abs=2e-7
+                )
+
+
+# ---------------------------------------------------------------------------
+# q360 grid DBSCAN (union-find reference)
+# ---------------------------------------------------------------------------
+
+
+def test_q360_dbscan_matches_union_find(spark):
+    rows = {
+        int(r["cluster_id"]): r
+        for r in _q(spark, "q360_dbscan_grid").collect()
+    }
+    vecs = _vecs()
+    EPS, MINPTS = 25_000, 5
+    pts = {
+        v: (
+            math.floor(x[0] * 1_000_000),
+            math.floor(x[1] * 1_000_000),
+        )
+        for v, x in vecs.items()
+    }
+    cells: dict[tuple[int, int], list[int]] = {}
+    for v, (xi, yi) in pts.items():
+        cells.setdefault((xi // EPS, yi // EPS), []).append(v)
+    neigh: dict[int, set[int]] = {v: set() for v in pts}
+    for (cx, cy), ids in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                other = cells.get((cx + dx, cy + dy))
+                if not other:
+                    continue
+                for a in ids:
+                    xa, ya = pts[a]
+                    for b in other:
+                        xb, yb = pts[b]
+                        if (xa - xb) ** 2 + (ya - yb) ** 2 <= EPS * EPS:
+                            neigh[a].add(b)  # includes self (b == a)
+    core = {v for v, ns in neigh.items() if len(ns) >= MINPTS}
+    parent = {v: v for v in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in neigh[a]:
+            if b != a and b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    label = {v: find(v) for v in core}
+    border: dict[int, int] = {}
+    for v in pts:
+        if v in core:
+            continue
+        cids = [label[b] for b in neigh[v] if b != v and b in core]
+        if cids:
+            border[v] = min(cids)
+    expected: dict[int, list[int]] = {}
+    for v, cid in label.items():
+        expected.setdefault(cid, [0, 0])[0] += 1
+    for v, cid in border.items():
+        expected.setdefault(cid, [0, 0])[1] += 1
+    noise = len(pts) - len(core) - len(border)
+    assert set(rows) == set(expected) | {-1}
+    for cid, (nc, nb) in expected.items():
+        assert rows[cid]["n_core"] == nc
+        assert rows[cid]["n_border"] == nb
+    assert rows[-1]["n_core"] == 0
+    assert rows[-1]["n_border"] == noise
+
+
+# ---------------------------------------------------------------------------
+# q361 beam-search decode
+# ---------------------------------------------------------------------------
+
+
+def test_q361_beam_search_matches_integer_beam(spark):
+    got = [
+        (int(r["step"]), int(r["rank"]), r["seq"], int(r["score_ppm"]))
+        for r in _q(spark, "q361_beam_search_decode")
+        .orderBy("step", "rank")
+        .collect()
+    ]
+    bg, uni = _bigram_counts()
+    tot_uni = sum(uni.values())
+    w1_tot: dict[str, int] = {}
+    for (a, _), c in bg.items():
+        w1_tot[a] = w1_tot.get(a, 0) + c
+    p_ppm = {
+        (a, b): (1_000_000 * c) // w1_tot[a] for (a, b), c in bg.items()
+    }
+    beam = sorted(
+        ((-((1_000_000 * c) // tot_uni), w) for w, c in uni.items()),
+    )[:2]
+    beam = [(w, w, -s) for s, w in beam]
+    ref = [(1, j + 1, s, sc) for j, (s, _, sc) in enumerate(beam)]
+    for step in range(2, 9):
+        if not beam:
+            break
+        ext = []
+        for seq, last, sc in beam:
+            for (a, b), p in p_ppm.items():
+                if a == last:
+                    ext.append((-(sc + p), f"{seq} {b}", b))
+        ext.sort()
+        beam = [(s, l, -neg) for neg, s, l in ext[:2]]
+        ref.extend(
+            (step, j + 1, s, sc) for j, (s, _, sc) in enumerate(beam)
+        )
+    assert got == ref
