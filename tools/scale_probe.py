@@ -658,6 +658,79 @@ def probe_pq_codebooks(spark, sf_dir, k):
     return out.count()
 
 
+def probe_suffix_lcp(spark, sf_dir, k):
+    """q294's shape: token-suffix strings through the range-partitioned
+    global_lead (the heaviest total-order shape in the suite - the
+    exchange carries LONG STRING keys, not scalars), then the LCP map
+    stage. Replicated copies interleave in the global suffix order but
+    contribute no cross-copy near-equal neighbors beyond the originals,
+    so the curve measures the range-exchange + in-partition sort cost
+    on wide keys - expected near-linear."""
+    from web_scraping_etl_pipeline_spark.plans.common import global_lead
+
+    docs = replicate(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", k
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sufs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(split(trim(lower(text)),"
+                " '\\\\s+'))), i -> array_join(slice(split(trim("
+                "lower(text)), '\\\\s+'), i, 12), ' '))"
+            )
+        ).alias("pos0", "suf"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "suf")
+    led = global_lead(sufs, ["suf", "doc_id", "pos"], ["suf", "doc_id"], k=1)
+    cand = led.filter(
+        F.col("_lead1_doc_id").isNotNull()
+        & (F.col("_lead1_doc_id") != F.col("doc_id"))
+    )
+    return cand.count()
+
+
+def probe_cep_window(spark, sf_dir, k):
+    """q233/q238's shape: the conditional-lookahead window (per-user
+    MIN of a CASE-struct over the following frame) that CEP pattern
+    matching compiles to. One hash exchange on user_id + an
+    in-partition sort; replication adds disjoint users, so the curve
+    should track the exchange linearly."""
+    from pyspark.sql import Window
+
+    ev = replicate(
+        t(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts_us", "event_type"
+        ),
+        "user_id",
+        k,
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    np_struct = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct("ts_us", "event_id"),
+        )
+    ).over(w)
+    ne_ts = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts_us"))
+    ).over(w)
+    flagged = ev.select(
+        "user_id", "event_type", "ts_us", "event_id",
+        np_struct.alias("np"), ne_ts.alias("ne"),
+    ).filter(F.col("event_type") == "click")
+    matched = flagged.filter(
+        F.col("np").isNotNull()
+        & (F.col("np.ts_us") <= F.col("ts_us") + 600_000_000)
+        & (F.col("ne").isNull() | (F.col("ne") >= F.col("np.ts_us")))
+    )
+    return matched.count()
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
@@ -674,6 +747,8 @@ PROBES = {
     "wedge_closure": probe_wedge_closure,
     "adaboost_rounds": probe_adaboost_rounds,
     "pq_codebooks": probe_pq_codebooks,
+    "suffix_lcp": probe_suffix_lcp,
+    "cep_window": probe_cep_window,
 }
 
 
