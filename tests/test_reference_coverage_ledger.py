@@ -1,0 +1,65 @@
+"""Pin the 436/436 independent-reference invariant (round 10).
+
+Every registered query must be exercised by at least one
+``tests/test_reference_math*.py`` file - the from-scratch replay
+suite that is independent of the DuckDB oracle twins (the q430
+James-Stein catch is why: both engines can share a wrong formula).
+A future round that registers a new query without also adding an
+independent reference fails here, the same way SKIPPED.json pins
+registry id gaps.
+
+The scan is textual (qNNN token appears in a reference batch file),
+matching how the coverage is counted in VERDICT/README; the
+per-query tests themselves enforce that the mention is a real
+assertion, and the non-vacuity check below keeps the scan honest.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _referenced_ids() -> set[int]:
+    ids: set[int] = set()
+    for path in glob.glob(
+        os.path.join(REPO, "tests", "test_reference_math*.py")
+    ):
+        with open(path, encoding="utf-8") as fh:
+            for m in re.finditer(r"\bq(\d{1,3})", fh.read()):
+                ids.add(int(m.group(1)))
+    return ids
+
+
+def test_every_registered_query_has_an_independent_reference():
+    import sys
+
+    sys.path.insert(0, REPO)
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    covered = _referenced_ids()
+    missing = sorted(
+        name
+        for name in QUERIES
+        if int(re.match(r"q(\d+)", name).group(1)) not in covered
+    )
+    assert missing == [], (
+        f"{len(missing)} registered queries have no independent "
+        f"reference in tests/test_reference_math*.py: {missing[:10]} - "
+        "add a from-scratch replay batch before registering"
+    )
+
+
+def test_reference_scan_is_not_vacuous():
+    """The textual scan must actually be reading the batch files: a
+    glob/regex regression that returns nothing would make the ledger
+    pass trivially."""
+    ids = _referenced_ids()
+    assert len(ids) >= 400
+    # spot anchors across the families: parity core, stats, streaming,
+    # media, protocol
+    for anchor in (1, 430, 212, 159, 277):
+        assert anchor in ids
