@@ -731,6 +731,163 @@ def probe_cep_window(spark, sf_dir, k):
     return matched.count()
 
 
+def probe_beam_rounds(spark, sf_dir, k):
+    """q361/q325's decode shape: a persisted bigram transition table
+    probed per level by a <=2-row broadcast hypothesis frame +
+    TakeOrdered(2). The census scales with the corpus; each of the 4
+    levels below is one filtered join whose probe side is constant
+    size - a flat-ish curve certifies that beam depth never touches
+    corpus-sized state twice."""
+    docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        "         slice(toks, 2, greatest(size(toks)-1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    bg = (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = bg.groupBy("w1").agg(F.sum("cnt").alias("tot"))
+    pp = (
+        bg.join(tot, "w1")
+        .select("w1", "w2", F.expr("(1000000 * cnt) DIV tot").alias("p"))
+        .repartition("w1")
+        .persist()
+    )
+    census = pp.count()
+    uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    seed = (
+        uni.orderBy(F.col("cnt").desc(), "w").limit(2).collect()
+    )
+    beam = [(r["w"], r["w"], int(r["cnt"])) for r in seed]
+    for _ in range(4):
+        hyp = spark.createDataFrame(
+            beam, "seq string, last string, score long"
+        )
+        nxt = (
+            F.broadcast(hyp).join(pp, hyp.last == pp.w1)
+            .select(
+                F.concat_ws(" ", "seq", "w2").alias("seq"),
+                F.col("w2").alias("last"),
+                (F.col("score") + F.col("p")).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "seq")
+            .limit(2)
+            .collect()
+        )
+        beam = [(r["seq"], r["last"], int(r["score"])) for r in nxt]
+        if not beam:
+            break
+    pp.unpersist()
+    return census
+
+
+def probe_kcenter_rounds(spark, sf_dir, k):
+    """q362's farthest-first traversal: per-point running min-dist
+    column updated by a broadcast 1-row center + TakeOrdered(1) per
+    round (4 rounds here). Total distance work is O(rounds * N), so
+    the curve must track N linearly - a bend means the running-min
+    device regressed to |centers| x |points| recomputation."""
+    emb = replicate(t(spark, sf_dir, "embeddings"), "vec_id", k)
+    qi = F.expr(
+        "transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pts = emb.select("vec_id", qi.alias("qi")).persist()
+    n = pts.count()
+    dist = (
+        "aggregate(zip_with(qi, cqi, (p, q) -> (p - q) * (p - q)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    first = pts.orderBy("vec_id").limit(1).first()
+    center = spark.createDataFrame(
+        [(list(first["qi"]),)], "cqi array<bigint>"
+    )
+    d = pts.crossJoin(F.broadcast(center)).select(
+        "vec_id", "qi", F.expr(dist).alias("md")
+    )
+    persists = [pts]
+    for _ in range(4):
+        d = d.persist()
+        persists.append(d)
+        far = d.orderBy(F.col("md").desc(), "vec_id").limit(1).first()
+        center = spark.createDataFrame(
+            [(list(far["qi"]),)], "cqi array<bigint>"
+        )
+        d = d.crossJoin(F.broadcast(center)).select(
+            "vec_id",
+            "qi",
+            F.least(F.col("md"), F.expr(dist)).alias("md"),
+        )
+    for p in persists:
+        p.unpersist()
+    return n
+
+
+def probe_apriori_triples(spark, sf_dir, k):
+    """q358's downward-closure mining shape: distinct doc-term
+    projection -> broadcast top-25 vocab gate -> frequent-pair
+    semi-joins -> triple count. Replication scales both supports and
+    the integer threshold proportionally, so the candidate structure
+    is k-invariant and the curve isolates the join/aggregate cost."""
+    docs = replicate(t(spark, sf_dir, "documents"), "doc_id", k)
+    dt0 = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).distinct()
+    top = (
+        dt0.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(25)
+        .select("term")
+    )
+    dt = dt0.join(F.broadcast(top), "term").select("doc_id", "term")
+    dt = dt.persist()
+    n_docs = docs.select("doc_id").distinct().count()
+    # 50% support, not q358's 57%: the sf0.1 corpus tops out at 54.8%
+    # triple support, and a probe whose final filter passes zero rows
+    # would time the joins but certify nothing about the emitted set.
+    minsup = (50 * n_docs) // 100
+    a = dt.select("doc_id", F.col("term").alias("t1"))
+    b = dt.select("doc_id", F.col("term").alias("t2"))
+    c = dt.select("doc_id", F.col("term").alias("t3"))
+    fp = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .filter(F.col("sup") >= minsup)
+        .select("t1", "t2")
+    )
+    tri = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .join(F.broadcast(fp), ["t1", "t2"], "left_semi")
+        .join(c, "doc_id")
+        .filter(F.col("t2") < F.col("t3"))
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    out = tri.count()
+    dt.unpersist()
+    return out
+
+
 PROBES = {
     "exact_dedup": probe_exact_dedup,
     "minhash_lsh": probe_minhash_lsh,
@@ -749,6 +906,9 @@ PROBES = {
     "pq_codebooks": probe_pq_codebooks,
     "suffix_lcp": probe_suffix_lcp,
     "cep_window": probe_cep_window,
+    "beam_rounds": probe_beam_rounds,
+    "kcenter_rounds": probe_kcenter_rounds,
+    "apriori_triples": probe_apriori_triples,
 }
 
 
