@@ -1,0 +1,63 @@
+"""Partitioning-invariance gate (round 10).
+
+``tools/invariance_check.py --json INVARIANCE.json`` runs every
+registered query at shuffle.partitions=4 AND =32 in one session and
+requires identical canonicalized row multisets - the property that
+makes local[32] results transfer to a 1000-executor cluster (no
+partition-order leaks, no reassociated float folds, no per-partition
+tie-breaks). This pin applies the PLANSHAPE freshness discipline to
+that artifact: a query registered without re-running the sweep, or a
+recorded mismatch, fails the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CUR = os.path.join(ROOT, "INVARIANCE.json")
+
+
+def _load():
+    with open(CUR) as fh:
+        return json.load(fh)
+
+
+def test_invariance_artifact_exists_and_covers_registry():
+    assert os.path.exists(CUR), (
+        "INVARIANCE.json missing - run `python tools/invariance_check.py "
+        "--json INVARIANCE.json /root/testdata/sf0.001` at round close"
+    )
+    art = _load()
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    missing = sorted(set(QUERIES) - set(art["queries"]))
+    assert missing == [], (
+        f"INVARIANCE.json stale: {len(missing)} registered queries "
+        f"missing, e.g. {missing[:5]}"
+    )
+    assert art["variants"] == ["p4", "p32"]
+
+
+def test_invariance_all_queries_match():
+    art = _load()
+    bad = {
+        n: rec
+        for n, rec in art["queries"].items()
+        if rec.get("match") is not True or rec.get("err")
+    }
+    assert bad == {}, (
+        f"{len(bad)} queries are partition-DEPENDENT or errored: "
+        f"{dict(list(bad.items())[:5])}"
+    )
+
+
+def test_invariance_rows_are_not_vacuous():
+    """The sweep must have compared real output: at least 90% of
+    recorded queries produced >0 rows at sf0.001 (an all-empty
+    artifact would pass the match check trivially)."""
+    art = _load()
+    rows = [rec["rows"] for rec in art["queries"].values()]
+    nonempty = sum(1 for r in rows if r)
+    assert nonempty >= 0.9 * len(rows)

@@ -1,0 +1,140 @@
+"""Partitioning-invariance sweep: the distributed-determinism gate.
+
+The DuckDB oracle proves VALUE correctness at one partitioning; this
+tool proves the values do not DEPEND on the partitioning - the
+property that actually transfers to a 1000-executor cluster, where
+shuffle partition counts, input splits, and reduce-side merge orders
+all differ from local[32]. The classic failure class it targets:
+
+- ``first()``/``limit`` without a total order (partition order leaks)
+- float SUM/AVG folds whose reassociation changes the rounded output
+  (the engine's order-fold lint finds these statically; this sweep
+  catches any that slip through dynamically)
+- window/top-k tie-breaks that are only deterministic per-partition
+- ``row_number`` over under-specified orderings
+
+Method: run every ``queries()`` entry TWICE in one session - once at
+``spark.sql.shuffle.partitions=4``, once at ``32`` (with AQE enabled
+both times, so AQE's runtime coalescing also differs) - and require
+the canonicalized row multisets (sorted columns, sorted rows, NaN/-0.0
+folded, temporals ISO-ized: tools/oracle_check.py's exact machinery)
+to be identical. Session-level stage caches (shared_stage, transient
+persists) are cleared between variants so the second run genuinely
+rebuilds its plans under the new partitioning instead of reusing
+blocks cached by the first.
+
+Every registered query must pass: by construction nothing in the
+registry may use partition-dependent randomness (each query's DuckDB
+twin already pins exact values), so a diff here is always a real
+nondeterminism bug.
+
+Usage: python tools/invariance_check.py [--json OUT.json] [sf_dir] [query ...]
+Writes INVARIANCE.json at the repo root by default when --json is given.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from tools.oracle_check import frame_to_rows, pandas_rows
+from web_scraping_etl_pipeline_spark.plans import QUERIES
+from web_scraping_etl_pipeline_spark.plans.common import (
+    _STAGE_CACHE,
+    release_transients,
+)
+from web_scraping_etl_pipeline_spark.session import get_spark
+
+#: the two partitioning variants. 4 vs 32 spans the realistic local
+#: spread; on a cluster the equivalent knob is executor count x
+#: spark.sql.shuffle.partitions, which this property makes irrelevant
+#: to the answer.
+VARIANTS = (("p4", "4"), ("p32", "32"))
+
+
+def _clear_session_caches() -> None:
+    """Drop cross-query cached stages so each variant rebuilds them
+    under its own partitioning (a cached block built at 4 partitions
+    reused by the 32-partition run would make the check vacuous for
+    every consumer of that stage)."""
+    release_transients()
+    for df in _STAGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - already released
+            pass
+    _STAGE_CACHE.clear()
+
+
+def run_variant(spark, name, sf_dir, partitions):
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try:
+        pdf = QUERIES[name](spark, sf_dir).toPandas()
+    finally:
+        release_transients()
+    return frame_to_rows(list(pdf.columns), pandas_rows(pdf))
+
+
+def main():
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    names = argv[1:] or sorted(QUERIES)
+    spark = get_spark(app_name="invariance-check")
+    records: dict[str, dict] = {}
+    failures = []
+    for name in names:
+        start = time.time()
+        rec: dict = {"match": None, "rows": None, "err": None}
+        try:
+            results = []
+            for _tag, parts in VARIANTS:
+                _clear_session_caches()
+                results.append(run_variant(spark, name, sf_dir, parts))
+            (c1, r1), (c2, r2) = results
+            rec["rows"] = len(r1)
+            rec["match"] = (c1 == c2) and (r1 == r2)
+            if not rec["match"]:
+                failures.append(name)
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(r1, r2)) if a != b),
+                    None,
+                )
+                print(f"FAIL {name}: cols {c1 == c2} rows {len(r1)}/{len(r2)}")
+                if diff is not None:
+                    print(f"  first diff row {diff}:\n   p4  {r1[diff]}\n   p32 {r2[diff]}")
+            else:
+                print(
+                    f"PASS {name} rows={len(r1)} "
+                    f"({time.time() - start:.1f}s)"
+                )
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = str(exc)[:300]
+            failures.append(name)
+            print(f"FAIL {name}: error: {rec['err']}")
+        records[name] = rec
+    print(f"\n{len(names) - len(failures)}/{len(names)} partition-invariant")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "variants": [v for v, _ in VARIANTS],
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
