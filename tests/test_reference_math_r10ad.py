@@ -18,8 +18,6 @@ the parquet (pyarrow cast, no engine SQL in the expected path).
 
 from __future__ import annotations
 
-import math
-
 import pyarrow.parquet as pq
 import pytest
 
