@@ -1,11 +1,12 @@
 """Partitioning-invariance gate (round 10).
 
 ``tools/invariance_check.py --json INVARIANCE.json`` runs every
-registered query at shuffle.partitions=4 AND =32 in one session and
-requires identical canonicalized row multisets - the property that
-makes local[32] results transfer to a 1000-executor cluster (no
-partition-order leaks, no reassociated float folds, no per-partition
-tie-breaks). This pin applies the PLANSHAPE freshness discipline to
+registered query at shuffle.partitions=4, =32, and =32 with AQE
+DISABLED, in one session, and requires identical canonicalized row
+multisets - the property that makes local[32] results transfer to a
+1000-executor cluster (no partition-order leaks, no reassociated
+float folds, no per-partition tie-breaks, no dependence on AQE's
+runtime coalescing/skew rewrites). This pin applies the PLANSHAPE freshness discipline to
 that artifact: a query registered without re-running the sweep, or a
 recorded mismatch, fails the suite.
 """
@@ -37,7 +38,7 @@ def test_invariance_artifact_exists_and_covers_registry():
         f"INVARIANCE.json stale: {len(missing)} registered queries "
         f"missing, e.g. {missing[:5]}"
     )
-    assert art["variants"] == ["p4", "p32"]
+    assert art["variants"] == ["p4", "p32", "p32_noaqe"]
 
 
 def test_invariance_all_queries_match():

@@ -48,11 +48,28 @@ from web_scraping_etl_pipeline_spark.plans.common import (
 )
 from web_scraping_etl_pipeline_spark.session import get_spark
 
-#: the two partitioning variants. 4 vs 32 spans the realistic local
-#: spread; on a cluster the equivalent knob is executor count x
-#: spark.sql.shuffle.partitions, which this property makes irrelevant
-#: to the answer.
-VARIANTS = (("p4", "4"), ("p32", "32"))
+#: the execution variants. 4 vs 32 shuffle partitions spans the
+#: realistic local spread (on a cluster the equivalent knob is
+#: executor count x spark.sql.shuffle.partitions); the third variant
+#: disables AQE so runtime partition coalescing / skew-join rewrites
+#: - the re-planning a real cluster does differently per run - also
+#: provably cannot change any answer.
+VARIANTS = (
+    ("p4", {"spark.sql.shuffle.partitions": "4"}),
+    ("p32", {"spark.sql.shuffle.partitions": "32"}),
+    (
+        "p32_noaqe",
+        {
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ),
+)
+
+#: confs restored after each variant (the session default state).
+_RESTORE = {
+    "spark.sql.adaptive.enabled": "true",
+}
 
 
 def _clear_session_caches() -> None:
@@ -69,12 +86,15 @@ def _clear_session_caches() -> None:
     _STAGE_CACHE.clear()
 
 
-def run_variant(spark, name, sf_dir, partitions):
-    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+def run_variant(spark, name, sf_dir, confs):
+    for key, value in confs.items():
+        spark.conf.set(key, value)
     try:
         pdf = QUERIES[name](spark, sf_dir).toPandas()
     finally:
         release_transients()
+        for key, value in _RESTORE.items():
+            spark.conf.set(key, value)
     return frame_to_rows(list(pdf.columns), pandas_rows(pdf))
 
 
@@ -95,21 +115,33 @@ def main():
         rec: dict = {"match": None, "rows": None, "err": None}
         try:
             results = []
-            for _tag, parts in VARIANTS:
+            for _tag, confs in VARIANTS:
                 _clear_session_caches()
-                results.append(run_variant(spark, name, sf_dir, parts))
-            (c1, r1), (c2, r2) = results
+                results.append(run_variant(spark, name, sf_dir, confs))
+            (c1, r1) = results[0]
             rec["rows"] = len(r1)
-            rec["match"] = (c1 == c2) and (r1 == r2)
+            rec["match"] = all(
+                (c1 == c) and (r1 == r) for c, r in results[1:]
+            )
             if not rec["match"]:
                 failures.append(name)
-                diff = next(
-                    (i for i, (a, b) in enumerate(zip(r1, r2)) if a != b),
-                    None,
-                )
-                print(f"FAIL {name}: cols {c1 == c2} rows {len(r1)}/{len(r2)}")
-                if diff is not None:
-                    print(f"  first diff row {diff}:\n   p4  {r1[diff]}\n   p32 {r2[diff]}")
+                for (tag, _), (c, r) in zip(VARIANTS[1:], results[1:]):
+                    if (c1, r1) == (c, r):
+                        continue
+                    diff = next(
+                        (i for i, (a, b) in enumerate(zip(r1, r)) if a != b),
+                        None,
+                    )
+                    print(
+                        f"FAIL {name} vs {tag}: cols {c1 == c} "
+                        f"rows {len(r1)}/{len(r)}"
+                    )
+                    if diff is not None:
+                        print(
+                            f"  first diff row {diff}:\n"
+                            f"   {VARIANTS[0][0]}  {r1[diff]}\n"
+                            f"   {tag} {r[diff]}"
+                        )
             else:
                 print(
                     f"PASS {name} rows={len(r1)} "
