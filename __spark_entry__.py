@@ -157,7 +157,11 @@ def _last_round_failures(artifact: str | None = None) -> list[str]:
 #: SELF-DEACTIVATING — once a cohort member appears in any driver
 #: artifact it leaves the never-checked set this range draws from, so
 #: the general LRU/newest-first policy resumes by itself.
-FAST_TRACK_RANGE = (300, 439)
+#: Round 11 (VERDICT r10 item 1): widen to q441 so the LAST two
+#: registrations (q440/q441) join the final drain cohort - the
+#: q406-q441 backlog is exactly 36 names, which fits one round's
+#: window at MIN_COHORT_SLOTS=36 below.
+FAST_TRACK_RANGE = (300, 441)
 
 #: VERDICT r8 item 1's Done-criterion needs ">= 34 cohort members
 #: green" in the next driver artifact; ADVICE r8 flagged that retries
@@ -166,7 +170,12 @@ FAST_TRACK_RANGE = (300, 439)
 #: cohort are capped at GATE_SLOTS - len(PINNED_CORE) - 34 (= 2
 #: today); the excess still runs, but AFTER the cohort (i.e. it waits
 #: one extra round instead of starving the mandated drain).
-MIN_COHORT_SLOTS = 34
+#: Round 11 (VERDICT r10 item 1): the remaining cohort is exactly 36
+#: names (q406-q441), and 14 pinned + 36 = 50 fills the gate with
+#: zero pre-cohort slots - so the whole fast-track empties THIS round
+#: and the 20-entry REFRESH_QUEUE inherits every freed slot in r12
+#: (VERDICT r10 item 4's schedule).
+MIN_COHORT_SLOTS = 36
 
 #: VERDICT r8 item 7 introduced the refresh mechanism for q262/q265
 #: (rewritten in round 7, driver rows r03-r06); both were refreshed

@@ -52,14 +52,43 @@ def run_one(name: str, fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
-#: Re-run budget for the burst-rerun pass (VERDICT r8 item 3). A host
-#: contention window once printed 33 spurious >=2x normalized rows in a
-#: single driver run; re-timing each suspect once and keeping the MIN
-#: erases a transient burst while a genuine plan regression (slower on
-#: every run) survives both timings. Capped so a pathological round
-#: can't double the suite wall-clock.
-MAX_RERUNS = 40
+#: Burst-rerun pass (VERDICT r8 item 3; UNCAPPED per VERDICT r10 item
+#: 2). A host contention window once printed 33 spurious >=2x
+#: normalized rows in a single driver run; re-timing each suspect once
+#: and keeping the MIN erases a transient burst while a genuine plan
+#: regression (slower on every run) survives both timings. The old
+#: MAX_RERUNS=40 cap could let a real regression ship un-retimed
+#: behind a large burst (the r10 q209/q306 adjudication had to fall
+#: back on same-commit counter-runs); now EVERY suspect is retimed and
+#: the threshold below is only a visibility line in the log. Each
+#: query is retimed at most once per run, so the worst case (every
+#: query suspect) adds one suite wall-clock - bounded, and it can only
+#: happen when the history reference is systemically wrong, which the
+#: WARN makes loud.
+RERUN_WARN_AT = 40
 RERUN_RATIO = 2.0
+#: Rerun passes iterate to a fixpoint: retiming suspects shifts the
+#: suite median, which can pull NEW rows over the ratio; each pass
+#: retimes only not-yet-retimed suspects, so the loop terminates. The
+#: bound is a runaway stop only (one-retime-per-query already caps
+#: total work).
+MAX_RERUN_PASSES = 10
+
+#: Measurement-semantics contract (VERDICT r10 item 2), recorded into
+#: BENCH_FULL.json and every BENCH_HISTORY.jsonl row so a reader of
+#: either artifact knows what a number means without reading this
+#: file: per-query seconds are wall time of the full plan into a noop
+#: sink (no driver fetch); a query with a rerun record reports the
+#: MIN over its samples; JVM/Arrow/first-query warmups and the
+#: session-shared dedup fixtures (q46/q85 chains) run before timing
+#: starts and are never billed to a recorded row.
+MEASUREMENT = (
+    "per-query = wall sec of full plan -> noop sink; rerun rows "
+    "record min-of-samples (burst suppression, uncapped at "
+    f">= {RERUN_RATIO}x normalized vs prev history); JVM/Arrow/"
+    "first-query + shared dedup fixtures (q46, q85) warmed "
+    "unrecorded before timing"
+)
 
 
 def _last_history_norm() -> dict[str, float]:
@@ -187,41 +216,60 @@ def main() -> int:
     # keeps its >=2x row (which then must come with a PLANSHAPE diff,
     # adjudicated by tests/test_planshape.py).
     prev_norm = _last_history_norm()
-    med0 = _median(timings)
     reruns: dict[str, list[float]] = {}
-    if prev_norm and med0:
-        all_suspects = sorted(
-            (
-                n for n, v in timings.items()
-                if v >= 0 and prev_norm.get(n, 0) > 0
-                and (v / med0) / prev_norm[n] > RERUN_RATIO
-            ),
-            key=lambda n: -(timings[n] / med0) / prev_norm[n],
-        )
-        suspects = all_suspects[:MAX_RERUNS]
-        if len(all_suspects) > MAX_RERUNS:
-            # ADVICE r9: a real regression coinciding with a burst of
-            # >MAX_RERUNS suspects would otherwise be silently
-            # un-retimed; make the truncation visible in the log.
-            log(
-                f"WARN rerun list truncated: {len(all_suspects)} "
-                f"suspects > MAX_RERUNS={MAX_RERUNS}; "
-                f"un-retimed: {all_suspects[MAX_RERUNS:]}"
+    if prev_norm:
+        for _ in range(MAX_RERUN_PASSES):
+            med = _median(timings)
+            if not med:
+                break
+            suspects = sorted(
+                (
+                    n for n, v in timings.items()
+                    if v >= 0 and n not in reruns
+                    and prev_norm.get(n, 0) > 0
+                    and (v / med) / prev_norm[n] >= RERUN_RATIO
+                ),
+                key=lambda n: -(timings[n] / med) / prev_norm[n],
             )
-        for n in suspects:
-            try:
-                again = round(run_one(n, QUERIES[n], spark, sf_dir), 3)
-            except Exception as exc:  # noqa: BLE001 - keep first sample
-                log(f"WARN rerun {n}: {exc}")
-                continue
-            finally:
-                release_transients()
-            reruns[n] = [timings[n], again]
-            log(
-                f"rerun {n}: {timings[n]:.3f}s -> {again:.3f}s "
-                f"(recorded {min(timings[n], again):.3f}s)"
-            )
-            timings[n] = min(timings[n], again)
+            if not suspects:
+                break
+            if len(suspects) > RERUN_WARN_AT:
+                # A burst this wide means either genuine host chaos or
+                # a systemically wrong history reference; every name
+                # is STILL retimed (no silent truncation), this line
+                # just makes the anomaly loud.
+                log(
+                    f"WARN {len(suspects)} rerun suspects in one pass "
+                    f"(> {RERUN_WARN_AT}): retiming ALL of them"
+                )
+            for n in suspects:
+                try:
+                    again = round(run_one(n, QUERIES[n], spark, sf_dir), 3)
+                except Exception as exc:  # noqa: BLE001 - keep 1st sample
+                    log(f"WARN rerun {n}: {exc}")
+                    reruns[n] = [timings[n]]  # counted: not re-suspected
+                    continue
+                finally:
+                    release_transients()
+                reruns[n] = [timings[n], again]
+                log(
+                    f"rerun {n}: {timings[n]:.3f}s -> {again:.3f}s "
+                    f"(recorded {min(timings[n], again):.3f}s)"
+                )
+                timings[n] = min(timings[n], again)
+        # Post-loop audit: every FINAL >=2x normalized row must carry a
+        # rerun record (the shipped-un-retimed class VERDICT r10 item 2
+        # closes). With one-retime-per-query this can only trip if
+        # MAX_RERUN_PASSES ran out, which the WARN then explains.
+        med = _median(timings)
+        leftover = [
+            n for n, v in timings.items()
+            if med and v >= 0 and n not in reruns
+            and prev_norm.get(n, 0) > 0
+            and (v / med) / prev_norm[n] >= RERUN_RATIO
+        ]
+        if leftover:
+            log(f"WARN un-retimed >={RERUN_RATIO}x rows shipped: {leftover}")
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # Load normalization: this VM's wall-clock swings +/-25% run-to-run
@@ -251,6 +299,7 @@ def main() -> int:
         "queries_run": len(timings),
         "errors": sorted(n for n, v in timings.items() if v < 0),
         "reruns": reruns,
+        "measurement": MEASUREMENT,
         "sf": sf,
     }
     try:
@@ -283,6 +332,7 @@ def main() -> int:
                 "suite_median_sec": median,
                 "queries_norm": queries_norm,
                 "reruns": reruns,
+                "measurement": MEASUREMENT,
             }) + "\n")
     except OSError:
         pass
