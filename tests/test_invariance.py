@@ -7,8 +7,12 @@ multisets - the property that makes local[32] results transfer to a
 1000-executor cluster (no partition-order leaks, no reassociated
 float folds, no per-partition tie-breaks, no dependence on AQE's
 runtime coalescing/skew rewrites). This pin applies the PLANSHAPE freshness discipline to
-that artifact: a query registered without re-running the sweep, or a
-recorded mismatch, fails the suite.
+that artifact: a query registered without re-running the sweep, a
+recorded mismatch, OR (ADVICE r10 item 4) a query REWRITTEN since its
+sweep row - detected by the per-query normalized-body hash the sweep
+records - fails the suite. Per-row refresh after a targeted rewrite:
+``python tools/invariance_check.py --json INVARIANCE.json
+/root/testdata/sf0.001 <query...>`` merges just those rows.
 """
 
 from __future__ import annotations
@@ -62,6 +66,26 @@ def test_invariance_all_queries_match():
     assert bad == {}, (
         f"{len(bad)} queries are partition-DEPENDENT or errored: "
         f"{dict(list(bad.items())[:5])}"
+    )
+
+
+def test_invariance_rows_are_fresh():
+    """A rewritten query keeps its artifact row but the recorded
+    body_hash no longer matches HEAD - the stale-match=true blind
+    spot ADVICE r10 item 4 names. Recompute every hash at HEAD."""
+    from tools.invariance_check import body_hash
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    art = _load()
+    stale = sorted(
+        n
+        for n, rec in art["queries"].items()
+        if n in QUERIES and rec.get("body_hash") != body_hash(n)
+    )
+    assert stale == [], (
+        f"{len(stale)} queries rewritten since their invariance sweep "
+        f"row, e.g. {stale[:5]} - re-run tools/invariance_check.py for "
+        "those names (subset runs merge into the artifact)"
     )
 
 

@@ -8,10 +8,14 @@ A future round that registers a new query without also adding an
 independent reference fails here, the same way SKIPPED.json pins
 registry id gaps.
 
-The scan is textual (qNNN token appears in a reference batch file),
-matching how the coverage is counted in VERDICT/README; the
-per-query tests themselves enforce that the mention is a real
-assertion, and the non-vacuity check below keeps the scan honest.
+The scan counts QUOTED registered-name usages only - ``"qNNN_`` /
+``'qNNN_`` as they appear at real call sites (``_q(spark,
+"q123_foo")``, ``QUERIES["q123_foo"]``) - so a comment or docstring
+cross-reference (bare ``q79`` prose) can no longer satisfy the
+ledger vacuously (ADVICE r10 items 1-2; the old scan accepted any
+textual qNNN token and capped ids at three digits). The per-query
+tests themselves enforce that the mention is a real assertion, and
+the non-vacuity check below keeps the scan honest.
 """
 
 from __future__ import annotations
@@ -29,7 +33,9 @@ def _referenced_ids() -> set[int]:
         os.path.join(REPO, "tests", "test_reference_math*.py")
     ):
         with open(path, encoding="utf-8") as fh:
-            for m in re.finditer(r"\bq(\d{1,3})", fh.read()):
+            # quoted-name call sites only; \d+ (not \d{1,3}) so a
+            # future q1000 is not silently counted as q100
+            for m in re.finditer(r"""["']q(\d+)_""", fh.read()):
                 ids.add(int(m.group(1)))
     return ids
 

@@ -34,11 +34,20 @@ Writes INVARIANCE.json at the repo root by default when --json is given.
 
 from __future__ import annotations
 
+import ast
+import hashlib
+import inspect
 import json
+import os
 import sys
+import textwrap
 import time
 
-sys.path.insert(0, "/root/repo")
+# repo root from this file's location, not a hardcoded path, so the
+# sweep (and the regeneration instructions in test_invariance.py)
+# work from any checkout (ADVICE r10 item 3)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from tools.oracle_check import frame_to_rows, pandas_rows
 from web_scraping_etl_pipeline_spark.plans import QUERIES
@@ -70,6 +79,28 @@ VARIANTS = (
 _RESTORE = {
     "spark.sql.adaptive.enabled": "true",
 }
+
+
+def body_hash(name: str) -> str:
+    """Stable fingerprint of a query's NORMALIZED function body:
+    source -> AST with the docstring and decorators stripped ->
+    ast.dump -> sha256[:16]. Comment/formatting/docstring edits do
+    not move it; any code change does. Recorded per query in
+    INVARIANCE.json so the freshness pin (tests/test_invariance.py)
+    fails on a REWRITTEN query whose recorded match=true predates the
+    rewrite - the stale-row blind spot ADVICE r10 item 4 names (the
+    old pin only noticed queries absent from the artifact)."""
+    src = textwrap.dedent(inspect.getsource(QUERIES[name]))
+    fn = ast.parse(src).body[0]
+    fn.decorator_list = []
+    if (
+        fn.body
+        and isinstance(fn.body[0], ast.Expr)
+        and isinstance(fn.body[0].value, ast.Constant)
+        and isinstance(fn.body[0].value.value, str)
+    ):
+        fn.body = fn.body[1:]
+    return hashlib.sha256(ast.dump(fn).encode()).hexdigest()[:16]
 
 
 def _clear_session_caches() -> None:
@@ -151,9 +182,25 @@ def main():
             rec["err"] = str(exc)[:300]
             failures.append(name)
             print(f"FAIL {name}: error: {rec['err']}")
+        # fingerprint of the code that PRODUCED this row: the
+        # freshness pin recomputes it at HEAD and fails on drift
+        rec["body_hash"] = body_hash(name)
         records[name] = rec
     print(f"\n{len(names) - len(failures)}/{len(names)} partition-invariant")
     if json_out:
+        # Subset runs MERGE into an existing artifact (per-row refresh
+        # after a targeted rewrite: `--json INVARIANCE.json sf_dir
+        # q123_foo` re-sweeps one query without the ~25-min full run);
+        # full runs still replace it wholesale.
+        if len(records) < len(QUERIES) and os.path.exists(json_out):
+            try:
+                with open(json_out) as fh:
+                    prior = json.load(fh)
+            except (OSError, ValueError):
+                prior = {}
+            merged = dict(prior.get("queries", {}))
+            merged.update(records)
+            records = merged
         with open(json_out, "w") as fh:
             json.dump(
                 {
