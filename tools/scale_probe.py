@@ -433,10 +433,24 @@ def probe_lsh_bucket_knn(spark, sf_dir, k):
         .select("p", "o", F.expr(dist).alias("d2"))
     )
     w = Window.partitionBy("p").orderBy("d2", "o")
-    knn = d.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= 5
+    # One action through the FULL plan (bucket join + distance + per-
+    # node window), returning the PAIR fan-out - the quantity the
+    # docstring says normalizes this curve. The old code returned the
+    # top-5-capped knn count (linear by construction), which made
+    # x_time look superlinear against a flat rows_out even when the
+    # per-pair cost was constant: replication multiplies every bucket
+    # k-fold, so pairs grow ~k^2 BY DESIGN and the honest certificate
+    # is sec/pair staying flat, not sec staying linear (r11, VERDICT
+    # r10 item 5).
+    agg = (
+        d.withColumn("rk", F.row_number().over(w))
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum((F.col("rk") <= 5).cast("long")).alias("knn"),
+        )
+        .collect()[0]
     )
-    return knn.count()
+    return agg["pairs"]
 
 
 def probe_banded_edit_verify(spark, sf_dir, k):
@@ -913,14 +927,30 @@ PROBES = {
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    ks = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    argv = list(sys.argv[1:])
+    only = None
+    if "--probes" in argv:
+        # Subset runs (e.g. extending two steep curves to 64x,
+        # VERDICT r10 item 5) MERGE into the existing artifact; a
+        # probe's own dict keys are its measured ks, so mixed depths
+        # across probes stay self-describing.
+        i = argv.index("--probes")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+        unknown = only - set(PROBES)
+        if unknown:
+            raise SystemExit(f"unknown probes: {sorted(unknown)}")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    ks = [int(a) for a in argv[1:]] or [1, 4, 16]
+    selected = {
+        n: f for n, f in PROBES.items() if only is None or n in only
+    }
     spark = get_spark(app_name="scale-probe")
     # warm the JVM/codegen so k=1 is not charged compilation cost
-    for fn in PROBES.values():
+    for fn in selected.values():
         fn(spark, sf_dir, 1)
     results: dict[str, dict] = {}
-    for name, fn in PROBES.items():
+    for name, fn in selected.items():
         results[name] = {}
         for k in ks:
             t0 = time.time()
@@ -933,9 +963,23 @@ def main():
         for k in ks:
             r = results[name][str(k)]
             r["x_time"] = round(r["sec"] / base, 2) if base else None
-    payload = {"sf_dir": sf_dir, "ks": ks, "probes": results}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SCALE_PROBE.json"), "w") as fh:
+    out_path = os.path.join(here, "SCALE_PROBE.json")
+    payload = {"sf_dir": sf_dir, "ks": ks, "probes": results}
+    if only is not None and os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prior = json.load(fh)
+        except (OSError, ValueError):
+            prior = {}
+        merged = dict(prior.get("probes", {}))
+        merged.update(results)
+        payload = {
+            "sf_dir": sf_dir,
+            "ks": prior.get("ks", ks),
+            "probes": merged,
+        }
+    with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps(payload))
     spark.stop()
