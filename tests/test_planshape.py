@@ -80,3 +80,27 @@ def test_planshape_drift_is_explained():
         f"unexplained plan-shape drift in {len(drifted)} queries "
         f"(add to ALLOWED_DRIFT with a reason if deliberate): {drifted}"
     )
+
+
+def test_planshape_rows_are_fresh():
+    """A rewritten query keeps its snapshot row but the recorded
+    body_hash no longer matches HEAD (same stale-row class the
+    invariance pin closes, ADVICE r10 item 4): plan-shape claims for
+    rewritten queries must come from a re-audit, not a stale row.
+    Subset refresh: `python tools/plan_audit.py --json PLANSHAPE.json
+    <sf_dir> <query...>` is NOT enough (it rotates/replaces the whole
+    artifact) - re-run the full audit at round close as usual."""
+    from tools.invariance_check import body_hash
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    shapes = _load(CUR)
+    stale = sorted(
+        n
+        for n, rec in shapes.items()
+        if n in QUERIES and rec.get("body_hash") != body_hash(n)
+    )
+    assert stale == [], (
+        f"{len(stale)} queries rewritten since the last plan audit, "
+        f"e.g. {stale[:5]} - re-run tools/plan_audit.py --json "
+        "PLANSHAPE.json"
+    )

@@ -36,13 +36,16 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
 import duckdb
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from web_scraping_etl_pipeline_spark.plans import ORACLE, QUERIES
 from web_scraping_etl_pipeline_spark.plans.common import release_transients

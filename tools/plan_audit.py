@@ -35,9 +35,12 @@ invisible in wall-time noise; it is one integer in this diff).
 from __future__ import annotations
 
 import re
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from web_scraping_etl_pipeline_spark.plans import QUERIES
 from web_scraping_etl_pipeline_spark.plans.common import release_transients
@@ -980,6 +983,13 @@ def main() -> int:
         if funnels:
             a["flags"].append("single_partition_funnel")
         a["flags"] = [f for f in a["flags"] if f not in ALLOW.get(name, ())]
+        # fingerprint of the code that produced this shape row, so the
+        # PLANSHAPE freshness pin can fail on a rewritten-but-not-
+        # re-audited query (the stale-row class ADVICE r10 item 4
+        # named for INVARIANCE; PLANSHAPE had the same gap)
+        from tools.invariance_check import body_hash  # noqa: PLC0415
+
+        a["body_hash"] = body_hash(name)
         shapes[name] = dict(a)
         flag_note = f"  FLAGS={','.join(a['flags'])}" if a["flags"] else ""
         if a["flags"]:
