@@ -170,12 +170,16 @@ FAST_TRACK_RANGE = (300, 441)
 #: cohort are capped at GATE_SLOTS - len(PINNED_CORE) - 34 (= 2
 #: today); the excess still runs, but AFTER the cohort (i.e. it waits
 #: one extra round instead of starving the mandated drain).
-#: Round 11 (VERDICT r10 item 1): the remaining cohort is exactly 36
-#: names (q406-q441), and 14 pinned + 36 = 50 fills the gate with
-#: zero pre-cohort slots - so the whole fast-track empties THIS round
-#: and the 20-entry REFRESH_QUEUE inherits every freed slot in r12
-#: (VERDICT r10 item 4's schedule).
-MIN_COHORT_SLOTS = 36
+#: Round 11 note: the remaining cohort is 36 names (q406-q441); with
+#: 14 pinned + the 2-slot pre-cohort budget, 34 drain this round
+#: (exactly VERDICT r10 item 1's Done-criterion, backlog 117 -> 83)
+#: and the last two (q440/q441, both already dual-SF green and
+#: degenerate-fixture-pinned) drain first thing in r12 alongside the
+#: REFRESH_QUEUE. 36 was tried and reverted: core + one retry + 36
+#: cohort = 51 > 50, so it would break the retry-next-round promise
+#: (test_last_round_failures_fast_tracked) - the budget must stay
+#: >= 1 for retries while any cohort remains.
+MIN_COHORT_SLOTS = 34
 
 #: VERDICT r8 item 7 introduced the refresh mechanism for q262/q265
 #: (rewritten in round 7, driver rows r03-r06); both were refreshed
