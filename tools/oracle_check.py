@@ -511,6 +511,20 @@ def main():
         ))
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if json_out:
+        # Subset runs MERGE into an existing artifact (same per-row
+        # refresh contract as invariance_check: re-verify the handful
+        # of touched/new queries without a full-registry sweep); full
+        # runs still replace it wholesale.
+        if len(records) < len(QUERIES) and os.path.exists(json_out):
+            try:
+                with open(json_out) as fh:
+                    prior = json.load(fh)
+            except (OSError, ValueError):
+                prior = {}
+            if isinstance(prior, dict):
+                merged = dict(prior)
+                merged.update(records)
+                records = merged
         with open(json_out, "w") as fh:
             json.dump(records, fh, indent=1, sort_keys=True)
         print(f"wrote {json_out} ({len(records)} records)")
