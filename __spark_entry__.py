@@ -218,6 +218,12 @@ REFRESH_QUEUE: dict[str, int] = {
     "q267_distinctive_terms": 5,
     "q121_neardup_rate_by_source": 6,
     "q306_kmeans_lloyd": 8,
+    # r11 tri-SF sweep fixes (ROUND-tie / LN-domain hardening): both
+    # had driver rows before the rewrite; q273/q276 were also touched
+    # but have never been driver-checked, so the never-checked pool
+    # already schedules them.
+    "q125_geomean_udaf": 3,
+    "q164_min_cost_supplier": 7,
 }
 
 

@@ -1,0 +1,112 @@
+"""Tri-SF correctness artifact pins (round 11).
+
+The in-repo oracle sweeps are the engine's widest exactness signal:
+every registered query compared value-exact against its DuckDB twin
+at THREE scale factors - sf0.001 (CORRECTNESS_SF0001.json), sf0.01
+(CORRECTNESS_FULL.json, the driver-gate SF), and - new in round 11 -
+sf0.1 (CORRECTNESS_SF01.json, the BENCH SF, so the numbers the perf
+story quotes come from plans proven exact at that very scale). These
+pins make the artifacts load-bearing: each must exist, cover the
+whole registry (minus env-gated registrations), and contain zero red
+rows. Registering a query without re-running the sweeps (subset
+`--json` runs MERGE, so per-row refresh is cheap) fails here the same
+way the invariance and plan-shape pins fail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARTIFACTS = {
+    "CORRECTNESS_SF0001.json": "sf0.001",
+    "CORRECTNESS_FULL.json": "sf0.01",
+    "CORRECTNESS_SF01.json": "sf0.1",
+}
+
+
+def _load(name):
+    with open(os.path.join(REPO, name)) as fh:
+        return json.load(fh)
+
+
+def _env_gated() -> set[str]:
+    with open(os.path.join(REPO, "SKIPPED.json")) as fh:
+        return {
+            v.get("name")
+            for v in json.load(fh).values()
+            if isinstance(v, dict) and v.get("env_condition")
+        }
+
+
+@pytest.mark.parametrize("artifact,sf", sorted(ARTIFACTS.items()))
+def test_sweep_covers_registry(artifact, sf):
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    assert os.path.exists(os.path.join(REPO, artifact)), (
+        f"{artifact} missing - run `python tools/oracle_check.py "
+        f"--json {artifact} /root/testdata/{sf}`"
+    )
+    records = _load(artifact)
+    missing = sorted(set(QUERIES) - set(records) - _env_gated())
+    assert missing == [], (
+        f"{artifact} stale: {len(missing)} registered queries missing, "
+        f"e.g. {missing[:5]} - subset oracle_check runs merge per-row"
+    )
+
+
+@pytest.mark.parametrize("artifact", sorted(ARTIFACTS))
+def test_sweep_has_no_red_rows(artifact):
+    records = _load(artifact)
+    bad = {}
+    for name, rec in records.items():
+        if not isinstance(rec, dict):
+            bad[name] = rec
+            continue
+        err = rec.get("err")
+        if err and "rows-only" in str(err):
+            # streaming/non-SQL ops: the weaker rows-only record
+            if rec.get("rows_match") is not True:
+                bad[name] = rec
+            continue
+        if not (
+            rec.get("rows_match") is True
+            and rec.get("schema_match") is True
+            and rec.get("values_match") is True
+            and not err
+        ):
+            bad[name] = rec
+    assert bad == {}, (
+        f"{artifact}: {len(bad)} non-green rows, e.g. "
+        f"{dict(list(bad.items())[:3])}"
+    )
+
+
+def test_rows_scale_with_sf():
+    """Cross-artifact sanity: the sweeps really ran at different SFs -
+    for a supermajority of shared oracle-checked queries the sf0.1 row
+    count is >= the sf0.001 row count (row counts are monotone in data
+    volume for almost every registered shape; a wholesale copy of one
+    artifact into another would fail this)."""
+    small = _load("CORRECTNESS_SF0001.json")
+    big = _load("CORRECTNESS_SF01.json")
+    shared = [
+        n
+        for n, rec in small.items()
+        if n in big
+        and isinstance(rec.get("spark_rows"), int)
+        and isinstance(big[n].get("spark_rows"), int)
+    ]
+    assert len(shared) >= 400
+    ge = sum(1 for n in shared if big[n]["spark_rows"] >= small[n]["spark_rows"])
+    identical = sum(
+        1 for n in shared if big[n]["spark_rows"] == small[n]["spark_rows"]
+    )
+    assert ge >= 0.9 * len(shared)
+    # and they are not byte-copies of each other: plenty of queries
+    # must differ in row count across a 100x data spread
+    assert identical <= 0.8 * len(shared)

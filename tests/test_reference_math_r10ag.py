@@ -4,9 +4,9 @@ from-scratch reference. These exercise entry surfaces (SQL text, pipe
 syntax, Python DataSource read/write/stream, SQL UDFs, session
 variables, try_-parsing) and the end-to-end batch pipeline; their
 oracles restate the same arithmetic in DuckDB SQL, so each test here
-recomputes the expected rows in plain Python (dicts, loops,
-decimal.Decimal for the exact HALF_UP cent rounding both engines
-apply to doubles) and pins the Spark result.
+recomputes the expected rows in plain Python (dicts, loops, the
+floor(x*100 + 0.5) cent lattice both engines apply to doubles since
+the r11 tie-class hardening) and pins the Spark result.
 
 q245 SQL-text top-terms, q246/q247 custom source arithmetic, q250
 pipe-syntax aggregate, q273 two-phase-commit sink slice, q275
@@ -18,7 +18,6 @@ refresh re-render.
 from __future__ import annotations
 
 import re
-from decimal import ROUND_HALF_UP, Decimal
 
 import pyarrow.parquet as pq
 import pytest
@@ -37,11 +36,15 @@ def _q(spark, name):
 
 
 def _cents(v: float) -> int:
-    """ROUND(value * 100) as both engines compute it: HALF_UP on the
-    exact binary double (BigDecimal(double).setScale(0, HALF_UP))."""
-    return int(
-        Decimal(v * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
-    )
+    """FLOOR(value*100 + 0.5) as both engines compute it since the
+    round-11 tie-class hardening (q273/q276): two IEEE ops on the
+    shared input double, then floor - no tie semantics involved.
+    (The pre-r11 form was engine ROUND, i.e. HALF_UP via
+    BigDecimal(double); it diverged from DuckDB on exactly-.5 cent
+    doubles, which the sf0.1 sweep surfaced.)"""
+    import math
+
+    return int(math.floor(v * 100 + 0.5))
 
 
 def _events():
@@ -238,7 +241,9 @@ def test_q276_sql_udfs_match_clamp_and_unit_math(spark):
         s = agg.setdefault(et, [set(), 0.0, 0])
         s[0].add(eid)
         s[1] += min(max(v, 10.0), 400.0)
-        s[2] += (_cents(v) + 9999) // 10000  # started 100-unit blocks
+        # started 100-unit blocks, min 1 per event (r11: zero-cent
+        # events occupy one unit so the lateral stays total)
+        s[2] += max(1, (_cents(v) + 9999) // 10000)
     got = {
         r["event_type"]: r for r in _q(spark, "q276_sql_udfs").collect()
     }

@@ -184,6 +184,16 @@ FLOAT_LINT_ALLOW = {
     # micro-floored LN of exact-integer marginal/conditional ratios
     # over the bounded contingency cells (q375 class)
     "q435_theils_u_lang_source",
+    # r11 tri-SF fixes: FLOOR(x*scale + 0.5) REPLACED a genuine
+    # cross-engine ROUND-tie divergence the sf0.1 sweep caught. The
+    # floored argument is multiply-add over a double that is
+    # bit-identical on both engines (q164: MIN of identical divisions;
+    # q276: the raw parquet value), so the floor is bit-identical by
+    # construction - the floor IS the exactness mechanism here, the
+    # q319/q334 rationale class.
+    "q164_min_cost_supplier",
+    "q276_sql_udfs",
+    "q273_python_datasource_write",  # same cent lattice as q276
 }
 
 

@@ -1137,7 +1137,7 @@ def q163_percent_of_parent(spark, sf_dir):
                    AND r.r_name = 'EUROPE'
     )
     SELECT e.l_partkey AS p_partkey, e.l_suppkey AS s_suppkey,
-           ROUND(e.price, 4) AS best_price
+           FLOOR(e.price * 10000 + 0.5) / 10000.0 AS best_price
     FROM elig e
     WHERE e.price = (SELECT MIN(e2.price) FROM elig e2
                      WHERE e2.l_partkey = e.l_partkey)
@@ -1155,7 +1155,15 @@ def q164_min_cost_supplier(spark, sf_dir):
     prune before the window so the windowed set is already minimal.
     The equality filter keeps ties (all suppliers at the minimum), and
     is exact: MIN selects an existing IEEE value, so both engines
-    compare identical doubles."""
+    compare identical doubles.
+
+    Exactness: the displayed price is FLOOR(price*1e4 + 0.5)/1e4, not
+    ROUND(price, 4) - the round-11 tri-SF sweep caught a genuine tie
+    at sf0.1 (10500.67875: Spark HALF_UP .6788 vs DuckDB .6787, the
+    q174 ROUND-tie class). price is the same IEEE double on both
+    engines (MIN of identical divisions), so multiply-add-floor-divide
+    is four correctly-rounded ops on identical inputs - bit-identical
+    by construction, no tie semantics involved."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
         "p_partkey"
@@ -1181,7 +1189,9 @@ def q164_min_cost_supplier(spark, sf_dir):
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("l_suppkey").alias("s_suppkey"),
-            F.round("price", 4).alias("best_price"),
+            (F.floor(F.col("price") * 10000 + 0.5) / 10000.0).alias(
+                "best_price"
+            ),
         )
     )
 

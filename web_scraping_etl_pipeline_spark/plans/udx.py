@@ -28,7 +28,7 @@ from .registry import query
     "q125_geomean_udaf",
     oracle="""
     SELECT event_type,
-           ROUND(EXP(AVG(LN(value)) FILTER (WHERE value > 0)), 6)
+           ROUND(EXP(AVG(LN(CASE WHEN value > 0 THEN value END))), 6)
              AS geomean_value,
            CAST(COUNT(*) FILTER (WHERE value > 0) AS BIGINT) AS n_pos
     FROM events GROUP BY event_type
@@ -52,7 +52,15 @@ def q125_geomean_udaf(spark, sf_dir):
     def geomean(v: pd.Series) -> float:
         import numpy as np
 
+        # guard LN's domain on BOTH sides identically (r11 tri-SF
+        # catch: sf0.1 has value=0 rows, and DuckDB evaluates LN's
+        # argument before the aggregate FILTER applies, erroring on 0
+        # - the oracle now NULLs non-positives via CASE instead, and
+        # an all-nonpositive group is NULL here, not NaN, to match
+        # AVG-over-empty)
         pos = v[v > 0]
+        if len(pos) == 0:
+            return None
         return float(np.exp(np.log(pos).mean()))
 
     # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates
@@ -529,7 +537,7 @@ def q251_collation_distinct(spark, sf_dir):
     "q273_python_datasource_write",
     oracle="""
     SELECT event_id, user_id,
-           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
     FROM events WHERE event_id % 100 = 0
     """,
 )
@@ -574,7 +582,10 @@ def q273_python_datasource_write(spark, sf_dir):
             .select(
                 "event_id",
                 "user_id",
-                F.round(F.col("value") * 100)
+                # floor(x*100 + 0.5), not ROUND: same r11 tie-class
+                # hardening as q276 (identical input double -> the
+                # floored cent is bit-identical on both engines)
+                F.floor(F.col("value") * 100 + 0.5)
                 .cast("long")
                 .alias("value_cents"),
             )
@@ -702,8 +713,8 @@ def q275_try_safe_parsing(spark, sf_dir):
     WITH u AS (
       SELECT event_type,
              LEAST(GREATEST(value, 10.0), 400.0) AS clamped,
-             (CAST(ROUND(value * 100) AS BIGINT) + 9999) // 10000
-               AS n_units
+             GREATEST((CAST(FLOOR(value * 100 + 0.5) AS BIGINT) + 9999)
+                      // 10000, 1) AS n_units
       FROM events
     )
     SELECT event_type,
@@ -727,6 +738,20 @@ def q276_sql_udfs(spark, sf_dir):
 
     The block count is pure integer ((cents + 9999) DIV 10000) per
     the engine's float-boundary rule (tools/oracle_check.py --lint).
+    Cents are FLOOR(value*100 + 0.5), not ROUND(value*100): the
+    round-11 tri-SF sweep caught sf0.1 values whose cents land on an
+    exactly-representable .5 double (e.g. eighths), where Spark's
+    HALF_UP and DuckDB's double-round disagree; multiply-add-floor on
+    the identical input double is bit-identical on both engines and
+    keeps the same half-up-for-positives meaning. The block count is
+    GREATEST(..., 1) - every event occupies at least one unit - which
+    is the semantic fix for the OTHER sf0.1 catch here: Spark's
+    ``sequence(1, 0)`` yields the DESCENDING [1, 0] (step defaults to
+    -1), so a zero-cent event emitted two phantom unit rows through
+    the lateral where DuckDB's SUM added 0; with a guaranteed >= 1
+    block the sequence bound is always ascending and the lateral is
+    total (no event drops out of the inner join, so n_events and the
+    winsorized sum keep covering every row on both engines).
 
     Scale: both functions dissolve into codegen expressions at plan
     time; the lateral expansion is local row generation. Cost is the
@@ -739,7 +764,8 @@ def q276_sql_udfs(spark, sf_dir):
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION wsep_unit_rows(v DOUBLE) "
         "RETURNS TABLE(unit INT) RETURN SELECT explode(sequence(1, "
-        "CAST((CAST(ROUND(v * 100) AS BIGINT) + 9999) DIV 10000 AS INT)))"
+        "CAST(GREATEST((CAST(FLOOR(v * 100 + 0.5) AS BIGINT) + 9999)"
+        " DIV 10000, 1) AS INT)))"
     )
     t(spark, sf_dir, "events").createOrReplaceTempView("q276_events")
     return spark.sql(
