@@ -184,16 +184,19 @@ FLOAT_LINT_ALLOW = {
     # micro-floored LN of exact-integer marginal/conditional ratios
     # over the bounded contingency cells (q375 class)
     "q435_theils_u_lang_source",
-    # r11 tri-SF fixes: FLOOR(x*scale + 0.5) REPLACED a genuine
-    # cross-engine ROUND-tie divergence the sf0.1 sweep caught. The
-    # floored argument is multiply-add over a double that is
+    # r11 tri-SF fixes: FLOOR(x*scale + 0.5) replaces engine ROUND.
+    # For q164 it FIXED a live cross-engine tie the sf0.1 sweep
+    # caught (a derived price ratio landing on an exact .5 e4-double);
+    # for q273/q276 it is preemptive hardening of the same class (a
+    # probe confirmed no raw cent in any fixture lands on .5 at any
+    # SF). The floored argument is multiply-add over a double that is
     # bit-identical on both engines (q164: MIN of identical divisions;
-    # q276: the raw parquet value), so the floor is bit-identical by
-    # construction - the floor IS the exactness mechanism here, the
+    # q273/q276: the raw parquet value), so the floor is bit-identical
+    # by construction - the floor IS the exactness mechanism here, the
     # q319/q334 rationale class.
     "q164_min_cost_supplier",
     "q276_sql_udfs",
-    "q273_python_datasource_write",  # same cent lattice as q276
+    "q273_python_datasource_write",
 }
 
 

@@ -738,18 +738,18 @@ def q276_sql_udfs(spark, sf_dir):
 
     The block count is pure integer ((cents + 9999) DIV 10000) per
     the engine's float-boundary rule (tools/oracle_check.py --lint).
-    Cents are FLOOR(value*100 + 0.5), not ROUND(value*100): the
-    round-11 tri-SF sweep caught sf0.1 values whose cents land on an
-    exactly-representable .5 double (e.g. eighths), where Spark's
-    HALF_UP and DuckDB's double-round disagree; multiply-add-floor on
-    the identical input double is bit-identical on both engines and
-    keeps the same half-up-for-positives meaning. The block count is
-    GREATEST(..., 1) - every event occupies at least one unit - which
-    is the semantic fix for the OTHER sf0.1 catch here: Spark's
+    Cents are FLOOR(value*100 + 0.5), not ROUND(value*100):
+    preemptive hardening against the ROUND-tie class the r11 tri-SF
+    sweep caught LIVE in q164 (a derived-ratio tie; no raw cent tie
+    exists in any current fixture - probed at all three SFs) -
+    multiply-add-floor on the identical input double is bit-identical
+    on both engines and keeps the same half-up-for-positives meaning.
+    The ACTUAL r11 sf0.1 catch here was the block count: Spark's
     ``sequence(1, 0)`` yields the DESCENDING [1, 0] (step defaults to
-    -1), so a zero-cent event emitted two phantom unit rows through
-    the lateral where DuckDB's SUM added 0; with a guaranteed >= 1
-    block the sequence bound is always ascending and the lateral is
+    -1), so each of sf0.1's six zero-cent events emitted two phantom
+    unit rows through the lateral where DuckDB's SUM added 0. Fixed
+    with GREATEST(..., 1) - every event occupies at least one unit -
+    so the sequence bound is always ascending and the lateral is
     total (no event drops out of the inner join, so n_events and the
     winsorized sum keep covering every row on both engines).
 
