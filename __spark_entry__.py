@@ -224,6 +224,16 @@ REFRESH_QUEUE: dict[str, int] = {
     # already schedules them.
     "q125_geomean_udaf": 3,
     "q164_min_cost_supplier": 7,
+    # r11 empty-corpus totality hardening (guard/COALESCE/HAVING
+    # parity fixes): entries for the rewrites whose driver rows
+    # predate the change; the rest of that batch (q38/q200/q286/q408/
+    # q416/q418/q431/q437/q271/q272/q278) have never been
+    # driver-checked and are scheduled by the never-checked pool.
+    "q26_region_nation_rollup": 2,
+    "q65_grouping_sets": 3,
+    "q266_dedup_agreement": 5,
+    "q350_blocking_quality": 9,
+    "q370_join_cardinality_audit": 9,
 }
 
 

@@ -175,6 +175,7 @@ def q64_stats_suite(spark, sf_dir):
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def q65_grouping_sets(spark, sf_dir):
@@ -184,7 +185,9 @@ def q65_grouping_sets(spark, sf_dir):
 
     Spark plans this as a single Expand + hash aggregate - the input is
     scanned once and replicated only into the requested 3 sets (vs 4 for
-    a full CUBE).  Dims broadcast; one shuffle on the grouping columns."""
+    a full CUBE).  Dims broadcast; one shuffle on the grouping columns.
+    The oracle's HAVING COUNT(*) > 0 pins empty-in/empty-out on both
+    engines (the q26 rollup-on-empty class; no-op on real data)."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -2457,11 +2460,15 @@ def q199_union_by_name(spark, sf_dir):
              SUM(t1) OVER (ORDER BY n_chars) AS c1
       FROM tagged
     )
-    SELECT ROUND(MAX(ABS(c0 / CAST(n0 AS DOUBLE)
-                         - c1 / CAST(n1 AS DOUBLE))), 6) AS ks_stat,
-           CAST(MAX(n0) AS BIGINT) AS n_src0,
-           CAST(MAX(n1) AS BIGINT) AS n_src1
-    FROM cdf, tot
+    SELECT (SELECT CASE WHEN tot.n0 > 0 AND tot.n1 > 0
+                   THEN ROUND(MAX(ABS(c0 / CAST(n0 AS DOUBLE)
+                                      - c1 / CAST(n1 AS DOUBLE))), 6)
+                   END
+            FROM cdf, tot GROUP BY tot.n0, tot.n1) AS ks_stat,
+           (SELECT CAST(COALESCE(SUM(t0), 0) AS BIGINT) FROM tagged)
+             AS n_src0,
+           (SELECT CAST(COALESCE(SUM(t1), 0) AS BIGINT) FROM tagged)
+             AS n_src1
     """,
 )
 def q200_ks_drift(spark, sf_dir):
@@ -2493,8 +2500,14 @@ def q200_ks_drift(spark, sf_dir):
         per_key, ["n_chars"], sums=[("kt0", "c0"), ("kt1", "c1")]
     )
     n0, n1 = tot["c0"], tot["c1"]
-    return cdf.agg(
-        F.round(
+    # degenerate-input totality (r11 empty-corpus census): with either
+    # source empty the statistic is undefined - NULL on both engines
+    # (the oracle's CASE WHEN n0 > 0 AND n1 > 0) instead of an ANSI
+    # division error here / a NULL-vs-0 desync on the counts; the
+    # totals are plan-time driver constants, so the guard folds away
+    # entirely on real data.
+    if n0 > 0 and n1 > 0:
+        ks = F.round(
             F.max(
                 F.abs(
                     F.col("c0") / F.lit(float(n0))
@@ -2502,7 +2515,11 @@ def q200_ks_drift(spark, sf_dir):
                 )
             ),
             6,
-        ).alias("ks_stat"),
+        )
+    else:
+        ks = F.max(F.lit(None).cast("double"))
+    return cdf.agg(
+        ks.alias("ks_stat"),
         F.lit(n0).cast("long").alias("n_src0"),
         F.lit(n1).cast("long").alias("n_src1"),
     )

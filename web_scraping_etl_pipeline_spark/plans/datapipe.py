@@ -2418,9 +2418,14 @@ from .dedup import _SIMHASH_CTES_SQL as _Q266_SIM_SQL  # noqa: E402
     SELECT CAST(np.n AS BIGINT) AS n_minhash_pairs,
            CAST(nt.n AS BIGINT) AS n_simhash_pairs,
            CAST(tp.n AS BIGINT) AS n_agree,
-           ROUND(tp.n * 1.0 / np.n, 4) AS precision_vs_simhash,
-           ROUND(tp.n * 1.0 / nt.n, 4) AS recall_of_simhash,
-           ROUND(2.0 * tp.n / (np.n + nt.n), 4) AS f1
+           CASE WHEN np.n > 0
+                THEN ROUND(tp.n * 1.0 / np.n, 4) END
+             AS precision_vs_simhash,
+           CASE WHEN nt.n > 0
+                THEN ROUND(tp.n * 1.0 / nt.n, 4) END
+             AS recall_of_simhash,
+           CASE WHEN np.n + nt.n > 0
+                THEN ROUND(2.0 * tp.n / (np.n + nt.n), 4) END AS f1
     FROM tp, np, nt
     """,
 )
@@ -2458,13 +2463,20 @@ def q266_dedup_agreement(spark, sf_dir):
         F.col("np").cast("long").alias("n_minhash_pairs"),
         F.col("nt").cast("long").alias("n_simhash_pairs"),
         F.col("tp").cast("long").alias("n_agree"),
-        F.round(F.col("tp") / F.col("np"), 4).alias(
-            "precision_vs_simhash"
-        ),
-        F.round(F.col("tp") / F.col("nt"), 4).alias("recall_of_simhash"),
-        F.round(2.0 * F.col("tp") / (F.col("np") + F.col("nt")), 4).alias(
-            "f1"
-        ),
+        # guards literal-identical to the oracle's CASE predicates
+        # (q421 guard-parity rule; r11 empty-corpus census): on a
+        # degenerate input with zero candidate pairs Spark's ANSI
+        # division errors where DuckDB NULLs - both now NULL.
+        F.when(
+            F.col("np") > 0, F.round(F.col("tp") / F.col("np"), 4)
+        ).alias("precision_vs_simhash"),
+        F.when(
+            F.col("nt") > 0, F.round(F.col("tp") / F.col("nt"), 4)
+        ).alias("recall_of_simhash"),
+        F.when(
+            F.col("np") + F.col("nt") > 0,
+            F.round(2.0 * F.col("tp") / (F.col("np") + F.col("nt")), 4),
+        ).alias("f1"),
     )
 
 

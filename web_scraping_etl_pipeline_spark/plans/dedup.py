@@ -2846,9 +2846,10 @@ def q343_bleu_pair_verify(spark, sf_dir):
     SELECT nd.n_docs,
            CAST(nd.n_docs * (nd.n_docs - 1) / 2 AS BIGINT) AS total_pairs,
            nc.n_cands, nt.n_true_pairs, ng.n_caught,
-           ROUND(1.0 - CAST(nc.n_cands AS DOUBLE)
-                       / (nd.n_docs * (nd.n_docs - 1) / 2.0), 6)
-             AS reduction_ratio,
+           CASE WHEN nd.n_docs > 1
+                THEN ROUND(1.0 - CAST(nc.n_cands AS DOUBLE)
+                           / (nd.n_docs * (nd.n_docs - 1) / 2.0), 6)
+                END AS reduction_ratio,
            ROUND(CASE WHEN nt.n_true_pairs = 0 THEN 1.0
                       ELSE CAST(ng.n_caught AS DOUBLE) / nt.n_true_pairs
                  END, 6) AS pairs_completeness
@@ -2913,11 +2914,17 @@ def q350_blocking_quality(spark, sf_dir):
             "n_cands",
             "n_true_pairs",
             "n_caught",
-            F.round(
-                1.0
-                - F.col("n_cands").cast("double")
-                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
-                6,
+            # n_docs > 1 guard literal-identical to the oracle (q421
+            # guard-parity; r11 empty-corpus census: ANSI division
+            # errored on a <=1-doc corpus where DuckDB NULLed)
+            F.when(
+                F.col("n_docs") > 1,
+                F.round(
+                    1.0
+                    - F.col("n_cands").cast("double")
+                    / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
+                    6,
+                ),
             ).alias("reduction_ratio"),
             F.round(
                 F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(

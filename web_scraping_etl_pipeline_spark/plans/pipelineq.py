@@ -94,6 +94,25 @@ def _silver_presentation(df):
     )
 
 
+
+#: presentation schema, also the empty-day result shape: on a day the
+#: scraper finds NOTHING the empty-batch gate (F6) skips the silver
+#: write entirely, so the probes must return an empty TYPED frame
+#: instead of crashing on the missing path/table (r11 empty-corpus
+#: census; the oracle over an empty `part` agrees with 0 rows).
+_SILVER_VIEW_SCHEMA = (
+    "job_link string, job_name string, salary double, "
+    "company_name string, posted_us bigint, job_location string, "
+    "remaining_time string, due_us bigint"
+)
+
+
+def _silver_exists(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path)
+
+
 @query("q271_pipeline_silver", oracle=_PROBE_ORACLE)
 def q271_pipeline_silver(spark, sf_dir):
     """run_batch end to end: synthesize the raw batch, run TWO
@@ -113,6 +132,8 @@ def q271_pipeline_silver(spark, sf_dir):
         state = f"{scratch}/state.json"
         run_batch(spark, raw, silver, state, now_us=ANCHOR_US)
         run_batch(spark, raw, silver, state, now_us=ANCHOR_US)  # no-op
+        if not _silver_exists(silver):  # empty scrape day: F6 skipped
+            return spark.createDataFrame([], _SILVER_VIEW_SCHEMA)
         out = _silver_presentation(spark.read.parquet(silver))
         # materialize before the scratch dir disappears
         rows = out.collect()
@@ -138,6 +159,8 @@ def q272_pipeline_silver_bucketed(spark, sf_dir):
         state = f"{scratch}/state.json"
         run_batch_bucketed(spark, raw, table, state, now_us=ANCHOR_US)
         run_batch_bucketed(spark, raw, table, state, now_us=ANCHOR_US)
+        if not spark.catalog.tableExists(table):  # empty scrape day
+            return spark.createDataFrame([], _SILVER_VIEW_SCHEMA)
         out = _silver_presentation(spark.table(table))
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
@@ -197,6 +220,10 @@ def q278_remaining_time_refresh(spark, sf_dir):
         silver = f"{scratch}/silver"
         state = f"{scratch}/state.json"
         run_batch(spark, raw, silver, state, now_us=ANCHOR_US)
+        if not _silver_exists(silver):  # empty scrape day: F6 skipped
+            return spark.createDataFrame(
+                [], "job_link string, remaining_time string"
+            )
         refresh_remaining_time(spark, silver, now_us=_REFRESH_NOW_US)
         out = spark.read.parquet(silver).select(
             "job_link", "remaining_time"

@@ -355,10 +355,18 @@ def q25_distinct_pairs(spark, sf_dir):
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP(r_name, n_name)
+    HAVING COUNT(*) > 0
     """,
 )
 def q26_region_nation_rollup(spark, sf_dir):
-    """Hierarchical ROLLUP (region -> nation -> grand total)."""
+    """Hierarchical ROLLUP (region -> nation -> grand total).
+
+    The oracle's HAVING COUNT(*) > 0 is a no-op on any non-empty
+    input (every rollup row aggregates >= 1 source row); it exists
+    because on an EMPTY input DuckDB emits the standard's ()
+    grouping-set grand-total row while Spark emits no rows (r11
+    empty-corpus census) - the guard pins both engines to the
+    empty-in/empty-out behavior Spark implements."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -2164,14 +2172,19 @@ def _card_oracle() -> str:
     SELECT '{t1}*{t2}' AS join_pair,
            s1.n AS n_left, s2.n AS n_right,
            s1.ndv AS ndv_left, s2.ndv AS ndv_right,
-           (s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv) AS est_rows,
+           CASE WHEN GREATEST(s1.ndv, s2.ndv) > 0
+                THEN (s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv)
+                END AS est_rows,
            a.actual AS actual_rows,
-           ROUND(GREATEST(
+           CASE WHEN GREATEST(s1.ndv, s2.ndv) > 0
+                 AND (s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv) > 0
+                 AND a.actual > 0
+                THEN ROUND(GREATEST(
              CAST((s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv) AS DOUBLE)
                / a.actual,
              CAST(a.actual AS DOUBLE)
                / ((s1.n * s2.n) // GREATEST(s1.ndv, s2.ndv))), 4)
-             AS q_error
+                END AS q_error
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(DISTINCT {k1}) AS BIGINT) AS ndv
           FROM {t1}) s1,
@@ -2222,8 +2235,13 @@ def q370_join_cardinality_audit(spark, sf_dir):
             .join(d2.select(k2), d1[k1] == d2[k2])
             .agg(F.count("*").cast("long").alias("actual_rows"))
         )
+        # guards literal-identical to the oracle CASEs (q421 parity;
+        # r11 empty-corpus census: DIV 0 / ANSI division errored on
+        # empty tables where both engines should NULL)
         est = F.expr(
-            "(n_left * n_right) DIV GREATEST(ndv_left, ndv_right)"
+            "CASE WHEN GREATEST(ndv_left, ndv_right) > 0"
+            " THEN (n_left * n_right) DIV GREATEST(ndv_left, ndv_right)"
+            " END"
         )
         row = (
             s1.crossJoin(F.broadcast(s2))
@@ -2236,12 +2254,15 @@ def q370_join_cardinality_audit(spark, sf_dir):
                 "ndv_right",
                 est.cast("long").alias("est_rows"),
                 "actual_rows",
-                F.round(
-                    F.greatest(
-                        est.cast("double") / F.col("actual_rows"),
-                        F.col("actual_rows").cast("double") / est,
+                F.when(
+                    (est > 0) & (F.col("actual_rows") > 0),
+                    F.round(
+                        F.greatest(
+                            est.cast("double") / F.col("actual_rows"),
+                            F.col("actual_rows").cast("double") / est,
+                        ),
+                        4,
                     ),
-                    4,
                 ).alias("q_error"),
             )
         )

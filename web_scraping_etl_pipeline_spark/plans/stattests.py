@@ -796,7 +796,10 @@ def q408_durbin_watson(spark, sf_dir):
         F.sum(F.col("en") * F.col("en")).alias("den"),
     )
     return f.select(
-        F.col("n").alias("n_days"),
+        # COALESCE: F.first over the residual stream is NULL on an
+        # empty calendar where the oracle's c.n is the COUNT 0 (r11
+        # empty-corpus census, NULL-vs-0 class); identical otherwise.
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_days"),
         F.round(
             F.col("num").cast("double") / F.col("den").cast("double"), 6
         ).alias("dw_stat"),
@@ -1927,9 +1930,9 @@ ORACLE_Q416 = _LSH_CANDS_SQL + f""",
     cnt AS (
       SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
              CAST(COUNT(*) AS BIGINT) AS n_wedges,
-             CAST(SUM(CASE WHEN EXISTS (
+             CAST(COALESCE(SUM(CASE WHEN EXISTS (
                SELECT 1 FROM e WHERE e.lo = wedge.x1 AND e.hi = wedge.x2
-             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+             ) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_closed
       FROM wedge
     )
     SELECT n_edges, n_wedges, n_closed,
@@ -2067,10 +2070,14 @@ def q417_seasonal_mann_kendall(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 #: z = (T - mu) / sigma with mu = 2(n-2)/3, sigma^2 = (16n - 29)/90 —
-#: one identical string over the exact turning-point count.
+#: one identical string over the exact turning-point count. The
+#: n >= 2 guard keeps sigma^2 positive: on a degenerate <=1-day frame
+#: DuckDB ERRORS on SQRT(negative) where Spark yields NaN (r11
+#: empty-corpus census) - with the shared CASE both engines NULL.
 _TP_Z = (
-    "((CAST(tp AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
-    " / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0))"
+    "(CASE WHEN n >= 2 THEN"
+    " ((CAST(tp AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
+    " / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)) END)"
 )
 
 
@@ -3737,10 +3744,13 @@ def q431_sprt_error_monitor(spark, sf_dir):
             F.when(F.col("c") <= -_SPRT_A_MICRO, F.col("d"))
         ).alias("d_lo"),
     )
-    last = (
-        llr.orderBy(F.col("d").desc())
-        .limit(1)
-        .select(F.col("c").cast("long").alias("llr_final_micro"))
+    # 1-row AGGREGATE (max_by), not orderBy.limit(1): the limit frame
+    # is EMPTY on an empty calendar and its crossJoin erased the
+    # readout row where the oracle's scalar subquery yields NULL (r11
+    # empty-corpus census); max_by over d-unique rows is the same
+    # "c at the last day" and stays a 1-row frame on any input.
+    last = llr.agg(
+        F.expr("max_by(c, d)").cast("long").alias("llr_final_micro")
     )
     fin = llr.agg(
         F.count("*").cast("long").alias("n_days"),
@@ -4536,9 +4546,12 @@ def q437_chow_break_test(spark, sf_dir):
     )
     z = fp.crossJoin(F.broadcast(f1)).crossJoin(F.broadcast(f2))
     return z.select(
-        F.col("n_p").alias("n_days"),
-        F.col("n_1").alias("n_before"),
-        F.col("n_2").alias("n_after"),
+        # COALESCE: F.first over an empty segment's residual stream is
+        # NULL where the oracle's COUNT is 0 (r11 empty-corpus census,
+        # NULL-vs-0 class - same fix as q408); identical otherwise.
+        F.coalesce(F.col("n_p"), F.lit(0)).cast("long").alias("n_days"),
+        F.coalesce(F.col("n_1"), F.lit(0)).cast("long").alias("n_before"),
+        F.coalesce(F.col("n_2"), F.lit(0)).cast("long").alias("n_after"),
         F.round(F.expr(_CHOW_F), 6).alias("chow_f"),
     )
 

@@ -167,13 +167,16 @@ def q56_range_join(spark, sf_dir):
     FROM events
     GROUP BY CUBE (event_type,
                    (epoch_us(ts) - 1704067200000000) // 604800000000)
+    HAVING COUNT(*) > 0
     """,
 )
 def q38_event_cube(spark, sf_dir):
     """CUBE aggregation (all 4 grouping combinations of event_type x
     week) - completes the grouping-sets family next to q26's ROLLUP.
     Spark expands the cube before the hash aggregate; partial
-    aggregation still applies per grouping set."""
+    aggregation still applies per grouping set. The oracle's HAVING
+    COUNT(*) > 0 pins empty-in/empty-out on both engines (the q26
+    rollup-on-empty class; no-op on real data)."""
     ev = t(spark, sf_dir, "events")
     week = F.floor(
         (F.col("ts_us") - F.lit(1_704_067_200_000_000))

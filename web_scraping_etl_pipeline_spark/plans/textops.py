@@ -708,6 +708,11 @@ def q286_lang_source_chi2(spark, sf_dir):
                 6,
             ).alias("cramers_v"),
         )
+        # empty-in/empty-out parity with the oracle (whose final
+        # FROM contrib is empty on an empty corpus) - the predicate
+        # is vacuously true whenever any document exists (r11
+        # empty-corpus census)
+        .filter(F.col("n_docs") > 0)
     )
 
 
