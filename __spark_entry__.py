@@ -234,6 +234,35 @@ REFRESH_QUEUE: dict[str, int] = {
     "q266_dedup_agreement": 5,
     "q350_blocking_quality": 9,
     "q370_join_cardinality_audit": 9,
+    # r11 single-row-corpus totality hardening (NULLIF guard parity
+    # for n=1-degenerate divisions): the fixed queries whose driver
+    # rows predate the rewrite and that are NOT in the r11 window
+    # (the 22 fixed cohort members q406-q439 get post-rewrite driver
+    # rows this round; q286/q287/q289/q297 are never-checked).
+    "q224_embedding_outliers": 4,
+    "q307_signal_correlations": 8,
+    "q308_ols_score_on_tokens": 8,
+    "q310_cuped_ab_readout": 8,
+    "q318_mann_whitney_u": 8,
+    "q321_average_precision": 8,
+    "q326_spearman_rank_corr": 8,
+    "q330_jackknife_group_mean": 8,
+    "q332_t_closeness": 8,
+    "q355_simpsons_slope_audit": 9,
+    "q366_pr_curve": 9,
+    "q373_kfold_cv_mae": 10,
+    "q374_tfidf_cosine_topk": 10,
+    "q376_label_modularity": 10,
+    "q387_calinski_harabasz": 10,
+    "q389_cluster_agreement": 10,
+    "q390_cochrans_q": 10,
+    "q391_mcc_gate": 10,
+    "q392_runs_test": 10,
+    "q394_kruskal_wallis": 10,
+    "q395_anova_score_by_source": 10,
+    "q396_brown_forsythe": 10,
+    "q399_page_trend_test": 10,
+    "q405_welch_ttest": 10,
 }
 
 

@@ -1,4 +1,4 @@
-"""Empty-corpus totality ledger (round 11).
+"""Degenerate-corpus totality ledgers (round 11): empty AND 1-row.
 
 The r11 empty-corpus census ran every registered query AND its oracle
 on a 0-row star schema (``tools/empty_fixture.py`` +
@@ -22,6 +22,7 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CUR = os.path.join(REPO, "DEGENERATE_SWEEP.json")
+ONE = os.path.join(REPO, "DEGENERATE_SWEEP_1ROW.json")
 
 #: query -> reason class. "construction-collect": the plan is built
 #: from driver-collected bounded state (first-k query vectors, k
@@ -51,8 +52,21 @@ EXPECTED_NONEMPTY = {
 }
 
 
-def _load():
-    with open(CUR) as fh:
+#: 1-ROW-corpus ledger (the second census depth): after the 50
+#: guard-parity fixes, only the construction-collect driver loops
+#: whose seed state needs specific data shapes remain non-total at
+#: n=1 - a strict subset of EXPECTED_NONEMPTY.
+EXPECTED_NONEMPTY_1ROW = {
+    "q177_pagerank": "construction-collect (dangling-mass scalar "
+    "divides by total degree; no edges from one event)",
+    "q269_greedy_coverage": "construction-collect (greedy seed rows)",
+    "q284_mmr_rerank": "construction-collect (candidate pool pads "
+    "to k from a 1-row relevance list)",
+}
+
+
+def _load(path=None):
+    with open(path or CUR) as fh:
         return json.load(fh)
 
 
@@ -119,3 +133,52 @@ def test_ledger_rows_are_not_stale():
     assert stale == [], (
         f"ledger rows {stale} now pass the empty sweep - remove them"
     )
+
+
+def test_one_row_sweep_exists_and_is_total_or_ledgered():
+    """Same contract as the empty sweep, one depth further: every
+    registered query must be green on a 1-ROW-per-table fixture
+    (`python tools/empty_fixture.py /tmp/sf_one <template> 1` then
+    oracle_check --json DEGENERATE_SWEEP_1ROW.json) or carry an
+    explicit EXPECTED_NONEMPTY_1ROW row. The r11 census started at
+    383/436 here; 50 divergences (49 of them one class - Spark ANSI
+    division erroring where DuckDB NULLs when an n=1 input zeroes a
+    variance/df/denominator) were fixed with NULLIF guard parity."""
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    assert os.path.exists(ONE)
+    records = _load(ONE)
+    with open(os.path.join(REPO, "SKIPPED.json")) as fh:
+        gated = {
+            v.get("name")
+            for v in json.load(fh).values()
+            if isinstance(v, dict) and v.get("env_condition")
+        }
+    missing = sorted(set(QUERIES) - set(records) - gated)
+    assert missing == []
+    bad = {}
+    for name, rec in records.items():
+        if name in EXPECTED_NONEMPTY_1ROW:
+            continue
+        err = rec.get("err")
+        if err and "rows-only" in str(err):
+            if rec.get("rows_match") is not True:
+                bad[name] = rec
+            continue
+        if not (
+            rec.get("rows_match") is True
+            and rec.get("schema_match") is True
+            and rec.get("values_match") is True
+            and not err
+        ):
+            bad[name] = {"err": str(err)[:120]}
+    assert bad == {}, (
+        f"{len(bad)} queries diverge on a 1-ROW corpus without a "
+        f"ledger row: {dict(list(bad.items())[:5])}"
+    )
+    stale = sorted(
+        n
+        for n in EXPECTED_NONEMPTY_1ROW
+        if n in records and records[n].get("values_match") is True
+    )
+    assert stale == []

@@ -2919,7 +2919,12 @@ def q310_cuped_ab_readout(spark, sf_dir):
     )
     theta = (
         F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ) / F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
     return (
         a.crossJoin(F.broadcast(g))
         .select(
@@ -4117,16 +4122,24 @@ def q392_runs_test(spark, sf_dir):
                     / (F.col("n1") + F.col("n2"))
                 )
             )
-            / F.sqrt(
-                2.0
-                * F.col("n1")
-                * F.col("n2")
-                * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
-                / (
-                    (F.col("n1") + F.col("n2"))
-                    * (F.col("n1") + F.col("n2"))
-                    * (F.col("n1") + F.col("n2") - 1)
-                )
+            / F.nullif(
+                F.sqrt(
+                    2.0
+                    * F.col("n1")
+                    * F.col("n2")
+                    * (
+                        2.0 * F.col("n1") * F.col("n2")
+                        - F.col("n1")
+                        - F.col("n2")
+                    )
+                    / F.nullif(
+                        (F.col("n1") + F.col("n2"))
+                        * (F.col("n1") + F.col("n2"))
+                        * (F.col("n1") + F.col("n2") - 1),
+                        F.lit(0),
+                    )
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("z_score"),

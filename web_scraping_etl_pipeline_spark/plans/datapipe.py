@@ -3564,7 +3564,10 @@ def q332_t_closeness(spark, sf_dir):
     )
     emd = F.round(
         F.sum(F.abs(F.col("e"))).cast("double")
-        / (F.max("n_g") * F.max("n") * (F.max("m") - 1)),
+        / F.nullif(
+            (F.max("n_g") * F.max("n") * (F.max("m") - 1)).cast("double"),
+            F.lit(0.0),
+        ),
         6,
     )
     return cum.groupBy("source", "lang", "len_bucket").agg(

@@ -1607,7 +1607,7 @@ def q287_quality_dup_auc(spark, sf_dir):
         F.col("n").cast("long").alias("n_clean"),
         F.round(
             (F.col("ranksum2") - F.col("p") * (F.col("p") + 1))
-            / (2.0 * F.col("p") * F.col("n")),
+            / F.nullif(2.0 * F.col("p") * F.col("n"), F.lit(0.0)),
             6,
         ).alias("auc"),
     )
@@ -1948,17 +1948,25 @@ def q297_fellegi_sunter_weights(spark, sf_dir):
             for c in (
                 F.log(
                     _FS_M
-                    / (
+                    / F.nullif(
                         F.col(f"sq_{f}").cast("double")
-                        / (F.col("nn") * F.col("nn"))
+                        / F.nullif(
+                            (F.col("nn") * F.col("nn")).cast("double"),
+                            F.lit(0.0),
+                        ),
+                        F.lit(0.0),
                     )
                 ).alias(f"wa_{f}"),
                 F.log(
                     (1 - _FS_M)
-                    / (
+                    / F.nullif(
                         1
                         - F.col(f"sq_{f}").cast("double")
-                        / (F.col("nn") * F.col("nn"))
+                        / F.nullif(
+                            (F.col("nn") * F.col("nn")).cast("double"),
+                            F.lit(0.0),
+                        ),
+                        F.lit(0.0),
                     )
                 ).alias(f"wd_{f}"),
             )

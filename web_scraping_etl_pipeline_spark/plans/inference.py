@@ -192,13 +192,8 @@ _MWU_A, _MWU_B = "src0", "src1"
 #: z = (U - mu)/sigma = (u2_0 - mu2) / (2*sigma). sqrt is correctly
 #: rounded per IEEE 754 on both JVMs and libm, so the whole scalar
 #: expression is bit-identical given identical integer inputs.
-_MWU_Z = (
-    "(CAST(u2_0 AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"
-    " / (2.0 * SQRT("
-    "CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0"
-    " * ((CAST(nn AS DOUBLE) + 1.0)"
-    "    - CAST(tt AS DOUBLE)"
-    "      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))"
+_MWU_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST(u2_0 AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) / NULLIF((2.0 * SQRT(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 * ((CAST(nn AS DOUBLE) + 1.0)    - CAST(tt AS DOUBLE)      / NULLIF((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)), 0)))), 0)"""
 )
 
 
@@ -669,7 +664,7 @@ def q321_average_precision(spark, sf_dir):
                 ).otherwise(F.lit(0))
             ).cast("double")
             / 1000000000.0
-            / F.sum("y").cast("double"),
+            / F.nullif(F.sum("y").cast("double"), F.lit(0.0)),
             6,
         ).alias("ap"),
     )
@@ -920,7 +915,9 @@ def q326_spearman_rank_corr(spark, sf_dir):
     return m.select(
         "source",
         F.col("n").alias("n_docs"),
-        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias(
+        F.round(
+            num / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0)), 6
+        ).alias(
             "rho_spearman"
         ),
     )
@@ -1161,7 +1158,7 @@ def q330_jackknife_group_mean(spark, sf_dir):
             "source",
             "n_i",
             F.expr(
-                "((s - s_i) * 1000000) DIV (n - n_i)"
+                "((s - s_i) * 1000000) DIV NULLIF(n - n_i, 0)"
             ).alias("theta_u"),
             "n",
             "s",
@@ -2006,14 +2003,21 @@ def q355_simpsons_slope_audit(spark, sf_dir):
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
                 "double"
             )
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0),
+            ),
             6,
         ).alias("group_slope"),
         F.round(
             (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).cast(
                 "double"
             )
-            / (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")),
+            / F.nullif(
+                F.col("pn") * F.col("psxx")
+                - F.col("psx") * F.col("psx"),
+                F.lit(0),
+            ),
             6,
         ).alias("pooled_slope"),
     )
@@ -2796,10 +2800,20 @@ def q366_pr_curve(spark, sf_dir):
         F.round(
             F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
         ).alias("precision_"),
-        F.round(F.col("tp").cast("double") / F.col("p"), 6).alias("recall_"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("p").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall_"),
         F.round(
             (2 * F.col("tp")).cast("double")
-            / (2 * F.col("tp") + F.col("fp") + (F.col("p") - F.col("tp"))),
+            / F.nullif(
+                (
+                    2 * F.col("tp") + F.col("fp")
+                    + (F.col("p") - F.col("tp"))
+                ).cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("f1"),
     )
@@ -3152,7 +3166,9 @@ def q373_kfold_cv_mae(spark, sf_dir):
         "fold",
         "n_train",
         "n_test",
-        F.expr("(1000 * (sae DIV n_test)) DIV dd").alias("mae_milli"),
+        F.expr(
+            "(1000 * (sae DIV NULLIF(n_test, 0))) DIV NULLIF(dd, 0)"
+        ).alias("mae_milli"),
     )
 
 
@@ -3350,7 +3366,10 @@ def q390_cochrans_q(spark, sf_dir):
                     * (F.col("g1") + F.col("g2") + F.col("g3"))
                 )
             ).cast("double")
-            / (3 * F.col("sl") - F.col("sl2")),
+            / F.nullif(
+                (3 * F.col("sl") - F.col("sl2")).cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("cochrans_q"),
     )
@@ -3431,11 +3450,14 @@ def q391_mcc_gate(spark, sf_dir):
             (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast(
                 "double"
             )
-            / F.sqrt(
-                (F.col("tp") + F.col("fp")).cast("double")
-                * (F.col("tp") + F.col("fn"))
-                * (F.col("tn") + F.col("fp"))
-                * (F.col("tn") + F.col("fn"))
+            / F.nullif(
+                F.sqrt(
+                    (F.col("tp") + F.col("fp")).cast("double")
+                    * (F.col("tp") + F.col("fn"))
+                    * (F.col("tn") + F.col("fp"))
+                    * (F.col("tn") + F.col("fn"))
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("mcc"),
@@ -3608,14 +3630,11 @@ _KW_M = 1000
 #: identical scalar-statistic strings for both engines (the q318 z
 #: pattern): H from doubled rank sums (R = R2/2 folds the 1/4 into
 #: 12 -> 3), then the textbook tie-correction divisor.
-_KW_H = (
-    f"(3.0 * CAST(sq AS DOUBLE) / ({_KW_M}.0 * CAST(nn AS DOUBLE)"
-    " * (CAST(nn AS DOUBLE) + 1.0)) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))"
+_KW_H = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(3.0 * CAST(sq AS DOUBLE) / NULLIF((1000.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)), 0) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))"""
 )
-_KW_HC = (
-    f"({_KW_H} / (1.0 - CAST(tt AS DOUBLE)"
-    " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
-    " - CAST(nn AS DOUBLE))))"
+_KW_HC = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((3.0 * CAST(sq AS DOUBLE) / NULLIF((1000.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)), 0) - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) / NULLIF((1.0 - CAST(tt AS DOUBLE) / NULLIF((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)), 0)), 0))"""
 )
 
 
@@ -3743,13 +3762,11 @@ def q394_kruskal_wallis(spark, sf_dir):
 #: (sf0.1 headroom: (2.5e5)^2 * 1e3 ~ 6e13 << 2^63).
 _AOV_M = 1000
 
-_AOV_F = (
-    "((CAST(ssb_q AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))"
-    " / (CAST(ssw_q AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))"
+_AOV_F = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(ssb_q AS DOUBLE) / NULLIF((CAST(k AS DOUBLE) - 1.0), 0)) / NULLIF((CAST(ssw_q AS DOUBLE) / NULLIF((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)), 0)), 0))"""
 )
-_AOV_ETA = (
-    "(CAST(ssb_q AS DOUBLE) / (CAST(ssb_q AS DOUBLE)"
-    " + CAST(ssw_q AS DOUBLE)))"
+_AOV_ETA = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST(ssb_q AS DOUBLE) / NULLIF((CAST(ssb_q AS DOUBLE) + CAST(ssw_q AS DOUBLE)), 0))"""
 )
 
 
@@ -4075,11 +4092,8 @@ def q398_fleiss_kappa_gates(spark, sf_dir):
 #: identical z-statistic string (normal approximation; Page 1963):
 #: E[L] = n*k*(k+1)^2/4, Var[L] = n*k^2*(k+1)*(k^2-1)/144, carried
 #: with the DOUBLED L (l2 = 2L) so the input is an exact bigint.
-_PAGE_Z = (
-    "((CAST(l2 AS DOUBLE) / 2.0"
-    " - CAST(n AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 4.0)"
-    " / SQRT(CAST(n AS DOUBLE) * k * k * (k + 1.0)"
-    " * (k * k - 1.0) / 144.0))"
+_PAGE_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(l2 AS DOUBLE) / 2.0 - CAST(n AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 4.0) / NULLIF(SQRT(CAST(n AS DOUBLE) * k * k * (k + 1.0) * (k * k - 1.0) / 144.0), 0))"""
 )
 
 

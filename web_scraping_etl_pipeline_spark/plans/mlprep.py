@@ -1453,7 +1453,9 @@ def q307_signal_correlations(spark, sf_dir):
         vq = (F.col("n") * F.col(sqq) - F.col(sq) * F.col(sq)).cast(
             "double"
         )
-        return F.round(num / (F.sqrt(vp) * F.sqrt(vq)), 6)
+        return F.round(
+        num / F.nullif(F.sqrt(vp) * F.sqrt(vq), F.lit(0.0)), 6
+    )
 
     return m.select(
         "source",
@@ -1538,7 +1540,7 @@ def q308_ols_score_on_tokens(spark, sf_dir):
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
         "double"
     )
-    slope = num / vx
+    slope = num / F.nullif(vx, F.lit(0.0))
     return m.select(
         "source",
         F.col("n").alias("n_docs"),
@@ -1548,7 +1550,9 @@ def q308_ols_score_on_tokens(spark, sf_dir):
             / F.col("n").cast("double"),
             6,
         ).alias("intercept"),
-        F.round((num * num) / (vx * vy), 6).alias("r_squared"),
+        F.round(
+            (num * num) / F.nullif(vx * vy, F.lit(0.0)), 6
+        ).alias("r_squared"),
     )
 
 

@@ -227,7 +227,11 @@ def q224_embedding_outliers(spark, sf_dir):
     )
     z = v.join(F.broadcast(stats), "dim").select(
         "vec_id",
-        F.round(F.abs(F.col("val") - F.col("mu")) / F.col("sd"), 4).alias(
+        F.round(
+            F.abs(F.col("val") - F.col("mu"))
+            / F.nullif(F.col("sd"), F.lit(0.0)),
+            4,
+        ).alias(
             "zr"
         ),
     )
@@ -1326,9 +1330,10 @@ def q374_tfidf_cosine_topk(spark, sf_dir):
             F.col("dp").alias("dot_scaled"),
             F.round(
                 F.col("dp").cast("double")
-                / (
+                / F.nullif(
                     F.sqrt(F.col("qn2").cast("double"))
-                    * F.sqrt(F.col("dn2").cast("double"))
+                    * F.sqrt(F.col("dn2").cast("double")),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("cosine"),

@@ -63,12 +63,8 @@ def _daily(spark, sf_dir):
 #: shared z expression: the +/-1 continuity correction and the
 #: tie-corrected variance VarS = v18/18, one identical string both
 #: engines (SQRT is correctly rounded; everything under it is bigint).
-_MK_Z = (
-    "(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
-    " / SQRT(CAST(v18 AS DOUBLE) / 18.0)"
-    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
-    " / SQRT(CAST(v18 AS DOUBLE) / 18.0)"
-    " ELSE 0.0 END)"
+_MK_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / NULLIF(SQRT(CAST(v18 AS DOUBLE) / 18.0), 0) WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / NULLIF(SQRT(CAST(v18 AS DOUBLE) / 18.0), 0) ELSE 0.0 END)"""
 )
 
 
@@ -272,28 +268,20 @@ _WT_A, _WT_B = "src0", "src1"
 #: Welch-Satterthwaite df, and pooled-sd Cohen's d — one identical
 #: expression family on both engines (pure double ratio chains over
 #: bigints; SQRT correctly rounded).
-_WT_V0 = (
-    "((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)"
-    " / (CAST(n0 AS DOUBLE) - 1.0))"
+_WT_V0 = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0))"""
 )
-_WT_V1 = (
-    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
-    " / (CAST(n1 AS DOUBLE) - 1.0))"
+_WT_V1 = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0))"""
 )
-_WT_T = (
-    f"((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)"
-    f" / SQRT({_WT_V0} / n0 + {_WT_V1} / n1))"
+_WT_T = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(s0 AS DOUBLE) / NULLIF(n0, 0) - CAST(s1 AS DOUBLE) / NULLIF(n1, 0)) / NULLIF(SQRT(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0)) / NULLIF(n0, 0) + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0)) / NULLIF(n1, 0)), 0))"""
 )
-_WT_DF = (
-    f"(({_WT_V0} / n0 + {_WT_V1} / n1) * ({_WT_V0} / n0 + {_WT_V1} / n1)"
-    f" / (({_WT_V0} / n0) * ({_WT_V0} / n0) / (CAST(n0 AS DOUBLE) - 1.0)"
-    f" + ({_WT_V1} / n1) * ({_WT_V1} / n1) / (CAST(n1 AS DOUBLE) - 1.0)))"
+_WT_DF = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0)) / NULLIF(n0, 0) + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0)) / NULLIF(n1, 0)) * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0)) / NULLIF(n0, 0) + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0)) / NULLIF(n1, 0)) / NULLIF(((((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0)) / NULLIF(n0, 0)) * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0)) / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0) + (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0)) / NULLIF(n1, 0)) * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0)) / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0)), 0))"""
 )
-_WT_D = (
-    f"((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)"
-    f" / SQRT(((CAST(n0 AS DOUBLE) - 1.0) * {_WT_V0}"
-    f" + (CAST(n1 AS DOUBLE) - 1.0) * {_WT_V1})"
-    f" / (CAST(n0 AS DOUBLE) + n1 - 2.0)))"
+_WT_D = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(s0 AS DOUBLE) / NULLIF(n0, 0) - CAST(s1 AS DOUBLE) / NULLIF(n1, 0)) / NULLIF(SQRT(((CAST(n0 AS DOUBLE) - 1.0) * ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / NULLIF(n0, 0)) / NULLIF((CAST(n0 AS DOUBLE) - 1.0), 0)) + (CAST(n1 AS DOUBLE) - 1.0) * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / NULLIF(n1, 0)) / NULLIF((CAST(n1 AS DOUBLE) - 1.0), 0))) / NULLIF((CAST(n0 AS DOUBLE) + n1 - 2.0), 0)), 0))"""
 )
 
 
@@ -376,8 +364,8 @@ def q405_welch_ttest(spark, sf_dir):
     return m.select(
         "n0",
         "n1",
-        F.expr("(1000 * s0) DIV n0").alias("mean0_milli"),
-        F.expr("(1000 * s1) DIV n1").alias("mean1_milli"),
+        F.expr("(1000 * s0) DIV NULLIF(n0, 0)").alias("mean0_milli"),
+        F.expr("(1000 * s1) DIV NULLIF(n1, 0)").alias("mean1_milli"),
         F.round(F.expr(_WT_T), 6).alias("t_welch"),
         F.round(F.expr(_WT_DF), 4).alias("df_welch"),
         F.round(F.expr(_WT_D), 6).alias("cohens_d"),
@@ -495,7 +483,9 @@ def q406_cliffs_delta(spark, sf_dir):
         F.col("lt").alias("lt_pairs"),
         F.round(
             (F.col("gt").cast("double") - F.col("lt"))
-            / (F.col("n0").cast("double") * F.col("n1")),
+            / F.nullif(
+                F.col("n0").cast("double") * F.col("n1"), F.lit(0.0)
+            ),
             6,
         ).alias("cliffs_delta"),
         F.expr(_CD_MAG).alias("magnitude"),
@@ -634,10 +624,11 @@ def q407_moods_median(spark, sf_dir):
                     * F.col("ca")
                     / F.col("n")
                 )
-                / (
+                / F.nullif(
                     (F.col("n_above") + F.col("n_le")).cast("double")
                     * F.col("ca")
-                    / F.col("n")
+                    / F.col("n"),
+                    F.lit(0.0),
                 )
                 * 1_000_000
             ).cast("long")
@@ -654,10 +645,11 @@ def q407_moods_median(spark, sf_dir):
                     * F.col("cl")
                     / F.col("n")
                 )
-                / (
+                / F.nullif(
                     (F.col("n_above") + F.col("n_le")).cast("double")
                     * F.col("cl")
-                    / F.col("n")
+                    / F.col("n"),
+                    F.lit(0.0),
                 )
                 * 1_000_000
             ).cast("long")
@@ -801,12 +793,14 @@ def q408_durbin_watson(spark, sf_dir):
         # empty-corpus census, NULL-vs-0 class); identical otherwise.
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_days"),
         F.round(
-            F.col("num").cast("double") / F.col("den").cast("double"), 6
+            F.col("num").cast("double")
+            / F.nullif(F.col("den").cast("double"), F.lit(0.0)),
+            6,
         ).alias("dw_stat"),
         F.round(
             1.0
             - F.col("num").cast("double")
-            / F.col("den").cast("double")
+            / F.nullif(F.col("den").cast("double"), F.lit(0.0))
             / 2.0,
             6,
         ).alias("rho_approx"),
@@ -825,9 +819,8 @@ _CCF_MAXLAG = 5
 #: integers: cl = sum (n*y - Sy)(n*u' - Su) over matched pairs
 #: (decimal-folded), vy = n*Qy - Sy^2, vu = n*Qu - Su^2 — one
 #: identical expression string both engines.
-_CCF_R = (
-    "(CAST(cl AS DOUBLE) / (CAST(n AS DOUBLE)"
-    " * SQRT(CAST(vy AS DOUBLE) * CAST(vu AS DOUBLE))))"
+_CCF_R = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST(cl AS DOUBLE) / NULLIF((CAST(n AS DOUBLE) * SQRT(CAST(vy AS DOUBLE) * CAST(vu AS DOUBLE))), 0))"""
 )
 
 
@@ -936,7 +929,7 @@ def q409_ccf_volume_reach(spark, sf_dir):
             "n_pairs",
             F.round(
                 F.col("cl").cast("double")
-                / (
+                / F.nullif(
                     F.col("n").cast("double")
                     * F.sqrt(
                         (
@@ -947,7 +940,8 @@ def q409_ccf_volume_reach(spark, sf_dir):
                             F.col("n") * F.col("qu")
                             - F.col("su") * F.col("su")
                         ).cast("double")
-                    )
+                    ),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("ccf"),
@@ -1063,9 +1057,8 @@ def q410_hhi_concentration(spark, sf_dir):
 #: G = max|y - ybar| / s from n-cleared integers: m = max|n*y - Sy|,
 #: vy = n*Qy - Sy^2, s^2 = vy / (n(n-1)) — identical string both
 #: engines (correctly-rounded SQRT over bigints).
-_GRUBBS_G = (
-    "((CAST(m AS DOUBLE) / n) / SQRT(CAST(vy AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))"
+_GRUBBS_G = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(m AS DOUBLE) / NULLIF(n, 0)) / NULLIF(SQRT(CAST(vy AS DOUBLE) / NULLIF((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0)), 0))"""
 )
 
 
@@ -1133,13 +1126,17 @@ def q411_grubbs_outlier(spark, sf_dir):
         F.col("y").alias("peak_count"),
         F.round(
             (F.col("a").cast("double") / F.col("n"))
-            / F.sqrt(
-                (F.col("n") * F.col("qy") - F.col("sy") * F.col("sy"))
-                .cast("double")
-                / (
-                    F.col("n").cast("double")
-                    * (F.col("n").cast("double") - 1.0)
-                )
+            / F.nullif(
+                F.sqrt(
+                    (F.col("n") * F.col("qy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                    / F.nullif(
+                        F.col("n").cast("double")
+                        * (F.col("n").cast("double") - 1.0),
+                        F.lit(0.0),
+                    )
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("g_stat"),
@@ -1152,13 +1149,11 @@ def q411_grubbs_outlier(spark, sf_dir):
 
 #: continuity-corrected CMH chi2 and the Mantel-Haenszel pooled odds
 #: ratio, from micro-quantized per-stratum terms (exact bigint sums).
-_CMH_CHI2 = (
-    "((ABS(CAST(dev_micro AS DOUBLE) / 1000000.0) - 0.5)"
-    " * (ABS(CAST(dev_micro AS DOUBLE) / 1000000.0) - 0.5)"
-    " / (CAST(var_micro AS DOUBLE) / 1000000.0))"
+_CMH_CHI2 = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((ABS(CAST(dev_micro AS DOUBLE) / 1000000.0) - 0.5) * (ABS(CAST(dev_micro AS DOUBLE) / 1000000.0) - 0.5) / NULLIF((CAST(var_micro AS DOUBLE) / 1000000.0), 0))"""
 )
-_CMH_OR = (
-    "(CAST(ad_micro AS DOUBLE) / CAST(bc_micro AS DOUBLE))"
+_CMH_OR = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST(ad_micro AS DOUBLE) / NULLIF(CAST(bc_micro AS DOUBLE), 0))"""
 )
 
 
@@ -1263,7 +1258,7 @@ def q412_cmh_gate_association(spark, sf_dir):
                 F.col("a")
                 - (F.col("a") + F.col("b")).cast("double")
                 * (F.col("a") + F.col("c"))
-                / nn
+                / F.nullif(nn.cast("double"), F.lit(0.0))
             )
             * 1_000_000
         )
@@ -1274,18 +1269,22 @@ def q412_cmh_gate_association(spark, sf_dir):
             * (F.col("c") + F.col("d"))
             * (F.col("a") + F.col("c"))
             * (F.col("b") + F.col("d"))
-            / (nn.cast("double") * nn * (nn - 1))
+            / F.nullif(
+                nn.cast("double") * nn * (nn - 1), F.lit(0.0)
+            )
             * 1_000_000
         )
         .cast("long")
         .alias("var_m"),
         F.round(
-            F.col("a").cast("double") * F.col("d") / nn * 1_000_000
+            F.col("a").cast("double") * F.col("d")
+            / F.nullif(nn.cast("double"), F.lit(0.0)) * 1_000_000
         )
         .cast("long")
         .alias("ad_m"),
         F.round(
-            F.col("b").cast("double") * F.col("c") / nn * 1_000_000
+            F.col("b").cast("double") * F.col("c")
+            / F.nullif(nn.cast("double"), F.lit(0.0)) * 1_000_000
         )
         .cast("long")
         .alias("bc_m"),
@@ -1310,10 +1309,8 @@ def q412_cmh_gate_association(spark, sf_dir):
 
 #: chi2 = (O1 - E1)^2 / V from the exact event count and the
 #: micro-quantized expectation/variance sums — one identical string.
-_LR_CHI2 = (
-    "((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0)"
-    " * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0)"
-    " / (CAST(v_micro AS DOUBLE) / 1000000.0))"
+_LR_CHI2 = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0) * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0) / NULLIF((CAST(v_micro AS DOUBLE) / 1000000.0), 0))"""
 )
 
 
@@ -1498,9 +1495,8 @@ def q413_logrank_conversion(spark, sf_dir):
 
 #: JSD in nats from the two micro-floored KL sums; the bits version
 #: divides by the ln(2) literal — identical constants both engines.
-_JSD = (
-    "((CAST(sa AS DOUBLE) / na + CAST(sb AS DOUBLE) / nb)"
-    " / 2000000.0)"
+_JSD = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(sa AS DOUBLE) / NULLIF(na, 0) + CAST(sb AS DOUBLE) / NULLIF(nb, 0)) / 2000000.0)"""
 )
 
 
@@ -1600,9 +1596,10 @@ def q414_jsd_token_mix(spark, sf_dir):
                         2.0
                         * F.col("ca")
                         * F.col("nb")
-                        / (
+                        / F.nullif(
                             F.col("ca").cast("double") * F.col("nb")
-                            + F.col("cb") * F.col("na")
+                            + F.col("cb") * F.col("na"),
+                            F.lit(0.0),
                         )
                     )
                     * 1_000_000
@@ -1620,9 +1617,10 @@ def q414_jsd_token_mix(spark, sf_dir):
                         2.0
                         * F.col("cb")
                         * F.col("na")
-                        / (
+                        / F.nullif(
                             F.col("cb").cast("double") * F.col("na")
-                            + F.col("ca") * F.col("nb")
+                            + F.col("ca") * F.col("nb"),
+                            F.lit(0.0),
                         )
                     )
                     * 1_000_000
@@ -1638,8 +1636,10 @@ def q414_jsd_token_mix(spark, sf_dir):
         "vocab",
         F.round(
             (
-                F.col("sa").cast("double") / F.col("na")
-                + F.col("sb").cast("double") / F.col("nb")
+                F.col("sa").cast("double")
+                / F.nullif(F.col("na").cast("double"), F.lit(0.0))
+                + F.col("sb").cast("double")
+                / F.nullif(F.col("nb").cast("double"), F.lit(0.0))
             )
             / 2_000_000.0,
             6,
@@ -1658,9 +1658,8 @@ _NEY_TOTAL = 10_000
 #: doc length) — the identical double both engines compute from the
 #: three bigint moments, micro-quantized before any cross-stratum
 #: arithmetic.
-_NEY_W = (
-    "(CAST(n AS DOUBLE) * SQRT((CAST(q AS DOUBLE)"
-    " - CAST(s AS DOUBLE) * s / n) / (CAST(n AS DOUBLE) - 1.0)))"
+_NEY_W = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST(n AS DOUBLE) * SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / NULLIF(n, 0)) / NULLIF((CAST(n AS DOUBLE) - 1.0), 0)))"""
 )
 
 
@@ -2074,10 +2073,8 @@ def q417_seasonal_mann_kendall(spark, sf_dir):
 #: n >= 2 guard keeps sigma^2 positive: on a degenerate <=1-day frame
 #: DuckDB ERRORS on SQRT(negative) where Spark yields NaN (r11
 #: empty-corpus census) - with the shared CASE both engines NULL.
-_TP_Z = (
-    "(CASE WHEN n >= 2 THEN"
-    " ((CAST(tp AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
-    " / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)) END)"
+_TP_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CASE WHEN n >= 2 THEN ((CAST(tp AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0) / NULLIF(SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 0)) END)"""
 )
 
 
@@ -2276,7 +2273,9 @@ def q419_bartels_rvn(spark, sf_dir):
             F.col("den").alias("den_x4n2"),
             F.round(
                 F.col("num").cast("double")
-                / (F.col("den").cast("double") / F.col("n"))
+                / F.nullif(
+                    F.col("den").cast("double") / F.col("n"), F.lit(0.0)
+                )
                 * F.col("n").cast("double"),
                 6,
             ).alias("rvn"),
@@ -2290,9 +2289,8 @@ def q419_bartels_rvn(spark, sf_dir):
 
 #: z from doubled quantities: W2 = 2*W+, E[W2] = n(n+1)/2,
 #: Var[W2]*12 = 2n(n+1)(2n+1) - tie term — one identical string.
-_WSR_Z = (
-    "((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)"
-    " / SQRT(CAST(v12 AS DOUBLE) / 12.0))"
+_WSR_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0) / NULLIF(SQRT(CAST(v12 AS DOUBLE) / 12.0), 0))"""
 )
 
 
@@ -2549,14 +2547,11 @@ from .textops import _SCORE_SPARK_SQL, _SCORE_SQL  # noqa: E402
 #: identical expression strings both engines; the balanced-design
 #: guard (min group size = max) NULLs every output LOUDLY if the
 #: per-source doc counts ever diverge (the q393 discipline).
-_PC_RW = (
-    "(CAST(sxyw AS DOUBLE)"
-    " / SQRT(CAST(sxxw AS DOUBLE) * CAST(syyw AS DOUBLE)))"
+_PC_RW = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST(sxyw AS DOUBLE) / NULLIF(SQRT(CAST(sxxw AS DOUBLE) * CAST(syyw AS DOUBLE)), 0))"""
 )
-_PC_RM = (
-    "((CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-    " / SQRT((CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-    " * (CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"
+_PC_RM = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / NULLIF(SQRT((CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0))"""
 )
 
 
@@ -2664,17 +2659,14 @@ def q422_within_source_correlation(spark, sf_dir):
 #: balanced one-way ICC(1) from exact integer sums A = sum_g S_g^2,
 #: T = sum y, Q = sum y^2: MSB = (A/m - T^2/(km))/(k-1),
 #: MSW = (Q - A/m)/(k(m-1)), ICC = (MSB-MSW)/(MSB+(m-1)MSW).
-_ICC_MSB = (
-    "((CAST(a AS DOUBLE) / m - CAST(tt AS DOUBLE) * tt / (k * m))"
-    " / (CAST(k AS DOUBLE) - 1.0))"
+_ICC_MSB = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(a AS DOUBLE) / NULLIF(m, 0) - CAST(tt AS DOUBLE) * tt / NULLIF((k * m), 0)) / NULLIF((CAST(k AS DOUBLE) - 1.0), 0))"""
 )
-_ICC_MSW = (
-    "((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / m)"
-    " / (CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)))"
+_ICC_MSW = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / NULLIF(m, 0)) / NULLIF((CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)), 0))"""
 )
-_ICC_1 = (
-    f"(({_ICC_MSB} - {_ICC_MSW})"
-    f" / ({_ICC_MSB} + (CAST(m AS DOUBLE) - 1.0) * {_ICC_MSW}))"
+_ICC_1 = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((((CAST(a AS DOUBLE) / NULLIF(m, 0) - CAST(tt AS DOUBLE) * tt / NULLIF((k * m), 0)) / NULLIF((CAST(k AS DOUBLE) - 1.0), 0)) - ((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / NULLIF(m, 0)) / NULLIF((CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)), 0))) / NULLIF((((CAST(a AS DOUBLE) / NULLIF(m, 0) - CAST(tt AS DOUBLE) * tt / NULLIF((k * m), 0)) / NULLIF((CAST(k AS DOUBLE) - 1.0), 0)) + (CAST(m AS DOUBLE) - 1.0) * ((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / NULLIF(m, 0)) / NULLIF((CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)), 0))), 0))"""
 )
 
 
@@ -2759,9 +2751,8 @@ def q423_icc_score_by_source(spark, sf_dir):
 
 #: Yule's characteristic K = 1e4 * (sum m^2 V(m) - N) / N^2 — the
 #: repeat-rate constant; one identical string over exact bigints.
-_YULE_K = (
-    "(10000.0 * (CAST(sm2 AS DOUBLE) - nt)"
-    " / (CAST(nt AS DOUBLE) * nt))"
+_YULE_K = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(10000.0 * (CAST(sm2 AS DOUBLE) - nt) / NULLIF((CAST(nt AS DOUBLE) * nt), 0))"""
 )
 
 
@@ -2849,22 +2840,14 @@ def q424_lexical_spectrum(spark, sf_dir):
 
 #: Mann-Whitney z from doubled quantities (q318's tie-corrected form):
 #: VarU2 = n0*n1*((N^3 - N) - tie)/(3N(N-1)).
-_AB_ZMW = (
-    "((CAST(u2 AS DOUBLE) - CAST(n0 AS DOUBLE) * n1)"
-    " / SQRT(CAST(n0 AS DOUBLE) * n1"
-    " * ((CAST(nn AS DOUBLE) * nn * nn - nn) - tt)"
-    " / (3.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))"
+_AB_ZMW = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(u2 AS DOUBLE) - CAST(n0 AS DOUBLE) * n1) / NULLIF(SQRT(CAST(n0 AS DOUBLE) * n1 * ((CAST(nn AS DOUBLE) * nn * nn - nn) - tt) / NULLIF((3.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)), 0)), 0))"""
 )
 #: Ansari-Bradley z by simple-random-sampling moments of the
 #: tie-averaged scores: E[T0] = n0*ST/N, Var = n0*n1*(N*Ssq - ST^2)
 #: / (N^2 (N-1)) with T0/Ssq carried as micro-quantized bigints.
-_AB_ZAB = (
-    "((CAST(t0m AS DOUBLE) / 1000000.0"
-    " - CAST(n0 AS DOUBLE) * st / nn)"
-    " / SQRT(CAST(n0 AS DOUBLE) * n1"
-    " * (CAST(nn AS DOUBLE) * (CAST(sqm AS DOUBLE) / 1000000.0)"
-    " - CAST(st AS DOUBLE) * st)"
-    " / (CAST(nn AS DOUBLE) * nn * (CAST(nn AS DOUBLE) - 1.0))))"
+_AB_ZAB = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(t0m AS DOUBLE) / 1000000.0 - CAST(n0 AS DOUBLE) * st / NULLIF(nn, 0)) / NULLIF(SQRT(CAST(n0 AS DOUBLE) * n1 * (CAST(nn AS DOUBLE) * (CAST(sqm AS DOUBLE) / 1000000.0) - CAST(st AS DOUBLE) * st) / NULLIF((CAST(nn AS DOUBLE) * nn * (CAST(nn AS DOUBLE) - 1.0)), 0)), 0))"""
 )
 _AB_LEPAGE = f"(({_AB_ZMW}) * ({_AB_ZMW}) + ({_AB_ZAB}) * ({_AB_ZAB}))"
 
@@ -3067,15 +3050,11 @@ def q425_ansari_bradley_lepage(spark, sf_dir):
 #: D_t = En^2 * h * (n-2) / (2 * den * (1-h)^2), where En = n*D*e_t
 #: and den = sum En^2 — every input an exact integer/decimal, the
 #: whole chain one identical expression family.
-_CK_H = (
-    "(1.0 / n + (CAST(n AS DOUBLE) * d - st)"
-    " * (CAST(n AS DOUBLE) * d - st) / (CAST(n AS DOUBLE) * dd))"
+_CK_H = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(1.0 / NULLIF(n, 0) + (CAST(n AS DOUBLE) * d - st) * (CAST(n AS DOUBLE) * d - st) / NULLIF((CAST(n AS DOUBLE) * dd), 0))"""
 )
-_CK_D = (
-    f"(CAST(en AS DOUBLE) * CAST(en AS DOUBLE) * {_CK_H}"
-    f" * (CAST(n AS DOUBLE) - 2.0)"
-    f" / (2.0 * CAST(den AS DOUBLE)"
-    f" * (1.0 - {_CK_H}) * (1.0 - {_CK_H})))"
+_CK_D = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST(en AS DOUBLE) * CAST(en AS DOUBLE) * (1.0 / NULLIF(n, 0) + (CAST(n AS DOUBLE) * d - st) * (CAST(n AS DOUBLE) * d - st) / NULLIF((CAST(n AS DOUBLE) * dd), 0)) * (CAST(n AS DOUBLE) - 2.0) / NULLIF((2.0 * CAST(den AS DOUBLE) * (1.0 - (1.0 / NULLIF(n, 0) + (CAST(n AS DOUBLE) * d - st) * (CAST(n AS DOUBLE) * d - st) / NULLIF((CAST(n AS DOUBLE) * dd), 0))) * (1.0 - (1.0 / NULLIF(n, 0) + (CAST(n AS DOUBLE) * d - st) * (CAST(n AS DOUBLE) * d - st) / NULLIF((CAST(n AS DOUBLE) * dd), 0)))), 0))"""
 )
 
 
@@ -3517,12 +3496,8 @@ def q429_page_hinkley(spark, sf_dir):
 #: its own sibling q423 measures ICC ~ 0. Both engines shared the
 #: string, so the oracle twin agreed with the wrong math - exactly
 #: the q393-Friedman bug class VERDICT r8 item 2 flagged.)
-_JS_B = (
-    "(1.0 - (CAST(k AS DOUBLE) - 3.0)"
-    " * ((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / m)"
-    " / (CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) / m)"
-    " / ((CAST(k AS DOUBLE) * a - CAST(tt AS DOUBLE) * tt)"
-    " / (CAST(k AS DOUBLE) * m * m)))"
+_JS_B = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(1.0 - (CAST(k AS DOUBLE) - 3.0) * ((CAST(q AS DOUBLE) - CAST(a AS DOUBLE) / NULLIF(m, 0)) / NULLIF((CAST(k AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)), 0) / NULLIF(m, 0)) / NULLIF(((CAST(k AS DOUBLE) * a - CAST(tt AS DOUBLE) * tt) / NULLIF((CAST(k AS DOUBLE) * m * m), 0)), 0))"""
 )
 _JS_BPLUS = f"(CASE WHEN {_JS_B} > 0.0 THEN {_JS_B} ELSE 0.0 END)"
 
@@ -3945,13 +3920,15 @@ def q432_kendalls_w_weekday(spark, sf_dir):
         .select(
             F.col("k").alias("k_judges"),
             F.col("n").alias("n_weekdays"),
-            F.round(3.0 * F.col("d4") / denom, 6).alias("w"),
+            F.round(
+                3.0 * F.col("d4") / F.nullif(denom, F.lit(0.0)), 6
+            ).alias("w"),
             F.round(
                 F.col("k").cast("double")
                 * (F.col("n") - 1)
                 * 3.0
                 * F.col("d4")
-                / denom,
+                / F.nullif(denom, F.lit(0.0)),
                 4,
             ).alias("chi2_equiv"),
         )
@@ -3965,11 +3942,8 @@ def q432_kendalls_w_weekday(spark, sf_dir):
 #: alpha = k/(k-1) * (1 - sum item variances / total variance), all
 #: n^2-cleared: binary item variance * n^2 = n*G - G^2; total
 #: variance * n^2 = n*SL2 - SL^2 — one identical string.
-_CRON_A = (
-    "(1.5 * (1.0 - (CAST(n AS DOUBLE) * (g1 + g2 + g3)"
-    " - (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2"
-    " + CAST(g3 AS DOUBLE) * g3))"
-    " / (CAST(n AS DOUBLE) * sl2 - CAST(sl AS DOUBLE) * sl)))"
+_CRON_A = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(1.5 * (1.0 - (CAST(n AS DOUBLE) * (g1 + g2 + g3) - (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2 + CAST(g3 AS DOUBLE) * g3)) / NULLIF((CAST(n AS DOUBLE) * sl2 - CAST(sl AS DOUBLE) * sl), 0)))"""
 )
 
 
@@ -4173,15 +4147,18 @@ def q434_gamma_somers_d(spark, sf_dir):
         F.col("ty").alias("tied_y_only"),
         F.round(
             (F.col("conc").cast("double") - F.col("disc"))
-            / (F.col("conc").cast("double") + F.col("disc")),
+            / F.nullif(
+                F.col("conc").cast("double") + F.col("disc"), F.lit(0.0)
+            ),
             6,
         ).alias("gamma"),
         F.round(
             (F.col("conc").cast("double") - F.col("disc"))
-            / (
+            / F.nullif(
                 F.col("conc").cast("double")
                 + F.col("disc")
-                + F.col("ty")
+                + F.col("ty"),
+                F.lit(0.0),
             ),
             6,
         ).alias("somers_d_yx"),
@@ -4286,7 +4263,7 @@ def q435_theils_u_lang_source(spark, sf_dir):
             F.col("hxy").alias("h_lang_given_source_micro_n"),
             F.round(
                 (F.col("hx").cast("double") - F.col("hxy"))
-                / F.col("hx").cast("double"),
+                / F.nullif(F.col("hx").cast("double"), F.lit(0.0)),
                 6,
             ).alias("theils_u"),
         )
@@ -4407,7 +4384,9 @@ _CHOW_BREAK = 15
 #: per-segment SSE from the q408 device: SSE = den / (n*D)^2 with
 #: den = sum (n*D*e_t)^2 folded in DECIMAL(38,0); the F statistic is
 #: one identical expression over the three segment frames.
-_CHOW_SSE = "(CAST({d} AS DOUBLE) / ((CAST({n} AS DOUBLE) * {dd}) * (CAST({n} AS DOUBLE) * {dd})))"
+_CHOW_SSE = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """(CAST({d} AS DOUBLE) / NULLIF(((CAST({n} AS DOUBLE) * {dd}) * (CAST({n} AS DOUBLE) * {dd})), 0))"""
+)
 _CHOW_F = (
     "((("
     + _CHOW_SSE.format(d="den_p", n="n_p", dd="dd_p")
@@ -4419,7 +4398,7 @@ _CHOW_F = (
     + _CHOW_SSE.format(d="den_1", n="n_1", dd="dd_1")
     + " + "
     + _CHOW_SSE.format(d="den_2", n="n_2", dd="dd_2")
-    + ") / (CAST(n_p AS DOUBLE) - 4.0)))"
+    + ") / NULLIF(CAST(n_p AS DOUBLE) - 4.0, 0)))"
 )
 
 #: one segment's OLS-SSE CTE block (DuckDB side), parameterized by a
@@ -4565,10 +4544,8 @@ def q437_chow_break_test(spark, sf_dir):
 #: Var = (R/N)(1-R/N) * (sum n_i s_i^2 - (sum n_i s_i)^2 / N), with
 #: s_i the ordinal bucket score — all from exact bigints, N^2-cleared
 #: inside one shared expression.
-_CA_Z = (
-    "((CAST(t1 AS DOUBLE) - CAST(t2 AS DOUBLE) / nn)"
-    " / SQRT(CAST(r AS DOUBLE) * (nn - r) / nn / nn"
-    " * (CAST(w2 AS DOUBLE) - CAST(w1 AS DOUBLE) * w1 / nn)))"
+_CA_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(t1 AS DOUBLE) - CAST(t2 AS DOUBLE) / NULLIF(nn, 0)) / NULLIF(SQRT(CAST(r AS DOUBLE) * (nn - r) / NULLIF(nn, 0) / NULLIF(nn, 0) * (CAST(w2 AS DOUBLE) - CAST(w1 AS DOUBLE) * w1 / NULLIF(nn, 0))), 0))"""
 )
 
 
@@ -4667,15 +4644,20 @@ def q438_cochran_armitage_trend(spark, sf_dir):
         F.round(
             (F.col("t1x").cast("double") - F.col("t2x"))
             / F.col("nn")
-            / F.sqrt(
-                F.col("r").cast("double")
-                * (F.col("nn") - F.col("r"))
-                / F.col("nn")
-                / F.col("nn")
-                * (
-                    F.col("w2").cast("double")
-                    - F.col("w1").cast("double") * F.col("w1") / F.col("nn")
-                )
+            / F.nullif(
+                F.sqrt(
+                    F.col("r").cast("double")
+                    * (F.col("nn") - F.col("r"))
+                    / F.col("nn")
+                    / F.col("nn")
+                    * (
+                        F.col("w2").cast("double")
+                        - F.col("w1").cast("double")
+                        * F.col("w1")
+                        / F.col("nn")
+                    )
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("z_trend"),
@@ -4691,20 +4673,11 @@ def q438_cochran_armitage_trend(spark, sf_dir):
 #: (T_1/n1 - T_0/n0)/2; S_g^2 * 4 * n_g * (n_g - 1) = n_g * sum c*D2^2
 #: - (sum c*D2)^2 with D2 = combined - within doubled midranks;
 #: W = n0*n1*(Rbar1 - Rbar0) / (N * sqrt(n0*S0^2 + n1*S1^2)).
-_BM_W = (
-    "((CAST(n0 AS DOUBLE) * n1"
-    " * (CAST(t1 AS DOUBLE) / n1 - CAST(t0 AS DOUBLE) / n0) / 2.0)"
-    " / ((CAST(n0 AS DOUBLE) + n1)"
-    " * SQRT(CAST(n0 AS DOUBLE)"
-    " * ((CAST(n0 AS DOUBLE) * q0 - CAST(l0 AS DOUBLE) * l0)"
-    " / (4.0 * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)))"
-    " + CAST(n1 AS DOUBLE)"
-    " * ((CAST(n1 AS DOUBLE) * q1 - CAST(l1 AS DOUBLE) * l1)"
-    " / (4.0 * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))))))"
+_BM_W = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(n0 AS DOUBLE) * n1 * (CAST(t1 AS DOUBLE) / NULLIF(n1, 0) - CAST(t0 AS DOUBLE) / NULLIF(n0, 0)) / 2.0) / NULLIF(((CAST(n0 AS DOUBLE) + n1) * SQRT(CAST(n0 AS DOUBLE) * ((CAST(n0 AS DOUBLE) * q0 - CAST(l0 AS DOUBLE) * l0) / NULLIF((4.0 * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)), 0)) + CAST(n1 AS DOUBLE) * ((CAST(n1 AS DOUBLE) * q1 - CAST(l1 AS DOUBLE) * l1) / NULLIF((4.0 * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)), 0)))), 0))"""
 )
-_BM_PHAT = (
-    "((CAST(t1 AS DOUBLE) / n1 / 2.0"
-    " - (CAST(n1 AS DOUBLE) + 1.0) / 2.0) / CAST(n0 AS DOUBLE))"
+_BM_PHAT = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
+    """((CAST(t1 AS DOUBLE) / NULLIF(n1, 0) / 2.0 - (CAST(n1 AS DOUBLE) + 1.0) / 2.0) / NULLIF(CAST(n0 AS DOUBLE), 0))"""
 )
 
 

@@ -698,11 +698,15 @@ def q286_lang_source_chi2(spark, sf_dir):
             F.round(
                 F.sqrt(
                     F.col("chi2_micro") / 1_000_000.0
-                    / (
-                        F.col("n_docs")
-                        * F.least(
-                            F.col("n_langs") - 1, F.col("n_sources") - 1
-                        )
+                    / F.nullif(
+                        (
+                            F.col("n_docs")
+                            * F.least(
+                                F.col("n_langs") - 1,
+                                F.col("n_sources") - 1,
+                            )
+                        ).cast("double"),
+                        F.lit(0.0),
                     )
                 ),
                 6,

@@ -836,7 +836,9 @@ def q289_embedding_isotropy(spark, sf_dir):
         F.round(F.sqrt(F.col("ssum2")) / F.col("n"), 4).alias("mean_norm"),
         F.round(
             (F.col("ssum2") - F.col("sumsq"))
-            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            / F.nullif(
+                F.col("n").cast("double") * (F.col("n") - 1), F.lit(0.0)
+            ),
             4,
         ).alias("avg_pair_cos"),
     )
@@ -2156,7 +2158,7 @@ def q376_label_modularity(spark, sf_dir):
                     4 * F.col("m") * F.coalesce("e_c", F.lit(0))
                     - F.col("d_c") * F.col("d_c")
                 ).cast("double")
-                / (4.0 * F.col("m") * F.col("m")),
+                / F.nullif(4.0 * F.col("m") * F.col("m"), F.lit(0.0)),
                 6,
             ).alias("q_contrib"),
         )
@@ -2582,7 +2584,12 @@ def q387_calinski_harabasz(spark, sf_dir):
         F.round(
             (F.col("ssc") - F.expr("g2 DIV n")).cast("double")
             * (F.col("n") - F.col("k"))
-            / ((F.col("q_all") - F.col("ssc")) * (F.col("k") - 1)),
+            / F.nullif(
+                (
+                    (F.col("q_all") - F.col("ssc")) * (F.col("k") - 1)
+                ).cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("ch_index"),
     )
@@ -2840,7 +2847,12 @@ def q389_cluster_agreement(spark, sf_dir):
                 "purity"
             ),
             F.round(
-                2.0 * F.col("mi_n") / (F.col("ht_n") + F.col("hp_n")), 6
+                2.0 * F.col("mi_n")
+                / F.nullif(
+                    (F.col("ht_n") + F.col("hp_n")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
             ).alias("nmi"),
         )
     )
