@@ -299,14 +299,22 @@ def _gate_order(names: list[str]) -> list[str]:
         ),
         key=qid,
     )
-    # Cap pre-cohort consumption (retries first, refresh second) so at
-    # least MIN_COHORT_SLOTS cohort entries stay inside the 50-slot
-    # gate; overflow runs right after the cohort instead of displacing
-    # it. The cap only bites while the fast-track has >= that many
-    # members left to drain.
-    budget = max(0, GATE_SLOTS - len(pinned) - MIN_COHORT_SLOTS)
-    pre = (retry + refresh)[:budget] if len(cohort) >= MIN_COHORT_SLOTS \
-        else retry + refresh
+    # Cap pre-cohort consumption (retries first, refresh second) so the
+    # cohort keeps its mandated slots inside the 50-slot gate; overflow
+    # runs right after the cohort instead of displacing it. The
+    # protected count is min(MIN_COHORT_SLOTS, len(cohort)): while the
+    # fast-track still holds >= 34 members the original r8 cap applies
+    # unchanged, and once it has drained to a small TAIL (round 12:
+    # exactly q440/q441) the tail is still protected rather than being
+    # pushed past slot 50 by a long refresh queue - VERDICT r11 item 1
+    # names the r12 window as "14 core + q440/q441 cohort tail + the
+    # oldest-cutoff REFRESH_QUEUE entries", which requires exactly this
+    # (the unmodified rule would spend all 36 free slots on refresh
+    # entries and strand the 2-name tail for another round).
+    budget = max(
+        0, GATE_SLOTS - len(pinned) - min(MIN_COHORT_SLOTS, len(cohort))
+    )
+    pre = (retry + refresh)[:budget] if cohort else retry + refresh
     overflow = [n for n in retry + refresh if n not in pre]
     rest = sorted(
         (
