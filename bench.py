@@ -217,6 +217,12 @@ def main() -> int:
     # adjudicated by tests/test_planshape.py).
     prev_norm = _last_history_norm()
     reruns: dict[str, list[float]] = {}
+    #: a suspect whose RE-timing itself raised: kept OUT of reruns (a
+    #: one-sample list there would read as "handled" and dodge the
+    #: post-loop audit - ADVICE r11), skipped by later passes (the
+    #: one-retime-per-query bound still holds), and surfaced in both
+    #: the leftover WARN and the artifacts.
+    rerun_errors: dict[str, str] = {}
     if prev_norm:
         for _ in range(MAX_RERUN_PASSES):
             med = _median(timings)
@@ -226,6 +232,7 @@ def main() -> int:
                 (
                     n for n, v in timings.items()
                     if v >= 0 and n not in reruns
+                    and n not in rerun_errors
                     and prev_norm.get(n, 0) > 0
                     and (v / med) / prev_norm[n] >= RERUN_RATIO
                 ),
@@ -247,7 +254,7 @@ def main() -> int:
                     again = round(run_one(n, QUERIES[n], spark, sf_dir), 3)
                 except Exception as exc:  # noqa: BLE001 - keep 1st sample
                     log(f"WARN rerun {n}: {exc}")
-                    reruns[n] = [timings[n]]  # counted: not re-suspected
+                    rerun_errors[n] = str(exc)[:200]
                     continue
                 finally:
                     release_transients()
@@ -269,6 +276,9 @@ def main() -> int:
             and (v / med) / prev_norm[n] >= RERUN_RATIO
         ]
         if leftover:
+            # rerun_errors members land here too: an errored retime is
+            # NOT "handled" - its row ships on one sample and this WARN
+            # (plus the artifact field) says so out loud.
             log(f"WARN un-retimed >={RERUN_RATIO}x rows shipped: {leftover}")
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
@@ -299,6 +309,7 @@ def main() -> int:
         "queries_run": len(timings),
         "errors": sorted(n for n, v in timings.items() if v < 0),
         "reruns": reruns,
+        "rerun_errors": rerun_errors,
         "measurement": MEASUREMENT,
         "sf": sf,
     }
@@ -332,6 +343,7 @@ def main() -> int:
                 "suite_median_sec": median,
                 "queries_norm": queries_norm,
                 "reruns": reruns,
+                "rerun_errors": rerun_errors,
                 "measurement": MEASUREMENT,
             }) + "\n")
     except OSError:
