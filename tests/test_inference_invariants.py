@@ -195,3 +195,22 @@ def test_lsh_sweep_sharpness_ordering(spark):
             <= r["exp_false_cands"]
             <= r["n_pairs"] - r["n_above_thresh"] + 1e-9
         )
+
+
+def test_kw_scale_interpolated_not_hardcoded():
+    """ADVICE r11: the Kruskal-Wallis de-quantization factor inside the
+    shared _KW_H/_KW_HC statistic strings must be the INTERPOLATED
+    value of _KW_M (the same constant that quantizes the sq input at
+    both call sites), never a hardcoded literal - a desync between the
+    two would shift the statistic identically on both engines, which
+    the oracle twin is structurally blind to (the q430 class)."""
+    from web_scraping_etl_pipeline_spark.plans import inference as inf
+
+    needle = f"{float(inf._KW_M)} * CAST(nn AS DOUBLE)"
+    assert needle in inf._KW_H
+    assert inf._KW_HC.count(needle) == 1
+    # and the quantizer side really uses the same constant: the sq
+    # term in the q394 oracle carries the raw integer scale
+    from web_scraping_etl_pipeline_spark.plans import ORACLE
+
+    assert f"r2_g * r2_g * {inf._KW_M}" in ORACLE["q394_kruskal_wallis"]

@@ -3629,12 +3629,17 @@ _KW_M = 1000
 
 #: identical scalar-statistic strings for both engines (the q318 z
 #: pattern): H from doubled rank sums (R = R2/2 folds the 1/4 into
-#: 12 -> 3), then the textbook tie-correction divisor.
+#: 12 -> 3), then the textbook tie-correction divisor. The {_KW_M}
+#: de-quantization factor is INTERPOLATED, not hardcoded, so bumping
+#: _KW_M keeps the statistic and its quantized input (the sq term at
+#: the two call sites below) in lockstep - a hardcoded 1000.0 here
+#: would desync identically on both engines and the oracle twin could
+#: never see it (ADVICE r11; the repo's own q430 shared-formula class).
 _KW_H = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
-    """(3.0 * CAST(sq AS DOUBLE) / NULLIF((1000.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)), 0) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))"""
+    f"""(3.0 * CAST(sq AS DOUBLE) / NULLIF(({float(_KW_M)} * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)), 0) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))"""
 )
 _KW_HC = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
-    """((3.0 * CAST(sq AS DOUBLE) / NULLIF((1000.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)), 0) - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) / NULLIF((1.0 - CAST(tt AS DOUBLE) / NULLIF((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)), 0)), 0))"""
+    f"""((3.0 * CAST(sq AS DOUBLE) / NULLIF(({float(_KW_M)} * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)), 0) - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) / NULLIF((1.0 - CAST(tt AS DOUBLE) / NULLIF((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)), 0)), 0))"""
 )
 
 
