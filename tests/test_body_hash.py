@@ -1,0 +1,118 @@
+"""body_hash v2 (ADVICE r11 medium): the freshness fingerprint must
+see THROUGH the function AST into (a) module-level constants the body
+reads - the shared F.expr formula strings whose rewrite dominated
+round 11 and never moved the v1 hash - and (b) same-package helper
+functions, transitively. oracle_hash fingerprints the DuckDB twin
+text separately (it lives in the stripped @query decorator).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import textwrap
+
+sys.path.insert(0, "/root/repo")
+
+from tools import invariance_check as ic  # noqa: E402
+
+
+def _load_probe(tmp_path, fname, source, modname):
+    path = tmp_path / fname
+    path.write_text(textwrap.dedent(source))
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+#: the probe module name must live inside the package prefix, or the
+#: helper-recursion rule would (correctly) ignore it.
+_MOD = "web_scraping_etl_pipeline_spark._body_hash_probe"
+
+_BASE = """
+    K = "select {} from t"
+    def helper(x):
+        return K.format(x)
+    def q(spark, sf_dir):
+        return helper("a")
+"""
+
+
+def test_deterministic_and_docstring_insensitive(tmp_path, monkeypatch):
+    mod = _load_probe(tmp_path, "a.py", _BASE, _MOD)
+    monkeypatch.setitem(ic.QUERIES, "probe", mod.q)
+    h1 = ic.body_hash("probe")
+    assert h1 == ic.body_hash("probe")
+    # same code + a docstring and a comment: hash must NOT move
+    ic._AST_CACHE.clear()
+    docd = _BASE.replace(
+        'return helper("a")',
+        '"""docstring"""\n        # comment\n        return helper("a")',
+    ).replace(
+        "def q(spark, sf_dir):\n        return",
+        'def q(spark, sf_dir):\n        """doc"""\n        return',
+    )
+    mod2 = _load_probe(tmp_path, "b.py", docd, _MOD)
+    monkeypatch.setitem(ic.QUERIES, "probe", mod2.q)
+    try:
+        assert ic.body_hash("probe") == h1
+    finally:
+        ic._AST_CACHE.clear()
+
+
+def test_constant_value_is_folded(tmp_path, monkeypatch):
+    mod = _load_probe(tmp_path, "a.py", _BASE, _MOD)
+    monkeypatch.setitem(ic.QUERIES, "probe", mod.q)
+    h1 = ic.body_hash("probe")
+    # changing ONLY the module-level constant's VALUE (reached via the
+    # helper, not even the query body itself) must move the hash: this
+    # is exactly the r11 shared-formula rewrite class.
+    monkeypatch.setattr(mod, "K", "select {} , 1 from t")
+    assert ic.body_hash("probe") != h1
+
+
+def test_helper_body_is_folded(tmp_path, monkeypatch):
+    mod = _load_probe(tmp_path, "a.py", _BASE, _MOD)
+    monkeypatch.setitem(ic.QUERIES, "probe", mod.q)
+    h1 = ic.body_hash("probe")
+    ic._AST_CACHE.clear()
+    rewritten = _BASE.replace("K.format(x)", "K.format(x).upper()")
+    mod2 = _load_probe(tmp_path, "c.py", rewritten, _MOD)
+    monkeypatch.setitem(ic.QUERIES, "probe", mod2.q)
+    try:
+        assert ic.body_hash("probe") != h1
+    finally:
+        ic._AST_CACHE.clear()
+
+
+def test_real_shared_constant_moves_consumer_hash(monkeypatch):
+    """Non-vacuity against the REAL registry: perturbing stattests'
+    shared Mann-Kendall z string moves the hash of a consumer query
+    (with v1 it provably did not - ADVICE r11)."""
+    from web_scraping_etl_pipeline_spark.plans import stattests
+
+    consumers = [
+        n for n, fn in ic.QUERIES.items()
+        if fn.__module__.endswith("stattests")
+        and "_MK_Z" in ic._normalized_node(fn)[1]
+    ]
+    assert consumers, "no direct _MK_Z consumer found"
+    name = consumers[0]
+    before = ic.body_hash(name)
+    monkeypatch.setattr(stattests, "_MK_Z", stattests._MK_Z + " ")
+    assert ic.body_hash(name) != before
+    monkeypatch.undo()
+    assert ic.body_hash(name) == before
+
+
+def test_oracle_hash_sees_oracle_only_rewrites(monkeypatch):
+    from web_scraping_etl_pipeline_spark.plans import ORACLE
+
+    name = "q01_deadline_horizon"
+    b, o = ic.body_hash(name), ic.oracle_hash(name)
+    monkeypatch.setitem(ORACLE, name, ORACLE[name] + " -- touched")
+    assert ic.oracle_hash(name) != o
+    # the body hash must NOT move on an oracle-only edit (invariance
+    # sweeps don't involve the oracle; only correctness rows go stale)
+    assert ic.body_hash(name) == b

@@ -81,26 +81,134 @@ _RESTORE = {
 }
 
 
-def body_hash(name: str) -> str:
-    """Stable fingerprint of a query's NORMALIZED function body:
-    source -> AST with the docstring and decorators stripped ->
-    ast.dump -> sha256[:16]. Comment/formatting/docstring edits do
-    not move it; any code change does. Recorded per query in
-    INVARIANCE.json so the freshness pin (tests/test_invariance.py)
-    fails on a REWRITTEN query whose recorded match=true predates the
-    rewrite - the stale-row blind spot ADVICE r10 item 4 names (the
-    old pin only noticed queries absent from the artifact)."""
-    src = textwrap.dedent(inspect.getsource(QUERIES[name]))
-    fn = ast.parse(src).body[0]
-    fn.decorator_list = []
+#: package prefix whose helpers are folded into body_hash; anything
+#: else (pyspark, stdlib) is environment, not query semantics.
+_PKG = "web_scraping_etl_pipeline_spark"
+
+_CONST_SCALARS = (str, int, float, bool, bytes, type(None))
+
+
+def _const_repr(value, depth: int = 0):
+    """Deterministic repr for module-level constants, or None when the
+    value is not a foldable constant (module, DataFrame, etc.). Sets
+    are sorted by element repr so the output never depends on
+    PYTHONHASHSEED; containers recurse with a depth bound."""
+    if depth > 6:
+        return "<depth>"
+    if isinstance(value, _CONST_SCALARS):
+        return repr(value)
+    if isinstance(value, (tuple, list)):
+        inner = [_const_repr(v, depth + 1) for v in value]
+        if any(i is None for i in inner):
+            return None
+        lo, hi = ("(", ")") if isinstance(value, tuple) else ("[", "]")
+        return lo + ",".join(inner) + hi
+    if isinstance(value, dict):
+        items = [
+            (_const_repr(k, depth + 1), _const_repr(v, depth + 1))
+            for k, v in value.items()
+        ]
+        if any(a is None or b is None for a, b in items):
+            return None
+        return "{" + ",".join(f"{a}:{b}" for a, b in items) + "}"
+    if isinstance(value, (set, frozenset)):
+        inner = [_const_repr(v, depth + 1) for v in value]
+        if any(i is None for i in inner):
+            return None
+        return "{" + ",".join(sorted(inner)) + "}"
+    return None
+
+
+_AST_CACHE: dict[tuple, tuple] = {}
+
+
+def _normalized_node(obj):
+    """(normalized ast.dump, free-name list) of a function/class:
+    decorators and the leading docstring stripped, so comment /
+    formatting / docstring / decorator edits do not move the hash.
+    Free names are collected AFTER stripping (the @query decorator and
+    its oracle argument are fingerprinted separately - see
+    oracle_hash)."""
+    key = (getattr(obj, "__module__", None), getattr(obj, "__qualname__", None))
+    if key in _AST_CACHE:
+        return _AST_CACHE[key]
+    src = textwrap.dedent(inspect.getsource(obj))
+    node = ast.parse(src).body[0]
+    node.decorator_list = []
     if (
-        fn.body
-        and isinstance(fn.body[0], ast.Expr)
-        and isinstance(fn.body[0].value, ast.Constant)
-        and isinstance(fn.body[0].value.value, str)
+        node.body
+        and isinstance(node.body[0], ast.Expr)
+        and isinstance(node.body[0].value, ast.Constant)
+        and isinstance(node.body[0].value.value, str)
     ):
-        fn.body = fn.body[1:]
-    return hashlib.sha256(ast.dump(fn).encode()).hexdigest()[:16]
+        node.body = node.body[1:]
+    free = sorted({
+        n.id for n in ast.walk(node) if isinstance(n, ast.Name)
+    })
+    out = (ast.dump(node), free)
+    _AST_CACHE[key] = out
+    return out
+
+
+def body_hash(name: str) -> str:
+    """Stable fingerprint of a query's NORMALIZED semantics: the
+    function's own AST (docstring + decorators stripped) PLUS, via the
+    body's free names resolved against the defining module, (a) the
+    VALUES of module-level constants it reads - the shared F.expr
+    formula strings (_MK_Z, _KW_H, ...) that ADVICE r11 flagged as
+    invisible to the pure-AST hash - and (b) the normalized ASTs of
+    same-package helper functions/classes it calls, transitively, so a
+    rewrite of a shared helper marks every consumer stale. Comment /
+    formatting / docstring edits do not move it; any code or
+    shared-constant change does. Recorded per query in
+    INVARIANCE.json / PLANSHAPE.json / the correctness + degenerate
+    sweeps so each freshness pin fails on a REWRITTEN query whose
+    recorded row predates the rewrite."""
+    parts: list[str] = []
+    seen: set[tuple] = set()
+    stack = [QUERIES[name]]
+    while stack:
+        obj = stack.pop()
+        key = (
+            getattr(obj, "__module__", None),
+            getattr(obj, "__qualname__", repr(obj)),
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            dump, free = _normalized_node(obj)
+        except (OSError, TypeError, SyntaxError):
+            continue  # builtins / C-level: environment, not semantics
+        parts.append(f"{key[0]}|{key[1]}|{dump}")
+        g = getattr(obj, "__globals__", None) or {}
+        for nm in free:
+            if nm not in g:
+                continue
+            val = g[nm]
+            rep = _const_repr(val)
+            if rep is not None:
+                parts.append(f"{key[0]}|${nm}|{rep}")
+            elif callable(val) and str(
+                getattr(val, "__module__", "")
+            ).startswith(_PKG):
+                stack.append(val)
+    parts.sort()
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def oracle_hash(name: str) -> str:
+    """Fingerprint of the query's DuckDB twin TEXT (post f-string
+    interpolation, so shared-formula constants are already folded in).
+    The oracle lives in the @query decorator, which body_hash strips -
+    an oracle-only rewrite must still mark correctness rows stale,
+    because those rows attest spark==oracle, not spark alone."""
+    from web_scraping_etl_pipeline_spark.plans import ORACLE  # noqa: PLC0415
+
+    sql = ORACLE.get(name)
+    return hashlib.sha256(
+        (sql if isinstance(sql, str) else "<rows-only>").encode()
+    ).hexdigest()[:16]
 
 
 def _clear_session_caches() -> None:
