@@ -110,3 +110,62 @@ def test_rows_scale_with_sf():
     # and they are not byte-copies of each other: plenty of queries
     # must differ in row count across a 100x data spread
     assert identical <= 0.8 * len(shared)
+
+
+@pytest.mark.parametrize("artifact", sorted(ARTIFACTS))
+def test_sweep_rows_are_fresh(artifact):
+    """A rewritten query (or a rewritten ORACLE twin - it lives in the
+    @query decorator, which body_hash strips) keeps its artifact row,
+    but the recorded fingerprints no longer match HEAD. Recompute both
+    hashes for every row so a stale green sweep row can never coast
+    (VERDICT r11 item 2; the same pin INVARIANCE/PLANSHAPE gained in
+    r11). Subset re-runs merge per-row:
+    `python tools/oracle_check.py --json <artifact> <sf_dir> <names>`.
+    """
+    from tools.invariance_check import body_hash, oracle_hash
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    records = _load(artifact)
+    stale = sorted(
+        n
+        for n, rec in records.items()
+        if n in QUERIES
+        and isinstance(rec, dict)
+        and (
+            rec.get("body_hash") != body_hash(n)
+            or rec.get("oracle_hash") != oracle_hash(n)
+        )
+    )
+    assert stale == [], (
+        f"{artifact}: {len(stale)} rows predate a rewrite, e.g. "
+        f"{stale[:5]} - re-run tools/oracle_check.py for those names"
+    )
+
+
+def test_sweep_freshness_pin_is_not_vacuous(monkeypatch):
+    """Deliberate-rewrite rehearsal (VERDICT r11 item 2's Done
+    criterion): perturbing a shared formula constant OR an oracle
+    string must make the freshness comparison flag the consumer row -
+    i.e. the pin actually fires on the r11 shared-formula class."""
+    from tools.invariance_check import body_hash, oracle_hash
+    from web_scraping_etl_pipeline_spark.plans import ORACLE, stattests
+
+    records = _load("CORRECTNESS_FULL.json")
+    name = "q01_deadline_horizon"
+    assert records[name]["oracle_hash"] == oracle_hash(name)
+    monkeypatch.setitem(ORACLE, name, ORACLE[name] + " -- rewrite")
+    assert records[name]["oracle_hash"] != oracle_hash(name)
+    monkeypatch.undo()
+
+    # find a stattests query that actually reads the shared _MK_Z string
+    from tools.invariance_check import _normalized_node
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    consumer = next(
+        n for n, fn in QUERIES.items()
+        if fn.__module__.endswith("stattests")
+        and "_MK_Z" in _normalized_node(fn)[1]
+    )
+    assert records[consumer]["body_hash"] == body_hash(consumer)
+    monkeypatch.setattr(stattests, "_MK_Z", stattests._MK_Z + " ")
+    assert records[consumer]["body_hash"] != body_hash(consumer)

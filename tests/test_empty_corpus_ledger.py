@@ -182,3 +182,30 @@ def test_one_row_sweep_exists_and_is_total_or_ledgered():
         if n in records and records[n].get("values_match") is True
     )
     assert stale == []
+
+
+def test_degenerate_sweep_rows_are_fresh():
+    """Same freshness discipline as the correctness artifacts
+    (VERDICT r11 item 2): every row in BOTH degenerate sweeps must
+    carry the HEAD body/oracle fingerprints, so a rewritten query
+    cannot coast on a stale green totality row."""
+    from tools.invariance_check import body_hash, oracle_hash
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    for path in (CUR, ONE):
+        records = _load(path)
+        stale = sorted(
+            n
+            for n, rec in records.items()
+            if n in QUERIES
+            and isinstance(rec, dict)
+            and (
+                rec.get("body_hash") != body_hash(n)
+                or rec.get("oracle_hash") != oracle_hash(n)
+            )
+        )
+        assert stale == [], (
+            f"{os.path.basename(path)}: {len(stale)} rows predate a "
+            f"rewrite, e.g. {stale[:5]} - re-run tools/oracle_check.py "
+            f"--json {os.path.basename(path)} <fixture_dir> <names>"
+        )

@@ -449,6 +449,10 @@ def main():
     con = duck_connection(sf_dir)
     failures = []
     records: dict[str, dict] = {}
+    # deferred import: invariance_check imports helpers from this
+    # module at its own top level, so the reverse import must not run
+    # until both modules exist.
+    from tools.invariance_check import body_hash, oracle_hash  # noqa: PLC0415
 
     def record(name, **kw):
         rec = {
@@ -458,6 +462,13 @@ def main():
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            # freshness fingerprints (ADVICE r11): a row attests
+            # spark==oracle for THESE texts; the pin tests recompute
+            # both at HEAD and fail on drift, so a rewritten query (or
+            # a rewritten oracle twin) can never coast on a stale
+            # green row.
+            "body_hash": body_hash(name),
+            "oracle_hash": oracle_hash(name),
         }
         rec.update(kw)
         records[name] = rec
