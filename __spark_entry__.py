@@ -263,6 +263,31 @@ REFRESH_QUEUE: dict[str, int] = {
     "q396_brown_forsythe": 10,
     "q399_page_trend_test": 10,
     "q405_welch_ttest": 10,
+    # r12 degenerate-corpus totality hardening (construction-time
+    # early-outs for the former EXPECTED_NONEMPTY ledger; no-op on any
+    # non-empty corpus): the rewritten queries that HAVE a prior
+    # driver row. Cutoff 11 = the newest round whose rows all predate
+    # the r12 rewrite; self-deactivation is identical to a per-query
+    # historical cutoff (any r12+ row exceeds both), and the uniform
+    # value queues these BEHIND the r11-close entries so the mandated
+    # r12 drain window (VERDICT r11 item 1) keeps its rehearsed
+    # composition. q269/q283/q284/q75 were also rewritten but have
+    # never been driver-checked - the never-checked pool already
+    # schedules them ahead of any checked query.
+    "q50_cosine_topk": 11,
+    "q51_ann_lsh_topk": 11,
+    "q54_ivf_topk": 11,
+    "q156_quantized_rerank": 11,
+    "q177_pagerank": 11,
+    "q184_multiprobe_ann": 11,
+    "q225_hybrid_rrf": 11,
+    "q257_ndcg_eval": 11,
+    "q303_power_iteration_pca": 11,
+    "q319_logreg_quality_gd": 11,
+    "q325_greedy_lm_decode": 11,
+    "q339_adaboost_stumps": 11,
+    "q362_kcenter_coreset": 11,
+    "q427_matryoshka_prefix_recall": 11,
 }
 
 

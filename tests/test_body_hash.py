@@ -116,3 +116,23 @@ def test_oracle_hash_sees_oracle_only_rewrites(monkeypatch):
     # the body hash must NOT move on an oracle-only edit (invariance
     # sweeps don't involve the oracle; only correctness rows go stale)
     assert ic.body_hash(name) == b
+
+
+def test_hash_is_invariant_under_runtime_cache_mutation():
+    """The r12 near-miss: _STAGE_CACHE (a module-level runtime cache
+    referenced by shared_stage) was briefly folded by VALUE, so a row
+    stamped mid-sweep hashed differently from one stamped in a fresh
+    process. Mutable containers must fold via their STATIC source
+    assignment only."""
+    from web_scraping_etl_pipeline_spark.plans import common
+
+    name = "q177_pagerank"
+    before = ic.body_hash(name)
+    sentinel = object()
+    common._STAGE_CACHE["__bh_probe__"] = sentinel
+    common._TRANSIENT_PERSISTS.append(sentinel)
+    try:
+        assert ic.body_hash(name) == before
+    finally:
+        common._STAGE_CACHE.pop("__bh_probe__", None)
+        common._TRANSIENT_PERSISTS.remove(sentinel)

@@ -80,3 +80,49 @@ def test_guarded_division_agrees_on_degenerate_corpus(
     # NULL here; anything else means the guard silently vanished.
     for col in GUARDED[name]:
         assert row[col] in (None, "NaN"), (col, row)
+
+
+#: round 12 (VERDICT r11 item 3): every construction-collect operator
+#: now carries a degenerate early-out returning its oracle's own
+#: empty-input output. The early-out's DDL is hand-declared, so this
+#: pin proves it can never drift from the real plan's schema: on an
+#: EMPTY star fixture each query must produce exactly the column
+#: names and types the non-degenerate plan produces on real data.
+EARLY_OUT_QUERIES = [
+    "q50_cosine_topk", "q51_ann_lsh_topk", "q54_ivf_topk",
+    "q156_quantized_rerank", "q177_pagerank", "q184_multiprobe_ann",
+    "q225_hybrid_rrf", "q257_ndcg_eval", "q269_greedy_coverage",
+    "q283_rank_agreement_rbo", "q284_mmr_rerank",
+    "q303_power_iteration_pca", "q319_logreg_quality_gd",
+    "q325_greedy_lm_decode", "q339_adaboost_stumps",
+    "q362_kcenter_coreset", "q427_matryoshka_prefix_recall",
+    "q75_unpivot_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_star(tmp_path_factory):
+    from tools.empty_fixture import build
+
+    out = str(tmp_path_factory.mktemp("sf_empty_star"))
+    build(out)
+    return out
+
+
+@pytest.mark.parametrize("name", EARLY_OUT_QUERIES)
+def test_degenerate_early_out_schema_matches_real_plan(
+    spark, empty_star, name
+):
+    try:
+        real = QUERIES[name](spark, "/root/testdata/sf0.001").schema
+    finally:
+        release_transients()
+    try:
+        degen = QUERIES[name](spark, empty_star).schema
+    finally:
+        release_transients()
+    # nullability is representation, not contract (the driver's
+    # pandas fetch erases it); names + types must be identical
+    assert [(f.name, f.dataType) for f in degen] == [
+        (f.name, f.dataType) for f in real
+    ]

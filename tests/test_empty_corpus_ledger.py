@@ -24,45 +24,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CUR = os.path.join(REPO, "DEGENERATE_SWEEP.json")
 ONE = os.path.join(REPO, "DEGENERATE_SWEEP_1ROW.json")
 
-#: query -> reason class. "construction-collect": the plan is built
-#: from driver-collected bounded state (first-k query vectors, k
-#: centroids, vocabulary, greedy seed) that does not exist on an
-#: empty corpus - the operator is DEFINED on non-empty input, like
-#: top-k-neighbors-of-nothing. "data-derived-schema": the statement
-#: shape itself (unpivot value columns) comes from data.
-EXPECTED_NONEMPTY = {
-    "q50_cosine_topk": "construction-collect (query vectors)",
-    "q51_ann_lsh_topk": "construction-collect (query vectors)",
-    "q54_ivf_topk": "construction-collect (query vectors)",
-    "q156_quantized_rerank": "construction-collect (query vectors)",
-    "q177_pagerank": "construction-collect (dangling-mass scalar)",
-    "q184_multiprobe_ann": "construction-collect (query vectors)",
-    "q225_hybrid_rrf": "construction-collect (query vectors)",
-    "q257_ndcg_eval": "construction-collect (query vectors)",
-    "q269_greedy_coverage": "construction-collect (greedy seed rows)",
-    "q283_rank_agreement_rbo": "construction-collect (ranking pools)",
-    "q284_mmr_rerank": "construction-collect (candidate pool)",
-    "q303_power_iteration_pca": "construction-collect (d-vector state)",
-    "q319_logreg_quality_gd": "construction-collect (weight state)",
-    "q325_greedy_lm_decode": "construction-collect (bigram table)",
-    "q339_adaboost_stumps": "construction-collect (round weights)",
-    "q362_kcenter_coreset": "construction-collect (center seed)",
-    "q427_matryoshka_prefix_recall": "construction-collect (queries)",
-    "q75_unpivot_roundtrip": "data-derived-schema (unpivot columns)",
-}
+#: query -> reason class, for queries whose DEFINITION needs data.
+#: EMPTY SINCE ROUND 12 (VERDICT r11 item 3): the 18 r11 entries -
+#: construction-collect driver loops (query vectors, centroids,
+#: vocabulary, greedy seeds) and q75's data-derived unpivot columns -
+#: now carry construction-time degenerate early-outs that return the
+#: ORACLE's own empty-input output (usually the 0-row typed frame,
+#: for the five aggregate-readout oracles the literal all-NULL/zero
+#: readout row the SQL aggregate-over-empty emits). The registry is
+#: 436/436 total on the empty corpus; keep this dict for any future
+#: operator the early-out device genuinely cannot cover.
+EXPECTED_NONEMPTY: dict[str, str] = {}
 
 
-#: 1-ROW-corpus ledger (the second census depth): after the 50
-#: guard-parity fixes, only the construction-collect driver loops
-#: whose seed state needs specific data shapes remain non-total at
-#: n=1 - a strict subset of EXPECTED_NONEMPTY.
-EXPECTED_NONEMPTY_1ROW = {
-    "q177_pagerank": "construction-collect (dangling-mass scalar "
-    "divides by total degree; no edges from one event)",
-    "q269_greedy_coverage": "construction-collect (greedy seed rows)",
-    "q284_mmr_rerank": "construction-collect (candidate pool pads "
-    "to k from a 1-row relevance list)",
-}
+#: 1-ROW-corpus ledger (the second census depth). EMPTY SINCE ROUND
+#: 12: q177 (no edges from one event -> 0-row early-out like the
+#: oracle), q269/q284 (greedy loops now STOP when candidates exhaust,
+#: matching the oracle's empty tail CTEs) were the last three.
+EXPECTED_NONEMPTY_1ROW: dict[str, str] = {}
 
 
 def _load(path=None):

@@ -89,34 +89,89 @@ _CONST_SCALARS = (str, int, float, bool, bytes, type(None))
 
 
 def _const_repr(value, depth: int = 0):
-    """Deterministic repr for module-level constants, or None when the
-    value is not a foldable constant (module, DataFrame, etc.). Sets
-    are sorted by element repr so the output never depends on
-    PYTHONHASHSEED; containers recurse with a depth bound."""
+    """Deterministic repr for IMMUTABLE module-level constants, or
+    None when the value is not one. Mutable containers (dict/list/set)
+    are deliberately NOT folded by runtime value - module-level caches
+    (_STAGE_CACHE, _TRANSIENT_PERSISTS, ...) mutate as queries run, so
+    a value-fold would make the hash depend on what already executed
+    in the stamping process (the r12 q177 near-miss: its record was
+    stamped mid-sweep with a non-empty stage cache). Mutable
+    containers fold via their SOURCE assignment instead - see
+    _module_assignments. frozensets sort by element repr so the
+    output never depends on PYTHONHASHSEED."""
     if depth > 6:
         return "<depth>"
     if isinstance(value, _CONST_SCALARS):
         return repr(value)
-    if isinstance(value, (tuple, list)):
+    if isinstance(value, tuple):
         inner = [_const_repr(v, depth + 1) for v in value]
         if any(i is None for i in inner):
             return None
-        lo, hi = ("(", ")") if isinstance(value, tuple) else ("[", "]")
-        return lo + ",".join(inner) + hi
-    if isinstance(value, dict):
-        items = [
-            (_const_repr(k, depth + 1), _const_repr(v, depth + 1))
-            for k, v in value.items()
-        ]
-        if any(a is None or b is None for a, b in items):
-            return None
-        return "{" + ",".join(f"{a}:{b}" for a, b in items) + "}"
-    if isinstance(value, (set, frozenset)):
+        return "(" + ",".join(inner) + ")"
+    if isinstance(value, frozenset):
         inner = [_const_repr(v, depth + 1) for v in value]
         if any(i is None for i in inner):
             return None
         return "{" + ",".join(sorted(inner)) + "}"
     return None
+
+
+_ASSIGN_CACHE: dict[str, dict] = {}
+
+
+def _module_assignments(modname: str) -> dict:
+    """name -> normalized AST dump of the module's top-level
+    assignment VALUE expression for that name (static source, immune
+    to runtime mutation), or ("import", origin_module) for names the
+    module imports from elsewhere in the package. This is how mutable
+    container constants (a language-marker dict, a zone-cutoff list)
+    enter body_hash: a rewrite of the literal moves the hash, runtime
+    .append()/cache fills do not."""
+    if modname in _ASSIGN_CACHE:
+        return _ASSIGN_CACHE[modname]
+    out: dict = {}
+    mod = sys.modules.get(modname)
+    try:
+        tree = ast.parse(inspect.getsource(mod))
+    except (OSError, TypeError, SyntaxError, AttributeError):
+        _ASSIGN_CACHE[modname] = out
+        return out
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    out[tgt.id] = ast.dump(node.value)
+        elif (
+            isinstance(node, ast.AnnAssign)
+            and isinstance(node.target, ast.Name)
+            and node.value is not None
+        ):
+            out[node.target.id] = ast.dump(node.value)
+        elif isinstance(node, ast.ImportFrom) and node.level:
+            # relative import: resolve the origin module inside the
+            # package so the lookup can follow the definition
+            base = modname.rsplit(".", node.level)[0]
+            origin = f"{base}.{node.module}" if node.module else base
+            for alias in node.names:
+                out[alias.asname or alias.name] = ("import", origin)
+        elif isinstance(node, ast.ImportFrom) and (
+            node.module or ""
+        ).startswith(_PKG):
+            for alias in node.names:
+                out[alias.asname or alias.name] = ("import", node.module)
+    _ASSIGN_CACHE[modname] = out
+    return out
+
+
+def _source_assignment(modname: str, name: str, hops: int = 0):
+    """Resolve (module, name) to its defining top-level assignment's
+    AST dump, following package-internal import chains."""
+    if hops > 8:
+        return None
+    entry = _module_assignments(modname).get(name)
+    if isinstance(entry, tuple):
+        return _source_assignment(entry[1], name, hops + 1)
+    return None if entry is None else (modname, entry)
 
 
 _AST_CACHE: dict[tuple, tuple] = {}
@@ -189,6 +244,12 @@ def body_hash(name: str) -> str:
             rep = _const_repr(val)
             if rep is not None:
                 parts.append(f"{key[0]}|${nm}|{rep}")
+            elif isinstance(val, (dict, list, set)):
+                # mutable container: fold the STATIC source assignment
+                # (never the runtime value - caches mutate mid-sweep)
+                src = _source_assignment(key[0], nm)
+                if src is not None:
+                    parts.append(f"{src[0]}|@{nm}|{src[1]}")
             elif callable(val) and str(
                 getattr(val, "__module__", "")
             ).startswith(_PKG):

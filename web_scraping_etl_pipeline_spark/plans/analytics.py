@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F
 from .common import (
     EVENTS_EPOCH_US,
     US_PER_DAY,
+    degenerate_frame,
     global_cumsum,
     global_lead,
     global_ntile,
@@ -493,6 +494,14 @@ def q75_unpivot_roundtrip(spark, sf_dir):
     operator - constant-folded Expand, no shuffle beyond the pivot's."""
     ev = t(spark, sf_dir, "events")
     types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    if not types:
+        # degenerate corpus: the pivot grid's value columns are
+        # data-derived and none exist; unpivot over zero value columns
+        # is unrepresentable, and the oracle's GROUP BY is empty -
+        # return the same 0-row frame with the static output schema.
+        return degenerate_frame(
+            spark, "user_id bigint, event_type string, cnt bigint"
+        )
     wide = (
         ev.groupBy("user_id")
         .pivot("event_type", types)

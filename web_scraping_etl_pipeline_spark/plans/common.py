@@ -136,6 +136,21 @@ def release_transients() -> int:
     return n
 
 
+def degenerate_frame(spark: SparkSession, ddl: str, rows=()) -> DataFrame:
+    """Typed literal frame for DEGENERATE-CORPUS early-outs (round 12,
+    VERDICT r11 item 3): a construction-collect operator (driver-loop
+    plans seeded from collected query vectors / centroids / vocabulary
+    / greedy picks) is DEFINED on non-empty input; when the collect
+    comes back empty the operator returns its oracle's own
+    degenerate-input output - usually the 0-row frame, occasionally a
+    literal readout row (the SQL aggregate-over-empty row) - instead
+    of crashing plan construction. ``ddl`` must equal the real plan's
+    output schema; tests/test_degenerate_guards.py pins each user's
+    declared DDL against the schema the non-degenerate plan actually
+    produces, so the early-out can never drift from the real query."""
+    return spark.createDataFrame(list(rows), ddl)
+
+
 def transient_persist(df: DataFrame) -> DataFrame:
     """persist() registered for :func:`release_transients` - for
     within-one-query multi-consumer stages (e.g. q160's base aggregate

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import global_rn, t, t_split, transient_persist
+from .common import degenerate_frame, global_rn, t, t_split, transient_persist
 from .mlprep import _h60, _h60_sql
 from .registry import query
 from .textops import _SCORE_SQL, _TOKENS_SQL, _int_score, _tokens
@@ -2732,12 +2732,18 @@ def q269_greedy_coverage(spark, sf_dir):
             gain = F.size(F.array_except("sset", "cov"))
         else:
             gain = F.size("sset")
-        best = (
+        rows = (
             cand.select("doc_id", "sset", gain.alias("gain"))
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # fewer than k candidate docs (degenerate corpus): the
+            # oracle's p{rnd}.. CTEs are empty from here on and its
+            # UNION ALL simply contributes no rows - stop picking.
+            break
+        best = rows[0]
         picks.append((rnd, best["doc_id"], int(best["gain"])))
         chosen.append(best["doc_id"])
         covered |= set(best["sset"])

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import shared_stage, t, transient_persist
+from .common import degenerate_frame, shared_stage, t, transient_persist
 from .registry import query
 
 _DAMP = 0.85
@@ -134,6 +134,14 @@ def q177_pagerank(spark, sf_dir):
         .persist()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # degenerate corpus: no facts -> no edges -> the oracle's
+        # nodes CTE is empty and every r{k} CTE with it; the uniform
+        # init 1/n is undefined, so return the same 0-row frame
+        # instead of dividing by zero at construction (VERDICT r11
+        # item 3 - the last 1-row-census ledger entries).
+        nodes.unpersist()
+        return degenerate_frame(spark, "node string, pagerank double")
     outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
     contrib_edges = F.broadcast(
         edges.join(outw, "src").select(

@@ -26,6 +26,7 @@ from pyspark.sql import Window, functions as F
 from .common import (
     EVENTS_EPOCH_US,
     US_PER_DAY,
+    degenerate_frame,
     global_cumsum,
     global_rn,
     t,
@@ -410,6 +411,18 @@ def q319_logreg_quality_gd(spark, sf_dir):
         .persist()
     )
     n = float(feat.count())
+    if n == 0:
+        # degenerate corpus: every gradient SUM is NULL and the 1/n
+        # update undefined; the oracle's unrolled CTE chain carries
+        # the NULLs into an all-NULL readout row with n_docs=0 (SQL
+        # aggregate-over-empty) - mirror that row.
+        feat.unpersist()
+        return degenerate_frame(
+            spark,
+            "w_intercept double, w_hectochars double, "
+            "w_distinct_ratio double, n_docs bigint, n_correct bigint",
+            [(None, None, None, 0, None)],
+        )
     b, w1, w2 = 0.0, 0.0, 0.0
     for _ in range(_LR_STEPS):
         g = (
@@ -792,6 +805,8 @@ def q325_greedy_lm_decode(spark, sf_dir):
         .limit(1)
         .first()
     )
+    if seed is None:  # degenerate corpus: oracle's s1 CTE is empty too
+        return degenerate_frame(spark, "step bigint, tok string, cnt bigint")
     decoded: list[tuple[int, str, int]] = [
         (1, seed["w"], int(seed["cnt"]))
     ]
@@ -1731,7 +1746,18 @@ def q339_adaboost_stumps(spark, sf_dir):
                 "tw",
             )
         )
-        best = both.orderBy("err", "feat", "thr", "pol").limit(1).collect()[0]
+        argmin = both.orderBy("err", "feat", "thr", "pol").limit(1).collect()
+        if not argmin:
+            # degenerate corpus: no (feat, thr) buckets exist, so no
+            # stump can be fit; the oracle's per-round CTEs are empty
+            # and its UNION ALL readout has no rows - mirror that.
+            return degenerate_frame(
+                spark,
+                "round bigint, feat bigint, thr bigint, pol bigint, "
+                "err_w bigint, tot_w bigint, ratio_u bigint, "
+                "alpha_u bigint, ensemble_wrong bigint, n_docs bigint",
+            )
+        best = argmin[0]
         feat, thr, pol = int(best["feat"]), int(best["thr"]), int(best["pol"])
         err, tw = int(best["err"]), int(best["tw"])
         ratio_u = min(((tw - err) * 1000000) // max(err, 1), _ADA_RCAP)

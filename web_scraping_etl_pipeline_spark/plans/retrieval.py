@@ -17,7 +17,7 @@ import math
 
 from pyspark.sql import Window, functions as F
 
-from .common import t, t_split, transient_persist
+from .common import degenerate_frame, t, t_split, transient_persist
 from .registry import query
 from .textops import _TOKENS_SQL, _tokens
 from .vectors import (
@@ -343,6 +343,10 @@ def q225_hybrid_rrf(spark, sf_dir):
         .alias("r_lex"),
     )
     qv = _query_vec(spark, sf_dir)
+    if qv is None:  # degenerate corpus: oracle's lex+vec pools empty too
+        return degenerate_frame(
+            spark, "doc_id bigint, r_lex int, r_vec int, rrf_score double"
+        )
     vecpool = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
@@ -467,6 +471,16 @@ def q257_ndcg_eval(spark, sf_dir):
         .limit(_NDCG_K)
     )
     qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        # degenerate corpus: the oracle's gains CTE is empty but its
+        # final global aggregate still emits ONE all-NULL readout row
+        # (SQL aggregate-over-empty; even the idcg column goes NULL
+        # because the oracle folds it through MAX) - mirror that row.
+        return degenerate_frame(
+            spark,
+            "dcg double, idcg double, ndcg double",
+            [(None, None, None)],
+        )
     emb = t(spark, sf_dir, "embeddings")
     dots = emb.select(
         F.col("vec_id").alias("doc_id"),
@@ -833,6 +847,16 @@ def q283_rank_agreement_rbo(spark, sf_dir):
         )
     )
     qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        # degenerate corpus: both pools are empty, but the oracle's
+        # LEFT JOIN keeps all 50 literal depth-weight rows with hits=0
+        # and its final aggregate emits the defined zero-agreement
+        # readout (rbo of two empty rankings = 0) - mirror that row.
+        return degenerate_frame(
+            spark,
+            "depth bigint, n_common bigint, rbo_trunc double",
+            [(_RRF_POOL, 0, 0.0)],
+        )
     vec = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
@@ -961,6 +985,10 @@ def q284_mmr_rerank(spark, sf_dir):
     Python and DuckDB, so no per-step rounding is needed; only the
     reported score is rounded, in Spark, at the end."""
     qv = _query_vec(spark, sf_dir)
+    if qv is None:  # degenerate corpus: oracle's qv/pool CTEs empty too
+        return degenerate_frame(
+            spark, "rk bigint, doc_id bigint, score double"
+        )
     emb = t(spark, sf_dir, "embeddings")
     pool = transient_persist(
         emb.select(
@@ -1002,6 +1030,11 @@ def q284_mmr_rerank(spark, sf_dir):
                 )
             if best_score is None or score > best_score:
                 best_id, best_score = d, score
+        if best_id is None:
+            # pool smaller than k (degenerate corpus): the oracle's
+            # c{rk}.. CTEs are empty from here on and its UNION ALL
+            # contributes no further rows - stop selecting.
+            break
         chosen.append((rk, best_id, best_score))
         selected.append(best_id)
     return spark.createDataFrame(

@@ -27,7 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import EVENTS_EPOCH_US, US_PER_DAY, t, transient_persist
+from .common import (
+    EVENTS_EPOCH_US,
+    US_PER_DAY,
+    degenerate_frame,
+    t,
+    transient_persist,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -3243,6 +3249,16 @@ def q427_matryoshka_prefix_recall(spark, sf_dir):
     slices), each a codegen dot + TakeOrdered — no shuffle beyond
     the top-k reduce; the overlap join is 10x10."""
     qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        # degenerate corpus: both candidate lists are empty, but the
+        # oracle's per-prefix COUNT aggregates still emit one row per
+        # swept prefix with overlap 0 (aggregate-over-empty) - mirror
+        # that 3-row readout.
+        return degenerate_frame(
+            spark,
+            "prefix_dim bigint, overlap_at_k bigint, recall_milli bigint",
+            [(p, 0, 0) for p in _MRL_DIMS],
+        )
     emb = t(spark, sf_dir, "embeddings")
     full_top = (
         emb.select(

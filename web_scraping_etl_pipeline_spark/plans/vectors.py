@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from .common import t, transient_persist
+from .common import degenerate_frame, t, transient_persist
 from .registry import query
 
 DIM = 64
@@ -61,9 +61,12 @@ def _dot(a: str, b: str, dim: int = DIM) -> Column:
 
 
 def _query_vec(spark: SparkSession, sf_dir: str):
+    """The shared query vector, or None on a corpus where vec_id 0
+    does not exist (the degenerate-corpus censuses) - callers early-out
+    with their oracle's own empty-input output via degenerate_frame."""
     emb = t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
-    return row["embedding"]
+    return None if row is None else row["embedding"]
 
 
 def _qlit_sql(vec) -> str:
@@ -106,6 +109,8 @@ def q50_cosine_topk(spark, sf_dir):
     literal + codegen dot product + TakeOrderedAndProject. The exact
     baseline every ANN variant is measured against."""
     qv = _query_vec(spark, sf_dir)
+    if qv is None:  # degenerate corpus: oracle's qv CTE is empty too
+        return degenerate_frame(spark, "vec_id bigint, cos_sim double")
     emb = t(spark, sf_dir, "embeddings")
     sim = F.round(_dot("embedding", _qlit_sql(qv)), 6).alias("cos_sim")
     return (
@@ -163,6 +168,8 @@ def q51_ann_lsh_topk(spark, sf_dir):
     is written partitioned by bucket and this becomes partition
     pruning."""
     qv = _query_vec(spark, sf_dir)
+    if qv is None:  # degenerate corpus: oracle's q CTE is empty too
+        return degenerate_frame(spark, "vec_id bigint, cos_sim double")
     qb = sum((1 << i) for i, d in enumerate(LSH_DIMS) if float(qv[d - 1]) > 0.0)
     emb = t(spark, sf_dir, "embeddings")
     cand = emb.filter(_bucket_expr(F.col("embedding")) == F.lit(qb))
@@ -266,6 +273,8 @@ def q54_ivf_topk(spark, sf_dir):
     is written partitioned by list id and this is partition pruning,
     exactly like q51's sign-bucket variant."""
     qv = _query_vec(spark, sf_dir)
+    if qv is None:  # degenerate corpus: oracle's q CTE is empty too
+        return degenerate_frame(spark, "vec_id bigint, cos_sim double")
     qlit = F.expr(_qlit_sql(qv))
     emb = t(spark, sf_dir, "embeddings")
     cent = emb.select("label", F.posexplode("embedding").alias("d", "val"))
@@ -560,6 +569,10 @@ def q156_quantized_rerank(spark, sf_dir):
         F.desc("approx_sim"), F.asc("vec_id")
     ).limit(RERANK_POOL)
     qv = _query_vec(spark, sf_dir)
+    if qv is None:  # degenerate corpus: oracle's qv/pool CTEs empty too
+        return degenerate_frame(
+            spark, "vec_id bigint, approx_sim double, cos_sim double"
+        )
     exact = (
         emb.join(F.broadcast(pool), "vec_id")
         .select(
@@ -756,6 +769,8 @@ def q184_multiprobe_ann(spark, sf_dir):
     multi-partition pruning - 5 partitions read, the rest skipped;
     the exact rerank stays proportional to the candidate pool."""
     qv = _query_vec(spark, sf_dir)
+    if qv is None:  # degenerate corpus: oracle's q CTE is empty too
+        return degenerate_frame(spark, "vec_id bigint, cos_sim double")
     qb = sum((1 << i) for i, d in enumerate(LSH_DIMS) if float(qv[d - 1]) > 0.0)
     probes = [qb] + [qb ^ (1 << i) for i in range(len(LSH_DIMS))]
     emb = t(spark, sf_dir, "embeddings")
@@ -952,6 +967,15 @@ def q303_power_iteration_pca(spark, sf_dir):
                 for d in range(1, DIM + 1)
             ]
         ).collect()[0]
+        if row["u1"] is None:
+            # degenerate corpus: every SUM is NULL; the oracle's
+            # unrolled CTE chain carries that NULL through to all 64
+            # output rows - emit the same readout instead of iterating
+            return degenerate_frame(
+                spark,
+                "dim bigint, loading double, eigenvalue double",
+                [(d, None, None) for d in range(1, DIM + 1)],
+            )
         u = [float(row[f"u{d}"]) for d in range(1, DIM + 1)]
         ss = 0.0
         for x in u:  # left-assoc fold, mirroring list_sum
@@ -2018,6 +2042,10 @@ def q362_kcenter_coreset(spark, sf_dir):
     )
     c1 = pts.orderBy("vec_id").limit(1)
     first = c1.first()
+    if first is None:  # degenerate corpus: oracle's c1 CTE is empty too
+        return degenerate_frame(
+            spark, "step long, center_id long, radius_sq long"
+        )
     out = [(1, int(first["vec_id"]), None)]
     center = c1.select(F.col("qi").alias("cqi"))
     d = pts.crossJoin(F.broadcast(center)).select(
