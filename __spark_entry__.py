@@ -278,6 +278,17 @@ REFRESH_QUEUE: dict[str, int] = {
     "q51_ann_lsh_topk": 11,
     "q54_ivf_topk": 11,
     "q156_quantized_rerank": 11,
+    # r12 all-duplicates/constant-value census fixes (corr -> guarded
+    # explicit ratio on both engines, NULLIF on zero-variance/zero-
+    # interval denominators, CASE-guarded LN): rewritten queries with
+    # a prior driver row. q64 is never-checked (scheduled by that
+    # pool).
+    "q134_time_weighted_avg": 11,
+    "q140_regr_stats": 11,
+    "q334_jl_projection_distortion": 11,
+    "q337_naive_bayes_lang": 11,
+    "q382_lof_outliers": 11,
+    "q415_neyman_allocation": 11,
     "q177_pagerank": 11,
     "q184_multiprobe_ann": 11,
     "q225_hybrid_rrf": 11,

@@ -1,0 +1,157 @@
+"""All-duplicates corpus totality ledgers (round 12, VERDICT r11 item
+4) - the census layer the 0-row / 1-row corpora cannot reach.
+
+Two fixtures (``tools/dup_fixture.py``):
+
+- **const** (/tmp/sf_const -> DEGENERATE_SWEEP_CONST.json): first 32
+  template rows, every NON-KEY column overwritten with the first
+  row's value - the PK-VALID "every document's content is identical"
+  corpus. This is the layer the mandate aimed at: zero-variance
+  moments with real degrees of freedom, every dedup pair a candidate,
+  ROUND/ordering ties from identical values. It found SEVEN real
+  divergences, all fixed with guard parity (Spark's native ``corr``
+  ANSI-errors on a zero-variance group where DuckDB NULLs ->
+  explicit covar/NULLIF(sd*sd) ratio on both engines in q64/q140;
+  zero-interval time-weights q134; zero-distance JL/LOF ratios
+  q334/q382; one-class LN prior q337; zero-total Neyman weights
+  q415). 436/436 green, no ledger.
+
+- **dup** (/tmp/sf_dup -> DEGENERATE_SWEEP_DUP.json): the first row
+  replicated 32x BYTE-IDENTICAL, primary keys included. This corpus
+  VIOLATES the star schema's key contract (doc_id/vec_id/event_id/
+  o_orderkey unique), and on out-of-contract input the two engines'
+  formulations legitimately diverge: the DuckDB twins are written
+  relationally (unnest + GROUP BY key, per-key running tables), so
+  duplicated keys COLLAPSE (or fan out quadratically through key
+  joins), while the Spark plans are array-native and row-wise. The
+  24 ledgered queries below are exactly the key-dependent shapes;
+  every one was individually triaged - e.g. q201's "tie" divergence
+  is its tie-BREAK column (the PK) being duplicated, not a latent
+  rank bug, and q362's oracle (per-key unrolled CTE chain) fans out
+  EXPONENTIALLY on duplicated keys, which is why oracle_check now
+  carries DuckDB memory/temp caps. The census still proved the other
+  412 queries total even on key-violating input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DUP = os.path.join(REPO, "DEGENERATE_SWEEP_DUP.json")
+CONST = os.path.join(REPO, "DEGENERATE_SWEEP_CONST.json")
+
+#: the PK-duplication class: oracle formulations that GROUP BY /
+#: join / tie-break on a table's key column, which the byte-identical
+#: corpus duplicates. Divergence is definitional on out-of-contract
+#: input; all 24 are green on the PK-VALID const corpus (and the
+#: 0-row / 1-row / tri-SF sweeps).
+EXPECTED_PK_DUP = {
+    "q50_cosine_topk", "q51_ann_lsh_topk", "q52_vector_norms",
+    "q54_ivf_topk", "q86_sequence_packing", "q88_scd2_history",
+    "q99_kmeans_assign", "q156_quantized_rerank",
+    "q157_random_projection", "q179_scd2_asof_snapshot",
+    "q184_multiprobe_ann", "q197_subtree_rollup",
+    "q201_global_percent_rank", "q218_ngram_novelty",
+    "q221_ann_recall", "q225_hybrid_rrf",
+    "q252_consistent_hash_shards", "q257_ndcg_eval", "q276_sql_udfs",
+    "q283_rank_agreement_rbo", "q284_mmr_rerank",
+    "q285_gate_agreement_kappa", "q304_phrase_search",
+    "q362_kcenter_coreset",
+}
+
+
+def _load(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _env_gated() -> set[str]:
+    with open(os.path.join(REPO, "SKIPPED.json")) as fh:
+        return {
+            v.get("name")
+            for v in json.load(fh).values()
+            if isinstance(v, dict) and v.get("env_condition")
+        }
+
+
+def _green(rec) -> bool:
+    err = rec.get("err")
+    if err and "rows-only" in str(err):
+        return rec.get("rows_match") is True
+    return bool(
+        rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("values_match")
+        and not err
+    )
+
+
+def test_both_sweeps_cover_registry():
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    for path in (DUP, CONST):
+        assert os.path.exists(path), (
+            f"{os.path.basename(path)} missing - python tools/"
+            f"dup_fixture.py then oracle_check --json"
+        )
+        records = _load(path)
+        missing = sorted(set(QUERIES) - set(records) - _env_gated())
+        assert missing == [], (
+            f"{os.path.basename(path)}: {len(missing)} missing, "
+            f"e.g. {missing[:5]}"
+        )
+
+
+def test_const_corpus_is_fully_green():
+    """The PK-valid all-duplicates corpus has NO ledger: every query
+    must be total and oracle-exact on zero-variance content."""
+    bad = {
+        n: str(r.get("err"))[:100]
+        for n, r in _load(CONST).items()
+        if not _green(r)
+    }
+    assert bad == {}, f"{len(bad)} const-corpus divergences: {bad}"
+
+
+def test_dup_corpus_green_or_pk_ledgered():
+    bad = {
+        n: str(r.get("err"))[:100]
+        for n, r in _load(DUP).items()
+        if n not in EXPECTED_PK_DUP and not _green(r)
+    }
+    assert bad == {}, (
+        f"{len(bad)} dup-corpus divergences outside the PK ledger: "
+        f"{bad}"
+    )
+
+
+def test_pk_ledger_rows_are_not_stale():
+    """A ledgered query that now agrees even on PK-duplicated input
+    should leave the ledger."""
+    records = _load(DUP)
+    stale = sorted(
+        n for n in EXPECTED_PK_DUP if n in records and _green(records[n])
+    )
+    assert stale == [], f"ledger rows {stale} now pass - remove them"
+
+
+def test_dup_sweep_rows_are_fresh():
+    from tools.invariance_check import body_hash, oracle_hash
+    from web_scraping_etl_pipeline_spark.plans import QUERIES
+
+    for path in (DUP, CONST):
+        stale = sorted(
+            n
+            for n, rec in _load(path).items()
+            if n in QUERIES
+            and (
+                rec.get("body_hash") != body_hash(n)
+                or rec.get("oracle_hash") != oracle_hash(n)
+            )
+        )
+        assert stale == [], (
+            f"{os.path.basename(path)}: {len(stale)} rows predate a "
+            f"rewrite, e.g. {stale[:5]}"
+        )

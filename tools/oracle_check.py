@@ -55,6 +55,14 @@ from web_scraping_etl_pipeline_spark.session import get_spark
 
 def duck_connection(sf_dir: str):
     con = duckdb.connect()
+    # Resource caps (round 12): a pathological oracle plan - the
+    # q362 unrolled per-key CTE chain fans out EXPONENTIALLY on a
+    # PK-duplicated census corpus - must fail fast with a clean OOM
+    # instead of ballooning to ~100 GB RSS and filling the disk with
+    # temp spill (which then poisons CONCURRENT sweeps with spurious
+    # IO errors). Real sweeps at sf0.1 use well under 8 GB.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for name in STAR_TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "

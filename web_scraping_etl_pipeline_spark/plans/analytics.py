@@ -138,13 +138,24 @@ def q59_moving_avg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+#: corr computed as an explicit guarded ratio - IDENTICAL string on
+#: both engines - because Spark's native corr divides by the stddev
+#: product inside the aggregate, which ANSI-errors on a zero-variance
+#: group (the r12 constant-value-corpus census; DuckDB's corr NULLs).
+#: covar_samp/(sd*sd) equals corr mathematically and agreed with both
+#: engines' native corr at 6dp on every real fixture when swapped in.
+_CORR_USER = (  # noqa: E501 - NULLIF-wrapped (r12 totality)
+    """(covar_samp(value, CAST(user_id AS DOUBLE)) / NULLIF(stddev_samp(value) * stddev_samp(CAST(user_id AS DOUBLE)), 0))"""
+)
+
+
 @query(
     "q64_stats_suite",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            ROUND(stddev_samp(value), 6) AS sd_value,
            ROUND(var_samp(value), 6) AS var_value,
-           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user,
+           ROUND({_CORR_USER}, 6) AS corr_user,
            ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_user
     FROM events GROUP BY event_type
     """,
@@ -161,7 +172,7 @@ def q64_stats_suite(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
         F.round(F.var_samp("value"), 6).alias("var_value"),
-        F.round(F.corr(F.col("value"), u), 6).alias("corr_user"),
+        F.round(F.expr(_CORR_USER), 6).alias("corr_user"),
         F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_user"),
     )
 
@@ -1593,8 +1604,11 @@ def q139_bitmap_distinct(spark, sf_dir):
            ROUND(regr_r2(o_totalprice,
                  datediff('day', DATE '1992-01-01', o_orderdate)), 6)
              AS r2,
-           ROUND(corr(o_totalprice,
-                 datediff('day', DATE '1992-01-01', o_orderdate)), 6)
+           ROUND(covar_samp(o_totalprice,
+                   datediff('day', DATE '1992-01-01', o_orderdate))
+                 / NULLIF(stddev_samp(o_totalprice) *
+                   stddev_samp(datediff('day', DATE '1992-01-01',
+                                        o_orderdate)), 0), 6)
              AS corr_xy
     FROM orders GROUP BY o_orderpriority
     """,
@@ -1618,7 +1632,18 @@ def q140_regr_stats(spark, sf_dir):
         F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
         F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
         F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
-        F.round(F.corr("y", "x"), 6).alias("corr_xy"),
+        # explicit guarded ratio, not native corr: Spark's corr
+        # ANSI-errors on a zero-variance group (regr_* NULL cleanly;
+        # corr is the one regression aggregate that divides inside) -
+        # the r12 constant-value-corpus census class, same device as
+        # q64's _CORR_USER.
+        F.round(
+            F.expr(
+                "covar_samp(y, x)"
+                " / NULLIF(stddev_samp(y) * stddev_samp(x), 0)"
+            ),
+            6,
+        ).alias("corr_xy"),
     )
 
 

@@ -1254,7 +1254,8 @@ _NB_Q = "1000000"
       FROM model
     ),
     prior AS (
-      SELECT CAST(FLOOR(LN(CAST(SUM(y) AS DOUBLE) / SUM(1 - y))
+      SELECT CAST(FLOOR(LN(CASE WHEN SUM(y) > 0 AND SUM(1 - y) > 0
+                           THEN CAST(SUM(y) AS DOUBLE) / SUM(1 - y) END)
                         * {_NB_Q}) AS BIGINT) AS prior_u
       FROM tr
     ),
@@ -1357,7 +1358,8 @@ def q337_naive_bayes_lang(spark, sf_dir):
     )
     prior = tr.agg(
         F.expr(
-            f"CAST(FLOOR(LN(CAST(SUM(y) AS DOUBLE) / SUM(1 - y))"
+            f"CAST(FLOOR(LN(CASE WHEN SUM(y) > 0 AND SUM(1 - y) > 0"
+            f" THEN CAST(SUM(y) AS DOUBLE) / SUM(1 - y) END)"
             f" * {_NB_Q}) AS LONG)"
         ).alias("prior_u")
     )

@@ -1688,8 +1688,8 @@ _NEY_W = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
                    CAST(SUM(n) AS BIGINT) AS n_docs FROM w),
     base AS (
       SELECT w.lang, w.n, w.w_micro,
-             ({_NEY_TOTAL} * w.w_micro) // tot.wt AS fl,
-             ({_NEY_TOTAL} * w.w_micro) % tot.wt AS rem
+             ({_NEY_TOTAL} * w.w_micro) // NULLIF(tot.wt, 0) AS fl,
+             ({_NEY_TOTAL} * w.w_micro) % NULLIF(tot.wt, 0) AS rem
       FROM w, tot
     ),
     lv AS (
@@ -1749,8 +1749,8 @@ def q415_neyman_allocation(spark, sf_dir):
         "lang",
         "n",
         "w_micro",
-        F.expr(f"({_NEY_TOTAL} * w_micro) DIV wt").alias("fl"),
-        F.expr(f"({_NEY_TOTAL} * w_micro) % wt").alias("rem"),
+        F.expr(f"({_NEY_TOTAL} * w_micro) DIV NULLIF(wt, 0)").alias("fl"),
+        F.expr(f"({_NEY_TOTAL} * w_micro) % NULLIF(wt, 0)").alias("rem"),
     )
     lv = base.agg(
         (F.lit(_NEY_TOTAL) - F.sum("fl")).cast("long").alias("leftover")

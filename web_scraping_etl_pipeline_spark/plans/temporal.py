@@ -782,7 +782,8 @@ def q127_abandoned_sessions(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twa_value,
+           ROUND(SUM(value * dt_us) / NULLIF(SUM(dt_us), 0), 6)
+             AS twa_value,
            CAST(COUNT(dt_us) AS BIGINT) AS n_intervals
     FROM x WHERE dt_us IS NOT NULL
     GROUP BY user_id
@@ -805,8 +806,13 @@ def q134_time_weighted_avg(spark, sf_dir):
         (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
     return x.groupBy("user_id").agg(
+        # NULLIF guard: a user whose events all share one timestamp
+        # (the r12 constant-value-corpus census) has SUM(dt_us) = 0 -
+        # undefined holding-time mean, NULL on both engines.
         F.round(
-            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            F.sum(F.col("value") * F.col("dt_us"))
+            / F.expr("NULLIF(SUM(dt_us), 0)"),
+            6,
         ).alias("twa_value"),
         F.count("dt_us").alias("n_intervals"),
     )

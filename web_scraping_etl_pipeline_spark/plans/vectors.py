@@ -1354,8 +1354,14 @@ def q334_jl_projection_distortion(spark, sf_dir):
             ).cast("long").alias("orig_sq")
         )
     )
+    # NULLIF keeps the DIVISION total (NULL, like the oracle's CASE)
+    # on an all-identical-embeddings corpus where orig_sq = 0: the
+    # F.when guards below do not stop ANSI from evaluating the ratio
+    # inside the `&` predicate (the q125 guard-does-not-cover-the-
+    # argument class, caught by the r12 const-corpus census).
     ratio = F.round(
-        F.col("proj_sq").cast("double") / _JL_K / F.col("orig_sq"), 6
+        F.col("proj_sq").cast("double") / _JL_K / F.expr("NULLIF(orig_sq, 0)"),
+        6,
     )
     return orig.join(proj, ["vec_a", "vec_b"]).select(
         "vec_a",
@@ -2237,7 +2243,7 @@ _LOF_TOPK = 10
              AS lof
     FROM sr
     JOIN (
-      SELECT nb.p, SUM(1.0 / so.sreach) AS s
+      SELECT nb.p, SUM(1.0 / NULLIF(so.sreach, 0)) AS s
       FROM nb JOIN sr so ON so.p = nb.o
       GROUP BY nb.p
     ) srn ON srn.p = sr.p
@@ -2320,7 +2326,7 @@ def q382_lof_outliers(spark, sf_dir):
             "o",
         )
         .groupBy("p")
-        .agg(F.sum(1.0 / F.col("so")).alias("s"))
+        .agg(F.sum(F.expr("1.0 / NULLIF(so, 0)")).alias("s"))
     )
     return (
         sr.join(srn, "p")
