@@ -196,7 +196,9 @@ MIN_COHORT_SLOTS = 34
 #: empties.
 REFRESH_QUEUE: dict[str, int] = {
     # stream-stream rewrites + long-stale dedup/vector family
-    "q44_ngram_jaccard_sample": 1,
+    # (q44 originally cutoff 1, refreshed r10; RE-ACTIVATED at the
+    # r12 cutoff by the adversarial-text census NULLIF guard below)
+    "q44_ngram_jaccard_sample": 11,
     "q52_vector_norms": 1,
     "q141_bloom_semi_join": 2,
     "q146_market_share": 2,
@@ -289,6 +291,18 @@ REFRESH_QUEUE: dict[str, int] = {
     "q337_naive_bayes_lang": 11,
     "q382_lof_outliers": 11,
     "q415_neyman_allocation": 11,
+    # r12 adversarial-text census fixes (trim-vs-strip tokenizer
+    # parity, byte-vs-char phash parity, array_to_string-on-empty
+    # COALESCE, NULLIF on zero-token/zero-weight/zero-tie
+    # denominators): rewritten queries with a prior driver row.
+    "q31_quality_score": 11,
+    "q105_weighted_sample": 11,
+    "q126_chunk_udtf": 11,
+    "q159_media_phash_dedup": 11,
+    "q300_bpe_train_loop": 11,
+    "q301_tokenizer_fertility": 11,
+    "q324_lsh_parameter_sweep": 11,
+    "q327_kendall_tau_daily": 11,
     "q177_pagerank": 11,
     "q184_multiprobe_ann": 11,
     "q225_hybrid_rrf": 11,

@@ -41,6 +41,14 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DUP = os.path.join(REPO, "DEGENERATE_SWEEP_DUP.json")
 CONST = os.path.join(REPO, "DEGENERATE_SWEEP_CONST.json")
+#: the fifth census layer (r12): pathological-but-in-contract text
+#: (tools/text_fixture.py - empty/whitespace/punctuation/multibyte
+#: documents). Found 8 real divergences, all fixed (trim-vs-strip
+#: tokenizer parity q126, byte-vs-char phash q159,
+#: array_to_string-on-empty NULL q300/q301, NULLIF on zero-token/
+#: zero-weight/zero-tie denominators q31/q44/q105/q324/q327);
+#: fully green, no ledger.
+TEXT = os.path.join(REPO, "DEGENERATE_SWEEP_TEXT.json")
 
 #: the PK-duplication class: oracle formulations that GROUP BY /
 #: join / tie-break on a table's key column, which the byte-identical
@@ -91,7 +99,7 @@ def _green(rec) -> bool:
 def test_both_sweeps_cover_registry():
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST):
+    for path in (DUP, CONST, TEXT):
         assert os.path.exists(path), (
             f"{os.path.basename(path)} missing - python tools/"
             f"dup_fixture.py then oracle_check --json"
@@ -113,6 +121,18 @@ def test_const_corpus_is_fully_green():
         if not _green(r)
     }
     assert bad == {}, f"{len(bad)} const-corpus divergences: {bad}"
+
+
+def test_text_corpus_is_fully_green():
+    """The adversarial-text corpus has NO ledger either: every string
+    a scraper could emit (empty, whitespace-only, multibyte, ...) is
+    in-contract document content and both engines must agree."""
+    bad = {
+        n: str(r.get("err"))[:100]
+        for n, r in _load(TEXT).items()
+        if not _green(r)
+    }
+    assert bad == {}, f"{len(bad)} text-corpus divergences: {bad}"
 
 
 def test_dup_corpus_green_or_pk_ledgered():
@@ -141,7 +161,7 @@ def test_dup_sweep_rows_are_fresh():
     from tools.invariance_check import body_hash, oracle_hash
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST):
+    for path in (DUP, CONST, TEXT):
         stale = sorted(
             n
             for n, rec in _load(path).items()

@@ -343,12 +343,24 @@ PHASH_BITS = 48
     oracle=f"""
     WITH ph AS (
       SELECT doc_id AS media_id,
+             -- BYTE parity, not character parity: the Spark side
+             -- hashes the payload's UTF-8 BODY BYTES, and on
+             -- multi-byte text (the reference's own Vietnamese
+             -- diacritics - r12 adversarial-text census) byte count
+             -- and byte values differ from codepoints. hex(encode())
+             -- exposes byte k's low nibble at hex position 2k+2;
+             -- parity of the byte = parity of its low nibble.
+             -- Identical to the old ord(substr(text,...)) formula on
+             -- ASCII corpora (byte == codepoint there).
              (SELECT CAST(SUM(
-                 CAST((ord(substr(d.text, (j.j * 7) % length(d.text) + 1, 1))
-                       % 2) AS BIGINT) * CAST(pow(2, j.j) AS BIGINT)
+                 CASE WHEN substr(hex(encode(d.text)),
+                        2 * ((j.j * 7) % octet_length(encode(d.text)))
+                          + 2, 1)
+                      IN ('1', '3', '5', '7', '9', 'B', 'D', 'F')
+                 THEN CAST(pow(2, j.j) AS BIGINT) ELSE 0 END
                ) AS BIGINT)
               FROM range(0, {PHASH_BITS}) j(j)) AS phash
-      FROM documents d WHERE length(text) > 0
+      FROM documents d WHERE octet_length(encode(d.text)) > 0
     )
     SELECT phash,
            CAST(COUNT(*) AS BIGINT) AS n_media,

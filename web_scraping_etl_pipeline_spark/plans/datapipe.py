@@ -2856,9 +2856,9 @@ def _bpe_chain(m: int) -> str:
     parts = [
         f"""w0 AS MATERIALIZED (
       SELECT w,
-             ' ' || array_to_string(
+             ' ' || COALESCE(array_to_string(
                list_transform(range(1, length(w) + 1), i -> w[i]),
-               '  ') || ' ' AS spaced,
+               '  '), '') || ' ' AS spaced,
              CAST(cnt AS BIGINT) AS freq
       FROM (SELECT w, COUNT(*) AS cnt
             FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)

@@ -394,7 +394,7 @@ def _build_lsh_pairs(spark, sf_dir):
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(
              CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
-             len(list_distinct(list_concat(a.sset, b.sset))), 4
+             NULLIF(len(list_distinct(list_concat(a.sset, b.sset))), 0), 4
            ) AS jaccard
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.doc_id < b.doc_id
@@ -425,7 +425,8 @@ def q44_ngram_jaccard_sample(spark, sf_dir):
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        F.round(inter.cast("double") / F.nullif(union, F.lit(0)), 4)
+        .alias("jaccard"),
     )
 
 
@@ -2510,7 +2511,7 @@ def _sweep_oracle() -> str:
     ),
     c0 AS (
       SELECT CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
-             len(list_distinct(list_concat(a.sset, b.sset))) AS s
+             NULLIF(len(list_distinct(list_concat(a.sset, b.sset))), 0) AS s
       FROM sh a JOIN sh b
         ON a.source = b.source AND a.doc_id < b.doc_id
     )"""
@@ -2603,7 +2604,9 @@ def q324_lsh_parameter_sweep(spark, sf_dir):
         b_,
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select((inter.cast("double") / union).alias("s"))
+    ).select(
+        (inter.cast("double") / F.nullif(union, F.lit(0))).alias("s")
+    )
     for name, expr in _sweep_chain():
         pairs = pairs.withColumn(name, F.expr(expr))
     aggs = [F.count("*").alias("n_pairs")]

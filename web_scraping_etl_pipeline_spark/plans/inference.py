@@ -974,10 +974,10 @@ def q326_spearman_rank_corr(spark, sf_dir):
     SELECT nn.n AS n_days, p.conc AS concordant, p.disc AS discordant,
            p.tx AS ties_x, p.ty AS ties_y, p.tb AS ties_both,
            ROUND(CAST(p.conc - p.disc AS DOUBLE) /
-                 sqrt(CAST(nn.n * (nn.n - 1) / 2 - (p.tx + p.tb)
+                 NULLIF(sqrt(CAST(nn.n * (nn.n - 1) / 2 - (p.tx + p.tb)
                       AS DOUBLE) *
                       CAST(nn.n * (nn.n - 1) / 2 - (p.ty + p.tb)
-                      AS DOUBLE)), 6) AS tau_b
+                      AS DOUBLE)), 0), 6) AS tau_b
     FROM p, nn
     """,
 )
@@ -1080,9 +1080,12 @@ def q327_kendall_tau_daily(spark, sf_dir):
             F.col("tb").alias("ties_both"),
             F.round(
                 (F.col("conc") - F.col("disc")).cast("double")
-                / F.sqrt(
-                    (n0 - (F.col("tx") + F.col("tb"))).cast("double")
-                    * (n0 - (F.col("ty") + F.col("tb"))).cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        (n0 - (F.col("tx") + F.col("tb"))).cast("double")
+                        * (n0 - (F.col("ty") + F.col("tb"))).cast("double")
+                    ),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("tau_b"),

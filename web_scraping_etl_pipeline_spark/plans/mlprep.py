@@ -619,12 +619,12 @@ _SAMPLE_K = 50
     WITH keyed AS (
       SELECT doc_id, n_chars,
              -ln(({_h60_sql("CAST(doc_id AS VARCHAR)")} + 1)
-                 / 1152921504606846976.0) / n_chars AS k
+                 / 1152921504606846976.0) / NULLIF(n_chars, 0) AS k
       FROM documents
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, ROUND(k, 9) AS sort_key
     FROM keyed
-    ORDER BY k, doc_id LIMIT {_SAMPLE_K}
+    ORDER BY k NULLS LAST, doc_id LIMIT {_SAMPLE_K}
     """,
 )
 def q105_weighted_sample(spark, sf_dir):
@@ -643,7 +643,12 @@ def q105_weighted_sample(spark, sf_dir):
     u = (_h60(F.col("doc_id").cast("string")) + 1) / F.lit(
         float(1 << 60)
     )
-    k = (-F.log(u)) / F.col("n_chars")
+    # NULLIF + NULLS LAST: a zero-weight (empty) document has an
+    # undefined exponential-jitter key and must never displace a
+    # positive-weight row from the sample; Spark's ASC default is
+    # NULLS FIRST vs DuckDB's NULLS LAST, so the order is pinned
+    # explicitly on both engines (r12 adversarial-text census).
+    k = (-F.log(u)) / F.expr("NULLIF(n_chars, 0)")
     return (
         docs.select(
             "doc_id",
@@ -651,7 +656,7 @@ def q105_weighted_sample(spark, sf_dir):
             F.round(k, 9).alias("sort_key"),
             k.alias("_k"),
         )
-        .orderBy("_k", "doc_id")
+        .orderBy(F.col("_k").asc_nulls_last(), "doc_id")
         .limit(_SAMPLE_K)
         .drop("_k")
     )

@@ -97,7 +97,7 @@ def q30_token_count(spark, sf_dir):
     )
     SELECT doc_id, n_tokens, n_stopwords, n_punct,
            ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0), 4) AS punct_ratio,
            ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_span
     FROM y
     """,
@@ -127,7 +127,8 @@ def q31_quality_score(spark, sf_dir):
         F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias(
             "stopword_ratio"
         ),
-        F.round(F.col("n_punct") / F.col("n_chars"), 4).alias("punct_ratio"),
+        F.round(F.col("n_punct") / F.expr("NULLIF(n_chars, 0)"), 4)
+        .alias("punct_ratio"),
         F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias(
             "avg_token_span"
         ),

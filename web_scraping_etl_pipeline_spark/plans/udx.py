@@ -91,7 +91,14 @@ class ChunkWords:
     def eval(self, doc_id, text):  # noqa: D102 - contract method
         import re
 
-        toks = re.split(r"\s+", text.strip().lower())
+        # strip(" "), not strip(): SQL trim() removes SPACES only on
+        # both engines, while Python's bare strip() removes all
+        # whitespace - a tab/newline-edged document tokenizes
+        # differently (one phantom empty token) under the two
+        # semantics (r12 adversarial-text census). Space-only strip
+        # matches the oracle's trim() exactly and is identical on
+        # every real fixture.
+        toks = re.split(r"\s+", text.strip(" ").lower())
         n = len(toks)
         for i in range((n + CHUNK_W - 1) // CHUNK_W):
             yield doc_id, i, min(CHUNK_W, n - i * CHUNK_W)
