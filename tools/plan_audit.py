@@ -1007,13 +1007,34 @@ def main() -> int:
         import json  # noqa: PLC0415
         import os  # noqa: PLC0415
 
-        # rotate: last committed snapshot becomes the diff baseline.
-        if os.path.exists(json_out):
-            prev_path = os.path.join(
-                os.path.dirname(os.path.abspath(json_out)) or ".",
-                "PLANSHAPE_PREV.json",
-            )
-            os.replace(json_out, prev_path)
+        full_run = len(names) >= len(
+            [n for n in QUERIES if include_all or n not in STREAMING]
+        )
+        if full_run:
+            # rotate: last committed snapshot becomes the diff
+            # baseline for the round-over-round drift gate.
+            if os.path.exists(json_out):
+                prev_path = os.path.join(
+                    os.path.dirname(os.path.abspath(json_out)) or ".",
+                    "PLANSHAPE_PREV.json",
+                )
+                os.replace(json_out, prev_path)
+        elif os.path.exists(json_out):
+            # SUBSET runs MERGE into the existing artifact (the same
+            # per-row refresh contract as oracle_check / invariance:
+            # re-audit just the rewritten names in seconds instead of
+            # a ~6-minute full sweep) and do NOT rotate - the PREV
+            # baseline must stay the last FULL snapshot, or the drift
+            # gate would compare against a mid-round partial state.
+            try:
+                with open(json_out) as fh:
+                    prior = json.load(fh)
+            except (OSError, ValueError):
+                prior = {}
+            if isinstance(prior, dict):
+                merged = dict(prior)
+                merged.update(shapes)
+                shapes = merged
         with open(json_out, "w") as fh:
             json.dump(shapes, fh, indent=1, sort_keys=True)
         print(f"wrote {json_out} ({len(shapes)} shapes)")
