@@ -136,3 +136,39 @@ def test_hash_is_invariant_under_runtime_cache_mutation():
     finally:
         common._STAGE_CACHE.pop("__bh_probe__", None)
         common._TRANSIENT_PERSISTS.remove(sentinel)
+
+
+def test_udtf_class_and_its_constants_are_folded():
+    """Code-review r12: pyspark's @udtf wrapper hides the wrapped
+    class behind .func with the WRAPPER's __module__, and classes
+    have no __globals__ - both made q126's tokenizer class and its
+    CHUNK_W constant invisible to the hash. Perturbing the constant
+    (read only inside the class's eval method) must move the
+    consumer's hash."""
+    from web_scraping_etl_pipeline_spark.plans import udx
+
+    before = ic.body_hash("q126_chunk_udtf")
+    orig = udx.CHUNK_W
+    udx.CHUNK_W = orig + 1
+    try:
+        assert ic.body_hash("q126_chunk_udtf") != before
+    finally:
+        udx.CHUNK_W = orig
+    assert ic.body_hash("q126_chunk_udtf") == before
+
+
+def test_local_shadow_does_not_fold_unrelated_global(tmp_path, monkeypatch):
+    """A LOCAL variable sharing a module global's name must not fold
+    that global: editing the unrelated global would otherwise flag
+    the query stale and force spurious re-sweeps."""
+    src = """
+    UNRELATED = "zzz"
+    def q(spark, sf_dir):
+        UNRELATED = 1
+        return UNRELATED + 1
+    """
+    mod = _load_probe(tmp_path, "shadow.py", src, _MOD + "_shadow")
+    monkeypatch.setitem(ic.QUERIES, "probe_shadow", mod.q)
+    h1 = ic.body_hash("probe_shadow")
+    monkeypatch.setattr(mod, "UNRELATED", "changed")
+    assert ic.body_hash("probe_shadow") == h1

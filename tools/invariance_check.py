@@ -148,9 +148,16 @@ def _module_assignments(modname: str) -> dict:
         ):
             out[node.target.id] = ast.dump(node.value)
         elif isinstance(node, ast.ImportFrom) and node.level:
-            # relative import: resolve the origin module inside the
-            # package so the lookup can follow the definition
-            base = modname.rsplit(".", node.level)[0]
+            # relative import: resolve against the module's PACKAGE,
+            # not a naive modname.rsplit - for a package __init__ the
+            # two differ by one component and the rsplit resolved
+            # level-1 imports to the GRANDparent, silently skipping
+            # the fold (code-review r12).
+            base = getattr(mod, "__package__", None) or modname.rsplit(
+                ".", 1
+            )[0]
+            for _ in range(node.level - 1):
+                base = base.rsplit(".", 1)[0]
             origin = f"{base}.{node.module}" if node.module else base
             for alias in node.names:
                 out[alias.asname or alias.name] = ("import", origin)
@@ -177,19 +184,7 @@ def _source_assignment(modname: str, name: str, hops: int = 0):
 _AST_CACHE: dict[tuple, tuple] = {}
 
 
-def _normalized_node(obj):
-    """(normalized ast.dump, free-name list) of a function/class:
-    decorators and the leading docstring stripped, so comment /
-    formatting / docstring / decorator edits do not move the hash.
-    Free names are collected AFTER stripping (the @query decorator and
-    its oracle argument are fingerprinted separately - see
-    oracle_hash)."""
-    key = (getattr(obj, "__module__", None), getattr(obj, "__qualname__", None))
-    if key in _AST_CACHE:
-        return _AST_CACHE[key]
-    src = textwrap.dedent(inspect.getsource(obj))
-    node = ast.parse(src).body[0]
-    node.decorator_list = []
+def _strip_docstring(node) -> None:
     if (
         node.body
         and isinstance(node.body[0], ast.Expr)
@@ -197,12 +192,68 @@ def _normalized_node(obj):
         and isinstance(node.body[0].value.value, str)
     ):
         node.body = node.body[1:]
-    free = sorted({
-        n.id for n in ast.walk(node) if isinstance(n, ast.Name)
-    })
+
+
+def _normalized_node(obj):
+    """(normalized ast.dump, free-name list) of a function/class:
+    decorators and docstrings (including NESTED function/method
+    docstrings) stripped, so comment / formatting / docstring /
+    decorator edits do not move the hash. Free names are the
+    LOAD-context names not bound inside the node (params,
+    assignments, local defs, local import aliases, handler names) -
+    a local variable that happens to shadow an unrelated module
+    global must not fold that global in (code-review r12). The
+    @query decorator and its oracle argument are fingerprinted
+    separately - see oracle_hash."""
+    key = (getattr(obj, "__module__", None), getattr(obj, "__qualname__", None))
+    if key in _AST_CACHE:
+        return _AST_CACHE[key]
+    src = textwrap.dedent(inspect.getsource(obj))
+    node = ast.parse(src).body[0]
+    node.decorator_list = []
+    _strip_docstring(node)
+    loads: set[str] = set()
+    bound: set[str] = set()
+    for n in ast.walk(node):
+        if isinstance(
+            n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            _strip_docstring(n)
+            if n is not node:
+                bound.add(n.name)
+            if not isinstance(n, ast.ClassDef):
+                a = n.args
+                for arg in (
+                    a.posonlyargs + a.args + a.kwonlyargs
+                    + ([a.vararg] if a.vararg else [])
+                    + ([a.kwarg] if a.kwarg else [])
+                ):
+                    bound.add(arg.arg)
+        elif isinstance(n, ast.Name):
+            (loads if isinstance(n.ctx, ast.Load) else bound).add(n.id)
+        elif isinstance(n, (ast.Import, ast.ImportFrom)):
+            for alias in n.names:
+                bound.add((alias.asname or alias.name).split(".")[0])
+        elif isinstance(n, ast.ExceptHandler) and n.name:
+            bound.add(n.name)
+    free = sorted(loads - bound)
     out = (ast.dump(node), free)
     _AST_CACHE[key] = out
     return out
+
+
+def _package_callable(val):
+    """The same-package function/class behind ``val``, unwrapping one
+    level of wrapper objects (pyspark's @udtf/@pandas_udf wrappers
+    carry the wrapped class/function at .func with the WRAPPER's
+    __module__ being pyspark's - code-review r12), or None."""
+    for cand in (val, getattr(val, "func", None),
+                 getattr(val, "__wrapped__", None)):
+        if cand is not None and callable(cand) and str(
+            getattr(cand, "__module__", "")
+        ).startswith(_PKG):
+            return cand
+    return None
 
 
 def body_hash(name: str) -> str:
@@ -236,6 +287,13 @@ def body_hash(name: str) -> str:
         except (OSError, TypeError, SyntaxError):
             continue  # builtins / C-level: environment, not semantics
         parts.append(f"{key[0]}|{key[1]}|{dump}")
+        if inspect.isclass(obj):
+            # classes have no __globals__, so their methods' constant
+            # reads would never fold; push the function members (their
+            # __globals__ is the defining module's) - code-review r12.
+            for member in vars(obj).values():
+                if inspect.isfunction(member):
+                    stack.append(member)
         g = getattr(obj, "__globals__", None) or {}
         for nm in free:
             if nm not in g:
@@ -244,16 +302,17 @@ def body_hash(name: str) -> str:
             rep = _const_repr(val)
             if rep is not None:
                 parts.append(f"{key[0]}|${nm}|{rep}")
-            elif isinstance(val, (dict, list, set)):
+                continue
+            if isinstance(val, (dict, list, set)):
                 # mutable container: fold the STATIC source assignment
                 # (never the runtime value - caches mutate mid-sweep)
                 src = _source_assignment(key[0], nm)
                 if src is not None:
                     parts.append(f"{src[0]}|@{nm}|{src[1]}")
-            elif callable(val) and str(
-                getattr(val, "__module__", "")
-            ).startswith(_PKG):
-                stack.append(val)
+                continue
+            target = _package_callable(val)
+            if target is not None:
+                stack.append(target)
     parts.sort()
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
