@@ -296,6 +296,13 @@ REFRESH_QUEUE: dict[str, int] = {
     # COALESCE, NULLIF on zero-token/zero-weight/zero-tie
     # denominators): rewritten queries with a prior driver row.
     "q31_quality_score": 11,
+    # the trade-graph oracle family: the shared _EDGES_SQL self-loop
+    # filter moved from nation KEY to nation NAME (the node identity;
+    # exposed by the pinned constant-value census). q177 was already
+    # enqueued by its early-out rewrite; q274 is never-checked.
+    "q178_triangle_count": 11,
+    "q379_hits_hubs_authorities": 11,
+    "q383_degree_assortativity": 11,
     "q105_weighted_sample": 11,
     "q126_chunk_udtf": 11,
     "q159_media_phash_dedup": 11,

@@ -24,13 +24,13 @@ Two fixtures (``tools/dup_fixture.py``):
   relationally (unnest + GROUP BY key, per-key running tables), so
   duplicated keys COLLAPSE (or fan out quadratically through key
   joins), while the Spark plans are array-native and row-wise. The
-  24 ledgered queries below are exactly the key-dependent shapes;
+  25 ledgered queries below are exactly the key-dependent shapes;
   every one was individually triaged - e.g. q201's "tie" divergence
   is its tie-BREAK column (the PK) being duplicated, not a latent
   rank bug, and q362's oracle (per-key unrolled CTE chain) fans out
   EXPONENTIALLY on duplicated keys, which is why oracle_check now
   carries DuckDB memory/temp caps. The census still proved the other
-  412 queries total even on key-violating input.
+  411 queries total even on key-violating input.
 """
 
 from __future__ import annotations
@@ -53,9 +53,16 @@ TEXT = os.path.join(REPO, "DEGENERATE_SWEEP_TEXT.json")
 #: the PK-duplication class: oracle formulations that GROUP BY /
 #: join / tie-break on a table's key column, which the byte-identical
 #: corpus duplicates. Divergence is definitional on out-of-contract
-#: input; all 24 are green on the PK-VALID const corpus (and the
+#: input; all 25 are green on the PK-VALID const corpus (and the
 #: 0-row / 1-row / tri-SF sweeps).
 EXPECTED_PK_DUP = {
+    # q102: per-order windows (sum_q, remainder rank) computed on the
+    # lineitem side vs after the orders join collapse/fan out by 32x
+    # when BOTH keys are duplicated - invisible in the first census
+    # because the unpinned seed rows' keys did not even join; the
+    # ORDER BY ALL pinning (code-review r12) made the corpus strictly
+    # harsher.
+    "q102_exact_allocation",
     "q50_cosine_topk", "q51_ann_lsh_topk", "q52_vector_norms",
     "q54_ivf_topk", "q86_sequence_packing", "q88_scd2_history",
     "q99_kmeans_assign", "q156_quantized_rerank",

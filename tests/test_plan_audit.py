@@ -335,3 +335,32 @@ def test_collect_lint_is_not_vacuous(tmp_path):
     hits = lint_driver_collects(pkg_root=str(tmp_path))
     assert list(hits) == ["probe.py:sneaky"]
     assert ".collect()" in hits["probe.py:sneaky"]
+
+
+def test_subset_merge_drops_errored_rows(tmp_path):
+    """Code-review r12: a subset --json re-audit whose query ERRORS
+    must not leave the prior (possibly stale-green) row in the merged
+    artifact - the row is dropped so the coverage pin fails loudly.
+    Run the tool against a nonexistent sf dir so the one requested
+    query errors deterministically."""
+    import json
+    import subprocess
+    import sys
+
+    art = tmp_path / "ps.json"
+    art.write_text(json.dumps({
+        "q01_deadline_horizon": {"flags": [], "body_hash": "stale"},
+        "q02_min_value": {"flags": [], "body_hash": "untouched"},
+    }))
+    r = subprocess.run(
+        [sys.executable, "tools/plan_audit.py", "--json", str(art),
+         str(tmp_path / "no_such_sf"), "q01_deadline_horizon"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    merged = json.loads(art.read_text())
+    assert "q01_deadline_horizon" not in merged
+    # untouched rows survive the merge; PREV is never rotated on a
+    # subset run
+    assert merged["q02_min_value"]["body_hash"] == "untouched"
+    assert not (tmp_path / "PLANSHAPE_PREV.json").exists()

@@ -50,9 +50,12 @@ def build(
     for path in sorted(glob.glob(os.path.join(template, "*.parquet"))):
         name = os.path.basename(path)
         if mode == "dup":
+            # ORDER BY ALL pins the seed row (bare LIMIT is scan-order
+            # dependent; a rebuilt fixture must reproduce the committed
+            # census - code-review r12)
             sel = (
                 f"SELECT t.* FROM (SELECT * FROM read_parquet('{path}') "
-                f"LIMIT 1) t, range({int(n)})"
+                f"ORDER BY ALL LIMIT 1) t, range({int(n)})"
             )
         else:
             cols = [
@@ -65,12 +68,16 @@ def build(
                 f'"{c}"'
                 if _KEYISH.search(c)
                 else (
-                    f"(SELECT \"{c}\" FROM read_parquet('{path}') LIMIT 1)"
+                    f'(SELECT "{c}" FROM (SELECT * FROM '
+                    f"read_parquet('{path}') ORDER BY ALL LIMIT 1))"
                     f' AS "{c}"'
                 )
                 for c in cols
             )
-            sel = f"SELECT {exprs} FROM read_parquet('{path}') LIMIT {int(n)}"
+            sel = (
+                f"SELECT {exprs} FROM read_parquet('{path}') "
+                f"ORDER BY ALL LIMIT {int(n)}"
+            )
         con.execute(
             f"COPY ({sel}) TO '{os.path.join(out_dir, name)}'"
             " (FORMAT PARQUET)"

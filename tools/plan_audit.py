@@ -961,6 +961,7 @@ def main() -> int:
     spark = get_spark(app_name="plan-audit")
     bad = 0
     shapes: dict[str, dict] = {}
+    err_names: list[str] = []
     for name in names:
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -974,6 +975,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"ERR  {name}: {exc}")
             bad += 1
+            err_names.append(name)
             continue
         finally:
             release_transients()
@@ -1034,6 +1036,13 @@ def main() -> int:
             if isinstance(prior, dict):
                 merged = dict(prior)
                 merged.update(shapes)
+                # a requested name that ERRORED must not keep its
+                # prior (possibly stale-green) row: drop it so the
+                # coverage pin fails loudly instead of the freshness
+                # pin passing on a query that can no longer even be
+                # audited (code-review r12).
+                for n_ in err_names:
+                    merged.pop(n_, None)
                 shapes = merged
         with open(json_out, "w") as fh:
             json.dump(shapes, fh, indent=1, sort_keys=True)

@@ -73,10 +73,16 @@ def build(
     for path in sorted(glob.glob(os.path.join(template, "*.parquet"))):
         name = os.path.basename(path)
         if name == "documents.parquet":
+            # QUALIFY on the windowed row number, never bare LIMIT:
+            # LIMIT after a window is scan-order-dependent, and a
+            # nondeterministic kept-set could silently drop the
+            # pathological texts the layer exists for (code-review
+            # r12) - the census would then go green vacuously.
             sel = f"""
             WITH src AS (
               SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS _rn
-              FROM read_parquet('{path}') LIMIT {int(n)}
+              FROM read_parquet('{path}')
+              QUALIFY _rn < {int(n)}
             )
             SELECT src.* EXCLUDE (text, n_chars, _rn),
                    pat.t AS text,
@@ -85,7 +91,10 @@ def build(
               ON pat.i = src._rn % {len(PATHOLOGICAL_TEXTS)}
             """
         else:
-            sel = f"SELECT * FROM read_parquet('{path}') LIMIT {int(n)}"
+            sel = (
+                f"SELECT * FROM read_parquet('{path}') "
+                f"ORDER BY ALL LIMIT {int(n)}"
+            )
         con.execute(
             f"COPY ({sel}) TO '{os.path.join(out_dir, name)}'"
             " (FORMAT PARQUET)"

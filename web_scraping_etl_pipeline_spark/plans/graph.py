@@ -39,7 +39,14 @@ _EDGES_SQL = """
       JOIN customer ON o_custkey = c_custkey
       JOIN nation sn ON s_nationkey = sn.n_nationkey
       JOIN nation cn ON c_nationkey = cn.n_nationkey
-      WHERE sn.n_nationkey <> cn.n_nationkey
+      -- self-loop test on the NAME, not the key: graph nodes ARE
+      -- nation names (both engines group edges by name), so an edge
+      -- between two keys sharing one name is a self-loop in the name
+      -- graph. The Spark side always filtered src <> dst on names;
+      -- on real data key<->name is 1:1 so the two were identical -
+      -- the r12 constant-value census (pinned lineitem kept-set)
+      -- made 25 keys share one name and exposed the divergence.
+      WHERE sn.n_name <> cn.n_name
       GROUP BY 1, 2
     ),
     nodes AS (

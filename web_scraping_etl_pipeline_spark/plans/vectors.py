@@ -981,6 +981,17 @@ def q303_power_iteration_pca(spark, sf_dir):
         for x in u:  # left-assoc fold, mirroring list_sum
             ss += x * x
         norm = math.sqrt(ss)
+        if norm == 0.0:
+            # all-zero projection (e.g. every embedding is the zero
+            # vector - code-review r12): the normalization is
+            # undefined and the oracle's u/0 divisions propagate NULL
+            # through every remaining round into an all-NULL 64-row
+            # readout - mirror it instead of ZeroDivisionError.
+            return degenerate_frame(
+                spark,
+                "dim bigint, loading double, eigenvalue double",
+                [(d, None, None) for d in range(1, DIM + 1)],
+            )
         v = [x / norm for x in u]
     ss = 0.0
     for x in u:
