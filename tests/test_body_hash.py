@@ -157,6 +157,76 @@ def test_udtf_class_and_its_constants_are_folded():
     assert ic.body_hash("q126_chunk_udtf") == before
 
 
+def test_aliased_container_import_resolves_original_name(
+    tmp_path, monkeypatch
+):
+    """ADVICE r12: `from .x import K as J` recorded the import under
+    the LOCAL alias J and then looked up J in the origin module, where
+    the constant is defined as K - the fold silently returned None, so
+    a mutable-container constant imported under an alias escaped
+    body_hash. The resolver must follow the ORIGINAL name."""
+    origin_name = _MOD + "_alias_origin"
+    consumer_name = _MOD + "_alias_consumer"
+    origin_v1 = """
+    K_ZONES = ["a", "b"]
+    """
+    consumer_src = f"""
+    from {origin_name} import K_ZONES as J
+
+    def q(spark, sf_dir):
+        return len(J)
+    """
+    origin = _load_probe(tmp_path, "origin1.py", origin_v1, origin_name)
+    # the consumer's import statement executes for real, so the origin
+    # must be importable by name
+    sys.modules[origin_name] = origin
+    mod = _load_probe(tmp_path, "consumer.py", consumer_src, consumer_name)
+    sys.modules[consumer_name] = mod
+    monkeypatch.setitem(ic.QUERIES, "probe_alias", mod.q)
+    ic._ASSIGN_CACHE.clear()
+    # the fold must actually resolve (the pre-fix resolver returned
+    # None here and skipped silently)
+    assert ic._source_assignment(consumer_name, "J") is not None
+    h1 = ic.body_hash("probe_alias")
+    # rewriting the ORIGIN's literal must move the consumer's hash
+    ic._ASSIGN_CACHE.clear()
+    sys.modules[origin_name] = _load_probe(
+        tmp_path, "origin2.py", origin_v1.replace('"b"', '"b", "c"'),
+        origin_name,
+    )
+    try:
+        assert ic.body_hash("probe_alias") != h1
+    finally:
+        ic._ASSIGN_CACHE.clear()
+        sys.modules.pop(origin_name, None)
+        sys.modules.pop(consumer_name, None)
+
+
+def test_sibling_scope_shadow_does_not_hide_global_read(
+    tmp_path, monkeypatch
+):
+    """ADVICE r12: the flat loads-minus-bound walk treated a name
+    assigned in ANY nested scope as bound for the whole body, so a
+    genuine module-global read of that name in a sibling scope was
+    dropped from the free list and its constant never folded - the
+    inverse of the local-shadow case below. With per-scope symtable
+    analysis the global read must fold."""
+    src = """
+    K = "select 1"
+    def q(spark, sf_dir):
+        def inner():
+            K = 1
+            return K
+        return (inner(), K)
+    """
+    mod = _load_probe(tmp_path, "sib.py", src, _MOD + "_sib")
+    monkeypatch.setitem(ic.QUERIES, "probe_sib", mod.q)
+    assert "K" in ic._normalized_node(mod.q)[1]
+    h1 = ic.body_hash("probe_sib")
+    monkeypatch.setattr(mod, "K", "select 2")
+    assert ic.body_hash("probe_sib") != h1
+
+
 def test_local_shadow_does_not_fold_unrelated_global(tmp_path, monkeypatch):
     """A LOCAL variable sharing a module global's name must not fold
     that global: editing the unrelated global would otherwise flag

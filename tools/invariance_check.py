@@ -160,12 +160,22 @@ def _module_assignments(modname: str) -> dict:
                 base = base.rsplit(".", 1)[0]
             origin = f"{base}.{node.module}" if node.module else base
             for alias in node.names:
-                out[alias.asname or alias.name] = ("import", origin)
+                # record the ORIGINAL name alongside the origin: the
+                # defining module assigns under alias.name, so an
+                # aliased import (`from .x import K as J`) must be
+                # resolved by K in the origin, not by the local J -
+                # resolving by J returned None and silently skipped
+                # the fold (ADVICE r12).
+                out[alias.asname or alias.name] = (
+                    "import", origin, alias.name,
+                )
         elif isinstance(node, ast.ImportFrom) and (
             node.module or ""
         ).startswith(_PKG):
             for alias in node.names:
-                out[alias.asname or alias.name] = ("import", node.module)
+                out[alias.asname or alias.name] = (
+                    "import", node.module, alias.name,
+                )
     _ASSIGN_CACHE[modname] = out
     return out
 
@@ -177,7 +187,7 @@ def _source_assignment(modname: str, name: str, hops: int = 0):
         return None
     entry = _module_assignments(modname).get(name)
     if isinstance(entry, tuple):
-        return _source_assignment(entry[1], name, hops + 1)
+        return _source_assignment(entry[1], entry[2], hops + 1)
     return None if entry is None else (modname, entry)
 
 
@@ -194,17 +204,45 @@ def _strip_docstring(node) -> None:
         node.body = node.body[1:]
 
 
+def _free_globals(src: str) -> set[str]:
+    """Names the code resolves in the MODULE GLOBAL scope, computed
+    per-scope by the compiler's own symbol table. This replaces the
+    flat loads-minus-bound AST walk, whose single bound-set spanned
+    every nested scope: a name assigned inside one nested helper was
+    treated as bound for the WHOLE body, so a genuine global read of
+    that same name in a sibling scope never folded - a silent
+    staleness false-negative (ADVICE r12). symtable tracks bindings
+    per scope exactly as the compiler does (params, comprehension
+    scopes, closures, `global` declarations), so a local shadow in one
+    scope cannot hide a global read in another, and a closure variable
+    (free-but-not-global) is still correctly excluded. Builtins come
+    back as GLOBAL_IMPLICIT too; body_hash filters by membership in
+    the defining module's __globals__, same as before."""
+    import symtable  # noqa: PLC0415
+
+    out: set[str] = set()
+    stack = [symtable.symtable(src, "<normalized>", "exec")]
+    while stack:
+        t = stack.pop()
+        for sym in t.get_symbols():
+            if sym.is_global() and sym.is_referenced():
+                out.add(sym.get_name())
+        stack.extend(t.get_children())
+    return out
+
+
 def _normalized_node(obj):
     """(normalized ast.dump, free-name list) of a function/class:
     decorators and docstrings (including NESTED function/method
     docstrings) stripped, so comment / formatting / docstring /
-    decorator edits do not move the hash. Free names are the
-    LOAD-context names not bound inside the node (params,
-    assignments, local defs, local import aliases, handler names) -
-    a local variable that happens to shadow an unrelated module
-    global must not fold that global in (code-review r12). The
-    @query decorator and its oracle argument are fingerprinted
-    separately - see oracle_hash."""
+    decorator edits do not move the hash. Free names are the names
+    the body resolves in module-global scope, computed PER SCOPE via
+    symtable (see _free_globals) - a local variable that happens to
+    shadow an unrelated module global must not fold that global in
+    (code-review r12), and a shadow in one nested scope must not hide
+    a genuine global read in another (ADVICE r12). The @query
+    decorator and its oracle argument are fingerprinted separately -
+    see oracle_hash."""
     key = (getattr(obj, "__module__", None), getattr(obj, "__qualname__", None))
     if key in _AST_CACHE:
         return _AST_CACHE[key]
@@ -212,31 +250,12 @@ def _normalized_node(obj):
     node = ast.parse(src).body[0]
     node.decorator_list = []
     _strip_docstring(node)
-    loads: set[str] = set()
-    bound: set[str] = set()
     for n in ast.walk(node):
         if isinstance(
             n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
         ):
             _strip_docstring(n)
-            if n is not node:
-                bound.add(n.name)
-            if not isinstance(n, ast.ClassDef):
-                a = n.args
-                for arg in (
-                    a.posonlyargs + a.args + a.kwonlyargs
-                    + ([a.vararg] if a.vararg else [])
-                    + ([a.kwarg] if a.kwarg else [])
-                ):
-                    bound.add(arg.arg)
-        elif isinstance(n, ast.Name):
-            (loads if isinstance(n.ctx, ast.Load) else bound).add(n.id)
-        elif isinstance(n, (ast.Import, ast.ImportFrom)):
-            for alias in n.names:
-                bound.add((alias.asname or alias.name).split(".")[0])
-        elif isinstance(n, ast.ExceptHandler) and n.name:
-            bound.add(n.name)
-    free = sorted(loads - bound)
+    free = sorted(_free_globals(ast.unparse(node)))
     out = (ast.dump(node), free)
     _AST_CACHE[key] = out
     return out

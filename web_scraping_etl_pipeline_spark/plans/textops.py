@@ -96,9 +96,11 @@ def q30_token_count(spark, sf_dir):
       FROM x
     )
     SELECT doc_id, n_tokens, n_stopwords, n_punct,
-           ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           ROUND(CAST(n_stopwords AS DOUBLE) / NULLIF(n_tokens, 0), 4)
+             AS stopword_ratio,
            ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0), 4) AS punct_ratio,
-           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_span
+           ROUND(CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0), 4)
+             AS avg_token_span
     FROM y
     """,
 )
@@ -124,14 +126,17 @@ def q31_quality_score(spark, sf_dir):
         "n_tokens",
         "n_stopwords",
         "n_punct",
-        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias(
-            "stopword_ratio"
-        ),
+        # NULLIF on n_tokens mirrors the oracle exactly (ADVICE r12):
+        # today n_tokens >= 1 by the empty-split-yields-[''] invariant
+        # on BOTH engines, but an engine upgrade changing empty-split
+        # semantics would otherwise turn this into a Spark ANSI
+        # divide-by-zero error vs a DuckDB NULL.
+        F.round(F.col("n_stopwords") / F.expr("NULLIF(n_tokens, 0)"), 4)
+        .alias("stopword_ratio"),
         F.round(F.col("n_punct") / F.expr("NULLIF(n_chars, 0)"), 4)
         .alias("punct_ratio"),
-        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias(
-            "avg_token_span"
-        ),
+        F.round(F.col("n_chars") / F.expr("NULLIF(n_tokens, 0)"), 4)
+        .alias("avg_token_span"),
     )
 
 
