@@ -82,8 +82,21 @@ MAX_RERUN_PASSES = 10
 #: MIN over its samples; JVM/Arrow/first-query warmups and the
 #: session-shared dedup fixtures (q46/q85 chains) run before timing
 #: starts and are never billed to a recorded row.
+#: Full-suite passes (VERDICT r12 item 4): the official BENCH_r{N}
+#: artifact is the driver's ONE-SHOT sample, and it was the noisiest
+#: measurement in the repo - r12 recorded 502.1 s where a same-HEAD
+#: run minutes earlier recorded 463.4 s, pure host contention. Each
+#: query now records the MIN across SUITE_PASSES full suite passes, so
+#: a contention window that inflates one pass cannot inflate the
+#: headline: the artifact records capability, not VM weather. The
+#: burst-rerun fixpoint machinery below still runs on the merged
+#: timings as the per-query backstop. Override with
+#: SPARK_GRAFT_BENCH_PASSES=1 for targeted smoke runs.
+SUITE_PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+
 MEASUREMENT = (
-    "per-query = wall sec of full plan -> noop sink; rerun rows "
+    f"per-query = wall sec of full plan -> noop sink, MIN over "
+    f"{SUITE_PASSES} full suite pass(es); rerun rows "
     "record min-of-samples (burst suppression, uncapped at "
     f">= {RERUN_RATIO}x normalized vs prev history); JVM/Arrow/"
     "first-query + shared dedup fixtures (q46, q85) warmed "
@@ -178,34 +191,53 @@ def main() -> int:
         finally:
             release_transients()
 
+    def time_pass(pass_idx: int) -> dict[str, float]:
+        pass_timings: dict[str, float] = {}
+        for i, name in enumerate(names):
+            try:
+                took = run_one(name, QUERIES[name], spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 - record and move on
+                log(f"ERR  p{pass_idx} {name}: {exc}")
+                pass_timings[name] = -1.0
+                continue
+            pass_timings[name] = round(took, 3)
+            log(f"ok   p{pass_idx} {name}: {took:.3f}s")
+            # Helper-stage caches are per-query transients: release them
+            # so a 200-query suite in an 8 GB JVM never turns old cache
+            # blocks into storage eviction churn billed to later queries.
+            release_transients()
+            if (i + 1) % 5 == 0:
+                # Shuffle/broadcast state from finished queries is
+                # reclaimed via weak references, i.e. only on GC
+                # (ContextCleaner's periodic System.gc defaults to every
+                # 30 min). A long suite in one JVM otherwise accumulates
+                # tens of queries of dead state, and the eventual
+                # collection lands mid-query as a multi-second stall
+                # attributed to an innocent bystander. Collecting between
+                # queries keeps cleanup out of timings; the short sleep
+                # lets the ContextCleaner thread drain the reference
+                # queue before the next query starts (the enqueue happens
+                # on GC, the actual block/broadcast removal on the
+                # cleaner thread).
+                spark._jvm.System.gc()
+                time.sleep(0.2)
+        return pass_timings
+
+    # MIN-merge across SUITE_PASSES full passes (VERDICT r12 item 4): a
+    # query that errored in one pass but ran in another keeps the valid
+    # sample; a query that errored in EVERY pass keeps the -1 sentinel.
     timings: dict[str, float] = {}
-    for i, name in enumerate(names):
-        try:
-            took = run_one(name, QUERIES[name], spark, sf_dir)
-        except Exception as exc:  # noqa: BLE001 - record and move on
-            log(f"ERR  {name}: {exc}")
-            timings[name] = -1.0
-            continue
-        timings[name] = round(took, 3)
-        log(f"ok   {name}: {took:.3f}s")
-        # Helper-stage caches are per-query transients: release them so
-        # a 200-query suite in an 8 GB JVM never turns old cache blocks
-        # into storage eviction churn billed to later queries.
-        release_transients()
-        if (i + 1) % 5 == 0:
-            # Shuffle/broadcast state from finished queries is reclaimed
-            # via weak references, i.e. only on GC (ContextCleaner's
-            # periodic System.gc defaults to every 30 min). A long
-            # suite in one JVM otherwise accumulates tens of queries of
-            # dead state, and the eventual collection lands mid-query as
-            # a multi-second stall attributed to an innocent bystander.
-            # Collecting between queries keeps cleanup out of timings;
-            # the short sleep lets the ContextCleaner thread drain the
-            # reference queue before the next query starts (the enqueue
-            # happens on GC, the actual block/broadcast removal on the
-            # cleaner thread).
-            spark._jvm.System.gc()
-            time.sleep(0.2)
+    pass_totals: list[float] = []
+    for p in range(1, SUITE_PASSES + 1):
+        pt = time_pass(p)
+        pass_totals.append(
+            round(sum(v for v in pt.values() if v >= 0), 3)
+        )
+        for name, v in pt.items():
+            prev = timings.get(name)
+            if prev is None or prev < 0 or (0 <= v < prev):
+                timings[name] = v
+        log(f"pass {p}/{SUITE_PASSES} total {pass_totals[-1]:.1f}s")
 
     # ---- burst-rerun pass (VERDICT r8 item 3) ----------------------
     # Any query whose NORMALIZED time (vs this run's own median, so
@@ -310,6 +342,8 @@ def main() -> int:
         "errors": sorted(n for n, v in timings.items() if v < 0),
         "reruns": reruns,
         "rerun_errors": rerun_errors,
+        "passes": SUITE_PASSES,
+        "pass_totals": pass_totals,
         "measurement": MEASUREMENT,
         "sf": sf,
     }
@@ -344,6 +378,8 @@ def main() -> int:
                 "queries_norm": queries_norm,
                 "reruns": reruns,
                 "rerun_errors": rerun_errors,
+                "passes": SUITE_PASSES,
+                "pass_totals": pass_totals,
                 "measurement": MEASUREMENT,
             }) + "\n")
     except OSError:
@@ -373,6 +409,15 @@ def main() -> int:
         "suite_median_sec": median,
         "errors": sorted(n for n, v in timings.items() if v < 0),
         "reruns_n": len(reruns),
+        "passes": SUITE_PASSES,
+        # the policy note the official artifact must carry (VERDICT r12
+        # item 4): per-query = min over SUITE_PASSES full passes, so the
+        # one-shot headline records capability, not VM weather.
+        "measurement": (
+            f"per-query min over {SUITE_PASSES} full suite pass(es) "
+            "-> noop sink + uncapped burst reruns; details in "
+            "BENCH_FULL.json:measurement"
+        ),
         "queries": slowest,
         "queries_is_top10_only": True,
         "full_timings": "BENCH_FULL.json",
