@@ -24,13 +24,15 @@ Two fixtures (``tools/dup_fixture.py``):
   relationally (unnest + GROUP BY key, per-key running tables), so
   duplicated keys COLLAPSE (or fan out quadratically through key
   joins), while the Spark plans are array-native and row-wise. The
-  25 ledgered queries below are exactly the key-dependent shapes;
+  24 ledgered queries below are exactly the key-dependent shapes;
   every one was individually triaged - e.g. q201's "tie" divergence
   is its tie-BREAK column (the PK) being duplicated, not a latent
-  rank bug, and q362's oracle (per-key unrolled CTE chain) fans out
-  EXPONENTIALLY on duplicated keys, which is why oracle_check now
-  carries DuckDB memory/temp caps. The census still proved the other
-  411 queries total even on key-violating input.
+  rank bug. (q362's oracle - a per-key unrolled CTE chain that fanned
+  out EXPONENTIALLY on duplicated keys and could only be ledgered as
+  a recorded OOM - was rewritten in r13 to the bounded running-min
+  formulation and now VERIFIES green here; oracle_check keeps the
+  DuckDB memory/temp caps as the backstop.) The census still proved
+  the other 412 queries total even on key-violating input.
 """
 
 from __future__ import annotations
@@ -73,7 +75,12 @@ EXPECTED_PK_DUP = {
     "q252_consistent_hash_shards", "q257_ndcg_eval", "q276_sql_udfs",
     "q283_rank_agreement_rbo", "q284_mmr_rerank",
     "q285_gate_agreement_kappa", "q304_phrase_search",
-    "q362_kcenter_coreset",
+    # q362 LEFT the ledger in r13: its oracle's per-key unrolled CTE
+    # chain (exponential fan-out on duplicated keys, recorded as an
+    # OOM here in r12) was replaced by the bounded running-min
+    # formulation, under which the dup row VERIFIES green - the
+    # farthest-first walk is multiplicity-insensitive when duplicate
+    # rows are byte-identical.
 }
 
 

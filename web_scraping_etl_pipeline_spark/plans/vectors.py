@@ -1978,6 +1978,19 @@ _KC_DIST_SQL = (
 
 
 def _kcenter_oracle() -> str:
+    """Bounded running-min formulation (VERDICT r12 item 3). The
+    original unrolled CTEs re-joined ``pts`` on ``vec_id`` at every
+    step just to recover ``qi``, and on a key-DUPLICATED corpus that
+    self-join fans out multiplicatively per step - exponential in
+    _KC_K, which is why the PK-dup census once recorded an OOM instead
+    of a verdict for this row. Carrying ``qi`` inside each ``d{i}``
+    removes the self-join entirely: every step is |pts| rows cross a
+    1-row center CTE (the exact running-min-dist device the Spark plan
+    uses), so total oracle work is O(k*N) on ANY input, duplicated
+    keys included - and the dup-census row becomes a real
+    verification (green: byte-identical duplicates have identical
+    coordinates, so the farthest-first walk and radii are
+    multiplicity-insensitive on both engines)."""
     head = f"""
     WITH pts AS MATERIALIZED (
       SELECT vec_id, {_KC_QI_SQL} AS qi FROM embeddings
@@ -1986,7 +1999,7 @@ def _kcenter_oracle() -> str:
       SELECT vec_id, qi FROM pts ORDER BY vec_id LIMIT 1
     ),
     d1 AS MATERIALIZED (
-      SELECT p.vec_id,
+      SELECT p.vec_id, p.qi,
              {_KC_DIST_SQL.format(a="p.qi", b="c.qi")} AS md
       FROM pts p, c1 c
     )"""
@@ -1995,15 +2008,13 @@ def _kcenter_oracle() -> str:
         parts.append(
             f"""
     c{i} AS MATERIALIZED (
-      SELECT p.vec_id, p.qi, d.md AS radius
-      FROM pts p JOIN d{i - 1} d ON d.vec_id = p.vec_id
-      ORDER BY d.md DESC, p.vec_id LIMIT 1
+      SELECT vec_id, qi, md AS radius
+      FROM d{i - 1} ORDER BY md DESC, vec_id LIMIT 1
     ),
     d{i} AS MATERIALIZED (
-      SELECT p.vec_id,
-             LEAST(d.md, {_KC_DIST_SQL.format(a="p.qi", b="c.qi")}) AS md
-      FROM pts p
-      JOIN d{i - 1} d ON d.vec_id = p.vec_id, c{i} c
+      SELECT d.vec_id, d.qi,
+             LEAST(d.md, {_KC_DIST_SQL.format(a="d.qi", b="c.qi")}) AS md
+      FROM d{i - 1} d, c{i} c
     )"""
         )
     finals = [
