@@ -320,6 +320,16 @@ REFRESH_QUEUE: dict[str, int] = {
     "q339_adaboost_stumps": 11,
     "q362_kcenter_coreset": 11,
     "q427_matryoshka_prefix_recall": 11,
+    # r13 KNN_BUCKET_CAP (VERDICT r12 item 2): the kNN-graph candidate
+    # side is capped per bucket, changing q158/q340 values wherever a
+    # bucket exceeds 64 members (sf0.1; a no-op at the gate SF's
+    # <=43-member buckets, but the BODY changed so the rows must
+    # refresh). q376 shares the rewrite but already holds an active
+    # cutoff-10 entry in the r13 window. Cutoff 12 = newest round
+    # whose driver rows all predate the rewrite; queues these behind
+    # the r12-era block, keeping the rehearsed r13 window intact.
+    "q158_knn_graph": 12,
+    "q340_knn_label_smoothing": 12,
 }
 
 

@@ -42,6 +42,25 @@ ALLOWED_DRIFT: dict[str, str] = {
         "NULLIF guard -> CSE Projects -> Sort/Exchange/CollectLimit "
         "over the <=31-row daily frame replaces TakeOrderedAndProject"
     ),
+    # r13 KNN_BUCKET_CAP (VERDICT r12 item 2): the kNN-graph build
+    # gains a per-bucket row_number window on the candidate side,
+    # which is one extra hash-partitioning Exchange on `bucket` before
+    # the pair join. That exchange moves |V| rows (the embedding
+    # table, NOT the pair fan-out) and is exactly what bounds the pair
+    # stage at N*cap instead of sum(bucket^2) - the trade the r12
+    # verdict mandated. q340/q376 inherit the same +1 exchange via the
+    # shared q158 stage (q376's doubled xchg count is the stage
+    # appearing in both its edge scan branches).
+    "q158_knn_graph": (
+        "KNN_BUCKET_CAP candidate window adds one |V|-row Exchange "
+        "that bounds the pair join at N*cap"
+    ),
+    "q340_knn_label_smoothing": (
+        "inherits q158's +1 candidate-cap Exchange"
+    ),
+    "q376_label_modularity": (
+        "inherits q158's candidate-cap Exchange in both edge branches"
+    ),
 }
 
 

@@ -205,13 +205,18 @@ def test_q340_label_smoothing_matches_neighborhood_vote(spark):
             (1 << i) for i, d in enumerate((1, 17, 33, 49)) if x[d - 1] > 0.0
         )
         buckets.setdefault(b, []).append(v)
+    # mirror q158's KNN_BUCKET_CAP candidate thinning (lowest vec_ids
+    # per bucket; a no-op on this fixture's <=43-member buckets)
+    from web_scraping_etl_pipeline_spark.plans.vectors import KNN_BUCKET_CAP
+
     voted: dict[int, int] = {}
     for ids in buckets.values():
+        cand = sorted(ids)[:KNN_BUCKET_CAP]
         for src in ids:
             nbrs = sorted(
                 (
                     (-round(_dot(vecs[src], vecs[d]), 6), d)
-                    for d in ids
+                    for d in cand
                     if d != src
                 ),
             )[:3]

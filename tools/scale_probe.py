@@ -396,13 +396,12 @@ def probe_cluster_moments(spark, sf_dir, k):
     return mom.count()
 
 
-def probe_lsh_bucket_knn(spark, sf_dir, k):
-    """q382 LOF's dominant stage (and q158/q51's shared device): the
-    sign-LSH bucket EQUI-JOIN pair stage + per-node top-k window.
-    Replication places exact twins in identical buckets, so
-    within-bucket pair output grows ~k^2 by construction (like the
-    LSH probe); rows_out (pairs entering the window) normalizes the
-    curve - the fair check is time per emitted pair + row."""
+def _bucket_knn_pairs(spark, sf_dir, k, cap):
+    """Shared body for the two bucket-join probes below: sign-LSH
+    bucket equi-join pair stage + per-node top-k window, with the
+    candidate side optionally capped per bucket (cap=None keeps
+    every member - the pre-r13 q158 shape, still q382 LOF's exact
+    stage)."""
     emb = replicate(t(spark, sf_dir, "embeddings"), "vec_id", k)
     # 8-bit sign-LSH over fixed dims: same class as plans/vectors.py
     # _bucket_expr (deterministic, data-independent projection).
@@ -418,7 +417,21 @@ def probe_lsh_bucket_knn(spark, sf_dir, k):
     a = pts.select(
         F.col("vec_id").alias("p"), F.col("qi").alias("qa"), "bucket"
     )
-    b = pts.select(
+    cand = pts
+    if cap is not None:
+        from pyspark.sql import Window as W  # noqa: PLC0415
+
+        cand = (
+            pts.withColumn(
+                "_crk",
+                F.row_number().over(
+                    W.partitionBy("bucket").orderBy("vec_id")
+                ),
+            )
+            .filter(F.col("_crk") <= cap)
+            .drop("_crk")
+        )
+    b = cand.select(
         F.col("vec_id").alias("o"), F.col("qi").alias("qb"), "bucket"
     )
     dist = (
@@ -451,6 +464,33 @@ def probe_lsh_bucket_knn(spark, sf_dir, k):
         .collect()[0]
     )
     return agg["pairs"]
+
+
+def probe_lsh_bucket_knn(spark, sf_dir, k):
+    """q158/q340/q376's kNN-graph build as of r13: the sign-LSH
+    bucket equi-join with the KNN_BUCKET_CAP candidate-side cap
+    (VERDICT r12 item 2). Replication places exact twins in identical
+    buckets, so the UNCAPPED pair output grows ~k^2 by construction
+    (72.6M pairs at 64x in r12); with the cap the candidate side is
+    bounded at 64 per bucket and pairs grow ~linearly in N - rows_out
+    IS the certificate here, sec/pair stays the secondary check. The
+    probe's 256 buckets hold ~8 members each at 1x, so the cap starts
+    binding around 16x and fully bounds the 64x point."""
+    from web_scraping_etl_pipeline_spark.plans.vectors import (  # noqa: PLC0415
+        KNN_BUCKET_CAP,
+    )
+
+    return _bucket_knn_pairs(spark, sf_dir, k, KNN_BUCKET_CAP)
+
+
+def probe_lof_bucket_pairs(spark, sf_dir, k):
+    """q382 LOF's dominant stage: the SAME bucket equi-join WITHOUT a
+    candidate cap - LOF's k-distance/reachability statistics are
+    defined over the full bucket neighborhood, so q382 keeps the
+    uncapped join and this probe keeps its fan-out honest in the
+    artifact (pairs ~k^2 on replicated twins BY CONSTRUCTION; the
+    certificate is flat sec/pair, adjudicated in PERF.md item 47)."""
+    return _bucket_knn_pairs(spark, sf_dir, k, None)
 
 
 def probe_banded_edit_verify(spark, sf_dir, k):
@@ -914,6 +954,7 @@ PROBES = {
     "grid_neighbors": probe_grid_neighbors,
     "cluster_moments": probe_cluster_moments,
     "lsh_bucket_knn": probe_lsh_bucket_knn,
+    "lof_bucket_pairs": probe_lof_bucket_pairs,
     "banded_edit_verify": probe_banded_edit_verify,
     "wedge_closure": probe_wedge_closure,
     "adaboost_rounds": probe_adaboost_rounds,

@@ -647,20 +647,47 @@ def q157_random_projection(spark, sf_dir):
 
 KNN_K = 3
 
+#: VERDICT r12 item 2 - the q43 LSH_BUCKET_CAP discipline extended to
+#: the kNN-graph build: the CANDIDATE (dst) side of the bucket
+#: equi-join keeps at most this many members per bucket (the lowest
+#: vec_ids - deterministic and identical cross-engine), so pair
+#: fan-out is bounded by N * CAP instead of sum(bucket^2): the 64x
+#: scale probe's 72.6M-pair curve (SCALE_PROBE.json lsh_bucket_knn,
+#: r12) was exactly this shape going quadratic on a skew-free corpus;
+#: a skewed real corpus makes one bucket quadratic on its own. Every
+#: SOURCE still gets edges (only the candidate set is thinned), so no
+#: node loses its neighborhood entirely. The per-bucket rank that
+#: implements the cap costs O(n_b log n_b) in the bucket's task -
+#: strictly cheaper than the O(n_b^2) join it prevents; at 100 TB the
+#: bucket count grows with the corpus (more sign bits), and this cap
+#: is the skew backstop, not the primary sizing device. Recall impact
+#: quantified in tests/test_knn_bucket_cap.py + PERF.md (the cap is a
+#: provable NO-OP below 64 members, i.e. at sf0.001/sf0.01).
+KNN_BUCKET_CAP = 64
 
 #: the kNN-graph derivation as shared oracle CTE text (q158's edge
-#: set, reused by the q376 modularity audit).
+#: set, reused by the q376 modularity audit): bucket -> capped
+#: candidate set -> exact-dot pairs -> per-source rank.
 _KNN_EDGES_SQL = f"""
     WITH b AS (
       SELECT vec_id, embedding,
              {_bucket_expr_sql("embedding")} AS bucket
       FROM embeddings
     ),
+    cand AS (
+      SELECT vec_id, embedding, bucket FROM (
+        SELECT vec_id, embedding, bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY bucket ORDER BY vec_id
+               ) AS crk
+        FROM b
+      ) WHERE crk <= {KNN_BUCKET_CAP}
+    ),
     pairs AS (
       SELECT a.vec_id AS src, x.vec_id AS dst,
              ROUND(SUM(CAST(a.embedding[r.i] AS DOUBLE)
                        * CAST(x.embedding[r.i] AS DOUBLE)), 6) AS sim
-      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id,
+      FROM b a JOIN cand x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id,
            range(1, {DIM} + 1) r(i)
       GROUP BY a.vec_id, x.vec_id
     ),
@@ -686,14 +713,24 @@ def q158_knn_graph(spark, sf_dir):
     graph behind label propagation, kNN classification, and
     graph-based ANN indexes (HNSW's bottom layer is exactly this).
 
-    Never all-pairs: candidates come from the sign-LSH bucket equi-join
-    (~1/16 of the corpus per bucket), the exact dot product runs once
-    per candidate pair, and a per-source window keeps {KNN_K}. At 100 TB
-    the bucket count grows with the corpus (more sign bits) to hold
-    bucket sizes - and recall is tuned by multi-probing neighboring
-    buckets, same plan shape."""
+    Never all-pairs, and never quadratic-in-a-bucket: candidates come
+    from the sign-LSH bucket equi-join (~1/16 of the corpus per
+    bucket), the candidate side of each bucket is CAPPED at
+    {KNN_BUCKET_CAP} members (see KNN_BUCKET_CAP - the q43 hot-bucket
+    discipline; every source still gets edges), the exact dot product
+    runs once per candidate pair, and a per-source window keeps
+    {KNN_K}. At 100 TB the bucket count grows with the corpus (more
+    sign bits) to hold bucket sizes - the cap is the skew backstop -
+    and recall is tuned by multi-probing neighboring buckets, same
+    plan shape."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    wc = Window.partitionBy("bucket").orderBy("vec_id")
+    cand = (
+        emb.withColumn("_crk", F.row_number().over(wc))
+        .filter(F.col("_crk") <= KNN_BUCKET_CAP)
+        .drop("_crk")
     )
     # The probe side is split to full parallelism: the test file is one
     # row group and the small build side broadcast-joins, so without
@@ -708,7 +745,7 @@ def q158_knn_graph(spark, sf_dir):
         F.col("embedding").alias("ea"),
         "bucket",
     )
-    x = emb.select(
+    x = cand.select(
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("eb"),
         "bucket",
@@ -1402,11 +1439,20 @@ def q334_jl_projection_distortion(spark, sf_dir):
              {_bucket_expr_sql("embedding")} AS bucket
       FROM embeddings
     ),
+    cand AS (
+      SELECT vec_id, embedding, label, bucket FROM (
+        SELECT vec_id, embedding, label, bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY bucket ORDER BY vec_id
+               ) AS crk
+        FROM b
+      ) WHERE crk <= {KNN_BUCKET_CAP}
+    ),
     pairs AS (
       SELECT a.vec_id AS src, x.vec_id AS dst, x.label AS nb_label,
              ROUND(SUM(CAST(a.embedding[r.i] AS DOUBLE)
                        * CAST(x.embedding[r.i] AS DOUBLE)), 6) AS sim
-      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id,
+      FROM b a JOIN cand x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id,
            range(1, {DIM} + 1) r(i)
       GROUP BY a.vec_id, x.vec_id, x.label
     ),
@@ -1460,7 +1506,8 @@ def q340_knn_label_smoothing(spark, sf_dir):
     milli-rate by integer division.
 
     Scale: inherits q158's never-all-pairs discipline (sign-LSH
-    bucket equi-join, per-src window top-{KNN_K}); the vote is one
+    bucket equi-join with the {KNN_BUCKET_CAP}-member candidate cap,
+    per-src window top-{KNN_K}); the vote is one
     hash aggregate on the |V|*{KNN_K}-edge frame plus a per-src
     window over <={KNN_K} rows; the final per-label rollup is
     dimension-bounded. Isolated vectors (no same-bucket neighbor)
