@@ -330,6 +330,43 @@ REFRESH_QUEUE: dict[str, int] = {
     # the r12-era block, keeping the rehearsed r13 window intact.
     "q158_knn_graph": 12,
     "q340_knn_label_smoothing": 12,
+    # r13 extreme-numerics census, day-bucket floor fix (PERF item
+    # 72): the DuckDB oracles' `//` truncates toward zero while the
+    # Spark twins FLOOR, divergent on pre-epoch timestamps; ~34
+    # oracles moved to the exact fdiv_sql device (values unchanged in
+    # contract - non-negative dividends floor and truncate
+    # identically; re-verified at 3 SFs + 6 fixtures). Entries for
+    # the rewritten queries with prior driver rows; q392/q399 already
+    # hold active cutoff-10 entries inside the r13 window, and
+    # q186/q187/q38/q93/q98 are never-checked (scheduled by that
+    # pool).
+    "q174_partial_agg_merge": 12,
+    "q29_daily_type_counts": 12,
+    "q335_seasonal_decomposition": 12,
+    "q336_daily_autocorrelation": 12,
+    "q346_ses_forecast": 12,
+    "q357_holt_trend_forecast": 12,
+    "q368_overdispersion_audit": 12,
+    "q377_theil_sen_trend": 12,
+    "q378_topk_churn": 12,
+    "q380_holt_winters": 12,
+    "q384_haar_energy": 12,
+    "q393_friedman_test": 12,
+    "q402_ljung_box": 12,
+    "q403_mann_kendall": 12,
+    "q404_pettitt_changepoint": 12,
+    "q408_durbin_watson": 12,
+    "q409_ccf_volume_reach": 12,
+    "q411_grubbs_outlier": 12,
+    "q417_seasonal_mann_kendall": 12,
+    "q418_turning_point_test": 12,
+    "q419_bartels_rvn": 12,
+    "q420_wilcoxon_signed_rank": 12,
+    "q426_cooks_distance_days": 12,
+    "q429_page_hinkley": 12,
+    "q431_sprt_error_monitor": 12,
+    "q432_kendalls_w_weekday": 12,
+    "q437_chow_break_test": 12,
 }
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from .common import (
+    EPOCH_DAY_SQL,
+    fdiv_sql,
     EVENTS_EPOCH_US,
     US_PER_DAY,
     degenerate_frame,
@@ -664,7 +666,7 @@ def q92_priority_revenue_share(spark, sf_dir):
     oracle=f"""
     WITH e AS (
       SELECT user_id,
-             (epoch_us(ts) - {EVENTS_EPOCH_US}) // 604800000000 AS week
+             {fdiv_sql(f'epoch_us(ts) - {EVENTS_EPOCH_US}', 604800000000)} AS week
       FROM events
     ),
     first AS (
@@ -2128,7 +2130,7 @@ def q172_time_range_moving_avg(spark, sf_dir):
     -- (caught by the sf0.001 sweep: avg 38.37875 -> 38.3788 Spark
     -- HALF_UP vs 38.3787 DuckDB), so the avg is reported in exact
     -- micro-units via (2a + c) DIV (2c), pure integer arithmetic.
-    SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx,
+    SELECT {EPOCH_DAY_SQL} AS day_idx,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2)
@@ -2264,7 +2266,7 @@ def q183_since_last_purchase(spark, sf_dir):
     oracle=f"""
     WITH days AS (
       SELECT DISTINCT user_id,
-             (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx
+             {EPOCH_DAY_SQL} AS day_idx
       FROM events
     ),
     grp AS (
@@ -2332,7 +2334,7 @@ def q186_longest_streak(spark, sf_dir):
     oracle=f"""
     WITH baskets AS (
       SELECT DISTINCT user_id,
-             (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx,
+             {EPOCH_DAY_SQL} AS day_idx,
              event_type
       FROM events
     ),
@@ -2987,7 +2989,7 @@ def q310_cuped_ab_readout(spark, sf_dir):
     "q335_seasonal_decomposition",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+      SELECT {EPOCH_DAY_SQL}
                AS day_idx,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
@@ -3101,7 +3103,7 @@ def q335_seasonal_decomposition(spark, sf_dir):
     "q336_daily_autocorrelation",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+      SELECT {EPOCH_DAY_SQL}
                AS day_idx,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
@@ -3219,7 +3221,7 @@ _SES_MAXLAG = 40
     "q346_ses_forecast",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+      SELECT {EPOCH_DAY_SQL} AS day_idx,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
     ),
@@ -3502,7 +3504,7 @@ def _tdiv(a: int, b: int) -> int:
     "q357_holt_trend_forecast",
     oracle=f"""
     WITH RECURSIVE daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+      SELECT {EPOCH_DAY_SQL} AS day_idx,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
     ),
@@ -3593,7 +3595,7 @@ def q357_holt_trend_forecast(spark, sf_dir):
     oracle=f"""
     WITH daily AS (
       SELECT event_type,
-             (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+             {EPOCH_DAY_SQL} AS day_idx,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
     )
@@ -3654,7 +3656,7 @@ def q368_overdispersion_audit(spark, sf_dir):
     "q377_theil_sen_trend",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
     ),
@@ -3733,7 +3735,7 @@ _CHURN_K = 5
     "q378_topk_churn",
     oracle=f"""
     WITH dk AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM events GROUP BY 1, 2
@@ -3827,7 +3829,7 @@ _HW_P = 7
     "q380_holt_winters",
     oracle=f"""
     WITH RECURSIVE daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day_idx,
+      SELECT {EPOCH_DAY_SQL} AS day_idx,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
     ),
@@ -3948,10 +3950,10 @@ _HAAR_LEVELS = 5
     "q384_haar_energy",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events
-      WHERE (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+      WHERE {EPOCH_DAY_SQL}
             BETWEEN 0 AND {_HAAR_SPAN - 1}
       GROUP BY 1
     ),
@@ -4041,7 +4043,7 @@ def q384_haar_energy(spark, sf_dir):
     "q392_runs_test",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
     ),
@@ -4200,7 +4202,7 @@ _LB_Q = (
     "q402_ljung_box",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY}
+      SELECT {EPOCH_DAY_SQL}
                AS day_idx,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1

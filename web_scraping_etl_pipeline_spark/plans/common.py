@@ -16,6 +16,8 @@ __all__ = [
     "t",
     "t_split",
     "HORIZON_US",
+    "fdiv_sql",
+    "EPOCH_DAY_SQL",
     "shared_stage",
     "global_rn",
     "global_cumsum",
@@ -26,6 +28,29 @@ __all__ = [
 #: Q1's deadline horizon: NOW() + INTERVAL '20 DAYS' (script.sql:54 -
 #: the code says 20; the comment says 10; SURVEY.md section 8 B7 keeps the code).
 HORIZON_US = ANCHOR_US + 20 * US_PER_DAY
+
+
+def fdiv_sql(num: str, den: int) -> str:
+    """DuckDB SQL for exact integer FLOOR division.
+
+    DuckDB's ``//`` truncates toward zero while Spark's
+    ``F.floor(a / b)`` floors, so ``(epoch_us(ts) - epoch) //
+    us_per_day`` style day bucketing diverges by one bucket for every
+    NEGATIVE dividend (pre-epoch timestamps) - and truncation also
+    makes bucket 0 two units wide. In contract (events >= 2024-01-01
+    = EVENTS_EPOCH_US) the dividend is non-negative and the two agree;
+    the r13 extreme-numerics census proved the boundary divergence on
+    1969-2000 fixtures. Subtracting the sign-safe remainder first
+    makes the ``//`` exact at ANY magnitude (no float round-trip):
+    ``x - ((x % d) + d) % d`` is the largest multiple of d <= x."""
+    return (
+        f"(({num}) - ((({num}) % {den}) + {den}) % {den}) // {den}"
+    )
+
+
+#: the canonical event-day index both engines floor identically:
+#: floor((epoch_us(ts) - EVENTS_EPOCH_US) / US_PER_DAY).
+EPOCH_DAY_SQL = fdiv_sql(f"epoch_us(ts) - {EVENTS_EPOCH_US}", US_PER_DAY)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

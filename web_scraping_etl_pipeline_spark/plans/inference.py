@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from .common import (
+    EPOCH_DAY_SQL,
     EVENTS_EPOCH_US,
     US_PER_DAY,
     degenerate_frame,
@@ -3522,7 +3523,7 @@ def _densify_blocks(daily0):
     "q393_friedman_test",
     oracle=f"""
     WITH daily0 AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              event_type AS ty, CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
     ),
@@ -4137,7 +4138,7 @@ _PAGE_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
     "q399_page_trend_test",
     oracle=f"""
     WITH daily0 AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              event_type AS ty, CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
     ),

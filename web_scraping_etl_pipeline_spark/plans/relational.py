@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import EVENTS_EPOCH_US, t
+from .common import EPOCH_DAY_SQL, EVENTS_EPOCH_US, t
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -464,7 +464,7 @@ def q28_user_sessions(spark, sf_dir):
 @query(
     "q29_daily_type_counts",
     oracle=f"""
-    SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // 86400000000 AS day_idx,
+    SELECT {EPOCH_DAY_SQL} AS day_idx,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            ROUND(SUM(value), 2) AS total_value

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from .common import (
+    EPOCH_DAY_SQL,
     EVENTS_EPOCH_US,
     US_PER_DAY,
     degenerate_frame,
@@ -41,7 +42,7 @@ from .registry import query
 # ---------------------------------------------------------------------------
 
 _DAILY_SQL = f"""
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
 """
@@ -834,7 +835,7 @@ _CCF_R = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
     "q409_ccf_volume_reach",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              CAST(COUNT(*) AS BIGINT) AS y,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
       FROM events GROUP BY 1
@@ -3626,7 +3627,7 @@ _SPRT_A_MICRO = 2_944_439  # round(ln(19) * 1e6)
     "q431_sprt_error_monitor",
     oracle=f"""
     WITH daily AS (
-      SELECT (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS d,
+      SELECT {EPOCH_DAY_SQL} AS d,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
                   END) AS BIGINT) AS e
@@ -3779,7 +3780,7 @@ def q431_sprt_error_monitor(spark, sf_dir):
     oracle=f"""
     WITH cw0 AS (
       SELECT CAST(user_id % 20 AS BIGINT) AS judge,
-             (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} % 7
+             ({EPOCH_DAY_SQL}) % 7
                AS wd,
              CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1, 2

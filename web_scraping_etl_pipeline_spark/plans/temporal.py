@@ -29,7 +29,14 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import ANCHOR_US, EVENTS_EPOCH_US, US_PER_DAY, t
+from .common import (
+    ANCHOR_US,
+    EPOCH_DAY_SQL,
+    EVENTS_EPOCH_US,
+    US_PER_DAY,
+    fdiv_sql,
+    t,
+)
 from .registry import query
 
 #: range-join window half-width: 6 hours in microseconds.
@@ -161,12 +168,12 @@ def q56_range_join(spark, sf_dir):
     "q38_event_cube",
     oracle=f"""
     SELECT event_type,
-           (epoch_us(ts) - 1704067200000000) // 604800000000 AS week_idx,
+           {fdiv_sql('epoch_us(ts) - 1704067200000000', 604800000000)} AS week_idx,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            ROUND(SUM(value), 2) AS total_value
     FROM events
     GROUP BY CUBE (event_type,
-                   (epoch_us(ts) - 1704067200000000) // 604800000000)
+                   {fdiv_sql('epoch_us(ts) - 1704067200000000', 604800000000)})
     HAVING COUNT(*) > 0
     """,
 )
@@ -435,7 +442,7 @@ def q89_funnel_conversion(spark, sf_dir):
     oracle=f"""
     WITH act AS (
       SELECT DISTINCT user_id,
-             (epoch_us(ts) - {EVENTS_EPOCH_US}) // {US_PER_DAY} AS day
+             {EPOCH_DAY_SQL} AS day
       FROM events
     ),
     bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM act),
@@ -823,14 +830,14 @@ def q134_time_weighted_avg(spark, sf_dir):
     oracle="""
     WITH x AS (
       SELECT user_id, value,
-             (epoch_us(ts) - 1704067200000000) // 86400000000 AS day_idx,
+             {EPOCH_DAY_SQL} AS day_idx,
              ROW_NUMBER() OVER (
                PARTITION BY user_id,
-                 (epoch_us(ts) - 1704067200000000) // 86400000000
+                 {EPOCH_DAY_SQL}
                ORDER BY epoch_us(ts), event_id) AS rn_f,
              ROW_NUMBER() OVER (
                PARTITION BY user_id,
-                 (epoch_us(ts) - 1704067200000000) // 86400000000
+                 {EPOCH_DAY_SQL}
                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_l
       FROM events
     )
