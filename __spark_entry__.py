@@ -225,7 +225,11 @@ REFRESH_QUEUE: dict[str, int] = {
     # but have never been driver-checked, so the never-checked pool
     # already schedules them.
     "q125_geomean_udaf": 3,
-    "q164_min_cost_supplier": 7,
+    # r13 extreme census re-activation: the r11 ROUND-tie entry
+    # (cutoff 7) was satisfied by the r12 row, but the r13 NULLIF
+    # guard on the price division (ANSI zero-quantity parity) needs a
+    # fresh post-rewrite row.
+    "q164_min_cost_supplier": 12,
     # r11 empty-corpus totality hardening (guard/COALESCE/HAVING
     # parity fixes): entries for the rewrites whose driver rows
     # predate the change; the rest of that batch (q38/q200/q286/q408/
@@ -340,6 +344,7 @@ REFRESH_QUEUE: dict[str, int] = {
     # hold active cutoff-10 entries inside the r13 window, and
     # q186/q187/q38/q93/q98 are never-checked (scheduled by that
     # pool).
+    "q135_ohlc_bars": 12,
     "q174_partial_agg_merge": 12,
     "q29_daily_type_counts": 12,
     "q335_seasonal_decomposition": 12,

@@ -61,6 +61,20 @@ ALLOWED_DRIFT: dict[str, str] = {
     "q376_label_modularity": (
         "inherits q158's candidate-cap Exchange in both edge branches"
     ),
+    # r13 extreme census: q164's offers aggregate gained
+    # NULLIF(l_quantity, 0) (ANSI zero-division parity with the
+    # oracle). The wrapped expression changes Catalyst's size/
+    # nullability estimate for the aggregated offers frame, so the
+    # offers<->part join flips from auto-broadcast to sort-merge at
+    # this SF (bhj 4->3, smj 0->1, + its two exchanges). Values
+    # re-verified exact at all three SFs; SMJ on the two LARGE sides
+    # (lineitem-derived offers, filtered part) is the correct 100 TB
+    # plan anyway - forcing the old broadcast would trip the
+    # unbounded_broadcast audit flag.
+    "q164_min_cost_supplier": (
+        "NULLIF changes offers' size estimate: offers<->part flips "
+        "broadcast -> sort-merge (correct at scale); values re-verified"
+    ),
 }
 
 

@@ -241,9 +241,12 @@ def test_q276_sql_udfs_match_clamp_and_unit_math(spark):
         s = agg.setdefault(et, [set(), 0.0, 0])
         s[0].add(eid)
         s[1] += min(max(v, 10.0), 400.0)
-        # started 100-unit blocks, min 1 per event (r11: zero-cent
-        # events occupy one unit so the lateral stays total)
-        s[2] += max(1, (_cents(v) + 9999) // 10000)
+        # started 100-unit blocks OF THE WINSORIZED value, min 1 per
+        # event (r11: zero-cent events occupy one unit so the lateral
+        # stays total; r13: clamp-first bounds the lateral at <= 4
+        # rows - the raw-value fan-out was linear in an unbounded
+        # column and overflowed INT on the extreme census)
+        s[2] += max(1, (_cents(min(max(v, 10.0), 400.0)) + 9999) // 10000)
     got = {
         r["event_type"]: r for r in _q(spark, "q276_sql_udfs").collect()
     }

@@ -28,9 +28,8 @@ What each class exercises:
   adversarial-text census owns tokenizer shapes, and pairwise-DP
   verifiers are quadratic in text length).
 - embeddings: exact float32 extremes (subnormal 1e-45, f32 epsilon,
-  +-300.0 - the micro-lattice quantization stays bigint-exact at
-  |v| <= ~370, so the integer distance algebra is stressed, not
-  definitionally broken), +-0.0 and 1.0000001.
+  +-4.0 - see the F32 comment for the bigint-exact domain the
+  micro-lattice devices require), +-0.0, 0.1 and 1+eps(f32).
 
     python tools/extreme_fixture.py /tmp/sf_extreme [template] [n]
     python tools/oracle_check.py --json DEGENERATE_SWEEP_EXTREME.json /tmp/sf_extreme
@@ -97,8 +96,28 @@ LONG_STRINGS = [
     ("😀" * 512) + "x",
 ]
 
-#: exact float32 values; |v| <= 300 keeps the micro-lattice
-#: (FLOOR(v * 1e6) AS BIGINT, 64-dim squared sums) bigint-exact.
+#: ASCII-only variant for part.p_name: q11's clean_title oracle is
+#: documented ASCII-domain (DuckDB RE2 has no (?U) - its \w stops at
+#: the first non-ASCII word char while the Java/engine side matches
+#: Unicode; the engine's Unicode behavior is reference-correct and
+#: pinned by the golden tests, so the census must not feed the
+#: ORACLE's known blind spot). Length extremes preserved.
+LONG_STRINGS_ASCII = [
+    "k" * 4096,
+    ("data engineering platform " * 96).strip(),
+    "z" * 2048 + " tail",
+    ("hyphenated-name-segment " * 100).strip(),
+]
+
+#: exact float32 values. The magnitude extreme is +-4.0 (~8x the
+#: template's unit-scale max): the micro-lattice devices
+#: (FLOOR(v * 1e6) AS BIGINT) feed 64-dim squared sums, pair
+#: differences (q334: single (y_a - y_b)^2 with |y| <= 64 * qi), and
+#: cluster moments (q386-q388: n_c * q_c with q_c <= n_c * 64 *
+#: qi^2), so the bigint-exact domain requires
+#: n^2 * 64 * qi^2 <= 2^63 -> qi <= ~1.2e7 -> |v| <= ~12 on a
+#: 32-row corpus; 4.0 stays inside with margin while the
+#: subnormal / epsilon / +-0.0 / 1+eps values stress representation.
 F32 = [
     0.0,
     -0.0,
@@ -106,8 +125,8 @@ F32 = [
     -1e-45,
     1.1920928955078125e-07,
     1.0000001192092896,
-    300.0,
-    -300.0,
+    4.0,
+    -4.0,
     0.1,
     -1.0,
 ]
@@ -202,6 +221,12 @@ def build(
             {"i": range(len(LONG_STRINGS)), "s": LONG_STRINGS}
         ),
     )
+    con.register(
+        "longs_ascii",
+        pd.DataFrame(
+            {"i": range(len(LONG_STRINGS_ASCII)), "s": LONG_STRINGS_ASCII}
+        ),
+    )
     for path in sorted(glob.glob(os.path.join(template, "*.parquet"))):
         name = os.path.basename(path)
         order_key = {
@@ -260,8 +285,11 @@ def build(
                         f" AS {c}"
                     )
                 elif c == scol:
+                    table = (
+                        "longs_ascii" if name == "part.parquet" else "longs"
+                    )
                     exprs.append(
-                        f"CASE WHEN _rn % 4 = 0 THEN (SELECT s FROM longs"
+                        f"CASE WHEN _rn % 4 = 0 THEN (SELECT s FROM {table}"
                         f" WHERE i = (_rn // 4) % {len(LONG_STRINGS)})"
                         f" ELSE {c} END AS {c}"
                     )

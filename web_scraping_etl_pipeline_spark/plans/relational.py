@@ -1133,7 +1133,7 @@ def q163_percent_of_parent(spark, sf_dir):
     oracle="""
     WITH offers AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS price
+             MIN(l_extendedprice / NULLIF(l_quantity, 0)) AS price
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), elig AS (
       SELECT o.l_partkey, o.l_suppkey, o.price
@@ -1184,8 +1184,14 @@ def q164_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey")
     )
+    # NULLIF parity with the oracle (r13 extreme census): a zero
+    # quantity is an ANSI DIVIDE_BY_ZERO error on Spark but IEEE inf
+    # on DuckDB; NULL on both engines keeps the MIN semantics and is
+    # a no-op in contract (quantity >= 1).
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("price")
+        F.min(
+            F.col("l_extendedprice") / F.expr("NULLIF(l_quantity, 0)")
+        ).alias("price")
     )
     elig = offers.join(
         p, offers.l_partkey == p.p_partkey

@@ -300,13 +300,16 @@ def q70_session_window(spark, sf_dir):
     )
     SELECT user_id, event_type,
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY valid_from_us) AS BIGINT)
+                                   ORDER BY valid_from_us, event_type,
+                                            island) AS BIGINT)
              AS version,
            valid_from_us,
            LEAD(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us) AS valid_to_us,
+                                     ORDER BY valid_from_us, event_type,
+                                              island) AS valid_to_us,
            (LEAD(valid_from_us) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from_us) IS NULL)
+                                      ORDER BY valid_from_us, event_type,
+                                               island) IS NULL)
              AS is_current,
            n_events
     FROM runs
@@ -325,7 +328,16 @@ def q88_scd2_history(spark, sf_dir):
     Plan: two windows and one aggregate, ALL partitioned by user_id -
     a single shuffle end to end, and AQE coalesces the window stages.
     No self-join: the island trick replaces the quadratic
-    previous-row-lookup formulation."""
+    previous-row-lookup formulation.
+
+    The version/lead window orders by (valid_from_us, event_type,
+    island) - a TOTAL order (island values are unique per (user,
+    type) by the gaps-and-islands invariant, engine-identical given
+    the (ts_us, event_id) base order). In contract valid_from is
+    unique per user and the extra keys are a no-op; the r13 extreme
+    census proved two runs CAN tie on valid_from (same-microsecond
+    events of different types), where the bare ordering left version
+    assignment engine-dependent."""
     ev = t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts_us", "event_id"
     )
@@ -345,7 +357,9 @@ def q88_scd2_history(spark, sf_dir):
         F.min("ts_us").alias("valid_from_us"),
         F.count("*").cast("long").alias("n_events"),
     )
-    w_runs = Window.partitionBy("user_id").orderBy("valid_from_us")
+    w_runs = Window.partitionBy("user_id").orderBy(
+        "valid_from_us", "event_type", "island"
+    )
     valid_to = F.lead("valid_from_us").over(w_runs)
     return runs.select(
         "user_id",
@@ -827,7 +841,7 @@ def q134_time_weighted_avg(spark, sf_dir):
 
 @query(
     "q135_ohlc_bars",
-    oracle="""
+    oracle=f"""
     WITH x AS (
       SELECT user_id, value,
              {EPOCH_DAY_SQL} AS day_idx,

@@ -720,7 +720,8 @@ def q275_try_safe_parsing(spark, sf_dir):
     WITH u AS (
       SELECT event_type,
              LEAST(GREATEST(value, 10.0), 400.0) AS clamped,
-             GREATEST((CAST(FLOOR(value * 100 + 0.5) AS BIGINT) + 9999)
+             GREATEST((CAST(FLOOR(LEAST(GREATEST(value, 10.0), 400.0)
+                                  * 100 + 0.5) AS BIGINT) + 9999)
                       // 10000, 1) AS n_units
       FROM events
     )
@@ -760,6 +761,16 @@ def q276_sql_udfs(spark, sf_dir):
     total (no event drops out of the inner join, so n_events and the
     winsorized sum keep covering every row on both engines).
 
+    r13 extreme-census catch: units are computed from the CLAMPED
+    value, not the raw one. The raw-value fan-out was LINEAR IN value
+    - a 9e15 outlier meant 9e11 exploded unit rows and a bigint->INT
+    cast overflow - while clamp-first bounds every lateral at <= 4
+    rows BY CONSTRUCTION, the only scale-safe shape for an unbounded
+    column. The clamp is inlined at the lateral call site because
+    Spark rejects a SQL scalar UDF inside a SQLTableFunction argument
+    (UNSUPPORTED_SQL_UDF_USAGE); wsep_clamp still resolves through
+    the catalog in sum_winsorized.
+
     Scale: both functions dissolve into codegen expressions at plan
     time; the lateral expansion is local row generation. Cost is the
     one 6-key aggregate."""
@@ -783,7 +794,9 @@ def q276_sql_udfs(spark, sf_dir):
                          THEN wsep_clamp(e.value, 10.0, 400.0) END), 2)
                  AS sum_winsorized,
                CAST(COUNT(*) AS BIGINT) AS n_units
-        FROM q276_events e, LATERAL wsep_unit_rows(e.value) u
+        FROM q276_events e,
+             LATERAL wsep_unit_rows(
+               least(greatest(e.value, 10.0), 400.0)) u
         GROUP BY e.event_type
         """
     )
