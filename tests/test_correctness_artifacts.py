@@ -15,32 +15,21 @@ way the invariance and plan-shape pins fail.
 
 from __future__ import annotations
 
-import json
 import os
 
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import (
+    REPO_ROOT as REPO,
+    env_gated_names as _env_gated,
+    load_artifact as _load,
+)
 
 ARTIFACTS = {
     "CORRECTNESS_SF0001.json": "sf0.001",
     "CORRECTNESS_FULL.json": "sf0.01",
     "CORRECTNESS_SF01.json": "sf0.1",
 }
-
-
-def _load(name):
-    with open(os.path.join(REPO, name)) as fh:
-        return json.load(fh)
-
-
-def _env_gated() -> set[str]:
-    with open(os.path.join(REPO, "SKIPPED.json")) as fh:
-        return {
-            v.get("name")
-            for v in json.load(fh).values()
-            if isinstance(v, dict) and v.get("env_condition")
-        }
 
 
 @pytest.mark.parametrize("artifact,sf", sorted(ARTIFACTS.items()))

@@ -37,10 +37,14 @@ Two fixtures (``tools/dup_fixture.py``):
 
 from __future__ import annotations
 
-import json
 import os
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import (
+    REPO_ROOT as REPO,
+    artifact_green as _green,
+    env_gated_names as _env_gated,
+    load_artifact as _load,
+)
 DUP = os.path.join(REPO, "DEGENERATE_SWEEP_DUP.json")
 CONST = os.path.join(REPO, "DEGENERATE_SWEEP_CONST.json")
 #: the fifth census layer (r12): pathological-but-in-contract text
@@ -82,32 +86,6 @@ EXPECTED_PK_DUP = {
     # farthest-first walk is multiplicity-insensitive when duplicate
     # rows are byte-identical.
 }
-
-
-def _load(path):
-    with open(path) as fh:
-        return json.load(fh)
-
-
-def _env_gated() -> set[str]:
-    with open(os.path.join(REPO, "SKIPPED.json")) as fh:
-        return {
-            v.get("name")
-            for v in json.load(fh).values()
-            if isinstance(v, dict) and v.get("env_condition")
-        }
-
-
-def _green(rec) -> bool:
-    err = rec.get("err")
-    if err and "rows-only" in str(err):
-        return rec.get("rows_match") is True
-    return bool(
-        rec.get("rows_match")
-        and rec.get("schema_match")
-        and rec.get("values_match")
-        and not err
-    )
 
 
 def test_both_sweeps_cover_registry():

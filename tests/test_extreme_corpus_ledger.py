@@ -32,12 +32,17 @@ five degenerate corpora).
 from __future__ import annotations
 
 import glob
-import json
 import os
 
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import (
+    REPO_ROOT as REPO,
+    artifact_green as _green,
+    env_gated_names as _env_gated,
+    load_artifact as _load,
+)
+
 EXTREME = os.path.join(REPO, "DEGENERATE_SWEEP_EXTREME.json")
 
 #: IEEE double folds at catastrophic magnitudes: SUM / AVG /
@@ -114,32 +119,6 @@ FAIL_FAST_PARITY = {
 TZ_HISTORY = {"q36_localize_tz"}
 
 LEDGER = FLOAT_FOLD | STREAM_ORDER | FAIL_FAST_PARITY | TZ_HISTORY
-
-
-def _load(path):
-    with open(path) as fh:
-        return json.load(fh)
-
-
-def _env_gated() -> set[str]:
-    with open(os.path.join(REPO, "SKIPPED.json")) as fh:
-        return {
-            v.get("name")
-            for v in json.load(fh).values()
-            if isinstance(v, dict) and v.get("env_condition")
-        }
-
-
-def _green(rec) -> bool:
-    err = rec.get("err")
-    if err and "rows-only" in str(err):
-        return rec.get("rows_match") is True
-    return bool(
-        rec.get("rows_match")
-        and rec.get("schema_match")
-        and rec.get("values_match")
-        and not err
-    )
 
 
 def test_extreme_sweep_covers_registry():

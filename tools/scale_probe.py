@@ -466,7 +466,7 @@ def _bucket_knn_pairs(spark, sf_dir, k, cap):
     return agg["pairs"]
 
 
-def probe_lsh_bucket_knn(spark, sf_dir, k):
+def probe_knn_capped_pairs(spark, sf_dir, k):
     """q158/q340/q376's kNN-graph build as of r13: the sign-LSH
     bucket equi-join with the KNN_BUCKET_CAP candidate-side cap
     (VERDICT r12 item 2). Replication places exact twins in identical
@@ -953,7 +953,7 @@ PROBES = {
     "power_iteration": probe_power_iteration,
     "grid_neighbors": probe_grid_neighbors,
     "cluster_moments": probe_cluster_moments,
-    "lsh_bucket_knn": probe_lsh_bucket_knn,
+    "knn_capped_pairs": probe_knn_capped_pairs,
     "lof_bucket_pairs": probe_lof_bucket_pairs,
     "banded_edit_verify": probe_banded_edit_verify,
     "wedge_closure": probe_wedge_closure,

@@ -41,8 +41,16 @@ def fdiv_sql(num: str, den: int) -> str:
     = EVENTS_EPOCH_US) the dividend is non-negative and the two agree;
     the r13 extreme-numerics census proved the boundary divergence on
     1969-2000 fixtures. Subtracting the sign-safe remainder first
-    makes the ``//`` exact at ANY magnitude (no float round-trip):
-    ``x - ((x % d) + d) % d`` is the largest multiple of d <= x."""
+    makes the ``//`` exact with no float round-trip:
+    ``x - ((x % d) + d) % d`` is the largest multiple of d <= x.
+
+    Dividend domain: (INT64_MIN + den, INT64_MAX]. For a dividend
+    within ``den`` of INT64_MIN that is not an exact multiple, the
+    intermediate ``floor(x/d)*d`` underflows bigint and DuckDB raises
+    Out of Range while the Spark floor twin succeeds - a
+    fail-vs-succeed parity break (code-review r13). Every current
+    call site is an epoch-shifted microsecond timestamp (|x| <~ 1e16,
+    9 orders inside the boundary)."""
     return (
         f"(({num}) - ((({num}) % {den}) + {den}) % {den}) // {den}"
     )

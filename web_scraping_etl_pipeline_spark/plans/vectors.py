@@ -665,6 +665,24 @@ KNN_K = 3
 #: provable NO-OP below 64 members, i.e. at sf0.001/sf0.01).
 KNN_BUCKET_CAP = 64
 
+def _knn_cand_sql(extra_cols: str = "") -> str:
+    """The capped-candidate CTE body, the ONE statement of the
+    KNN_BUCKET_CAP discipline on the oracle side (q158's edge CTE and
+    q340's label-carrying variant share it verbatim - code-review r13
+    flagged the hand-copied twin as a desync hazard). ``extra_cols``
+    threads additional b-columns (q340's label) through the cap."""
+    cols = f"vec_id, embedding{extra_cols}, bucket"
+    return f"""
+      SELECT {cols} FROM (
+        SELECT {cols},
+               ROW_NUMBER() OVER (
+                 PARTITION BY bucket ORDER BY vec_id
+               ) AS crk
+        FROM b
+      ) WHERE crk <= {KNN_BUCKET_CAP}
+    """
+
+
 #: the kNN-graph derivation as shared oracle CTE text (q158's edge
 #: set, reused by the q376 modularity audit): bucket -> capped
 #: candidate set -> exact-dot pairs -> per-source rank.
@@ -674,15 +692,7 @@ _KNN_EDGES_SQL = f"""
              {_bucket_expr_sql("embedding")} AS bucket
       FROM embeddings
     ),
-    cand AS (
-      SELECT vec_id, embedding, bucket FROM (
-        SELECT vec_id, embedding, bucket,
-               ROW_NUMBER() OVER (
-                 PARTITION BY bucket ORDER BY vec_id
-               ) AS crk
-        FROM b
-      ) WHERE crk <= {KNN_BUCKET_CAP}
-    ),
+    cand AS ({_knn_cand_sql()}),
     pairs AS (
       SELECT a.vec_id AS src, x.vec_id AS dst,
              ROUND(SUM(CAST(a.embedding[r.i] AS DOUBLE)
@@ -1439,15 +1449,7 @@ def q334_jl_projection_distortion(spark, sf_dir):
              {_bucket_expr_sql("embedding")} AS bucket
       FROM embeddings
     ),
-    cand AS (
-      SELECT vec_id, embedding, label, bucket FROM (
-        SELECT vec_id, embedding, label, bucket,
-               ROW_NUMBER() OVER (
-                 PARTITION BY bucket ORDER BY vec_id
-               ) AS crk
-        FROM b
-      ) WHERE crk <= {KNN_BUCKET_CAP}
-    ),
+    cand AS ({_knn_cand_sql(", label")}),
     pairs AS (
       SELECT a.vec_id AS src, x.vec_id AS dst, x.label AS nb_label,
              ROUND(SUM(CAST(a.embedding[r.i] AS DOUBLE)
