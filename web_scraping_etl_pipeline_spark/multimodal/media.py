@@ -61,8 +61,17 @@ FRAMES = T.StructType(
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> media rows (media_id, payload, media_type, mime,
-    n_bytes, meta). Payload built JVM-side (no UDF on the encode path)."""
-    docs = t(spark, sf_dir, "documents")
+    n_bytes, meta). Payload built JVM-side (no UDF on the encode path).
+
+    A NULL text yields NO media row: there is no payload to ingest,
+    and letting the NULL propagate would hand the Pandas-UDF decoders
+    a None where the schema says binary (r13 partial-records census:
+    'cannot convert NoneType object to bytes' in every media query).
+    The ingestion boundary is where partial records drop, exactly as
+    a real media pipeline rejects an empty blob at landing."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     did = F.col("doc_id")
     width = (did * W_MUL) % W_MOD + W_MIN
     height = (did * H_MUL) % H_MOD + H_MIN
@@ -240,6 +249,7 @@ _DIMS_SQL = f"""
                AS media_type,
              octet_length(encode(text)) AS body_bytes
       FROM documents
+      WHERE text IS NOT NULL
 """
 
 

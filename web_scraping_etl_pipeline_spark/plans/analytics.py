@@ -72,7 +72,9 @@ def q57_event_deltas(spark, sf_dir):
     oracle="""
     WITH q AS (
       SELECT o_totalprice,
-             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+             NTILE(4) OVER (
+               ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+               AS quartile
       FROM orders
     )
     SELECT quartile,
@@ -506,7 +508,18 @@ def q75_unpivot_roundtrip(spark, sf_dir):
     GROUP BY (the oracle). Exercises Spark's native ``unpivot``
     operator - constant-folded Expand, no shuffle beyond the pivot's."""
     ev = t(spark, sf_dir, "events")
-    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    # A NULL event_type is a real GROUP BY group in the oracle, but a
+    # pivot COLUMN cannot be named NULL and unpivot's variable column
+    # yields column-NAME strings - so NULL is sentinel-encoded through
+    # the round trip and decoded after (r13 partial-records census:
+    # sorted() over a types list containing None crashed the driver,
+    # and an unencoded pivot would have emitted the STRING 'null').
+    # In contract event_type is never NULL and the sentinel is inert.
+    _NULL_ET = "~NULL~"
+    enc = ev.withColumn(
+        "_et", F.coalesce(F.col("event_type"), F.lit(_NULL_ET))
+    )
+    types = [r[0] for r in enc.select("_et").distinct().collect()]
     if not types:
         # degenerate corpus: the pivot grid's value columns are
         # data-derived and none exist; unpivot over zero value columns
@@ -516,8 +529,8 @@ def q75_unpivot_roundtrip(spark, sf_dir):
             spark, "user_id bigint, event_type string, cnt bigint"
         )
     wide = (
-        ev.groupBy("user_id")
-        .pivot("event_type", types)
+        enc.groupBy("user_id")
+        .pivot("_et", types)
         .agg(F.count(F.lit(1)))
     )
     long = wide.unpivot(
@@ -527,7 +540,11 @@ def q75_unpivot_roundtrip(spark, sf_dir):
         valueColumnName="cnt",
     )
     return long.filter(F.col("cnt").isNotNull()).select(
-        "user_id", "event_type", F.col("cnt").cast("long").alias("cnt")
+        "user_id",
+        F.when(F.col("event_type") == _NULL_ET, F.lit(None)).otherwise(
+            F.col("event_type")
+        ).alias("event_type"),
+        F.col("cnt").cast("long").alias("cnt"),
     )
 
 
@@ -995,8 +1012,11 @@ def q102_exact_allocation(spark, sf_dir):
     "q103_surrogate_keys",
     oracle="""
     SELECT p_partkey,
-           CAST(DENSE_RANK() OVER (ORDER BY p_brand, p_type) AS BIGINT)
-             AS brand_type_sk
+           -- NULLS FIRST matches Spark's asc default in the dimension
+           -- row_number (r13 partial-records census)
+           CAST(DENSE_RANK() OVER (
+             ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST
+           ) AS BIGINT) AS brand_type_sk
     FROM part
     """,
 )
@@ -1020,9 +1040,19 @@ def q103_surrogate_keys(spark, sf_dir):
             .alias("brand_type_sk"),
         )
     )
-    return p.join(F.broadcast(dim), ["p_brand", "p_type"]).select(
-        "p_partkey", "brand_type_sk"
-    )
+    # null-safe join keys: a NULL brand/type combination is a real
+    # dimension value with its own surrogate key, and a bare equi-join
+    # would drop its fact rows (r13 partial-records census: 11 of 32
+    # parts survived).
+    return p.join(
+        F.broadcast(dim.select(
+            F.col("p_brand").alias("_b"),
+            F.col("p_type").alias("_t"),
+            "brand_type_sk",
+        )),
+        p["p_brand"].eqNullSafe(F.col("_b"))
+        & p["p_type"].eqNullSafe(F.col("_t")),
+    ).select("p_partkey", "brand_type_sk")
 
 
 @query(
@@ -1111,10 +1141,14 @@ def q109_median_abs_deviation(spark, sf_dir):
     "q110_rank_distributions",
     oracle="""
     SELECT event_id, event_type, ROUND(value, 6) AS value,
+           -- NULLS FIRST: Spark windows sort asc_nulls_first, DuckDB
+           -- defaults NULLS LAST (r13 partial-records census)
            ROUND(PERCENT_RANK() OVER (
-             PARTITION BY event_type ORDER BY value, event_id), 6) AS pr,
+             PARTITION BY event_type
+             ORDER BY value NULLS FIRST, event_id), 6) AS pr,
            ROUND(CUME_DIST() OVER (
-             PARTITION BY event_type ORDER BY value, event_id), 6) AS cd
+             PARTITION BY event_type
+             ORDER BY value NULLS FIRST, event_id), 6) AS cd
     FROM events
     """,
 )
@@ -1737,8 +1771,15 @@ def q147_quarantine_split(spark, sf_dir):
     bad_props = (
         F.from_json(F.col("props"), "k BIGINT").getField("k") > 90
     )
+    # when(cond, 1).otherwise(0), NOT cond.cast(int): a NULL rule
+    # input (missing value/type/props on a partial record) is not a
+    # range violation - the oracle's CASE falls to ELSE 0, while a
+    # NULL cast would poison the sum and quarantine every partial row
+    # (r13 partial-records census).
     n_bad = (
-        bad_value.cast("int") + bad_type.cast("int") + bad_props.cast("int")
+        F.when(bad_value, 1).otherwise(0)
+        + F.when(bad_type, 1).otherwise(0)
+        + F.when(bad_props, 1).otherwise(0)
     )
     return ev.select(
         "event_id",
@@ -2572,8 +2613,11 @@ def q200_ks_drift(spark, sf_dir):
     "q201_global_percent_rank",
     oracle="""
     SELECT o_orderkey,
+           -- NULLS FIRST pins the engines' shared total order: Spark's
+           -- range exchange sorts asc_nulls_first, DuckDB windows
+           -- default NULLS LAST (r13 partial-records census)
            ROUND(PERCENT_RANK() OVER (
-             ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+             ORDER BY o_totalprice NULLS FIRST, o_orderkey), 6) AS pct_rank
     FROM orders
     """,
 )
@@ -2599,7 +2643,7 @@ def q201_global_percent_rank(spark, sf_dir):
     "q202_exact_global_median",
     oracle="""
     SELECT ROUND(MEDIAN(o_totalprice), 2) AS median_price,
-           CAST(COUNT(*) AS BIGINT) AS n_orders
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders
     FROM orders
     """,
 )
@@ -2611,7 +2655,12 @@ def q202_exact_global_median(spark, sf_dir):
     one range exchange; the middle-row filter is a map stage. The
     same shape generalizes to any exact quantile set (rn thresholds
     are plan-time arithmetic on T)."""
+    # the median's population is the NON-NULL values (DuckDB's MEDIAN
+    # aggregate ignores NULLs; counting NULL rows into the middle-row
+    # arithmetic would shift the median - r13 partial-records census);
+    # n_orders reports that population, COUNT(o_totalprice) on both.
     o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    o = o.filter(F.col("o_totalprice").isNotNull())
     d, total = global_rn(o, ["o_totalprice", "o_orderkey"], rn_col="_rn")
     lo, hi = (total + 1) // 2, total // 2 + 1
     return d.filter(F.col("_rn").isin(lo, hi)).agg(
@@ -2624,7 +2673,8 @@ def q202_exact_global_median(spark, sf_dir):
     "q203_global_cume_dist",
     oracle="""
     SELECT o_orderkey,
-           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice), 6) AS cd
+           ROUND(CUME_DIST() OVER (
+             ORDER BY o_totalprice NULLS FIRST), 6) AS cd
     FROM orders
     """,
 )
@@ -2643,7 +2693,11 @@ def q203_global_cume_dist(spark, sf_dir):
         per_val, ["o_totalprice"], sums=[("cnt", "cum")]
     )
     n_rows = float(totals["cum"])
-    return o.join(cdf.select("o_totalprice", "cum"), "o_totalprice").select(
+    # eqNullSafe: a NULL price is a real peer group (first under the
+    # pinned NULLS FIRST order); a bare equi-join would drop its rows
+    # (r13 partial-records census: 22 of 32 rows survived).
+    c = cdf.select(F.col("o_totalprice").alias("_v"), "cum")
+    return o.join(c, o["o_totalprice"].eqNullSafe(c["_v"])).select(
         "o_orderkey",
         F.round(F.col("cum") / F.lit(n_rows), 6).alias("cd"),
     )

@@ -314,7 +314,12 @@ _TITLE_RE = r"([\w\s./-]+(?:\s*(?:\/|-)\s*[\w\s./-]*)*)"
       FROM raw
     )
     SELECT p_partkey, title,
-           CASE WHEN extracted = '' THEN trim(title)
+           -- NULL title -> NULL clean title (C1 on a missing field is
+           -- missing). Without the guard DuckDB's split_part(NULL)
+           -- returns '' where Spark's returns NULL (r13
+           -- partial-records census).
+           CASE WHEN title IS NULL THEN NULL
+                WHEN extracted = '' THEN trim(title)
                 ELSE trim(split_part(trim(extracted), ' - ', 1))
            END AS title_clean
     FROM m

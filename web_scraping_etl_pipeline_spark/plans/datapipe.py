@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from .common import degenerate_frame, global_rn, t, t_split, transient_persist
-from .mlprep import _h60, _h60_sql
+from .mlprep import _h60, _h60_sql, _h60_sql_ns
 from .registry import query
 from .textops import _SCORE_SQL, _TOKENS_SQL, _int_score, _tokens
 
@@ -3234,7 +3234,7 @@ _DP_RES = 1_000_000_000
     ),
     u AS (
       SELECT source, true_n,
-             ({_h60_sql("'dp:' || source")} % {_DP_RES} + 0.5)
+             ({_h60_sql_ns("'dp:' || source")} % {_DP_RES} + 0.5)
                / {_DP_RES}.0 AS u
       FROM h
     )
@@ -3608,15 +3608,17 @@ _DIG_MOD = 2_147_483_647
     oracle=f"""
     WITH rowsig AS (
       SELECT source,
-             CAST(doc_id AS VARCHAR) || '|' || md5(text) || '|' ||
-               lang || '|' || CAST(n_chars AS VARCHAR) AS canon
+             CAST(doc_id AS VARCHAR) || '|' ||
+               COALESCE(md5(text), '~NULL~') || '|' ||
+               COALESCE(lang, '~NULL~') || '|' ||
+               COALESCE(CAST(n_chars AS VARCHAR), '~NULL~') AS canon
       FROM documents
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM({_h60_sql("'d1|' || canon")} % {_DIG_MOD})
+           CAST(SUM({_h60_sql_ns("'d1|' || canon")} % {_DIG_MOD})
                 AS BIGINT) % {_DIG_MOD} AS digest1,
-           CAST(SUM({_h60_sql("'d2|' || canon")} % {_DIG_MOD})
+           CAST(SUM({_h60_sql_ns("'d2|' || canon")} % {_DIG_MOD})
                 AS BIGINT) % {_DIG_MOD} AS digest2
     FROM rowsig GROUP BY source
     """,
@@ -3645,12 +3647,18 @@ def q342_dataset_digest(spark, sf_dir):
     cheapest possible full-content audit - and the same expression
     works per-file or per-partition for incremental Merkle-style
     roll-ups."""
+    # NULL fields are REPRESENTED with an explicit sentinel, never
+    # skipped or propagated: concat_ws silently drops NULL args (so a
+    # NULL lang would alias a different record shape) and bare ||
+    # nulls the whole canon (so a NULL-text row would vanish from the
+    # digest) - a content checksum must do neither (r13
+    # partial-records census).
     canon = F.concat_ws(
         "|",
         F.col("doc_id").cast("string"),
-        F.md5(F.col("text")),
-        F.col("lang"),
-        F.col("n_chars").cast("string"),
+        F.coalesce(F.md5(F.col("text")), F.lit("~NULL~")),
+        F.coalesce(F.col("lang"), F.lit("~NULL~")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("~NULL~")),
     )
     d = t(spark, sf_dir, "documents").select("source", canon.alias("canon"))
     return d.groupBy("source").agg(

@@ -1558,6 +1558,12 @@ def _ada_oracle() -> str:
              CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
              CAST(1000000 AS BIGINT) AS w
       FROM documents
+      -- training rows require non-null features: a partial scrape
+      -- record (NULL text/n_chars) has no length bucket or quality
+      -- decile to split on, and a NULL thr bucket would otherwise
+      -- ride engine-specific NULL ordering through the cumulative
+      -- window and the argmin (r13 partial-records census)
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
     )"""
     ]
     for r in range(1, _ADA_ROUNDS + 1):
@@ -1695,7 +1701,13 @@ def q339_adaboost_stumps(spark, sf_dir):
     The oracle is the unrolled MATERIALIZED-CTE chain of the same
     algebra."""
     docs = t(spark, sf_dir, "documents")
-    d = docs.select(
+    # non-null features only, mirroring the oracle's d0 filter: a
+    # partial record has nothing for a stump to split on, and the
+    # driver's int(best["thr"]) must never see a NULL bucket (r13
+    # partial-records census).
+    d = docs.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
         "doc_id",
         F.expr(f"CAST(n_chars AS LONG) DIV {_ADA_BW}").alias("f1"),
         (F.expr(_SCORE_SPARK_SQL).cast("long") / F.lit(100))
@@ -1801,7 +1813,11 @@ def q339_adaboost_stumps(spark, sf_dir):
         h = F.lit(pol) * F.when(fcol <= thr, 1).otherwise(-1)
         term = F.lit(alpha_u) * h
         vote = term if vote is None else vote + term
-    d0 = docs.select(
+    # the ensemble readout evaluates over the SAME non-null-feature
+    # population the stumps were trained on (mirrors the oracle's d0)
+    d0 = docs.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
         F.expr(f"CAST(n_chars AS LONG) DIV {_ADA_BW}").alias("f1"),
         (F.expr(_SCORE_SPARK_SQL).cast("long") / F.lit(100))
         .cast("long")

@@ -36,6 +36,21 @@ def _h60_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _h60_sql_ns(expr: str) -> str:
+    """NULL-propagating spelling of :func:`_h60_sql`. DuckDB's
+    ``concat()`` SKIPS NULL arguments, so ``concat('0x', NULL)`` is
+    the string ``'0x'`` - a conversion error under the CAST (or a
+    phantom zero key) - while Spark's concat/F.conv return NULL.
+    ``||`` propagates NULL identically on both engines. Use this
+    whenever the hashed expression's domain includes NULL (the r13
+    partial-records census: q33/q181/q313/q342 hash nullable
+    text/source/canon). The concat spelling stays in the ~65 oracles
+    hashing non-null keys - identical semantics there, and respelling
+    the shared fragment would churn every consumer's oracle_hash for
+    no behavioral difference."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # q79: deterministic train/validation/test hash split
 # ---------------------------------------------------------------------------
@@ -332,8 +347,14 @@ _MIN_STOPWORD_RATIO = 0.02
                 >= {_MIN_STOPWORD_RATIO}) AS pass_stop
       FROM f
     )
-    SELECT doc_id, n_tokens, pass_len, pass_rep, pass_stop,
-           (pass_len AND pass_rep AND pass_stop) AS kept
+    -- a NULL-text record gets DECIDED, not NULL-flagged: a cleaning
+    -- pass cannot keep a document with no text (r13 partial-records
+    -- census; also keeps the flag columns non-null booleans)
+    SELECT doc_id, n_tokens,
+           COALESCE(pass_len, FALSE) AS pass_len,
+           COALESCE(pass_rep, FALSE) AS pass_rep,
+           COALESCE(pass_stop, FALSE) AS pass_stop,
+           COALESCE(pass_len AND pass_rep AND pass_stop, FALSE) AS kept
     FROM flags
     """,
 )
@@ -364,13 +385,17 @@ def q84_quality_filter(spark, sf_dir):
     pass_stop = (
         F.col("n_stop") / F.col("n_tokens") >= _MIN_STOPWORD_RATIO
     )
+    # COALESCE(flag, FALSE): a NULL-text record is DECIDED (dropped),
+    # mirroring the oracle (r13 partial-records census)
     return f.select(
         "doc_id",
         "n_tokens",
-        pass_len.alias("pass_len"),
-        pass_rep.alias("pass_rep"),
-        pass_stop.alias("pass_stop"),
-        (pass_len & pass_rep & pass_stop).alias("kept"),
+        F.coalesce(pass_len, F.lit(False)).alias("pass_len"),
+        F.coalesce(pass_rep, F.lit(False)).alias("pass_rep"),
+        F.coalesce(pass_stop, F.lit(False)).alias("pass_stop"),
+        F.coalesce(
+            pass_len & pass_rep & pass_stop, F.lit(False)
+        ).alias("kept"),
     )
 
 
@@ -674,14 +699,22 @@ def q105_weighted_sample(spark, sf_dir):
       SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS obs
       FROM documents GROUP BY 1, 2
     ),
-    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
-    rs AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS rn FROM o GROUP BY 1),
-    cs AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS cn FROM o GROUP BY 1)
-    SELECT o.source, o.lang, o.obs,
+    -- margins via windows, not USING-joins: a NULL source/lang is a
+    -- real contingency category (the "unknown" bucket every drift
+    -- audit must keep) and an equi-join would drop its cells (r13
+    -- partial-records census: 11 of 26 cells survived)
+    m AS (
+      SELECT source, lang, obs,
+             SUM(obs) OVER (PARTITION BY source) AS rn,
+             SUM(obs) OVER (PARTITION BY lang) AS cn,
+             SUM(obs) OVER () AS n
+      FROM o
+    )
+    SELECT source, lang, obs,
            ROUND(rn * cn / CAST(n AS DOUBLE), 6) AS expected,
            ROUND(POW(obs - rn * cn / CAST(n AS DOUBLE), 2)
                  / (rn * cn / CAST(n AS DOUBLE)), 6) AS chi2_term
-    FROM o JOIN rs USING (source) JOIN cs USING (lang), tot
+    FROM m
     """,
 )
 def q116_lang_source_drift(spark, sf_dir):
@@ -895,7 +928,7 @@ def q180_line_dedup(spark, sf_dir):
     ),
     tw AS (
       SELECT source, n_docs,
-             1.0 + ({_h60_sql("source")} % 5) AS raw_w
+             1.0 + ({_h60_sql_ns("source")} % 5) AS raw_w
       FROM counts
     ),
     norm AS (

@@ -223,7 +223,7 @@ def q32_lang_id(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, fp,
-           CAST(concat('0x', substr(fp, 1, 15)) AS BIGINT) AS fp64
+           CAST('0x' || substr(fp, 1, 15) AS BIGINT) AS fp64
     FROM n
     """,
 )

@@ -91,6 +91,13 @@ class ChunkWords:
     def eval(self, doc_id, text):  # noqa: D102 - contract method
         import re
 
+        # NULL text yields NO chunk rows, mirroring the oracle's NULL
+        # propagation exactly (trim(NULL) -> NULL tokens -> NULL n ->
+        # range(0, NULL) unnests to nothing). A partial scrape record
+        # must flow through, not crash the Python worker (r13
+        # partial-records census: .strip() on None).
+        if text is None:
+            return
         # strip(" "), not strip(): SQL trim() removes SPACES only on
         # both engines, while Python's bare strip() removes all
         # whitespace - a tab/newline-edged document tokenizes
