@@ -1433,6 +1433,10 @@ _FILL_BUDGET = 15_000
              CAST({_SCORE_SQL} AS BIGINT) AS score,
              CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
       FROM documents
+      -- a textless partial record contributes no trainable tokens
+      -- and has no quality score to rank by: excluded from the fill
+      -- on both engines (r13 partial-records census)
+      WHERE text IS NOT NULL
     ),
     c AS (
       SELECT doc_id, score, n_tokens,
@@ -1461,7 +1465,9 @@ def q230_token_budget_fill(spark, sf_dir):
     single-partition window, so the plan holds when the corpus is
     billions of documents. The budget predicate is a map-stage filter
     on the distributed prefix sum."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = _tokens()
     s = docs.select(
         "doc_id",
@@ -1716,14 +1722,20 @@ def q241_corpus_datasheet(spark, sf_dir):
     ),
     ranked AS (
       SELECT doc_id, source, score,
+             -- NULLS FIRST: a missing score sorts below every real
+             -- score on BOTH engines (Spark windows/range exchange
+             -- are asc_nulls_first; DuckDB defaults NULLS LAST) -
+             -- r13 partial-records census
              ROW_NUMBER() OVER (
-               PARTITION BY source ORDER BY score, doc_id) AS r,
+               PARTITION BY source
+               ORDER BY score NULLS FIRST, doc_id) AS r,
              COUNT(*) OVER (PARTITION BY source) AS ns
       FROM s
     ),
     corpus AS (
       SELECT score AS corpus_score,
-             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS g
+             ROW_NUMBER() OVER (
+               ORDER BY score NULLS FIRST, doc_id) AS g
       FROM s
     ),
     tot AS (SELECT COUNT(*) AS n FROM s)
@@ -1789,6 +1801,9 @@ _PSI_BUCKETS = 10
              LEAST(n_chars // {_KL_BUCKET_CHARS}, {_KL_MAX_BUCKET}) AS b,
              CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half
       FROM documents
+      -- the length histogram's domain is rows WITH a length; a NULL
+      -- source remains a real 'unknown' stratum (r13 census)
+      WHERE n_chars IS NOT NULL
     ),
     g AS (
       SELECT source, b, half, COUNT(*) AS cnt FROM h GROUP BY 1, 2, 3
@@ -1801,25 +1816,32 @@ _PSI_BUCKETS = 10
       SELECT spine.source, spine.b,
              COALESCE(r.cnt, 0) AS ref_cnt, COALESCE(c.cnt, 0) AS cur_cnt
       FROM spine
-      LEFT JOIN g r ON r.source = spine.source AND r.b = spine.b
-                   AND r.half = 'ref'
-      LEFT JOIN g c ON c.source = spine.source AND c.b = spine.b
-                   AND c.half = 'cur'
+      -- IS NOT DISTINCT FROM: the NULL-source stratum's counts must
+      -- attach to its spine rows, not be silently zero-filled
+      LEFT JOIN g r ON r.source IS NOT DISTINCT FROM spine.source
+                   AND r.b = spine.b AND r.half = 'ref'
+      LEFT JOIN g c ON c.source IS NOT DISTINCT FROM spine.source
+                   AND c.b = spine.b AND c.half = 'cur'
     ),
-    tot AS (
-      SELECT source, SUM(ref_cnt) AS nr, SUM(cur_cnt) AS nc
-      FROM filled GROUP BY source
+    -- per-source totals via a WINDOW, not a USING-join: the NULL
+    -- source stratum is real and USING(source) would drop it (r13
+    -- partial-records census: 17 of 18 strata survived)
+    f2 AS (
+      SELECT source, b, ref_cnt, cur_cnt,
+             SUM(ref_cnt) OVER (PARTITION BY source) AS nr,
+             SUM(cur_cnt) OVER (PARTITION BY source) AS nc
+      FROM filled
     )
     SELECT f.source,
-           CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           CAST(f.nr AS BIGINT) AS n_ref, CAST(f.nc AS BIGINT) AS n_cur,
            ROUND(SUM(
-             ((f.cur_cnt + 1.0) / (t.nc + {_PSI_BUCKETS})
-              - (f.ref_cnt + 1.0) / (t.nr + {_PSI_BUCKETS}))
-             * ln(((f.cur_cnt + 1.0) / (t.nc + {_PSI_BUCKETS}))
-                  / ((f.ref_cnt + 1.0) / (t.nr + {_PSI_BUCKETS})))
+             ((f.cur_cnt + 1.0) / (f.nc + {_PSI_BUCKETS})
+              - (f.ref_cnt + 1.0) / (f.nr + {_PSI_BUCKETS}))
+             * ln(((f.cur_cnt + 1.0) / (f.nc + {_PSI_BUCKETS}))
+                  / ((f.ref_cnt + 1.0) / (f.nr + {_PSI_BUCKETS})))
            ), 4) AS psi
-    FROM filled f JOIN tot t USING (source)
-    GROUP BY f.source, t.nr, t.nc
+    FROM f2 f
+    GROUP BY f.source, f.nr, f.nc
     """,
 )
 def q244_psi_drift(spark, sf_dir):
@@ -1835,7 +1857,9 @@ def q244_psi_drift(spark, sf_dir):
     10-bucket spine per source (bounded explode) to
     zero-fill missing cells, per-source totals as a second tiny
     aggregate - the fact is scanned once."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     b = F.least(
         F.floor(F.col("n_chars") / _KL_BUCKET_CHARS),
         F.lit(_KL_MAX_BUCKET),
@@ -1861,9 +1885,28 @@ def q244_psi_drift(spark, sf_dir):
     c = g.filter(F.col("half") == "cur").select(
         "source", "b", F.col("cnt").alias("cur_cnt")
     )
+    # eqNullSafe on source: the NULL-source stratum's counts must
+    # attach to its spine rows (mirrors the oracle's IS NOT DISTINCT
+    # FROM; a bare equi-join zero-filled them on both engines)
+    r = r.select(
+        F.col("source").alias("_rs"), F.col("b").alias("_rb"), "ref_cnt"
+    )
+    c = c.select(
+        F.col("source").alias("_cs"), F.col("b").alias("_cb"), "cur_cnt"
+    )
     filled = (
-        spine.join(r, ["source", "b"], "left")
-        .join(c, ["source", "b"], "left")
+        spine.join(
+            r,
+            spine["source"].eqNullSafe(F.col("_rs"))
+            & (spine["b"] == F.col("_rb")),
+            "left",
+        )
+        .join(
+            c,
+            spine["source"].eqNullSafe(F.col("_cs"))
+            & (spine["b"] == F.col("_cb")),
+            "left",
+        )
         .select(
             "source",
             "b",

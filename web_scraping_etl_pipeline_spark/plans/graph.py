@@ -304,9 +304,21 @@ def q197_subtree_rollup(spark, sf_dir):
             p.join(child_sums, p.node == child_sums.parent, "left")
             .select(
                 "node",
-                (
-                    F.col("own") + F.coalesce(F.col("cv"), F.lit(0.0))
-                ).alias("subtree_value"),
+                # SQL-SUM null semantics through the fixed-point loop:
+                # a NULL own value is SKIPPED (not propagated - bare
+                # `own + cv` would NULL every ancestor of a partial
+                # record, r13 partial-records census), and a subtree
+                # with NO non-null values sums to NULL, exactly like
+                # the oracle's SUM(n.own) over the closure.
+                F.when(
+                    F.col("own").isNull() & F.col("cv").isNull(),
+                    F.lit(None).cast("double"),
+                )
+                .otherwise(
+                    F.coalesce(F.col("own"), F.lit(0.0))
+                    + F.coalesce(F.col("cv"), F.lit(0.0))
+                )
+                .alias("subtree_value"),
                 (
                     F.lit(1).cast("long")
                     + F.coalesce(F.col("cs"), F.lit(0).cast("long"))

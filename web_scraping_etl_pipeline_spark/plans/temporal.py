@@ -1240,8 +1240,17 @@ def q198_top_session_paths(spark, sf_dir):
             ).alias("seq")
         )
         .select(
-            F.array_join(
-                F.expr("transform(seq, x -> x.event_type)"), ">"
+            # string_agg parity: both engines SKIP NULL types inside a
+            # path, and a session whose every type is NULL has a NULL
+            # path, not '' - array_join ignores null elements but
+            # joins an all-ignored array to the empty string (r13
+            # partial-records census). In contract event_type is a
+            # non-empty word, so NULLIF cannot fire on a real path.
+            F.nullif(
+                F.array_join(
+                    F.expr("transform(seq, x -> x.event_type)"), ">"
+                ),
+                F.lit(""),
             ).alias("path")
         )
     )

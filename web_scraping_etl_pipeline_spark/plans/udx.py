@@ -197,14 +197,25 @@ def q243_arrow_byte_scan(spark, sf_dir):
             low = np.asarray(
                 pa.compute.utf8_lower(text).to_pandas(), dtype=object
             )
+            # NULL text stays NULL: numpy's astype(str) would render
+            # None as the literal "None" and count its two vowels
+            # (r13 partial-records census) - mask first, re-null after.
+            null_mask = np.array([x is None for x in low], dtype=bool)
+            safe = np.where(null_mask, "", low).astype(str)
             n_vowels = np.zeros(len(low), dtype=np.int64)
             for v in "aeiou":
-                n_vowels += np.char.count(low.astype(str), v)
+                n_vowels += np.char.count(safe, v)
             yield pa.RecordBatch.from_arrays(
                 [
                     doc_id,
                     n_bytes.cast(pa.int64()),
-                    pa.array(n_vowels, type=pa.int64()),
+                    pa.array(
+                        [
+                            None if m else int(c)
+                            for m, c in zip(null_mask, n_vowels)
+                        ],
+                        type=pa.int64(),
+                    ),
                 ],
                 names=["doc_id", "n_bytes", "n_vowels"],
             )

@@ -1484,7 +1484,10 @@ def q334_jl_projection_distortion(spark, sf_dir):
       ) WHERE rk <= {KNN_K}
     ),
     votes AS (
-      SELECT src, nb_label, COUNT(*) AS cnt FROM knn GROUP BY src, nb_label
+      -- an UNLABELED neighbor keeps its kNN slot (the neighborhood
+      -- is geometric) but casts no vote (r13 partial-records census)
+      SELECT src, nb_label, COUNT(*) AS cnt FROM knn
+      WHERE nb_label IS NOT NULL GROUP BY src, nb_label
     ),
     smoothed AS (
       SELECT src, nb_label AS voted FROM (
@@ -1537,7 +1540,13 @@ def q340_knn_label_smoothing(spark, sf_dir):
         .join(labels, "dst")
         .select("src", "nb_label")
     )
-    votes = knn.groupBy("src", "nb_label").agg(F.count("*").alias("cnt"))
+    # unlabeled neighbors occupy kNN slots but cast no vote (mirrors
+    # the oracle's votes filter - r13 partial-records census)
+    votes = (
+        knn.filter(F.col("nb_label").isNotNull())
+        .groupBy("src", "nb_label")
+        .agg(F.count("*").alias("cnt"))
+    )
     wv = Window.partitionBy("src").orderBy(
         F.desc("cnt"), F.asc("nb_label")
     )
@@ -2444,6 +2453,11 @@ _SIL_MOMENTS_SQL = f"""
       SELECT vec_id, CAST(label AS BIGINT) AS label,
              {_KC_QI_SQL} AS qi
       FROM embeddings
+      -- cluster-quality indices are defined over LABELED points; an
+      -- unlabeled vector belongs to no cluster (r13 partial-records
+      -- census: the mom join dropped the NULL group on one engine
+      -- while the other kept it as a phantom cluster)
+      WHERE label IS NOT NULL
     ),
     dimsum AS MATERIALIZED (
       SELECT label, r.i AS i, CAST(SUM(qi[r.i]) AS BIGINT) AS sv
@@ -2533,7 +2547,7 @@ def q386_silhouette_sq(spark, sf_dir):
         " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
     )
     pts = transient_persist(
-        emb.select(
+        emb.filter(F.col("label").isNotNull()).select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
             F.expr(qi_spark).alias("qi"),
@@ -2658,7 +2672,7 @@ def q387_calinski_harabasz(spark, sf_dir):
         "transform(embedding,"
         " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
     )
-    pts = emb.select(
+    pts = emb.filter(F.col("label").isNotNull()).select(
         F.col("label").cast("long").alias("label"),
         F.expr(qi_spark).alias("qi"),
     )
@@ -2775,7 +2789,7 @@ def q388_davies_bouldin(spark, sf_dir):
         "transform(embedding,"
         " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
     )
-    pts = emb.select(
+    pts = emb.filter(F.col("label").isNotNull()).select(
         F.col("label").cast("long").alias("label"),
         F.expr(qi_spark).alias("qi"),
     )
