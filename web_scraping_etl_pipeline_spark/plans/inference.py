@@ -207,6 +207,9 @@ _MWU_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
              CASE WHEN source = '{_MWU_A}' THEN 1 ELSE 0 END AS g0,
              CASE WHEN source = '{_MWU_B}' THEN 1 ELSE 0 END AS g1
       FROM documents WHERE source IN ('{_MWU_A}', '{_MWU_B}')
+        -- rank tests use LISTWISE DELETION: a missing observation
+        -- has no rank (r13 partial-records census)
+        AND n_chars IS NOT NULL
     ),
     pv AS (
       SELECT v, SUM(g0) AS c0, SUM(g1) AS c1, COUNT(*) AS ct
@@ -260,7 +263,10 @@ def q318_mann_whitney_u(spark, sf_dir):
     the length key."""
     x = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("source").isin(_MWU_A, _MWU_B))
+        .filter(
+            F.col("source").isin(_MWU_A, _MWU_B)
+            & F.col("n_chars").isNotNull()
+        )
         .select(
             F.col("n_chars").alias("v"),
             F.when(F.col("source") == _MWU_A, 1).otherwise(0).alias("g0"),
@@ -3237,7 +3243,11 @@ def q373_kfold_cv_mae(spark, sf_dir):
     ),
     tc AS (
       SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
-      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+      -- a NULL event type is an unobserved state: transitions with
+      -- EITHER endpoint missing are dropped (r13 census; the USING
+      -- join also silently dropped NULL-cur cells on one engine)
+      FROM seq WHERE nxt IS NOT NULL AND cur IS NOT NULL
+      GROUP BY cur, nxt
     ),
     rowt AS (
       SELECT cur, CAST(SUM(c) AS BIGINT) AS rt FROM tc GROUP BY cur
@@ -3280,7 +3290,7 @@ def q375_markov_entropy_rate(spark, sf_dir):
     seq = ev.select(
         F.col("event_type").alias("cur"),
         F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
+    ).filter(F.col("nxt").isNotNull() & F.col("cur").isNotNull())
     tc = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("c"))
     rowt = tc.groupBy("cur").agg(F.sum("c").cast("long").alias("rt"))
     contrib = tc.join(rowt, "cur").select(
@@ -3696,6 +3706,8 @@ _KW_HC = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
     oracle=f"""
     WITH x AS (
       SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+      -- listwise deletion: missing lengths have no rank (r13 census)
+      WHERE n_chars IS NOT NULL
     ),
     pv AS (
       SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM x GROUP BY v
@@ -3757,7 +3769,9 @@ def q394_kruskal_wallis(spark, sf_dir):
 
     Reference: SURVEY.md section 2.5 aggregation family; the
     inference-layer sibling of q393 (Friedman, blocked ordinal)."""
-    x = t(spark, sf_dir, "documents").select(
+    x = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select(
         F.col("source").alias("g"), F.col("n_chars").cast("long").alias("v")
     )
     pv = x.groupBy("v").agg(F.count("*").cast("long").alias("ct"))
@@ -4110,10 +4124,14 @@ def q398_fleiss_kappa_gates(spark, sf_dir):
     left-join + a 2-integer fold. One fact scan beyond the shared
     LSH stage."""
     labeled = _neardup_labeled(spark, sf_dir)
+    # when(cond, 1).otherwise(0), not cond.cast(int): a rater must
+    # DECIDE - a missing length/score rates "fail" exactly like the
+    # oracle's CASE ... ELSE 0, while a NULL cast would poison xi and
+    # the pairwise-agreement sum (r13 partial-records census)
     rated = labeled.select(
         (
-            (F.col("n_chars") >= _FK_LEN).cast("int")
-            + (F.col("score") >= _FK_SCORE).cast("int")
+            F.when(F.col("n_chars") >= _FK_LEN, 1).otherwise(0)
+            + F.when(F.col("score") >= _FK_SCORE, 1).otherwise(0)
             + F.col("y")
         ).alias("xi")
     )
@@ -4156,7 +4174,13 @@ _PAGE_Z = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
     WITH daily0 AS (
       SELECT {EPOCH_DAY_SQL} AS d,
              event_type AS ty, CAST(COUNT(*) AS BIGINT) AS y
-      FROM events GROUP BY 1, 2
+      FROM events
+      -- the test's treatments are the OBSERVED types: an unattributed
+      -- event (NULL type) belongs to no treatment column, and the
+      -- USING(ty) grid join would zero-fill it anyway while the
+      -- hypothesized-order ROW_NUMBER diverges on NULL placement
+      -- (r13 partial-records census)
+      WHERE event_type IS NOT NULL GROUP BY 1, 2
     ),
     daily AS (
       SELECT days.d, tys.ty, COALESCE(daily0.y, 0) AS y
@@ -4211,7 +4235,9 @@ def q399_page_trend_test(spark, sf_dir):
     Scale: identical to q393 - fact collapses to the calendar x k
     aggregate; the rank stage is k^2 per day on that bounded frame;
     the j-assignment window touches k rows."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()  # observed treatments only
+    )
     daily0 = ev.groupBy(
         F.floor(
             (F.col("ts_us") - F.lit(EVENTS_EPOCH_US)) / F.lit(US_PER_DAY)

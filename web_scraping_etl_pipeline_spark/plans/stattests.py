@@ -310,6 +310,8 @@ _WT_D = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
         CAST(SUM(CASE WHEN source = '{_WT_B}'
                  THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q1
       FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+        -- listwise deletion (r13 partial-records census)
+        AND n_chars IS NOT NULL
     )
     SELECT n0, n1,
            (1000 * s0) // n0 AS mean0_milli,
@@ -338,7 +340,11 @@ def q405_welch_ttest(spark, sf_dir):
     join, no shuffle beyond the 1-row aggregate."""
     m = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .filter(
+            F.col("source").isin(_WT_A, _WT_B)
+            # listwise deletion, mirrors the oracle (r13 census)
+            & F.col("n_chars").isNotNull()
+        )
         .agg(
             F.sum(
                 F.when(F.col("source") == _WT_A, 1).otherwise(0)
@@ -404,6 +410,8 @@ _CD_MAG = (
              CAST(CASE WHEN source = '{_WT_B}' THEN 1 ELSE 0 END
                   AS BIGINT) AS g1
       FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+        -- listwise deletion (r13 partial-records census)
+        AND n_chars IS NOT NULL
     ),
     pv AS (
       SELECT v, CAST(SUM(g0) AS BIGINT) AS c0,
@@ -452,7 +460,11 @@ def q406_cliffs_delta(spark, sf_dir):
     the q318 adjudicated class), 1-row reduce."""
     x = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .filter(
+            F.col("source").isin(_WT_A, _WT_B)
+            # listwise deletion, mirrors the oracle (r13 census)
+            & F.col("n_chars").isNotNull()
+        )
         .select(
             F.col("n_chars").cast("long").alias("v"),
             F.when(F.col("source") == _WT_A, 1).otherwise(0).alias("g0"),
@@ -510,7 +522,7 @@ def q406_cliffs_delta(spark, sf_dir):
     WITH pv AS (
       SELECT CAST(n_chars AS BIGINT) AS v,
              CAST(COUNT(*) AS BIGINT) AS ct
-      FROM documents GROUP BY 1
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     ),
     med AS (
       SELECT v AS m FROM (
@@ -527,7 +539,8 @@ def q406_cliffs_delta(spark, sf_dir):
                   AS BIGINT) AS n_above,
              CAST(SUM(CASE WHEN n_chars <= med.m THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_le
-      FROM documents, med GROUP BY source
+      FROM documents, med
+      WHERE n_chars IS NOT NULL GROUP BY source
     ),
     marg AS (
       SELECT CAST(SUM(n_above) AS BIGINT) AS ca,
@@ -578,7 +591,9 @@ def q407_moods_median(spark, sf_dir):
     Scale: one census groupBy(value), one groupBy(source) over the
     fact scan, then k-row algebra; the census window is
     domain-bounded (q318 adjudicated class)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()  # listwise deletion (r13 census)
+    )
     pv = docs.groupBy(F.col("n_chars").cast("long").alias("v")).agg(
         F.count("*").cast("long").alias("ct")
     )
@@ -1172,6 +1187,9 @@ _CMH_OR = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
              CAST(len({{tok}}) AS BIGINT) AS nt,
              CAST(len(list_distinct({{tok}})) AS BIGINT) AS nd
       FROM documents
+      -- an ungateable (textless) record is outside both gates'
+      -- domains: listwise deletion (r13 partial-records census)
+      WHERE text IS NOT NULL
     ),
     g AS (
       SELECT source,
@@ -1233,7 +1251,9 @@ def q412_cmh_gate_association(spark, sf_dir):
 
     Scale: one token-projection scan, one groupBy(source) — k
     strata rows of algebra after the aggregate."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # listwise deletion (r13 census)
+    )
     f = docs.select(
         "source",
         F.expr("size(split(trim(lower(text)), '\\\\s+'))")
@@ -2869,6 +2889,8 @@ _AB_LEPAGE = f"(({_AB_ZMW}) * ({_AB_ZMW}) + ({_AB_ZAB}) * ({_AB_ZAB}))"
              CAST(CASE WHEN source = '{_WT_B}' THEN 1 ELSE 0 END
                   AS BIGINT) AS g1
       FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+        -- listwise deletion (r13 partial-records census)
+        AND n_chars IS NOT NULL
     ),
     pv AS (
       SELECT v, CAST(SUM(g0) AS BIGINT) AS c0,
@@ -2952,7 +2974,11 @@ def q425_ansari_bradley_lepage(spark, sf_dir):
     window (q318 class), 1-row reduce."""
     x = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .filter(
+            F.col("source").isin(_WT_A, _WT_B)
+            # listwise deletion, mirrors the oracle (r13 census)
+            & F.col("n_chars").isNotNull()
+        )
         .select(
             F.col("n_chars").cast("long").alias("v"),
             F.when(F.col("source") == _WT_A, 1).otherwise(0).alias("g0"),
@@ -4706,6 +4732,8 @@ _BM_PHAT = (  # noqa: E501 - NULLIF-wrapped (r11 totality)
              CAST(CASE WHEN source = '{_WT_A}' THEN 0 ELSE 1 END
                   AS BIGINT) AS g
       FROM documents WHERE source IN ('{_WT_A}', '{_WT_B}')
+        -- listwise deletion (r13 partial-records census)
+        AND n_chars IS NOT NULL
     ),
     pv AS (
       SELECT v,
@@ -4764,7 +4792,11 @@ def q439_brunner_munzel(spark, sf_dir):
     adjudicated class), 1-row reduce."""
     x = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("source").isin(_WT_A, _WT_B))
+        .filter(
+            F.col("source").isin(_WT_A, _WT_B)
+            # listwise deletion, mirrors the oracle (r13 census)
+            & F.col("n_chars").isNotNull()
+        )
         .select(
             F.col("n_chars").cast("long").alias("v"),
             F.when(F.col("source") == _WT_A, 0).otherwise(1).alias("g"),

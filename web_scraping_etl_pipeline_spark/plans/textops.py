@@ -1672,6 +1672,9 @@ def q347_vocab_growth_curve(spark, sf_dir):
       SELECT source, doc_id,
              CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
       FROM documents
+      -- listwise deletion: a textless record has no token count to
+      -- rank in the Lorenz order (r13 partial-records census)
+      WHERE text IS NOT NULL
     ),
     r AS (
       SELECT source, n_tok,
@@ -1712,7 +1715,9 @@ def q352_token_gini_by_source(spark, sf_dir):
     sort, no single-partition WindowExec), one groupBy(source) fold.
     Skewed sources parallelize at the window sort, the known scalable
     shape; output is |sources| rows."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # listwise deletion (r13 census)
+    )
     x = docs.select(
         "source",
         "doc_id",
