@@ -2814,6 +2814,9 @@ _SENS_BUCKET = 100
              (n_chars // {_K_LEN_BUCKET}) * {_K_LEN_BUCKET} AS len_bucket,
              {_SCORE_SQL} // {_SENS_BUCKET} AS sens
       FROM documents
+      -- privacy metrics run over complete quasi-identifier tuples:
+      -- listwise deletion of partial records (r13 census)
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
     ),
     g AS (
       SELECT source, lang, len_bucket,
@@ -2842,7 +2845,9 @@ def q296_l_diversity(spark, sf_dir):
     offending groups only. Integer everything."""
     from .textops import _SCORE_SPARK_SQL
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )  # complete quasi-identifier tuples only (r13 census)
     q = docs.select(
         "source",
         "lang",
@@ -3341,6 +3346,8 @@ _BK_K = 256
       SELECT doc_id, n_chars AS v,
              {_h60_sql("CAST(doc_id AS VARCHAR)")} AS u
       FROM documents
+      -- listwise: quantiles are over observed lengths (r13 census)
+      WHERE n_chars IS NOT NULL
     ),
     samp AS (
       SELECT v FROM s ORDER BY u, doc_id LIMIT {_BK_K}
@@ -3397,7 +3404,9 @@ def q323_bottomk_sample_quantiles(spark, sf_dir):
     runs on the 256-row bounded frame (adjudicated); exact
     quartiles are per-group sorts the 100 TB deployment would swap
     for approx_percentile with the same API shape (q149's note)."""
-    s = t(spark, sf_dir, "documents").select(
+    s = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()  # observed lengths (r13)
+    ).select(
         "doc_id",
         F.col("n_chars").alias("v"),
         _h60(F.col("doc_id").cast("string")).alias("u"),
@@ -3477,6 +3486,9 @@ _T_CLOSE_MILLI = 200
                AS len_bucket,
              {_SCORE_SQL} // {_SENS_BUCKET} AS sens
       FROM documents
+      -- privacy metrics run over complete quasi-identifier tuples:
+      -- listwise deletion of partial records (r13 census)
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
     ),
     gc AS (
       SELECT source, lang, len_bucket, sens,
@@ -3554,7 +3566,9 @@ def q332_t_closeness(spark, sf_dir):
     group, and the final aggregate returns |groups| rows."""
     from .textops import _SCORE_SPARK_SQL
 
-    q = t(spark, sf_dir, "documents").select(
+    q = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
         "source",
         "lang",
         (F.expr(f"n_chars DIV {_K_LEN_BUCKET}") * _K_LEN_BUCKET).alias(

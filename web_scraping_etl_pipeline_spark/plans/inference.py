@@ -2106,6 +2106,9 @@ _CONF_NUM, _CONF_DEN = 9, 10
              CAST(len({_TOKENS_SQL}) AS BIGINT) AS xt,
              CAST(n_chars AS BIGINT) AS y
       FROM documents
+      -- listwise deletion: the regression and its calibration scores
+      -- are defined over complete (x, y) pairs (r13 census)
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
     ),
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -2176,7 +2179,9 @@ def q356_conformal_coverage(spark, sf_dir):
     single-partition window); test coverage is one filtered count with
     the 1-row (coef, qhat) frames broadcast. The q202 exact-quantile
     shape applied to conformal calibration."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
     x = docs.select(
         "doc_id",
         (_h60(F.col("doc_id").cast("string")) % 10).alias("b"),
@@ -2664,6 +2669,9 @@ _PERM_B = 64
              CAST(SUM(CAST(value AS DECIMAL(20,6))) * 1000000 AS BIGINT)
                AS x
       FROM events WHERE event_type = 'purchase'
+        -- the test's observations are recorded purchase values;
+        -- listwise deletion of missing ones (r13 census)
+        AND value IS NOT NULL
       GROUP BY user_id
     ),
     obs AS (
@@ -2712,7 +2720,10 @@ def q364_permutation_test(spark, sf_dir):
     work linearly and is independent of corpus size."""
     ev = t(spark, sf_dir, "events")
     ux = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()  # listwise (r13 census)
+        )
         .groupBy("user_id")
         .agg(
             (F.sum(F.col("value").cast("decimal(20,6)")) * 1_000_000)
@@ -2790,6 +2801,10 @@ def q364_permutation_test(spark, sf_dir):
       SELECT d.doc_id, {_SCORE_SQL} AS score,
              (m.doc_id IS NOT NULL) AS is_dup
       FROM documents d LEFT JOIN members m USING (doc_id)
+      -- a PR threshold IS a score: unscoreable (textless) records
+      -- have no threshold row (r13 census; NULL ordering in the
+      -- cumulative windows diverged between the engines)
+      WHERE d.text IS NOT NULL
     ),
     grp AS (
       SELECT score,
@@ -2832,7 +2847,9 @@ def q366_pr_curve(spark, sf_dir):
     bounded class), with the 1-row positives total crossed back. The
     only corpus-sized shuffles are the label semi-join and the score
     groupBy."""
-    labeled = _neardup_labeled(spark, sf_dir)
+    labeled = _neardup_labeled(spark, sf_dir).filter(
+        F.col("text").isNotNull()  # unscoreable records have no threshold
+    )
     grp = labeled.groupBy("score").agg(
         F.sum("y").cast("long").alias("pos"),
         F.sum(1 - F.col("y")).cast("long").alias("neg"),
@@ -3008,6 +3025,9 @@ _WILSON_Z = "1.959963985"
                        // len({_TOKENS_SQL}) < 500
                   THEN 1 ELSE 0 END AS fails
       FROM documents
+      -- only evaluable (textful) records enter the gate's trials
+      -- (r13 partial-records census)
+      WHERE text IS NOT NULL
     ),
     c AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
@@ -3046,7 +3066,9 @@ def q372_wilson_ci_by_source(spark, sf_dir):
 
     Scale: a map-stage gate + one groupBy(source). |sources| output
     rows."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # evaluable trials only (r13)
+    )
     fails = (
         F.expr(
             "(1000 * size(array_distinct(split(trim(lower(text)),"

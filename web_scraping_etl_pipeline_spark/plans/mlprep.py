@@ -1608,6 +1608,8 @@ _LB_BUCKETS = 8
     WITH lens AS (
       SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
       FROM documents
+      -- listwise: a textless record has no length to bucket (r13)
+      WHERE text IS NOT NULL
     ),
     b AS (
       SELECT doc_id, n_tok,
@@ -1644,7 +1646,9 @@ def q312_length_bucketing(spark, sf_dir):
     round)."""
     from .common import global_ntile
 
-    lens = t(spark, sf_dir, "documents").select(
+    lens = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # listwise (r13 census)
+    ).select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tok")
     )
     b = global_ntile(
@@ -1959,6 +1963,9 @@ _GINI_BW = 32
       SELECT CAST(n_chars AS BIGINT) // {_GINI_BW} AS b,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       FROM documents
+      -- a record with no length has no bucket to split on (r13
+      -- partial-records census)
+      WHERE n_chars IS NOT NULL
     ),
     bk AS (
       SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -2022,7 +2029,9 @@ def q329_gini_stump_split(spark, sf_dir):
     corpus); the cumulative window runs on that bounded aggregate
     (adjudicated global window, the q295 CDF pattern) and the argmin
     crossJoin multiplies a 1-row frame (adjudicated NLJ)."""
-    lab = t(spark, sf_dir, "documents").select(
+    lab = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()  # no length, no bucket (r13)
+    ).select(
         F.expr(
             f"CAST(n_chars AS LONG) DIV {_GINI_BW}"
         ).alias("b"),
@@ -2366,7 +2375,11 @@ def _seg_oracle() -> str:
     WITH vals AS MATERIALIZED (
       SELECT CAST(n_chars AS BIGINT) AS x,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM documents GROUP BY n_chars
+      FROM documents
+      -- listwise: segmentation is over OBSERVED lengths (r13 census;
+      -- a NULL value row would also collide with the DP's i=0
+      -- sentinel row)
+      WHERE n_chars IS NOT NULL GROUP BY n_chars
     ),
     ps AS MATERIALIZED (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS i, x,
@@ -2455,7 +2468,9 @@ def q365_optimal_1d_segmentation(spark, sf_dir):
     that bounded frame (adjudicated BNLJ/global-window classes), and
     backtracking joins three 1-row frames. Fact-sized work: one
     groupBy(n_chars)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()  # observed lengths only (r13)
+    )
     vals = docs.groupBy(F.col("n_chars").cast("long").alias("x")).agg(
         F.count("*").cast("long").alias("cnt")
     )

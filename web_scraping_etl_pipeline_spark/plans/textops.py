@@ -885,6 +885,8 @@ def q291_char_entropy(spark, sf_dir):
     WITH dl AS (
       SELECT source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS v
       FROM documents
+      -- listwise: the CDFs are over observed lengths (r13 census)
+      WHERE text IS NOT NULL
     ),
     vals AS (SELECT DISTINCT v FROM dl),
     srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
@@ -940,7 +942,9 @@ def q295_wasserstein_length_drift(spark, sf_dir):
     the identical single division cross-engine."""
     from pyspark.sql import Window
 
-    dl = t_split(spark, sf_dir, "documents").select(
+    dl = t_split(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # CDFs over observed lengths (r13)
+    ).select(
         "source", F.size(_tokens()).cast("long").alias("v")
     )
     vals = dl.select("v").distinct()

@@ -512,6 +512,8 @@ def q250_sql_pipe_syntax(spark, sf_dir):
                  list_slice({{toks}}, 1, 2),
                  w -> upper(w[1]) || w[2:]), ' ') AS initcap_pre
         FROM documents
+        -- a textless record has no collation variants (r13 census)
+        WHERE text IS NOT NULL
       )
     )
     SELECT source,
@@ -537,7 +539,9 @@ def q251_collation_distinct(spark, sf_dir):
     same aggregate plan, different comparator; no extra pass."""
     from .common import t  # noqa: PLC0415
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # textless: no variants (r13)
+    )
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     pre = F.concat_ws(" ", F.slice(toks, 1, 2))
     v = docs.select(
