@@ -372,6 +372,50 @@ REFRESH_QUEUE: dict[str, int] = {
     "q431_sprt_error_monitor": 12,
     "q432_kendalls_w_weekday": 12,
     "q437_chow_break_test": 12,
+    # r13 partial-records census (seventh layer, PERF item 78): NULL
+    # policies stated on both engines - listwise deletion across the
+    # rank/stats family, NULL-ordering pins, null-safe joins, Python
+    # worker None-handling, the NULL-propagating hash spelling.
+    # Entries for rewritten queries with prior driver rows; q11 is
+    # pinned core (checked every round), q126/q159/q366/q387/q394/
+    # q399/q405 already sit in the r13 window, q339/q340 hold active
+    # entries, and the rest of the 57 are never-checked.
+    "q103_surrogate_keys": 12,
+    "q110_rank_distributions": 12,
+    "q116_lang_source_drift": 12,
+    "q147_quarantine_split": 12,
+    "q181_mixture_weights": 12,
+    "q185_media_resize": 12,
+    "q202_exact_global_median": 12,
+    "q203_global_cume_dist": 12,
+    "q230_token_budget_fill": 12,
+    "q242_quantile_normalization": 12,
+    "q243_arrow_byte_scan": 12,
+    "q244_psi_drift": 12,
+    "q251_collation_distinct": 12,
+    "q312_length_bucketing": 12,
+    "q313_dp_histogram": 12,
+    "q318_mann_whitney_u": 12,
+    "q323_bottomk_sample_quantiles": 12,
+    "q329_gini_stump_split": 12,
+    "q332_t_closeness": 12,
+    "q33_fingerprint": 12,
+    "q342_dataset_digest": 12,
+    "q352_token_gini_by_source": 12,
+    "q356_conformal_coverage": 12,
+    "q364_permutation_test": 12,
+    "q365_optimal_1d_segmentation": 12,
+    "q372_wilson_ci_by_source": 12,
+    "q375_markov_entropy_rate": 12,
+    "q386_silhouette_sq": 12,
+    "q388_davies_bouldin": 12,
+    "q398_fleiss_kappa_gates": 12,
+    "q406_cliffs_delta": 12,
+    "q407_moods_median": 12,
+    "q412_cmh_gate_association": 12,
+    "q425_ansari_bradley_lepage": 12,
+    "q439_brunner_munzel": 12,
+    "q60_media_decode": 12,
 }
 
 

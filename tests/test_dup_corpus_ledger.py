@@ -55,6 +55,17 @@ CONST = os.path.join(REPO, "DEGENERATE_SWEEP_CONST.json")
 #: zero-weight/zero-tie denominators q31/q44/q105/q324/q327);
 #: fully green, no ledger.
 TEXT = os.path.join(REPO, "DEGENERATE_SWEEP_TEXT.json")
+#: the seventh census layer (r13): PARTIAL RECORDS
+#: (tools/null_fixture.py - NULLs cycled through every optional
+#: column; keys, timestamps and embedding vectors stay non-null).
+#: The realistic "scraper emitted an incomplete record" corpus - the
+#: reference's own C6 maps a sentinel salary to NULL, so NULL-bearing
+#: rows are squarely in contract. Found ~53 divergences across five
+#: classes, every one fixed on both engines (Python-worker None
+#: crashes, DuckDB concat/split_part NULL quirks, NULL-ordering pins,
+#: null-safe joins for NULL-keyed groups, listwise-deletion policy
+#: across the rank/stats family); fully green, no ledger.
+NULLS = os.path.join(REPO, "DEGENERATE_SWEEP_NULL.json")
 
 #: the PK-duplication class: oracle formulations that GROUP BY /
 #: join / tie-break on a table's key column, which the byte-identical
@@ -91,7 +102,7 @@ EXPECTED_PK_DUP = {
 def test_both_sweeps_cover_registry():
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST, TEXT):
+    for path in (DUP, CONST, TEXT, NULLS):
         assert os.path.exists(path), (
             f"{os.path.basename(path)} missing - python tools/"
             f"dup_fixture.py then oracle_check --json"
@@ -127,6 +138,19 @@ def test_text_corpus_is_fully_green():
     assert bad == {}, f"{len(bad)} text-corpus divergences: {bad}"
 
 
+def test_null_corpus_is_fully_green():
+    """The partial-records corpus has NO ledger: an incomplete scraped
+    record is in-contract input (C6's sentinel->NULL is the
+    reference's own semantics) and every query must survive it with a
+    stated NULL policy, identical on both engines."""
+    bad = {
+        n: str(r.get("err"))[:100]
+        for n, r in _load(NULLS).items()
+        if not _green(r)
+    }
+    assert bad == {}, f"{len(bad)} partial-records divergences: {bad}"
+
+
 def test_dup_corpus_green_or_pk_ledgered():
     bad = {
         n: str(r.get("err"))[:100]
@@ -153,7 +177,7 @@ def test_dup_sweep_rows_are_fresh():
     from tools.invariance_check import body_hash, oracle_hash
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST, TEXT):
+    for path in (DUP, CONST, TEXT, NULLS):
         stale = sorted(
             n
             for n, rec in _load(path).items()

@@ -29,7 +29,10 @@ PROFILE_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE, last_ts_us BIGINT"
+_STATE_SCHEMA = (
+    "n_events BIGINT, total_value DOUBLE, last_ts_us BIGINT, "
+    "n_vals BIGINT"
+)
 
 
 def user_profiles(events: DataFrame) -> DataFrame:
@@ -37,21 +40,26 @@ def user_profiles(events: DataFrame) -> DataFrame:
     emitted once per micro-batch per updated user (update semantics)."""
 
     def update(key, pdfs, state: GroupState):
-        n, total, last = (
-            state.get if state.exists else (0, 0.0, 0)
+        n, total, last, n_vals = (
+            state.get if state.exists else (0, 0.0, 0, 0)
         )
         for pdf in pdfs:
             n += len(pdf)
+            # SQL-SUM null semantics: pandas .sum() skips NaN but
+            # returns 0.0 for an ALL-NaN series where SQL SUM is NULL
+            # (r13 partial-records census) - track the non-null count
+            # so an all-missing profile reports a NULL total.
             total += float(pdf["value"].sum())
+            n_vals += int(pdf["value"].notna().sum())
             last = max(last, int(pdf["ts_us"].max()))
-        state.update((n, total, last))
+        state.update((n, total, last, n_vals))
         import pandas as pd
 
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
+                "total_value": [total if n_vals > 0 else None],
                 "last_ts_us": [last],
             }
         )
@@ -94,27 +102,31 @@ class ProfileProcessor(StatefulProcessor):
                 T.StructField("n_events", T.LongType()),
                 T.StructField("total_value", T.DoubleType()),
                 T.StructField("last_ts_us", T.LongType()),
+                T.StructField("n_vals", T.LongType()),
             ]
         )
         self.state = handle.getValueState("profile", schema)
 
     def handleInputRows(self, key, rows, timerValues):
         if self.state.exists():
-            n, total, last = self.state.get()
+            n, total, last, n_vals = self.state.get()
         else:
-            n, total, last = 0, 0.0, 0
+            n, total, last, n_vals = 0, 0.0, 0, 0
         for pdf in rows:
             n += len(pdf)
+            # SQL-SUM null semantics (same device as user_profiles):
+            # an all-missing profile reports a NULL total, not 0.0
             total += float(pdf["value"].sum())
+            n_vals += int(pdf["value"].notna().sum())
             last = max(last, int(pdf["ts_us"].max()))
-        self.state.update((n, total, last))
+        self.state.update((n, total, last, n_vals))
         import pandas as pd  # noqa: PLC0415
 
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
+                "total_value": [total if n_vals > 0 else None],
                 "last_ts_us": [last],
             }
         )
