@@ -339,39 +339,19 @@ REFRESH_QUEUE: dict[str, int] = {
     # Spark twins FLOOR, divergent on pre-epoch timestamps; ~34
     # oracles moved to the exact fdiv_sql device (values unchanged in
     # contract - non-negative dividends floor and truncate
-    # identically; re-verified at 3 SFs + 6 fixtures). Entries for
-    # the rewritten queries with prior driver rows; q392/q399 already
-    # hold active cutoff-10 entries inside the r13 window, and
-    # q186/q187/q38/q93/q98 are never-checked (scheduled by that
-    # pool).
+    # identically; re-verified at 3 SFs + 6 fixtures). q135's entry
+    # stays (its oracle carried the r13 literal-brace bug fix, a
+    # semantic oracle repair); q174/q29/q335 stay because they sit in
+    # the rehearsed r14 window (VERDICT r13 item 1 pins its exact
+    # composition) and drain this round anyway. The other 24
+    # restamp-only entries moved to ORACLE_RESTAMP_FASTPATH below
+    # (VERDICT r13 item 3). q392/q399 already held active cutoff-10
+    # entries inside the r13 window, and q186/q187/q38/q93/q98 are
+    # never-checked (scheduled by that pool).
     "q135_ohlc_bars": 12,
     "q174_partial_agg_merge": 12,
     "q29_daily_type_counts": 12,
     "q335_seasonal_decomposition": 12,
-    "q336_daily_autocorrelation": 12,
-    "q346_ses_forecast": 12,
-    "q357_holt_trend_forecast": 12,
-    "q368_overdispersion_audit": 12,
-    "q377_theil_sen_trend": 12,
-    "q378_topk_churn": 12,
-    "q380_holt_winters": 12,
-    "q384_haar_energy": 12,
-    "q393_friedman_test": 12,
-    "q402_ljung_box": 12,
-    "q403_mann_kendall": 12,
-    "q404_pettitt_changepoint": 12,
-    "q408_durbin_watson": 12,
-    "q409_ccf_volume_reach": 12,
-    "q411_grubbs_outlier": 12,
-    "q417_seasonal_mann_kendall": 12,
-    "q418_turning_point_test": 12,
-    "q419_bartels_rvn": 12,
-    "q420_wilcoxon_signed_rank": 12,
-    "q426_cooks_distance_days": 12,
-    "q429_page_hinkley": 12,
-    "q431_sprt_error_monitor": 12,
-    "q432_kendalls_w_weekday": 12,
-    "q437_chow_break_test": 12,
     # r13 partial-records census (seventh layer, PERF item 78): NULL
     # policies stated on both engines - listwise deletion across the
     # rank/stats family, NULL-ordering pins, null-safe joins, Python
@@ -416,6 +396,67 @@ REFRESH_QUEUE: dict[str, int] = {
     "q425_ansari_bradley_lepage": 12,
     "q439_brunner_munzel": 12,
     "q60_media_decode": 12,
+}
+
+#: ORACLE-RESTAMP FAST-PATH (VERDICT r13 item 3). Policy: a refresh
+#: seat exists to get an independent driver verification of a CHANGED
+#: SPARK PLAN. When only the ORACLE text of a query is rewritten (its
+#: oracle_hash moves, its Spark body_hash does not), the driver row
+#: the query already holds is still a valid witness of the exact plan
+#: it would re-run, and the new oracle is re-proven every round by
+#: the in-repo tri-SF sweeps whose rows carry body+oracle fingerprint
+#: pins recomputed at HEAD (tools/oracle_check.py -> CORRECTNESS_FULL
+#: / SF0001 / SF01; tests/test_correctness_artifacts.py fails on any
+#: stale pin). Burning a 50-slot gate seat on that class starves the
+#: never-checked pool - r13 enqueued ~27 such day-bucket restamps and
+#: the backlog-zero forecast slipped r15 -> r17.
+#:
+#: Fast-path = NO gate seat: the names below were REMOVED from
+#: REFRESH_QUEUE and rejoin the normal LRU rotation ("behind the
+#: never-checked pool" by construction - rest sorts never-checked
+#: first). Qualification is mechanical, not judgment: each name's
+#: normalized function-body AST (decorators + docstrings stripped,
+#: the body_hash normalization) was compared between HEAD and the
+#: exact round commit of its last driver row (r8 8a6f3a2 / r9
+#: c52481f / r10 f4d5b5a / r11 0667198) - all 24 identical
+#: (tools/restamp_audit.py re-runs the comparison; shared-helper
+#: drift is covered by the HEAD sweeps' transitive body_hash pins).
+#: A rewrite that touches the SPARK side in any way still takes a
+#: REFRESH_QUEUE seat - this fast-path is only for oracle-text-only
+#: restamps, decided per entry at enqueue time.
+#:
+#: The 24 below are the r13 day-bucket fdiv_sql oracle restamps
+#: (commit 71538c7; "values unchanged in contract" - non-negative
+#: dividends floor and truncate identically) minus q135 (semantic
+#: oracle repair - literal-brace bug) and q174/q29/q335 (kept: they
+#: sit inside the rehearsed r14 window, which VERDICT r13 item 1
+#: pins verbatim). Values = the cutoff each entry held, for the
+#: record.
+ORACLE_RESTAMP_FASTPATH: dict[str, int] = {
+    "q336_daily_autocorrelation": 12,
+    "q346_ses_forecast": 12,
+    "q357_holt_trend_forecast": 12,
+    "q368_overdispersion_audit": 12,
+    "q377_theil_sen_trend": 12,
+    "q378_topk_churn": 12,
+    "q380_holt_winters": 12,
+    "q384_haar_energy": 12,
+    "q393_friedman_test": 12,
+    "q402_ljung_box": 12,
+    "q403_mann_kendall": 12,
+    "q404_pettitt_changepoint": 12,
+    "q408_durbin_watson": 12,
+    "q409_ccf_volume_reach": 12,
+    "q411_grubbs_outlier": 12,
+    "q417_seasonal_mann_kendall": 12,
+    "q418_turning_point_test": 12,
+    "q419_bartels_rvn": 12,
+    "q420_wilcoxon_signed_rank": 12,
+    "q426_cooks_distance_days": 12,
+    "q429_page_hinkley": 12,
+    "q431_sprt_error_monitor": 12,
+    "q432_kendalls_w_weekday": 12,
+    "q437_chow_break_test": 12,
 }
 
 

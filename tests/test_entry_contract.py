@@ -316,3 +316,43 @@ def test_cohort_keeps_min_slots_under_retry_pressure(monkeypatch):
     # every retry still appears in the full order (never dropped)
     order = entry_mod._gate_order(names)
     assert all(r in order for r in fake_retries)
+
+
+def test_restamp_fastpath_is_disjoint_and_witnessed():
+    """VERDICT r13 item 3: the oracle-restamp fast-path. Pins:
+
+    - fast-path names hold NO refresh seat (disjoint from
+      REFRESH_QUEUE - the whole point is no gate seat);
+    - every fast-path name has an existing driver row (the prior row
+      is the Spark-side witness the policy relies on; a never-checked
+      name has no witness and may not take the fast-path);
+    - every fast-path name is a registered query with an oracle (the
+      HEAD sweeps re-prove the restamped oracle each round).
+    """
+    fp = entry_mod.ORACLE_RESTAMP_FASTPATH
+    assert fp, "fast-path list unexpectedly empty"
+    assert not set(fp) & set(entry_mod.REFRESH_QUEUE)
+    assert not set(fp) & set(entry_mod.PINNED_CORE)
+    checked = entry_mod._last_checked_round()
+    from web_scraping_etl_pipeline_spark.plans import ORACLE, QUERIES
+
+    for name in fp:
+        assert name in checked, f"{name}: no driver row - not eligible"
+        assert name in QUERIES and name in ORACLE
+
+
+def test_restamp_fastpath_bodies_unchanged_since_witness():
+    """The mechanical qualification itself (tools/restamp_audit.py):
+    each fast-path name's normalized body AST at HEAD equals the one
+    at its last-driver-row round commit. Run as a subprocess so a
+    broken git state fails loudly rather than skipping."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "tools/restamp_audit.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=False,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

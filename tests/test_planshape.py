@@ -42,38 +42,21 @@ ALLOWED_DRIFT: dict[str, str] = {
         "NULLIF guard -> CSE Projects -> Sort/Exchange/CollectLimit "
         "over the <=31-row daily frame replaces TakeOrderedAndProject"
     ),
-    # r13 KNN_BUCKET_CAP (VERDICT r12 item 2): the kNN-graph build
-    # gains a per-bucket row_number window on the candidate side,
-    # which is one extra hash-partitioning Exchange on `bucket` before
-    # the pair join. That exchange moves |V| rows (the embedding
-    # table, NOT the pair fan-out) and is exactly what bounds the pair
-    # stage at N*cap instead of sum(bucket^2) - the trade the r12
-    # verdict mandated. q340/q376 inherit the same +1 exchange via the
-    # shared q158 stage (q376's doubled xchg count is the stage
-    # appearing in both its edge scan branches).
-    "q158_knn_graph": (
-        "KNN_BUCKET_CAP candidate window adds one |V|-row Exchange "
-        "that bounds the pair join at N*cap"
-    ),
-    "q340_knn_label_smoothing": (
-        "inherits q158's +1 candidate-cap Exchange"
-    ),
-    "q376_label_modularity": (
-        "inherits q158's candidate-cap Exchange in both edge branches"
-    ),
-    # r13 extreme census: q164's offers aggregate gained
-    # NULLIF(l_quantity, 0) (ANSI zero-division parity with the
-    # oracle). The wrapped expression changes Catalyst's size/
-    # nullability estimate for the aggregated offers frame, so the
-    # offers<->part join flips from auto-broadcast to sort-merge at
-    # this SF (bhj 4->3, smj 0->1, + its two exchanges). Values
-    # re-verified exact at all three SFs; SMJ on the two LARGE sides
-    # (lineitem-derived offers, filtered part) is the correct 100 TB
-    # plan anyway - forcing the old broadcast would trip the
-    # unbounded_broadcast audit flag.
-    "q164_min_cost_supplier": (
-        "NULLIF changes offers' size estimate: offers<->part flips "
-        "broadcast -> sort-merge (correct at scale); values re-verified"
+    # r14 LOF candidate cap (VERDICT r13 item 2): q382's pair stage
+    # gains the KNN_BUCKET_CAP per-bucket row_number window on the
+    # candidate side - the same +|V|-row-Exchange trade the r13 q158
+    # entry adjudicated (and the r12 verdict mandated for this exact
+    # hazard class). xchg 15 -> 20: one hash-partitioning Exchange on
+    # `bucket` for the window itself plus AQE re-splits around the
+    # now-capped pair join; every new exchange moves |V| rows (the
+    # 2000-row embedding projection at this SF, never the pair
+    # fan-out), and the cap is what bounds the pair stage at N*cap
+    # instead of sum(bucket^2). Values re-verified exact at all three
+    # SFs + all seven degenerate fixtures this round; drift vs the
+    # uncapped formulation quantified in tests/test_lof_bucket_cap.py.
+    "q382_lof_outliers": (
+        "KNN_BUCKET_CAP candidate window adds |V|-row Exchanges that "
+        "bound the LOF pair join at N*cap (xchg 15 -> 20)"
     ),
 }
 

