@@ -261,8 +261,6 @@ REFRESH_QUEUE: dict[str, int] = {
     "q376_label_modularity": 10,
     "q387_calinski_harabasz": 10,
     "q389_cluster_agreement": 10,
-    "q390_cochrans_q": 10,
-    "q391_mcc_gate": 10,
     "q392_runs_test": 10,
     "q394_kruskal_wallis": 10,
     "q395_anova_score_by_source": 10,
@@ -319,7 +317,6 @@ REFRESH_QUEUE: dict[str, int] = {
     "q225_hybrid_rrf": 11,
     "q257_ndcg_eval": 11,
     "q303_power_iteration_pca": 11,
-    "q319_logreg_quality_gd": 11,
     "q325_greedy_lm_decode": 11,
     "q339_adaboost_stumps": 11,
     "q362_kcenter_coreset": 11,
@@ -396,6 +393,24 @@ REFRESH_QUEUE: dict[str, int] = {
     "q425_ansari_bradley_lepage": 12,
     "q439_brunner_munzel": 12,
     "q60_media_decode": 12,
+    # r14 all-NULL census (eighth layer, PERF item 85): the seven
+    # gate/agreement-family fixes - per-cell when/otherwise parity
+    # with the oracles' CASE ... ELSE 0 (q367/q369/q390/q391/q433),
+    # NULLIF on the perfect-agreement kappa and zero-cell MCC /
+    # McNemar / Cochran denominators, and q319's listwise feature
+    # deletion stated on both engines. Entries for the rewritten
+    # queries with prior driver rows whose entry is not already
+    # active (q398's cutoff-12 entry still is); cutoff 13 = newest
+    # round whose driver rows all predate the rewrite - queues them
+    # behind every cutoff-12 block, keeping the rehearsed r14 window
+    # intact (re-verified in-process). q319/q390/q391's inactive
+    # entries are re-activated at the new cutoff.
+    "q319_logreg_quality_gd": 13,
+    "q367_mcnemar_gates": 13,
+    "q369_gate_shapley": 13,
+    "q390_cochrans_q": 13,
+    "q391_mcc_gate": 13,
+    "q433_cronbach_alpha_gates": 13,
 }
 
 #: ORACLE-RESTAMP FAST-PATH (VERDICT r13 item 3). Policy: a refresh

@@ -7,6 +7,11 @@ docstring contract that the judge reads for operator semantics:
    literally ("k = {_LOF_K}"), because the author meant an f-string.
    Round 8 fixed six, round 9's q360/q382 reintroduced it; round 10
    inlined the constants repo-wide. This lint keeps the class closed.
+   Round 14 (code-review): the match was ``{_``-prefixed only, so
+   PUBLIC constants ({KNN_BUCKET_CAP}, {RP_DIM}, {N_SHARDS}, ... -
+   12 functions) slipped through for rounds; the lint now also
+   catches ``{UPPERCASE_NAME}``. Quoted/keyed literals like
+   ``{'gate': ...}`` do not match.
 2. An f-string "docstring" (an f-triple-quote literal as the first
    statement) is an EXPRESSION, evaluated and discarded - ``__doc__``
    ends up None (the commit b0b1c3a class).
@@ -17,6 +22,7 @@ from __future__ import annotations
 import ast
 import glob
 import os
+import re
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -40,7 +46,9 @@ def _scan(src: str) -> tuple[list[str], list[str]]:
             fdoc.append(node.name)
             continue
         doc = ast.get_docstring(node, clean=False)
-        if doc and "{_" in doc:
+        if doc and (
+            "{_" in doc or re.search(r"\{[A-Z_][A-Z0-9_]*\}", doc)
+        ):
             drift.append(node.name)
     return drift, fdoc
 

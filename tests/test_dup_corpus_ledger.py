@@ -66,6 +66,20 @@ TEXT = os.path.join(REPO, "DEGENERATE_SWEEP_TEXT.json")
 #: null-safe joins for NULL-keyed groups, listwise-deletion policy
 #: across the rank/stats family); fully green, no ledger.
 NULLS = os.path.join(REPO, "DEGENERATE_SWEEP_NULL.json")
+#: the EIGHTH census layer (r14): ALL-NULL OPTIONAL COLUMNS
+#: (tools/null_fixture.py with every=1) - the totality endpoint of
+#: the partial-records ramp. Every key/timestamp survives but every
+#: optional value is NULL, so every GROUP EXISTS while every measure
+#: aggregated over it is an all-NULL column: SUM/MIN/MAX go NULL per
+#: group (not zero, not absent), COUNT(col)=0 under COUNT(*)=n, and
+#: listwise deletion empties every frame that stays non-empty. Found
+#: 7 real divergences, all in the gate/agreement family, all fixed
+#: on both engines (per-cell when/otherwise parity with CASE...ELSE 0
+#: in q367/q369/q390/q391/q433, NULLIF on the perfect-agreement
+#: Fleiss kappa + zero-cell MCC/McNemar/Cochran denominators, and
+#: q319's listwise feature deletion stated in both the Spark filter
+#: and the oracle WHERE); fully green, no ledger.
+ALLNULL = os.path.join(REPO, "DEGENERATE_SWEEP_ALLNULL.json")
 
 #: the PK-duplication class: oracle formulations that GROUP BY /
 #: join / tie-break on a table's key column, which the byte-identical
@@ -102,7 +116,7 @@ EXPECTED_PK_DUP = {
 def test_both_sweeps_cover_registry():
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST, TEXT, NULLS):
+    for path in (DUP, CONST, TEXT, NULLS, ALLNULL):
         assert os.path.exists(path), (
             f"{os.path.basename(path)} missing - python tools/"
             f"dup_fixture.py then oracle_check --json"
@@ -151,6 +165,20 @@ def test_null_corpus_is_fully_green():
     assert bad == {}, f"{len(bad)} partial-records divergences: {bad}"
 
 
+def test_allnull_corpus_is_fully_green():
+    """The all-NULL-optional corpus has NO ledger: keys without
+    values is the totality endpoint of the partial-records ramp, and
+    every query must survive it with the same stated NULL policies
+    (per-cell decisive gates, NULLIF'd degenerate denominators,
+    listwise-deleted trainers) identical on both engines."""
+    bad = {
+        n: str(r.get("err"))[:100]
+        for n, r in _load(ALLNULL).items()
+        if not _green(r)
+    }
+    assert bad == {}, f"{len(bad)} all-NULL-corpus divergences: {bad}"
+
+
 def test_dup_corpus_green_or_pk_ledgered():
     bad = {
         n: str(r.get("err"))[:100]
@@ -177,7 +205,7 @@ def test_dup_sweep_rows_are_fresh():
     from tools.invariance_check import body_hash, oracle_hash
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST, TEXT, NULLS):
+    for path in (DUP, CONST, TEXT, NULLS, ALLNULL):
         stale = sorted(
             n
             for n, rec in _load(path).items()

@@ -179,6 +179,20 @@ def test_cap_binds_at_sf01_and_drift_quantified(spark):
     uncapped = {
         r["vec_id"]: r["lof"] for r in _lof(spark, SF01, None).collect()
     }
+    # anchor the local copy to the REGISTERED plan at the SF where
+    # the cap binds: if q382's body drifts from _lof, the drift
+    # ceilings below would silently quantify a formulation the query
+    # no longer runs (code-review r14 - the q158 desync-hazard class)
+    registered = [
+        tuple(r)
+        for r in QUERIES["q382_lof_outliers"](spark, SF01).collect()
+    ]
+    local = [
+        tuple(r)
+        for r in _lof(spark, SF01, KNN_BUCKET_CAP, limit=_LOF_TOPK)
+        .collect()
+    ]
+    assert registered == local
     # no node loses its score: sources are uncapped, and any node
     # with >= _LOF_K capped candidates still ranks. The capped run
     # may score a node the uncapped one also scores - never fewer.

@@ -24,12 +24,29 @@ Scope - what may be NULL and what may not:
   family's contract is row-per-embedding).
 
 Null placement is deterministic: column c of row r is NULL when
-(r + OFFSET[c]) % 3 == 0, so ~1/3 of each optional column is NULL,
-NULL rows differ per column (a row keeps SOME fields - partial, not
-empty), and every table retains non-null rows for every column.
+(r + OFFSET[c]) % every == 0. At the default every=3, ~1/3 of each
+optional column is NULL, NULL rows differ per column (a row keeps
+SOME fields - partial, not empty), and every table retains non-null
+rows for every column.
+
+every=1 is the EIGHTH census layer (round 14, the totality endpoint
+of the partial-records ramp): EVERY optional value NULL while every
+key/timestamp survives. This is the corpus the other layers cannot
+reach - the 0-row census has no groups at all and the 1/3-NULL
+census leaves every aggregate some values, but here every GROUP
+EXISTS (keys are real) while every measure aggregated over it is an
+all-NULL column: SUM/AVG/MIN/MAX return NULL per group (not zero,
+not absent), COUNT(col) is 0 with COUNT(*) = n, listwise deletion
+drops every record while the frames stay non-empty, and those NULL
+aggregates then flow into downstream joins / windows / sorts /
+divisions. Known cross-engine traps live exactly here (string_agg
+all-NULL -> NULL vs array_join -> ''; pandas .sum() over all-NaN ->
+0.0 vs SQL SUM -> NULL).
 
     python tools/null_fixture.py /tmp/sf_null [template] [n]
+    python tools/null_fixture.py /tmp/sf_allnull [template] [n] 1
     python tools/oracle_check.py --json DEGENERATE_SWEEP_NULL.json /tmp/sf_null
+    python tools/oracle_check.py --json DEGENERATE_SWEEP_ALLNULL.json /tmp/sf_allnull
 """
 
 from __future__ import annotations
@@ -75,6 +92,7 @@ def build(
     out_dir: str,
     template: str = "/root/testdata/sf0.001",
     n: int = 32,
+    every: int = 3,
 ) -> list[str]:
     import duckdb
 
@@ -102,14 +120,14 @@ def build(
                 # through the nulling (text's offset is its index in
                 # OPTIONAL, i.e. 0)
                 exprs.append(
-                    "CASE WHEN (_rn + 0) % 3 = 0 THEN NULL"
+                    f"CASE WHEN (_rn + 0) % {int(every)} = 0 THEN NULL"
                     " ELSE n_chars END AS n_chars"
                 )
             elif c in opt:
                 off = opt.index(c)
                 exprs.append(
-                    f"CASE WHEN (_rn + {off}) % 3 = 0 THEN NULL"
-                    f" ELSE {c} END AS {c}"
+                    f"CASE WHEN (_rn + {off}) % {int(every)} = 0 THEN"
+                    f" NULL ELSE {c} END AS {c}"
                 )
             else:
                 exprs.append(c)
@@ -127,4 +145,5 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_null"
     tpl = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    print(f"wrote {len(build(out, tpl, n))} tables to {out}")
+    every = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    print(f"wrote {len(build(out, tpl, n, every))} tables to {out}")

@@ -8,8 +8,10 @@ re-proves that qualification from git history, no judgment involved:
 for every fast-path name it extracts the query function's normalized
 body AST (decorators and all docstrings stripped - the body_hash
 normalization of tools/invariance_check.py, minus the transitive
-helper fold) at HEAD and at the round commit of the name's last
-driver row, and fails loudly on any difference.
+helper fold) from the WORKING TREE and from the round commit of the
+name's last driver row, and fails loudly on any difference (working
+tree, not HEAD: an uncommitted body edit must fail at the edit, not
+one commit later - code-review r14).
 
 Shared-helper drift is NOT covered here (a function-local AST cannot
 see it); it is covered by the HEAD tri-SF sweeps, whose rows pin the
@@ -47,11 +49,21 @@ ROUND_COMMITS = {
     13: "ba28d54",
 }
 
-PLAN_MODULES = (
-    "stattests", "analytics", "inference", "temporal", "relational",
-    "datapipe", "textops", "vectors", "mlprep", "dedup", "core",
-    "common", "graphs",
-)
+def _plan_module_paths() -> list[str]:
+    """Every plans module path, enumerated from the WORKING TREE (so
+    a module added later is scanned automatically and a typo'd name
+    cannot silently blind the audit - code-review r14)."""
+    import glob  # noqa: PLC0415
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return sorted(
+        os.path.relpath(p, root)
+        for p in glob.glob(
+            os.path.join(
+                root, "web_scraping_etl_pipeline_spark", "plans", "*.py"
+            )
+        )
+    )
 
 
 def _strip_docstrings(node: ast.AST) -> None:
@@ -67,21 +79,30 @@ def _strip_docstrings(node: ast.AST) -> None:
             n.body = n.body[1:]
 
 
-def _bodies(rev: str, names: set[str]) -> dict[str, str]:
-    """name -> normalized ast.dump of the query function at ``rev``,
-    scanning every plans module that exists at that revision."""
+def _bodies(rev: str | None, names: set[str]) -> dict[str, str]:
+    """name -> normalized ast.dump of the query function at ``rev``
+    (a git revision), or in the WORKING TREE when rev is None - the
+    audit must judge the code as it IS, not as last committed, so an
+    uncommitted Spark-body edit fails at the edit, not one commit
+    later (code-review r14)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out: dict[str, str] = {}
-    for mod in PLAN_MODULES:
-        path = f"web_scraping_etl_pipeline_spark/plans/{mod}.py"
-        proc = subprocess.run(
-            ["git", "show", f"{rev}:{path}"],
-            capture_output=True,
-            text=True,
-            check=False,
-        )
-        if proc.returncode != 0:
-            continue  # module absent at that revision
-        for node in ast.parse(proc.stdout).body:
+    for path in _plan_module_paths():
+        if rev is None:
+            with open(os.path.join(root, path)) as fh:
+                src = fh.read()
+        else:
+            proc = subprocess.run(
+                ["git", "show", f"{rev}:{path}"],
+                capture_output=True,
+                text=True,
+                check=False,
+                cwd=root,
+            )
+            if proc.returncode != 0:
+                continue  # module absent at that revision
+            src = proc.stdout
+        for node in ast.parse(src).body:
             if isinstance(node, ast.FunctionDef) and node.name in names:
                 node.decorator_list = []
                 _strip_docstrings(node)
@@ -92,8 +113,12 @@ def _bodies(rev: str, names: set[str]) -> dict[str, str]:
 def main() -> int:
     names = set(ORACLE_RESTAMP_FASTPATH)
     checked = _last_checked_round()
-    head = _bodies("HEAD", names)
+    head = _bodies(None, names)  # working tree, not last commit
     failures: list[str] = []
+    # group by witness revision: one git-show pass per round commit
+    # instead of one per name (code-review r14 - the audit runs
+    # inside pytest on every suite run)
+    by_rev: dict[str, set[str]] = {}
     for name in sorted(names):
         rnd = checked.get(name)
         if rnd is None:
@@ -109,17 +134,24 @@ def main() -> int:
                 "ROUND_COMMITS - add the round commit"
             )
             continue
-        old = _bodies(rev, {name})
-        if name not in head:
-            failures.append(f"{name}: not found at HEAD")
-        elif name not in old:
-            failures.append(f"{name}: not found at {rev} (round {rnd})")
-        elif head[name] != old[name]:
-            failures.append(
-                f"{name}: body AST CHANGED since its round-{rnd} driver "
-                f"row ({rev}) - this is a semantic rewrite; it must hold "
-                "a REFRESH_QUEUE seat, not the fast-path"
-            )
+        by_rev.setdefault(rev, set()).add(name)
+    for rev, rev_names in sorted(by_rev.items()):
+        old = _bodies(rev, rev_names)
+        for name in sorted(rev_names):
+            rnd = checked[name]
+            if name not in head:
+                failures.append(f"{name}: not found in the working tree")
+            elif name not in old:
+                failures.append(
+                    f"{name}: not found at {rev} (round {rnd})"
+                )
+            elif head[name] != old[name]:
+                failures.append(
+                    f"{name}: body AST CHANGED since its round-{rnd} "
+                    f"driver row ({rev}) - this is a semantic rewrite; "
+                    "it must hold a REFRESH_QUEUE seat, not the "
+                    "fast-path"
+                )
     if failures:
         print("RESTAMP FAST-PATH AUDIT: FAIL")
         for f in failures:

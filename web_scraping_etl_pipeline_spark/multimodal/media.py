@@ -381,7 +381,7 @@ PHASH_BITS = 48
 def q159_media_phash_dedup(spark, sf_dir):
     """Perceptual-hash dedup over the binary media payloads: an
     Arrow-batched Pandas UDF decodes each payload's body and distills a
-    {PHASH_BITS}-bit content signature (bit j samples the parity of a
+    PHASH_BITS (48)-bit content signature (bit j samples the parity of a
     deterministic body byte); identical signatures collapse in one
     groupBy - the image-dedup shape (pHash/aHash) where byte-identical
     files (q40's digest dedup) is too strict but full similarity search
@@ -391,7 +391,7 @@ def q159_media_phash_dedup(spark, sf_dir):
     docstring); a deployment swaps the sampling loop for a real DCT
     pHash over decoded pixels - schema, batch shape, and the relational
     stage are unchanged. Scale: decode+hash is map-only over binary
-    columns ({PHASH_BITS} byte probes per payload, no pixel buffer kept),
+    columns (PHASH_BITS (48) byte probes per payload, no pixel buffer kept),
     and the shuffle carries 8-byte signatures."""
     media = media_table(spark, sf_dir)
 

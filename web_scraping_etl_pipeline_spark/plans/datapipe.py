@@ -45,7 +45,7 @@ SOURCE_CAP = 20
     """,
 )
 def q204_source_caps(spark, sf_dir):
-    """Per-source cap: keep the top {SOURCE_CAP} documents per source
+    """Per-source cap: keep the top SOURCE_CAP (20) documents per source
     (longest first, doc_id tie-break) - the per-domain cap web-scale
     corpora apply so no single host dominates (C4/RefinedWeb both cap
     per-domain contributions).
@@ -102,8 +102,8 @@ SPAN_STRIDE = 4
     """,
 )
 def q205_substring_dup_spans(spark, sf_dir):
-    """Exact duplicated-substring spans: every {SPAN_W}-token window
-    (stride {SPAN_STRIDE}) is hashed; windows whose hash occurs in >= 2
+    """Exact duplicated-substring spans: every SPAN_W (8)-token window
+    (stride SPAN_STRIDE (4)) is hashed; windows whose hash occurs in >= 2
     distinct documents are flagged with how many documents share them.
     This is the deduplicate-training-data signal of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better") -
@@ -111,7 +111,7 @@ def q205_substring_dup_spans(spark, sf_dir):
     the suffix array replaced by the shuffle-friendly fixed-window
     rolling scan.
 
-    Scale: the window explode is a map stage (~n_tokens/{SPAN_STRIDE}
+    Scale: the window explode is a map stage (~n_tokens/SPAN_STRIDE (4)
     rows per doc); only 60-bit hashes cross the shuffle, never text.
     The text is TOKENIZED ONCE per document (the token array rides the
     explode projection; an earlier draft re-split the text per window -
@@ -185,10 +185,10 @@ MIX_BUDGET = 100_000
 )
 def q207_temperature_mixture(spark, sf_dir):
     """Temperature-scaled mixture weights per language: raw token share
-    p_g is flattened to p_g^(1/T) and renormalized (T={MIX_T} = the
+    p_g is flattened to p_g^(1/T) and renormalized (T=MIX_T (2.0) = the
     square-root sampling mT5/XLM-R use to keep low-resource languages
     from vanishing), then converted to an expected document count at a
-    {MIX_BUDGET}-doc epoch budget.
+    MIX_BUDGET (100000)-doc epoch budget.
 
     Scale: one map-side-combinable aggregate to ~|languages| rows; the
     two normalization constants ride 1-row broadcast frames (bounded
@@ -468,7 +468,7 @@ N_SHARDS = 8
 )
 def q211_balanced_token_shards(spark, sf_dir):
     """Balanced training-shard assignment: rank documents by token
-    count (desc, doc_id tie-break) and deal them to {N_SHARDS} shards
+    count (desc, doc_id tie-break) and deal them to N_SHARDS (8) shards
     in SNAKE order (0..7, 7..0, ...) - the classic serpentine greedy
     that bounds per-shard token imbalance by one document, so every
     data-parallel reader gets near-identical work.
@@ -476,7 +476,7 @@ def q211_balanced_token_shards(spark, sf_dir):
     Scale: the global rank comes from :func:`plans.common.global_rn` -
     one range exchange + pure-JVM per-partition ordinals + broadcast
     offsets, NO single-partition window - then the shard id is a map
-    expression and the report a {N_SHARDS}-key aggregate. This is the
+    expression and the report a N_SHARDS (8)-key aggregate. This is the
     distributed total-order machinery applied to the shard-writer use
     case; the same frame with a .write.partitionBy("shard") IS the
     shard writer."""

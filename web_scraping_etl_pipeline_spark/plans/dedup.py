@@ -887,7 +887,7 @@ _LEV_T = 4
 )
 def q106_fuzzy_name_match(spark, sf_dir):
     """Blocked fuzzy-match join: near-identical part names (edit
-    distance <= {T}) compared only WITHIN a blocking key (brand) - the
+    distance <= _LEV_T (4)) compared only WITHIN a blocking key (brand) - the
     classic entity-resolution shape, where blocking turns the O(N^2)
     all-pairs edit-distance matrix into per-block quadratics.
 
@@ -2882,7 +2882,7 @@ def q350_blocking_quality(spark, sf_dir):
     once at 6dp - no float accumulates anywhere.
 
     Scale: the truth self-join runs per digest GROUP, capped at
-    {LSH_BUCKET_CAP} members (the q43 hot-bucket discipline: a larger
+    LSH_BUCKET_CAP (64) members (the q43 hot-bucket discipline: a larger
     group is a boilerplate class, not pairwise truth, and would buy
     O(k^2) join rows); the candidate list is the shared LSH stage;
     everything else is 1-row aggregate frames combined by broadcast

@@ -331,11 +331,18 @@ _SIG = "(0.5 + z / (2.0 * (1.0 + ABS(z))))"
 
 #: per-row features: x1 = chars in hecto-chars, x2 = distinct-token
 #: ratio (the milli-unit quality score); label = "is English".
+#: LISTWISE FEATURE DELETION (r14 all-NULL census): a record with a
+#: missing feature (NULL text => NULL n_chars and NULL score) cannot
+#: contribute a gradient - a real filter-model trainer drops it, and
+#: silently letting SUM skip its NULL contribution while COUNT(*)
+#: still divides by it would train on a phantom denominator. The
+#: label stays DECISIVE (NULL lang = not-English), the r13 doctrine.
 _LR_FEAT_SQL = f"""
       SELECT CAST(n_chars AS DOUBLE) / 100.0 AS x1,
              CAST({_SCORE_SQL} AS DOUBLE) / 1000.0 AS x2,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
       FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
 """
 
 
@@ -410,6 +417,10 @@ def q319_logreg_quality_gd(spark, sf_dir):
     all (the aggregate is a global reduce of 3 longs)."""
     feat = (
         t(spark, sf_dir, "documents")
+        # listwise feature deletion, stated identically in the
+        # oracle's WHERE (see _LR_FEAT_SQL): a missing-feature record
+        # trains nothing; the decisive label policy is unchanged
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
         .select(
             (F.col("n_chars").cast("double") / 100.0).alias("x1"),
             (F.expr(_SCORE_SPARK_SQL).cast("double") / 1000.0).alias("x2"),
@@ -2929,7 +2940,8 @@ _MCN_STOPS = (
       FROM g
     )
     SELECT a, b, c, d,
-           ROUND(CAST(a + d AS DOUBLE) / (a + b + c + d), 6) AS agree_rate,
+           ROUND(CAST(a + d AS DOUBLE) / NULLIF(a + b + c + d, 0), 6)
+             AS agree_rate,
            ROUND(CASE WHEN b + c = 0 THEN 0.0
                       ELSE CAST((ABS(b - c) - 1) * (ABS(b - c) - 1)
                                 AS DOUBLE) / (b + c) END, 6) AS mcnemar_chi2
@@ -2951,7 +2963,16 @@ def q367_mcnemar_gates(spark, sf_dir):
     division of exact integers rounded at 6dp.
 
     Scale: map-only gate evaluation (one token-array projection per
-    row, no explode), one 4-cell global aggregate. Nothing else."""
+    row, no explode), one 4-cell global aggregate. Nothing else.
+
+    NULL policy (r14 all-NULL census): a NULL-text document is
+    unevaluable by EITHER gate and is LISTWISE-DELETED from the
+    agreement table - it lands in NO cell (when/otherwise per cell,
+    exactly the oracle's CASE ... ELSE 0, which nulls-out of every
+    WHEN), so a+b+c+d counts evaluable docs only; counting
+    unevaluable docs as concordant "fail/fail" would inflate
+    agreement. NULLIF guards the agree_rate on the
+    zero-evaluable-doc corpus (NULL on both engines)."""
     docs = t(spark, sf_dir, "documents")
     g = docs.select(
         (
@@ -2971,16 +2992,16 @@ def q367_mcnemar_gates(spark, sf_dir):
         ).alias("pb"),
     )
     cells = g.agg(
-        F.sum((F.col("pa") & F.col("pb")).cast("int"))
+        F.sum(F.when(F.col("pa") & F.col("pb"), 1).otherwise(0))
         .cast("long")
         .alias("a"),
-        F.sum((F.col("pa") & ~F.col("pb")).cast("int"))
+        F.sum(F.when(F.col("pa") & ~F.col("pb"), 1).otherwise(0))
         .cast("long")
         .alias("b"),
-        F.sum((~F.col("pa") & F.col("pb")).cast("int"))
+        F.sum(F.when(~F.col("pa") & F.col("pb"), 1).otherwise(0))
         .cast("long")
         .alias("c"),
-        F.sum((~F.col("pa") & ~F.col("pb")).cast("int"))
+        F.sum(F.when(~F.col("pa") & ~F.col("pb"), 1).otherwise(0))
         .cast("long")
         .alias("d"),
     )
@@ -2991,7 +3012,10 @@ def q367_mcnemar_gates(spark, sf_dir):
         "d",
         F.round(
             (F.col("a") + F.col("d")).cast("double")
-            / (F.col("a") + F.col("b") + F.col("c") + F.col("d")),
+            / F.nullif(
+                F.col("a") + F.col("b") + F.col("c") + F.col("d"),
+                F.lit(0),
+            ),
             6,
         ).alias("agree_rate"),
         F.round(
@@ -3371,7 +3395,7 @@ def q375_markov_entropy_rate(spark, sf_dir):
     SELECT n, g1 AS pass_len, g2 AS pass_rep, g3 AS pass_stop,
            ROUND(CAST(2 * (3 * (g1*g1 + g2*g2 + g3*g3)
                            - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)
-                 / (3 * sl - sl2), 6) AS cochrans_q
+                 / NULLIF(3 * sl - sl2, 0), 6) AS cochrans_q
     FROM agg
     """,
 )
@@ -3407,10 +3431,17 @@ def q390_cochrans_q(spark, sf_dir):
             "'for','on')))"
         ).cast("long").alias("ns"),
     )
+    # a gate DECIDES: a NULL-text doc fails each gate (when/otherwise
+    # = the oracle's CASE ... ELSE 0), never NULL-poisons the sums
+    # (r14 all-NULL census; the r13 partial-records doctrine)
     g = f.select(
-        F.col("nt").between(20, 80).cast("int").alias("ga"),
-        (5 * F.col("nd") >= 2 * F.col("nt")).cast("int").alias("gb"),
-        (50 * F.col("ns") >= F.col("nt")).cast("int").alias("gc"),
+        F.when(F.col("nt").between(20, 80), 1).otherwise(0).alias("ga"),
+        F.when(5 * F.col("nd") >= 2 * F.col("nt"), 1)
+        .otherwise(0)
+        .alias("gb"),
+        F.when(50 * F.col("ns") >= F.col("nt"), 1)
+        .otherwise(0)
+        .alias("gc"),
     )
     agg = g.agg(
         F.count("*").cast("long").alias("n"),
@@ -3483,8 +3514,8 @@ _MCC_THR = 500
     )
     SELECT tp, fp, fn, tn,
            ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
-                 / SQRT(CAST((tp + fp) AS DOUBLE) * (tp + fn)
-                        * (tn + fp) * (tn + fn)), 6) AS mcc
+                 / NULLIF(SQRT(CAST((tp + fp) AS DOUBLE) * (tp + fn)
+                               * (tn + fp) * (tn + fn)), 0), 6) AS mcc
     FROM cm
     """,
 )
@@ -3507,17 +3538,27 @@ def q391_mcc_gate(spark, sf_dir):
         (F.col("score") <= _MCC_THR).alias("pred_dup"),
         (F.col("y") == 1).alias("is_dup"),
     )
+    # per-cell when/otherwise (= the oracle's CASE ... ELSE 0): a
+    # NULL-score doc (no text) is unevaluable by the gate and lands
+    # in NO cell - listwise deletion from the confusion matrix, not
+    # a NULL that poisons a cell sum (r14 all-NULL census)
     cm = s.agg(
-        F.sum((F.col("pred_dup") & F.col("is_dup")).cast("int"))
+        F.sum(F.when(F.col("pred_dup") & F.col("is_dup"), 1).otherwise(0))
         .cast("long")
         .alias("tp"),
-        F.sum((F.col("pred_dup") & ~F.col("is_dup")).cast("int"))
+        F.sum(
+            F.when(F.col("pred_dup") & ~F.col("is_dup"), 1).otherwise(0)
+        )
         .cast("long")
         .alias("fp"),
-        F.sum((~F.col("pred_dup") & F.col("is_dup")).cast("int"))
+        F.sum(
+            F.when(~F.col("pred_dup") & F.col("is_dup"), 1).otherwise(0)
+        )
         .cast("long")
         .alias("fn"),
-        F.sum((~F.col("pred_dup") & ~F.col("is_dup")).cast("int"))
+        F.sum(
+            F.when(~F.col("pred_dup") & ~F.col("is_dup"), 1).otherwise(0)
+        )
         .cast("long")
         .alias("tn"),
     )
@@ -4092,13 +4133,18 @@ def q396_brown_forsythe(spark, sf_dir):
 _FK_LEN = 300
 _FK_SCORE = 460
 
+#: NULLIF on (1 - Pe): when every rater agrees on every document
+#: (the r14 all-NULL census corpus - all three gates decide "fail"
+#: on every NULL-text doc, so b = 0 and Pe = 1) chance agreement is
+#: total and kappa is 0/0-undefined; both engines state NULL. In
+#: contract the thresholds sit near corpus medians, so Pe < 1.
 _FK_KAPPA = (
     "((CAST(a AS DOUBLE) / (6.0 * CAST(nn AS DOUBLE))"
     " - (CAST(b AS DOUBLE) * b + (3.0 * nn - b) * (3.0 * nn - b))"
     "   / (9.0 * CAST(nn AS DOUBLE) * nn))"
-    " / (1.0"
+    " / NULLIF(1.0"
     " - (CAST(b AS DOUBLE) * b + (3.0 * nn - b) * (3.0 * nn - b))"
-    "   / (9.0 * CAST(nn AS DOUBLE) * nn)))"
+    "   / (9.0 * CAST(nn AS DOUBLE) * nn), 0))"
 )
 
 

@@ -2713,7 +2713,13 @@ def q369_gate_shapley(spark, sf_dir):
     )
 
     def cnt(cond, name):
-        return F.sum(cond.cast("int")).cast("long").alias(name)
+        # when/otherwise, not cond.cast(int): a coalition count must
+        # DECIDE - a NULL-text doc (NULL gate booleans) is kept by no
+        # gate coalition, exactly the oracle's CASE ... ELSE 0; a
+        # NULL cast would poison every v(S) sum (r14 all-NULL census)
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        )
 
     v = g.agg(
         F.count("*").cast("long").alias("v0"),

@@ -4055,10 +4055,17 @@ def q433_cronbach_alpha_gates(spark, sf_dir):
         .cast("long")
         .alias("ns"),
     )
+    # a gate DECIDES: a NULL-text doc fails each gate (when/otherwise
+    # = the oracle's CASE ... ELSE 0), never NULL-poisons the sums
+    # (r14 all-NULL census; the r13 partial-records doctrine)
     g = f.select(
-        F.col("nt").between(20, 80).cast("int").alias("ga"),
-        (5 * F.col("nd") >= 2 * F.col("nt")).cast("int").alias("gb"),
-        (50 * F.col("ns") >= F.col("nt")).cast("int").alias("gc"),
+        F.when(F.col("nt").between(20, 80), 1).otherwise(0).alias("ga"),
+        F.when(5 * F.col("nd") >= 2 * F.col("nt"), 1)
+        .otherwise(0)
+        .alias("gb"),
+        F.when(50 * F.col("ns") >= F.col("nt"), 1)
+        .otherwise(0)
+        .alias("gc"),
     )
     agg = g.agg(
         F.count("*").cast("long").alias("n"),

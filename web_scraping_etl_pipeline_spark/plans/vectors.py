@@ -613,14 +613,14 @@ def _rp_coeff(i: int, j: int) -> int:
 )
 def q157_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss-style random projection: 64-dim embeddings
-    x a fixed {RP_DIM}-column integer matrix - the dimensionality-
+    x a fixed RP_DIM (8)-column integer matrix - the dimensionality-
     reduction step before cheap clustering/visualization, and the
     general form of the sign-LSH bucketing (q51) with full projections
     kept instead of sign bits.
 
     The matrix is derived from a deterministic formula, so both engines
     rebuild identical coefficients and the projection is a pure map
-    stage: {RP_DIM} unrolled 64-term expressions in one codegen pass, no
+    stage: RP_DIM (8) unrolled 64-term expressions in one codegen pass, no
     shuffle, no state. At 100 TB this runs at scan speed; a learned
     projection swaps the literal coefficients for a broadcast matrix
     with the same plan."""
@@ -722,7 +722,7 @@ _KNN_EDGES_SQL = f"""
     """,
 )
 def q158_knn_graph(spark, sf_dir):
-    """k-NN graph construction: each vector's top-{KNN_K} most similar
+    """k-NN graph construction: each vector's top-KNN_K (3) most similar
     neighbors among its LSH bucket's candidates - the neighborhood
     graph behind label propagation, kNN classification, and
     graph-based ANN indexes (HNSW's bottom layer is exactly this).
@@ -730,10 +730,10 @@ def q158_knn_graph(spark, sf_dir):
     Never all-pairs, and never quadratic-in-a-bucket: candidates come
     from the sign-LSH bucket equi-join (~1/16 of the corpus per
     bucket), the candidate side of each bucket is CAPPED at
-    {KNN_BUCKET_CAP} members (see KNN_BUCKET_CAP - the q43 hot-bucket
+    KNN_BUCKET_CAP (64) members (see KNN_BUCKET_CAP - the q43 hot-bucket
     discipline; every source still gets edges), the exact dot product
     runs once per candidate pair, and a per-source window keeps
-    {KNN_K}. At 100 TB the bucket count grows with the corpus (more
+    KNN_K (3). At 100 TB the bucket count grows with the corpus (more
     sign bits) to hold bucket sizes - the cap is the skew backstop -
     and recall is tuned by multi-probing neighboring buckets, same
     plan shape.
@@ -1518,7 +1518,7 @@ def q334_jl_projection_distortion(spark, sf_dir):
 )
 def q340_knn_label_smoothing(spark, sf_dir):
     """WEAK-LABEL DENOISING BY NEIGHBORHOOD VOTE: re-label every
-    vector by the majority label of its {KNN_K} nearest same-bucket
+    vector by the majority label of its KNN_K (3) nearest same-bucket
     neighbors (the q158 graph) and report, per original label, how
     many points the vote would FLIP - the standard label-noise audit
     before training on weakly-labeled embeddings (Confident Learning
@@ -1531,10 +1531,10 @@ def q340_knn_label_smoothing(spark, sf_dir):
     milli-rate by integer division.
 
     Scale: inherits q158's never-all-pairs discipline (sign-LSH
-    bucket equi-join with the {KNN_BUCKET_CAP}-member candidate cap,
-    per-src window top-{KNN_K}); the vote is one
-    hash aggregate on the |V|*{KNN_K}-edge frame plus a per-src
-    window over <={KNN_K} rows; the final per-label rollup is
+    bucket equi-join with the KNN_BUCKET_CAP (64)-member candidate cap,
+    per-src window top-KNN_K (3)); the vote is one
+    hash aggregate on the |V|*KNN_K (3)-edge frame plus a per-src
+    window over <=KNN_K (3) rows; the final per-label rollup is
     dimension-bounded. Isolated vectors (no same-bucket neighbor)
     are surfaced, not silently dropped."""
     emb = t(spark, sf_dir, "embeddings")
@@ -2396,7 +2396,7 @@ def q382_lof_outliers(spark, sf_dir):
     LOF's kdist/reachability statistics are then defined over the
     capped candidate set, identically on both engines (cap drift
     quantified in tests/test_lof_bucket_cap.py + PERF.md; a provable
-    NO-OP below {KNN_BUCKET_CAP}-member buckets, i.e. at
+    NO-OP below KNN_BUCKET_CAP (64)-member buckets, i.e. at
     sf0.001/sf0.01). Downstream kNN / kdist / reachability algebra is
     per-node bounded (3 reach terms)."""
     emb = t(spark, sf_dir, "embeddings")

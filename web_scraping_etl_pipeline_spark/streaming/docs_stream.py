@@ -304,7 +304,7 @@ def source_quota_admit(docs: DataFrame) -> DataFrame:
     """,
 )
 def q217_stream_source_quota(spark, sf_dir):
-    """Streaming admission quota: the first {SOURCE_QUOTA} documents
+    """Streaming admission quota: the first SOURCE_QUOTA (25) documents
     per source are admitted, later arrivals dropped - the stateful
     rate-limiter every live crawl runs (q204 is its batch
     retrospective twin). Custom state via ``applyInPandasWithState``:
