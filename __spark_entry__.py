@@ -407,6 +407,13 @@ REFRESH_QUEUE: dict[str, int] = {
     # entries are re-activated at the new cutoff.
     "q319_logreg_quality_gd": 13,
     "q367_mcnemar_gates": 13,
+    # r14 sign-cancellation census (ninth layer, PERF item 86): the
+    # share/growth/allocation family's zero-net-denominator NULLIF
+    # parity (q102/q137/q163; q92 was also fixed but is never-checked
+    # - the never-checked pool schedules it).
+    "q102_exact_allocation": 13,
+    "q137_mom_revenue_growth": 13,
+    "q163_percent_of_parent": 13,
     "q369_gate_shapley": 13,
     "q390_cochrans_q": 13,
     "q391_mcc_gate": 13,

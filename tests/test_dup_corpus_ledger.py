@@ -80,6 +80,21 @@ NULLS = os.path.join(REPO, "DEGENERATE_SWEEP_NULL.json")
 #: q319's listwise feature deletion stated in both the Spark filter
 #: and the oracle WHERE); fully green, no ledger.
 ALLNULL = os.path.join(REPO, "DEGENERATE_SWEEP_ALLNULL.json")
+#: the NINTH census layer (r14): SIGN CANCELLATION
+#: (tools/signcancel_fixture.py - every numeric measure overwritten
+#: with an alternating exact +-2.0, keys/timestamps/categoricals in
+#: contract). Aggregates become EXACTLY ZERO from nonzero inputs -
+#: the refunds-cancel-sales corpus: zero MEAN with nonzero variance
+#: (the mirror of the const census's zero variance with nonzero
+#: mean), zero group sums under nonzero counts, negative odd-group
+#: residues. Found 4 real divergences, all the share/growth/
+#: allocation family dividing by a zero-net sum (Spark ANSI error vs
+#: DuckDB silent NULL-on-div-0): q102's per-order quantity total,
+#: q137's prior-month revenue, q163's region/grand totals, q92's
+#: grand total - all fixed with NULLIF stated on both engines
+#: (allocation/share/growth against a zero-net base is NULL); fully
+#: green, no ledger.
+SIGNCANCEL = os.path.join(REPO, "DEGENERATE_SWEEP_SIGNCANCEL.json")
 
 #: the PK-duplication class: oracle formulations that GROUP BY /
 #: join / tie-break on a table's key column, which the byte-identical
@@ -116,7 +131,7 @@ EXPECTED_PK_DUP = {
 def test_both_sweeps_cover_registry():
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST, TEXT, NULLS, ALLNULL):
+    for path in (DUP, CONST, TEXT, NULLS, ALLNULL, SIGNCANCEL):
         assert os.path.exists(path), (
             f"{os.path.basename(path)} missing - python tools/"
             f"dup_fixture.py then oracle_check --json"
@@ -179,6 +194,20 @@ def test_allnull_corpus_is_fully_green():
     assert bad == {}, f"{len(bad)} all-NULL-corpus divergences: {bad}"
 
 
+def test_signcancel_corpus_is_fully_green():
+    """The sign-cancellation corpus has NO ledger: negative measures
+    over the same keys (refunds, chargebacks, corrections) are
+    in-contract business data, and every query must survive exact
+    zero-net aggregates with a stated policy (NULL shares/growth/
+    allocations against a zero-net base) identical on both engines."""
+    bad = {
+        n: str(r.get("err"))[:100]
+        for n, r in _load(SIGNCANCEL).items()
+        if not _green(r)
+    }
+    assert bad == {}, f"{len(bad)} sign-cancel divergences: {bad}"
+
+
 def test_dup_corpus_green_or_pk_ledgered():
     bad = {
         n: str(r.get("err"))[:100]
@@ -205,7 +234,7 @@ def test_dup_sweep_rows_are_fresh():
     from tools.invariance_check import body_hash, oracle_hash
     from web_scraping_etl_pipeline_spark.plans import QUERIES
 
-    for path in (DUP, CONST, TEXT, NULLS, ALLNULL):
+    for path in (DUP, CONST, TEXT, NULLS, ALLNULL, SIGNCANCEL):
         stale = sorted(
             n
             for n, rec in _load(path).items()

@@ -652,7 +652,10 @@ def q91_above_customer_avg(spark, sf_dir):
     )
     SELECT o_orderpriority,
            ROUND(rev, 0) AS rev,
-           ROUND(rev / SUM(rev) OVER (), 6) AS share
+           -- NULLIF: shares of a grand total that NETS TO ZERO are
+           -- undefined (r14 sign-cancellation census), NULL on both
+           -- engines; in contract total revenue > 0
+           ROUND(rev / NULLIF(SUM(rev) OVER (), 0), 6) AS share
     FROM g
     """,
 )
@@ -674,7 +677,9 @@ def q92_priority_revenue_share(spark, sf_dir):
     return g.select(
         "o_orderpriority",
         F.round("rev", 0).alias("rev"),
-        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+        F.round(
+            F.col("rev") / F.nullif(F.sum("rev").over(w), F.lit(0.0)), 6
+        ).alias("share"),
     )
 
 
@@ -933,12 +938,16 @@ def q101_pareto_frontier(spark, sf_dir):
       FROM lineitem
     ),
     j AS (
+      -- NULLIF: an order whose quantities NET TO ZERO has no
+      -- proportional allocation (r14 sign-cancellation census);
+      -- DuckDB's silent NULL-on-div-0 and Spark's ANSI error are
+      -- replaced by the SAME stated NULL on both engines
       SELECT l_orderkey, l_linenumber,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
-             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * qty) // sum_q
-               AS base_cents,
-             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * qty) % sum_q
-               AS rem
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * qty)
+               // NULLIF(sum_q, 0) AS base_cents,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) * qty)
+               % NULLIF(sum_q, 0) AS rem
       FROM li JOIN orders ON l_orderkey = o_orderkey
     ),
     r AS (
@@ -985,8 +994,15 @@ def q102_exact_allocation(spark, sf_dir):
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .withColumn("sum_q", F.sum("qty").over(wk))
-        .withColumn("base_cents", F.expr("(total_cents * qty) DIV sum_q"))
-        .withColumn("rem", F.expr("(total_cents * qty) % sum_q"))
+        # NULLIF(sum_q, 0): zero-NET-quantity orders (r14
+        # sign-cancellation census) have no proportional share -
+        # allocation is NULL on both engines, stated identically in
+        # the oracle's j CTE; a no-op in contract (sum_q > 0)
+        .withColumn(
+            "base_cents",
+            F.expr("(total_cents * qty) DIV NULLIF(sum_q, 0)"),
+        )
+        .withColumn("rem", F.expr("(total_cents * qty) % NULLIF(sum_q, 0)"))
     )
     r = j.select(
         "l_orderkey",
@@ -1560,7 +1576,10 @@ def q136_key_gap_audit(spark, sf_dir):
     )
     SELECT month,
            ROUND(rev, 0) AS revenue,
-           ROUND(rev / LAG(rev) OVER (ORDER BY month) - 1, 4)
+           -- NULLIF: growth relative to a ZERO-revenue month is
+           -- undefined (r14 sign-cancellation census - refunds can
+           -- net a month to exactly 0), stated NULL on both engines
+           ROUND(rev / NULLIF(LAG(rev) OVER (ORDER BY month), 0) - 1, 4)
              AS mom_growth
     FROM m
     """,
@@ -1584,9 +1603,13 @@ def q137_mom_revenue_growth(spark, sf_dir):
     return m.select(
         "month",
         F.round("rev", 0).alias("revenue"),
-        F.round(F.col("rev") / F.lag("rev").over(w) - 1, 4).alias(
-            "mom_growth"
-        ),
+        # NULLIF parity with the oracle: a zero-revenue prior month
+        # (sign-cancellation census) yields NULL growth, not an ANSI
+        # divide-by-zero; no-op in contract (monthly revenue > 0)
+        F.round(
+            F.col("rev") / F.nullif(F.lag("rev").over(w), F.lit(0.0)) - 1,
+            4,
+        ).alias("mom_growth"),
     )
 
 

@@ -1075,10 +1075,13 @@ def q162_integrity_audit(spark, sf_dir):
     )
     SELECT r_name, n_name,
            CAST(FLOOR(rev) AS BIGINT) AS revenue,
-           ROUND(rev / SUM(rev) OVER (PARTITION BY r_name), 6)
+           -- NULLIF: a region (or the grand total) whose revenue
+           -- NETS TO ZERO has undefined shares (r14 sign-cancellation
+           -- census), NULL on both engines; no-op in contract
+           ROUND(rev / NULLIF(SUM(rev) OVER (PARTITION BY r_name), 0), 6)
              AS share_of_region,
            ROUND(SUM(rev) OVER (PARTITION BY r_name)
-                 / SUM(rev) OVER (), 6) AS region_share_of_total
+                 / NULLIF(SUM(rev) OVER (), 0), 6) AS region_share_of_total
     FROM rev
     """,
 )
@@ -1111,11 +1114,16 @@ def q163_percent_of_parent(spark, sf_dir):
         "r_name",
         "n_name",
         F.floor("rev").alias("revenue"),
-        F.round(F.col("rev") / F.sum("rev").over(wreg), 6).alias(
-            "share_of_region"
-        ),
+        # NULLIF parity with the oracle (sign-cancellation census):
+        # zero-net region / grand totals yield NULL shares
         F.round(
-            F.sum("rev").over(wreg) / F.sum("rev").over(wall), 6
+            F.col("rev") / F.nullif(F.sum("rev").over(wreg), F.lit(0.0)),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev").over(wreg)
+            / F.nullif(F.sum("rev").over(wall), F.lit(0.0)),
+            6,
         ).alias("region_share_of_total"),
     )
 
