@@ -80,6 +80,66 @@ ALLOWED_DRIFT: dict[str, str] = {
         "cold shape identical at PREV commit (xchg 20 == 20), PREV row "
         "carried warm-session nested-cache counts (231)"
     ),
+    # r14 optimization (guide section 2.4): the cluster-size count now
+    # rides the SAME re-center hash aggregate instead of recomputing
+    # the final round's full assignment pass (scan + broadcast NLJ +
+    # argmin aggregate) a second time and joining it back - one whole
+    # corpus-scan subtree per run deleted. The remaining xchg=0 /
+    # bcast=0 reflects that the returned frame is now the k-row
+    # centroid frame's localCheckpoint (already materialized), so the
+    # audited plan is a pure posexplode projection. Values re-verified
+    # exact at all three SFs + all nine degenerate fixtures this round.
+    "q306_kmeans_lloyd": (
+        "n_members folded into the re-center aggregate; duplicate "
+        "final-round assignment subtree + size join deleted "
+        "(xchg 3 -> 0, smj 1 -> 0)"
+    ),
+    # Same device per subspace (4 subspaces): the duplicated argmin
+    # assignment subtrees and the 4 size joins are gone, halving every
+    # audited counter. Values re-verified at 3 SFs + 9 fixtures.
+    "q349_pq_codebooks": (
+        "n_members folded into each subspace's re-center aggregate "
+        "(xchg 32 -> 16, bcast 16 -> 8, smj 4 -> 0)"
+    ),
+    # r14 optimization (guide section 2.4): the constant weighted
+    # degree is pre-merged into the persisted edge table once, so each
+    # TextRank iteration drops its second vocab-keyed join; the one
+    # new build-time join of adj0 x deg (both derived from the same
+    # vocab-bounded aggregate) plans as SMJ inside the persisted
+    # stage, and the audited analyzed plan now prints that nested
+    # build under every iteration's InMemoryRelation (xchg 19 -> 25 is
+    # nested-cache PRINTING, not extra runtime exchanges - the
+    # executed iteration has strictly fewer joins: bhj 9 -> 6).
+    # Values re-verified exact at 3 SFs + all nine fixtures.
+    "q341_textrank_keywords": (
+        "degree folded into persisted edge table; per-iteration second "
+        "join removed (bhj 9 -> 6); nested cached-build printing "
+        "raises xchg 19 -> 25"
+    ),
+    # r14 optimization (guide sections 2.3/2.4): pair/triple itemset
+    # combinations are enumerated MAP-SIDE from each document's sorted
+    # qualifying-term array instead of doc-keyed posting self-joins;
+    # the only exchanges left are the per-doc term-set groupBy and the
+    # support aggregates. Values re-verified at 3 SFs + 9 fixtures
+    # (incl. the PK-dup census, which caught and fixed the per-record
+    # vs per-distinct-doc support divergence during the rewrite).
+    "q358_apriori_triples": (
+        "map-side itemset enumeration (pre-restricted by the "
+        "frequent-pair vocabulary) replaces doc-keyed self-joins "
+        "(xchg 35 -> 25, bcast 21 -> 14, bhj 17 -> 3)"
+    ),
+    # r14 optimization (guide section 2.4): the two endpoint-degree
+    # moments fold into symmetric algebra over ONE pass of the joined
+    # edge list - the old plan unionAll'ed the join subtree with its
+    # x/y-swapped copy, executing both joins twice (and the degree
+    # aggregate, now persisted, once per broadcast build). Exact
+    # bigint identities (n = 2|E|, Sx = sum(du+dv), Sxx = sum(du^2 +
+    # dv^2), Sxy = 2 sum(du*dv)); values re-verified at 3 SFs + all
+    # nine degenerate fixtures this round.
+    "q383_degree_assortativity": (
+        "symmetric-moment fold removes the unionAll'ed duplicate join "
+        "subtree (xchg 14 -> 7, bcast 4 -> 2, bhj 4 -> 2)"
+    ),
 }
 
 

@@ -603,7 +603,10 @@ def q383_degree_assortativity(spark, sf_dir):
         )
         .distinct()
     )
-    deg = (
+    deg = transient_persist(
+        # persisted: both endpoint joins broadcast THIS frame; without
+        # the persist each broadcast build recomputed the union +
+        # groupBy from scratch (optimization r14, guide section 2.4).
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -612,14 +615,21 @@ def q383_degree_assortativity(spark, sf_dir):
     da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     joined = und.join(da, "u").join(db, "v")
-    samples = joined.select(
-        F.col("du").alias("x"), F.col("dv").alias("y")
-    ).unionAll(joined.select(F.col("dv").alias("x"), F.col("du").alias("y")))
-    return samples.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    # both orderings folded into symmetric moment algebra over ONE
+    # pass of the joined edge list (optimization r14, guide section
+    # 2.4): the old unionAll(joined, joined-swapped) executed the
+    # two-join subtree twice. n = 2|E|, Sx = sum(du+dv),
+    # Sxx = sum(du^2+dv^2), Sxy = 2*sum(du*dv) - identical exact
+    # bigints by commutativity of integer addition.
+    return joined.agg(
+        (F.count("*") * 2).cast("long").alias("n"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("sx"),
+        F.sum(
+            F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+        )
+        .cast("long")
+        .alias("sxx"),
+        (F.sum(F.col("du") * F.col("dv")) * 2).cast("long").alias("sxy"),
     ).select(
         F.col("n").alias("n_edge_ends"),
         F.col("sx").alias("degree_sum"),

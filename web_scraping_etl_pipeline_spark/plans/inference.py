@@ -1743,13 +1743,15 @@ def q339_adaboost_stumps(spark, sf_dir):
         ).unionByName(
             d.select(F.lit(2).alias("feat"), F.col("f2").alias("thr"), "y", "w")
         )
-        bk = unpiv.groupBy("feat", "thr").agg(
-            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
-            .cast("long")
-            .alias("wpos"),
-            F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0))
-            .cast("long")
-            .alias("wneg"),
+        bk = transient_persist(
+            unpiv.groupBy("feat", "thr").agg(
+                F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
+                .cast("long")
+                .alias("wpos"),
+                F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0))
+                .cast("long")
+                .alias("wneg"),
+            )
         )
         wcum = (
             Window.partitionBy("feat")
@@ -1762,11 +1764,15 @@ def q339_adaboost_stumps(spark, sf_dir):
             F.sum("wneg").over(wcum).alias("cneg"),
             F.sum("wpos").over(wcum).alias("cpos"),
         )
-        tot = d.agg(
-            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
-            .cast("long")
-            .alias("tpos"),
-            F.sum("w").cast("long").alias("tw"),
+        # round totals derived from the BOUNDED bucket frame, not a
+        # second corpus scan (optimization r14, guide section 2.4):
+        # every d row lands in exactly one feat=1 bucket (f1 is never
+        # NULL on the filtered population), so tpos/tw are the same
+        # bigint sums the old d-scan computed; bk is persisted so the
+        # cum window and this 2-row agg share one build.
+        tot = bk.filter(F.col("feat") == 1).agg(
+            F.sum("wpos").cast("long").alias("tpos"),
+            (F.sum("wpos") + F.sum("wneg")).cast("long").alias("tw"),
         )
         cand = cum.crossJoin(F.broadcast(tot))
         err_pos = F.col("cneg") + (F.col("tpos") - F.col("cpos"))
@@ -1831,16 +1837,12 @@ def q339_adaboost_stumps(spark, sf_dir):
         term = F.lit(alpha_u) * h
         vote = term if vote is None else vote + term
     # the ensemble readout evaluates over the SAME non-null-feature
-    # population the stumps were trained on (mirrors the oracle's d0)
-    d0 = docs.filter(
-        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
-    ).select(
-        F.expr(f"CAST(n_chars AS LONG) DIV {_ADA_BW}").alias("f1"),
-        (F.expr(_SCORE_SPARK_SQL).cast("long") / F.lit(100))
-        .cast("long")
-        .alias("f2"),
-        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
-    )
+    # population the stumps were trained on (mirrors the oracle's d0).
+    # Reweighting never touches f1/f2/y, so the final persisted d IS
+    # that population - reusing it saves a full docs re-scan and a
+    # second tokenization of the quality score (optimization r14,
+    # guide section 2.4).
+    d0 = d.select("f1", "f2", "y")
     err_ens = d0.select(vote.alias("vote"), "y").agg(
         F.sum(
             F.when(
@@ -2497,6 +2499,22 @@ def q361_beam_search_decode(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     tot = bg.groupBy("w1").agg(F.sum("cnt").alias("tot"))
+    # Only the per-w1 TOP-_BEAM_W transitions can ever survive a
+    # level's cut (optimization r14, guide section 2.3): within one
+    # hypothesis the candidate order (score DESC, seq ASC) is exactly
+    # (p_ppm DESC, w2 ASC) - the prefix is constant - so a hypothesis'
+    # 3rd-best continuation always has >= 2 candidates ahead of it in
+    # the GLOBAL order too and can never enter a width-2 beam. The
+    # persisted transition cache is therefore the per-w1 top-2 frame
+    # (2 rows per distinct w1), not the full bigram table: the 7
+    # per-level probe scans each read ~2|vocab| rows instead of the
+    # corpus-proportional bigram census. The ranking window's
+    # partitionBy(w1) exchange replaces the old explicit
+    # repartition("w1") - still hash-distributed, never coalesce(1)
+    # (bigram types are corpus-proportional, VERDICT r7 item 2).
+    w1rank = Window.partitionBy("w1").orderBy(
+        F.col("p_ppm").desc(), "w2"
+    )
     pp = transient_persist(
         bg.join(tot, "w1")
         .select(
@@ -2504,11 +2522,9 @@ def q361_beam_search_decode(spark, sf_dir):
             "w2",
             F.expr("(1000000 * cnt) DIV tot").alias("p_ppm"),
         )
-        # hash-bucketed by w1, not coalesce(1): bigram types are
-        # corpus-proportional (Heaps), so the transition cache must
-        # stay distributed; the per-level probe join is already
-        # filtered to <= _BEAM_W last-tokens (VERDICT r7 item 2).
-        .repartition("w1")
+        .withColumn("_rk", F.row_number().over(w1rank))
+        .filter(F.col("_rk") <= _BEAM_W)
+        .drop("_rk")
     )
     uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
         F.count("*").cast("long").alias("cnt")

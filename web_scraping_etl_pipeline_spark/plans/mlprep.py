@@ -1079,12 +1079,29 @@ def q281_lm_perplexity_buckets(spark, sf_dir):
     nll = -F.log(
         (F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))
     )
-    scored = (
-        db.join(bg, "bigram")
-        .join(ctx, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+    # The smoothed NLL is a property of the bigram TYPE, so it is
+    # assembled on the type-sized tables first (bg JOIN ctx is a
+    # vocabulary-bounded shuffle) and the corpus-sized instance table
+    # joins ONCE on the n-gram key (optimization r14, guide sections
+    # 2.3/2.4). The old plan shuffled every scored instance twice -
+    # once onto bg, then AGAIN on the derived w1 key carrying c2 -
+    # before the per-doc fold; the instance table now moves through
+    # exactly two exchanges (type join, doc fold). Same per-instance
+    # NLL values, same per-doc multiset, same 6dp-rounded average.
+    typ = (
+        bg.select(
+            "bigram",
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            "c2",
+        )
+        .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select("bigram", nll.alias("nll"))
+    )
+    scored = (
+        db.join(typ, "bigram")
         .groupBy("doc_id", "source")
-        .agg(F.round(F.avg(nll), 6).alias("avg_nll"))
+        .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
     )
     bucketed = global_ntile(
         scored, [F.asc("avg_nll"), F.asc("doc_id")], 3, "bucket"

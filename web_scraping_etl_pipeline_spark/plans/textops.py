@@ -1415,20 +1415,28 @@ def q341_textrank_keywords(spark, sf_dir):
     e = bg.select(F.col("w1").alias("a"), F.col("w2").alias("b")).unionByName(
         bg.select(F.col("w2").alias("a"), F.col("w1").alias("b"))
     )
-    adj = transient_persist(
+    adj0 = transient_persist(
         e.groupBy("a", "b").agg(F.count("*").cast("long").alias("w"))
     )
     deg = transient_persist(
-        adj.groupBy(F.col("a").alias("node")).agg(
+        adj0.groupBy(F.col("a").alias("node")).agg(
             F.sum("w").cast("long").alias("wd")
         )
+    )
+    # the weighted degree is FOLDED INTO the persisted edge table once
+    # (optimization r14, guide section 2.4): the old loop re-joined
+    # ``deg`` onto the edge-rank join EVERY iteration - one extra
+    # vocab-keyed shuffle join per round, 4 per run, carrying the same
+    # constant wd each time. Both joins are on ``a``, so pre-merging
+    # shares the one exchange and the iteration becomes edges JOIN
+    # ranks + one hash aggregate. Identical integer arithmetic.
+    adj = transient_persist(
+        adj0.join(deg.withColumnRenamed("node", "a"), "a")
     )
     s = deg.select("node", F.lit(1000000).cast("long").alias("s"))
     for _ in range(_TR_ITERS):
         s = transient_persist(
             adj.join(s, adj.a == s.node)
-            .drop("node")
-            .join(deg.withColumnRenamed("node", "a"), "a")
             .groupBy(F.col("b").alias("node"))
             .agg(
                 (
@@ -1762,6 +1770,87 @@ def q352_token_gini_by_source(spark, sf_dir):
 _AP_VOCAB = 25
 _AP_SUP_NUM, _AP_SUP_DEN = 57, 100
 
+#: per-document itemset combinations generated MAP-SIDE from the
+#: sorted qualifying-term array (optimization r14, guide sections
+#: 2.3/2.4): the old plans self-joined the exploded (doc_id, term)
+#: postings on doc_id - two corpus-keyed shuffle joins for the triple
+#: stage - where a sorted array of <= _AP_VOCAB distinct terms per doc
+#: can enumerate the identical (t1 < t2 < t3) combinations inside the
+#: scan task. transform's lambda index is 0-based and slice() is
+#: 1-based, so elements strictly after position i start at i + 2.
+_AP_PAIRS_SQL = (
+    "flatten(transform(ts, (x, i) ->"
+    " transform(slice(ts, i + 2, size(ts)),"
+    " y -> struct(x AS t1, y AS t2))))"
+)
+_AP_TRIPLES_SQL = (
+    "flatten(transform(ts, (x, i) ->"
+    " flatten(transform(slice(ts, i + 2, size(ts)), (y, j) ->"
+    " transform(slice(ts, i + j + 3, size(ts)),"
+    " z -> struct(x AS t1, y AS t2, z AS t3))))))"
+)
+
+
+def _ap_doc_term_arrays(spark, sf_dir):
+    """(arr, ms): per-document SORTED array of qualifying
+    top-``_AP_VOCAB`` terms (persisted for the pair + triple passes)
+    and the (minsup, n_docs) one-row frame.
+
+    Equivalence to the old posting-list formulation: the per-doc_id
+    groupBy + ``array_distinct(flatten(collect_list(tokens)))`` IS the
+    old ``(doc_id, term)`` DISTINCT (union of token sets across any
+    duplicate doc_id records - proven divergent on the PK-dup census
+    when this step was skipped: a 32x-duplicated doc must still
+    support each itemset once), the top-term census aggregates the
+    same doc-frequency integers, and ``sort_array`` + positional
+    combination enumerates exactly the ``t1 < t2 (< t3)`` sets the
+    doc-keyed self-joins produced - same binary string order on both
+    engines. Exchange count: ONE doc_id-keyed exchange (n_records
+    rows, array payload) replaces the old explode->(doc_id, term)
+    DISTINCT exchange (n_tokens rows) plus the doc-keyed self-join
+    exchanges."""
+    docs = t(spark, sf_dir, "documents")
+    per_doc = transient_persist(
+        # row-level array_distinct BEFORE the exchange: the shuffle
+        # carries each record's distinct terms (= the old plan's
+        # map-side-deduped postings), not every token occurrence.
+        docs.select("doc_id", F.array_distinct(_tokens()).alias("_tk"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("_tk"))).alias(
+                "tset"
+            )
+        )
+    )
+    dfreq = per_doc.select(
+        F.explode("tset").alias("term")
+    ).groupBy("term").agg(F.count("*").alias("df"))
+    top = (
+        dfreq.orderBy(F.col("df").desc(), "term")
+        .limit(_AP_VOCAB)
+        .select("term")
+    )
+    topset = top.agg(F.collect_set("term").alias("_top"))
+    arr = transient_persist(
+        per_doc.crossJoin(F.broadcast(topset)).select(
+            "doc_id",
+            F.sort_array(
+                F.filter(
+                    F.col("tset"),
+                    lambda term: F.array_contains(F.col("_top"), term),
+                )
+            ).alias("ts"),
+        )
+    )
+    ms = docs.agg(
+        F.expr(
+            f"CAST({_AP_SUP_NUM} * COUNT(DISTINCT doc_id) AS BIGINT)"
+            f" DIV {_AP_SUP_DEN}"
+        ).alias("minsup"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return arr, ms
+
 
 @query(
     "q358_apriori_triples",
@@ -1830,50 +1919,49 @@ def q358_apriori_triples(spark, sf_dir):
     document-frequency terms (deterministic tie-break), so per-doc
     fan-out is <= C(25,3) by construction and smaller after
     the frequent-pair semi-joins - the candidates-only discipline
-    (q43) applied to itemsets. All joins are equi-joins on doc_id with
-    the tiny vocab/pair frames broadcast; supports combine map-side.
+    (q43) applied to itemsets. Pair/triple combinations are
+    enumerated MAP-SIDE from each document's sorted qualifying-term
+    array (optimization r14: the old doc-keyed self-joins shuffled
+    the posting list twice for the triple stage; now the only
+    exchanges are the three map-side-combined support aggregates),
+    and the downward-closure prune is three broadcast semi-joins on
+    the frequent-pair frame before the triple count.
     (Oracle note: every CTE is MATERIALIZED - DuckDB's default
     inlining re-expands dt/fp per reference, measured 116 s -> 0.2 s.)
     """
-    docs = t(spark, sf_dir, "documents")
-    dt0 = docs.select(
-        "doc_id", F.explode(_tokens()).alias("term")
-    ).distinct()
-    top = (
-        dt0.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.col("df").desc(), "term")
-        .limit(_AP_VOCAB)
-        .select("term")
-    )
-    dt = transient_persist(
-        dt0.join(F.broadcast(top), "term").select("doc_id", "term")
-    )
-    ms = docs.agg(
-        F.expr(
-            f"CAST({_AP_SUP_NUM} * COUNT(DISTINCT doc_id) AS BIGINT)"
-            f" DIV {_AP_SUP_DEN}"
-        ).alias("minsup"),
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
-    )
-    a = dt.select("doc_id", F.col("term").alias("t1"))
-    b = dt.select("doc_id", F.col("term").alias("t2"))
-    c = dt.select("doc_id", F.col("term").alias("t3"))
+    arr, ms = _ap_doc_term_arrays(spark, sf_dir)
     fp = transient_persist(
-        a.join(b, "doc_id")
-        .filter(F.col("t1") < F.col("t2"))
+        arr.select(F.explode(F.expr(_AP_PAIRS_SQL)).alias("p"))
+        .select("p.t1", "p.t2")
         .groupBy("t1", "t2")
         .agg(F.count("*").cast("long").alias("sup"))
         .crossJoin(F.broadcast(ms.select("minsup")))
         .filter(F.col("sup") >= F.col("minsup"))
         .select("t1", "t2")
     )
+    # Downward closure applied BEFORE enumeration, not just after:
+    # a frequent triple's terms all appear in some frequent pair, so
+    # restricting each doc's array to frequent-pair terms preserves
+    # every candidate instance exactly (the restriction is a GLOBAL
+    # per-term membership test, so no surviving triple loses a count)
+    # while collapsing the per-doc fan-out from C(25,3)=2300 structs
+    # to C(|fp-vocab|,3) - near zero at this 57% minsup. Solo sf0.1:
+    # 4.05 s (old joins) / 7.06 s (unrestricted enumeration) ->
+    # 3.33 s with this prune (OPTIMIZATION_r14.md).
+    fpt = fp.select(F.explode(F.array("t1", "t2")).alias("ft")).agg(
+        F.collect_set("ft").alias("_fpt")
+    )
     tri = (
-        a.join(b, "doc_id")
-        .filter(F.col("t1") < F.col("t2"))
+        arr.crossJoin(F.broadcast(fpt))
+        .select(
+            F.filter(
+                F.col("ts"),
+                lambda term: F.array_contains(F.col("_fpt"), term),
+            ).alias("ts")
+        )
+        .select(F.explode(F.expr(_AP_TRIPLES_SQL)).alias("p"))
+        .select("p.t1", "p.t2", "p.t3")
         .join(F.broadcast(fp), ["t1", "t2"], "left_semi")
-        .join(c, "doc_id")
-        .filter(F.col("t2") < F.col("t3"))
         .join(
             F.broadcast(fp.select(F.col("t1"), F.col("t2").alias("t3"))),
             ["t1", "t3"],
@@ -1994,9 +2082,14 @@ def q381_association_rules(spark, sf_dir):
     87*sup_ant (no float threshold boundary); only the
     two reported ratios round, once, at 6dp.
 
-    Scale: supports reuse the q358 shapes (vocab-capped postings,
-    doc-keyed equi-joins, map-side combines); rule expansion is 3x
+    Scale: vocab-capped postings (top-25 terms), doc-keyed equi-joins
+    with map-side combines; rule expansion is 3x
     the frequent-triple count - output-bounded, never corpus-bounded.
+    (r14 note: the q358 map-side array-enumeration rewrite was TRIED
+    here and measured ~2x slower solo at sf0.1 - 5.5-8.4 s vs 2.7-2.8 s
+    min-of-2 - because this query's support stages are all
+    broadcast-bounded already and the rewrite added materializations;
+    the join formulation is deliberately kept. OPTIMIZATION_r14.md.)
     """
     docs = t(spark, sf_dir, "documents")
     dt0 = docs.select("doc_id", F.explode(_tokens()).alias("term")).distinct()

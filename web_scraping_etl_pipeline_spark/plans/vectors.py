@@ -1018,19 +1018,31 @@ def q303_power_iteration_pca(spark, sf_dir):
     import math  # noqa: PLC0415
 
     emb = t(spark, sf_dir, "embeddings")
+    # Decode + widen ONCE (optimization r14, guide sections 5/6): the
+    # 6 rounds used to re-read parquet and re-cast all 64 float32
+    # elements per term each pass; the iteration now scans one
+    # persisted double-array column. element_at over the pre-widened
+    # array is the same float32->double value bit-for-bit, and the
+    # projection/aggregate expression shapes (hence summation order)
+    # are unchanged.
+    xs = transient_persist(
+        emb.select(
+            F.expr(
+                "transform(embedding, v -> CAST(v AS DOUBLE))"
+            ).alias("x")
+        )
+    )
     v = [_PI_V0] * DIM
     u = v
     for _ in range(_PI_ROUNDS):
         s_sql = " + ".join(
-            f"(CAST(element_at(embedding, {k}) AS DOUBLE) * ({v[k - 1]!r}))"
+            f"(element_at(x, {k}) * ({v[k - 1]!r}))"
             for k in range(1, DIM + 1)
         )
-        proj = emb.select(F.expr(s_sql).alias("s"), "embedding")
+        proj = xs.select(F.expr(s_sql).alias("s"), "x")
         row = proj.agg(
             *[
-                F.sum(
-                    F.expr(f"s * CAST(element_at(embedding, {d}) AS DOUBLE)")
-                ).alias(f"u{d}")
+                F.sum(F.expr(f"s * element_at(x, {d})")).alias(f"u{d}")
                 for d in range(1, DIM + 1)
             ]
         ).collect()[0]
@@ -1190,7 +1202,6 @@ def q306_kmeans_lloyd(spark, sf_dir):
             for k in range(1, DIM + 1)
         )
     )
-    assigned = None
     for _ in range(_KM_T):
         # argmin by (dist, cluster) as a HASH aggregate (min_by over a
         # struct orders lexicographically = the oracle's ROW_NUMBER
@@ -1221,11 +1232,21 @@ def q306_kmeans_lloyd(spark, sf_dir):
                         _KM_DP,
                     ).alias(f"c{d}")
                     for d in range(1, DIM + 1)
-                ]
+                ],
+                # cluster size rides the SAME re-center aggregate
+                # (optimization r14, guide section 2.4): the old plan
+                # recomputed the final round's full assignment pass
+                # (scan + broadcast NLJ + argmin aggregate) a SECOND
+                # time just to count members, then joined it back -
+                # one extra corpus scan per run at any scale. The
+                # count over the identical groupBy is free here and
+                # the values are the same integers.
+                F.count("*").cast("long").alias("n_members"),
             )
             .select(
                 "cluster",
                 F.array(*[f"c{d}" for d in range(1, DIM + 1)]).alias("c"),
+                "n_members",
             )
             # Lineage cut on the k-ROW centroid frame (the q416/q177
             # lesson): lazily-chained rounds made round r's ANALYSIS
@@ -1236,22 +1257,15 @@ def q306_kmeans_lloyd(spark, sf_dir):
             # (and the oracle) are unchanged.
             .localCheckpoint(eager=True)
         )
-    sizes = assigned.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-    return (
-        ctr.join(sizes, "cluster")
-        .select(
-            "cluster",
-            F.posexplode("c").alias("pos", "centroid"),
-            "n_members",
-        )
-        .select(
-            "cluster",
-            (F.col("pos") + 1).cast("long").alias("dim"),
-            "centroid",
-            "n_members",
-        )
+    return ctr.select(
+        "cluster",
+        F.posexplode("c").alias("pos", "centroid"),
+        "n_members",
+    ).select(
+        "cluster",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "centroid",
+        "n_members",
     )
 
 
@@ -1717,13 +1731,21 @@ def q349_pq_codebooks(spark, sf_dir):
                             _KM_DP,
                         ).alias(f"c{d}")
                         for d in range(1, _PQ_SUBD + 1)
-                    ]
+                    ],
+                    # occupancy rides the same re-center aggregate
+                    # (optimization r14, the q306 device): the old
+                    # plan duplicated the whole final-round assignment
+                    # subtree per subspace just to count members, then
+                    # joined it back - 4 duplicated argmin aggregates
+                    # in one plan. Same integers, one subtree.
+                    F.count("*").cast("long").alias("n_members"),
                 )
                 .select(
                     "code",
                     F.array(
                         *[f"c{d}" for d in range(1, _PQ_SUBD + 1)]
                     ).alias("c"),
+                    "n_members",
                 )
                 # NO per-round localCheckpoint here, deliberately: the
                 # q306 lineage cut was measured on THIS loop too and
@@ -1733,12 +1755,8 @@ def q349_pq_codebooks(spark, sf_dir):
                 # parallel. The q306 fix pays only on single-chain
                 # loops.
             )
-        sizes = assigned.groupBy("code").agg(
-            F.count("*").cast("long").alias("n_members")
-        )
         outs.append(
-            ctr.join(sizes, "code")
-            .select(
+            ctr.select(
                 F.lit(m).cast("long").alias("subspace"),
                 "code",
                 F.posexplode("c").alias("pos", "centroid"),
@@ -1963,19 +1981,15 @@ def q360_dbscan_grid(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     labels = core.select(F.col("v").alias("node"), F.col("v").alias("label"))
-    prev = None
-    # labels only decrease, so label-sum stability IS convergence.
-    # Each round: (1) min over graph neighbors, (2) POINTER JUMP
-    # (label := label's label) - the contraction that turns a
-    # diameter-D grid snake from D rounds (measured ~30 at sf0.01)
-    # into O(log D); cap is a safety net, never the stop condition.
-    for _ in range(60):
+
+    def _min_jump(lbl):
+        """One (graph-min, pointer-jump) contraction substep."""
         nbr = (
-            e.join(labels, e.d == labels.node)
+            e.join(lbl, e.d == lbl.node)
             .groupBy("s")
             .agg(F.min("label").alias("nbr_min"))
         )
-        stepped = labels.join(nbr, labels.node == nbr.s, "left").select(
+        stepped = lbl.join(nbr, lbl.node == nbr.s, "left").select(
             "node",
             F.least(
                 F.col("label"),
@@ -1985,15 +1999,32 @@ def q360_dbscan_grid(spark, sf_dir):
         parent = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
+        return stepped.join(
+            parent, stepped.label == parent.pnode, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("plabel"), F.col("label")),
+            ).alias("label"),
+        )
+
+    prev = None
+    # labels only decrease, so label-sum stability IS convergence
+    # (any label change strictly decreases the sum, and the substep
+    # fixpoint - every node at its component min - is unique, so a
+    # stable DOUBLE round is exactly the single-substep fixpoint).
+    # Each materialized round chains TWO (min, jump) substeps
+    # (optimization r14, guide section 1.2: the loop's cost at this
+    # graph size is per-round exchanges + driver actions, so halving
+    # the materialized rounds at constant substep count halves the
+    # action/checkpoint overhead; measured 10 rounds/19 s -> 6
+    # rounds/11.5 s cold at sf0.1; THREE substeps per round was tried
+    # and lost - 12-join plans push optimizer time superlinear).
+    # Cap is a safety net, never the stop condition.
+    for _ in range(30):
         labels = (
-            stepped.join(parent, stepped.label == parent.pnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("plabel"), F.col("label")),
-                ).alias("label"),
-            )
+            _min_jump(_min_jump(labels))
             # eager=False: the convergence agg below is the round's
             # materializing action, so checkpoint + convergence check
             # share ONE job instead of two (r9: halved the loop's
@@ -2155,42 +2186,66 @@ def q362_kcenter_coreset(spark, sf_dir):
     pts = transient_persist(
         emb.select("vec_id", F.expr(qi_spark).alias("qi"))
     )
-    dist = (
-        "aggregate(zip_with(qi, cqi, (p, q) -> (p - q) * (p - q)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
-    c1 = pts.orderBy("vec_id").limit(1)
-    first = c1.first()
+
+    def dist_lit(cq) -> str:
+        # the new center is already ON THE DRIVER (TakeOrdered row),
+        # so its 64 quantized coordinates enter the next round as
+        # bigint LITERALS in an unrolled codegen sum (optimization
+        # r14, guide section 4.1/2.4): the old round shape crossJoined
+        # a broadcast 1-row center frame and folded an interpreted
+        # zip_with/aggregate HOF per row - per-row array allocations
+        # plus one broadcast-build job per step. Bigint addition is
+        # exact and both folds are left-associative term chains, so
+        # every distance is the identical integer.
+        return " + ".join(
+            f"(element_at(qi, {k}) - CAST({int(cq[k - 1])} AS BIGINT))"
+            f" * (element_at(qi, {k}) - CAST({int(cq[k - 1])} AS BIGINT))"
+            for k in range(1, DIM + 1)
+        )
+
+    first = pts.orderBy("vec_id").limit(1).first()
     if first is None:  # degenerate corpus: oracle's c1 CTE is empty too
         return degenerate_frame(
             spark, "step long, center_id long, radius_sq long"
         )
+    if first["qi"] is None:
+        # NULL embedding seed: the zip_with fold propagated NULL to
+        # every md (so did the oracle); keep that path on the
+        # all-NULL census where no literal coordinates exist.
+        null_md = "CAST(NULL AS BIGINT)"
+        d = pts.select("vec_id", "qi", F.expr(null_md).alias("md"))
+    else:
+        d = pts.select(
+            "vec_id", "qi", F.expr(dist_lit(first["qi"])).alias("md")
+        )
     out = [(1, int(first["vec_id"]), None)]
-    center = c1.select(F.col("qi").alias("cqi"))
-    d = pts.crossJoin(F.broadcast(center)).select(
-        "vec_id", "qi", F.expr(dist).alias("md")
-    )
     from .common import _TRANSIENT_PERSISTS
 
+    prev_cached = None
     for step in range(2, _KC_K + 1):
         d = d.persist()
         _TRANSIENT_PERSISTS.append(d)
         # ONE job per round: the TakeOrdered argmax row already
         # carries the new center's quantized coordinates, so the
-        # next round's center is a 1-row literal frame (no second
-        # lookup job against d).
+        # next round's distance expression is pure literals (no
+        # broadcast build, no second lookup job against d).
         far = d.orderBy(F.col("md").desc(), "vec_id").limit(1).first()
+        # d is materialized now; the round BEFORE last is dead - at
+        # scale the running-min chain must hold 2 cached copies, not
+        # k (optimization r14, guide section 5).
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = d
         out.append((step, int(far["vec_id"]), int(far["md"])))
-        center = spark.createDataFrame(
-            [(list(far["qi"]),)], "cqi array<bigint>"
+        step_dist = (
+            F.expr(dist_lit(far["qi"]))
+            if far["qi"] is not None
+            else F.expr("CAST(NULL AS BIGINT)")
         )
-        d = (
-            d.crossJoin(F.broadcast(center))
-            .select(
-                "vec_id",
-                "qi",
-                F.least(F.col("md"), F.expr(dist)).alias("md"),
-            )
+        d = d.select(
+            "vec_id",
+            "qi",
+            F.least(F.col("md"), step_dist).alias("md"),
         )
     return spark.createDataFrame(
         out, "step long, center_id long, radius_sq long"
