@@ -140,6 +140,28 @@ ALLOWED_DRIFT: dict[str, str] = {
         "symmetric-moment fold removes the unionAll'ed duplicate join "
         "subtree (xchg 14 -> 7, bcast 4 -> 2, bhj 4 -> 2)"
     ),
+    # r14 optimization (guide section 4): global_lead's in-partition
+    # lookahead moved from a mapInPandas pass (the suite's one
+    # remaining fact-sized Python boundary) to a pure-JVM LEAD +
+    # row_number window partitioned by the range-partition id - the
+    # global_cumsum device, measured faster at every size in PERF.md.
+    # arrow -> 0 in all three consumers; the +1 exchange per lead call
+    # is the window's hash exchange on the block id (each contiguous
+    # block moves as a unit), and the extra bcast/bhj are the
+    # offsets-frame broadcast join that replaced the Python-side
+    # offset addition. Values re-verified at 3 SFs + nine fixtures.
+    "q131_sorted_neighborhood": (
+        "global_lead JVM-window rewrite: MapInPandas removed "
+        "(arrow 3 -> 0; xchg 6 -> 9, bcast 2 -> 5)"
+    ),
+    "q294_suffix_lcp_spans": (
+        "global_lead JVM-window rewrite: MapInPandas removed "
+        "(arrow 2 -> 0; xchg 5 -> 7, bcast 1 -> 3)"
+    ),
+    "q136_key_gap_audit": (
+        "global_lead JVM-window rewrite: MapInPandas removed "
+        "(arrow 2 -> 0; xchg 4 -> 6, bcast 1 -> 3)"
+    ),
 }
 
 

@@ -398,14 +398,18 @@ def global_lead(
     npartitions: int | None = None,
 ) -> DataFrame:
     """``LEAD(col, j) OVER (ORDER BY ...)`` for j in 1..k over a total
-    order, distributed: in-partition leads come from a one-pass Arrow
-    map (a k-row lookahead buffer across batches), and the <= k tail
-    rows of each partition are patched from the next partitions' head
-    rows - a broadcast-sized relation (npartitions * k rows) joined
-    back on the exact global row number.  Adds ``_lead{j}_{col}``
-    columns; rows with no global successor keep NULL."""
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
+    order, distributed: in-partition leads come from a pure-JVM window
+    PARTITIONED BY the range-partition id (fully parallel codegen -
+    the :func:`global_cumsum` device, which measured faster than the
+    Arrow carried-state pass this function used before r14: columnar
+    serde over every row costs more than one extra JVM exchange on
+    the block id; the Python boundary is gone entirely, guide
+    section 4). The <= k tail rows of each partition are patched from
+    the next partitions' head rows - a broadcast-sized relation
+    (npartitions * k rows) joined back on the exact global row
+    number.  Adds ``_lead{j}_{col}`` columns; rows with no global
+    successor keep NULL."""
+    from pyspark.sql import Window  # noqa: PLC0415
 
     d = _ranged(df, order_cols, npartitions)
     stats = {
@@ -420,50 +424,39 @@ def global_lead(
         head_rns.extend(run + j for j in range(1, min(k, stats[pid]) + 1))
         run += stats[pid]
 
-    dtypes = dict(d.dtypes)
-    integral = {"tinyint", "smallint", "int", "bigint"}
-    out_fields = [f"`{f.name}` {dtypes[f.name]}" for f in d.schema if f.name != "_pid"]
-    out_fields.append("`_grn` bigint")
-    for j in range(1, k + 1):
-        for c in lead_cols:
-            out_fields.append(f"`_lead{j}_{c}` {dtypes[c]}")
-    schema = ", ".join(out_fields)
     leads = list(lead_cols)
-
-    def gen(batches):
-        pending = None
-        off = None
-        base = 0
-        def emit(chunk, upto):
-            nonlocal base
-            out = chunk.drop(columns=["_pid"]).copy()
-            out["_grn"] = off + base + np.arange(1, len(chunk) + 1)
-            for j in range(1, k + 1):
-                for c in leads:
-                    shifted = chunk[c].shift(-j)
-                    if dtypes[c] in integral:
-                        shifted = shifted.astype("Int64")
-                    out[f"_lead{j}_{c}"] = shifted
-            base += upto
-            return out.iloc[:upto]
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            if off is None:
-                off = offsets.get(int(pdf["_pid"].iloc[0]), 0)
-            pending = (
-                pdf
-                if pending is None
-                else pd.concat([pending, pdf], ignore_index=True)
-            )
-            if len(pending) > k:
-                yield emit(pending, len(pending) - k)
-                pending = pending.iloc[-k:].reset_index(drop=True)
-        if pending is not None and len(pending):
-            yield emit(pending, len(pending))
-
-    res = d.mapInPandas(gen, schema=schema)
+    cols = _order_cols(order_cols)
+    spark = df.sparkSession
+    wp = Window.partitionBy("_pid").orderBy(*cols)
+    adj_df = spark.createDataFrame(
+        sorted(offsets.items()), "_pid int, _off long"
+    )
+    keep = [c for c in d.columns if c != "_pid"]
+    # row_number + every lead share ONE window spec = one WindowExec;
+    # persisted because the head-row extraction below is a second full
+    # consumer (the old Arrow map re-ran per consumer).
+    res = transient_persist(
+        d.select(
+            *keep,
+            "_pid",
+            F.row_number().over(wp).alias("_prn"),
+            *[
+                F.lead(c, j).over(wp).alias(f"_lead{j}_{c}")
+                for j in range(1, k + 1)
+                for c in leads
+            ],
+        )
+        .join(F.broadcast(adj_df), "_pid")
+        .select(
+            *keep,
+            (F.col("_prn").cast("long") + F.col("_off")).alias("_grn"),
+            *[
+                f"_lead{j}_{c}"
+                for j in range(1, k + 1)
+                for c in leads
+            ],
+        )
+    )
     if not head_rns:  # empty input: nothing to patch
         return res.drop("_grn")
     heads = res.filter(F.col("_grn").isin(head_rns)).select(

@@ -1068,8 +1068,10 @@ def q131_sorted_neighborhood(spark, sf_dir):
     Distributed form: a global sort order is inherent to SNM (that IS
     the algorithm), but no single task ever holds it -
     :func:`plans.common.global_lead` range-partitions on the sort key,
-    takes the W successors in-partition from a map-only Arrow pass
-    with a W-row lookahead buffer, and patches each partition's last W
+    takes the W successors in-partition from a pure-JVM LEAD window
+    keyed by the partition id (r14: the Arrow lookahead pass it
+    replaced paid columnar serde on every row - guide section 4),
+    and patches each partition's last W
     rows from the broadcast-sized next-partition heads (the 'overlap
     partition fringes by W' production variant, exactly).  Pair count
     is exactly W*N - linear, vs blocking's per-block quadratic."""
@@ -1797,7 +1799,7 @@ def q294_suffix_lcp_spans(spark, sf_dir):
 
     Scale: suffix rows = corpus tokens (linear, map-stage); the global
     sort is :func:`plans.common.global_lead` - range-partitioned with
-    map-only in-partition lookahead and broadcast fringe patching,
+    a pure-JVM in-partition LEAD window and broadcast fringe patching,
     never a single-partition window; the LCP is a per-row expression
     over two 12-token arrays (Spark's zip_with and DuckDB's
     list_zip both null-pad the shorter side, so the first-mismatch
@@ -2741,6 +2743,10 @@ def q343_bleu_pair_verify(spark, sf_dir):
     cands = q43_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = t(spark, sf_dir, "documents")
     base = docs.select("doc_id", _tokens().alias("toks"))
+    # (r14 note: persisting tc/bc - each is consumed twice - was tried
+    # and measured 1.85 -> 4.01 s solo: caching the corpus-sized
+    # n-gram count frames costs more than recomputing the map-side-
+    # combined explode+groupBy from the parquet scan. Left lazy.)
     tc = (
         base.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")

@@ -1743,15 +1743,13 @@ def q339_adaboost_stumps(spark, sf_dir):
         ).unionByName(
             d.select(F.lit(2).alias("feat"), F.col("f2").alias("thr"), "y", "w")
         )
-        bk = transient_persist(
-            unpiv.groupBy("feat", "thr").agg(
-                F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
-                .cast("long")
-                .alias("wpos"),
-                F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0))
-                .cast("long")
-                .alias("wneg"),
-            )
+        bk = unpiv.groupBy("feat", "thr").agg(
+            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("wpos"),
+            F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("wneg"),
         )
         wcum = (
             Window.partitionBy("feat")
@@ -1764,15 +1762,15 @@ def q339_adaboost_stumps(spark, sf_dir):
             F.sum("wneg").over(wcum).alias("cneg"),
             F.sum("wpos").over(wcum).alias("cpos"),
         )
-        # round totals derived from the BOUNDED bucket frame, not a
-        # second corpus scan (optimization r14, guide section 2.4):
-        # every d row lands in exactly one feat=1 bucket (f1 is never
-        # NULL on the filtered population), so tpos/tw are the same
-        # bigint sums the old d-scan computed; bk is persisted so the
-        # cum window and this 2-row agg share one build.
-        tot = bk.filter(F.col("feat") == 1).agg(
-            F.sum("wpos").cast("long").alias("tpos"),
-            (F.sum("wpos") + F.sum("wneg")).cast("long").alias("tw"),
+        # (r14 note: deriving tpos/tw from a persisted bk instead of
+        # this d-scan was tried and measured ~0.3 s SLOWER solo - the
+        # per-round persist machinery on a ~50-row frame costs more
+        # than one scan of the cached weighted corpus. Left as-is.)
+        tot = d.agg(
+            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("tpos"),
+            F.sum("w").cast("long").alias("tw"),
         )
         cand = cum.crossJoin(F.broadcast(tot))
         err_pos = F.col("cneg") + (F.col("tpos") - F.col("cpos"))
