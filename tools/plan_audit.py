@@ -816,6 +816,10 @@ BOUNDED_COLLECT_ALLOW: dict[str, str] = {
         "1-row DECIMAL(38,0) scalar folds",
     "plans/stattests.py:seg":
         "q365 DP: 1-row per-segment scalar aggregates, k segments",
+    "plans/stattests.py:sweep":
+        "q428 rich-club: 1-row conditional-count aggregate per frame "
+        "(3 floors folded into one agg, r14 - replaced 9 count() "
+        "actions)",
     "plans/udx.py:q273_python_datasource_write":
         "Python-sink probe re-reads its own scratch manifest (fixture)",
     "plans/vectors.py:_query_vec":

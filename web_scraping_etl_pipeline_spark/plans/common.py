@@ -432,10 +432,8 @@ def global_lead(
         sorted(offsets.items()), "_pid int, _off long"
     )
     keep = [c for c in d.columns if c != "_pid"]
-    # row_number + every lead share ONE window spec = one WindowExec;
-    # persisted because the head-row extraction below is a second full
-    # consumer (the old Arrow map re-ran per consumer).
-    res = transient_persist(
+    # row_number + every lead share ONE window spec = one WindowExec.
+    res = (
         d.select(
             *keep,
             "_pid",
@@ -459,6 +457,11 @@ def global_lead(
     )
     if not head_rns:  # empty input: nothing to patch
         return res.drop("_grn")
+    # heads stays a LAZY subtree (r14: both a transient_persist of res
+    # and an eager bounded collect of the head rows were measured and
+    # lost - persist cache machinery and the extra eager job each cost
+    # more than re-planning this filter against the cached ranged
+    # frame; broadcast-subtree reuse dedupes the per-j builds).
     heads = res.filter(F.col("_grn").isin(head_rns)).select(
         F.col("_grn").alias("_hrn"),
         *[F.col(c).alias(f"_h_{c}") for c in leads],

@@ -1973,6 +1973,13 @@ def q360_dbscan_grid(spark, sf_dir):
     core = deg.filter(F.col("n") >= _DBSCAN_MINPTS).select(
         F.col("ia").alias("v")
     )
+    # localCheckpoint, deliberately NOT repartition(d).persist()
+    # (r14 attempt): the cached InMemoryRelation would let each
+    # round's join reuse hashpartitioning(d), but persist does not
+    # cut the ANALYZED-plan lineage (the q416 class), so every round
+    # re-planned the full cand subtree and measured 8.6 -> 11.3-13.9 s
+    # solo. The checkpoint's unknown partitioning costs one edge
+    # exchange per substep and still wins.
     e = (
         cand.filter(F.col("ia") != F.col("ib"))
         .join(core.select(F.col("v").alias("ia")), "ia", "left_semi")
