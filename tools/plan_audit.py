@@ -175,6 +175,11 @@ ALLOW = {
     # 1-row class-totals frame + 1-row argmin frame crossed into the
     # ~18-row length-bucket sweep.
     "q329_gini_stump_split": {"nested_loop"},
+    # 1-row corpus-token-total frame crossed into the unigram seed
+    # (r15 lazy single-action beam: the crossJoin existed before but
+    # lived behind a driver collect, so the audited readout plan
+    # never showed it).
+    "q361_beam_search_decode": {"nested_loop"},
     # 1-row edge-count frame crossed with the 1-row wedge/closure
     # aggregate (r9 rewrite: one lazy plan instead of three driver
     # count() actions).
@@ -794,8 +799,6 @@ BOUNDED_COLLECT_ALLOW: dict[str, str] = {
         "1-row argmax per decode step on the vocab-bounded bigram table",
     "plans/inference.py:q339_adaboost_stumps":
         "1-row stump argmin + 1-row weight-mass scalar per round",
-    "plans/inference.py:q361_beam_search_decode":
-        "beam state: <= beam-width rows per level",
     "plans/inference.py:q373_kfold_cv_mae":
         "k x 5 fold-moment cells (k = 5)",
     "plans/pipelineq.py:q271_pipeline_silver":

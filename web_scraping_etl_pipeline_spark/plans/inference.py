@@ -2473,13 +2473,13 @@ def q361_beam_search_decode(spark, sf_dir):
     cut once and never re-converge - the one operator where a 1-ulp
     difference is not self-correcting but amplifying).
 
-    Scale: the bigram census and its row totals are computed once
-    (vocabulary-bounded, persisted); each level is a filter of that
-    cached table on the <= 2 live last-tokens + a
-    TakeOrdered(2) - per-level work is branching-factor-bounded, and
-    driver state is 2 (sequence, score) tuples (the
-    q177/q325 bounded-driver-loop class). The oracle unrolls the same
-    levels as MATERIALIZED CTEs."""
+    Scale: the bigram census is computed once and shrunk to the
+    per-w1 top-W transition cache (r14; provably sufficient for a
+    width-W beam), checkpointed so the level plans scan an RDD; all 8
+    levels chain LAZILY (each a branching-factor-bounded join + exact
+    top-2) into ONE materializing action - no per-level driver
+    round-trips (r15; was 9 actions/24 jobs). The oracle unrolls the
+    same levels as MATERIALIZED CTEs."""
     docs = t(spark, sf_dir, "documents")
     bigrams = F.expr(
         "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
@@ -2513,7 +2513,12 @@ def q361_beam_search_decode(spark, sf_dir):
     w1rank = Window.partitionBy("w1").orderBy(
         F.col("p_ppm").desc(), "w2"
     )
-    pp = transient_persist(
+    # localCheckpoint (not persist): the 8 beam levels below are ONE
+    # lazy plan referencing this cache 7 times, and a persisted frame
+    # embeds its FULL build lineage per reference (the q416 class) -
+    # the checkpointed RDD scan keeps every level's subtree constant-
+    # size. Eager: one census job up front.
+    pp = (
         bg.join(tot, "w1")
         .select(
             "w1",
@@ -2523,12 +2528,26 @@ def q361_beam_search_decode(spark, sf_dir):
         .withColumn("_rk", F.row_number().over(w1rank))
         .filter(F.col("_rk") <= _BEAM_W)
         .drop("_rk")
+        .localCheckpoint(eager=True)
     )
     uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
         F.count("*").cast("long").alias("cnt")
     )
     n_tok = uni.agg(F.sum("cnt").alias("tot"))
-    seed = (
+    # The whole 8-level beam is ONE LAZY PLAN ending in a single
+    # action (optimization r15, guide section 1.2/2.4): the r14 shape
+    # collected each level's 2-row beam to the driver and re-planned a
+    # createDataFrame+join probe per level - 9 driver actions, 24
+    # jobs, 22 collect stages and 5.4 s of between-job driver gap in
+    # the profile. Here each level is a lazy top-2 (orderBy desc,
+    # limit) over the previous level joined to the checkpointed top-W
+    # transition cache; (score DESC, seq) is a TOTAL order (seq is
+    # unique within a level's candidates), so the limit-2 frames are
+    # the exact beams the collected loop held, level for level, and
+    # the single materializing action executes every level in one job
+    # chain. Driver state is zero rows now; at 100 TB each level is
+    # still one vocab-bounded probe of the cache.
+    beam = (
         uni.crossJoin(F.broadcast(n_tok))
         .select(
             F.col("w").alias("seq"),
@@ -2537,21 +2556,11 @@ def q361_beam_search_decode(spark, sf_dir):
         )
         .orderBy(F.col("score").desc(), "seq")
         .limit(_BEAM_W)
-        .collect()
     )
-    beam = [(r["seq"], r["last"], int(r["score"])) for r in seed]
-    out: list[tuple[int, int, str, int]] = [
-        (1, j + 1, s, sc) for j, (s, _, sc) in enumerate(beam)
-    ]
+    levels = [beam.select(F.lit(1).cast("long").alias("step"), "seq", "score")]
     for step in range(2, _BEAM_STEPS + 1):
-        if not beam:
-            break
-        hyp = spark.createDataFrame(
-            [(s, l, sc) for (s, l, sc) in beam],
-            "seq string, last string, score long",
-        )
-        nxt = (
-            hyp.join(pp, hyp.last == pp.w1)
+        beam = (
+            beam.join(pp, beam.last == pp.w1)
             .select(
                 F.concat_ws(" ", "seq", "w2").alias("seq"),
                 F.col("w2").alias("last"),
@@ -2559,16 +2568,24 @@ def q361_beam_search_decode(spark, sf_dir):
             )
             .orderBy(F.col("score").desc(), "seq")
             .limit(_BEAM_W)
-            .collect()
         )
-        beam = [(r["seq"], r["last"], int(r["score"])) for r in nxt]
-        out.extend(
-            (step, j + 1, s, sc) for j, (s, _, sc) in enumerate(beam)
+        levels.append(
+            beam.select(
+                F.lit(step).cast("long").alias("step"), "seq", "score"
+            )
         )
-    pp.unpersist()
-    return spark.createDataFrame(
-        out, "step long, rank long, seq string, score_ppm long"
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    rank_w = Window.partitionBy("step").orderBy(
+        F.col("score").desc(), "seq"
     )
+    return out.select(
+        "step",
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+        "seq",
+        F.col("score").cast("long").alias("score_ppm"),
+    ).select("step", "rank", "seq", "score_ppm")
 
 
 # ---------------------------------------------------------------------------

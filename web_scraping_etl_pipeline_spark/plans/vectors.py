@@ -1990,30 +1990,44 @@ def q360_dbscan_grid(spark, sf_dir):
     labels = core.select(F.col("v").alias("node"), F.col("v").alias("label"))
 
     def _min_jump(lbl):
-        """One (graph-min, pointer-jump) contraction substep."""
-        nbr = (
-            e.join(lbl, e.d == lbl.node)
-            .groupBy("s")
-            .agg(F.min("label").alias("nbr_min"))
+        """One contraction substep in MESSAGE-UNION form (optimization
+        r15, guide section 2.4): L'(v) = min(L(v), min over in-nbrs
+        L(u), L(L(v))) computed as ONE groupBy over a union of
+        self / edge / pointer-jump messages. The r14 shape (min step,
+        then a jump LEFT-join against the post-min frame) self-joined
+        a DERIVED frame, so each substep's plan embedded its own
+        subtree twice and two chained substeps planned as 45
+        Exchanges / 50 SortMergeJoins per round; here both joins read
+        the substep's INPUT (an RDD scan after the checkpoint below),
+        so the plan is linear: two small joins + one aggregate.
+        The jump goes through the PRE-min label L(L(v)) instead of
+        the post-min pointer - a weaker contraction per substep
+        (measured +1 round at sf0.1: 7 vs 6) but every surviving
+        round is ~0.6 s vs ~1.0 s and the fixpoint is unchanged (any
+        monotone label-decreasing propagation over the symmetric core
+        edge set has the unique fixpoint L(v) = min of v's component;
+        the convergence check below stops exactly there)."""
+        edge = e.join(lbl, e.d == lbl.node).select(
+            F.col("s").alias("node"), "label"
         )
-        stepped = lbl.join(nbr, lbl.node == nbr.s, "left").select(
-            "node",
-            F.least(
-                F.col("label"),
-                F.coalesce(F.col("nbr_min"), F.col("label")),
-            ).alias("label"),
+        jump = (
+            lbl.select(
+                F.col("node").alias("xn"), F.col("label").alias("xl")
+            )
+            .join(
+                lbl.select(
+                    F.col("node").alias("jn"), F.col("label").alias("jl")
+                ),
+                F.col("xl") == F.col("jn"),
+            )
+            .select(F.col("xn").alias("node"), F.col("jl").alias("label"))
         )
-        parent = stepped.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
-        )
-        return stepped.join(
-            parent, stepped.label == parent.pnode, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"),
-                F.coalesce(F.col("plabel"), F.col("label")),
-            ).alias("label"),
+        return (
+            lbl.select("node", "label")
+            .union(edge)
+            .union(jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
 
     prev = None
@@ -2031,11 +2045,19 @@ def q360_dbscan_grid(spark, sf_dir):
     # Cap is a safety net, never the stop condition.
     for _ in range(30):
         labels = (
-            _min_jump(_min_jump(labels))
-            # eager=False: the convergence agg below is the round's
-            # materializing action, so checkpoint + convergence check
-            # share ONE job instead of two (r9: halved the loop's
-            # per-round driver actions; lineage is still cut).
+            # lineage is cut between the two substeps as well as at
+            # the round boundary (optimization r15, guide section
+            # 1.2/7.2): chaining the substeps LAZILY doubled the plan
+            # per self-join - the jump join embeds its probe subtree
+            # in the broadcast build, so two chained substeps planned
+            # as ONE tree carried 45 Exchanges / 50 SortMergeJoins /
+            # 52 RDD scans per round (captured steady-state round
+            # plan, sf0.1) and ~3 s of optimizer+stage bookkeeping
+            # per round. The eager=False checkpoints keep it ONE
+            # driver action per round (the agg below materializes
+            # both substeps in one job chain) while each substep's
+            # plan stays constant-size over RDD-scan inputs.
+            _min_jump(_min_jump(labels).localCheckpoint(eager=False))
             .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("label")).first()[0]
